@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tsp_spark.ops import islands, sessionize_intervals, and_then
+
+
+def _events(spark, mk_ts, rows):
+    return spark.createDataFrame(
+        [(u, mk_ts(t), float(v)) for (u, t, v) in rows], "unit string, ts timestamp, x double"
+    )
+
+
+def test_islands_basic(spark, mk_ts):
+    df = _events(
+        spark,
+        mk_ts,
+        [
+            ("a", 0, 1), ("a", 1, 5), ("a", 2, 6),  # x>4 island [1,2]
+            ("a", 3, 2), ("a", 4, 9),               # second island [4,4]
+            ("b", 0, 7),                            # island [0,0]
+        ],
+    )
+    out = islands(df, ["unit"], "ts", F.col("x") > 4, max_gap_ms=None).orderBy(
+        "unit", "from_ts"
+    )
+    rows = [(r.unit, r.from_ts.second, r.to_ts.second, r.n_rows) for r in out.collect()]
+    assert rows == [("a", 1, 2, 2), ("a", 4, 4, 1), ("b", 0, 0, 1)]
+
+
+def test_islands_gap_split(spark, mk_ts):
+    # continuous truth but a 120s gap splits the run (eventsMaxGapMs=60s)
+    df = _events(spark, mk_ts, [("a", 0, 9), ("a", 30, 9), ("a", 150, 9)])
+    out = islands(df, ["unit"], "ts", F.col("x") > 4, max_gap_ms=60_000)
+    assert out.count() == 2
+
+
+def test_islands_null_is_fail(spark, mk_ts):
+    df = spark.createDataFrame(
+        [("a", mk_ts(0), 9.0), ("a", mk_ts(1), None), ("a", mk_ts(2), 9.0)],
+        "unit string, ts timestamp, x double",
+    )
+    out = islands(df, ["unit"], "ts", F.col("x") > 4, max_gap_ms=None)
+    assert out.count() == 2  # NULL breaks the run
+
+
+def test_sessionize(spark, mk_ts):
+    df = spark.createDataFrame(
+        [
+            ("a", mk_ts(0), mk_ts(10)),
+            ("a", mk_ts(11), mk_ts(20)),   # 1s gap → merged
+            ("a", mk_ts(100), mk_ts(110)),  # 80s gap → separate
+        ],
+        "unit string, from_ts timestamp, to_ts timestamp",
+    )
+    out = sessionize_intervals(df, ["unit"], gap_ms=2_000).orderBy("from_ts").collect()
+    assert len(out) == 2
+    assert out[0].from_ts.second == 0 and out[0].to_ts.second == 20
+    assert out[0].n_merged == 2
+
+
+def test_and_then(spark, mk_ts):
+    # A: x>4 on [1,2]; B: x<0 starting idx right after A's end → match
+    df = _events(
+        spark,
+        mk_ts,
+        [
+            ("a", 0, 1), ("a", 1, 5), ("a", 2, 6), ("a", 3, -1), ("a", 4, -2),
+            # unit b: B run starts 2 idx after A ends → no match
+            ("b", 0, 5), ("b", 1, 1), ("b", 2, -1),
+        ],
+    )
+    out = and_then(
+        df, ["unit"], "ts", F.col("x") > 4, F.col("x") < 0, max_gap_ms=None
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.unit == "a" and r.from_ts.second == 1 and r.to_ts.second == 4

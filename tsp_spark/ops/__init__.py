@@ -1,0 +1,41 @@
+"""Pure DataFrame→DataFrame operator kernels.
+
+The reusable building blocks the pattern compiler (and users directly)
+assemble into jobs. All are expression/window based — no Python row UDFs.
+"""
+
+from tsp_spark.ops.islands import islands, with_islands, with_run_start
+from tsp_spark.ops.windows import (
+    time_window,
+    windowed_avg,
+    windowed_count,
+    windowed_max,
+    windowed_min,
+    windowed_sum,
+    lag_value,
+    lag_time,
+    truth_stats,
+)
+from tsp_spark.ops.fill import forward_fill
+from tsp_spark.ops.reshape import unfold_narrow
+from tsp_spark.ops.sessionize import sessionize_intervals
+from tsp_spark.ops.sequence import and_then
+
+__all__ = [
+    "islands",
+    "with_islands",
+    "with_run_start",
+    "time_window",
+    "windowed_avg",
+    "windowed_count",
+    "windowed_max",
+    "windowed_min",
+    "windowed_sum",
+    "lag_value",
+    "lag_time",
+    "truth_stats",
+    "forward_fill",
+    "unfold_narrow",
+    "sessionize_intervals",
+    "and_then",
+]

@@ -1,0 +1,114 @@
+"""Island detection — the central kernel of the engine.
+
+Run-length-encodes a boolean condition per partition key into maximal
+time intervals ("islands") on which the condition is constant, splitting
+a series whenever the gap between consecutive events exceeds
+``max_gap_ms`` (the reference's ``eventsMaxGapMs`` series split,
+streaming/.../mappers/PatternProcessor.scala:33-56).
+
+This single kernel re-expresses five reference operators (see SURVEY §7.1):
+SimplePattern RLE segmentization (core/.../SimplePattern.scala:27-37),
+TimerPattern "X for T" (core/.../aggregators/TimerPattern.scala), the
+eventsMaxGapMs series split, the AndThen operands
+(core/.../AndThenPattern.scala), and incident sessionization
+(core/.../Incident.scala:27-48).
+
+Scale notes: one shuffle on the partition keys (unavoidable — the keyed
+window needs co-location), then everything is a single window pass +
+partial-aggregated groupBy that reuses the same partitioning, so Catalyst
+plans ONE exchange for the whole islandization. Output is tiny relative
+to input (one row per run), so downstream joins on islands are cheap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_GAP_MS = 60_000
+
+
+def with_islands(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    cond: Column,
+    max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
+    island_col: str = "__island",
+    cond_col: str = "__cond",
+) -> DataFrame:
+    """Append an island id column: a new island starts when the condition
+    value changes, at the first row of a key, or after a time gap larger
+    than ``max_gap_ms``. NULL condition (= trilean Fail) is its own state,
+    distinct from both true and false.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts)
+    ms = F.unix_millis(F.col(ts))
+    # NULL-safe change detection: eqNullSafe treats NULL==NULL as true.
+    cond_changed = ~cond.eqNullSafe(F.lag(cond).over(w))
+    boundary = cond_changed | F.lag(F.col(ts)).over(w).isNull()
+    if max_gap_ms is not None:
+        boundary = boundary | (ms - F.lag(ms).over(w) > F.lit(max_gap_ms))
+    return df.withColumn(cond_col, cond).withColumn(
+        island_col,
+        F.sum(boundary.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def islands(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    cond: Column,
+    max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
+    keep: bool | None = True,
+    with_idx: bool = False,
+) -> DataFrame:
+    """Collapse each island to one row: ``keys…, from_ts, to_ts, n_rows``.
+
+    ``keep=True`` returns only islands where the condition held (the
+    common case: success intervals); ``keep=None`` returns all islands
+    with a ``cond_value`` column. ``with_idx=True`` additionally emits
+    ``start_idx``/``end_idx`` (per-key row numbers), needed by the
+    ``and_then`` sequence join.
+    """
+    base = df
+    if with_idx:
+        w = Window.partitionBy(*keys).orderBy(ts)
+        base = base.withColumn("__idx", F.row_number().over(w))
+    flagged = with_islands(base, keys, ts, cond, max_gap_ms)
+    aggs = [
+        F.min(ts).alias("from_ts"),
+        F.max(ts).alias("to_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if with_idx:
+        aggs += [F.min("__idx").alias("start_idx"), F.max("__idx").alias("end_idx")]
+    grouped = flagged.groupBy(*keys, "__island", "__cond").agg(*aggs)
+    if keep is not None:
+        grouped = grouped.filter(F.col("__cond").eqNullSafe(F.lit(keep)))
+        return grouped.drop("__cond")
+    return grouped.withColumnRenamed("__cond", "cond_value")
+
+
+def with_run_start(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    cond: Column,
+    max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
+    run_start_col: str = "__run_start",
+    island_col: str = "__island",
+) -> DataFrame:
+    """Append, to every row, the start timestamp of the current island.
+
+    This is what makes TimerPattern ("cond holds continuously for T")
+    row-level composable: a row satisfies the timer iff
+    ``cond AND ts >= run_start + T`` — no join, just a second window
+    over the same partitioning (no extra shuffle).
+    """
+    flagged = with_islands(df, keys, ts, cond, max_gap_ms, island_col=island_col)
+    w_island = Window.partitionBy(*keys, island_col)
+    return flagged.withColumn(run_start_col, F.min(ts).over(w_island))

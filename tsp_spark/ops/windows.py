@@ -1,0 +1,106 @@
+"""Trailing event-time window aggregates — the reference's aggregator layer.
+
+Maps the reference's incremental sliding-window accumulators
+(core/.../aggregators/GroupPattern.scala — sum/count/avg,
+WindowStatistic.scala — truth stats, PreviousValue.scala — lag) onto
+Spark ``Window.rangeBetween`` frames over epoch time. The reference's
+O(1) evict-and-add loop becomes a vectorized codegen'd frame scan; same
+partitioning as the island kernel so Catalyst fuses all of these into
+one exchange + one window stage.
+
+Window bounds: a trailing window of W seconds at row t covers
+[t − W, t] inclusive on both ends (the reference includes the expiring
+boundary event; validated against the DuckDB oracle which uses
+RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT ROW — same closed
+interval).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def time_window(
+    keys: Sequence[str], ts: str, window_s: float, leading: bool = False
+) -> WindowSpec:
+    """Trailing (or leading) event-time range frame of ``window_s`` seconds.
+
+    Orders by the raw epoch value (micros cast to double seconds) so
+    ``rangeBetween`` is in real time units, not row counts.
+    """
+    order = F.col(ts).cast("double")  # epoch seconds incl. fractional part
+    w = Window.partitionBy(*keys).orderBy(order)
+    if leading:
+        return w.rangeBetween(0, window_s)
+    return w.rangeBetween(-window_s, 0)
+
+
+def windowed_sum(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
+    return F.sum(col).over(time_window(keys, ts, window_s))
+
+
+def windowed_count(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
+    return F.count(col).over(time_window(keys, ts, window_s))
+
+
+def windowed_avg(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
+    return F.avg(col).over(time_window(keys, ts, window_s))
+
+
+def windowed_min(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
+    return F.min(col).over(time_window(keys, ts, window_s))
+
+
+def windowed_max(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
+    return F.max(col).over(time_window(keys, ts, window_s))
+
+
+def lag_value(col: Column, keys: Sequence[str], ts: str) -> Column:
+    """Previous event's value (the reference's ``lag(x)``,
+    core/.../aggregators/PreviousValue.scala with a 1-event window)."""
+    return F.lag(col).over(Window.partitionBy(*keys).orderBy(ts))
+
+
+def lag_time(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
+    """Value as of ``window_s`` seconds ago (``lag(x, T)``): the last
+    value at or before t − W (core/.../aggregators/PreviousValue.scala:50-63
+    — the reference takes the first retained value after eviction; the
+    closed-boundary choice is pinned by the oracle harness)."""
+    order = F.col(ts).cast("double")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, -window_s)
+    )
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def truth_stats(
+    cond: Column,
+    keys: Sequence[str],
+    ts: str,
+    window_s: float,
+    prefix: str = "truth",
+) -> dict[str, Column]:
+    """The reference's WindowStatistic: success/fail counts and durations
+    within the trailing window (core/.../aggregators/WindowStatistic.scala).
+
+    Durations attribute to each event the time elapsed since the previous
+    event of the same key (the reference accumulates inter-event deltas),
+    clipped inside the window.
+    """
+    w = time_window(keys, ts, window_s)
+    w_row = Window.partitionBy(*keys).orderBy(F.col(ts).cast("double"))
+    delta_ms = F.unix_millis(F.col(ts)) - F.lag(F.unix_millis(F.col(ts))).over(w_row)
+    c = cond.cast("boolean")
+    return {
+        f"{prefix}_count": F.sum(F.when(c, 1).otherwise(0)).over(w),
+        f"{prefix}_millis": F.sum(F.when(c, delta_ms).otherwise(0)).over(w),
+        f"{prefix}_fail_count": F.sum(F.when(~c | c.isNull(), 1).otherwise(0)).over(w),
+        f"{prefix}_fail_millis": F.sum(
+            F.when(~c | c.isNull(), delta_ms).otherwise(0)
+        ).over(w),
+    }
