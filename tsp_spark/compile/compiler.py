@@ -1,0 +1,375 @@
+"""Compile TSP pattern ASTs to declarative Spark DataFrame plans.
+
+The same compiler shape as the reference's ASTPatternGenerator
+(dsl/.../ASTPatternGenerator.scala:47-200) but emitting pyspark Column
+expressions + window frames instead of state machines. Design (SURVEY §7):
+
+* Every node except AndThen compiles to a ROW-LEVEL trilean boolean
+  column (NULL = Fail). Pattern-level operators become window
+  expressions over the keyed event-time ordering:
+    - Timer "X for T":  cond AND ts >= current_run_start + T, where
+      run_start = last boundary timestamp (change/gap/first row) —
+      one cumulative window, no extra shuffle.
+    - ForWithInterval "X for T <op> N times / T'": trailing-window truth
+      stats + inclusive interval check (+ the reference's `exactly`
+      full-window-elapsed rule).
+    - Wait "wait(T, X)": leading-window max of X over [t, t+T].
+    - Until "X until B": islands of (X and not B) — the reference
+      desugars to and(Timer(X, [0,max]), assert(not B)).
+* AndThen operates on interval tables: islandize both operands and
+  sequence-join (ops/sequence.py).
+* Trilean algebra (FunctionRegistry.scala:278-324): `or` tolerates a
+  one-sided Fail (coalesce(a|b, a, b)); `and`/`xor`/comparisons/arith
+  propagate Fail (SQL NULL semantics, with an explicit NULL for
+  false-AND-NULL which SQL would otherwise resolve to false).
+
+Window-function nesting: Spark forbids a window expression inside
+another window's argument, so the compiler tracks `has_window` per
+compiled fragment and materializes (withColumn) before wrapping in
+another windowed op. All windows share the same partitionBy(keys)
+ordering → Catalyst plans a single exchange + chained window stages.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsp_spark.dsl import ast as A
+from tsp_spark.compile.registry import (
+    FunctionRegistry,
+    DEFAULT_REGISTRY,
+    numeric_result_type,
+    spark_type_name,
+)
+from tsp_spark.ops.islands import islands
+from tsp_spark.ops.sequence import and_then_intervals
+
+_counter = itertools.count()
+
+
+def _tmp(prefix: str) -> str:
+    return f"__{prefix}_{next(_counter)}"
+
+
+@dataclass
+class Compiled:
+    df: DataFrame
+    col: Column
+    dtype: str
+    has_window: bool = False
+
+
+class PatternCompiler:
+    """Compiles one pattern AST against a keyed event DataFrame.
+
+    Parameters mirror the reference job config: ``keys`` =
+    partitionFields, ``ts`` = datetimeField, ``max_gap_ms`` =
+    eventsMaxGapMs (gaps split series and reset pattern state).
+    """
+
+    def __init__(
+        self,
+        keys: Sequence[str],
+        ts: str,
+        fields_types: dict[str, str] | None = None,
+        max_gap_ms: int | None = 60_000,
+        registry: FunctionRegistry = DEFAULT_REGISTRY,
+    ):
+        self.keys = list(keys)
+        self.ts = ts
+        self.fields = fields_types or {}
+        self.max_gap_ms = max_gap_ms
+        self.registry = registry
+
+    # ------------------------------------------------------------------
+    # window helpers (all share partitionBy(keys) → one exchange)
+    # ------------------------------------------------------------------
+    def _w_order(self) -> Window:
+        return Window.partitionBy(*self.keys).orderBy(self.ts)
+
+    def _w_cum(self) -> Window:
+        return self._w_order().rowsBetween(Window.unboundedPreceding, 0)
+
+    def _w_range(self, window_ms: int, leading: bool = False) -> Window:
+        # order by epoch millis (long) — rangeBetween requires integral
+        # bounds; millis keep sub-second resolution
+        w = Window.partitionBy(*self.keys).orderBy(F.unix_millis(F.col(self.ts)))
+        return w.rangeBetween(0, window_ms) if leading else w.rangeBetween(-window_ms, 0)
+
+    def _ms(self) -> Column:
+        return F.unix_millis(F.col(self.ts))
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def compile_intervals(self, df: DataFrame, node: A.Node) -> DataFrame:
+        """Full pattern → interval table (keys…, from_ts, to_ts, n_rows,
+        start_idx, end_idx)."""
+        if isinstance(node, A.AndThen):
+            left = self.compile_intervals(df, node.left)
+            c = self.compile_bool(df, node.right)
+            right = islands(
+                c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True
+            )
+            return and_then_intervals(left, right, self.keys)
+        c = self.compile_bool(df, node)
+        return islands(c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True)
+
+    def compile_bool(self, df: DataFrame, node: A.Node) -> Compiled:
+        """Pattern → row-level trilean boolean column."""
+        c = self._compile(df, node)
+        if c.dtype != "boolean":
+            # non-boolean top level (e.g. bare sensor `for` …): nonzero = true
+            c = Compiled(c.df, c.col.cast("boolean"), "boolean", c.has_window)
+        return c
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _materialize(self, c: Compiled, prefix: str = "m") -> Compiled:
+        name = _tmp(prefix)
+        return Compiled(c.df.withColumn(name, c.col), F.col(name), c.dtype, False)
+
+    def _maybe_materialize(self, c: Compiled) -> Compiled:
+        return self._materialize(c) if c.has_window else c
+
+    def _compile(self, df: DataFrame, node: A.Node, underscore: Column | None = None) -> Compiled:
+        if isinstance(node, A.Constant):
+            v = node.value
+            dtype = (
+                "boolean"
+                if isinstance(v, bool)
+                else "int64"
+                if isinstance(v, int)
+                else "float64"
+                if isinstance(v, float)
+                else "string"
+            )
+            return Compiled(df, F.lit(v), dtype)
+
+        if isinstance(node, A.Identifier):
+            if node.name == "_":
+                if underscore is None:
+                    raise ValueError("'_' used outside a reducer constraint")
+                return Compiled(df, underscore, "float64")
+            dtype = node.dtype or self.fields.get(node.name, "float64")
+            col = F.col(node.name)
+            sname = spark_type_name(dtype)
+            if sname is not None:
+                col = col.cast(sname)
+            return Compiled(df, col, dtype)
+
+        if isinstance(node, A.Cast):
+            c = self._compile(df, node.inner, underscore)
+            return Compiled(
+                c.df, c.col.cast(spark_type_name(node.dtype) or node.dtype), node.dtype, c.has_window
+            )
+
+        if isinstance(node, A.Assert):
+            c = self._compile(df, node.inner, underscore)
+            return Compiled(c.df, c.col.cast("boolean"), "boolean", c.has_window)
+
+        if isinstance(node, A.FunctionCall):
+            return self._compile_function(df, node, underscore)
+
+        if isinstance(node, A.ReducerCall):
+            return self._compile_reducer(df, node, underscore)
+
+        if isinstance(node, A.AggregateCall):
+            return self._compile_aggregate(df, node, underscore)
+
+        if isinstance(node, A.Timer):
+            return self._compile_timer(df, node)
+
+        if isinstance(node, A.ForWithInterval):
+            return self._compile_for_interval(df, node)
+
+        if isinstance(node, A.Wait):
+            return self._compile_wait(df, node)
+
+        if isinstance(node, A.Until):
+            return self._compile_until(df, node)
+
+        if isinstance(node, A.AndThen):
+            raise ValueError(
+                "andThen inside boolean context is not supported; use it at "
+                "the pattern top level (chains are fine)"
+            )
+
+        raise ValueError(f"Unhandled AST node: {node!r}")
+
+    def _compile_function(self, df: DataFrame, node: A.FunctionCall, underscore) -> Compiled:
+        compiled: list[Compiled] = []
+        cur = df
+        for arg in node.args:
+            c = self._compile(cur, arg, underscore)
+            cur = c.df
+            compiled.append(c)
+        cols = [c.col for c in compiled]
+        dtypes = [c.dtype for c in compiled]
+        has_window = any(c.has_window for c in compiled)
+        col, dtype = self.registry.build(node.name, cols, dtypes)
+        return Compiled(cur, col, dtype, has_window)
+
+    def _compile_reducer(self, df: DataFrame, node: A.ReducerCall, underscore) -> Compiled:
+        compiled: list[Compiled] = []
+        cur = df
+        for arg in node.args:
+            c = self._compile(cur, arg, underscore)
+            cur = c.df
+            compiled.append(c)
+        has_window = any(c.has_window for c in compiled)
+        arr = F.array(*[c.col.cast("double") for c in compiled])
+
+        if node.cond is not None:
+            def cond_fn(x: Column) -> Column:
+                # compile the underscore constraint against element x;
+                # constraint is a pure expression → df unchanged
+                cc = self._compile(cur, node.cond, underscore=x)
+                return cc.col.cast("boolean")
+
+            filtered = F.filter(arr, lambda x: x.isNotNull() & cond_fn(x))
+        else:
+            filtered = F.filter(arr, lambda x: x.isNotNull())
+
+        n = F.size(filtered)
+        name = node.name
+        if name == "sumof":
+            col = F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x)
+        elif name == "minof":
+            col = F.array_min(filtered)
+        elif name == "maxof":
+            col = F.array_max(filtered)
+        elif name == "countof":
+            return Compiled(cur, n.cast("long"), "int64", has_window)
+        elif name == "avgof":
+            col = F.when(
+                n > 0, F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x) / n
+            )
+        else:
+            raise ValueError(f"Unknown reducer {name}")
+        return Compiled(cur, col, "float64", has_window)
+
+    def _compile_aggregate(self, df: DataFrame, node: A.AggregateCall, underscore) -> Compiled:
+        c = self._compile(df, node.inner, underscore)
+        c = self._maybe_materialize(c)
+        if node.kind == "lag" and node.window_ms == 0:
+            col = F.lag(c.col).over(self._w_order())
+            return Compiled(c.df, col, c.dtype, True)
+        if node.kind == "lag":
+            # value as of T before now: last value at or before t − T
+            w = (
+                Window.partitionBy(*self.keys)
+                .orderBy(F.unix_millis(F.col(self.ts)))
+                .rangeBetween(Window.unboundedPreceding, -node.window_ms)
+            )
+            col = F.last(c.col, ignorenulls=True).over(w)
+            return Compiled(c.df, col, c.dtype, True)
+        w = self._w_range(node.window_ms)
+        fn = {"avg": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[
+            node.kind
+        ]
+        col = fn(c.col).over(w)
+        dtype = (
+            "int64"
+            if node.kind == "count"
+            else "float64"
+            if node.kind in ("avg",)
+            else numeric_result_type(c.dtype, c.dtype)
+        )
+        return Compiled(c.df, col, dtype, True)
+
+    # --- pattern-level operators --------------------------------------
+    def _run_start_ms(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:
+        """Materialize boundary flags for the cond's runs; return the
+        current run's start epoch-ms as a window column."""
+        w = self._w_order()
+        ms = self._ms()
+        boundary = (
+            ~cond.eqNullSafe(F.lag(cond).over(w))
+            | F.lag(F.col(self.ts)).over(w).isNull()
+        )
+        if self.max_gap_ms is not None:
+            boundary = boundary | (ms - F.lag(ms).over(w) > F.lit(self.max_gap_ms))
+        bname = _tmp("boundary")
+        df2 = df.withColumn(bname, boundary)
+        run_start = F.max(F.when(F.col(bname), F.unix_millis(F.col(self.ts)))).over(
+            self._w_cum()
+        )
+        return df2, run_start
+
+    def _compile_timer(self, df: DataFrame, node: A.Timer) -> Compiled:
+        c = self.compile_bool(df, node.inner)
+        c = self._maybe_materialize(c) if c.has_window else self._materialize(c)
+        df2, run_start = self._run_start_ms(c.df, c.col)
+        held_ms = self._ms() - run_start
+        col = F.when(
+            c.col.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(c.col & (held_ms >= F.lit(node.window_ms)))
+        return Compiled(df2, col, "boolean", True)
+
+    def _compile_for_interval(self, df: DataFrame, node: A.ForWithInterval) -> Compiled:
+        c = self.compile_bool(df, node.inner)
+        c = self._materialize(c)
+        cur = c.df
+        w = self._w_range(node.window_ms)
+        ms = self._ms()
+        if node.kind == "times":
+            stat = F.sum(F.when(c.col, 1).otherwise(0)).over(w).cast("double")
+        else:
+            w_row = self._w_order()
+            delta = ms - F.lag(ms).over(w_row)
+            dname = _tmp("delta")
+            cur = cur.withColumn(dname, delta)
+            stat = F.sum(F.when(c.col, F.col(dname)).otherwise(0)).over(w).cast("double")
+        # reference `exactly` rule: wait for a full window when exactly
+        # or when the constraint has a finite upper bound
+        exactly = node.exactly or node.hi is not None
+        check = F.lit(True)
+        if node.lo is not None and node.lo > 0:
+            check = check & (stat >= F.lit(float(node.lo)))
+        if node.hi is not None:
+            check = check & (stat <= F.lit(float(node.hi)))
+        if exactly:
+            total = ms - F.min(ms).over(w)
+            check = check & (total >= F.lit(node.window_ms))
+        return Compiled(cur, check, "boolean", True)
+
+    def _compile_wait(self, df: DataFrame, node: A.Wait) -> Compiled:
+        c = self.compile_bool(df, node.inner)
+        c = self._materialize(c)
+        col = F.max(c.col).over(self._w_range(node.window_ms, leading=True))
+        return Compiled(c.df, col, "boolean", True)
+
+    def _compile_until(self, df: DataFrame, node: A.Until) -> Compiled:
+        cl = self.compile_bool(df, node.left)
+        cl = self._maybe_materialize(cl)
+        cr = self.compile_bool(cl.df, node.right)
+        col = cl.col & ~cr.col.cast("boolean")
+        return Compiled(cr.df, col, "boolean", cl.has_window or cr.has_window)
+
+
+def compile_pattern(
+    df: DataFrame,
+    pattern: str | A.Node,
+    keys: Sequence[str],
+    ts: str,
+    fields_types: dict[str, str] | None = None,
+    max_gap_ms: int | None = 60_000,
+    tolerance_fraction: float = 0.0,
+) -> DataFrame:
+    """Parse (if needed) and compile a pattern to its success-interval
+    DataFrame: ``keys…, from_ts, to_ts, n_rows, start_idx, end_idx``."""
+    from tsp_spark.dsl.parser import parse_pattern
+
+    node = (
+        parse_pattern(pattern, fields_types, tolerance_fraction)
+        if isinstance(pattern, str)
+        else pattern
+    )
+    return PatternCompiler(keys, ts, fields_types, max_gap_ms).compile_intervals(df, node)

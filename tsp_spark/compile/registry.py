@@ -1,0 +1,181 @@
+"""Scalar function registry: name → pyspark Column builder.
+
+Re-expresses the reference's DefaultFunctionRegistry
+(dsl/.../FunctionRegistry.scala:560-592) as Column-expression builders —
+JVM-side, codegen'd, no Python row UDFs. Users extend by registering a
+Python builder (the reference's extension point is the same shape:
+a map (name, argtypes) → function, FunctionRegistry.scala:24-43).
+
+Trilean algebra (FunctionRegistry.scala:278-324): NULL is Fail.
+`or` tolerates one-sided Fail — `coalesce(a OR b, a, b)`; `and` fails if
+either side fails (note SQL would give false AND NULL = false, so we
+force NULL explicitly); `xor`/`not`/comparisons/arithmetic propagate NULL
+natively.
+
+Type handling: the cast lattice (FunctionRegistry.scala:53-68) collapses
+in Spark — Catalyst inserts numeric promotions; we only track enough to
+reproduce integer division (`div` on int args truncates like Scala's
+Int division, FunctionRegistry.scala:522-536) and cast targets.
+
+Includes the documented-but-unimplemented math functions as extensions
+(docs/writing-patterns.md:145-151): exp, ln, log, sigmoid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INT_TYPES = {"int8", "int16", "int32", "int64", "boolean"}
+_SPARK_NAMES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def spark_type_name(dtype: str | None) -> str | None:
+    return _SPARK_NAMES.get(dtype or "")
+
+
+def numeric_result_type(a: str, b: str) -> str:
+    if a == "string" or b == "string":
+        return "string"
+    if a in _INT_TYPES and b in _INT_TYPES:
+        return "int64"
+    return "float64"
+
+
+Builder = Callable[[Sequence[Column], Sequence[str]], tuple[Column, str]]
+
+
+def _cmp(op: str) -> Builder:
+    def build(cols, dtypes):
+        a, b = cols
+        col = {
+            "lt": a < b, "le": a <= b, "gt": a > b,
+            "ge": a >= b, "eq": a == b, "ne": a != b,
+        }[op]
+        return col, "boolean"
+
+    return build
+
+
+def _arith(op: str) -> Builder:
+    def build(cols, dtypes):
+        a, b = cols
+        rtype = numeric_result_type(dtypes[0], dtypes[1])
+        if op == "add":
+            col = a + b
+        elif op == "sub":
+            col = a - b
+        elif op == "mul":
+            col = a * b
+        else:  # div
+            if rtype == "int64":
+                # Scala Int/Long division truncates toward zero
+                return (a.cast("double") / b.cast("double")).cast("long"), "int64"
+            col = a / b
+        if rtype == "int64":
+            col = col.cast("long")
+        return col, rtype
+
+    return build
+
+
+def _math1(fn: Callable[[Column], Column]) -> Builder:
+    def build(cols, dtypes):
+        return fn(cols[0].cast("double")), "float64"
+
+    return build
+
+
+def _logical(name: str) -> Builder:
+    def build(cols, dtypes):
+        if name == "not":
+            return ~cols[0].cast("boolean"), "boolean"
+        a, b = (c.cast("boolean") for c in cols)
+        if name == "and":
+            col = F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean")).otherwise(
+                a & b
+            )
+        elif name == "or":
+            col = F.coalesce(a | b, a, b)
+        else:  # xor
+            col = a != b
+        return col, "boolean"
+
+    return build
+
+
+class FunctionRegistry:
+    def __init__(self) -> None:
+        self._fns: dict[str, Builder] = {}
+
+    def register(self, name: str, builder: Builder) -> None:
+        self._fns[name.lower()] = builder
+
+    def build(self, name: str, cols: Sequence[Column], dtypes: Sequence[str]) -> tuple[Column, str]:
+        fn = self._fns.get(name.lower())
+        if fn is None:
+            raise ValueError(f"Unknown function: {name}")
+        return fn(cols, dtypes)
+
+    def names(self) -> list[str]:
+        return sorted(self._fns)
+
+
+def default_registry() -> FunctionRegistry:
+    r = FunctionRegistry()
+    for op in ("lt", "le", "gt", "ge", "eq", "ne"):
+        r.register(op, _cmp(op))
+    for op in ("add", "sub", "mul", "div"):
+        r.register(op, _arith(op))
+    for name in ("and", "or", "xor", "not"):
+        r.register(name, _logical(name))
+
+    r.register("abs", lambda cols, dts: (F.abs(cols[0]), numeric_result_type(dts[0], dts[0])))
+    r.register("sin", _math1(F.sin))
+    r.register("cos", _math1(F.cos))
+    for alias in ("tan", "tg"):
+        r.register(alias, _math1(F.tan))
+    for alias in ("cot", "ctg"):
+        r.register(alias, _math1(lambda c: F.lit(1.0) / F.tan(c)))
+    # degree variants (FunctionRegistry.scala:194-276 applies toRadians)
+    r.register("sind", _math1(lambda c: F.sin(F.radians(c))))
+    r.register("cosd", _math1(lambda c: F.cos(F.radians(c))))
+    for alias in ("tand", "tgd"):
+        r.register(alias, _math1(lambda c: F.tan(F.radians(c))))
+    for alias in ("cotd", "ctgd"):
+        r.register(alias, _math1(lambda c: F.lit(1.0) / F.tan(F.radians(c))))
+    # documented-but-unimplemented in the reference — provided as extensions
+    r.register("exp", _math1(F.exp))
+    r.register("ln", _math1(F.log))
+    r.register("log", _math1(F.log10))
+    r.register("sqrt", _math1(F.sqrt))
+    r.register(
+        "sigmoid",
+        lambda cols, dts: (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    F.lit(-2.0)
+                    * (cols[1].cast("double") if len(cols) > 1 else F.lit(1.0))
+                    * cols[0].cast("double")
+                )
+            ),
+            "float64",
+        ),
+    )
+    return r
+
+
+DEFAULT_REGISTRY = default_registry()

@@ -28,14 +28,14 @@ def time_window(
 ) -> WindowSpec:
     """Trailing (or leading) event-time range frame of ``window_s`` seconds.
 
-    Orders by the raw epoch value (micros cast to double seconds) so
-    ``rangeBetween`` is in real time units, not row counts.
+    Orders by epoch millis (long) so ``rangeBetween`` gets the integral
+    bounds it requires while keeping sub-second resolution.
     """
-    order = F.col(ts).cast("double")  # epoch seconds incl. fractional part
-    w = Window.partitionBy(*keys).orderBy(order)
+    window_ms = int(window_s * 1000)
+    w = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
     if leading:
-        return w.rangeBetween(0, window_s)
-    return w.rangeBetween(-window_s, 0)
+        return w.rangeBetween(0, window_ms)
+    return w.rangeBetween(-window_ms, 0)
 
 
 def windowed_sum(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
@@ -69,11 +69,10 @@ def lag_time(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Colu
     value at or before t − W (core/.../aggregators/PreviousValue.scala:50-63
     — the reference takes the first retained value after eviction; the
     closed-boundary choice is pinned by the oracle harness)."""
-    order = F.col(ts).cast("double")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(order)
-        .rangeBetween(Window.unboundedPreceding, -window_s)
+        .orderBy(F.unix_millis(F.col(ts)))
+        .rangeBetween(Window.unboundedPreceding, -int(window_s * 1000))
     )
     return F.last(col, ignorenulls=True).over(w)
 
@@ -93,7 +92,7 @@ def truth_stats(
     clipped inside the window.
     """
     w = time_window(keys, ts, window_s)
-    w_row = Window.partitionBy(*keys).orderBy(F.col(ts).cast("double"))
+    w_row = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
     delta_ms = F.unix_millis(F.col(ts)) - F.lag(F.unix_millis(F.col(ts))).over(w_row)
     c = cond.cast("boolean")
     return {
