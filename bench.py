@@ -1,0 +1,80 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    # CEP surface (the reference's own domain)
+    "cep_threshold_islands",
+    "cep_timer_for",
+    "cep_andthen",
+    "cep_avg_window",
+    "cep_truth_count",
+    "cep_fill_narrow",
+    "cep_sessionize",
+    "cep_incidents_multi",
+    # relational building blocks
+    "rel_q1_pricing",
+    "rel_q3_shipping",
+    "rel_q5_nation_revenue",
+    "rel_window_topk",
+    "rel_asof_join",
+    # pipeline extensions
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "embed_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tsp_spark.queries import QUERIES, _load
+    from tsp_spark.session import get_spark
+
+    spark = get_spark("tsp_spark_bench")
+
+    # warm the JVM + parquet footers with a trivial action
+    _load(spark, sf_dir, "events").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt_s = time.perf_counter() - t0
+        timings[name] = round(dt_s, 3)
+        total += dt_s
+        print(f"# {name}: {dt_s:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "tsp_spark bench: sum of headline query wall times",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""High-level job API: patterns → incident DataFrame.
+
+Mirrors the reference's job pipeline (streaming/.../PatternsSearchJob.scala):
+per pattern — parse → compile → success intervals → incident rows with
+pattern/unit metadata; then incident sessionization (adjacent incidents
+of the same (pattern, unit, subunit) merged when the gap ≤
+``session_gap_ms``, PatternsSearchJob.scala:259-305) and the
+NewRowSchema-style output projection ($PatternID/$UUID/$IncidentStart/…,
+streaming/.../mappers/PatternsToRowMapper.scala:54-70).
+
+All patterns of a job share one cached source scan; each pattern is an
+independent Catalyst plan over it (the reference likewise fans one
+stream out to N pattern state machines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsp_spark.compile.compiler import PatternCompiler
+from tsp_spark.dsl.parser import parse_pattern
+from tsp_spark.ops.sessionize import sessionize_intervals
+
+
+@dataclass
+class RawPattern:
+    """A submitted pattern (core/.../RawPattern.scala:3-8)."""
+
+    id: int
+    source_code: str
+    subunit: int = 0
+    metadata: dict[str, str] = field(default_factory=dict)
+
+
+def search_incidents(
+    df: DataFrame,
+    patterns: Sequence[RawPattern],
+    keys: Sequence[str],
+    ts: str,
+    unit_col: str | None = None,
+    fields_types: dict[str, str] | None = None,
+    max_gap_ms: int | None = 60_000,
+    session_gap_ms: int = 2_000,
+    tolerance_fraction: float = 0.0,
+) -> DataFrame:
+    """Run every pattern over the keyed stream; return merged incidents:
+    ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
+    """
+    if fields_types is None:
+        fields_types = {
+            f.name: _dtype_tag(f.dataType.simpleString()) for f in df.schema.fields
+        }
+    compiler = PatternCompiler(keys, ts, fields_types, max_gap_ms)
+    parts: list[DataFrame] = []
+    for p in patterns:
+        node = parse_pattern(p.source_code, fields_types, tolerance_fraction)
+        iv = compiler.compile_intervals(df, node)
+        parts.append(
+            iv.select(
+                F.lit(p.id).alias("pattern_id"),
+                F.lit(p.subunit).alias("subunit"),
+                *keys,
+                "from_ts",
+                "to_ts",
+            )
+        )
+    union = reduce(lambda a, b: a.unionByName(b), parts)
+    merged = sessionize_intervals(
+        union, ["pattern_id", "subunit", *keys], gap_ms=session_gap_ms
+    )
+    return merged.select(
+        "pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_merged"
+    )
+
+
+def incidents_to_rows(
+    incidents: DataFrame,
+    unit_col: str,
+    app: int = 1,
+) -> DataFrame:
+    """NewRowSchema projection: the reference's sink row with
+    $-interpolated values (SinkSchema.scala:28-62)."""
+    return incidents.select(
+        F.col(unit_col).cast("int").alias("series_storage"),
+        F.lit(app).alias("app"),
+        F.col("pattern_id").cast("long").alias("id"),
+        F.col(unit_col).cast("int").alias("unit"),
+        F.col("subunit").cast("int").alias("subunit"),
+        F.expr("uuid()").alias("uuid"),
+        F.col("from_ts").alias("from"),
+        F.col("to_ts").alias("to"),
+    )
+
+
+def _dtype_tag(simple: str) -> str:
+    return {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "boolean": "boolean",
+        "string": "string",
+    }.get(simple, "float64")

@@ -1,0 +1,190 @@
+"""Deduplication operators.
+
+Scale design notes:
+* exact_dedup — hash groupBy on the text itself; at 100 TB group on
+  xxhash64(text) first (cheap shuffle key), verifying exact equality
+  within hash groups (collision-safe).
+* jaccard_pairs — all-pairs is O(n²); we band by caller-chosen bucket
+  columns (e.g. source/lang, or length bands) so the self-join is
+  per-bucket. For unbounded corpora use minhash_lsh_pairs instead.
+* minhash_lsh_pairs — the 100 TB path: shingle → minhash signature →
+  band hashes → candidate pairs via an equi-join on (band, band_hash)
+  (a plain shuffle join, no cross product), then exact signature
+  agreement as the similarity estimate.
+
+All JVM-side (higher-order array functions + xxhash64); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31−1: universal-hash prime small enough that a·h + b stays inside a
+# 64-bit long (a, h' < 2^31 → product < 2^62)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: representative = min id, plus copy count."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def _token_set(text_col: Column) -> Column:
+    return F.array_distinct(F.split(text_col, " "))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_cols: Sequence[str],
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs by word-set Jaccard within buckets:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold."""
+    t = df.select(
+        *bucket_cols,
+        F.col(id_col).alias("__id"),
+        _token_set(F.col(text_col)).alias("__ws"),
+    )
+    a = t.select(*bucket_cols, F.col("__id").alias("id_a"), F.col("__ws").alias("__wa"))
+    b = t.select(*bucket_cols, F.col("__id").alias("id_b"), F.col("__ws").alias("__wb"))
+    joined = a.join(b, on=list(bucket_cols)).where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+    union = F.size(F.array_union(F.col("__wa"), F.col("__wb")))
+    j = inter.cast("double") / union
+    return (
+        joined.select("id_a", "id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles as strings (empty-safe: short docs yield the
+    whole-doc shingle)."""
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates.
+
+    Pipeline: tokens → k-shingles → xxhash64 → ``num_perm`` universal
+    hashes (a·h+b mod 2^61−1) minimized per doc → split signature into
+    ``bands`` → explode band hashes → self-join on (band, hash) →
+    estimated Jaccard = signature agreement fraction ≥ threshold.
+
+    The explode produces bands·n rows — linear, and the join key
+    (band_idx, band_hash) is high-cardinality, so this scales where
+    all-pairs cannot.
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    rng = random.Random(seed)
+    perms = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_perm)]
+
+    tokens = F.split(F.col(text_col), " ")
+    # Hash each token once, then combine k consecutive token hashes
+    # arithmetically into a shingle hash — avoids materializing k-word
+    # shingle strings (string building dominated the runtime).
+    # All values stay < 2^31 so the polynomial fits in a long.
+    th = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    n = F.size(th)
+
+    def shingle_hash(i: Column) -> Column:
+        acc = F.element_at(th, i + 1)
+        for j in range(1, shingle_k):
+            acc = F.pmod(acc * 8191 + F.element_at(th, i + j + 1), F.lit(_MERSENNE))
+        return acc
+
+    hashes = F.when(
+        n >= shingle_k,
+        F.transform(F.sequence(F.lit(0), n - shingle_k), shingle_hash),
+    ).otherwise(F.array(F.aggregate(th, F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * 8191 + h, F.lit(_MERSENNE)))))
+    # Explode shingle hashes to rows and take the num_perm mins as ONE
+    # aggregation pass. (Computing each permutation as a separate
+    # array-transform re-inlines the shingling expression num_perm times
+    # after projection collapse — measured 40× slower.) The explode is
+    # linear in corpus token count and the min-agg is codegen'd with
+    # map-side partial aggregation, so one shuffle on the doc id.
+    exploded_h = df.select(
+        F.col(id_col).alias("__id"), F.explode(hashes).alias("__h")
+    )
+    sig_df = exploded_h.groupBy("__id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE))).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    with_sig = sig_df.select(
+        "__id", F.array(*[f"mh{i}" for i in range(num_perm)]).alias("__sig")
+    )
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band)
+                )
+            ).alias("bhash"),
+        ),
+    )
+    exploded = with_sig.select(
+        "__id", "__sig", F.explode(band_arr).alias("b")
+    ).select("__id", "__sig", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+
+    a = exploded.select(
+        "band", "bhash", F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")
+    )
+    b = exploded.select(
+        "band", "bhash", F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")
+    )
+    cands = (
+        a.join(b, on=["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(len(perms)))
+    return cands.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= F.lit(threshold))

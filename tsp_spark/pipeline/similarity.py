@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_topk — brute-force cosine top-k: broadcast the (small) query
+  set against the corpus; dot products via zip_with/aggregate —
+  JVM-side, no Python. At 100 TB the corpus side stays partitioned and
+  only the query side is broadcast, so this is a map-only scan (no
+  shuffle) followed by a per-query top-k aggregation.
+* lsh_bucket_topk — the scale path: random-hyperplane signatures bucket
+  the corpus; candidates share a bucket with the query, cutting the
+  scanned fraction ~2^-bits. (Hyperplanes derive from a seeded hash —
+  deterministic across runs.)
+* label_centroids — per-label mean vector (explode + groupBy on
+  (label, dim): partial aggregation makes this one shuffle of
+  n·dims/partitions rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine similarity
+    (self-matches excluded). Returns (query_id, neighbor_id, rank, cosine)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (
+        _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    bits: int = 8,
+    dims: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH variant: only corpus vectors sharing the
+    query's sign-signature bucket are scored. Recall < 1 by design; this
+    is the 100 TB scan-reduction path."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(bits)]
+
+    def signature(vec: Column) -> Column:
+        bits_cols = [
+            F.when(
+                _dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        out = bits_cols[0]
+        for b in bits_cols[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__bucket", signature(F.col("__cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__bucket", signature(F.col("__qv")))
+    joined = c.join(F.broadcast(q), on="__bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (
+        _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dim)."""
+    exploded = df.select(
+        F.col(label_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    return exploded.groupBy(label_col, "dim").agg(
+        F.avg("v").alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs")
+    )

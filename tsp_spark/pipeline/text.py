@@ -1,0 +1,137 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+fingerprinting, SimHash — all JVM-side expression pipelines.
+
+Every function is deterministic and (except simhash) mirrored 1:1 by a
+DuckDB oracle in the entry contract, so formulas use only exact integer
+arithmetic or single divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny fixed marker lists for the n-gram/stopword language heuristic --
+# deterministic and mirrored in the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "query": ["query", "filter", "scan"],
+    "data": ["data", "row", "column"],
+}
+STOPWORDS = ["the", "a", "of", "and", "in"]
+
+FP_MOD = 1_000_000_007
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token counts: total, unique, chars, mean token length."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        total_chars.alias("n_token_chars"),
+        (total_chars.cast("double") / n).alias("mean_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: length, stopword ratio, unique ratio,
+    repetition flag (the classic pre-training quality screens)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    stop_n = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    uniq = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+        n.cast("long").alias("n_tokens"),
+        (stop_n.cast("double") / n).alias("stopword_ratio"),
+        (uniq.cast("double") / n).alias("unique_ratio"),
+        ((uniq.cast("double") / n) < 0.3).alias("is_repetitive"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language scoring: hit count per language list,
+    deterministic argmax (first list wins ties, 'unknown' when all 0)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    # when-chain in declaration order: the first list reaching the max wins
+    expr = F.when(F.lit(False), F.lit(""))
+    for lang in langs:
+        expr = expr.when((scores[lang] > 0) & (scores[lang] >= best), F.lit(lang))
+    pred = expr.otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint:
+    fold over token lengths, acc·31 + len (mod 1e9+7) — order-sensitive,
+    so permuted near-dups get different fingerprints while exact copies
+    collide."""
+    toks = _tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.length(t)) % F.lit(FP_MOD),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over xxhash64 token hashes: bit b of the output is 1 when
+    the sum of ±1 votes (tokens whose hash has bit b set vote +1) is
+    positive. Near-identical token multisets → small Hamming distance."""
+    toks = _tokens(F.col(text_col))
+    # keep only the low `bits` bits (non-negative via pmod) so bit tests
+    # stay exact in double arithmetic (shiftleft/right need literal shift
+    # amounts, but here the shift is a lambda variable)
+    hashes = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << bits))
+    )
+
+    def bit_of(h: Column, b: Column) -> Column:
+        return F.pmod(F.floor(h / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
+
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
+        ),
+    )
+    sh = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(
+                v > 0, F.pow(F.lit(2.0), b).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sh.alias("simhash"))

@@ -1,0 +1,901 @@
+"""The declared query inventory: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises one operator family from SURVEY.md §2 (CEP pattern
+operators, reshaping, sessionization) or a beyond-reference pipeline
+operator (dedup / similarity / text analysis / relational building
+blocks). The driver runs the Spark side and the oracle SQL side-by-side
+at sf=0.01 and compares row count + schema + order-insensitive value
+hash — so both sides are written for EXACT value equality:
+
+* timestamps → epoch milliseconds (BIGINT): `unix_millis` ≡ `epoch_ms`,
+  timezone-independent (both operate on the stored instant).
+* money → integer cents (BIGINT): sums of doubles are order-sensitive
+  in the last bits; sums of exact integers are not.
+* ratios → single division of two exact integers (bit-identical).
+* genuinely floating aggregates (avg/cosine) → round(…, 4-6).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsp_spark.api import RawPattern, search_incidents
+from tsp_spark.compile import compile_pattern
+from tsp_spark.ops import islands, sessionize_intervals, unfold_narrow
+from tsp_spark.pipeline.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs
+from tsp_spark.pipeline.similarity import cosine_topk, label_centroids, lsh_bucket_topk
+from tsp_spark.pipeline.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_scores,
+    simhash,
+    token_stats,
+)
+
+# ---------------------------------------------------------------------------
+# constants shared between Spark and oracle sides
+# ---------------------------------------------------------------------------
+GAP_MS = 172_800_000  # 48 h series-split gap for the sparse events table
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+FILL_TIMEOUT_MS = 259_200_000  # 72 h forward-fill timeout
+SESSION_GAP_MS = 604_800_000  # 7 d incident merge gap
+
+
+def _ms(d: dt.datetime) -> int:
+    return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+Q1_CUTOFF_MS = _ms(dt.datetime(1998, 9, 2))
+Q3_DATE_MS = _ms(dt.datetime(1998, 6, 1))
+Q5_LO_MS = _ms(dt.datetime(1996, 1, 1))
+Q5_HI_MS = _ms(dt.datetime(1998, 1, 1))
+Q6_LO_MS = _ms(dt.datetime(1996, 1, 1))
+Q6_HI_MS = _ms(dt.datetime(1997, 1, 1))
+
+EVENTS_FIELDS = {
+    "value": "float64",
+    "event_type": "string",
+    "user_id": "int64",
+    "props": "string",
+}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, normalizing timestamp physical types so the
+    plans are identical under any driver session:
+
+    * nanosecond parquet timestamps (events.ts) → read as long via the
+      legacy conf, truncated to microseconds (matching DuckDB's read);
+    * TIMESTAMP_NTZ columns → LTZ instants under an explicitly-UTC
+      session so epoch extraction is timezone-independent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        simple = field.dataType.simpleString()
+        if simple == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif simple == "bigint" and field.name == "ts":
+            # nanos-as-long → microsecond timestamp (integer division,
+            # exact; `div` keeps it in long arithmetic)
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+def _interval_select(df: DataFrame) -> DataFrame:
+    return df.select(
+        "user_id",
+        F.unix_millis("from_ts").alias("from_ms"),
+        F.unix_millis("to_ts").alias("to_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL templates (gaps-and-islands in portable SQL)
+# ---------------------------------------------------------------------------
+def _islands_oracle(cond_sql: str, gap_ms: int = GAP_MS, extra_out: str = "") -> str:
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, ({cond_sql}) AS cond,
+         CASE WHEN ({cond_sql}) IS DISTINCT FROM lag(({cond_sql})) OVER w
+               OR lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {gap_ms}
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+)
+SELECT user_id, epoch_ms(min(ts)) AS from_ms, epoch_ms(max(ts)) AS to_ms{extra_out}
+FROM i WHERE cond GROUP BY user_id, isl
+"""
+
+
+def _islandize_tail(gap_ms: int = GAP_MS) -> str:
+    """Tail CTEs: islandize a boolean column tb of relation t(user_id, ts,
+    ms, tb) and emit one row per true-island."""
+    return f"""
+g AS (
+  SELECT *, CASE WHEN tb IS DISTINCT FROM lag(tb) OVER w2
+                 OR lag(ts) OVER w2 IS NULL
+                 OR ms - lag(ms) OVER w2 > {gap_ms}
+            THEN 1 ELSE 0 END AS b2
+  FROM t WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+),
+i2 AS (
+  SELECT *, sum(b2) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM g
+)
+SELECT user_id, epoch_ms(min(ts)) AS from_ms, epoch_ms(max(ts)) AS to_ms
+FROM i2 WHERE tb GROUP BY user_id, isl
+"""
+
+
+# ---------------------------------------------------------------------------
+# CEP queries (reference operator inventory, SURVEY §2.2-§2.10)
+# ---------------------------------------------------------------------------
+def q_cep_threshold_islands(spark, sf_dir):
+    """SimplePattern + RLE segmentization (SimplePattern.scala:27-37)."""
+    ev = _load(spark, sf_dir, "events")
+    out = islands(ev, ["user_id"], "ts", F.col("value") > 100, max_gap_ms=GAP_MS)
+    return out.select(
+        "user_id",
+        F.unix_millis("from_ts").alias("from_ms"),
+        F.unix_millis("to_ts").alias("to_ms"),
+        "n_rows",
+    )
+
+
+def q_cep_timer_for(spark, sf_dir):
+    """TimerPattern `X for T` (TimerPattern.scala)."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev, "value > 60 for 12 hr", ["user_id"], "ts", EVENTS_FIELDS, max_gap_ms=GAP_MS
+    )
+    return _interval_select(out)
+
+
+ORACLE_TIMER = f"""
+WITH f AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms, (value > 60) AS cond,
+         CASE WHEN (value > 60) IS DISTINCT FROM lag((value > 60)) OVER w
+               OR lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+r AS (
+  SELECT *, max(CASE WHEN b = 1 THEN ms END) OVER
+            (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_start
+  FROM f
+),
+t AS (
+  SELECT user_id, ts, ms,
+         CASE WHEN cond IS NULL THEN NULL
+              ELSE cond AND (ms - run_start >= 43200000) END AS tb
+  FROM r
+),
+{_islandize_tail()}
+"""
+
+
+def q_cep_andthen(spark, sf_dir):
+    """AndThenPattern sequence join (AndThenPattern.scala:42-94)."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev,
+        "value > 150 andThen event_type = 'error'",
+        ["user_id"],
+        "ts",
+        EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+    )
+    return _interval_select(out)
+
+
+ORACLE_ANDTHEN = f"""
+WITH base AS (
+  SELECT user_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+fa AS (
+  SELECT *, (value > 150) AS cond,
+         CASE WHEN (value > 150) IS DISTINCT FROM lag((value > 150)) OVER w
+               OR lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+              THEN 1 ELSE 0 END AS b
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ia AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fa),
+ga AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei
+       FROM ia WHERE cond GROUP BY user_id, isl),
+fb AS (
+  SELECT *, (event_type = 'error') AS cond,
+         CASE WHEN (event_type = 'error') IS DISTINCT FROM lag((event_type = 'error')) OVER w
+               OR lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+              THEN 1 ELSE 0 END AS b
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ib AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fb),
+gb AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei
+       FROM ib WHERE cond GROUP BY user_id, isl)
+SELECT a.user_id, epoch_ms(a.f) AS from_ms, epoch_ms(min(b.t)) AS to_ms
+FROM ga a JOIN gb b
+  ON a.user_id = b.user_id AND b.si <= a.ei + 1 AND b.ei > a.ei
+GROUP BY a.user_id, a.f
+"""
+
+
+def q_cep_avg_window(spark, sf_dir):
+    """GroupPattern windowed avg/count (GroupPattern.scala:20-99)."""
+    ev = _load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(ms).rangeBetween(-21_600_000, 0)
+    return ev.select(
+        "user_id",
+        ms.alias("ms"),
+        F.round(F.avg("value").over(w), 4).alias("avg6h"),
+        F.count("value").over(w).alias("n6h"),
+    )
+
+
+ORACLE_AVG_WINDOW = """
+SELECT user_id, epoch_ms(ts) AS ms,
+       round(avg(value) OVER w, 4) AS avg6h,
+       count(value) OVER w AS n6h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cep_lag_spike(spark, sf_dir):
+    """PreviousValue / lag(x) (PreviousValue.scala:12-74)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    return (
+        ev.select("user_id", F.unix_millis("ts").alias("ms"), "value", prev.alias("prev_value"))
+        .where(F.col("value") > 3 * F.col("prev_value"))
+    )
+
+
+ORACLE_LAG_SPIKE = """
+WITH t AS (
+  SELECT user_id, epoch_ms(ts) AS ms, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+  FROM events
+)
+SELECT * FROM t WHERE value > 3 * prev_value
+"""
+
+
+def q_cep_truth_count(spark, sf_dir):
+    """WindowStatistic truth-count (`for T > N times`,
+    WindowStatistic.scala:13-156; reference bound quirk > N ⇒ ≥ N+1)."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev,
+        "value > 80 for 48 hr > 2 times",
+        ["user_id"],
+        "ts",
+        EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+    )
+    return _interval_select(out)
+
+
+ORACLE_TRUTH_COUNT = f"""
+WITH f AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms, (value > 80) AS cond FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN cond THEN 1 ELSE 0 END) OVER
+            (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 172800000 PRECEDING AND CURRENT ROW) AS cnt
+  FROM f
+),
+t AS (SELECT user_id, ts, ms, (cnt >= 3) AS tb FROM s),
+{_islandize_tail()}
+"""
+
+
+def q_cep_wait(spark, sf_dir):
+    """WaitPattern `wait(T, X)` (WaitPattern.scala:15-89)."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev, "wait(48 hr, value > 150)", ["user_id"], "ts", EVENTS_FIELDS, max_gap_ms=GAP_MS
+    )
+    return _interval_select(out)
+
+
+ORACLE_WAIT = f"""
+WITH t AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+         max(value > 150) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN CURRENT ROW AND {GAP_MS} FOLLOWING) AS tb
+  FROM events
+),
+{_islandize_tail()}
+"""
+
+
+def q_cep_until(spark, sf_dir):
+    """`X until B` desugaring (ASTBuilder until rule)."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev,
+        "value > 50 until event_type = 'error'",
+        ["user_id"],
+        "ts",
+        EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+    )
+    return _interval_select(out)
+
+
+ORACLE_UNTIL = _islands_oracle("(value > 50) AND NOT (event_type = 'error')")
+
+
+def q_cep_fill_narrow(spark, sf_dir):
+    """NarrowDataUnfolding: EAV pivot + timed forward-fill
+    (SparseRowsDataAccumulator.scala:15-97)."""
+    ev = _load(spark, sf_dir, "events")
+    wide = unfold_narrow(
+        ev,
+        ["user_id"],
+        "ts",
+        key_col="event_type",
+        value_col="value",
+        sensors=EVENT_TYPES,
+        default_timeout_ms=FILL_TIMEOUT_MS,
+    )
+    return wide.select("user_id", F.unix_millis("ts").alias("ms"), *EVENT_TYPES)
+
+
+def _fill_col_sql(s: str) -> str:
+    return (
+        f"CASE WHEN epoch_ms(ts) - max(CASE WHEN {s} IS NOT NULL THEN epoch_ms(ts) END)"
+        f" OVER w <= {FILL_TIMEOUT_MS}"
+        f" THEN last_value({s} IGNORE NULLS) OVER w END AS {s}"
+    )
+
+
+ORACLE_FILL_NARROW = f"""
+WITH wide AS (
+  SELECT user_id, ts,
+         {", ".join(f"max(CASE WHEN event_type = '{s}' THEN value END) AS {s}" for s in EVENT_TYPES)}
+  FROM events GROUP BY user_id, ts
+)
+SELECT user_id, epoch_ms(ts) AS ms,
+       {", ".join(_fill_col_sql(s) for s in EVENT_TYPES)}
+FROM wide
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cep_sessionize(spark, sf_dir):
+    """Incident sessionization (PatternsSearchJob.scala:259-305)."""
+    ev = _load(spark, sf_dir, "events")
+    iv = islands(ev, ["user_id"], "ts", F.col("value") > 100, max_gap_ms=GAP_MS)
+    merged = sessionize_intervals(iv, ["user_id"], gap_ms=SESSION_GAP_MS)
+    return merged.select(
+        "user_id",
+        F.unix_millis("from_ts").alias("from_ms"),
+        F.unix_millis("to_ts").alias("to_ms"),
+        "n_merged",
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH f AS (
+  SELECT user_id, ts, (value > 100) AS cond,
+         CASE WHEN (value > 100) IS DISTINCT FROM lag((value > 100)) OVER w
+               OR lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM f),
+iv AS (SELECT user_id, min(ts) AS from_ts, max(ts) AS to_ts
+       FROM i WHERE cond GROUP BY user_id, isl),
+s AS (
+  SELECT *, CASE WHEN max(epoch_ms(to_ts)) OVER
+                   (PARTITION BY user_id ORDER BY from_ts, to_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR epoch_ms(from_ts) - max(epoch_ms(to_ts)) OVER
+                   (PARTITION BY user_id ORDER BY from_ts, to_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > {SESSION_GAP_MS}
+            THEN 1 ELSE 0 END AS nb
+  FROM iv
+),
+s2 AS (SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY from_ts, to_ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+SELECT user_id, epoch_ms(min(from_ts)) AS from_ms, epoch_ms(max(to_ts)) AS to_ms,
+       count(*) AS n_merged
+FROM s2 GROUP BY user_id, sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational building blocks (windowed/join/agg foundations + bench anchors)
+# ---------------------------------------------------------------------------
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def q_rel_q1_pricing(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    tax_c = _cents("l_tax")
+    return (
+        li.where(F.unix_millis("l_shipdate") <= Q1_CUTOFF_MS)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_cents"),
+            F.sum(price_c * (100 - disc_c)).alias("sum_disc_e4"),
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT) AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_e4,
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)
+           * (100 + round(l_tax * 100)::BIGINT)) AS sum_charge_e6,
+       count(*) AS count_order
+FROM lineitem
+WHERE epoch_ms(l_shipdate) <= {Q1_CUTOFF_MS}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_q6_revenue(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    sd = F.unix_millis("l_shipdate")
+    return (
+        li.where(
+            (sd >= Q6_LO_MS)
+            & (sd < Q6_HI_MS)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents("l_extendedprice") * _cents("l_discount")).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q6 = f"""
+SELECT sum(round(l_extendedprice * 100)::BIGINT * round(l_discount * 100)::BIGINT) AS revenue_e4,
+       count(*) AS n_rows
+FROM lineitem
+WHERE epoch_ms(l_shipdate) >= {Q6_LO_MS} AND epoch_ms(l_shipdate) < {Q6_HI_MS}
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_rel_q3_shipping(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _load(spark, sf_dir, "orders").where(
+        F.unix_millis("o_orderdate") < Q3_DATE_MS
+    )
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.unix_millis("l_shipdate") > Q3_DATE_MS
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", F.unix_millis("o_orderdate").alias("o_date_ms"))
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+                "revenue_e4"
+            )
+        )
+    )
+
+
+ORACLE_Q3 = f"""
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS revenue_e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND epoch_ms(o_orderdate) < {Q3_DATE_MS}
+  AND epoch_ms(l_shipdate) > {Q3_DATE_MS}
+GROUP BY l_orderkey, o_date_ms
+"""
+
+
+def q_rel_q5_nation_revenue(spark, sf_dir):
+    region = _load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.unix_millis("o_orderdate") >= Q5_LO_MS)
+        & (F.unix_millis("o_orderdate") < Q5_HI_MS)
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+                "revenue_e4"
+            )
+        )
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n_name,
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_ms(o_orderdate) >= {Q5_LO_MS} AND epoch_ms(o_orderdate) < {Q5_HI_MS}
+GROUP BY n_name
+"""
+
+
+def q_rel_window_topk(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("revenue_e4")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue_e4").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", rev)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+WITH t AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT) AS revenue_e4
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                               ORDER BY revenue_e4 DESC, l_orderkey, l_linenumber) AS rnk
+  FROM t
+) WHERE rnk <= 3
+"""
+
+
+def q_rel_asof_join(spark, sf_dir):
+    """As-of join via union-window (the shuffle-free-at-scale pattern):
+    each purchase matched to the latest signup at-or-before it."""
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    ms = F.unix_millis("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sig_ms = F.max(F.when(F.col("event_type") == "signup", ms)).over(w)
+    return (
+        ev.select("user_id", "event_type", ms.alias("purchase_ms"), sig_ms.alias("signup_ms"))
+        .where((F.col("event_type") == "purchase") & F.col("signup_ms").isNotNull())
+        .drop("event_type")
+    )
+
+
+ORACLE_ASOF = """
+SELECT a.user_id, epoch_ms(a.ts) AS purchase_ms, epoch_ms(b.ts) AS signup_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return jaccard_pairs(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", ["source"], threshold=0.6
+    )
+
+
+ORACLE_DEDUP_JACCARD = """
+WITH t AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.ws, b.ws))::DOUBLE
+         / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6
+"""
+
+
+def q_text_token_stats(spark, sf_dir):
+    return token_stats(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_TOKEN_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_unique,
+       list_sum(list_transform(toks, x -> len(x)))::BIGINT AS n_token_chars,
+       list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_token_len
+FROM t
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_scores(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SW = ", ".join(f"'{s}'" for s in STOPWORDS)
+ORACLE_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_actual,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> x IN ({_SW})))::DOUBLE / len(toks) AS stopword_ratio,
+       len(list_distinct(toks))::DOUBLE / len(toks) AS unique_ratio,
+       (len(list_distinct(toks))::DOUBLE / len(toks)) < 0.3 AS is_repetitive
+FROM t
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return language_id(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_intersect(list_distinct(string_split(text, ' ')), [{lst}]))::BIGINT AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN score_{lang} > 0 AND score_{lang} >= {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       CASE {cases} ELSE 'unknown' END AS pred_lang
+FROM s
+"""
+
+
+ORACLE_LANGID = _langid_oracle()
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return fingerprint(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(list_transform(string_split(text, ' '), x -> len(x)::BIGINT),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+ORACLE_ANN = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+s AS (
+  SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+         list_dot_product(v.e, q.qe)
+           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+  FROM v, q WHERE v.vec_id != q.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM r WHERE rank <= 5
+"""
+
+
+def q_embed_centroids(spark, sf_dir):
+    out = label_centroids(_load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "label", "dim", F.round("centroid_v", 6).alias("centroid_v"), "n_vecs"
+    )
+
+
+ORACLE_CENTROIDS = """
+SELECT label, r.i::INT AS dim, round(avg(embedding[r.i + 1]::DOUBLE), 6) AS centroid_v,
+       count(*) AS n_vecs
+FROM embeddings, range(64) r(i)
+GROUP BY label, dim
+"""
+
+
+# --- Spark-only (no SQL-expressible oracle; driver does rows-only check) ---
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+def q_text_simhash(spark, sf_dir):
+    return simhash(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing demo: documents text bytes as fake payloads
+    through the Arrow mapInPandas feature extractor."""
+    from tsp_spark.pipeline.multimodal import extract_image_features
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_image_features(docs)
+
+
+def q_cep_incidents_multi(spark, sf_dir):
+    """Full job pipeline: multiple patterns → merged incident table
+    (PatternsSearchJob end-to-end). Rows-only check (the per-pattern
+    pieces are individually oracle-checked above)."""
+    ev = _load(spark, sf_dir, "events")
+    patterns = [
+        RawPattern(1, "value > 100"),
+        RawPattern(2, "value > 60 for 12 hr"),
+        RawPattern(3, "value > 150 andThen event_type = 'error'"),
+    ]
+    out = search_incidents(
+        ev,
+        patterns,
+        keys=["user_id"],
+        ts="ts",
+        fields_types=EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+        session_gap_ms=2_000,
+    )
+    return out.select(
+        "pattern_id",
+        "user_id",
+        F.unix_millis("from_ts").alias("from_ms"),
+        F.unix_millis("to_ts").alias("to_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "cep_threshold_islands": q_cep_threshold_islands,
+    "cep_timer_for": q_cep_timer_for,
+    "cep_andthen": q_cep_andthen,
+    "cep_avg_window": q_cep_avg_window,
+    "cep_lag_spike": q_cep_lag_spike,
+    "cep_truth_count": q_cep_truth_count,
+    "cep_wait": q_cep_wait,
+    "cep_until": q_cep_until,
+    "cep_fill_narrow": q_cep_fill_narrow,
+    "cep_sessionize": q_cep_sessionize,
+    "cep_incidents_multi": q_cep_incidents_multi,
+    "rel_q1_pricing": q_rel_q1_pricing,
+    "rel_q6_revenue": q_rel_q6_revenue,
+    "rel_q3_shipping": q_rel_q3_shipping,
+    "rel_q5_nation_revenue": q_rel_q5_nation_revenue,
+    "rel_window_topk": q_rel_window_topk,
+    "rel_asof_join": q_rel_asof_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "text_simhash": q_text_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embed_centroids": q_embed_centroids,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "cep_threshold_islands": _islands_oracle("value > 100", extra_out=", count(*) AS n_rows"),
+    "cep_timer_for": ORACLE_TIMER,
+    "cep_andthen": ORACLE_ANDTHEN,
+    "cep_avg_window": ORACLE_AVG_WINDOW,
+    "cep_lag_spike": ORACLE_LAG_SPIKE,
+    "cep_truth_count": ORACLE_TRUTH_COUNT,
+    "cep_wait": ORACLE_WAIT,
+    "cep_until": ORACLE_UNTIL,
+    "cep_fill_narrow": ORACLE_FILL_NARROW,
+    "cep_sessionize": ORACLE_SESSIONIZE,
+    "rel_q1_pricing": ORACLE_Q1,
+    "rel_q6_revenue": ORACLE_Q6,
+    "rel_q3_shipping": ORACLE_Q3,
+    "rel_q5_nation_revenue": ORACLE_Q5,
+    "rel_window_topk": ORACLE_WINDOW_TOPK,
+    "rel_asof_join": ORACLE_ASOF,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality": ORACLE_QUALITY,
+    "text_langid": ORACLE_LANGID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "ann_cosine_topk": ORACLE_ANN,
+    "embed_centroids": ORACLE_CENTROIDS,
+    # no oracle (non-SQL-expressible; rows-only check): dedup_minhash_lsh,
+    # text_simhash, ann_lsh_topk, multimodal_features, cep_incidents_multi
+}
