@@ -113,11 +113,13 @@ class PatternCompiler:
         if isinstance(node, A.AndThen):
             left = self.compile_intervals(df, node.left)
             c = self.compile_bool(df, node.right)
+            c = self._maybe_materialize(c)
             right = islands(
                 c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True
             )
             return and_then_intervals(left, right, self.keys)
         c = self.compile_bool(df, node)
+        c = self._maybe_materialize(c)
         return islands(c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True)
 
     def compile_bool(self, df: DataFrame, node: A.Node) -> Compiled:
@@ -162,6 +164,15 @@ class PatternCompiler:
             sname = spark_type_name(dtype)
             if sname is not None:
                 col = col.cast(sname)
+            if dtype in ("float32", "float64"):
+                # BasicDecoders.scala:17-30: a NULL/bad numeric decodes to
+                # Double.NaN (not Fail) — and NaN then follows Scala's
+                # total-order comparisons, which Spark's native NaN
+                # semantics (NaN greatest, NaN = NaN) reproduce exactly.
+                col = F.coalesce(col, F.lit(float("nan")).cast(sname))
+            elif dtype == "string":
+                # decodeToString: null → "[NULL]" (AnyDecodersInstances)
+                col = F.coalesce(col, F.lit("[NULL]"))
             return Compiled(df, col, dtype)
 
         if isinstance(node, A.Cast):
@@ -196,10 +207,7 @@ class PatternCompiler:
             return self._compile_until(df, node)
 
         if isinstance(node, A.AndThen):
-            raise ValueError(
-                "andThen inside boolean context is not supported; use it at "
-                "the pattern top level (chains are fine)"
-            )
+            return self._compile_andthen_bool(df, node)
 
         raise ValueError(f"Unhandled AST node: {node!r}")
 
@@ -270,7 +278,11 @@ class PatternCompiler:
             )
             col = F.last(c.col, ignorenulls=True).over(w)
             return Compiled(c.df, col, c.dtype, True)
-        w = self._w_range(node.window_ms)
+        # GroupPattern's sliding window is HALF-OPEN (t−w, t]: it evicts
+        # elements with elem.time + window <= time (GroupPattern.scala:76)
+        # — unlike WindowStatistic which keeps [t−w, t] inclusive. Pinned
+        # by golden case 13 (`avg(SpeedThrustMin, 2 sec) = 22`).
+        w = self._w_range(node.window_ms - 1)
         fn = {"avg": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[
             node.kind
         ]
@@ -345,6 +357,36 @@ class PatternCompiler:
         c = self._materialize(c)
         col = F.max(c.col).over(self._w_range(node.window_ms, leading=True))
         return Compiled(c.df, col, "boolean", True)
+
+    def _compile_andthen_bool(self, df: DataFrame, node: A.AndThen) -> Compiled:
+        """`andThen` nested inside a boolean context (e.g. inside wait):
+        mark each row as true when it lies inside some matched sequence
+        interval [start(A), end(B)].
+
+        Requires (keys, ts) to uniquely identify a row (true for keyed
+        time series). The interval table is tiny after RLE, so the
+        range-semi-join is cheap; the join-back is on the exact (keys,
+        ts) equi-key."""
+        iv = self.compile_intervals(df, node)
+        ivs = iv.select(
+            *self.keys,
+            F.col("from_ts").alias("__seq_from"),
+            F.col("to_ts").alias("__seq_to"),
+        )
+        rows = df.select(*self.keys, self.ts)
+        cond = [rows[k] == ivs[k] for k in self.keys] + [
+            rows[self.ts] >= ivs["__seq_from"],
+            rows[self.ts] <= ivs["__seq_to"],
+        ]
+        matched = (
+            rows.join(ivs, on=cond, how="left_semi")
+            .withColumn("__seq_hit", F.lit(True))
+        )
+        name = _tmp("seq")
+        df2 = df.join(matched, on=[*self.keys, self.ts], how="left").withColumn(
+            name, F.coalesce(F.col("__seq_hit"), F.lit(False))
+        ).drop("__seq_hit")
+        return Compiled(df2, F.col(name), "boolean", False)
 
     def _compile_until(self, df: DataFrame, node: A.Until) -> Compiled:
         cl = self.compile_bool(df, node.left)

@@ -63,6 +63,20 @@ def _cmp(op: str) -> Builder:
             "lt": a < b, "le": a <= b, "gt": a > b,
             "ge": a >= b, "eq": a == b, "ne": a != b,
         }[op]
+        # IEEE NaN comparisons (the reference compares primitive Doubles:
+        # FunctionRegistry.scala comparingFunctions over scala.Double —
+        # NaN <,<=,>,>=,= anything → false, != → true). Spark instead
+        # totals-orders NaN (greatest, equal to itself), so guard
+        # explicitly when a float side can be NaN; golden ivolga cases
+        # 19/21/28/30/36 pin this behavior (expired forward-fill → NaN).
+        floaty = [
+            c for c, t in zip(cols, dtypes) if t in ("float32", "float64")
+        ]
+        if floaty:
+            some_nan = floaty[0].isNaN()
+            for c in floaty[1:]:
+                some_nan = some_nan | c.isNaN()
+            col = F.when(some_nan, F.lit(op == "ne")).otherwise(col)
         return col, "boolean"
 
     return build

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsp_spark.ops.islands import islands
@@ -50,7 +50,17 @@ def and_then_intervals(
 ) -> DataFrame:
     """Sequence-join two interval tables (each with keys…, from_ts, to_ts,
     start_idx, end_idx). Used directly for chained ``A andThen B andThen C``:
-    the previous result is the left side."""
+    the previous result is the left side.
+
+    Match rule (AndThenPattern.scala:69-88): a B-run matches an A-run
+    unless B is late (B.end < A.start) or gapped (B.start > A.end + 1) —
+    overlapping runs DO match. Reported interval follows the documented
+    semantics (docs/writing-patterns.md:76-79): "from the timestamp when
+    LHS starts to the timestamp when RHS ends" — [A.from, B.to] — which
+    is what the golden fixtures (SimpleCasesTest cases 9, 16-17, 47-48,
+    51-52) encode. Runs are consumed 1:1 sequentially, approximated by
+    keeping the earliest B per A and then the earliest A per B.
+    """
     a = left.select(
         *keys,
         F.col("from_ts").alias("__a_from"),
@@ -65,23 +75,21 @@ def and_then_intervals(
         F.col("start_idx").alias("__b_si"),
         F.col("end_idx").alias("__b_ei"),
     )
-    joined = a.join(
-        b,
-        on=[*keys],
-        how="inner",
-    ).where((F.col("__b_si") <= F.col("__a_ei") + 1) & (F.col("__b_ei") > F.col("__a_ei")))
-    # Earliest qualifying B per A-run.
-    return (
-        joined.groupBy(*keys, "__a_from", "__a_to", "__a_si", "__a_ei")
-        .agg(
-            F.min("__b_to").alias("to_ts"),
-            F.min("__b_ei").alias("end_idx"),
-        )
-        .select(
-            *keys,
-            F.col("__a_from").alias("from_ts"),
-            "to_ts",
-            F.col("__a_si").alias("start_idx"),
-            "end_idx",
-        )
+    joined = a.join(b, on=[*keys], how="inner").where(
+        (F.col("__b_si") <= F.col("__a_ei") + 1) & (F.col("__b_ei") >= F.col("__a_si"))
+    )
+    w_a = Window.partitionBy(*keys, "__a_si").orderBy("__b_si")
+    w_b = Window.partitionBy(*keys, "__b_si").orderBy("__a_si")
+    paired = (
+        joined.withColumn("__rb", F.row_number().over(w_a))
+        .where(F.col("__rb") == 1)
+        .withColumn("__ra", F.row_number().over(w_b))
+        .where(F.col("__ra") == 1)
+    )
+    return paired.select(
+        *keys,
+        F.col("__a_from").alias("from_ts"),
+        F.col("__b_to").alias("to_ts"),
+        F.col("__a_si").alias("start_idx"),
+        F.greatest("__a_ei", "__b_ei").alias("end_idx"),
     )

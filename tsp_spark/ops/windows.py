@@ -8,11 +8,12 @@ O(1) evict-and-add loop becomes a vectorized codegen'd frame scan; same
 partitioning as the island kernel so Catalyst fuses all of these into
 one exchange + one window stage.
 
-Window bounds: a trailing window of W seconds at row t covers
-[t − W, t] inclusive on both ends (the reference includes the expiring
-boundary event; validated against the DuckDB oracle which uses
-RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT ROW — same closed
-interval).
+Window bounds (pinned by the reference's golden cases): GroupPattern
+(sum/count/avg) uses the HALF-OPEN trailing window (t−W, t] — it evicts
+elements with elem.time + W <= t (GroupPattern.scala:76) — while
+WindowStatistic (truth stats) keeps the closed window [t−W, t]
+(WindowStatistic.scala eviction is strict `<`). `half_open=True` on
+``time_window`` selects the former.
 """
 
 from __future__ import annotations
@@ -24,38 +25,43 @@ from pyspark.sql import functions as F
 
 
 def time_window(
-    keys: Sequence[str], ts: str, window_s: float, leading: bool = False
+    keys: Sequence[str],
+    ts: str,
+    window_s: float,
+    leading: bool = False,
+    half_open: bool = False,
 ) -> WindowSpec:
     """Trailing (or leading) event-time range frame of ``window_s`` seconds.
 
     Orders by epoch millis (long) so ``rangeBetween`` gets the integral
     bounds it requires while keeping sub-second resolution.
+    ``half_open`` shrinks the trailing bound by 1 ms → (t−W, t].
     """
     window_ms = int(window_s * 1000)
     w = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
     if leading:
         return w.rangeBetween(0, window_ms)
-    return w.rangeBetween(-window_ms, 0)
+    return w.rangeBetween(-(window_ms - 1) if half_open else -window_ms, 0)
 
 
 def windowed_sum(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
-    return F.sum(col).over(time_window(keys, ts, window_s))
+    return F.sum(col).over(time_window(keys, ts, window_s, half_open=True))
 
 
 def windowed_count(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
-    return F.count(col).over(time_window(keys, ts, window_s))
+    return F.count(col).over(time_window(keys, ts, window_s, half_open=True))
 
 
 def windowed_avg(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
-    return F.avg(col).over(time_window(keys, ts, window_s))
+    return F.avg(col).over(time_window(keys, ts, window_s, half_open=True))
 
 
 def windowed_min(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
-    return F.min(col).over(time_window(keys, ts, window_s))
+    return F.min(col).over(time_window(keys, ts, window_s, half_open=True))
 
 
 def windowed_max(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
-    return F.max(col).over(time_window(keys, ts, window_s))
+    return F.max(col).over(time_window(keys, ts, window_s, half_open=True))
 
 
 def lag_value(col: Column, keys: Sequence[str], ts: str) -> Column:

@@ -235,10 +235,22 @@ ib AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fb),
 gb AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei
        FROM ib WHERE cond GROUP BY user_id, isl)
-SELECT a.user_id, epoch_ms(a.f) AS from_ms, epoch_ms(min(b.t)) AS to_ms
-FROM ga a JOIN gb b
-  ON a.user_id = b.user_id AND b.si <= a.ei + 1 AND b.ei > a.ei
-GROUP BY a.user_id, a.f
+,
+joined AS (
+  SELECT a.user_id, a.si AS asi, b.si AS bsi,
+         epoch_ms(a.f) AS from_ms, epoch_ms(b.t) AS to_ms
+  FROM ga a JOIN gb b
+    ON a.user_id = b.user_id AND b.si <= a.ei + 1 AND b.ei >= a.si
+),
+p1 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, asi ORDER BY bsi) AS rb
+  FROM joined
+),
+p2 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, bsi ORDER BY asi) AS ra
+  FROM p1 WHERE rb = 1
+)
+SELECT user_id, from_ms, to_ms FROM p2 WHERE ra = 1
 """
 
 
@@ -246,7 +258,8 @@ def q_cep_avg_window(spark, sf_dir):
     """GroupPattern windowed avg/count (GroupPattern.scala:20-99)."""
     ev = _load(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
-    w = Window.partitionBy("user_id").orderBy(ms).rangeBetween(-21_600_000, 0)
+    # half-open (t−6h, t] — the reference GroupPattern convention
+    w = Window.partitionBy("user_id").orderBy(ms).rangeBetween(-21_599_999, 0)
     return ev.select(
         "user_id",
         ms.alias("ms"),
@@ -261,7 +274,7 @@ SELECT user_id, epoch_ms(ts) AS ms,
        count(value) OVER w AS n6h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-             RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN 21599999 PRECEDING AND CURRENT ROW)
 """
 
 
