@@ -1,0 +1,140 @@
+"""Tests for the io layer (sink schema, Kafka JSON decode) and the
+Structured Streaming mode (streaming result == batch result)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsp_spark.api import RawPattern, search_incidents
+from tsp_spark.io.kafka import decode_json_value, encode_json_row, kafka_value_schema
+from tsp_spark.io.sink_schema import (
+    IntESValue,
+    NewRowSchema,
+    StringESValue,
+    compile_sink_row,
+)
+from tsp_spark.streaming.job import StreamingPatternJob, incidents_stream
+
+
+def test_kafka_value_schema_and_decode(spark):
+    fields = {"ts": "timestamp", "loco": "int32", "speed": "float64", "mode": "string"}
+    assert kafka_value_schema(fields) == (
+        "`ts` timestamp, `loco` int, `speed` double, `mode` string"
+    )
+    payload = json.dumps(
+        {"ts": "2020-01-01 00:00:01", "loco": 7, "speed": 88.5, "mode": "run"}
+    )
+    df = spark.createDataFrame([(payload.encode(),)], "value binary")
+    row = df.select(decode_json_value(F.col("value"), fields).alias("r")).select(
+        "r.*"
+    ).collect()[0]
+    assert row["loco"] == 7 and row["speed"] == 88.5 and row["mode"] == "run"
+    # bad numeric → NULL (decoded to NaN downstream by the compiler)
+    bad = spark.createDataFrame([(b'{"loco": "x", "speed": "y"}',)], "value binary")
+    row = bad.select(decode_json_value(F.col("value"), fields).alias("r")).select(
+        "r.*"
+    ).collect()[0]
+    assert row["speed"] is None
+
+
+def test_encode_json_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    out = encode_json_row(df).collect()[0]["value"]
+    assert json.loads(out) == {"id": 1, "name": "a"}
+
+
+def test_sink_schema_interpolation(spark):
+    import datetime as dt
+
+    inc = spark.createDataFrame(
+        [
+            (
+                42, 3, 1, "P#42;u=3",
+                dt.datetime(2020, 1, 1, 0, 0, 0),
+                dt.datetime(2020, 1, 1, 0, 1, 40),
+            )
+        ],
+        "pattern_id int, unit int, subunit int, incident_id string, "
+        "from_ts timestamp, to_ts timestamp",
+    )
+    schema = NewRowSchema(
+        {
+            "series_storage": IntESValue("int32", 1),
+            "id": StringESValue("int64", "$PatternID"),
+            "identity": StringESValue("string", "$IncidentID"),
+            "from": StringESValue("timestamp", "$IncidentStart"),
+            "to": StringESValue("timestamp", "$IncidentEnd"),
+            "uuid": StringESValue("string", "$UUID"),
+            "labeled": StringESValue("string", "unit=$Unit/$Subunit costs $$5"),
+            "meta": StringESValue("string", "$PatternMetadata@severity"),
+        }
+    )
+    row = compile_sink_row(inc, schema, metadata={"severity": "hi"}).collect()[0]
+    assert row["series_storage"] == 1
+    assert row["id"] == 42
+    assert row["identity"] == "P#42;u=3"
+    assert row["from"].isoformat().startswith("2020-01-01T00:00:00")
+    assert row["labeled"] == "unit=3/1 costs $5"
+    assert row["meta"] == "hi"
+    assert len(row["uuid"]) == 36
+
+
+@pytest.mark.slow
+def test_streaming_matches_batch(spark, events_small):
+    """File-source streaming run must produce the same incidents as the
+    batch engine over the same rows (modulo at-least-once re-emits)."""
+    patterns = [RawPattern(1, "value > 150 for 10 sec")]
+    keys, ts = ["user_id"], "ts"
+    fields = {"user_id": "int64", "value": "float64", "event_type": "string"}
+
+    batch = {
+        (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(
+            events_small, patterns, keys, ts, fields_types=fields
+        ).collect()
+    }
+
+    src_dir = tempfile.mkdtemp(prefix="tsp_stream_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_stream_chk")
+    try:
+        # two chronological parquet drops → two micro-batches
+        ordered = events_small.orderBy(ts).cache()
+        n = ordered.count()
+        first, second = ordered.limit(n // 2), ordered.subtract(ordered.limit(n // 2))
+        first.write.parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema(events_small.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        got: set = set()
+        job = StreamingPatternJob(patterns, keys, ts, fields_types=fields)
+        q = incidents_stream(
+            stream,
+            job,
+            sink=lambda df, _bid: got.update(
+                (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+                for r in df.collect()
+            ),
+            checkpoint_dir=chk_dir,
+            trigger_seconds=0.5,
+        )
+        second.write.mode("append").parquet(f"{src_dir}/b1")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if batch <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        missing = batch - got
+        assert not missing, f"streaming missed {len(missing)} incidents: {sorted(missing)[:5]}"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

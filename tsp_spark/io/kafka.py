@@ -1,0 +1,94 @@
+"""Kafka source/sink (SURVEY §2.1, streaming).
+
+The reference subscribes with fs2-kafka and JSON-decodes each record
+positionally against the declared `fieldsTypes`
+(StreamSource.scala:319-443, serialization/Deserializer.scala:14-40).
+Here: `readStream.format("kafka")` + `from_json` with the declared
+schema — the decode is a Column expression (`kafka_value_schema` /
+`decode_json_value`), so it is unit-testable without a broker and
+identical in batch (`spark.read.format("kafka")`) and streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsp_spark.io.conf import KafkaInputConf, KafkaOutputConf
+
+_SPARK_TYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "timestamp": "timestamp",
+}
+
+
+def kafka_value_schema(fields_types: dict[str, str]) -> str:
+    """DDL schema string for the declared positional field map
+    (KafkaInputConf.scala:21, KafkaService.scala:13-26)."""
+    return ", ".join(
+        f"`{name}` {_SPARK_TYPES.get(t, 'double')}" for name, t in fields_types.items()
+    )
+
+
+def decode_json_value(value: Column, fields_types: dict[str, str]) -> Column:
+    """JSON record → struct of declared fields (Deserializer.scala:14-40).
+    Bad/missing numerics become NULL, which the compiler decodes to NaN
+    (BasicDecoders rule)."""
+    return F.from_json(value.cast("string"), kafka_value_schema(fields_types))
+
+
+def kafka_source(
+    spark: SparkSession, conf: KafkaInputConf, streaming: bool = True
+) -> DataFrame:
+    """Subscribe and decode; returns one column per declared field."""
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = (
+        reader.option("kafka.bootstrap.servers", conf.brokers)
+        .option("subscribe", conf.topic)
+        .option("startingOffsets", conf.offset_reset)
+    )
+    if conf.group_id:
+        reader = reader.option("kafka.group.id", conf.group_id)
+    raw = reader.load()
+    decoded = raw.select(decode_json_value(F.col("value"), conf.fields_types).alias("r"))
+    return decoded.select("r.*")
+
+
+def encode_json_row(df: DataFrame) -> DataFrame:
+    """All columns → one JSON `value` column (OutputConf.scala:140-201)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def kafka_sink(
+    df: DataFrame,
+    conf: KafkaOutputConf,
+    checkpoint_dir: str | None = None,
+):
+    """JSON-serialize and produce to a topic. Streaming DataFrames get a
+    writeStream (checkpointed — the reference's Redis row-count
+    checkpoints, CheckpointingService.scala:12-168, are native here);
+    batch DataFrames write once."""
+    out = encode_json_row(df)
+    if df.isStreaming:
+        writer = (
+            out.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", conf.broker)
+            .option("topic", conf.topic)
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+    (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", conf.broker)
+        .option("topic", conf.topic)
+        .save()
+    )
+    return None

