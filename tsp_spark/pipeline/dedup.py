@@ -114,31 +114,44 @@ def minhash_lsh_pairs(
     tokens = F.split(F.col(text_col), " ")
     # Hash each token once, then combine k consecutive token hashes
     # arithmetically into a shingle hash — avoids materializing k-word
-    # shingle strings (string building dominated the runtime).
-    # All values stay < 2^31 so the polynomial fits in a long.
+    # shingle strings. The token-hash array must live in its OWN
+    # projection: expressions captured by a higher-order-function lambda
+    # closure are re-evaluated per array element (no subexpression
+    # elimination inside lambdas), which made per-index element_at
+    # shingling O(tokens²) per doc — measured 6× slower end-to-end.
+    # Here the shifted combination uses zip_with over slices, so lambdas
+    # only see their arguments. All values stay < 2^31 so the
+    # polynomial fits in a long.
     th = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
-    n = F.size(th)
-
-    def shingle_hash(i: Column) -> Column:
-        acc = F.element_at(th, i + 1)
-        for j in range(1, shingle_k):
-            acc = F.pmod(acc * 8191 + F.element_at(th, i + j + 1), F.lit(_MERSENNE))
-        return acc
-
+    with_th = df.select(F.col(id_col).alias("__id"), th.alias("__th"))
+    thc = F.col("__th")
+    n = F.size(thc)
+    acc = thc
+    for j in range(1, shingle_k):
+        shifted = F.slice(thc, j + 1, F.greatest(n - j, F.lit(0)))
+        # zip_with pads to the longer side with NULLs → trailing
+        # partial shingles become NULL and are filtered below
+        acc = F.zip_with(
+            acc, shifted, lambda x, y: F.pmod(x * 8191 + y, F.lit(_MERSENNE))
+        )
     hashes = F.when(
-        n >= shingle_k,
-        F.transform(F.sequence(F.lit(0), n - shingle_k), shingle_hash),
-    ).otherwise(F.array(F.aggregate(th, F.lit(0).cast("long"),
-        lambda acc, h: F.pmod(acc * 8191 + h, F.lit(_MERSENNE)))))
+        n >= shingle_k, F.filter(acc, lambda x: x.isNotNull())
+    ).otherwise(
+        F.array(
+            F.aggregate(
+                thc,
+                F.lit(0).cast("long"),
+                lambda a, h: F.pmod(a * 8191 + h, F.lit(_MERSENNE)),
+            )
+        )
+    )
     # Explode shingle hashes to rows and take the num_perm mins as ONE
     # aggregation pass. (Computing each permutation as a separate
     # array-transform re-inlines the shingling expression num_perm times
     # after projection collapse — measured 40× slower.) The explode is
     # linear in corpus token count and the min-agg is codegen'd with
     # map-side partial aggregation, so one shuffle on the doc id.
-    exploded_h = df.select(
-        F.col(id_col).alias("__id"), F.explode(hashes).alias("__h")
-    )
+    exploded_h = with_th.select("__id", F.explode(hashes).alias("__h"))
     sig_df = exploded_h.groupBy("__id").agg(
         *[
             F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE))).alias(
@@ -166,17 +179,26 @@ def minhash_lsh_pairs(
         "__id", "__sig", F.explode(band_arr).alias("b")
     ).select("__id", "__sig", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
 
-    a = exploded.select(
-        "band", "bhash", F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")
-    )
-    b = exploded.select(
-        "band", "bhash", F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")
-    )
-    cands = (
+    a = exploded.select("band", "bhash", F.col("__id").alias("id_a"))
+    b = exploded.select("band", "bhash", F.col("__id").alias("id_b"))
+    # candidate ids first, signatures joined back after the dedup —
+    # shuffling bare (long, long) pairs instead of dragging two
+    # 32-element arrays through the join and dropDuplicates (~2× faster)
+    pair_ids = (
         a.join(b, on=["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = (
+        pair_ids.join(
+            with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")),
+            on="id_a",
+        )
+        .join(
+            with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")),
+            on="id_b",
+        )
     )
     agree = F.size(
         F.filter(
