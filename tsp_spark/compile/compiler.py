@@ -52,6 +52,25 @@ from tsp_spark.ops.sequence import and_then_intervals
 _counter = itertools.count()
 
 
+def rowwise_reduce(name: str, filtered: Column) -> tuple[Column, str]:
+    """Row-wise N-ary reducer over a pre-filtered double array
+    (ReducePattern semantics, FunctionRegistry.scala:456-518):
+    ``filtered`` holds the non-null elements passing the `_`-condition."""
+    n = F.size(filtered)
+    if name == "sumof":
+        return F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x), "float64"
+    if name == "minof":
+        return F.array_min(filtered), "float64"
+    if name == "maxof":
+        return F.array_max(filtered), "float64"
+    if name == "countof":
+        return n.cast("long"), "int64"
+    if name == "avgof":
+        s = F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(n > 0, s / n), "float64"
+    raise ValueError(f"Unknown reducer {name}")
+
+
 def _tmp(prefix: str) -> str:
     return f"__{prefix}_{next(_counter)}"
 
@@ -245,23 +264,8 @@ class PatternCompiler:
         else:
             filtered = F.filter(arr, lambda x: x.isNotNull())
 
-        n = F.size(filtered)
-        name = node.name
-        if name == "sumof":
-            col = F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x)
-        elif name == "minof":
-            col = F.array_min(filtered)
-        elif name == "maxof":
-            col = F.array_max(filtered)
-        elif name == "countof":
-            return Compiled(cur, n.cast("long"), "int64", has_window)
-        elif name == "avgof":
-            col = F.when(
-                n > 0, F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x) / n
-            )
-        else:
-            raise ValueError(f"Unknown reducer {name}")
-        return Compiled(cur, col, "float64", has_window)
+        col, dtype = rowwise_reduce(node.name, filtered)
+        return Compiled(cur, col, dtype, has_window)
 
     def _compile_aggregate(self, df: DataFrame, node: A.AggregateCall, underscore) -> Compiled:
         c = self._compile(df, node.inner, underscore)

@@ -822,6 +822,221 @@ def q_multimodal_features(spark, sf_dir):
     return extract_image_features(docs)
 
 
+def q_cep_scalar_functions(spark, sf_dir):
+    """Function registry (FunctionRegistry.scala:114-324): arithmetic,
+    math + degree variants, casts, integer division, Kleene-or."""
+    from tsp_spark.compile.registry import DEFAULT_REGISTRY as R
+
+    ev = _load(spark, sf_dir, "events")
+    v, u = F.col("value"), F.col("user_id")
+
+    def b(name, cols, dtypes):
+        return R.build(name, cols, dtypes)[0]
+
+    # Kleene-or with an injected Fail (NULL) side
+    maybe = F.when(F.col("event_type") != "error", v > 120)
+    return ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(b("abs", [b("sub", [v, F.lit(100)], ["float64", "int64"])], ["float64"]), 6).alias("abs_dev"),
+        F.round(b("sin", [v], ["float64"]), 6).alias("sin_v"),
+        F.round(b("cosd", [v], ["float64"]), 6).alias("cosd_v"),
+        b("div", [u, F.lit(7)], ["int64", "int64"]).alias("u_div7"),
+        v.cast("int").alias("v_int32"),
+        b("xor", [v > 100, u % 2 == 0], ["boolean", "boolean"]).alias("x"),
+        b("or", [v > 150, maybe], ["boolean", "boolean"]).alias("kleene_or"),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT user_id, epoch_ms(ts) AS ms,
+       round(abs(value - 100), 6) AS abs_dev,
+       round(sin(value), 6) AS sin_v,
+       round(cos(radians(value)), 6) AS cosd_v,
+       user_id // 7 AS u_div7,
+       CAST(trunc(value) AS INTEGER) AS v_int32,
+       ((value > 100) != (user_id % 2 = 0)) AS x,
+       COALESCE((value > 150) OR m, (value > 150), m) AS kleene_or
+FROM (SELECT *, CASE WHEN event_type != 'error' THEN value > 120 END AS m FROM events)
+"""
+
+
+def q_cep_reducers(spark, sf_dir):
+    """Row-wise reducers sumOf/minOf/maxOf/countOf/avgOf with the
+    `_`-condition (ReducePattern.scala:15-78, FunctionRegistry.scala:456-518)."""
+    from tsp_spark.compile.compiler import rowwise_reduce
+
+    li = _load(spark, sf_dir, "lineitem")
+    cols = [F.col(c).cast("double") for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")]
+    arr = F.array(*cols)
+    all_nn = F.filter(arr, lambda x: x.isNotNull())
+    # underscore condition: `_ > 0.05`
+    filt = F.filter(arr, lambda x: x.isNotNull() & (x > 0.05))
+    out = {}
+    for name in ("sumof", "minof", "maxof", "countof", "avgof"):
+        col, _t = rowwise_reduce(name, filt if name != "sumof" else all_nn)
+        out[name] = col
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.round(out["sumof"], 4).alias("sum_all"),
+        F.round(out["minof"], 4).alias("min_gt"),
+        F.round(out["maxof"], 4).alias("max_gt"),
+        out["countof"].alias("cnt_gt"),
+        F.round(out["avgof"], 4).alias("avg_gt"),
+    )
+
+
+ORACLE_REDUCERS = """
+WITH t AS (
+  SELECT l_orderkey AS okey, l_linenumber AS lnum,
+         [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+          CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)] AS a
+  FROM lineitem
+),
+f AS (
+  SELECT okey, lnum,
+         list_filter(a, x -> x IS NOT NULL) AS nn,
+         list_filter(a, x -> x IS NOT NULL AND x > 0.05) AS g
+  FROM t
+)
+SELECT okey, lnum,
+       round(list_sum(nn), 4) AS sum_all,
+       round(list_min(g), 4) AS min_gt,
+       round(list_max(g), 4) AS max_gt,
+       CAST(len(g) AS BIGINT) AS cnt_gt,
+       round(CASE WHEN len(g) > 0 THEN list_sum(g) / len(g) END, 4) AS avg_gt
+FROM f
+"""
+
+
+def q_cep_fill_wide(spark, sf_dir):
+    """WideDataFilling: timed forward-fill of already-wide sparse columns
+    (SparseRowsDataAccumulator.scala:56-63,140-167)."""
+    from tsp_spark.ops.fill import forward_fill
+
+    ev = _load(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")).alias("v_click"),
+        F.when(F.col("event_type") == "error", F.col("value")).alias("v_error"),
+    )
+    filled = forward_fill(
+        sparse, ["user_id"], "ts", ["v_click", "v_error"],
+        default_timeout_ms=FILL_TIMEOUT_MS,
+    )
+    return filled.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round("v_click", 4).alias("v_click"),
+        F.round("v_error", 4).alias("v_error"),
+    )
+
+
+def _fill_wide_col_sql(s: str, src: str) -> str:
+    return (
+        f"round(CASE WHEN epoch_ms(ts) - max(CASE WHEN {src} IS NOT NULL THEN epoch_ms(ts) END)"
+        f" OVER w <= {FILL_TIMEOUT_MS}"
+        f" THEN last_value({src} IGNORE NULLS) OVER w END, 4) AS {s}"
+    )
+
+
+ORACLE_FILL_WIDE = f"""
+WITH sparse AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'click' THEN value END AS c0,
+         CASE WHEN event_type = 'error' THEN value END AS e0
+  FROM events
+)
+SELECT user_id, epoch_ms(ts) AS ms,
+       {_fill_wide_col_sql("v_click", "c0")},
+       {_fill_wide_col_sql("v_error", "e0")}
+FROM sparse
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cep_lag_time(spark, sf_dir):
+    """Time-based lag `lag(x, T)` — PreviousValue.scala:12-74: the value
+    actual as of (t − T)."""
+    ev = _load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(Window.unboundedPreceding, -FILL_TIMEOUT_MS)
+    )
+    return ev.select(
+        "user_id",
+        ms.alias("ms"),
+        F.round(F.last("value", ignorenulls=True).over(w), 4).alias("lag72h"),
+    )
+
+
+ORACLE_LAG_TIME = f"""
+SELECT user_id, epoch_ms(ts) AS ms,
+       round(last_value(value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN UNBOUNDED PRECEDING AND {FILL_TIMEOUT_MS} PRECEDING), 4)
+       AS lag72h
+FROM events
+"""
+
+
+def q_sink_rows(spark, sf_dir):
+    """NewRowSchema sink projection with $-interpolation
+    (SinkSchema.scala:28-62, PatternsToRowMapper.scala:54-131) —
+    deterministic subset (no $UUID/$ProcessingDate)."""
+    from tsp_spark.io.sink_schema import IntESValue, NewRowSchema, StringESValue, compile_sink_row
+
+    ev = _load(spark, sf_dir, "events")
+    iv = islands(ev, ["user_id"], "ts", F.col("value") > 150, max_gap_ms=GAP_MS)
+    incidents = iv.select(
+        F.lit(7).alias("pattern_id"),
+        F.col("user_id").cast("int").alias("unit"),
+        F.lit(0).alias("subunit"),
+        F.concat(F.lit("P#7;"), F.col("user_id")).alias("incident_id"),
+        "from_ts",
+        "to_ts",
+    )
+    schema = NewRowSchema(
+        {
+            "series_storage": IntESValue("int32", 1),
+            "id": StringESValue("int64", "$PatternID"),
+            "identity": StringESValue("string", "$IncidentID"),
+            "unit_label": StringESValue("string", "u=$Unit/$Subunit sev=$PatternMetadata@sev"),
+            "from_s": StringESValue("string", "$IncidentStart"),
+            "to_s": StringESValue("string", "$IncidentEnd"),
+        }
+    )
+    return compile_sink_row(incidents, schema, metadata={"sev": "high"})
+
+
+ORACLE_SINK_ROWS = f"""
+WITH f AS (
+  SELECT user_id, ts, (value > 150) AS cond,
+         CASE WHEN (value > 150) IS DISTINCT FROM lag((value > 150)) OVER w
+               OR lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM f),
+iv AS (SELECT user_id, min(ts) AS from_ts, max(ts) AS to_ts
+       FROM i WHERE cond GROUP BY user_id, isl)
+SELECT CAST(1 AS INTEGER) AS series_storage,
+       CAST(7 AS BIGINT) AS id,
+       'P#7;' || CAST(user_id AS VARCHAR) AS identity,
+       'u=' || CAST(user_id AS VARCHAR) || '/0 sev=high' AS unit_label,
+       strftime(from_ts AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S.%g') AS from_s,
+       strftime(to_ts AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S.%g') AS to_s
+FROM iv
+"""
+
+
 def q_cep_incidents_multi(spark, sf_dir):
     """Full job pipeline: multiple patterns → merged incident table
     (PatternsSearchJob end-to-end). Rows-only check (the per-pattern
@@ -864,6 +1079,11 @@ QUERIES = {
     "cep_fill_narrow": q_cep_fill_narrow,
     "cep_sessionize": q_cep_sessionize,
     "cep_incidents_multi": q_cep_incidents_multi,
+    "cep_scalar_functions": q_cep_scalar_functions,
+    "cep_reducers": q_cep_reducers,
+    "cep_fill_wide": q_cep_fill_wide,
+    "cep_lag_time": q_cep_lag_time,
+    "sink_rows": q_sink_rows,
     "rel_q1_pricing": q_rel_q1_pricing,
     "rel_q6_revenue": q_rel_q6_revenue,
     "rel_q3_shipping": q_rel_q3_shipping,
@@ -895,6 +1115,11 @@ ORACLES = {
     "cep_until": ORACLE_UNTIL,
     "cep_fill_narrow": ORACLE_FILL_NARROW,
     "cep_sessionize": ORACLE_SESSIONIZE,
+    "cep_scalar_functions": ORACLE_SCALAR_FUNCTIONS,
+    "cep_reducers": ORACLE_REDUCERS,
+    "cep_fill_wide": ORACLE_FILL_WIDE,
+    "cep_lag_time": ORACLE_LAG_TIME,
+    "sink_rows": ORACLE_SINK_ROWS,
     "rel_q1_pricing": ORACLE_Q1,
     "rel_q6_revenue": ORACLE_Q6,
     "rel_q3_shipping": ORACLE_Q3,
