@@ -104,10 +104,16 @@ def test_streaming_matches_batch(spark, events_small):
     chk_dir = tempfile.mkdtemp(prefix="tsp_stream_chk")
     try:
         # two chronological parquet drops → two micro-batches
-        ordered = events_small.orderBy(ts).cache()
-        n = ordered.count()
-        first, second = ordered.limit(n // 2), ordered.subtract(ordered.limit(n // 2))
-        first.write.parquet(f"{src_dir}/b0")
+        # (deterministic event-time split; limit/subtract is not)
+        cutoff = events_small.selectExpr(
+            "percentile_approx(ts, 0.5) AS m"
+        ).collect()[0]["m"]
+        first = events_small.where(F.col(ts) <= F.lit(cutoff))
+        second = events_small.where(F.col(ts) > F.lit(cutoff))
+        # one file per drop → chronological micro-batches (the carry
+        # buffer assumes roughly event-time-ordered arrival, i.e. a
+        # watermarked source)
+        first.coalesce(1).write.parquet(f"{src_dir}/b0")
         stream = (
             spark.readStream.schema(events_small.schema)
             .option("maxFilesPerTrigger", "1")
@@ -125,7 +131,7 @@ def test_streaming_matches_batch(spark, events_small):
             checkpoint_dir=chk_dir,
             trigger_seconds=0.5,
         )
-        second.write.mode("append").parquet(f"{src_dir}/b1")
+        second.coalesce(1).write.mode("append").parquet(f"{src_dir}/b1")
         deadline = time.time() + 60
         while time.time() < deadline:
             q.processAllAvailable()

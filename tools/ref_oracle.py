@@ -904,17 +904,28 @@ def lift1(op):
     return f
 
 
+def _ieee_cmp(op):
+    """IEEE NaN comparisons (golden-era semantics, docs/SEMANTICS.md §3:
+    `!=` true on NaN, every other comparison false). NB the *current*
+    reference code would total-order NaN via Scala's default
+    `Ordering[Double]`; the golden fixtures pin IEEE, which is what the
+    Spark engine implements — the oracle follows the engine here."""
+
+    def f(a, b):
+        if isinstance(a, float) and math.isnan(a) or isinstance(b, float) and math.isnan(b):
+            return op == "ne"
+        c = (a > b) - (a < b)
+        return {"lt": c < 0, "le": c <= 0, "gt": c > 0, "ge": c >= 0, "eq": c == 0, "ne": c != 0}[op]
+
+    return lift2(f)
+
+
 _BIN = {
     "add": lift2(lambda a, b: a + b),
     "sub": lift2(lambda a, b: a - b),
     "mul": lift2(lambda a, b: a * b),
     "div": lift2(lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan),
-    "lt": lift2(lambda a, b: _tot_cmp(a, b) < 0),
-    "le": lift2(lambda a, b: _tot_cmp(a, b) <= 0),
-    "gt": lift2(lambda a, b: _tot_cmp(a, b) > 0),
-    "ge": lift2(lambda a, b: _tot_cmp(a, b) >= 0),
-    "eq": lift2(lambda a, b: _tot_cmp(a, b) == 0),
-    "ne": lift2(lambda a, b: _tot_cmp(a, b) != 0),
+    **{op: _ieee_cmp(op) for op in ("lt", "le", "gt", "ge", "eq", "ne")},
 }
 
 

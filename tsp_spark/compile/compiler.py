@@ -106,10 +106,34 @@ class PatternCompiler:
         self.registry = registry
 
     # ------------------------------------------------------------------
-    # window helpers (all share partitionBy(keys) → one exchange)
+    # window helpers (all share partitionBy(keys[, series]) → one exchange)
     # ------------------------------------------------------------------
+    SERIES_COL = "__series_seq"
+
+    def with_series(self, df: DataFrame) -> DataFrame:
+        """Add the gap-delimited sub-series id: the reference splits a
+        key's stream wherever ts(next) − ts(prev) > eventsMaxGapMs and
+        resets ALL pattern state (PatternProcessor.scala:33-56), so
+        every window/lag must be confined to its sub-series, not the
+        whole key. Same window spec as every other operator → no extra
+        shuffle."""
+        if self.max_gap_ms is None or self.SERIES_COL in df.columns:
+            return df
+        w = Window.partitionBy(*self.keys).orderBy(self.ts)
+        ms = F.unix_millis(F.col(self.ts))
+        brk = (ms - F.lag(ms).over(w) > self.max_gap_ms).cast("int")
+        return df.withColumn(
+            self.SERIES_COL,
+            F.sum(F.coalesce(brk, F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+
+    def _series_keys(self) -> list[str]:
+        return [*self.keys, self.SERIES_COL] if self.max_gap_ms is not None else self.keys
+
     def _w_order(self) -> Window:
-        return Window.partitionBy(*self.keys).orderBy(self.ts)
+        return Window.partitionBy(*self._series_keys()).orderBy(self.ts)
 
     def _w_cum(self) -> Window:
         return self._w_order().rowsBetween(Window.unboundedPreceding, 0)
@@ -117,7 +141,9 @@ class PatternCompiler:
     def _w_range(self, window_ms: int, leading: bool = False) -> Window:
         # order by epoch millis (long) — rangeBetween requires integral
         # bounds; millis keep sub-second resolution
-        w = Window.partitionBy(*self.keys).orderBy(F.unix_millis(F.col(self.ts)))
+        w = Window.partitionBy(*self._series_keys()).orderBy(
+            F.unix_millis(F.col(self.ts))
+        )
         return w.rangeBetween(0, window_ms) if leading else w.rangeBetween(-window_ms, 0)
 
     def _ms(self) -> Column:
@@ -129,6 +155,7 @@ class PatternCompiler:
     def compile_intervals(self, df: DataFrame, node: A.Node) -> DataFrame:
         """Full pattern → interval table (keys…, from_ts, to_ts, n_rows,
         start_idx, end_idx)."""
+        df = self.with_series(df)
         if isinstance(node, A.AndThen):
             left = self.compile_intervals(df, node.left)
             c = self.compile_bool(df, node.right)
