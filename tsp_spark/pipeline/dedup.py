@@ -70,6 +70,37 @@ def jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bucket_cols: Sequence[str],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within buckets:
+    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold.
+
+    Buckets bound the all-pairs join (like jaccard_pairs); for unbounded
+    corpora bucket by LSH signatures first (similarity.lsh_bucket_topk's
+    hyperplane signature works as a bucket column)."""
+    from tsp_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    t = df.select(
+        *bucket_cols,
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    a = t.select(*bucket_cols, F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = t.select(*bucket_cols, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    joined = a.join(b, on=list(bucket_cols)).where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return joined.select(
+        "id_a", "id_b", F.round(cos, 4).alias("cosine")
+    ).where(F.col("cosine") >= F.lit(threshold))
+
+
 def _shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingles as strings (empty-safe: short docs yield the
     whole-doc shingle)."""

@@ -1037,6 +1037,56 @@ FROM iv
 """
 
 
+def q_cep_minmax_window(spark, sf_dir):
+    """Windowed min/max(x, T) — documented in the reference
+    (docs/index.md:20: `max(oilPump, 20 sec) > 0`) but absent from its
+    registry; implemented here as extensions over the same half-open
+    trailing frame as GroupPattern."""
+    ev = _load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(ms).rangeBetween(-21_599_999, 0)
+    return ev.select(
+        "user_id",
+        ms.alias("ms"),
+        F.round(F.min("value").over(w), 4).alias("min6h"),
+        F.round(F.max("value").over(w), 4).alias("max6h"),
+    )
+
+
+ORACLE_MINMAX_WINDOW = """
+SELECT user_id, epoch_ms(ts) AS ms,
+       round(min(value) OVER w, 4) AS min6h,
+       round(max(value) OVER w, 4) AS max6h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 21599999 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (bucketed by label)."""
+    from tsp_spark.pipeline.dedup import embedding_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", ["label"], threshold=0.3
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH t AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+       AS cosine
+FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+"""
+
+
 def q_cep_incidents_multi(spark, sf_dir):
     """Full job pipeline: multiple patterns → merged incident table
     (PatternsSearchJob end-to-end). Rows-only check (the per-pattern
@@ -1084,6 +1134,8 @@ QUERIES = {
     "cep_fill_wide": q_cep_fill_wide,
     "cep_lag_time": q_cep_lag_time,
     "sink_rows": q_sink_rows,
+    "cep_minmax_window": q_cep_minmax_window,
+    "dedup_embedding": q_dedup_embedding,
     "rel_q1_pricing": q_rel_q1_pricing,
     "rel_q6_revenue": q_rel_q6_revenue,
     "rel_q3_shipping": q_rel_q3_shipping,
@@ -1120,6 +1172,8 @@ ORACLES = {
     "cep_fill_wide": ORACLE_FILL_WIDE,
     "cep_lag_time": ORACLE_LAG_TIME,
     "sink_rows": ORACLE_SINK_ROWS,
+    "cep_minmax_window": ORACLE_MINMAX_WINDOW,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "rel_q1_pricing": ORACLE_Q1,
     "rel_q6_revenue": ORACLE_Q6,
     "rel_q3_shipping": ORACLE_Q3,
