@@ -144,3 +144,70 @@ def test_streaming_matches_batch(spark, events_small):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_streaming_with_narrow_unfold(spark, events_small):
+    """NarrowDataUnfolding inside the streaming job: narrow (key/value)
+    stream → per-batch unfold → pattern; matches batch unfold+search."""
+    from functools import partial
+
+    from tsp_spark.ops.reshape import unfold_narrow
+
+    narrow = events_small.select(
+        "user_id", "ts", F.col("event_type").alias("sensor"), "value"
+    )
+    unfold = partial(
+        unfold_narrow,
+        keys=["user_id"],
+        ts="ts",
+        key_col="sensor",
+        value_col="value",
+        sensors=["ok", "error"],
+        default_timeout_ms=30_000,
+    )
+    patterns = [RawPattern(1, "ok > 150 for 10 sec")]
+    fields = {"ok": "float64", "error": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(
+            unfold(narrow), patterns, ["user_id"], "ts", fields_types=fields
+        ).collect()
+    }
+    assert batch, "batch reference must find incidents"
+
+    src_dir = tempfile.mkdtemp(prefix="tsp_narrow_src")
+    try:
+        narrow.coalesce(1).write.parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema(narrow.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        got: set = set()
+        job = StreamingPatternJob(
+            patterns,
+            ["user_id"],
+            "ts",
+            fields_types=fields,
+            transform=unfold,
+            transform_window_ms=30_000,
+        )
+        q = incidents_stream(
+            stream,
+            job,
+            sink=lambda df, _bid: got.update(
+                (r["user_id"], r["from_ts"], r["to_ts"]) for r in df.collect()
+            ),
+            trigger_seconds=0.5,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if batch <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)

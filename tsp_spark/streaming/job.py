@@ -63,6 +63,13 @@ class StreamingPatternJob:
     # boundaries; None = auto (sum of pattern windows + max gap)
     carry_ms: int | None = None
     watermark_delay: str = "1 minute"
+    # source-side reshaping (SourceDataTransformation.scala:9-24) applied
+    # per micro-batch over carry+batch: a DataFrame→DataFrame callable
+    # (e.g. partial(unfold_narrow, ...) or partial(forward_fill, ...));
+    # its fill/timeout window must be covered by transform_window_ms so
+    # the carry buffer retains enough history to re-fill correctly
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    transform_window_ms: int = 0
 
 
 def _carry_depth_ms(job: StreamingPatternJob) -> int:
@@ -78,7 +85,7 @@ def _carry_depth_ms(job: StreamingPatternJob) -> int:
     for p in job.patterns:
         for num, unit in re.findall(r"(\d+(?:\.\d+)?)\s*(ms|sec|seconds|min|minutes|hr|hours)", p.source_code, re.I):
             worst = max(worst, int(float(num) * units[unit.lower()]))
-    return worst * 4 + job.events_max_gap_ms
+    return worst * 4 + job.events_max_gap_ms + job.transform_window_ms
 
 
 def incidents_stream(
@@ -112,8 +119,9 @@ def incidents_stream(
             df = carry.unionByName(batch_df)
         if not df.take(1):
             return
+        searched = job.transform(df) if job.transform is not None else df
         incidents = search_incidents(
-            df,
+            searched,
             job.patterns,
             list(job.keys),
             job.ts,
