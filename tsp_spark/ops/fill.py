@@ -47,7 +47,9 @@ def forward_fill(
             out = out.withColumn(c, filled)
         else:
             last_seen = F.max(F.when(F.col(c).isNotNull(), ms)).over(w)
+            # strict <: the reference retains a cached value only while
+            # now - seen < timeout (SparseRowsDataAccumulator.scala:91-95)
             out = out.withColumn(
-                c, F.when(ms - last_seen <= F.lit(timeout), filled)
+                c, F.when(ms - last_seen < F.lit(timeout), filled)
             )
     return out
