@@ -37,6 +37,33 @@ class RawPattern:
     metadata: dict[str, str] = field(default_factory=dict)
 
 
+def referenced_fields(node) -> set[str]:
+    """Field names a pattern AST references — PatternFieldExtractor
+    parity (dsl/.../PatternFieldExtractor.scala:12-46), used to prune
+    the source projection before the shared scan."""
+    from tsp_spark.dsl import ast as A
+
+    import dataclasses
+
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, A.Identifier) and n.name != "_":
+            out.add(n.name)
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, A.Node):
+                    walk(v)
+                elif isinstance(v, tuple):
+                    for x in v:
+                        if isinstance(x, A.Node):
+                            walk(x)
+
+    walk(node)
+    return out
+
+
 def search_incidents(
     df: DataFrame,
     patterns: Sequence[RawPattern],
@@ -47,19 +74,33 @@ def search_incidents(
     max_gap_ms: int | None = 60_000,
     session_gap_ms: int = 2_000,
     tolerance_fraction: float = 0.0,
+    cache_source: bool = True,
 ) -> DataFrame:
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
+
+    Multi-pattern jobs share ONE pruned, series-tagged source scan
+    (column pruning per the reference's PatternFieldExtractor; persisted
+    when >1 pattern so N patterns don't mean N source scans).
     """
     if fields_types is None:
         fields_types = {
             f.name: _dtype_tag(f.dataType.simpleString()) for f in df.schema.fields
         }
     compiler = PatternCompiler(keys, ts, fields_types, max_gap_ms)
+    nodes = [
+        parse_pattern(p.source_code, fields_types, tolerance_fraction)
+        for p in patterns
+    ]
+    used = set().union(*(referenced_fields(n) for n in nodes)) if nodes else set()
+    used_l = {u.lower() for u in used}
+    cols = [c for c in df.columns if c.lower() in used_l or c in keys or c == ts]
+    src = compiler.with_series(df.select(*cols))
+    if cache_source and len(patterns) > 1:
+        src = src.persist()
     parts: list[DataFrame] = []
-    for p in patterns:
-        node = parse_pattern(p.source_code, fields_types, tolerance_fraction)
-        iv = compiler.compile_intervals(df, node)
+    for p, node in zip(patterns, nodes):
+        iv = compiler.compile_intervals(src, node)
         parts.append(
             iv.select(
                 F.lit(p.id).alias("pattern_id"),
