@@ -114,9 +114,21 @@ def search_incidents(
     merged = sessionize_intervals(
         union, ["pattern_id", "subunit", *keys], gap_ms=session_gap_ms
     )
-    return merged.select(
-        "pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_merged"
+    # incident id: "P#<pattern>;" + partition values
+    # (ToIncidentsMapper.scala:19-20)
+    incident_id = F.concat(
+        F.lit("P#"),
+        F.col("pattern_id").cast("string"),
+        F.lit(";"),
+        F.concat_ws(";", *[F.col(k).cast("string") for k in keys]),
     )
+    out_cols = [
+        "pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_merged",
+        incident_id.alias("incident_id"),
+    ]
+    if unit_col is not None and unit_col in keys:
+        out_cols.append(F.col(unit_col).cast("int").alias("unit"))
+    return merged.select(*out_cols)
 
 
 def incidents_to_rows(

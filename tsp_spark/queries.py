@@ -1063,6 +1063,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 """
 
 
+def q_rel_q14_promo(spark, sf_dir):
+    """TPC-H Q14-shaped promo revenue share: lineitem ⋈ part with the
+    part side broadcast (small dim), exact integer-cents arithmetic."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+        (F.unix_millis("l_shipdate") >= Q6_LO_MS)
+        & (F.unix_millis("l_shipdate") < Q6_HI_MS)
+    )
+    return j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev_c)).alias("promo_cents"),
+        F.sum(rev_c).alias("total_cents"),
+    )
+
+
+ORACLE_Q14 = f"""
+SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) END)
+         AS promo_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_ms(l_shipdate) >= {Q6_LO_MS} AND epoch_ms(l_shipdate) < {Q6_HI_MS}
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bucketed by label)."""
     from tsp_spark.pipeline.dedup import embedding_neardup_pairs
@@ -1135,6 +1163,7 @@ QUERIES = {
     "cep_lag_time": q_cep_lag_time,
     "sink_rows": q_sink_rows,
     "cep_minmax_window": q_cep_minmax_window,
+    "rel_q14_promo": q_rel_q14_promo,
     "dedup_embedding": q_dedup_embedding,
     "rel_q1_pricing": q_rel_q1_pricing,
     "rel_q6_revenue": q_rel_q6_revenue,
@@ -1173,6 +1202,7 @@ ORACLES = {
     "cep_lag_time": ORACLE_LAG_TIME,
     "sink_rows": ORACLE_SINK_ROWS,
     "cep_minmax_window": ORACLE_MINMAX_WINDOW,
+    "rel_q14_promo": ORACLE_Q14,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "rel_q1_pricing": ORACLE_Q1,
     "rel_q6_revenue": ORACLE_Q6,
