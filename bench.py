@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "rel_q1_pricing",
     "rel_q3_shipping",
     "rel_q5_nation_revenue",
+    "rel_q14_promo",
     "rel_window_topk",
     "rel_asof_join",
     # pipeline extensions
@@ -37,6 +38,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "ann_cosine_topk",
     "embed_centroids",
+    "dedup_embedding",
+    "cep_minmax_window",
 ]
 
 
@@ -54,13 +57,16 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt_s = time.perf_counter() - t0
-        timings[name] = round(dt_s, 3)
-        total += dt_s
-        print(f"# {name}: {dt_s:.3f}s ({n} rows)", file=sys.stderr)
+        # best of 2: the first run pays parquet-footer/code-gen warmup
+        # and GC noise; the minimum is the stable per-query cost
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -42,7 +42,10 @@ def f32(s: str | None):
 
 def read_csv(name: str):
     with open(FIX / name) as f:
-        return list(csv.DictReader(f))
+        reader = csv.DictReader(f)
+        # the ivolga header has a stray space before ABKM_Brake_Pos
+        reader.fieldnames = [n.strip() for n in reader.fieldnames]
+        return list(reader)
 
 
 def load_wide():

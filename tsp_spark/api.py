@@ -8,9 +8,10 @@ of the same (pattern, unit, subunit) merged when the gap ≤
 NewRowSchema-style output projection ($PatternID/$UUID/$IncidentStart/…,
 streaming/.../mappers/PatternsToRowMapper.scala:54-70).
 
-All patterns of a job share one cached source scan; each pattern is an
-independent Catalyst plan over it (the reference likewise fans one
-stream out to N pattern state machines).
+All patterns of a job share one pruned source scan; each pattern is an
+independent Catalyst plan over it, unioned so ReuseExchange dedupes the
+shared subtree (the reference likewise fans one stream out to N pattern
+state machines).
 """
 
 from __future__ import annotations
@@ -74,14 +75,13 @@ def search_incidents(
     max_gap_ms: int | None = 60_000,
     session_gap_ms: int = 2_000,
     tolerance_fraction: float = 0.0,
-    cache_source: bool = True,
 ) -> DataFrame:
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
 
     Multi-pattern jobs share ONE pruned, series-tagged source scan
-    (column pruning per the reference's PatternFieldExtractor; persisted
-    when >1 pattern so N patterns don't mean N source scans).
+    (column pruning per the reference's PatternFieldExtractor); the
+    union of all pattern plans lets ReuseExchange dedupe it.
     """
     if fields_types is None:
         fields_types = {
@@ -96,8 +96,10 @@ def search_incidents(
     used_l = {u.lower() for u in used}
     cols = [c for c in df.columns if c.lower() in used_l or c in keys or c == ts]
     src = compiler.with_series(df.select(*cols))
-    if cache_source and len(patterns) > 1:
-        src = src.persist()
+    # No persist: all patterns union into ONE plan, so Spark's
+    # ReuseExchange dedupes the shared scan→prune→series-window subtree
+    # (persisting here leaked executor memory across jobs and slowed
+    # later queries more than the reuse saved).
     parts: list[DataFrame] = []
     for p, node in zip(patterns, nodes):
         iv = compiler.compile_intervals(src, node)

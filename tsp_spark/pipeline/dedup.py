@@ -53,16 +53,25 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within buckets:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold."""
+    # token-set size hoisted per row; |A ∪ B| = |A| + |B| − |A ∩ B|
+    # avoids materializing the union array per pair (same exact value —
+    # both sides are distinct arrays)
     t = df.select(
         *bucket_cols,
         F.col(id_col).alias("__id"),
         _token_set(F.col(text_col)).alias("__ws"),
+    ).withColumn("__n", F.size(F.col("__ws")))
+    a = t.select(
+        *bucket_cols, F.col("__id").alias("id_a"),
+        F.col("__ws").alias("__wa"), F.col("__n").alias("__na"),
     )
-    a = t.select(*bucket_cols, F.col("__id").alias("id_a"), F.col("__ws").alias("__wa"))
-    b = t.select(*bucket_cols, F.col("__id").alias("id_b"), F.col("__ws").alias("__wb"))
+    b = t.select(
+        *bucket_cols, F.col("__id").alias("id_b"),
+        F.col("__ws").alias("__wb"), F.col("__n").alias("__nb"),
+    )
     joined = a.join(b, on=list(bucket_cols)).where(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
-    union = F.size(F.array_union(F.col("__wa"), F.col("__wb")))
+    union = F.col("__na") + F.col("__nb") - inter
     j = inter.cast("double") / union
     return (
         joined.select("id_a", "id_b", j.alias("jaccard"))
@@ -85,17 +94,23 @@ def embedding_neardup_pairs(
     hyperplane signature works as a bucket column)."""
     from tsp_spark.pipeline.similarity import _as_double, _dot, _norm
 
+    # norm computed once per vector before the join (not per pair);
+    # identical expression shape keeps the cosine bit-identical
     t = df.select(
         *bucket_cols,
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v")))
+    a = t.select(
+        *bucket_cols, F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
-    a = t.select(*bucket_cols, F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = t.select(*bucket_cols, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    b = t.select(
+        *bucket_cols, F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
     joined = a.join(b, on=list(bucket_cols)).where(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
-    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return joined.select(
         "id_a", "id_b", F.round(cos, 4).alias("cosine")
     ).where(F.col("cosine") >= F.lit(threshold))

@@ -45,16 +45,18 @@ def cosine_topk(
 ) -> DataFrame:
     """For each query vector: top-k corpus neighbors by cosine similarity
     (self-matches excluded). Returns (query_id, neighbor_id, rank, cosine)."""
+    # norms hoisted to the per-row projections (computed once per vector,
+    # not once per pair; same expression → bit-identical cosine)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", _norm(F.col("__qv")))
     joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("__cv"), F.col("__qv")) / (
-        _norm(F.col("__cv")) * _norm(F.col("__qv"))
-    )
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
