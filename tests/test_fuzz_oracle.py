@@ -34,6 +34,11 @@ PATTERNS = [
     "v + w > 100",
     "v > 45 for 3 sec",
     "lag(v) > v",
+    "not (v > 50)",
+    "v > 40 xor w > 60",
+    "v / w > 1.2",
+    "abs(v - w) < 10 or v > 90",
+    "v * 2 - w / 2 >= 50 and not w = 0",
     # avg/sum fuzz on the never-null field: the reference's O(1)
     # evict-and-add sum is permanently NaN-poisoned after one NaN
     # (GroupPattern.scala:56-93, NaN - x = NaN) while this engine's
