@@ -20,6 +20,7 @@ from tsp_spark.ops.fill import forward_fill
 from tsp_spark.ops.reshape import unfold_narrow
 from tsp_spark.ops.sessionize import sessionize_intervals
 from tsp_spark.ops.sequence import and_then
+from tsp_spark.ops.skew import salted_agg
 
 __all__ = [
     "islands",
@@ -38,4 +39,5 @@ __all__ = [
     "unfold_narrow",
     "sessionize_intervals",
     "and_then",
+    "salted_agg",
 ]
