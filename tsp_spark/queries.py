@@ -1115,10 +1115,36 @@ WHERE round(list_dot_product(a.v, b.v) /
 """
 
 
+ORACLE_INCIDENTS_MULTI = f"""
+WITH p1 AS ({_islands_oracle("value > 100")}),
+p2 AS ({ORACLE_TIMER}),
+p3 AS ({ORACLE_ANDTHEN}),
+u AS (
+  SELECT 1 AS pattern_id, user_id, from_ms, to_ms FROM p1
+  UNION ALL SELECT 2, user_id, from_ms, to_ms FROM p2
+  UNION ALL SELECT 3, user_id, from_ms, to_ms FROM p3
+),
+s AS (
+  SELECT *, CASE WHEN max(to_ms) OVER
+                   (PARTITION BY pattern_id, user_id ORDER BY from_ms, to_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR from_ms - max(to_ms) OVER
+                   (PARTITION BY pattern_id, user_id ORDER BY from_ms, to_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 2000
+            THEN 1 ELSE 0 END AS nb
+  FROM u
+),
+s2 AS (SELECT *, sum(nb) OVER (PARTITION BY pattern_id, user_id ORDER BY from_ms, to_ms
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+SELECT pattern_id, user_id, min(from_ms) AS from_ms, max(to_ms) AS to_ms
+FROM s2 GROUP BY pattern_id, user_id, sess
+"""
+
+
 def q_cep_incidents_multi(spark, sf_dir):
     """Full job pipeline: multiple patterns → merged incident table
-    (PatternsSearchJob end-to-end). Rows-only check (the per-pattern
-    pieces are individually oracle-checked above)."""
+    (PatternsSearchJob end-to-end), value-checked against a composite
+    oracle (union of the per-pattern oracles + sessionization)."""
     ev = _load(spark, sf_dir, "events")
     patterns = [
         RawPattern(1, "value > 100"),
@@ -1218,6 +1244,7 @@ ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "ann_cosine_topk": ORACLE_ANN,
     "embed_centroids": ORACLE_CENTROIDS,
+    "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
     # no oracle (non-SQL-expressible; rows-only check): dedup_minhash_lsh,
-    # text_simhash, ann_lsh_topk, multimodal_features, cep_incidents_multi
+    # text_simhash, ann_lsh_topk, multimodal_features
 }
