@@ -1248,3 +1248,10 @@ ORACLES = {
     # no oracle (non-SQL-expressible; rows-only check): dedup_minhash_lsh,
     # text_simhash, ann_lsh_topk, multimodal_features
 }
+
+# extended relational anchors (TPC-H Q2/Q4/Q7/Q10/Q12/Q16/Q18/Q19/Q22
+# shapes — beyond-reference coverage of SURVEY §2.11's absent categories)
+from tsp_spark.queries_relx import REL_ORACLES, REL_QUERIES  # noqa: E402
+
+QUERIES.update(REL_QUERIES)
+ORACLES.update(REL_ORACLES)
