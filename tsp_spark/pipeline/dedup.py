@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
+def minhash_perms(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash constants for a MinHash signature —
+    exposed so the DuckDB oracle embeds the identical constants."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct text: representative = min id, plus copy count."""
     return (
@@ -160,13 +170,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
-    rng = random.Random(seed)
-    perms = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_perm)]
+    perms = minhash_perms(num_perm, seed)
 
     tokens = F.split(F.col(text_col), " ")
-    # Hash each token once, then combine k consecutive token hashes
-    # arithmetically into a shingle hash — avoids materializing k-word
-    # shingle strings. The token-hash array must live in its OWN
+    # Hash each token once (portable md5_long so the DuckDB oracle
+    # reproduces signatures exactly), then combine k consecutive token
+    # hashes arithmetically into a shingle hash — avoids materializing
+    # k-word shingle strings. The token-hash array must live in its OWN
     # projection: expressions captured by a higher-order-function lambda
     # closure are re-evaluated per array element (no subexpression
     # elimination inside lambdas), which made per-index element_at
@@ -174,7 +184,9 @@ def minhash_lsh_pairs(
     # Here the shifted combination uses zip_with over slices, so lambdas
     # only see their arguments. All values stay < 2^31 so the
     # polynomial fits in a long.
-    th = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    from tsp_spark.pipeline.hashing import md5_long
+
+    th = F.transform(tokens, lambda t: F.pmod(md5_long(t), F.lit(_MERSENNE)))
     with_th = df.select(F.col(id_col).alias("__id"), th.alias("__th"))
     thc = F.col("__th")
     n = F.size(thc)

@@ -101,15 +101,18 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
-    """SimHash over xxhash64 token hashes: bit b of the output is 1 when
-    the sum of ±1 votes (tokens whose hash has bit b set vote +1) is
+    """SimHash over portable md5-based token hashes (hashing.md5_long, so
+    the DuckDB oracle reproduces it exactly): bit b of the output is 1
+    when the sum of ±1 votes (tokens whose hash has bit b set vote +1) is
     positive. Near-identical token multisets → small Hamming distance."""
+    from tsp_spark.pipeline.hashing import md5_long
+
     toks = _tokens(F.col(text_col))
-    # keep only the low `bits` bits (non-negative via pmod) so bit tests
-    # stay exact in double arithmetic (shiftleft/right need literal shift
-    # amounts, but here the shift is a lambda variable)
+    # keep only the low `bits` bits (md5_long is non-negative, so % is
+    # safe) so bit tests stay exact in double arithmetic (shiftleft/right
+    # need literal shift amounts, but here the shift is a lambda variable)
     hashes = F.transform(
-        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << bits))
+        toks, lambda t: F.pmod(md5_long(t), F.lit(1 << bits))
     )
 
     def bit_of(h: Column, b: Column) -> Column:

@@ -793,15 +793,97 @@ GROUP BY label, dim
 """
 
 
-# --- Spark-only (no SQL-expressible oracle; driver does rows-only check) ---
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
     )
 
 
+def _minhash_oracle(
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of minhash_lsh_pairs: identical md5_long token
+    hashes, shingle polynomial, permutation constants, banding, and
+    signature-agreement estimate — exact value parity, not approximate."""
+    from tsp_spark.pipeline.dedup import _MERSENNE as M
+    from tsp_spark.pipeline.dedup import minhash_perms
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    perms = minhash_perms(num_perm, seed)
+    rpb = num_perm // bands
+    # rolling shingle polynomial, 1-based list indexing, i from range(n-k+1)
+    sh_expr = "th[i+1]"
+    for j in range(1, shingle_k):
+        sh_expr = f"(({sh_expr}) * 8191 + th[i+{j + 1}]) % {M}"
+    mh_cols = ",\n       ".join(
+        f"min(({a} * h + {b}) % {M}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(bi * rpb, (bi + 1) * rpb)) + ")"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {md5_long_sql("t")} % {M}) AS th,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN n >= {shingle_k}
+              THEN list_transform(range(n - {shingle_k - 1}), i -> {sh_expr})
+              ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                (a, b) -> (a * 8191 + b) % {M})]
+         END AS hs
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({agree}) AS agree
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_conds}
+)
+SELECT id_a, id_b, agree / {float(num_perm)} AS est_jaccard
+FROM pairs WHERE agree / {float(num_perm)} >= {threshold}
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle()
+
+
 def q_text_simhash(spark, sf_dir):
     return simhash(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        tok -> {md5_long_sql("tok")} % {1 << bits}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range({bits}), b ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+                CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+FROM t
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -809,6 +891,51 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5).select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _ann_lsh_oracle(k: int = 5, bits: int = 8, dims: int = 64, seed: int = 42) -> str:
+    """DuckDB replica of lsh_bucket_topk: the hyperplanes are embedded as
+    double literals (repr round-trips exactly), and every dot product is
+    a sequential left fold so the float arithmetic matches Spark's
+    aggregate() element order bit-for-bit — the bucket sign test needs
+    exact equality, not rounded closeness."""
+    from tsp_spark.pipeline.similarity import lsh_planes
+
+    planes = lsh_planes(bits, dims, seed)
+
+    def seqdot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range({dims}), i -> {a}[i+1] * {b}[i+1]),"
+            " (x, y) -> x + y)"
+        )
+
+    bucket_terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        bucket_terms.append(
+            f"CASE WHEN {seqdot('e', f'({lit})')} >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(bucket_terms)
+    cos = (
+        f"{seqdot('c.e', 'q.qe')}"
+        f" / (sqrt({seqdot('c.e', 'c.e')}) * sqrt({seqdot('q.qe', 'q.qe')}))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM b WHERE vec_id < 10),
+s AS (
+  SELECT q.qid AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_LSH = _ann_lsh_oracle()
 
 
 def q_multimodal_features(spark, sf_dir):
