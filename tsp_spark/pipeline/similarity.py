@@ -36,6 +36,16 @@ def _as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def lsh_planes(bits: int, dims: int, seed: int) -> list[list[float]]:
+    """Seeded random hyperplanes shared by the Spark query and the DuckDB
+    oracle — both sides must see bit-identical plane coordinates or the
+    sign-signature buckets diverge."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(bits)]
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -81,10 +91,7 @@ def lsh_bucket_topk(
     """Random-hyperplane LSH variant: only corpus vectors sharing the
     query's sign-signature bucket are scored. Recall < 1 by design; this
     is the 100 TB scan-reduction path."""
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dims)] for _ in range(bits)]
+    planes = lsh_planes(bits, dims, seed)
 
     def signature(vec: Column) -> Column:
         bits_cols = [

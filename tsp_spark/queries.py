@@ -1370,10 +1370,12 @@ ORACLES = {
     "text_langid": ORACLE_LANGID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_lsh_topk": ORACLE_ANN_LSH,
+    "text_simhash": ORACLE_SIMHASH,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
     # no oracle (non-SQL-expressible; rows-only check): dedup_minhash_lsh,
-    # text_simhash, ann_lsh_topk, multimodal_features
+    # multimodal_features
 }
 
 # extended relational anchors (TPC-H Q2/Q4/Q7/Q10/Q12/Q16/Q18/Q19/Q22
