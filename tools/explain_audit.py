@@ -14,6 +14,42 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# Tables that are fact-scale at the 100 TB target, identified in the
+# analyzed logical plan by a signature column: forcing a broadcast of a
+# raw (unaggregated) scan of one of these OOMs executors at scale.
+# nation / region / supplier are the blessed broadcast dimensions.
+FACT_SIGNATURES = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+}
+
+
+def broadcast_violations(df) -> list[str]:
+    """Forced-broadcast audit on the analyzed logical plan: every
+    ResolvedHint(broadcast) subtree must either not touch a fact table
+    or reduce it through an Aggregate first (size bounded by group
+    cardinality, e.g. Q2's per-type mins, Q22's one-row stats).
+
+    Statistics-based auto-broadcasts are deliberately NOT flagged: at
+    100 TB the planner sees fact-scale sizes and picks shuffle joins on
+    its own — only a *hint* forces the OOM."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    bad = []
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint" and "broadcast" in node.simpleString(25):
+            sub = node.treeString()
+            if "Aggregate" not in sub:
+                bad.extend(t for t, col in FACT_SIGNATURES.items() if col in sub)
+            return  # aggregated subtrees are size-bounded; stop here
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(analyzed)
+    return bad
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -23,15 +59,20 @@ def main() -> None:
 
     spark = get_spark("plan_audit", master="local[4]", shuffle_partitions=4)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    n_violations = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)
+            bcast_bad = broadcast_violations(df)
         except Exception as e:  # noqa: BLE001
             print(f"{name:26s} ERROR {type(e).__name__}: {e}")
             continue
+        if bcast_bad:
+            n_violations += 1
+            print(f"{name:26s} FACT-BROADCAST VIOLATION: {sorted(set(bcast_bad))}")
         # the formatted output lists each node twice (tree + details);
         # count tree lines only (they start with optional bars + "+- ")
         tree = plan.split("\n\n")[0]
@@ -53,6 +94,8 @@ def main() -> None:
         )
         for p in pushed:
             print(f"{'':28s}pushed: {p[:110]}")
+    print(f"\n{n_violations} fact-broadcast violations")
+    sys.exit(1 if n_violations else 0)
 
 
 if __name__ == "__main__":

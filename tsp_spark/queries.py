@@ -522,11 +522,11 @@ def q_rel_q3_shipping(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem").where(
         F.unix_millis("l_shipdate") > Q3_DATE_MS
     )
+    # orders/customer are fact-scale: no broadcast hints — AQE picks the
+    # join strategy (shuffle join at 100 TB; broadcast only if tiny).
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", F.unix_millis("o_orderdate").alias("o_date_ms"))
@@ -561,9 +561,12 @@ def q_rel_q5_nation_revenue(spark, sf_dir):
         & (F.unix_millis("o_orderdate") < Q5_HI_MS)
     )
     li = _load(spark, sf_dir, "lineitem")
+    # Broadcast only true dimensions (nation/region/supplier); orders and
+    # customer are fact-scale at the 100 TB target — forcing them
+    # broadcast would OOM executors, so AQE chooses their join strategy.
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
@@ -1191,14 +1194,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 
 
 def q_rel_q14_promo(spark, sf_dir):
-    """TPC-H Q14-shaped promo revenue share: lineitem ⋈ part with the
-    part side broadcast (small dim), exact integer-cents arithmetic."""
+    """TPC-H Q14-shaped promo revenue share: lineitem ⋈ part, exact
+    integer-cents arithmetic. part is fact-scale at the 100 TB target,
+    so no broadcast hint — AQE picks (shuffle join at scale)."""
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part")
     rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
         "long"
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+    j = li.join(part, li.l_partkey == part.p_partkey).where(
         (F.unix_millis("l_shipdate") >= Q6_LO_MS)
         & (F.unix_millis("l_shipdate") < Q6_HI_MS)
     )
@@ -1365,6 +1369,7 @@ ORACLES = {
     "rel_asof_join": ORACLE_ASOF,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_quality": ORACLE_QUALITY,
     "text_langid": ORACLE_LANGID,
@@ -1374,8 +1379,7 @@ ORACLES = {
     "text_simhash": ORACLE_SIMHASH,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
-    # no oracle (non-SQL-expressible; rows-only check): dedup_minhash_lsh,
-    # multimodal_features
+    # no oracle (non-SQL-expressible; rows-only check): multimodal_features
 }
 
 # extended relational anchors (TPC-H Q2/Q4/Q7/Q10/Q12/Q16/Q18/Q19/Q22

@@ -20,10 +20,14 @@ timestamps as epoch-ms BIGINTs, the Q22 average comparison cross-
 multiplied into integer arithmetic so both engines decide the margin
 identically.
 
-Scale notes (100 TB): every dimension side is broadcast; the only
-shuffles are on the fact table's natural aggregation keys. Q18's HAVING
-pre-aggregates lineitem down to qualifying orderkeys before any join
-(semi-join reduction); Q22's anti join shuffles only (custkey) pairs.
+Scale notes (100 TB): explicit broadcast hints mark only true
+dimensions (nation, supplier) and tiny derived aggregates (Q2's
+per-type mins, Q22's one-row stats). orders / customer / part are
+fact-scale at the target — their joins carry no hint so AQE picks the
+strategy (shuffle join at scale, runtime broadcast when a filtered side
+turns out small). Q18's HAVING pre-aggregates lineitem down to
+qualifying orderkeys before any join (semi-join reduction); Q22's anti
+join shuffles only (custkey) pairs.
 """
 
 from __future__ import annotations
@@ -127,8 +131,8 @@ def q_rel_q7_volume(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     vol = _q._cents("l_extendedprice") * (100 - _q._cents("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("__n1k"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("__n2k"))
@@ -168,10 +172,10 @@ def q_rel_q10_returns(spark, sf_dir):
     rev = _q._cents("l_extendedprice") * (100 - _q._cents("l_discount"))
     return (
         li.join(
-            F.broadcast(orders.where((od_ms >= Q10_LO_MS) & (od_ms < Q10_HI_MS))),
+            orders.where((od_ms >= Q10_LO_MS) & (od_ms < Q10_HI_MS)),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             "c_custkey", "c_name", _q._cents("c_acctbal").alias("acctbal_cents"), "n_name"
@@ -208,7 +212,7 @@ def q_rel_q12_priority(spark, sf_dir):
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.where((sd_ms >= Q12_LO_MS) & (sd_ms < Q12_HI_MS))
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -234,7 +238,7 @@ def q_rel_q16_distinct(spark, sf_dir):
     li = _q._load(spark, sf_dir, "lineitem")
     part = _q._load(spark, sf_dir, "part").where(~F.col("p_type").startswith("MEDIUM"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -261,8 +265,8 @@ def q_rel_q18_big_orders(spark, sf_dir):
         .where(F.col("sum_qty") > Q18_MIN_QTY)
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -299,7 +303,7 @@ def q_rel_q19_disjunct(spark, sf_dir):
     )
     rev = _q._cents("l_extendedprice") * (100 - _q._cents("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_lines"))
     )
