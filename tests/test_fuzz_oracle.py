@@ -34,6 +34,12 @@ PATTERNS = [
     "v + w > 100",
     "v > 45 for 3 sec",
     "lag(v) > v",
+    # time-based lag with the lookback horizon longer than the split gap:
+    # series gaps (15 s steps > 10 s maxGap) fall inside the 20 s horizon,
+    # so this diverges unless lag(x, T) is confined to its sub-series the
+    # way the reference resets PreviousValue state at a split.
+    "lag(v, 20 sec) > v",
+    "lag(u, 5 sec) + u > 100",
     "not (v > 50)",
     "v > 40 xor w > 60",
     "v / w > 1.2",

@@ -81,6 +81,23 @@ class Compiled:
     col: Column
     dtype: str
     has_window: bool = False
+    # Trilean "absent" tracking: where the reference pattern emits NO
+    # IdxValue at an index (e.g. consume-once lag), the index is
+    # invisible downstream — runs merge across it (SegmentizerPattern
+    # merges equal values regardless of idx adjacency), unlike Fail
+    # which breaks a run. None = defined everywhere. Combinators AND
+    # presents (Couple zips by idx intersection).
+    present: Column | None = None
+
+
+def _and_presents(presents: Sequence[Column | None]) -> Column | None:
+    ps = [p for p in presents if p is not None]
+    if not ps:
+        return None
+    out = ps[0]
+    for p in ps[1:]:
+        out = out & p
+    return out
 
 
 class PatternCompiler:
@@ -158,15 +175,28 @@ class PatternCompiler:
         df = self.with_series(df)
         if isinstance(node, A.AndThen):
             left = self.compile_intervals(df, node.left)
-            c = self.compile_bool(df, node.right)
-            c = self._maybe_materialize(c)
-            right = islands(
-                c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True
-            )
+            right = self._islandize(df, node.right)
             return and_then_intervals(left, right, self.keys)
+        return self._islandize(df, node)
+
+    def _islandize(self, df: DataFrame, node: A.Node) -> DataFrame:
         c = self.compile_bool(df, node)
         c = self._maybe_materialize(c)
-        return islands(c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True)
+        if c.present is None:
+            return islands(
+                c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True
+            )
+        # Absent rows (the pattern emitted no IdxValue there, e.g. the
+        # consume-once lag) are invisible downstream: equal-valued runs
+        # merge across them (SegmentizerPattern.scala). So: raw per-key
+        # idx FIRST (AndThenPattern adjacency counts raw input indices),
+        # then drop absent rows, then islandize splitting on the
+        # precomputed series id only — absence may stretch two adjacent
+        # present rows past max_gap, which must NOT fake a series split.
+        w = Window.partitionBy(*self.keys).orderBy(self.ts)
+        d = c.df.withColumn("__idx", F.row_number().over(w)).where(c.present)
+        out = islands(d, self._series_keys(), self.ts, c.col, None, with_idx=True)
+        return out.drop(self.SERIES_COL) if self.max_gap_ms is not None else out
 
     def compile_bool(self, df: DataFrame, node: A.Node) -> Compiled:
         """Pattern → row-level trilean boolean column."""
@@ -181,7 +211,13 @@ class PatternCompiler:
     # ------------------------------------------------------------------
     def _materialize(self, c: Compiled, prefix: str = "m") -> Compiled:
         name = _tmp(prefix)
-        return Compiled(c.df.withColumn(name, c.col), F.col(name), c.dtype, False)
+        df = c.df.withColumn(name, c.col)
+        present = None
+        if c.present is not None:
+            pname = _tmp(prefix + "p")
+            df = df.withColumn(pname, c.present)
+            present = F.col(pname)
+        return Compiled(df, F.col(name), c.dtype, False, present)
 
     def _maybe_materialize(self, c: Compiled) -> Compiled:
         return self._materialize(c) if c.has_window else c
@@ -224,12 +260,12 @@ class PatternCompiler:
         if isinstance(node, A.Cast):
             c = self._compile(df, node.inner, underscore)
             return Compiled(
-                c.df, c.col.cast(spark_type_name(node.dtype) or node.dtype), node.dtype, c.has_window
+                c.df, c.col.cast(spark_type_name(node.dtype) or node.dtype), node.dtype, c.has_window, c.present
             )
 
         if isinstance(node, A.Assert):
             c = self._compile(df, node.inner, underscore)
-            return Compiled(c.df, c.col.cast("boolean"), "boolean", c.has_window)
+            return Compiled(c.df, c.col.cast("boolean"), "boolean", c.has_window, c.present)
 
         if isinstance(node, A.FunctionCall):
             return self._compile_function(df, node, underscore)
@@ -268,7 +304,8 @@ class PatternCompiler:
         dtypes = [c.dtype for c in compiled]
         has_window = any(c.has_window for c in compiled)
         col, dtype = self.registry.build(node.name, cols, dtypes)
-        return Compiled(cur, col, dtype, has_window)
+        present = _and_presents([c.present for c in compiled])
+        return Compiled(cur, col, dtype, has_window, present)
 
     def _compile_reducer(self, df: DataFrame, node: A.ReducerCall, underscore) -> Compiled:
         compiled: list[Compiled] = []
@@ -292,23 +329,48 @@ class PatternCompiler:
             filtered = F.filter(arr, lambda x: x.isNotNull())
 
         col, dtype = rowwise_reduce(node.name, filtered)
-        return Compiled(cur, col, dtype, has_window)
+        present = _and_presents([c.present for c in compiled])
+        return Compiled(cur, col, dtype, has_window, present)
 
     def _compile_aggregate(self, df: DataFrame, node: A.AggregateCall, underscore) -> Compiled:
         c = self._compile(df, node.inner, underscore)
         c = self._maybe_materialize(c)
         if node.kind == "lag" and node.window_ms == 0:
+            # PreviousValue with a 1 ms window ≡ previous row (spacing is
+            # always ≥ 1 ms). Absent (not Fail) when the series has no
+            # previous row or the previous value was Fail — the queue
+            # drops Fail entries without emitting (PreviousValue.scala:57).
             col = F.lag(c.col).over(self._w_order())
-            return Compiled(c.df, col, c.dtype, True)
+            emitted = F.lag(F.when(c.col.isNotNull(), F.lit(1))).over(
+                self._w_order()
+            ).isNotNull()
+            present = _and_presents([c.present, emitted])
+            return Compiled(c.df, col, c.dtype, True, present)
         if node.kind == "lag":
-            # value as of T before now: last value at or before t − T
+            # PreviousValue.scala:42-73 is CONSUME-ONCE, not a continuous
+            # "value as of t − T": each queued value is emitted at the
+            # first event whose time passes value_ts + T and is then
+            # dequeued, so an event emits the newest value whose
+            # timestamp lies in the half-open frame (t_prev − T, t_now − T]
+            # and yields nothing when that frame is empty. Partitioned by
+            # (keys, series) like every other window: the reference
+            # resets PreviousValue state at a >maxGap split
+            # (PatternProcessor.scala:33-56), so neither the lookback nor
+            # t_prev reaches into the previous sub-series.
+            ms = self._ms()
             w = (
-                Window.partitionBy(*self.keys)
-                .orderBy(F.unix_millis(F.col(self.ts)))
+                Window.partitionBy(*self._series_keys())
+                .orderBy(ms)
                 .rangeBetween(Window.unboundedPreceding, -node.window_ms)
             )
-            col = F.last(c.col, ignorenulls=True).over(w)
-            return Compiled(c.df, col, c.dtype, True)
+            val = F.last(c.col, ignorenulls=True).over(w)
+            val_ms = F.last(F.when(c.col.isNotNull(), ms), ignorenulls=True).over(w)
+            prev_ms = F.lag(ms).over(self._w_order())
+            emitted = val_ms.isNotNull() & (
+                prev_ms.isNull() | (val_ms > prev_ms - node.window_ms)
+            )
+            present = _and_presents([c.present, emitted])
+            return Compiled(c.df, F.when(emitted, val), c.dtype, True, present)
         # GroupPattern's sliding window is HALF-OPEN (t−w, t]: it evicts
         # elements with elem.time + window <= time (GroupPattern.scala:76)
         # — unlike WindowStatistic which keeps [t−w, t] inclusive. Pinned
@@ -325,7 +387,10 @@ class PatternCompiler:
             if node.kind in ("avg",)
             else numeric_result_type(c.dtype, c.dtype)
         )
-        return Compiled(c.df, col, dtype, True)
+        # inner absent rows carry NULL (when(emitted, …)) which the frame
+        # aggregate skips — values match GroupPattern consuming only
+        # emitted inputs; the output exists per emitted input idx.
+        return Compiled(c.df, col, dtype, True, c.present)
 
     # --- pattern-level operators --------------------------------------
     def _run_start_ms(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:

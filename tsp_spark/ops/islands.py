@@ -75,7 +75,9 @@ def islands(
     ``and_then`` sequence join.
     """
     base = df
-    if with_idx:
+    if with_idx and "__idx" not in base.columns:
+        # callers may precompute __idx on a wider row set (e.g. raw
+        # per-key indices before absent rows are dropped) — reuse it
         w = Window.partitionBy(*keys).orderBy(ts)
         base = base.withColumn("__idx", F.row_number().over(w))
     flagged = with_islands(base, keys, ts, cond, max_gap_ms)
