@@ -36,7 +36,6 @@ def jdbc_source(spark: SparkSession, conf: JDBCInputConf) -> DataFrame:
         spark.read.format("jdbc")
         .option("url", conf.jdbc_url)
         .option("driver", conf.driver_name)
-        .option("query", conf.query)
         .option("fetchsize", conf.fetch_size)
     )
     if conf.user_name:
@@ -45,13 +44,18 @@ def jdbc_source(spark: SparkSession, conf: JDBCInputConf) -> DataFrame:
         reader = reader.option("password", conf.password)
     if conf.partition_column:
         # parallel scan: Spark splits the query into numPartitions range
-        # predicates — the scale path the single-connection reference lacks
+        # predicates — the scale path the single-connection reference
+        # lacks. Spark forbids `query` alongside partitionColumn, so the
+        # user query becomes a derived table.
         reader = (
-            reader.option("partitionColumn", conf.partition_column)
+            reader.option("dbtable", f"({conf.query}) tsp_src")
+            .option("partitionColumn", conf.partition_column)
             .option("numPartitions", conf.num_partitions or 32)
             .option("lowerBound", conf.lower_bound or 0)
             .option("upperBound", conf.upper_bound or 1 << 31)
         )
+    else:
+        reader = reader.option("query", conf.query)
     return reader.load()
 
 
