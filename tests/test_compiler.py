@@ -50,6 +50,28 @@ def test_andthen(spark, mk_ts):
     assert _iv(out) == [("a", 10.0, 40.0)]
 
 
+def test_andthen_no_match_across_gap(spark, mk_ts):
+    """A series split resets ALL pattern state (PatternProcessor.scala:
+    33-56): an A-run ending just before a >maxGap gap must not sequence
+    with a B-run starting right after it, even though the raw indices
+    are adjacent."""
+    rows = [
+        ("a", 0, 9.0, "x"), ("a", 10, 9.0, "x"),
+        # > 60 s gap — new sub-series
+        ("a", 120, 2.0, "x"), ("a", 130, 2.0, "x"),
+    ]
+    df = _events(spark, mk_ts, rows)
+    out = compile_pattern(df, "x > 4 andThen x < 3", ["unit"], "ts", max_gap_ms=60_000)
+    assert _iv(out) == []
+    # control: same shape inside one series does match
+    rows2 = [
+        ("a", 0, 9.0, "x"), ("a", 10, 9.0, "x"),
+        ("a", 20, 2.0, "x"), ("a", 30, 2.0, "x"),
+    ]
+    out2 = compile_pattern(_events(spark, mk_ts, rows2), "x > 4 andThen x < 3", ["unit"], "ts", max_gap_ms=60_000)
+    assert _iv(out2) == [("a", 0.0, 30.0)]
+
+
 def test_and_or_trilean(spark, mk_ts):
     df = spark.createDataFrame(
         [("a", mk_ts(0), 5.0, None), ("a", mk_ts(10), 5.0, 1.0), ("a", mk_ts(20), 0.0, None)],

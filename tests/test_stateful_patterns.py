@@ -1,0 +1,140 @@
+"""Stateful streaming Timer and AndThen kernels vs the batch compiler.
+
+Same harness as test_stateful_islands: drop the events as one file,
+stream it with per-file triggers, flush with a far-future row per key so
+the watermark closes every run, and compare the closed intervals against
+the batch ``compile_pattern`` result on identical data. This is the
+incremental path the reference implements as per-key state machines
+(PatternProcessor.scala:23-59) — no raw-history retention, state is the
+open runs plus a pruned pending set.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsp_spark.compile.compiler import compile_pattern
+from tsp_spark.streaming.stateful import stateful_andthen, stateful_timer
+
+GAP_MS = 15_000
+
+
+def _run_stream(spark, src, mk_ts, build, table, flush_tail, project, expected):
+    """Write src as one parquet file + a far-future flush batch; run the
+    stateful query until its output covers ``expected``; return the set."""
+    src_dir = tempfile.mkdtemp(prefix=f"tsp_{table}_src")
+    chk = tempfile.mkdtemp(prefix=f"tsp_{table}_chk")
+    try:
+        src.coalesce(1).write.parquet(f"{src_dir}/b0")
+        flush = spark.createDataFrame(
+            [(u, mk_ts(20_000 + u), 0.0, *flush_tail) for u in (1, 2, 3)],
+            src.schema,
+        )
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            build(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        flush.coalesce(1).write.mode("append").parquet(f"{src_dir}/b1")
+        deadline = time.time() + 60
+        got: set = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {project(r) for r in spark.sql(f"SELECT * FROM {table}").collect()}
+            if expected <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        return got
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stateful_pattern_routing(spark, events_small, tmp_path):
+    """DSL router: eligible patterns get a streaming plan; windowed
+    sub-expressions are rejected toward the carry-buffer mode."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    src = str(tmp_path / "route_src")
+    events_small.limit(10).write.parquet(src)
+    stream = spark.readStream.schema(events_small.schema).parquet(src)
+    ft = {"value": "float64"}
+    for pat in ("value > 150", "value > 150 for 10 sec",
+                "value > 150 andThen value < 120"):
+        out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
+        assert out.isStreaming and "from_ts" in out.columns
+    with pytest.raises(ValueError, match="carry-buffer"):
+        stateful_pattern(stream, "avg(value, 10 sec) > 150", ["user_id"], "ts", ft)
+    with pytest.raises(ValueError, match="carry-buffer"):
+        stateful_pattern(stream, "lag(value, 5 sec) > value", ["user_id"], "ts", ft)
+
+
+@pytest.mark.slow
+def test_stateful_timer_matches_batch(spark, events_small, mk_ts):
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        for r in compile_pattern(
+            events_small, "value > 150 for 10 sec", ["user_id"], "ts",
+            {"value": "float64"}, max_gap_ms=GAP_MS,
+        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+    }
+    assert batch
+
+    src = events_small.withColumn("cond", F.col("value") > 150)
+    got = _run_stream(
+        spark, src, mk_ts,
+        lambda stream: stateful_timer(
+            stream, ["user_id"], "ts", "cond", window_ms=10_000,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_timer_t",
+        flush_tail=("ok", False),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_andthen_matches_batch(spark, events_small, mk_ts):
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            events_small, "value > 150 andThen value < 120", ["user_id"], "ts",
+            {"value": "float64"}, max_gap_ms=GAP_MS,
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+    assert batch
+
+    src = events_small.withColumn("cond_a", F.col("value") > 150).withColumn(
+        "cond_b", F.col("value") < 120
+    )
+    got = _run_stream(
+        spark, src, mk_ts,
+        lambda stream: stateful_andthen(
+            stream, ["user_id"], "ts", "cond_a", "cond_b",
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_andthen_t",
+        flush_tail=("ok", False, True),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"

@@ -176,27 +176,38 @@ class PatternCompiler:
         if isinstance(node, A.AndThen):
             left = self.compile_intervals(df, node.left)
             right = self._islandize(df, node.right)
-            return and_then_intervals(left, right, self.keys)
+            # sequence-join within a gap-delimited sub-series only: the
+            # reference resets ALL pattern state at a series split
+            # (PatternProcessor.scala:33-56), so an A-run ending just
+            # before a gap must NOT match a B-run starting right after it
+            # even though their raw indices are adjacent.
+            return and_then_intervals(left, right, self._series_keys())
         return self._islandize(df, node)
 
     def _islandize(self, df: DataFrame, node: A.Node) -> DataFrame:
+        """Islandize a boolean pattern; the result carries the series id
+        (consumers select the columns they need, AndThen joins on it)."""
         c = self.compile_bool(df, node)
         c = self._maybe_materialize(c)
+        # Raw per-key idx FIRST, shared by every operand of a sequence —
+        # AndThenPattern adjacency counts raw input indices, so both
+        # sides must index the same row space even when one side drops
+        # absent rows below.
+        w = Window.partitionBy(*self.keys).orderBy(self.ts)
+        d = c.df.withColumn("__idx", F.row_number().over(w))
         if c.present is None:
             return islands(
-                c.df, self.keys, self.ts, c.col, self.max_gap_ms, with_idx=True
+                d, self._series_keys(), self.ts, c.col, self.max_gap_ms, with_idx=True
             )
         # Absent rows (the pattern emitted no IdxValue there, e.g. the
         # consume-once lag) are invisible downstream: equal-valued runs
-        # merge across them (SegmentizerPattern.scala). So: raw per-key
-        # idx FIRST (AndThenPattern adjacency counts raw input indices),
-        # then drop absent rows, then islandize splitting on the
-        # precomputed series id only — absence may stretch two adjacent
-        # present rows past max_gap, which must NOT fake a series split.
-        w = Window.partitionBy(*self.keys).orderBy(self.ts)
-        d = c.df.withColumn("__idx", F.row_number().over(w)).where(c.present)
-        out = islands(d, self._series_keys(), self.ts, c.col, None, with_idx=True)
-        return out.drop(self.SERIES_COL) if self.max_gap_ms is not None else out
+        # merge across them (SegmentizerPattern.scala). Drop them, then
+        # islandize splitting on the precomputed series id only —
+        # absence may stretch two adjacent present rows past max_gap,
+        # which must NOT fake a series split.
+        return islands(
+            d.where(c.present), self._series_keys(), self.ts, c.col, None, with_idx=True
+        )
 
     def compile_bool(self, df: DataFrame, node: A.Node) -> Compiled:
         """Pattern → row-level trilean boolean column."""
