@@ -206,10 +206,22 @@ def q_cep_andthen(spark, sf_dir):
 
 
 ORACLE_ANDTHEN = f"""
-WITH base AS (
+WITH base0 AS (
   SELECT user_id, ts, value, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts)) > {GAP_MS}
+              THEN 1 ELSE 0 END AS gapb
   FROM events
+),
+-- gap-delimited sub-series id: the reference resets all pattern state
+-- at a split (PatternProcessor.scala:33-56), so A andThen B never
+-- matches across one
+base AS (
+  SELECT user_id, ts, value, event_type, rn,
+         sum(gapb) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ser
+  FROM base0
 ),
 fa AS (
   SELECT *, (value > 150) AS cond,
@@ -221,7 +233,8 @@ fa AS (
 ),
 ia AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fa),
-ga AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei
+ga AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei,
+              min(ser) AS ser
        FROM ia WHERE cond GROUP BY user_id, isl),
 fb AS (
   SELECT *, (event_type = 'error') AS cond,
@@ -233,14 +246,16 @@ fb AS (
 ),
 ib AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fb),
-gb AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei
+gb AS (SELECT user_id, isl, min(ts) AS f, max(ts) AS t, min(rn) AS si, max(rn) AS ei,
+              min(ser) AS ser
        FROM ib WHERE cond GROUP BY user_id, isl)
 ,
 joined AS (
   SELECT a.user_id, a.si AS asi, b.si AS bsi,
          epoch_ms(a.f) AS from_ms, epoch_ms(b.t) AS to_ms
   FROM ga a JOIN gb b
-    ON a.user_id = b.user_id AND b.si <= a.ei + 1 AND b.ei >= a.si
+    ON a.user_id = b.user_id AND a.ser = b.ser
+   AND b.si <= a.ei + 1 AND b.ei >= a.si
 ),
 p1 AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, asi ORDER BY bsi) AS rb
