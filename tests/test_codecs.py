@@ -1,0 +1,178 @@
+"""Real-codec tests: PNG/BMP/PPM pixel recovery, WAV sample recovery,
+resize, and the Spark pipeline running on genuine media payloads."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from tsp_spark.pipeline.codecs import (
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_png,
+    image_features,
+    mfcc_like,
+    resize_nearest,
+)
+
+RNG = np.random.default_rng(20260813)
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (6, 4, 3), (3, 3, 4), (2, 2, 2)])
+def test_png_roundtrip(shape):
+    img = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(out, want)
+
+
+def _forward_filter(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Apply PNG forward filtering (the encoder side of spec §9) so the
+    decoder's Sub/Up/Average/Paeth un-filtering is exercised for real."""
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int16)
+    out = b""
+    prev = np.zeros(stride, dtype=np.int16)
+    for y, ft in zip(range(h), ftypes):
+        cur = flat[y]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = cur.copy()
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (cur[i] - pred) & 0xFF
+        out += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    return out
+
+
+def test_png_all_filter_types():
+    img = RNG.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    raw = _forward_filter(img, [0, 1, 2, 3, 4])
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_bmp_decode():
+    img = RNG.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    stride = (3 * 3 + 3) & ~3  # 12 bytes: 9 data + 3 pad
+    pixel_data = b""
+    for y in range(1, -1, -1):  # bottom-up
+        row = b"".join(bytes(img[y, x, ::-1]) for x in range(3))
+        pixel_data += row.ljust(stride, b"\x00")
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    assert np.array_equal(decode_bmp(header + pixel_data), img)
+
+
+def test_ppm_decode():
+    img = RNG.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n2 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+    gray = RNG.integers(0, 256, size=(3, 2, 1), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(b"P5\n2 3\n255\n" + gray.tobytes()), gray)
+
+
+def test_wav_roundtrip():
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    got_sr, got = decode_wav(buf.getvalue())
+    assert got_sr == sr and got.size == sr
+    assert np.allclose(got, x / 32768.0, atol=1e-4)
+    coefs = mfcc_like(got, sr)
+    assert len(coefs) == 13 and all(np.isfinite(coefs))
+
+
+def test_unsupported_raises():
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(b"not audio at all")
+
+
+def test_resize_nearest_exact():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = resize_nearest(img, 2, 2)
+    assert out[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+
+def test_spark_pipeline_on_real_media(spark):
+    """The mapInPandas pipeline extracts TRUE dimensions/rates from
+    genuine payloads and re-encodes real resized PNGs."""
+    from tsp_spark.pipeline.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        resize_images,
+    )
+
+    img = RNG.integers(0, 256, size=(10, 20, 3), dtype=np.uint8)
+    png = encode_png(img)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x01" * 2 * 4000)  # 4000 stereo frames
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, png), (2, wav), (3, b"opaque-jpeg-ish")], "media_id long, payload binary"
+    )
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (20, 10)
+    gray = img.astype(np.float32).mean(axis=2)
+    assert feats[1]["features"][0] == pytest.approx(float(gray.mean()), rel=1e-5)
+
+    audio = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert audio[2]["sample_rate"] == 16000
+    assert audio[2]["duration_ms"] == 250  # 4000 frames @ 16 kHz
+
+    resized = {r["media_id"]: r for r in resize_images(media, 8, 4).collect()}
+    back = decode_png(bytes(resized[1]["payload"]))
+    assert back.shape == (4, 8, 3)

@@ -1,0 +1,280 @@
+"""Real media codecs in pure stdlib + numpy — no Pillow/libsndfile.
+
+The container has no codec libraries, but several production formats
+are fully decodable with what IS here: PNG is zlib (stdlib) plus five
+scanline filters, BMP and PPM/PGM are plain struct parses, and WAV is
+the stdlib ``wave`` module. These are REAL decoders — they bit-exactly
+recover pixel/sample data — so the multimodal pipeline
+(pipeline/multimodal.py) only falls back to its declared deterministic
+stub for formats that genuinely need an external codec (JPEG, MP3,
+video containers).
+
+Everything returns numpy arrays and plain ints; nothing here touches
+Spark. Raises ``UnsupportedMediaError`` for unknown magic bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not in a format this pure-python codec set decodes."""
+
+
+# --------------------------------------------------------------- images
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Undo per-scanline filtering (PNG spec §9: None/Sub/Up/Average/
+    Paeth). 8-bit depth only; returns (height, width, channels) uint8."""
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int16
+        )
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8. Supports 8-bit gray / RGB / RGBA /
+    gray+alpha / palette, non-interlaced."""
+    if not payload.startswith(_PNG_SIG):
+        raise UnsupportedMediaError("not a PNG")
+    pos, width, height, color_type, idat, plte = len(_PNG_SIG), 0, 0, 0, b"", b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise UnsupportedMediaError("PNG: only 8-bit non-interlaced")
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color type {color_type}")
+    raw = zlib.decompress(idat)
+    img = _png_unfilter(raw, width, height, channels)
+    if color_type == 3:  # palette lookup → RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c) uint8 → PNG bytes (filter 0, one IDAT).
+    A real, spec-conformant encoder — decode_png round-trips it."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → (h, w, 3) uint8 (BGR → RGB)."""
+    if payload[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise UnsupportedMediaError("BMP: core header unsupported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp not in (24, 32) or comp != 0:
+        raise UnsupportedMediaError(f"BMP: bpp={bpp} compression={comp}")
+    flip = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(payload, np.uint8, width * nch, data_off + y * stride)
+        row = row.reshape(width, nch)
+        img[height - 1 - y if flip else y] = row[:, 2::-1]  # BGR(A)→RGB
+    return img
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (h, w, {3|1}) uint8."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise UnsupportedMediaError("not a binary PPM/PGM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise UnsupportedMediaError("PPM: 16-bit samples unsupported")
+    c = 3 if payload[:2] == b"P6" else 1
+    return np.frombuffer(payload, np.uint8, w * h * c, pos).reshape(h, w, c)
+
+
+_IMAGE_DECODERS = (("png", decode_png), ("bmp", decode_bmp), ("ppm", decode_ppm))
+
+
+def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
+    """Sniff + decode → (format, (h, w, c) uint8). Raises
+    UnsupportedMediaError when no real decoder matches (e.g. JPEG)."""
+    for name, dec in _IMAGE_DECODERS:
+        try:
+            return name, dec(payload)
+        except UnsupportedMediaError:
+            continue
+    raise UnsupportedMediaError("no pure-python decoder for payload")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample via index maps — O(out pixels)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """8 real statistics on the gray plane: mean, std, min, max,
+    |∂x| mean, |∂y| mean, aspect, fill ratio of the dynamic range."""
+    gray = img.astype(np.float32).mean(axis=2) if img.ndim == 3 else img.astype(
+        np.float32
+    )
+    gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+    rng = float(gray.max() - gray.min())
+    return [
+        float(gray.mean()),
+        float(gray.std()),
+        float(gray.min()),
+        float(gray.max()),
+        float(gx),
+        float(gy),
+        float(gray.shape[1] / gray.shape[0]),
+        rng / 255.0,
+    ]
+
+
+# ---------------------------------------------------------------- audio
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV (PCM 8/16/32-bit) → (sample_rate, mono float32 in [-1, 1])
+    via the stdlib wave module — a real decode."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sr = wf.getframerate()
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise UnsupportedMediaError(f"not a PCM WAV: {e}") from e
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise UnsupportedMediaError(f"WAV sample width {sw}")
+    x = np.frombuffer(frames, dtype=dtype).astype(np.float32)
+    if sw == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(1 << (8 * sw - 1))
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return sr, x
+
+
+def mfcc_like(x: np.ndarray, sr: int, n_coef: int = 13, n_mels: int = 24) -> list[float]:
+    """Real MFCC-shaped features in pure numpy: power spectrum → mel
+    triangle filterbank → log → DCT-II. One frame over the whole clip
+    (feature-extraction granularity, not ASR granularity)."""
+    if x.size == 0:
+        return [0.0] * n_coef
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.size))) ** 2
+    freqs = np.fft.rfftfreq(x.size, 1.0 / sr)
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    mel_pts = np.linspace(0.0, mel(sr / 2.0), n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    fb = np.zeros(n_mels)
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m : m + 3]
+        up = (freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - freqs) / max(hi - ctr, 1e-9)
+        weights = np.clip(np.minimum(up, down), 0.0, None)
+        fb[m] = float((weights * spec).sum())
+    logmel = np.log(fb + 1e-10)
+    n = np.arange(n_mels)
+    dct = np.cos(np.pi * np.outer(np.arange(n_coef), (2 * n + 1)) / (2.0 * n_mels))
+    return [float(v) for v in dct @ logmel]

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata structs, processed via Arrow-batched mapInPandas.
 
-The Spark-side contract (schemas, partition strategy, batch shapes) is
-real and tested; the actual media decode is STUBBED — the codec
-libraries (Pillow/torchaudio/ffmpeg) are not in this container. Each
-stub is a deterministic fake clearly marked below so the pipeline is
-end-to-end testable; swap `_fake_decode_*` for a real decoder in
-production.
+Decode strategy (pipeline/codecs.py): PNG / BMP / PPM images and PCM
+WAV audio are decoded FOR REAL in pure stdlib + numpy — bit-exact pixel
+and sample recovery, real gradient/spectral features, real resampling,
+real PNG re-encode. Only formats that genuinely need an external codec
+(JPEG, MP3, video containers) fall back to the deterministic stub
+(`_fake_decode_*`, clearly marked) so the pipeline stays end-to-end
+runnable in this container; swap the fallback for Pillow/libsndfile in
+production via the same code path.
 
 Scale notes: binary payloads stay columnar (never hit the driver);
 mapInPandas streams Arrow batches so one task holds only
@@ -24,6 +26,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from tsp_spark.pipeline.codecs import (
+    UnsupportedMediaError,
+    decode_image,
+    decode_wav,
+    encode_png,
+    image_features,
+    mfcc_like,
+    resize_nearest,
+)
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -45,12 +57,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decoder — deterministic fake standing in for PIL/libjpeg.
-
-    Produces (width, height, 8-dim feature vector) purely from the byte
-    content so tests are reproducible. Replace with a real decode when
-    codec libs are available.
-    """
+    """STUB fallback — deterministic fake for formats needing an
+    external codec (JPEG…). Produces (width, height, 8-dim vector)
+    purely from the byte content so tests are reproducible."""
     n = len(payload)
     w = 16 + (n % 64)
     h = 16 + ((n // 64) % 64)
@@ -58,18 +67,28 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, feats
 
 
+def _decode_image_any(data: bytes) -> tuple[int, int, list[float]]:
+    """Real decode (PNG/BMP/PPM: pixels + gradient statistics) with the
+    declared stub as the unsupported-format fallback."""
+    try:
+        _fmt, img = decode_image(data)
+        return img.shape[1], img.shape[0], image_features(img)
+    except UnsupportedMediaError:
+        return _fake_decode_image(data)
+
+
 def extract_image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """Decode + featurize binary image payloads via Arrow-batched
-    mapInPandas (the real plumbing; fake decode, see module docstring)."""
+    mapInPandas (real decode for PNG/BMP/PPM, see module docstring)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, feats = _fake_decode_image(data)
+                w, h, feats = _decode_image_any(data)
                 rows.append((mid, w, h, len(data), feats))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_bytes", "features"]
@@ -89,9 +108,9 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode_audio(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decoder — deterministic fake standing in for torchaudio /
-    libsndfile. Returns (sample_rate, duration_ms, 13-dim MFCC-shaped
-    vector) derived purely from the bytes."""
+    """STUB fallback — deterministic fake for formats needing an
+    external codec (MP3/OGG…). Returns (sample_rate, duration_ms,
+    13-dim MFCC-shaped vector) derived purely from the bytes."""
     n = len(payload)
     sr = 16000 if n % 2 == 0 else 44100
     duration_ms = n * 1000 // max(sr // 1000, 1) // 8
@@ -99,18 +118,28 @@ def _fake_decode_audio(payload: bytes) -> tuple[int, int, list[float]]:
     return sr, duration_ms, mfcc
 
 
+def _decode_audio_any(data: bytes) -> tuple[int, int, list[float]]:
+    """Real decode (PCM WAV: samples + mel/DCT spectral features) with
+    the declared stub as the unsupported-format fallback."""
+    try:
+        sr, x = decode_wav(data)
+        return sr, int(x.size * 1000 / max(sr, 1)), mfcc_like(x, sr)
+    except UnsupportedMediaError:
+        return _fake_decode_audio(data)
+
+
 def extract_audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """Decode + featurize binary audio payloads via Arrow-batched
-    mapInPandas (real plumbing; fake decode, see module docstring)."""
+    mapInPandas (real decode for PCM WAV, see module docstring)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                sr, dur, mfcc = _fake_decode_audio(data)
+                sr, dur, mfcc = _decode_audio_any(data)
                 rows.append((mid, sr, dur, mfcc))
             yield pd.DataFrame(
                 rows, columns=["media_id", "sample_rate", "duration_ms", "mfcc"]
@@ -136,10 +165,11 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Resize plumbing: binary in → binary out, one row per image, via
-    mapInPandas. The transform is a STUB (truncate/pad bytes to the
-    target pixel count) standing in for a real resample; the schema,
-    batching, and binary round-trip are the real contract."""
+    """Resize: binary in → binary out, one row per image, via
+    mapInPandas. Decodable payloads (PNG/BMP/PPM) get a REAL
+    nearest-neighbor resample and are re-encoded as PNG; unsupported
+    formats keep the deterministic truncate/pad stub so the pipeline
+    never fails mid-stream on a bad payload."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = target_w * target_h
@@ -147,9 +177,13 @@ def resize_images(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                out = (data * (target // max(len(data), 1) + 1))[:target].ljust(
-                    target, b"\x00"
-                )
+                try:
+                    _fmt, img = decode_image(data)
+                    out = encode_png(resize_nearest(img, target_w, target_h))
+                except UnsupportedMediaError:
+                    out = (data * (target // max(len(data), 1) + 1))[:target].ljust(
+                        target, b"\x00"
+                    )
                 rows.append((mid, target_w, target_h, out))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload"]
