@@ -37,8 +37,10 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embed_centroids",
     "dedup_embedding",
+    "dedup_clusters",
     "cep_minmax_window",
 ]
 

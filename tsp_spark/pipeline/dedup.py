@@ -95,6 +95,63 @@ def jaccard_pairs(
     )
 
 
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over the
+    undirected ``pairs`` graph (id_a, id_b, …), label = the component's
+    minimum id. Returns (``id_col``, cluster_id, is_representative).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; converged when a
+    round changes nothing (reached in O(component diameter) rounds —
+    near-dup components are shallow in practice). Each round is one
+    shuffle-join on the node id; ``localCheckpoint`` truncates the plan
+    so the lineage doesn't grow with rounds. At 100 TB scale swap the
+    propagation loop for alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce") — same
+    fixpoint, O(log n) rounds on deep components; the declared-query
+    fixpoint is identical either way, which keeps this oracle-checkable.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = df.select(F.col(id_col).alias("__nid")).distinct().withColumn(
+        "__lbl", F.col("__nid")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels["__nid"])
+            .groupBy("src")
+            .agg(F.min("__lbl").alias("__nl"))
+        )
+        prop = F.least(F.col("__lbl"), F.coalesce(F.col("__nl"), F.col("__lbl")))
+        new_labels = (
+            labels.join(nbr_min, labels["__nid"] == nbr_min.src, "left")
+            .select(
+                F.col("__nid"),
+                prop.alias("__lbl"),
+                (prop < F.col("__lbl")).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__nid").alias(id_col),
+        F.col("__lbl").alias("cluster_id"),
+        (F.col("__nid") == F.col("__lbl")).cast("long").alias("is_representative"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

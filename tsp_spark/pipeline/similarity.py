@@ -139,3 +139,86 @@ def label_centroids(
     return exploded.groupBy(label_col, "dim").agg(
         F.avg("v").alias("centroid_v"), F.count(F.lit(1)).alias("n_vecs")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: an inverted-file index whose coarse quantizer is
+    the per-``label_col`` centroid set. Each query probes its ``nprobe``
+    closest centroids and scores ONLY the corpus partitions behind them
+    — the scanned fraction is ~nprobe/n_lists, the classic IVF
+    trade-off, and (unlike LSH) probe quality adapts to the data's
+    cluster structure.
+
+    100 TB shape: centroids are a tiny aggregate (n_lists × dims) —
+    broadcast; the probe assignment is a map-only pass over the
+    (broadcast) query side; the search is an equi-join on the list id,
+    i.e. ONE shuffle of the corpus by label with no cross product.
+
+    Centroid components and similarity scores are rounded to 6 decimals
+    before ranking so partial-aggregation summation order can't flip a
+    near-tie — keeps the plan oracle-reproducible (and rankings
+    deterministic across cluster topologies). Ties break on ids.
+    """
+    cent = (
+        label_centroids(corpus, vec_col, label_col)
+        .select(
+            label_col, "dim", F.round("centroid_v", 6).alias("cv")
+        )
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.cv,
+            ).alias("__cent")
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    probe_score = F.round(
+        _dot(F.col("__qv"), F.col("__cent"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__cent"))),
+        6,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__ps").desc(), F.col(label_col)
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "__qv", label_col, probe_score.alias("__ps"))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", label_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    cos = F.round(
+        _dot(F.col("__cv"), F.col("__qv"))
+        / (_norm(F.col("__cv")) * _norm(F.col("__qv"))),
+        6,
+    )
+    scored = (
+        c.join(F.broadcast(probes), on=label_col)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -701,6 +701,44 @@ WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph: every doc gets
+    its cluster's min doc_id (dedup.py neardup_clusters — iterative
+    min-label propagation; oracle = DuckDB recursive-CTE closure)."""
+    from tsp_spark.pipeline.dedup import jaccard_pairs, neardup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", ["source"], threshold=0.6)
+    return neardup_clusters(docs, pairs, "doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id,
+       (min(dst) = src)::BIGINT AS is_representative
+FROM reach GROUP BY src
+"""
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_load(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -801,6 +839,50 @@ def q_embed_centroids(spark, sf_dir):
     return out.select(
         "label", "dim", F.round("centroid_v", 6).alias("centroid_v"), "n_vecs"
     )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: label-centroid coarse quantizer, nprobe=2 of the
+    coarse lists searched per query (pipeline/similarity.py ivf_topk)."""
+    from tsp_spark.pipeline.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+ORACLE_IVF = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+cd AS (
+  SELECT label, r.i AS dim, round(avg(e[r.i + 1]), 6) AS cv
+  FROM v, range(64) r(i) GROUP BY label, dim
+),
+cent AS (SELECT label, list(cv ORDER BY dim) AS c FROM cd GROUP BY label),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+ps AS (
+  SELECT q.qid, cent.label,
+         round(list_dot_product(q.qe, cent.c)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(cent.c, cent.c))), 6) AS s
+  FROM q, cent
+),
+pr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, label) AS r
+       FROM ps),
+probes AS (SELECT qid, label FROM pr WHERE r <= 2),
+sc AS (
+  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(c.e, q.qe)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+  FROM probes p
+  JOIN v c ON c.label = p.label
+  JOIN q ON q.qid = p.qid
+  WHERE c.vec_id != p.qid
+),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+       FROM sc)
+SELECT query_id, neighbor_id, rank, cosine FROM r2 WHERE rank <= 5
+"""
 
 
 ORACLE_CENTROIDS = """
@@ -1346,6 +1428,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1353,6 +1436,7 @@ QUERIES = {
     "text_simhash": q_text_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_centroids": q_embed_centroids,
     "multimodal_features": q_multimodal_features,
 }
@@ -1385,12 +1469,14 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_quality": ORACLE_QUALITY,
     "text_langid": ORACLE_LANGID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_IVF,
     "text_simhash": ORACLE_SIMHASH,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
