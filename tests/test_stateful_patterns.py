@@ -84,6 +84,34 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
         stateful_pattern(stream, "lag(value, 5 sec) > value", ["user_id"], "ts", ft)
 
 
+def test_stateful_incidents_union(spark, events_small, tmp_path):
+    """Multi-pattern stateful job: one interval stream per pattern,
+    unioned with pattern metadata; windowed patterns are rejected."""
+    from tsp_spark.api import RawPattern
+    from tsp_spark.streaming.job import StreamingPatternJob, stateful_incidents
+
+    src = str(tmp_path / "si_src")
+    events_small.limit(10).write.parquet(src)
+    stream = spark.readStream.schema(events_small.schema).parquet(src)
+    job = StreamingPatternJob(
+        patterns=[
+            RawPattern(1, "value > 150"),
+            RawPattern(2, "value > 150 for 10 sec"),
+            RawPattern(3, "value > 150 andThen value < 120"),
+        ],
+        keys=["user_id"], ts="ts", fields_types={"value": "float64"},
+    )
+    out = stateful_incidents(stream, job)
+    assert out.isStreaming
+    assert out.columns == ["pattern_id", "subunit", "user_id", "from_ts", "to_ts"]
+    job_bad = StreamingPatternJob(
+        patterns=[RawPattern(1, "avg(value, 5 sec) > 150")],
+        keys=["user_id"], ts="ts", fields_types={"value": "float64"},
+    )
+    with pytest.raises(ValueError, match="carry-buffer"):
+        stateful_incidents(stream, job_bad)
+
+
 @pytest.mark.slow
 def test_stateful_timer_matches_batch(spark, events_small, mk_ts):
     batch = {

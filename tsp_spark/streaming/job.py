@@ -146,3 +146,45 @@ def incidents_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stateful_incidents(stream: DataFrame, job: StreamingPatternJob) -> DataFrame:
+    """True-incremental alternative to the carry buffer: route every
+    pattern through its per-key state kernel (streaming/stateful.py —
+    islands / timer / andThen) and union the interval streams with
+    pattern metadata. Raises ValueError when any pattern needs windowed
+    sub-expressions — those jobs use ``incidents_stream``.
+
+    Scale contrast with the carry mode: no driver-coordinated per-batch
+    loop, no history re-evaluation — state is O(open runs) per key and
+    lives in the state store, so long windows and high key cardinality
+    cost memory proportional to ACTIVE patterns only. Incident
+    sessionization (session_gap merge) happens sink-side exactly as the
+    carry mode's per-batch re-emits do: emitted rows are deterministic,
+    so an at-least-once sink dedups on (pattern_id, keys, from_ts, to_ts).
+    """
+    from functools import reduce
+
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    parts = []
+    for p in job.patterns:
+        iv = stateful_pattern(
+            stream,
+            p.source_code,
+            list(job.keys),
+            job.ts,
+            fields_types=job.fields_types,
+            max_gap_ms=job.events_max_gap_ms,
+            watermark_delay=job.watermark_delay,
+        )
+        parts.append(
+            iv.select(
+                F.lit(p.id).alias("pattern_id"),
+                F.lit(p.subunit).alias("subunit"),
+                *job.keys,
+                "from_ts",
+                "to_ts",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
