@@ -35,7 +35,9 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "text_token_stats",
+    "text_tokens_bpe",
     "text_fingerprint",
+    "embed_quantize",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embed_centroids",

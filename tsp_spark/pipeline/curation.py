@@ -1,0 +1,146 @@
+"""Dataset-curation operators for large-scale training pipelines:
+BPE-ish tokenization counts, deterministic hash sampling, train/val/test
+split assignment, and int8 embedding quantization.
+
+All JVM-side expressions, all deterministic, all mirrored 1:1 by DuckDB
+oracles in the entry contract.
+
+Scale notes (100 TB): every operator here is MAP-ONLY — no shuffle, no
+aggregation across rows — so they run at scan speed and compose freely
+with repartitioning. Hash sampling/splitting is the standard way to
+sample at this scale precisely BECAUSE it's stateless: membership is a
+pure function of the id, so re-runs, retries, and different cluster
+topologies select the identical subset (a seeded ``rand()`` does not —
+row order changes resample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsp_spark.pipeline.hashing import md5_long
+
+# BPE-style pre-tokenizer classes (GPT-2's regex minus lookaheads, which
+# RE2/DuckDB lack): optional leading space + letters | digits | other.
+BPE_WORD = r" ?[A-Za-z]+"
+BPE_NUM = r" ?[0-9]+"
+BPE_OTHER = r" ?[^A-Za-z0-9 ]+"
+BPE_ALL = f"{BPE_WORD}|{BPE_NUM}|{BPE_OTHER}"
+
+SAMPLE_BUCKETS = 10_000
+
+
+def bpe_token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Pre-tokenizer statistics: total BPE-ish pieces plus the per-class
+    split (word/number/other) — the token-budget accounting pass of a
+    pre-training pipeline."""
+    t = F.col(text_col)
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n(BPE_ALL).alias("n_bpe_tokens"),
+        n(BPE_WORD).alias("n_word_tokens"),
+        n(BPE_NUM).alias("n_number_tokens"),
+        n(BPE_OTHER).alias("n_other_tokens"),
+    )
+
+
+def _bucket(id_col: str, seed: str) -> F.Column:
+    return F.pmod(
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep ids whose salted hash
+    bucket falls below fraction·10000. Reproducible across engines,
+    re-runs, and partitionings; filter is map-only and pushes past any
+    downstream projection."""
+    cut = int(round(fraction * SAMPLE_BUCKETS))
+    return df.withColumn("__b", _bucket(id_col, seed)).where(
+        F.col("__b") < cut
+    ).drop("__b")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "s0",
+) -> DataFrame:
+    """Disjoint train/val/test-style assignment from cumulative hash
+    bucket ranges: every id lands in exactly one split, stable under
+    re-runs and engine changes."""
+    expr = None
+    cum = 0
+    items = list(fractions.items())
+    b = _bucket(id_col, seed)
+    for name, frac in items[:-1]:
+        cum += int(round(frac * SAMPLE_BUCKETS))
+        clause = F.when(b < cum, F.lit(name))
+        expr = clause if expr is None else expr.when(b < cum, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|v|/127
+    (rounded to 6 decimals so both engines divide by the identical
+    scale), q_i = round(v_i/scale) clamped to [-127, 127]. Emits the
+    scale, an order-weighted integer checksum of the codes (exact), and
+    the reconstruction L2 error rounded to 6 — the storage-shrink pass
+    (4 bytes → 1 byte per dim) before ANN indexing."""
+    # scale and the code array are hoisted into their own projections:
+    # an expression captured inside a higher-order-function lambda is
+    # re-evaluated PER ELEMENT (the round-1 perf lesson), so computing
+    # array_max inside transform would cost O(dims²) per row.
+    t = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn(
+        "__scale",
+        F.greatest(
+            F.round(
+                F.array_max(F.transform(F.col("__v"), F.abs)) / 127.0, 6
+            ),
+            F.lit(1e-12),
+        ),
+    )
+    s = F.col("__scale")
+    t = t.withColumn(
+        "__q",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.greatest(
+                F.least(F.round(x / s, 0), F.lit(127.0)), F.lit(-127.0)
+            ).cast("long"),
+        ),
+    )
+    # checksum Σ q_i·(i+1): exact integer, order-sensitive
+    qsum = F.aggregate(
+        F.zip_with(
+            F.col("__q"),
+            F.sequence(F.lit(1), F.size(F.col("__q"))),
+            lambda qi, i: qi * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    err = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__q"), lambda x, qi: (x - qi * s) * (x - qi * s)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        F.col(id_col),
+        s.alias("scale"),
+        qsum.alias("q_checksum"),
+        F.round(err, 6).alias("l2_err"),
+    )

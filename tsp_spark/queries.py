@@ -739,6 +739,106 @@ FROM reach GROUP BY src
 """
 
 
+def q_text_tokens_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer accounting (pipeline/curation.py) — total
+    pieces + word/number/other split via one regexp_extract_all pass."""
+    from tsp_spark.pipeline.curation import bpe_token_counts
+
+    return bpe_token_counts(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _bpe_oracle() -> str:
+    from tsp_spark.pipeline.curation import BPE_ALL, BPE_NUM, BPE_OTHER, BPE_WORD
+
+    n = lambda p: f"len(regexp_extract_all(text, '{p}'))::BIGINT"  # noqa: E731
+    return f"""
+SELECT doc_id,
+       {n(BPE_ALL)} AS n_bpe_tokens,
+       {n(BPE_WORD)} AS n_word_tokens,
+       {n(BPE_NUM)} AS n_number_tokens,
+       {n(BPE_OTHER)} AS n_other_tokens
+FROM documents
+"""
+
+
+ORACLE_TOKENS_BPE = _bpe_oracle()
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 20% hash sample (pipeline/curation.py hash_sample):
+    membership is a pure function of the id — identical across engines,
+    re-runs, and partitionings, unlike seeded rand()."""
+    from tsp_spark.pipeline.curation import hash_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_sample(docs, "doc_id", 0.2, seed="s0")
+
+
+def _hash_bucket_sql(id_expr: str, seed: str) -> str:
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    salted = f"({id_expr}::VARCHAR || '#{seed}')"
+    return f"({md5_long_sql(salted)} % 10000)"
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT doc_id, source FROM documents
+WHERE {_hash_bucket_sql("doc_id", "s0")} < 2000
+"""
+
+
+def q_split_assign(spark, sf_dir):
+    """Disjoint train/val/test assignment from cumulative hash-bucket
+    ranges (pipeline/curation.py split_assign) — stable under re-runs."""
+    from tsp_spark.pipeline.curation import split_assign
+
+    docs = _load(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+ORACLE_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN {_hash_bucket_sql("doc_id", "s0")} < 8000 THEN 'train'
+            WHEN {_hash_bucket_sql("doc_id", "s0")} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (pipeline/curation.py):
+    per-vector scale, exact integer code checksum, reconstruction L2."""
+    from tsp_spark.pipeline.curation import quantize_embeddings
+
+    return quantize_embeddings(_load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         greatest(round(list_max(list_transform(e, x -> abs(x))) / 127.0, 6),
+                  1e-12) AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, scale, e,
+         list_transform(e, x ->
+           CAST(greatest(least(round(x / scale, 0), 127), -127) AS BIGINT)) AS qs
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(list_transform(range(len(qs)), i -> qs[i + 1] * (i + 1)))
+            AS BIGINT) AS q_checksum,
+       round(list_reduce(
+         list_transform(range(len(e)),
+                        i -> (e[i + 1] - qs[i + 1] * scale)
+                             * (e[i + 1] - qs[i + 1] * scale)),
+         (a, b) -> a + b), 6) AS l2_err
+FROM q
+"""
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_load(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -1430,6 +1530,10 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "text_token_stats": q_text_token_stats,
+    "text_tokens_bpe": q_text_tokens_bpe,
+    "sample_hash": q_sample_hash,
+    "split_assign": q_split_assign,
+    "embed_quantize": q_embed_quantize,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1471,6 +1575,10 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_tokens_bpe": ORACLE_TOKENS_BPE,
+    "sample_hash": ORACLE_SAMPLE_HASH,
+    "split_assign": ORACLE_SPLIT_ASSIGN,
+    "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "text_quality": ORACLE_QUALITY,
     "text_langid": ORACLE_LANGID,
     "text_fingerprint": ORACLE_FINGERPRINT,
