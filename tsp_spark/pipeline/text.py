@@ -8,7 +8,7 @@ arithmetic or single divisions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny fixed marker lists for the n-gram/stopword language heuristic --
@@ -98,6 +98,28 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda acc, t: (acc * 31 + F.length(t)) % F.lit(FP_MOD),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Per-group heavy hitters: the n most frequent tokens with a
+    deterministic (count desc, token asc) tie-break. Two-phase plan:
+    explode → partial-agg groupBy (map-side combine collapses repeats
+    before the shuffle) → one window pass over the same partitioning."""
+    toks = df.select(
+        F.col(group_col), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = Window.partitionBy(group_col).orderBy(F.col("n_occ").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(group_col, "token", "n_occ", "rank")
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

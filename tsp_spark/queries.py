@@ -839,6 +839,58 @@ FROM q
 """
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (pipeline/sketches.py): distinct
+    user_id per event_type on the events table, k=64 — exact below k,
+    (k−1)/h_k above, bit-reproducible in DuckDB via md5_long."""
+    from tsp_spark.pipeline.sketches import kmv_distinct
+
+    ev = _load(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=64)
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, {md5_long_sql("user_id::VARCHAR")} AS h
+  FROM events
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM pairs
+)
+SELECT event_type, count(*) AS n_kept,
+       round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                  ELSE ({k} - 1) / (max(h)::DOUBLE / {float(1 << 60)}) END,
+             4) AS est_distinct
+FROM kept WHERE r <= {k} GROUP BY event_type
+"""
+
+
+ORACLE_KMV = _kmv_oracle()
+
+
+def q_text_top_tokens(spark, sf_dir):
+    """Per-source heavy hitters (pipeline/text.py top_tokens): 10 most
+    frequent tokens, deterministic tie-break."""
+    from tsp_spark.pipeline.text import top_tokens
+
+    return top_tokens(_load(spark, sf_dir, "documents"), "text", "source", n=10)
+
+
+ORACLE_TOP_TOKENS = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT source, token, count(*) AS n_occ FROM t GROUP BY source, token),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY n_occ DESC, token) AS rank FROM c)
+SELECT source, token, n_occ, rank FROM r WHERE rank <= 10
+"""
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_load(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -1531,6 +1583,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "text_token_stats": q_text_token_stats,
     "text_tokens_bpe": q_text_tokens_bpe,
+    "text_top_tokens": q_text_top_tokens,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sample_hash": q_sample_hash,
     "split_assign": q_split_assign,
     "embed_quantize": q_embed_quantize,
@@ -1576,6 +1630,8 @@ ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_tokens_bpe": ORACLE_TOKENS_BPE,
+    "text_top_tokens": ORACLE_TOP_TOKENS,
+    "sketch_kmv_distinct": ORACLE_KMV,
     "sample_hash": ORACLE_SAMPLE_HASH,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
