@@ -122,33 +122,40 @@ def neardup_clusters(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = df.select(F.col(id_col).alias("__nid")).distinct().withColumn(
+    # propagate over edge-touched nodes only — isolated docs (the vast
+    # majority of a near-dup graph) are their own cluster by definition
+    # and join back at the end, so every round's tables are sized by the
+    # duplicate set, not the corpus
+    labels = edges.select(F.col("src").alias("__nid")).distinct().withColumn(
         "__lbl", F.col("__nid")
     )
+    # each round is ONE shuffle: union the self-labels with the labels
+    # seen over edges and take the per-node min. Labels only ever
+    # decrease, so the label sum is strictly monotone until the fixpoint
+    # — an equal checksum IS convergence, no old-vs-new join needed.
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels["__nid"])
-            .groupBy("src")
-            .agg(F.min("__lbl").alias("__nl"))
+        nbr = edges.join(labels, edges.dst == labels["__nid"]).select(
+            F.col("src").alias("__nid"), F.col("__lbl")
         )
-        prop = F.least(F.col("__lbl"), F.coalesce(F.col("__nl"), F.col("__lbl")))
-        new_labels = (
-            labels.join(nbr_min, labels["__nid"] == nbr_min.src, "left")
-            .select(
-                F.col("__nid"),
-                prop.alias("__lbl"),
-                (prop < F.col("__lbl")).alias("__chg"),
-            )
+        labels = (
+            nbr.union(labels)
+            .groupBy("__nid")
+            .agg(F.min("__lbl").alias("__lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where("__chg").limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("__lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
-    return labels.select(
+        prev_sum = cur_sum
+    out = df.select(F.col(id_col).alias("__nid")).distinct().join(
+        labels, on="__nid", how="left"
+    )
+    lbl = F.coalesce(F.col("__lbl"), F.col("__nid"))
+    return out.select(
         F.col("__nid").alias(id_col),
-        F.col("__lbl").alias("cluster_id"),
-        (F.col("__nid") == F.col("__lbl")).cast("long").alias("is_representative"),
+        lbl.alias("cluster_id"),
+        (F.col("__nid") == lbl).cast("long").alias("is_representative"),
     )
 
 
