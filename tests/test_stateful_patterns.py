@@ -140,6 +140,43 @@ def test_stateful_timer_matches_batch(spark, events_small, mk_ts):
 
 
 @pytest.mark.slow
+def test_stateful_incidents_stream_matches_batch(spark, events_small, mk_ts):
+    """Full multi-pattern stateful job vs the batch compiler: all three
+    kernel families in one union stream."""
+    from tsp_spark.api import RawPattern
+    from tsp_spark.streaming.job import StreamingPatternJob, stateful_incidents
+
+    pats = [
+        RawPattern(1, "value > 150"),
+        RawPattern(2, "value > 150 for 10 sec"),
+        RawPattern(3, "value > 150 andThen value < 120"),
+    ]
+    ft = {"value": "float64"}
+    batch = set()
+    for p in pats:
+        ivs = compile_pattern(
+            events_small, p.source_code, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+        batch |= {(p.id, r["user_id"], r["from_ts"], r["to_ts"]) for r in ivs}
+    assert batch
+
+    job = StreamingPatternJob(
+        patterns=pats, keys=["user_id"], ts="ts", fields_types=ft,
+        events_max_gap_ms=GAP_MS, watermark_delay="1 second",
+    )
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_incidents(stream, job),
+        "stateful_incidents_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
 def test_stateful_andthen_matches_batch(spark, events_small, mk_ts):
     batch = {
         (r["user_id"], r["from_ts"], r["to_ts"])

@@ -149,42 +149,43 @@ def incidents_stream(
 
 
 def stateful_incidents(stream: DataFrame, job: StreamingPatternJob) -> DataFrame:
-    """True-incremental alternative to the carry buffer: route every
-    pattern through its per-key state kernel (streaming/stateful.py —
-    islands / timer / andThen) and union the interval streams with
-    pattern metadata. Raises ValueError when any pattern needs windowed
-    sub-expressions — those jobs use ``incidents_stream``.
+    """True-incremental alternative to the carry buffer: every pattern's
+    state machine runs inside ONE multi-pattern
+    ``applyInPandasWithState`` kernel (streaming/stateful.py
+    stateful_multi) — Spark allows a single stateful operator per
+    streaming query, and the reference's topology is the same: one
+    keyed stream fanned into N per-key state machines. N patterns cost
+    one shuffle and one state store. Raises ValueError when any pattern
+    needs windowed sub-expressions — those jobs use ``incidents_stream``.
 
     Scale contrast with the carry mode: no driver-coordinated per-batch
-    loop, no history re-evaluation — state is O(open runs) per key and
-    lives in the state store, so long windows and high key cardinality
-    cost memory proportional to ACTIVE patterns only. Incident
-    sessionization (session_gap merge) happens sink-side exactly as the
-    carry mode's per-batch re-emits do: emitted rows are deterministic,
-    so an at-least-once sink dedups on (pattern_id, keys, from_ts, to_ts).
+    loop, no history re-evaluation — state is O(open runs) per key.
+    Incident sessionization (session_gap merge) happens sink-side
+    exactly as the carry mode's per-batch re-emits do: emitted rows are
+    deterministic, so an at-least-once sink dedups on
+    (pattern_id, keys, from_ts, to_ts).
     """
-    from functools import reduce
+    from tsp_spark.streaming.stateful import build_spec, stateful_multi
 
-    from tsp_spark.streaming.stateful import stateful_pattern
-
-    parts = []
+    cur = stream
+    specs = []
     for p in job.patterns:
-        iv = stateful_pattern(
-            stream,
+        cur, spec = build_spec(
+            cur,
             p.source_code,
             list(job.keys),
             job.ts,
             fields_types=job.fields_types,
             max_gap_ms=job.events_max_gap_ms,
-            watermark_delay=job.watermark_delay,
+            pattern_id=p.id,
+            subunit=p.subunit,
         )
-        parts.append(
-            iv.select(
-                F.lit(p.id).alias("pattern_id"),
-                F.lit(p.subunit).alias("subunit"),
-                *job.keys,
-                "from_ts",
-                "to_ts",
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        specs.append(spec)
+    return stateful_multi(
+        cur,
+        specs,
+        list(job.keys),
+        job.ts,
+        max_gap_ms=job.events_max_gap_ms,
+        watermark_delay=job.watermark_delay,
+    ).select("pattern_id", "subunit", *job.keys, "from_ts", "to_ts")
