@@ -1,0 +1,121 @@
+"""Property tests for the pipeline extensions against pure-Python
+references: connected-components clustering vs union-find, KMV sketch
+exactness/accuracy, quantization reconstruction bounds, and hash
+split/sample partition laws."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tsp_spark.pipeline.curation import quantize_embeddings, split_assign
+from tsp_spark.pipeline.dedup import neardup_clusters
+from tsp_spark.pipeline.sketches import kmv_distinct
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+    min_size=0,
+    max_size=40,
+    unique=True,
+)
+
+
+def _union_find_clusters(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            out[i] = m
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_strategy)
+def test_clusters_match_union_find(spark, edges):
+    n = 31
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.where("id_a < id_b")  # empty edge set
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(docs, pairs, "doc_id").collect()
+    }
+    want = _union_find_clusters(n, edges)
+    assert got == want
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    # group "small": 40 distinct values < k=64 → exact
+    # group "big": 5000 distinct values → within 3 standard errors
+    rows = [("small", i) for i in range(40)] * 2 + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(df, "v", ["g"], k=64).collect()
+    }
+    assert out["small"] == (40, 40.0)
+    n_kept, est = out["big"]
+    assert n_kept == 64
+    rel_err = abs(est - 5000) / 5000
+    assert rel_err < 3 / (62 ** 0.5), f"estimate {est} off by {rel_err:.2%}"
+
+
+def test_quantize_reconstruction_bound(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 5, size=16)]) for i in range(50)
+    ] + [(99, [0.0] * 16)]  # zero vector: scale guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, vec in rows:
+        scale, err = out[i]["scale"], out[i]["l2_err"]
+        # per-dim error ≤ scale/2 ⇒ L2 ≤ dims·(scale/2)²
+        assert err <= 16 * (scale / 2) ** 2 + 1e-9
+    assert out[99]["l2_err"] == 0.0 and out[99]["q_checksum"] == 0
+
+
+def test_split_assign_partition_laws(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # total preserved, all three present, roughly proportioned
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    # deterministic: a re-run assigns identically
+    again = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
