@@ -166,10 +166,11 @@ def q_cep_timer_for(spark, sf_dir):
     return _interval_select(out)
 
 
-ORACLE_TIMER = f"""
+def _timer_oracle(cond_sql: str, window_ms: int) -> str:
+    return f"""
 WITH f AS (
-  SELECT user_id, ts, epoch_ms(ts) AS ms, (value > 60) AS cond,
-         CASE WHEN (value > 60) IS DISTINCT FROM lag((value > 60)) OVER w
+  SELECT user_id, ts, epoch_ms(ts) AS ms, ({cond_sql}) AS cond,
+         CASE WHEN ({cond_sql}) IS DISTINCT FROM lag(({cond_sql})) OVER w
                OR lag(ts) OVER w IS NULL
                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
               THEN 1 ELSE 0 END AS b
@@ -184,11 +185,31 @@ r AS (
 t AS (
   SELECT user_id, ts, ms,
          CASE WHEN cond IS NULL THEN NULL
-              ELSE cond AND (ms - run_start >= 43200000) END AS tb
+              ELSE cond AND (ms - run_start >= {window_ms}) END AS tb
   FROM r
 ),
 {_islandize_tail()}
 """
+
+
+ORACLE_TIMER = _timer_oracle("value > 60", 43_200_000)
+
+
+def q_cep_timer_tolerance(spark, sf_dir):
+    """Explicit `for T +- p%` tolerance syntax (PatternGenerator's
+    `range` production; Timer takes the interval MAX — dsl/parser.py):
+    `for 10 hr +- 20%` holds at 12 h."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev, "value > 60 for 10 hr +- 20%", ["user_id"], "ts", EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+    )
+    return _interval_select(out)
+
+
+# 10 hr + 20% = 43 200 000 ms — same effective hold as cep_timer_for,
+# reached through the tolerance arithmetic instead of a literal
+ORACLE_TIMER_TOLERANCE = _timer_oracle("value > 60", 43_200_000)
 
 
 def q_cep_andthen(spark, sf_dir):
@@ -1554,6 +1575,7 @@ def q_cep_incidents_multi(spark, sf_dir):
 QUERIES = {
     "cep_threshold_islands": q_cep_threshold_islands,
     "cep_timer_for": q_cep_timer_for,
+    "cep_timer_tolerance": q_cep_timer_tolerance,
     "cep_andthen": q_cep_andthen,
     "cep_avg_window": q_cep_avg_window,
     "cep_lag_spike": q_cep_lag_spike,
@@ -1602,6 +1624,7 @@ QUERIES = {
 ORACLES = {
     "cep_threshold_islands": _islands_oracle("value > 100", extra_out=", count(*) AS n_rows"),
     "cep_timer_for": ORACLE_TIMER,
+    "cep_timer_tolerance": ORACLE_TIMER_TOLERANCE,
     "cep_andthen": ORACLE_ANDTHEN,
     "cep_avg_window": ORACLE_AVG_WINDOW,
     "cep_lag_spike": ORACLE_LAG_SPIKE,
