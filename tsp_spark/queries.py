@@ -1212,14 +1212,45 @@ ORACLE_ANN_LSH = _ann_lsh_oracle()
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column plumbing demo: documents text bytes as fake payloads
-    through the Arrow mapInPandas feature extractor."""
+    """Binary-column plumbing through the Arrow mapInPandas feature
+    extractor: document text bytes are NOT a decodable image, so this
+    exercises the deterministic stub-fallback path (real codecs are
+    covered by tests/test_codecs.py on genuine PNG/WAV payloads). The
+    fallback is pure byte arithmetic, so even the Python-side
+    mapInPandas output is value-checked against a DuckDB oracle —
+    features land as scalar columns (array columns don't sort in the
+    gate's comparator)."""
     from tsp_spark.pipeline.multimodal import extract_image_features
 
     docs = _load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
-    return extract_image_features(docs)
+    out = extract_image_features(docs)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _multimodal_oracle() -> str:
+    """DuckDB replica of _fake_decode_image on ASCII text bytes:
+    byte[j] = ascii codepoint, features[i] = byte[i % n] XOR i (docs are
+    ≥48 chars so i % n = i)."""
+    feats = ",\n       ".join(
+        f"xor(ascii(substr(text, {i + 1}, 1)), {i})::FLOAT AS f{i}" for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id AS media_id,
+       (16 + (n % 64))::INT AS width,
+       (16 + ((n // 64) % 64))::INT AS height,
+       n::BIGINT AS n_bytes,
+       {feats}
+FROM t
+"""
+
+
+ORACLE_MULTIMODAL = _multimodal_oracle()
 
 
 def q_cep_scalar_functions(spark, sf_dir):
@@ -1667,7 +1698,7 @@ ORACLES = {
     "text_simhash": ORACLE_SIMHASH,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
-    # no oracle (non-SQL-expressible; rows-only check): multimodal_features
+    "multimodal_features": ORACLE_MULTIMODAL,
 }
 
 # extended relational anchors (TPC-H Q2/Q4/Q7/Q10/Q12/Q16/Q18/Q19/Q22
