@@ -912,6 +912,79 @@ SELECT source, token, n_occ, rank FROM r WHERE rank <= 10
 """
 
 
+def q_pipeline_curation_e2e(spark, sf_dir):
+    """End-to-end training-data curation flow composing the pipeline
+    operators: quality filter (≥30 tokens) → near-dup clustering over
+    the filtered set → keep cluster representatives → deterministic
+    train/val/test split → per-split doc count + token budget."""
+    from tsp_spark.pipeline.curation import split_assign
+    from tsp_spark.pipeline.dedup import jaccard_pairs, neardup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    kept = docs.withColumn("__nt", toks).where(F.col("__nt") >= 30)
+    pairs = jaccard_pairs(kept, "text", "doc_id", ["source"], threshold=0.6)
+    reps = (
+        neardup_clusters(kept, pairs, "doc_id")
+        .where(F.col("is_representative") == 1)
+        .select("doc_id")
+    )
+    rep_docs = kept.join(reps, "doc_id")
+    split = split_assign(rep_docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        rep_docs.select("doc_id", "__nt")
+        .join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__nt").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+def _curation_e2e_oracle() -> str:
+    bucket = _hash_bucket_sql("doc_id", "s0")
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, source, text, len(string_split(text, ' ')) AS nt
+  FROM documents WHERE len(string_split(text, ' ')) >= 30
+),
+tt AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws FROM kept),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tt a JOIN tt b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+reps AS (
+  SELECT k.doc_id, k.nt FROM kept k
+  JOIN clusters c ON k.doc_id = c.doc_id AND c.cluster_id = k.doc_id
+),
+sp AS (
+  SELECT doc_id, nt,
+         CASE WHEN {bucket} < 8000 THEN 'train'
+              WHEN {bucket} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM reps
+)
+SELECT split, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens
+FROM sp GROUP BY split
+"""
+
+
+ORACLE_CURATION_E2E = _curation_e2e_oracle()
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_load(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -1641,6 +1714,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "split_assign": q_split_assign,
     "embed_quantize": q_embed_quantize,
+    "pipeline_curation_e2e": q_pipeline_curation_e2e,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1689,6 +1763,7 @@ ORACLES = {
     "sample_hash": ORACLE_SAMPLE_HASH,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
+    "pipeline_curation_e2e": ORACLE_CURATION_E2E,
     "text_quality": ORACLE_QUALITY,
     "text_langid": ORACLE_LANGID,
     "text_fingerprint": ORACLE_FINGERPRINT,
