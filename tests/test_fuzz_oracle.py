@@ -40,6 +40,11 @@ PATTERNS = [
     # way the reference resets PreviousValue state at a split.
     "lag(v, 20 sec) > v",
     "lag(u, 5 sec) + u > 100",
+    # absent-index propagation through unary/binary composition: the
+    # reference zips by idx intersection, so `not`/`or` must stay
+    # absent (not flip to true) where the lag emitted nothing
+    "not (lag(v, 10 sec) > v)",
+    "lag(v, 20 sec) > 50 or w > 90",
     "not (v > 50)",
     "v > 40 xor w > 60",
     "v / w > 1.2",
@@ -52,6 +57,14 @@ PATTERNS = [
     # a documented deviation (docs/SEMANTICS.md).
     "avg(u, 3 sec) > 55",
     "sum(u, 4 sec) < 150",
+    "count(u, 5 sec) >= 3",
+    # NOT fuzzed: windowed aggregate inside `for T` (e.g. "avg(u, 3 sec)
+    # > 55 for 2 sec") — a deliberate deviation. The reference's
+    # TimerPattern only emits success when its inner arrives as merged
+    # RLE spans (Optimizer-fused SimplePatterns); a GroupPattern feeds
+    # per-event values, so the Succ branch re-queues forever
+    # (TimerPattern.scala:78-93) and the reference emits essentially
+    # nothing for this composition. See docs/SEMANTICS.md.
 ]
 
 FIELDS = {"v": "float64", "w": "float64", "u": "float64"}
