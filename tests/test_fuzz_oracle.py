@@ -58,6 +58,15 @@ PATTERNS = [
     "avg(u, 3 sec) > 55",
     "sum(u, 4 sec) < 150",
     "count(u, 5 sec) >= 3",
+    "sumOf(v, w) > 120",
+    "maxOf(v, w; _ > 50) < 70",
+    "minOf(v, w; _ > 95) > 10",
+    # NOT fuzzed: bare `wait(T, X)` over sub-window success runs — a
+    # documented deviation (docs/SEMANTICS.md): WaitPattern.scala's
+    # left-edge slack comes from queue leftovers of the TRUNCATED fail
+    # emission under branch conditions its own code marks "TODO: Temp…";
+    # golden wait cases (8/16/17/43-49/52) pass, covering the shapes
+    # the reference actually exercises (wait over `for T` inners).
     # NOT fuzzed: windowed aggregate inside `for T` (e.g. "avg(u, 3 sec)
     # > 55 for 2 sec") — a deliberate deviation. The reference's
     # TimerPattern only emits success when its inner arrives as merged

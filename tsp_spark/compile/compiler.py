@@ -55,19 +55,26 @@ _counter = itertools.count()
 def rowwise_reduce(name: str, filtered: Column) -> tuple[Column, str]:
     """Row-wise N-ary reducer over a pre-filtered double array
     (ReducePattern semantics, FunctionRegistry.scala:456-518):
-    ``filtered`` holds the non-null elements passing the `_`-condition."""
+    ``filtered`` holds the non-null elements passing the `_`-condition.
+
+    An EMPTY reduction is NOT Fail — the reference left-folds from a
+    typed initial value (ReducePattern.scala:60: sumOf/countOf → 0,
+    minOf → Double.MaxValue, maxOf → Double.MinValue = −MaxValue,
+    avgOf → 0/0 = NaN), so e.g. ``maxOf(a, b; _ > 50) < 70`` is TRUE
+    when no argument passes the constraint."""
     n = F.size(filtered)
+    dbl_max = 1.7976931348623157e308
     if name == "sumof":
         return F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x), "float64"
     if name == "minof":
-        return F.array_min(filtered), "float64"
+        return F.coalesce(F.array_min(filtered), F.lit(dbl_max)), "float64"
     if name == "maxof":
-        return F.array_max(filtered), "float64"
+        return F.coalesce(F.array_max(filtered), F.lit(-dbl_max)), "float64"
     if name == "countof":
         return n.cast("long"), "int64"
     if name == "avgof":
         s = F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(n > 0, s / n), "float64"
+        return F.when(n > 0, s / n).otherwise(F.lit(float("nan"))), "float64"
     raise ValueError(f"Unknown reducer {name}")
 
 
