@@ -61,6 +61,12 @@ PATTERNS = [
     "sumOf(v, w) > 120",
     "maxOf(v, w; _ > 50) < 70",
     "minOf(v, w; _ > 95) > 10",
+    # WindowStatistic truth counts (ForWithInterval); upper-bounded
+    # variants ("< N times") are NOT fuzzed — the reference's
+    # full-window gate (total_millis) carries path-dependent eviction
+    # artifacts on irregular spacing (docs/SEMANTICS.md); golden cases
+    # 43-45 pin the real-usage shapes.
+    "v > 45 for 5 sec > 2 times",
     # NOT fuzzed: bare `wait(T, X)` over sub-window success runs — a
     # documented deviation (docs/SEMANTICS.md): WaitPattern.scala's
     # left-edge slack comes from queue leftovers of the TRUNCATED fail

@@ -453,16 +453,29 @@ class PatternCompiler:
             dname = _tmp("delta")
             cur = cur.withColumn(dname, delta)
             stat = F.sum(F.when(c.col, F.col(dname)).otherwise(0)).over(w).cast("double")
-        # reference `exactly` rule: wait for a full window when exactly
-        # or when the constraint has a finite upper bound
-        exactly = node.exactly or node.hi is not None
+        # reference `exactly` rule: wait for a full window when exactly,
+        # or when the upper bound can be violated by more data — for
+        # `times` any finite hi, for time-kind only hi < window
+        # (a time bound ≥ window can never be exceeded).
+        if node.kind == "times":
+            exactly = node.exactly or node.hi is not None
+        else:
+            exactly = node.exactly or (
+                node.hi is not None and node.hi < node.window_ms
+            )
         check = F.lit(True)
         if node.lo is not None and node.lo > 0:
             check = check & (stat >= F.lit(float(node.lo)))
         if node.hi is not None:
             check = check & (stat <= F.lit(float(node.hi)))
         if exactly:
-            total = ms - F.min(ms).over(w)
+            # full-window test: WindowStatistic's total_millis measures
+            # elapsed SERIES time saturating at window (the stub before
+            # the oldest retained event is counted back in,
+            # WindowStatistic.scala eviction correction) — so the gate
+            # is "window elapsed since the series started", NOT the
+            # distance to the oldest in-frame event.
+            total = ms - F.min(ms).over(self._w_cum())
             check = check & (total >= F.lit(node.window_ms))
         return Compiled(cur, check, "boolean", True)
 
