@@ -387,8 +387,36 @@ class PatternCompiler:
             emitted = val_ms.isNotNull() & (
                 prev_ms.isNull() | (val_ms > prev_ms - node.window_ms)
             )
-            present = _and_presents([c.present, emitted])
-            return Compiled(c.df, F.when(emitted, val), c.dtype, True, present)
+            # Patterns.scala:123 wraps PreviousValue in SegmentizerPattern,
+            # which merges consecutive EQUAL-valued emissions into one
+            # idx span — so an absent index sandwiched between two equal
+            # emitted values INHERITS that value (fuzz-caught: two equal
+            # u's 2 s apart bridge the absent event between their
+            # emission points). NaN never merges (Scala Double == on NaN
+            # is false). Emissions must be materialized before the
+            # neighbor-fill windows (no window-in-window).
+            ename = _tmp("lagv")
+            df2 = c.df.withColumn(ename, F.when(emitted, val))
+            wp = (
+                Window.partitionBy(*self._series_keys())
+                .orderBy(self.ts)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            wn = (
+                Window.partitionBy(*self._series_keys())
+                .orderBy(self.ts)
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            prev_v = F.last(F.col(ename), ignorenulls=True).over(wp)
+            next_v = F.first(F.col(ename), ignorenulls=True).over(wn)
+            fill_ok = prev_v == next_v
+            if c.dtype in ("float32", "float64"):
+                fill_ok = fill_ok & ~F.isnan(prev_v)
+            col = F.coalesce(F.col(ename), F.when(fill_ok, prev_v))
+            present = _and_presents(
+                [c.present, F.col(ename).isNotNull() | F.coalesce(fill_ok, F.lit(False))]
+            )
+            return Compiled(df2, col, c.dtype, True, present)
         # GroupPattern's sliding window is HALF-OPEN (t−w, t]: it evicts
         # elements with elem.time + window <= time (GroupPattern.scala:76)
         # — unlike WindowStatistic which keeps [t−w, t] inclusive. Pinned
