@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import random
 import sys
 from pathlib import Path
@@ -116,7 +117,11 @@ def gen_series(rng: random.Random, n: int) -> list[tuple[int, dict]]:
 
 @pytest.fixture(scope="module")
 def fuzz_data(spark):
-    rng = random.Random(20260813)
+    # Default seed is pinned for CI reproducibility; sweep fresh seeds
+    # with e.g. `SPARK_GRAFT_FUZZ_SEED=99 pytest tests/test_fuzz_oracle.py`
+    # (a 7-seed sweep on 2026-08-13 found the SegmentizerPattern
+    # equal-value bridge; sweeps are the cheapest semantics probe).
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813")))
     cases = {cid: gen_series(rng, rng.randint(3, 60)) for cid in range(40)}
     rows = [
         (cid, EPOCH + dt.timedelta(milliseconds=ms), r["v"], r["w"], r["u"])

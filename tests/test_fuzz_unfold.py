@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import random
 import sys
 from pathlib import Path
@@ -46,7 +47,7 @@ def gen_narrow(rng: random.Random, n: int):
 
 @pytest.mark.slow
 def test_unfold_matches_accumulator(spark):
-    rng = random.Random(777)
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "777")))
     cases = {cid: gen_narrow(rng, rng.randint(2, 50)) for cid in range(30)}
 
     rows = [
