@@ -211,3 +211,58 @@ def test_streaming_with_narrow_unfold(spark, events_small):
         assert batch <= got, f"missing {sorted(batch - got)[:5]}"
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_kafka_wire_contract_end_to_end(spark):
+    """Full Kafka adapter contract minus the broker socket (no connector
+    jar / broker in this container): rows shaped exactly like Spark's
+    kafka source output (binary key/value + topic/partition/offset/
+    timestamp/timestampType) are JSON-decoded positionally, run through
+    the pattern engine, and re-encoded as sink `value` JSON — matching
+    the engine's result on the equivalent typed frame.
+    Reference contract: StreamSource.scala:319-443 (decode),
+    OutputConf.scala:140-201 (produce)."""
+    import datetime as dt
+
+    fields = {"ts": "timestamp", "loco": "int64", "speed": "float64"}
+    typed_rows = []
+    wire_rows = []
+    for i in range(120):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+        speed = 95.0 if 40 <= i < 70 else 10.0
+        typed_rows.append((t, 7, speed))
+        payload = json.dumps(
+            {"ts": t.strftime("%Y-%m-%d %H:%M:%S"), "loco": 7, "speed": speed}
+        ).encode()
+        wire_rows.append((None, payload, "locos", 0, i, t, 0))
+    wire = spark.createDataFrame(
+        wire_rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    decoded = wire.select(
+        decode_json_value(F.col("value"), fields).alias("r")
+    ).select("r.*")
+    assert [f.simpleString() for f in decoded.schema.fields] == [
+        "ts:timestamp", "loco:bigint", "speed:double"
+    ]
+
+    patterns = [RawPattern(3, "speed > 60 for 10 sec")]
+    incidents = search_incidents(
+        decoded, patterns, ["loco"], "ts", fields_types=fields
+    )
+    produced = [
+        json.loads(r["value"]) for r in encode_json_row(incidents).collect()
+    ]
+
+    typed = spark.createDataFrame(typed_rows, "ts timestamp, loco long, speed double")
+    expect = search_incidents(
+        typed, patterns, ["loco"], "ts", fields_types=fields
+    ).collect()
+    assert len(produced) == len(expect) == 1
+    got, want = produced[0], expect[0]
+    assert got["pattern_id"] == want["pattern_id"] == 3
+    assert got["loco"] == want["loco"] == 7
+    # to_json renders timestamps in session-TZ ISO form
+    assert got["from_ts"].startswith("2024-01-01T00:00:50")
+    assert got["to_ts"].startswith("2024-01-01T00:01:09")
