@@ -395,6 +395,16 @@ class PatternCompiler:
             # emission points). NaN never merges (Scala Double == on NaN
             # is false). Emissions must be materialized before the
             # neighbor-fill windows (no window-in-window).
+            if self.SERIES_COL not in c.df.columns:
+                # Probe compile on a raw frame (streaming router's
+                # kernel-eligibility check): the window columns above
+                # reference the series tag, so materializing them here
+                # would fail analysis. Return the un-bridged lazy form —
+                # has_window=True already routes this to the carry
+                # buffer, and every evaluating path applies with_series
+                # first.
+                present = _and_presents([c.present, emitted])
+                return Compiled(c.df, F.when(emitted, val), c.dtype, True, present)
             ename = _tmp("lagv")
             df2 = c.df.withColumn(ename, F.when(emitted, val))
             wp = (
