@@ -511,11 +511,11 @@ def q_rel_q1_pricing(spark, sf_dir):
 
 ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::BIGINT) AS sum_qty,
-       sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
-       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_e4,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS sum_disc_e4,
        sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)
-           * (100 + round(l_tax * 100)::BIGINT)) AS sum_charge_e6,
+           * (100 + round(l_tax * 100)::BIGINT))::BIGINT AS sum_charge_e6,
        count(*) AS count_order
 FROM lineitem
 WHERE epoch_ms(l_shipdate) <= {Q1_CUTOFF_MS}
@@ -542,7 +542,7 @@ def q_rel_q6_revenue(spark, sf_dir):
 
 
 ORACLE_Q6 = f"""
-SELECT sum(round(l_extendedprice * 100)::BIGINT * round(l_discount * 100)::BIGINT) AS revenue_e4,
+SELECT sum(round(l_extendedprice * 100)::BIGINT * round(l_discount * 100)::BIGINT)::BIGINT AS revenue_e4,
        count(*) AS n_rows
 FROM lineitem
 WHERE epoch_ms(l_shipdate) >= {Q6_LO_MS} AND epoch_ms(l_shipdate) < {Q6_HI_MS}
@@ -576,7 +576,7 @@ def q_rel_q3_shipping(spark, sf_dir):
 
 ORACLE_Q3 = f"""
 SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
-       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS revenue_e4
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -621,7 +621,7 @@ def q_rel_q5_nation_revenue(spark, sf_dir):
 
 ORACLE_Q5 = f"""
 SELECT n_name,
-       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)) AS revenue_e4
+       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1588,9 +1588,9 @@ def q_rel_q14_promo(spark, sf_dir):
 
 ORACLE_Q14 = f"""
 SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
-                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) END)
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) END)::BIGINT
          AS promo_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS total_cents
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))::BIGINT AS total_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE epoch_ms(l_shipdate) >= {Q6_LO_MS} AND epoch_ms(l_shipdate) < {Q6_HI_MS}
 """

@@ -146,7 +146,7 @@ ORACLE_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate)::INT AS l_year,
        sum(round(l_extendedprice * 100)::BIGINT
-           * (100 - round(l_discount * 100)::BIGINT)) AS volume_e4
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS volume_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
