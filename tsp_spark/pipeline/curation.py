@@ -53,6 +53,14 @@ def _bucket(id_col: str, seed: str) -> F.Column:
     )
 
 
+def sample_member(id_col: str, fraction: float, seed: str = "s0") -> F.Column:
+    """Boolean membership column for the deterministic hash sample —
+    usable standalone (e.g. as a flag next to a split assignment) or as
+    ``hash_sample``'s filter predicate."""
+    cut = int(round(fraction * SAMPLE_BUCKETS))
+    return _bucket(id_col, seed) < cut
+
+
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, seed: str = "s0"
 ) -> DataFrame:
@@ -60,10 +68,7 @@ def hash_sample(
     bucket falls below fraction·10000. Reproducible across engines,
     re-runs, and partitionings; filter is map-only and pushes past any
     downstream projection."""
-    cut = int(round(fraction * SAMPLE_BUCKETS))
-    return df.withColumn("__b", _bucket(id_col, seed)).where(
-        F.col("__b") < cut
-    ).drop("__b")
+    return df.where(sample_member(id_col, fraction, seed))
 
 
 def split_assign(
@@ -71,10 +76,12 @@ def split_assign(
     id_col: str,
     fractions: dict[str, float],
     seed: str = "s0",
+    extra: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """Disjoint train/val/test-style assignment from cumulative hash
     bucket ranges: every id lands in exactly one split, stable under
-    re-runs and engine changes."""
+    re-runs and engine changes. ``extra`` appends additional aliased
+    columns (e.g. a ``sample_member`` flag) to the same map-only pass."""
     expr = None
     cum = 0
     items = list(fractions.items())
@@ -85,7 +92,11 @@ def split_assign(
         expr = clause if expr is None else expr.when(b < cum, F.lit(name))
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.select(F.col(id_col), expr.alias("split"))
+    return df.select(
+        F.col(id_col),
+        expr.alias("split"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
+    )
 
 
 def quantize_embeddings(

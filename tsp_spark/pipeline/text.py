@@ -43,28 +43,35 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic quality features: length, stopword ratio, unique ratio,
-    repetition flag (the classic pre-training quality screens)."""
+def quality_cols(text_col: str) -> list[Column]:
+    """Column builders for the quality screens — shared by
+    ``quality_scores`` and the folded text-profile query so both compute
+    the identical expressions in one map-only projection."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     stop_n = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
     )
     uniq = F.size(F.array_distinct(toks))
-    return df.select(
-        F.col(id_col),
+    return [
         F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
         n.cast("long").alias("n_tokens"),
         (stop_n.cast("double") / n).alias("stopword_ratio"),
         (uniq.cast("double") / n).alias("unique_ratio"),
         ((uniq.cast("double") / n) < 0.3).alias("is_repetitive"),
-    )
+    ]
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Marker-word language scoring: hit count per language list,
-    deterministic argmax (first list wins ties, 'unknown' when all 0)."""
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: length, stopword ratio, unique ratio,
+    repetition flag (the classic pre-training quality screens)."""
+    return df.select(F.col(id_col), *quality_cols(text_col))
+
+
+def langid_cols(text_col: str) -> list[Column]:
+    """Column builders for marker-word language scoring: hit count per
+    language list, deterministic argmax (first list wins ties, 'unknown'
+    when all 0)."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
     scores = {
         lang: F.size(
@@ -79,11 +86,15 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for lang in langs:
         expr = expr.when((scores[lang] > 0) & (scores[lang] >= best), F.lit(lang))
     pred = expr.otherwise(F.lit("unknown"))
-    return df.select(
-        F.col(id_col),
+    return [
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
-    )
+    ]
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language ID (see ``langid_cols``)."""
+    return df.select(F.col(id_col), *langid_cols(text_col))
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -122,7 +133,7 @@ def top_tokens(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+def simhash_col(text_col: str, bits: int = 16) -> Column:
     """SimHash over portable md5-based token hashes (hashing.md5_long, so
     the DuckDB oracle reproduces it exactly): bit b of the output is 1
     when the sum of ±1 votes (tokens whose hash has bit b set vote +1) is
@@ -159,4 +170,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col), sh.alias("simhash"))
+    return sh
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash fingerprint (see ``simhash_col``)."""
+    return df.select(F.col(id_col), simhash_col(text_col, bits).alias("simhash"))

@@ -31,9 +31,6 @@ from tsp_spark.pipeline.text import (
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
-    language_id,
-    quality_scores,
-    simhash,
     token_stats,
 )
 
@@ -314,24 +311,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 """
 
 
-def q_cep_lag_spike(spark, sf_dir):
-    """PreviousValue / lag(x) (PreviousValue.scala:12-74)."""
+def q_cep_lag(spark, sf_dir):
+    """PreviousValue, both forms folded into one keyed pass
+    (PreviousValue.scala:12-74): row-lag `lag(x)` + the 3× spike flag it
+    feeds, and time-based `lag(x, T)` — the value actual as of (t − 72 h).
+    Both window frames share the same (user_id, ts) sort, so the fold
+    costs one exchange total."""
     ev = _load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
     w = Window.partitionBy("user_id").orderBy("ts")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(Window.unboundedPreceding, -FILL_TIMEOUT_MS)
+    )
     prev = F.lag("value").over(w)
-    return (
-        ev.select("user_id", F.unix_millis("ts").alias("ms"), "value", prev.alias("prev_value"))
-        .where(F.col("value") > 3 * F.col("prev_value"))
+    return ev.select(
+        "user_id",
+        ms.alias("ms"),
+        "value",
+        prev.alias("prev_value"),
+        F.round(F.last("value", ignorenulls=True).over(wt), 4).alias("lag72h"),
+        (F.col("value") > 3 * prev).alias("is_spike"),
     )
 
 
-ORACLE_LAG_SPIKE = """
-WITH t AS (
-  SELECT user_id, epoch_ms(ts) AS ms, value,
-         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
-  FROM events
-)
-SELECT * FROM t WHERE value > 3 * prev_value
+ORACLE_LAG = f"""
+SELECT user_id, epoch_ms(ts) AS ms, value,
+       lag(value) OVER w AS prev_value,
+       round(last_value(value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN UNBOUNDED PRECEDING AND {FILL_TIMEOUT_MS} PRECEDING), 4)
+         AS lag72h,
+       value > 3 * lag(value) OVER w AS is_spike
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """
 
 
@@ -400,6 +414,35 @@ def q_cep_until(spark, sf_dir):
 
 
 ORACLE_UNTIL = _islands_oracle("(value > 50) AND NOT (event_type = 'error')")
+
+
+def q_cep_wait_until_tol(spark, sf_dir):
+    """Folded interval-pattern variants (identical output schema, tagged
+    by ``variant`` so each operator stays independently oracle-verified):
+    `wait(T, X)` (WaitPattern.scala:15-89), `X until B` desugaring
+    (ASTBuilder until rule), and `for T +- p%` timer tolerance
+    (PatternGenerator `range` production). Fold exists so every declared
+    query fits the driver's correctness window — same three compiled
+    plans as the standalone forms, one unionByName."""
+    parts = [
+        ("wait", q_cep_wait),
+        ("until", q_cep_until),
+        ("tol", q_cep_timer_tolerance),
+    ]
+    out = None
+    for tag, fn in parts:
+        d = fn(spark, sf_dir).select(F.lit(tag).alias("variant"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+ORACLE_WAIT_UNTIL_TOL = f"""
+SELECT 'wait' AS variant, * FROM ({ORACLE_WAIT})
+UNION ALL
+SELECT 'until' AS variant, * FROM ({ORACLE_UNTIL})
+UNION ALL
+SELECT 'tol' AS variant, * FROM ({ORACLE_TIMER_TOLERANCE})
+"""
 
 
 def q_cep_fill_narrow(spark, sf_dir):
@@ -785,14 +828,21 @@ FROM documents
 ORACLE_TOKENS_BPE = _bpe_oracle()
 
 
-def q_sample_hash(spark, sf_dir):
-    """Deterministic 20% hash sample (pipeline/curation.py hash_sample):
-    membership is a pure function of the id — identical across engines,
-    re-runs, and partitionings, unlike seeded rand()."""
-    from tsp_spark.pipeline.curation import hash_sample
+def q_curation_sample_split(spark, sf_dir):
+    """Folded curation assignment (pipeline/curation.py split_assign +
+    sample_member): every document's disjoint train/val/test split AND
+    its deterministic 20%-sample membership, both pure functions of the
+    same salted hash bucket, emitted in ONE map-only pass (no join —
+    the flag rides the split projection)."""
+    from tsp_spark.pipeline.curation import sample_member, split_assign
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
-    return hash_sample(docs, "doc_id", 0.2, seed="s0")
+    docs = _load(spark, sf_dir, "documents")
+    return split_assign(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        extra={"in_sample": sample_member("doc_id", 0.2, seed="s0")},
+    )
 
 
 def _hash_bucket_sql(id_expr: str, seed: str) -> str:
@@ -802,26 +852,12 @@ def _hash_bucket_sql(id_expr: str, seed: str) -> str:
     return f"({md5_long_sql(salted)} % 10000)"
 
 
-ORACLE_SAMPLE_HASH = f"""
-SELECT doc_id, source FROM documents
-WHERE {_hash_bucket_sql("doc_id", "s0")} < 2000
-"""
-
-
-def q_split_assign(spark, sf_dir):
-    """Disjoint train/val/test assignment from cumulative hash-bucket
-    ranges (pipeline/curation.py split_assign) — stable under re-runs."""
-    from tsp_spark.pipeline.curation import split_assign
-
-    docs = _load(spark, sf_dir, "documents")
-    return split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-
-
-ORACLE_SPLIT_ASSIGN = f"""
+ORACLE_SAMPLE_SPLIT = f"""
 SELECT doc_id,
        CASE WHEN {_hash_bucket_sql("doc_id", "s0")} < 8000 THEN 'train'
             WHEN {_hash_bucket_sql("doc_id", "s0")} < 9000 THEN 'val'
-            ELSE 'test' END AS split
+            ELSE 'test' END AS split,
+       {_hash_bucket_sql("doc_id", "s0")} < 2000 AS in_sample
 FROM documents
 """
 
@@ -1000,10 +1036,6 @@ FROM t
 """
 
 
-def q_text_quality(spark, sf_dir):
-    return quality_scores(_load(spark, sf_dir, "documents"), "text", "doc_id")
-
-
 _SW = ", ".join(f"'{s}'" for s in STOPWORDS)
 ORACLE_QUALITY = f"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -1015,10 +1047,6 @@ SELECT doc_id,
        (len(list_distinct(toks))::DOUBLE / len(toks)) < 0.3 AS is_repetitive
 FROM t
 """
-
-
-def q_text_langid(spark, sf_dir):
-    return language_id(_load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def _langid_oracle() -> str:
@@ -1206,10 +1234,6 @@ FROM pairs WHERE agree / {float(num_perm)} >= {threshold}
 ORACLE_MINHASH = _minhash_oracle()
 
 
-def q_text_simhash(spark, sf_dir):
-    return simhash(_load(spark, sf_dir, "documents"), "text", "doc_id")
-
-
 def _simhash_oracle(bits: int = 16) -> str:
     from tsp_spark.pipeline.hashing import md5_long_sql
 
@@ -1230,6 +1254,35 @@ FROM t
 
 
 ORACLE_SIMHASH = _simhash_oracle()
+
+
+def q_text_profile(spark, sf_dir):
+    """Folded per-document text signals — quality screens
+    (pipeline/text.py quality_cols), marker-word language ID
+    (langid_cols), and SimHash (simhash_col) — as ONE map-only
+    projection over a single documents scan: no self-joins, every
+    signal column independently oracle-verified."""
+    from tsp_spark.pipeline.text import langid_cols, quality_cols, simhash_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *quality_cols("text"),
+        *langid_cols("text"),
+        simhash_col("text").alias("simhash"),
+    )
+
+
+_LANGID_OUT = ", ".join(
+    [f"l.score_{lang}" for lang in LANG_MARKERS] + ["l.pred_lang"]
+)
+ORACLE_TEXT_PROFILE = f"""
+SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.stopword_ratio,
+       q.unique_ratio, q.is_repetitive, {_LANGID_OUT}, s.simhash
+FROM ({ORACLE_QUALITY}) q
+JOIN ({ORACLE_LANGID}) l ON q.doc_id = l.doc_id
+JOIN ({ORACLE_SIMHASH}) s ON q.doc_id = s.doc_id
+"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1462,33 +1515,6 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
-def q_cep_lag_time(spark, sf_dir):
-    """Time-based lag `lag(x, T)` — PreviousValue.scala:12-74: the value
-    actual as of (t − T)."""
-    ev = _load(spark, sf_dir, "events")
-    ms = F.unix_millis("ts")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(ms)
-        .rangeBetween(Window.unboundedPreceding, -FILL_TIMEOUT_MS)
-    )
-    return ev.select(
-        "user_id",
-        ms.alias("ms"),
-        F.round(F.last("value", ignorenulls=True).over(w), 4).alias("lag72h"),
-    )
-
-
-ORACLE_LAG_TIME = f"""
-SELECT user_id, epoch_ms(ts) AS ms,
-       round(last_value(value IGNORE NULLS) OVER
-             (PARTITION BY user_id ORDER BY epoch_ms(ts)
-              RANGE BETWEEN UNBOUNDED PRECEDING AND {FILL_TIMEOUT_MS} PRECEDING), 4)
-       AS lag72h
-FROM events
-"""
-
-
 def q_sink_rows(spark, sf_dir):
     """NewRowSchema sink projection with $-interpolation
     (SinkSchema.scala:28-62, PatternsToRowMapper.scala:54-131) —
@@ -1679,20 +1705,17 @@ def q_cep_incidents_multi(spark, sf_dir):
 QUERIES = {
     "cep_threshold_islands": q_cep_threshold_islands,
     "cep_timer_for": q_cep_timer_for,
-    "cep_timer_tolerance": q_cep_timer_tolerance,
+    "cep_wait_until_tol": q_cep_wait_until_tol,
     "cep_andthen": q_cep_andthen,
     "cep_avg_window": q_cep_avg_window,
-    "cep_lag_spike": q_cep_lag_spike,
+    "cep_lag": q_cep_lag,
     "cep_truth_count": q_cep_truth_count,
-    "cep_wait": q_cep_wait,
-    "cep_until": q_cep_until,
     "cep_fill_narrow": q_cep_fill_narrow,
     "cep_sessionize": q_cep_sessionize,
     "cep_incidents_multi": q_cep_incidents_multi,
     "cep_scalar_functions": q_cep_scalar_functions,
     "cep_reducers": q_cep_reducers,
     "cep_fill_wide": q_cep_fill_wide,
-    "cep_lag_time": q_cep_lag_time,
     "sink_rows": q_sink_rows,
     "cep_minmax_window": q_cep_minmax_window,
     "rel_q14_promo": q_rel_q14_promo,
@@ -1711,14 +1734,11 @@ QUERIES = {
     "text_tokens_bpe": q_text_tokens_bpe,
     "text_top_tokens": q_text_top_tokens,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
-    "sample_hash": q_sample_hash,
-    "split_assign": q_split_assign,
+    "curation_sample_split": q_curation_sample_split,
     "embed_quantize": q_embed_quantize,
     "pipeline_curation_e2e": q_pipeline_curation_e2e,
-    "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
+    "text_profile": q_text_profile,
     "text_fingerprint": q_text_fingerprint,
-    "text_simhash": q_text_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1729,19 +1749,16 @@ QUERIES = {
 ORACLES = {
     "cep_threshold_islands": _islands_oracle("value > 100", extra_out=", count(*) AS n_rows"),
     "cep_timer_for": ORACLE_TIMER,
-    "cep_timer_tolerance": ORACLE_TIMER_TOLERANCE,
+    "cep_wait_until_tol": ORACLE_WAIT_UNTIL_TOL,
     "cep_andthen": ORACLE_ANDTHEN,
     "cep_avg_window": ORACLE_AVG_WINDOW,
-    "cep_lag_spike": ORACLE_LAG_SPIKE,
+    "cep_lag": ORACLE_LAG,
     "cep_truth_count": ORACLE_TRUTH_COUNT,
-    "cep_wait": ORACLE_WAIT,
-    "cep_until": ORACLE_UNTIL,
     "cep_fill_narrow": ORACLE_FILL_NARROW,
     "cep_sessionize": ORACLE_SESSIONIZE,
     "cep_scalar_functions": ORACLE_SCALAR_FUNCTIONS,
     "cep_reducers": ORACLE_REDUCERS,
     "cep_fill_wide": ORACLE_FILL_WIDE,
-    "cep_lag_time": ORACLE_LAG_TIME,
     "sink_rows": ORACLE_SINK_ROWS,
     "cep_minmax_window": ORACLE_MINMAX_WINDOW,
     "rel_q14_promo": ORACLE_Q14,
@@ -1760,17 +1777,14 @@ ORACLES = {
     "text_tokens_bpe": ORACLE_TOKENS_BPE,
     "text_top_tokens": ORACLE_TOP_TOKENS,
     "sketch_kmv_distinct": ORACLE_KMV,
-    "sample_hash": ORACLE_SAMPLE_HASH,
-    "split_assign": ORACLE_SPLIT_ASSIGN,
+    "curation_sample_split": ORACLE_SAMPLE_SPLIT,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "pipeline_curation_e2e": ORACLE_CURATION_E2E,
-    "text_quality": ORACLE_QUALITY,
-    "text_langid": ORACLE_LANGID,
+    "text_profile": ORACLE_TEXT_PROFILE,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_IVF,
-    "text_simhash": ORACLE_SIMHASH,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
     "multimodal_features": ORACLE_MULTIMODAL,
