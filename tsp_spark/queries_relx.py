@@ -90,8 +90,10 @@ def q_rel_q4_priority(spark, sf_dir):
     condition mixes the equi key with a non-equi residual (TPC-H Q4)."""
     orders = _q._load(spark, sf_dir, "orders")
     li = _q._load(spark, sf_dir, "lineitem")
-    od_ms = F.unix_millis(orders.o_orderdate)
-    sem = orders.where((od_ms >= Q4_LO_MS) & (od_ms < Q4_HI_MS)).join(
+    od = orders.o_orderdate
+    sem = orders.where(
+        (od >= _q._ts_lit(Q4_LO_MS)) & (od < _q._ts_lit(Q4_HI_MS))
+    ).join(
         li,
         (orders.o_orderkey == li.l_orderkey)
         & (F.unix_millis(li.l_shipdate) > F.unix_millis(orders.o_orderdate) + 60 * _DAY_MS),
@@ -136,7 +138,11 @@ def q_rel_q7_volume(spark, sf_dir):
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("__n1k"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("__n2k"))
-        .where(pair & F.year("l_shipdate").isin(1996, 1997))
+        .where(
+            pair
+            & (li.l_shipdate >= _q._ts_lit(_ms(1996, 1, 1)))
+            & (li.l_shipdate < _q._ts_lit(_ms(1998, 1, 1)))
+        )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(vol).alias("volume_e4"))
     )
@@ -168,11 +174,13 @@ def q_rel_q10_returns(spark, sf_dir):
     orders = _q._load(spark, sf_dir, "orders")
     cust = _q._load(spark, sf_dir, "customer")
     nation = _q._load(spark, sf_dir, "nation")
-    od_ms = F.unix_millis(orders.o_orderdate)
+    od = orders.o_orderdate
     rev = _q._cents("l_extendedprice") * (100 - _q._cents("l_discount"))
     return (
         li.join(
-            orders.where((od_ms >= Q10_LO_MS) & (od_ms < Q10_HI_MS)),
+            orders.where(
+                (od >= _q._ts_lit(Q10_LO_MS)) & (od < _q._ts_lit(Q10_HI_MS))
+            ),
             li.l_orderkey == orders.o_orderkey,
         )
         .join(cust, F.col("o_custkey") == cust.c_custkey)
@@ -208,10 +216,10 @@ def q_rel_q12_priority(spark, sf_dir):
     shipmode-free)."""
     li = _q._load(spark, sf_dir, "lineitem")
     orders = _q._load(spark, sf_dir, "orders")
-    sd_ms = F.unix_millis(li.l_shipdate)
+    sd = li.l_shipdate
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.where((sd_ms >= Q12_LO_MS) & (sd_ms < Q12_HI_MS))
+        li.where((sd >= _q._ts_lit(Q12_LO_MS)) & (sd < _q._ts_lit(Q12_HI_MS)))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
