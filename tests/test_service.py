@@ -97,3 +97,87 @@ def test_job_lifecycle(spark, events_small, tmp_path):
     assert st["status"] == "stopped"
     service.shutdown()
     service2.shutdown()
+
+
+def test_priority_overtakes_fifo():
+    """QueueableRequest priority parity (Request.scala:10-13): a
+    higher-priority submit overtakes queued lower-priority jobs; equal
+    priorities keep FIFO order."""
+    ran: list[str] = []
+    service = JobQueueService(lambda req: ran.append(req["uuid"]) or 0,
+                              dequeue_interval_s=30)
+    try:
+        service.submit({"uuid": "lo1", "priority": 0})
+        service.submit({"uuid": "lo2", "priority": 0})
+        service.submit({"uuid": "hi", "priority": 10})
+        service.submit({"uuid": "mid", "priority": 5})
+        order = [j["uuid"] for j in service.queue_show()]
+        assert order == ["hi", "mid", "lo1", "lo2"]
+        assert [j["priority"] for j in service.queue_show()] == [10, 5, 0, 0]
+    finally:
+        service.shutdown()
+
+
+def test_priority_run_order():
+    """End-to-end: with the worker paced slower than the submits, the
+    high-priority job runs before earlier-submitted low-priority ones."""
+    ran: list[str] = []
+    service = JobQueueService(lambda req: ran.append(req["uuid"]) or 0,
+                              dequeue_interval_s=0.2)
+    try:
+        service.submit({"uuid": "low", "priority": 0})
+        service.submit({"uuid": "high", "priority": 1})
+        deadline = time.time() + 10
+        while len(ran) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert ran == ["high", "low"]
+    finally:
+        service.shutdown()
+
+
+def test_coordinator_notifications():
+    """CoordinatorService parity (CoordinatorService.scala:48-120): the
+    service POSTs register / jobstarted / jobcompleted JSON to
+    /api/tspinteraction/* on a stub WSGI coordinator."""
+    import threading
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    from tsp_spark.service import CoordinatorClient
+
+    received: list[tuple[str, dict]] = []
+
+    def coord_app(environ, start_response):
+        n = int(environ.get("CONTENT_LENGTH") or 0)
+        body = json.loads(environ["wsgi.input"].read(n) or b"{}")
+        received.append((environ["PATH_INFO"], body))
+        start_response("200 OK", [("Content-Type", "application/json")])
+        return [b"{}"]
+
+    httpd = make_server("127.0.0.1", 0, coord_app)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        coord = CoordinatorClient(f"http://127.0.0.1:{port}",
+                                  register_interval_s=3600)
+        service = JobQueueService(lambda req: 7, dequeue_interval_s=0.1,
+                                  coordinator=coord)
+        service.submit({"uuid": "cj"})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            paths = [p for p, _ in received]
+            if "/api/tspinteraction/jobcompleted" in paths:
+                break
+            time.sleep(0.05)
+        service.shutdown()
+        paths = [p for p, _ in received]
+        assert "/api/tspinteraction/register" in paths
+        assert "/api/tspinteraction/jobstarted" in paths
+        assert "/api/tspinteraction/jobcompleted" in paths
+        started = next(b for p, b in received if p.endswith("jobstarted"))
+        assert started == {"jobId": "cj"}
+        completed = next(b for p, b in received if p.endswith("jobcompleted"))
+        assert completed == {"jobId": "cj", "success": True, "error": "",
+                             "rowsRead": 0, "rowsWritten": 7}
+    finally:
+        httpd.shutdown()

@@ -23,9 +23,11 @@ WSGI server; the service object is also directly usable in-process.
 from __future__ import annotations
 
 import json
+import sys
 import threading
 import time
 import traceback
+import urllib.request
 import uuid as uuidlib
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -60,39 +62,123 @@ def validate_patterns(
     return out
 
 
+class CoordinatorClient:
+    """Coordinator notification hooks (CoordinatorService.scala:48-120):
+    POSTs JSON messages to ``{coord_uri}/api/tspinteraction/*`` —
+    ``register`` (periodic instance heartbeat carrying the engine
+    version), ``jobstarted``, and ``jobcompleted`` (success flag, error
+    text, row counters). Failures are logged to stderr and swallowed:
+    coordinator outages must never take down the job worker (the
+    reference logs and continues on connect errors)."""
+
+    def __init__(self, coord_uri: str, register_interval_s: float = 60.0):
+        self.coord_uri = coord_uri.rstrip("/")
+        self.register_interval_s = register_interval_s
+
+    def _post(self, endpoint: str, payload: dict) -> None:
+        url = f"{self.coord_uri}/api/tspinteraction/{endpoint}"
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                if resp.status >= 400:
+                    print(
+                        f"coordinator returned {resp.status} for {url}",
+                        file=sys.stderr,
+                    )
+        except Exception as e:  # noqa: BLE001 — notify must never raise
+            print(f"cannot connect to {url}: {e}", file=sys.stderr)
+
+    def notify_register(self) -> None:
+        from tsp_spark import __version__
+
+        self._post("register", {"version": __version__})
+
+    def notify_job_started(self, job_id: str) -> None:
+        self._post("jobstarted", {"jobId": job_id})
+
+    def notify_job_completed(
+        self,
+        job_id: str,
+        success: bool,
+        error: str,
+        rows_read: int,
+        rows_written: int,
+    ) -> None:
+        self._post(
+            "jobcompleted",
+            {
+                "jobId": job_id,
+                "success": success,
+                "error": error,
+                "rowsRead": rows_read,
+                "rowsWritten": rows_written,
+            },
+        )
+
+
 @dataclass
 class Job:
     uuid: str
     request: dict
     status: str = "queued"  # queued|running|finished|failed|stopped
+    priority: int = 0
     error: str | None = None
     rows_written: int | None = None
     submitted_at: float = field(default_factory=time.time)
 
 
 class JobQueueService:
-    """FIFO queue, one dequeue per second, at most one running job —
-    the reference's JobRunService behavior."""
+    """Priority-then-FIFO queue, one dequeue per second, at most one
+    running job — the reference's JobRunService behavior plus the
+    `priority` ordering its QueueableRequest declares
+    (http/.../domain/input/Request.scala:10-13: requests are Ordered by
+    priority; higher value runs first, equal priorities keep submit
+    order)."""
 
-    def __init__(self, runner: JobRunner, dequeue_interval_s: float = 1.0):
+    def __init__(
+        self,
+        runner: JobRunner,
+        dequeue_interval_s: float = 1.0,
+        coordinator: CoordinatorClient | None = None,
+    ):
         self._runner = runner
         self._interval = dequeue_interval_s
         self._jobs: OrderedDict[str, Job] = OrderedDict()
         self._queue: list[str] = []
         self._lock = threading.Lock()
         self._stop_flags: set[str] = set()
+        self._coordinator = coordinator
         self._worker = threading.Thread(target=self._run_loop, daemon=True)
         self._shutdown = False
         self._worker.start()
+        if coordinator is not None:
+            self._register_thread = threading.Thread(
+                target=self._register_loop, daemon=True
+            )
+            self._register_thread.start()
 
     # -- queue operations ------------------------------------------------
     def submit(self, request: dict) -> dict:
         uid = request.get("uuid") or str(uuidlib.uuid4())
+        priority = int(request.get("priority", 0))
         with self._lock:
-            job = Job(uid, request)
+            job = Job(uid, request, priority=priority)
             self._jobs[uid] = job
-            self._queue.append(uid)
-        return {"uuid": uid, "status": "queued"}
+            # keep the queue sorted by (priority desc, submit order):
+            # insert before the first queued job of strictly lower
+            # priority, after every peer of equal-or-higher priority
+            pos = len(self._queue)
+            for i, qid in enumerate(self._queue):
+                if self._jobs[qid].priority < priority:
+                    pos = i
+                    break
+            self._queue.insert(pos, uid)
+        return {"uuid": uid, "status": "queued", "priority": priority}
 
     def queue_show(self) -> list[dict]:
         with self._lock:
@@ -138,6 +224,14 @@ class JobQueueService:
         return uid in self._stop_flags
 
     # -- worker ----------------------------------------------------------
+    def _register_loop(self) -> None:
+        """Periodic coordinator registration (CoordinatorService.scala:46:
+        scheduleAtFixedRate; first beat immediate so tests and fresh
+        instances surface promptly)."""
+        while not self._shutdown:
+            self._coordinator.notify_register()
+            time.sleep(self._coordinator.register_interval_s)
+
     def _run_loop(self) -> None:
         while not self._shutdown:
             time.sleep(self._interval)
@@ -148,6 +242,8 @@ class JobQueueService:
             if uid is None:
                 continue
             job = self._jobs[uid]
+            if self._coordinator is not None:
+                self._coordinator.notify_job_started(uid)
             try:
                 result = self._runner(job.request)
                 if uid in self._stop_flags:
@@ -161,10 +257,18 @@ class JobQueueService:
                 job.status = "failed"
                 job.error = f"{type(e).__name__}: {e}"
                 traceback.print_exc()
+            if self._coordinator is not None:
+                self._coordinator.notify_job_completed(
+                    uid,
+                    success=job.status == "finished",
+                    error=job.error or "",
+                    rows_read=0,
+                    rows_written=job.rows_written or 0,
+                )
 
     @staticmethod
     def _brief(job: Job) -> dict:
-        d = {"uuid": job.uuid, "status": job.status}
+        d = {"uuid": job.uuid, "status": job.status, "priority": job.priority}
         if job.error:
             d["error"] = job.error
         if job.rows_written is not None:
