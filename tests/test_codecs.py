@@ -176,3 +176,76 @@ def test_spark_pipeline_on_real_media(spark):
     resized = {r["media_id"]: r for r in resize_images(media, 8, 4).collect()}
     back = decode_png(bytes(resized[1]["payload"]))
     assert back.shape == (4, 8, 3)
+
+
+def _truncate(payload: bytes, frac: float) -> bytes:
+    return payload[: int(len(payload) * frac)]
+
+
+def test_corrupt_payloads_degrade_not_crash():
+    """A payload that matches a magic prefix but is corrupt mid-stream
+    must surface as UnsupportedMediaError (so the pipeline's stub
+    fallback engages), never as zlib/struct/Index/ValueError that would
+    kill a whole Spark task."""
+    img = RNG.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    png = encode_png(img)
+    corrupt = [
+        _truncate(png, 0.6),                      # truncated IDAT → zlib tail
+        png[:20],                                 # header only
+        b"P6\n5 5\n255\n\x00\x01",                # PPM body too short
+        b"P6\n",                                  # PPM header cut mid-token
+        b"P6\n999999 999999\n255\n" + b"\x00" * 10,  # implausible dims
+        b"BM" + b"\x00" * 12,                     # BMP header too short
+        b"BM" + b"\x00" * 60,                     # BMP zero dims
+        _PNG_SIG_BAD_DIMS(),
+    ]
+    for payload in corrupt:
+        with pytest.raises(UnsupportedMediaError):
+            decode_image(payload)
+    # corrupt WAV: RIFF header promising frames it doesn't have
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(np.zeros(64, dtype=np.int16).tobytes())
+    wav = buf.getvalue()
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(wav[: len(wav) - 65])  # odd frame byte count
+
+
+def _PNG_SIG_BAD_DIMS() -> bytes:
+    """Valid PNG signature + IHDR claiming a 2-gigapixel image."""
+    ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    body = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def test_corrupt_media_through_spark_pipeline(spark):
+    """End-to-end: corrupt payloads flow through the mapInPandas feature
+    extractor without failing the task — they take the deterministic
+    stub path exactly like genuinely unsupported formats."""
+    from tsp_spark.pipeline.multimodal import extract_image_features
+
+    img = RNG.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    good = encode_png(img)
+    rows = [
+        (1, good),
+        (2, _truncate(good, 0.5)),
+        (3, b"P6\n4 4\n255\n\x00"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert len(out) == 4
+    # row 1 really decoded: true 6x6 dimensions
+    assert (out[1]["width"], out[1]["height"]) == (6, 6)
+    # corrupt rows took the deterministic stub path (its dims start at
+    # 16) instead of failing the task
+    for mid in (2, 3, 4):
+        assert out[mid]["width"] >= 16 and len(out[mid]["features"]) == 8

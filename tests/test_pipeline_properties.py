@@ -119,3 +119,23 @@ def test_split_assign_partition_laws(spark):
     # deterministic: a re-run assigns identically
     again = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assert out.exceptAll(again).count() == 0
+
+
+def test_clusters_deep_path_graph(spark):
+    """Large-star/small-star reaches the fixpoint on a 200-node path in
+    O(log n) rounds — plain min-label propagation would need ~200 rounds
+    and max_iter=12 would silently truncate it. Also asserts the
+    non-convergence warning stays silent on the healthy path."""
+    import warnings as w
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        got = neardup_clusters(docs, pairs, "doc_id", max_iter=12).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    reps = [r["doc_id"] for r in got if r["is_representative"]]
+    assert reps == [0]

@@ -25,6 +25,14 @@ class UnsupportedMediaError(ValueError):
     """Payload is not in a format this pure-python codec set decodes."""
 
 
+_MAX_PIXELS = 1 << 26  # 67M px — a corrupt header must not OOM an executor
+
+
+def _check_dims(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise UnsupportedMediaError(f"implausible dimensions {width}x{height}")
+
+
 # --------------------------------------------------------------- images
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -101,7 +109,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise UnsupportedMediaError(f"PNG color type {color_type}")
+    _check_dims(width, height)
     raw = zlib.decompress(idat)
+    if len(raw) < height * (width * channels + 1):
+        raise UnsupportedMediaError("PNG: truncated IDAT stream")
     img = _png_unfilter(raw, width, height, channels)
     if color_type == 3:  # palette lookup → RGB
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -148,6 +159,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"BMP: bpp={bpp} compression={comp}")
     flip = height > 0
     height = abs(height)
+    _check_dims(width, height)
     nch = bpp // 8
     stride = (width * nch + 3) & ~3
     img = np.zeros((height, width, 3), dtype=np.uint8)
@@ -177,6 +189,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = tokens
+    _check_dims(w, h)
     if maxval > 255:
         raise UnsupportedMediaError("PPM: 16-bit samples unsupported")
     c = 3 if payload[:2] == b"P6" else 1
@@ -188,12 +201,19 @@ _IMAGE_DECODERS = (("png", decode_png), ("bmp", decode_bmp), ("ppm", decode_ppm)
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """Sniff + decode → (format, (h, w, c) uint8). Raises
-    UnsupportedMediaError when no real decoder matches (e.g. JPEG)."""
+    UnsupportedMediaError when no real decoder matches (e.g. JPEG) OR
+    when a payload matches a magic prefix but is corrupt mid-stream —
+    truncated PNG IDAT (zlib.error), short buffers (ValueError from
+    np.frombuffer / int()), undersized headers (struct.error), bad
+    palette indices (IndexError). Decode failures must degrade to the
+    caller's fallback, never kill a whole Spark task."""
     for name, dec in _IMAGE_DECODERS:
         try:
             return name, dec(payload)
         except UnsupportedMediaError:
             continue
+        except (ValueError, struct.error, zlib.error, IndexError) as e:
+            raise UnsupportedMediaError(f"corrupt {name} payload: {e}") from e
     raise UnsupportedMediaError("no pure-python decoder for payload")
 
 
@@ -241,12 +261,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             nch = wf.getnchannels()
             sw = wf.getsampwidth()
             frames = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError) as e:
+    except (wave.Error, EOFError, ValueError, struct.error) as e:
         raise UnsupportedMediaError(f"not a PCM WAV: {e}") from e
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
     if dtype is None:
         raise UnsupportedMediaError(f"WAV sample width {sw}")
-    x = np.frombuffer(frames, dtype=dtype).astype(np.float32)
+    try:
+        x = np.frombuffer(frames, dtype=dtype).astype(np.float32)
+    except ValueError as e:  # truncated frame payload (odd byte count)
+        raise UnsupportedMediaError(f"corrupt WAV frames: {e}") from e
     if sw == 1:
         x = (x - 128.0) / 128.0
     else:

@@ -18,6 +18,7 @@ All JVM-side (higher-order array functions + xxhash64); no Python UDFs.
 from __future__ import annotations
 
 import random
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -105,49 +106,94 @@ def neardup_clusters(
     undirected ``pairs`` graph (id_a, id_b, …), label = the component's
     minimum id. Returns (``id_col``, cluster_id, is_representative).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels; converged when a
-    round changes nothing (reached in O(component diameter) rounds —
-    near-dup components are shallow in practice). Each round is one
-    shuffle-join on the node id; ``localCheckpoint`` truncates the plan
-    so the lineage doesn't grow with rounds. At 100 TB scale swap the
-    propagation loop for alternating large-star/small-star rounds
-    (Kiveris et al., "Connected Components in MapReduce") — same
-    fixpoint, O(log n) rounds on deep components; the declared-query
-    fixpoint is identical either way, which keeps this oracle-checkable.
+    Alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): large-star hangs
+    every larger neighbor off its neighborhood's minimum, small-star
+    re-points the smaller neighbors — the edge set converges to a star
+    forest whose centers are the component minima in O(log n) rounds,
+    vs O(component diameter) for plain min-label propagation, so deep
+    chain components can't serialize the job and round counts (hence
+    wall time) stop swinging run-to-run. All loop tables are sized by
+    the CURRENT edge set only — isolated docs (the vast majority of a
+    near-dup corpus) never enter the loop and join back at the end.
+    ``localCheckpoint`` truncates lineage each round; the per-round
+    driver sync is one (edge-count, order-insensitive hash-sum) scalar
+    pair whose stability IS the star-forest fixpoint (re-applying both
+    stars to a star forest reproduces it exactly).
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    # canonical undirected form: a > b, no self-loops, deduped
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    # propagate over edge-touched nodes only — isolated docs (the vast
-    # majority of a near-dup graph) are their own cluster by definition
-    # and join back at the end, so every round's tables are sized by the
-    # duplicate set, not the corpus
-    labels = edges.select(F.col("src").alias("__nid")).distinct().withColumn(
-        "__lbl", F.col("__nid")
-    )
-    # each round is ONE shuffle: union the self-labels with the labels
-    # seen over edges and take the per-node min. Labels only ever
-    # decrease, so the label sum is strictly monotone until the fixpoint
-    # — an equal checksum IS convergence, no old-vs-new join needed.
-    prev_sum = None
+    prev = None
+    converged = False
     for _ in range(max_iter):
-        nbr = edges.join(labels, edges.dst == labels["__nid"]).select(
-            F.col("src").alias("__nid"), F.col("__lbl")
+        # large-star: for each u, m = min(N(u) ∪ {u}); connect every
+        # neighbor v > u to m. Output is canonical (v > m) by
+        # construction since m ≤ u < v.
+        bi = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        labels = (
-            nbr.union(labels)
-            .groupBy("__nid")
-            .agg(F.min("__lbl").alias("__lbl"))
-            .localCheckpoint(eager=True)
+        mn = (
+            bi.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("a", "__mb").alias("m"))
         )
-        cur_sum = labels.agg(F.sum("__lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        ls = (
+            bi.where(F.col("b") > F.col("a"))
+            .join(mn, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star on the larger→smaller orientation: m = min of u's
+        # smaller neighbors (< u); re-point each smaller neighbor and u
+        # itself at m.
+        sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        j = ls.join(sm, "a")
+        ss = j.select(F.col("b").alias("x"), F.col("m").alias("y")).union(
+            j.select(F.col("a").alias("x"), F.col("m").alias("y"))
+        )
+        # lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it, so each round costs ONE Spark job (an
+        # eager checkpoint would add a second full pass per round)
+        edges = (
+            ss.select(
+                F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # order-insensitive set fingerprint: count + XOR of edge hashes
+        # (XOR can't overflow under ANSI mode, unlike a long sum)
+        cur = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")
+            ).collect()[0]
+        )
+        if cur == prev:
+            converged = True
             break
-        prev_sum = cur_sum
+        prev = cur
+    if not converged:
+        warnings.warn(
+            f"neardup_clusters: star-contraction did not reach its "
+            f"fixpoint within max_iter={max_iter} rounds — cluster labels "
+            f"may be non-minimal for the deepest components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # star forest → labels: every non-center node carries exactly one
+    # edge to its component's minimum; centers and isolated docs label
+    # themselves via the coalesce below.
+    labels = edges.groupBy(F.col("a").alias("__nid")).agg(
+        F.min("b").alias("__lbl")
+    )
     out = df.select(F.col(id_col).alias("__nid")).distinct().join(
         labels, on="__nid", how="left"
     )

@@ -563,6 +563,12 @@ def q_rel_q1_pricing(spark, sf_dir):
     )
 
 
+# NOTE: the ::BIGINT casts on the scaled-cents sums cap the oracle at
+# moderate scale factors — sum_charge_e6 (cents × 100 × 100 summed over
+# ~SF·1.5M rows) overflows int64 around SF≈50, where DuckDB raises an
+# Out of Range error (loud, not wrong: Spark's non-ANSI long sum would
+# silently wrap there too). Driver correctness runs at SF≤0.1; for
+# large-SF oracle runs drop the casts and compare HUGEINT via Python.
 ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -421,7 +421,14 @@ def build_spec(
         return c.col
 
     pfx = f"__p{pattern_id}"
-    if isinstance(node, A.AndThen) and not isinstance(node.left, A.AndThen):
+    if isinstance(node, A.AndThen):
+        if isinstance(node.left, A.AndThen) or isinstance(node.right, A.AndThen):
+            raise ValueError(
+                "nested andThen chains are not supported by the "
+                "incremental stateful kernel — use the carry-buffer "
+                "streaming mode (streaming/job.py), which evaluates the "
+                "full batch compiler over bounded history"
+            )
         s = stream.withColumn(f"{pfx}a", rowcond(node.left)).withColumn(
             f"{pfx}b", rowcond(node.right)
         )
