@@ -75,13 +75,24 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
     stream = spark.readStream.schema(events_small.schema).parquet(src)
     ft = {"value": "float64"}
     for pat in ("value > 150", "value > 150 for 10 sec",
-                "value > 150 andThen value < 120"):
+                "value > 150 andThen value < 120",
+                # windowed sub-expressions now run in-kernel via sliding
+                # condition programs
+                "avg(value, 10 sec) > 150",
+                "lag(value, 5 sec) > value",
+                "value > 150 for 30 sec > 2 times"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
+    # genuinely unsupported shapes still route to the carry buffer
     with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(stream, "avg(value, 10 sec) > 150", ["user_id"], "ts", ft)
+        stateful_pattern(
+            stream, "value > 150 andThen value < 120 andThen value > 130",
+            ["user_id"], "ts", ft,
+        )
     with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(stream, "lag(value, 5 sec) > value", ["user_id"], "ts", ft)
+        stateful_pattern(
+            stream, "value > 150 for 30 sec > 5 sec", ["user_id"], "ts", ft
+        )
 
 
 def test_stateful_incidents_union(spark, events_small, tmp_path):
@@ -104,8 +115,13 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
     out = stateful_incidents(stream, job)
     assert out.isStreaming
     assert out.columns == ["pattern_id", "subunit", "user_id", "from_ts", "to_ts"]
-    job_bad = StreamingPatternJob(
+    job_win = StreamingPatternJob(
         patterns=[RawPattern(1, "avg(value, 5 sec) > 150")],
+        keys=["user_id"], ts="ts", fields_types={"value": "float64"},
+    )
+    assert stateful_incidents(stream, job_win).isStreaming
+    job_bad = StreamingPatternJob(
+        patterns=[RawPattern(1, "value > 150 for 30 sec > 5 sec")],
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     with pytest.raises(ValueError, match="carry-buffer"):
@@ -199,6 +215,99 @@ def test_stateful_andthen_matches_batch(spark, events_small, mk_ts):
         "stateful_andthen_t",
         flush_tail=("ok", False, True),
         project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_windowed_avg_matches_batch(spark, events_small, mk_ts):
+    """The verdict's acceptance case: `avg(x, T) > c for T'` through the
+    incremental kernel (sliding-deque condition program feeding the
+    timer SM) equals the batch compiler on identical data."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "avg(value, 10 sec) > 150 for 10 sec"
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_winavg_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_truth_count_matches_batch(spark, events_small, mk_ts):
+    """WindowStatistic truth-count (`X for T > N times`) through the
+    kernel's truth-count program vs the batch compiler."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "value > 150 for 30 sec > 2 times"
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ).select("user_id", "from_ts", "to_ts"),
+        "stateful_tcount_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_lag_window_matches_batch(spark, events_small, mk_ts):
+    """`lag(x, T) < x` (PreviousValue time-lag) through the kernel."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "value > lag(value, 20 sec) + 50"
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_lagw_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
         expected=batch,
     )
     assert batch <= got, f"missing {sorted(batch - got)[:5]}"

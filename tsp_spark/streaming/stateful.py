@@ -13,15 +13,29 @@ state store, with per-pattern state encoded side by side.
 Three state-machine families cover the patterns whose state is O(open
 runs): islands (row-level boolean), timer (``cond for T``), and the
 andThen sequence join. Windowed sub-expressions (``avg(x, T) > c``,
-time-lag) are rejected toward the carry-buffer mode.
+``lag(x, T)``, truth-count ``for T > N times``) run through sliding
+condition *programs* (below) whose per-key state is the window's event
+deque — the reference's QueueStatsCounter shape
+(core/.../aggregators/GroupPattern.scala:56-93,
+WindowStatistic.scala:45-103): amortized O(1) queue maintenance per
+event, state bounded by window occupancy, never the stream length.
+Aggregates are recomputed from the deque (left-to-right, the batch
+window-frame order) rather than via running add/subtract accumulators,
+so streamed values are bit-identical to the batch plan — the
+reference's running-sum trade (FP drift for O(1) math) is documented
+here but not taken, because the oracle harness compares exact values.
 
 State encoding: each machine serializes to a list[int] (epoch millis
-and indices; -1 encodes None), one ArrayType(LongType) struct field per
-pattern — no raw history is ever retained.
+and indices; -1 encodes None; doubles bit-cast to int64), one
+ArrayType(LongType) struct field per pattern carrying
+``[len(sm_state)] + sm_state + cond program states`` — no raw history
+beyond open windows is ever retained.
 """
 
 from __future__ import annotations
 
+import math
+import struct as _struct
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
@@ -41,6 +55,15 @@ def _enc(v):
 
 def _dec(v):
     return None if v == _NONE else int(v)
+
+
+def _fbits(v: float) -> int:
+    """Bit-cast double → int64 (lossless state encoding for floats)."""
+    return _struct.unpack(">q", _struct.pack(">d", float(v)))[0]
+
+
+def _bitsf(b: int) -> float:
+    return _struct.unpack(">d", _struct.pack(">q", int(b)))[0]
 
 
 class _IslandSM:
@@ -210,14 +233,342 @@ class _AndThenSM:
         return matched
 
 
+# ------------------------------------------------- windowed cond programs
+
+
+_CMP_FNS = {"gt", "ge", "lt", "le", "eq", "ne"}
+_ARITH_FNS = {"add", "sub", "mul", "div"}
+_BOOL_FNS = {"and", "or", "xor", "not"}
+_AGG_KINDS = {"avg", "sum", "count", "min", "max", "lag"}
+
+
+def _contains_agg(node) -> bool:
+    """Does any AggregateCall appear anywhere under ``node``? Generic
+    dataclass walk — used for routing only (never raises)."""
+    import dataclasses
+
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, A.AggregateCall):
+        return True
+    if not dataclasses.is_dataclass(node):
+        return False
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        for x in v if isinstance(v, tuple) else (v,):
+            if isinstance(x, A.Node) and _contains_agg(x):
+                return True
+    return False
+
+
+def _collect_aggs(node) -> list:
+    """All AggregateCall nodes in pre-order (stable extraction order —
+    the state layout depends on it)."""
+    from tsp_spark.dsl import ast as A
+
+    out = []
+
+    def walk(n):
+        if isinstance(n, A.AggregateCall):
+            out.append(n)
+            walk(n.inner)
+        elif isinstance(n, A.FunctionCall):
+            for a in n.args:
+                walk(a)
+        elif isinstance(n, (A.Cast, A.Assert)):
+            walk(n.inner)
+        elif isinstance(n, (A.Constant, A.Identifier)):
+            pass
+        else:
+            raise ValueError(
+                f"{type(n).__name__} inside a windowed boolean is not "
+                f"supported by the incremental kernel — use the "
+                f"carry-buffer streaming mode (streaming/job.py)"
+            )
+
+    walk(node)
+    return out
+
+
+def _eval_row(node, row, aggvals):
+    """Kleene evaluation of a row-level/windowed boolean AST. ``aggvals``
+    maps id(AggregateCall) → current window value. Mirrors the batch
+    column semantics: None propagates through arithmetic/comparisons;
+    IEEE NaN compares false (ne true); and/or are three-valued."""
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, A.Assert):
+        return _eval_row(node.inner, row, aggvals)
+    if isinstance(node, A.Constant):
+        return node.value
+    if isinstance(node, A.Identifier):
+        v = row[node.name]
+        return None if pd.isna(v) else v
+    if isinstance(node, A.Cast):
+        v = _eval_row(node.inner, row, aggvals)
+        if v is None:
+            return None
+        if node.dtype == "boolean":
+            return bool(v)
+        if node.dtype in ("float32", "float64"):
+            return float(v)
+        if node.dtype == "string":
+            return str(v)
+        return int(v)
+    if isinstance(node, A.AggregateCall):
+        return aggvals[id(node)]
+    if isinstance(node, A.FunctionCall):
+        name = node.name
+        if name == "not":
+            v = _eval_row(node.args[0], row, aggvals)
+            return None if v is None else not bool(v)
+        a = _eval_row(node.args[0], row, aggvals)
+        b = _eval_row(node.args[1], row, aggvals) if len(node.args) > 1 else None
+        if name in _BOOL_FNS:
+            av = None if a is None else bool(a)
+            bv = None if b is None else bool(b)
+            if name == "and":
+                if av is False or bv is False:
+                    return False
+                return None if av is None or bv is None else True
+            if name == "or":
+                if av is True or bv is True:
+                    return True
+                return None if av is None or bv is None else False
+            return None if av is None or bv is None else av != bv  # xor
+        if a is None or b is None:
+            return None
+        if name in _CMP_FNS:
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) or math.isnan(fb):
+                return name == "ne"
+            return {
+                "gt": fa > fb, "ge": fa >= fb, "lt": fa < fb,
+                "le": fa <= fb, "eq": fa == fb, "ne": fa != fb,
+            }[name]
+        if name in _ARITH_FNS:
+            if name == "add":
+                return a + b
+            if name == "sub":
+                return a - b
+            if name == "mul":
+                return a * b
+            # Int/Int integer division mirrors the registry's rule
+            if isinstance(a, int) and isinstance(b, int):
+                return None if b == 0 else int(a / b)
+            return float("nan") if b == 0 else a / b
+        raise ValueError(
+            f"function '{name}' inside a windowed boolean is not "
+            f"supported by the incremental kernel"
+        )
+    raise ValueError(f"unsupported node {type(node).__name__}")
+
+
+class _SlidingAggState:
+    """Mutable per-key state for ONE AggregateCall term: the deque of
+    (ms, value) pairs currently inside the trailing window, plus the
+    resolved lag value for ``lag(x, T)``. Lives as a plain object for
+    the duration of one micro-batch; (de)serializes to ints."""
+
+    __slots__ = ("q", "lag_has", "lag_val")
+
+    def __init__(self):
+        self.q: list[tuple[int, float]] = []
+        self.lag_has = False
+        self.lag_val = 0.0
+
+    def encode(self) -> list[int]:
+        out = [len(self.q)]
+        for ms, v in self.q:
+            out.extend((ms, _fbits(v)))
+        out.append(1 if self.lag_has else 0)
+        out.append(_fbits(self.lag_val))
+        return out
+
+    @classmethod
+    def decode(cls, st: list[int], pos: int) -> tuple["_SlidingAggState", int]:
+        obj = cls()
+        n = st[pos]
+        pos += 1
+        for _ in range(n):
+            obj.q.append((st[pos], _bitsf(st[pos + 1])))
+            pos += 2
+        obj.lag_has = bool(st[pos])
+        obj.lag_val = _bitsf(st[pos + 1])
+        return obj, pos + 2
+
+
+class _WindowedCondProgram:
+    """Boolean condition containing windowed aggregate terms, evaluated
+    incrementally per event (GroupPattern.scala:56-93 accumulator shape):
+
+    * avg/sum/count/min/max(x, T): half-open trailing window (t−W, t] —
+      the batch ``windowed_*`` frame (ops/windows.py time_window
+      half_open=True); values recomputed from the deque in event order
+      so they're bit-identical to the batch plan.
+    * lag(x, T): last non-null value at or before t−T (PreviousValue) —
+      pending deque plus the resolved value, O(window) state.
+    * lag(x): previous event's value.
+
+    Config-only object; per-key state is passed in/out explicitly.
+    """
+
+    def __init__(self, node):
+        self.node = node
+        self.aggs = _collect_aggs(node)
+        for a in self.aggs:
+            if a.kind not in _AGG_KINDS:
+                raise ValueError(f"windowed aggregate '{a.kind}' unsupported")
+            if _collect_aggs(a.inner):
+                raise ValueError(
+                    "nested windowed aggregates are not supported by the "
+                    "incremental kernel — use the carry-buffer mode"
+                )
+
+    # -- state ------------------------------------------------------------
+    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+        objs = []
+        for _ in self.aggs:
+            obj, pos = _SlidingAggState.decode(st, pos)
+            objs.append(obj)
+        return objs, pos
+
+    def init(self) -> list:
+        return [_SlidingAggState() for _ in self.aggs]
+
+    @staticmethod
+    def dump(objs: list) -> list[int]:
+        out: list[int] = []
+        for o in objs:
+            out.extend(o.encode())
+        return out
+
+    # -- evaluation -------------------------------------------------------
+    def step(self, objs: list, ms: int, row) -> object:
+        aggvals: dict[int, object] = {}
+        for a, o in zip(self.aggs, objs):
+            iv = _eval_row(a.inner, row, {})
+            if a.kind == "lag":
+                if a.window_ms == 0:
+                    # previous event's value: emit stored, store current
+                    out = o.lag_val if o.lag_has else None
+                    if iv is None:
+                        o.lag_has = False
+                    else:
+                        o.lag_has, o.lag_val = True, float(iv)
+                    aggvals[id(a)] = out
+                    continue
+                # resolve entries now at or before t−T, newest wins
+                cut = ms - a.window_ms
+                while o.q and o.q[0][0] <= cut:
+                    o.lag_has, o.lag_val = True, o.q.pop(0)[1]
+                if iv is not None:
+                    o.q.append((ms, float(iv)))
+                aggvals[id(a)] = o.lag_val if o.lag_has else None
+                continue
+            # trailing (t−W, t] frame: admit current, evict ms ≤ t−W
+            if iv is not None:
+                o.q.append((ms, float(iv)))
+            lo = ms - a.window_ms
+            while o.q and o.q[0][0] <= lo:
+                o.q.pop(0)
+            vals = [v for _, v in o.q]
+            if a.kind == "count":
+                aggvals[id(a)] = len(vals)
+            elif not vals:
+                aggvals[id(a)] = None
+            elif a.kind == "sum":
+                aggvals[id(a)] = _seq_sum(vals)
+            elif a.kind == "avg":
+                aggvals[id(a)] = _seq_sum(vals) / len(vals)
+            elif a.kind == "min":
+                aggvals[id(a)] = min(vals, key=_nan_key)
+            else:  # max
+                aggvals[id(a)] = max(vals, key=_nan_key)
+        return _eval_row(self.node, row, aggvals)
+
+
+def _seq_sum(vals: list[float]) -> float:
+    """Left-to-right sum — the batch window frame's accumulation order."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc
+
+
+def _nan_key(v: float):
+    """Spark ordering: NaN sorts greatest."""
+    return (math.isnan(v), v)
+
+
+class _TruthCountProgram:
+    """WindowStatistic truth-count condition (``X for T <op> N times``,
+    WindowStatistic.scala:45-103): sliding deque of 0/1 cond outcomes in
+    the CLOSED trailing window [t−W, t] (the batch truth_stats frame),
+    condition true when lo ≤ count(true) ≤ hi."""
+
+    def __init__(self, inner, window_ms: int, lo, hi):
+        # inner: column name (row-level fast path) or _WindowedCondProgram
+        self.inner = inner
+        self.window_ms = window_ms
+        self.lo = 0 if lo is None else lo
+        self.hi = hi
+
+    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+        n = st[pos]
+        pos += 1
+        q = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(n)]
+        pos += 2 * n
+        if isinstance(self.inner, _WindowedCondProgram):
+            iobjs, pos = self.inner.load(st, pos)
+        else:
+            iobjs = None
+        return [q, iobjs], pos
+
+    def init(self) -> list:
+        return [
+            [],
+            self.inner.init()
+            if isinstance(self.inner, _WindowedCondProgram)
+            else None,
+        ]
+
+    def dump(self, objs: list) -> list[int]:
+        q, iobjs = objs
+        out = [len(q)]
+        for ms, c in q:
+            out.extend((ms, c))
+        if isinstance(self.inner, _WindowedCondProgram):
+            out.extend(self.inner.dump(iobjs))
+        return out
+
+    def step(self, objs: list, ms: int, row) -> object:
+        q, iobjs = objs
+        if isinstance(self.inner, _WindowedCondProgram):
+            cv = self.inner.step(iobjs, ms, row)
+        else:
+            v = row[self.inner]
+            cv = (not pd.isna(v)) and bool(v)
+        q.append((ms, 1 if (cv is not None and cv) else 0))
+        lo_ms = ms - self.window_ms
+        while q and q[0][0] < lo_ms:
+            q.pop(0)
+        cnt = sum(c for _, c in q)
+        ok = cnt >= self.lo and (self.hi is None or cnt <= self.hi)
+        objs[0] = q
+        return ok
+
+
 @dataclass
 class PatternSpec:
-    """One pattern routed into the multi kernel."""
+    """One pattern routed into the multi kernel. ``cond_cols`` entries
+    are either precomputed boolean column names (JVM fast path) or
+    windowed condition programs evaluated per event in the kernel."""
 
     pattern_id: int
     subunit: int
     sm: object  # _IslandSM | _TimerSM | _AndThenSM
-    cond_cols: list[str]
+    cond_cols: list  # list[str | _WindowedCondProgram | _TruthCountProgram]
 
 
 def stateful_multi(
@@ -255,6 +606,27 @@ def stateful_multi(
     ]
     specs = list(specs)
 
+    def _programs(spec):
+        return [c for c in spec.cond_cols if not isinstance(c, str)]
+
+    def _unpack_state(spec, arr):
+        """[len(sm_st)] + sm_st + program states → (sm_st, prog_objs)."""
+        arr = list(arr)
+        n = arr[0]
+        sm_st = arr[1 : 1 + n]
+        pos = 1 + n
+        prog_objs = []
+        for prog in _programs(spec):
+            objs, pos = prog.load(arr, pos)
+            prog_objs.append(objs)
+        return sm_st, prog_objs
+
+    def _pack_state(spec, sm_st, prog_objs):
+        out = [len(sm_st)] + [int(x) for x in sm_st]
+        for prog, objs in zip(_programs(spec), prog_objs):
+            out.extend(prog.dump(objs))
+        return out
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -270,7 +642,7 @@ def stateful_multi(
                 got = state.get
                 last = got[0]
                 for i, spec in enumerate(specs):
-                    st = list(got[1 + i])
+                    st, _objs = _unpack_state(spec, got[1 + i])
                     if isinstance(spec.sm, _AndThenSM):
                         emit(
                             spec,
@@ -285,10 +657,17 @@ def stateful_multi(
         if state.exists:
             got = state.get
             last = _dec(got[0])
-            sts = [list(got[1 + i]) for i in range(len(specs))]
+            sts, progs = [], []
+            for i, spec in enumerate(specs):
+                st, objs = _unpack_state(spec, got[1 + i])
+                sts.append(st)
+                progs.append(objs)
         else:
             last = None
             sts = [spec.sm.init() for spec in specs]
+            progs = [
+                [prog.init() for prog in _programs(spec)] for spec in specs
+            ]
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
         for _, row in rows.iterrows():
@@ -296,9 +675,15 @@ def stateful_multi(
             gap_split = last is not None and ms - last > max_gap_ms
             for i, spec in enumerate(specs):
                 conds = []
+                pi = 0
                 for c in spec.cond_cols:
-                    v = row[c]
-                    conds.append((not pd.isna(v)) and bool(v))
+                    if isinstance(c, str):
+                        v = row[c]
+                        conds.append((not pd.isna(v)) and bool(v))
+                    else:
+                        v = c.step(progs[i][pi], ms, row)
+                        pi += 1
+                        conds.append(bool(v) if v is not None else False)
                 if isinstance(spec.sm, _AndThenSM):
                     sts[i], items = spec.sm.step(sts[i], ms, conds, gap_split, last)
                 else:
@@ -306,7 +691,15 @@ def stateful_multi(
                 emit(spec, items)
             last = ms
 
-        state.update((last, *sts))
+        state.update(
+            (
+                last,
+                *[
+                    _pack_state(spec, sts[i], progs[i])
+                    for i, spec in enumerate(specs)
+                ],
+            )
+        )
         state.setTimeoutTimestamp(last + max_gap_ms)
         yield _pdf(closed, out_cols)
 
@@ -395,11 +788,14 @@ def build_spec(
     pattern_id: int = 0,
     subunit: int = 0,
 ) -> tuple[DataFrame, PatternSpec]:
-    """Compile a DSL pattern into (stream + cond columns, PatternSpec)
-    for the multi kernel. Raises ValueError for patterns that need
-    windowed sub-expressions — those run in the carry-buffer mode
-    (streaming/job.py), which re-evaluates bounded history instead of
-    holding per-key state."""
+    """Compile a DSL pattern into (stream + cond sources, PatternSpec)
+    for the multi kernel. Row-level booleans compile to JVM columns (the
+    fast path); booleans containing windowed aggregates (``avg(x, T)``,
+    ``lag(x, T)``, …) become sliding condition programs evaluated inside
+    the kernel, and ``for T <op> N times`` becomes a truth-count program
+    (WindowStatistic). Raises ValueError only for shapes that genuinely
+    need the carry-buffer mode (streaming/job.py): nested andThen,
+    truth-DURATION constraints, until/wait, nested window aggregates."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
@@ -411,16 +807,26 @@ def build_spec(
     )
     comp = PatternCompiler(keys, ts, fields_types, max_gap_ms=max_gap_ms)
 
-    def rowcond(n) -> Column:
+    s = stream
+    n_cols = 0
+
+    def cond_source(n):
+        """Boolean sub-AST → column name (row-level) or program (windowed)."""
+        nonlocal s, n_cols
+        if _contains_agg(n):
+            return _WindowedCondProgram(n)
         c = comp.compile_bool(stream, n)
         if c.has_window or c.present is not None or c.df is not stream:
             raise ValueError(
-                "pattern sub-expression needs windowed evaluation — use "
-                "the carry-buffer streaming mode (streaming/job.py)"
+                "pattern sub-expression needs windowed evaluation the "
+                "incremental kernel can't express — use the carry-buffer "
+                "streaming mode (streaming/job.py)"
             )
-        return c.col
+        name = f"__p{pattern_id}c{n_cols}"
+        n_cols += 1
+        s = s.withColumn(name, c.col)
+        return name
 
-    pfx = f"__p{pattern_id}"
     if isinstance(node, A.AndThen):
         if isinstance(node.left, A.AndThen) or isinstance(node.right, A.AndThen):
             raise ValueError(
@@ -429,17 +835,25 @@ def build_spec(
                 "streaming mode (streaming/job.py), which evaluates the "
                 "full batch compiler over bounded history"
             )
-        s = stream.withColumn(f"{pfx}a", rowcond(node.left)).withColumn(
-            f"{pfx}b", rowcond(node.right)
-        )
-        return s, PatternSpec(pattern_id, subunit, _AndThenSM(), [f"{pfx}a", f"{pfx}b"])
+        ca, cb = cond_source(node.left), cond_source(node.right)
+        return s, PatternSpec(pattern_id, subunit, _AndThenSM(), [ca, cb])
     if isinstance(node, A.Timer):
-        s = stream.withColumn(f"{pfx}c", rowcond(node.inner))
+        cc = cond_source(node.inner)
         return s, PatternSpec(
-            pattern_id, subunit, _TimerSM(node.window_ms), [f"{pfx}c"]
+            pattern_id, subunit, _TimerSM(node.window_ms), [cc]
         )
-    s = stream.withColumn(f"{pfx}c", rowcond(node))
-    return s, PatternSpec(pattern_id, subunit, _IslandSM(), [f"{pfx}c"])
+    if isinstance(node, A.ForWithInterval):
+        if node.kind != "times":
+            raise ValueError(
+                "truth-duration constraints (`for T > T'`) are not "
+                "supported by the incremental kernel — use the "
+                "carry-buffer streaming mode (streaming/job.py)"
+            )
+        inner = cond_source(node.inner)
+        prog = _TruthCountProgram(inner, node.window_ms, node.lo, node.hi)
+        return s, PatternSpec(pattern_id, subunit, _IslandSM(), [prog])
+    cc = cond_source(node)
+    return s, PatternSpec(pattern_id, subunit, _IslandSM(), [cc])
 
 
 def stateful_pattern(
