@@ -47,6 +47,57 @@ BENCH_QUERIES = [
 ]
 
 
+def scale_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 200):
+    """The reference's only hard perf envelope: 2 predicate patterns
+    over 10M keyed rows in ≤30 s (RealDataPerfTest.scala:61-64,110 —
+    `HI__wagon_id__{4,6} < 0.5` over Bigdata_HI, eventsMaxGapMs=60s,
+    defaultEventsGapMs=10s). Rehearsed on a seeded in-memory 10M-row
+    table (deterministic xxhash64 values, ~0.05% of rows dipping below
+    the threshold — rare triggers like the real sensor data) through
+    the full search_incidents path: compile → islands → sessionize."""
+    import pyspark.sql.functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    base_ms = 1_704_067_200_000  # 2024-01-01
+    raw4 = F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10_000))
+    raw6 = F.pmod(F.xxhash64("id", F.lit(6)), F.lit(10_000))
+
+    def hi(raw):
+        return F.when(raw < 5, raw.cast("double") / 10_000).otherwise(
+            0.5 + raw.cast("double") / 20_000
+        )
+
+    ev = spark.range(n_rows).select(
+        F.pmod(F.col("id"), F.lit(n_keys)).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(base_ms) + (F.col("id") / n_keys).cast("long") * 1000
+        ).alias("ts"),
+        hi(raw4).alias("hi4"),
+        hi(raw6).alias("hi6"),
+    )
+    pats = [RawPattern(4, "hi4 < 0.5"), RawPattern(6, "hi6 < 0.5")]
+    t0 = time.perf_counter()
+    out = search_incidents(
+        ev,
+        pats,
+        ["user_id"],
+        "ts",
+        fields_types={"hi4": "float64", "hi6": "float64"},
+        max_gap_ms=60_000,
+        session_gap_ms=10_000,
+    )
+    n = out.count()
+    sec = time.perf_counter() - t0
+    return {
+        "rows": n_rows,
+        "patterns": len(pats),
+        "sec": round(sec, 3),
+        "incidents": n,
+        "reference_envelope_sec": 30.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tsp_spark.queries import QUERIES, _load
@@ -72,18 +123,29 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "tsp_spark bench: sum of headline query wall times",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # 10M-row envelope rehearsal — reported separately so the headline
+    # total stays comparable round-over-round
+    scale = None
+    if os.environ.get("SPARK_GRAFT_SKIP_10M") != "1":
+        scale = scale_rehearsal(spark)
+        print(
+            f"# scale_10m: {scale['sec']:.3f}s for {scale['rows']} rows, "
+            f"{scale['incidents']} incidents "
+            f"(reference envelope {scale['reference_envelope_sec']}s)",
+            file=sys.stderr,
         )
-    )
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    payload = {
+        "metric": "tsp_spark bench: sum of headline query wall times",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if scale is not None:
+        payload["scale_10m"] = scale
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
