@@ -249,3 +249,77 @@ def test_corrupt_media_through_spark_pipeline(spark):
     # 16) instead of failing the task
     for mid in (2, 3, 4):
         assert out[mid]["width"] >= 16 and len(out[mid]["features"]) == 8
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def _smooth_rgb(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(yy / 9.0) + 50 * np.cos(xx / 11.0)).clip(0, 255)
+    img = np.stack([base, np.roll(base, 5, 0), np.roll(base, 9, 1)], axis=2)
+    return (img + rng.normal(0, 2, img.shape)).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_real():
+    """A REAL baseline JPEG round trip: our encoder's output is a
+    spec-conformant JPEG (SOI/JFIF/DQT/SOF0/DHT/SOS/EOI), and the
+    decoder recovers the image within normal codec tolerance."""
+    from tsp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(40, 56)
+    data = encode_jpeg(img, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF" in data[:32]
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.mean() < 4.0 and diff.max() <= 40
+
+    # higher quality → closer reconstruction
+    hi = decode_jpeg(encode_jpeg(img, quality=97))
+    assert np.abs(hi.astype(int) - img.astype(int)).mean() <= diff.mean()
+
+
+def test_jpeg_odd_dims_and_gray():
+    from tsp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(23, 35, seed=11)  # non-multiple-of-8 dims
+    out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert out.shape == (23, 35, 3)
+    g = img[:, :, 0]
+    out_g = decode_jpeg(encode_jpeg(g, quality=92))
+    assert out_g.shape == (23, 35, 3)
+    assert np.abs(out_g[:, :, 0].astype(int) - g.astype(int)).mean() < 4.0
+
+
+def test_jpeg_through_decode_image_and_corrupt():
+    from tsp_spark.pipeline.codecs import decode_image
+
+    img = _smooth_rgb(16, 24, seed=3)
+    from tsp_spark.pipeline.jpeg import encode_jpeg
+
+    data = encode_jpeg(img, quality=90)
+    fmt, out = decode_image(data)
+    assert fmt == "jpeg" and out.shape == (16, 24, 3)
+    # truncated scan → UnsupportedMediaError, not a raw crash
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(data[: len(data) - 40])
+    # progressive SOF2 marker → unsupported, falls through cleanly
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(prog)
+
+
+def test_jpeg_spark_pipeline(spark):
+    """Real JPEG payloads through the Arrow mapInPandas extractor get
+    REAL dimensions (not the stub's)."""
+    from tsp_spark.pipeline.jpeg import encode_jpeg
+    from tsp_spark.pipeline.multimodal import extract_image_features
+
+    img = _smooth_rgb(12, 20, seed=5)
+    rows = [(1, encode_jpeg(img, quality=90))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = extract_image_features(df).collect()[0]
+    assert (out["width"], out["height"]) == (20, 12)

@@ -1,13 +1,15 @@
 """Real media codecs in pure stdlib + numpy — no Pillow/libsndfile.
 
-The container has no codec libraries, but several production formats
-are fully decodable with what IS here: PNG is zlib (stdlib) plus five
-scanline filters, BMP and PPM/PGM are plain struct parses, and WAV is
-the stdlib ``wave`` module. These are REAL decoders — they bit-exactly
-recover pixel/sample data — so the multimodal pipeline
-(pipeline/multimodal.py) only falls back to its declared deterministic
-stub for formats that genuinely need an external codec (JPEG, MP3,
-video containers).
+The container has no codec libraries, but the dominant interchange
+formats are fully decodable with what IS here: PNG is zlib (stdlib)
+plus five scanline filters, baseline JPEG is a real Huffman→IDCT
+pipeline (pipeline/jpeg.py), BMP and PPM/PGM are plain struct parses,
+and WAV is the stdlib ``wave`` module. These are REAL decoders — PNG/
+BMP/PPM/WAV bit-exactly recover pixel/sample data, JPEG within codec
+tolerance — so the multimodal pipeline (pipeline/multimodal.py) only
+falls back to its declared deterministic stub for formats that
+genuinely need an external codec (progressive JPEG, MP3, video
+containers).
 
 Everything returns numpy arrays and plain ints; nothing here touches
 Spark. Raises ``UnsupportedMediaError`` for unknown magic bytes.
@@ -196,7 +198,28 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, w * h * c, pos).reshape(h, w, c)
 
 
-_IMAGE_DECODERS = (("png", decode_png), ("bmp", decode_bmp), ("ppm", decode_ppm))
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG → (h, w, c) uint8 via the pure
+    stdlib+numpy codec in pipeline/jpeg.py (Huffman → dequant → IDCT →
+    YCbCr). Progressive/arithmetic JPEGs surface as unsupported so the
+    stub fallback engages."""
+    from tsp_spark.pipeline.jpeg import UnsupportedJpegError
+    from tsp_spark.pipeline.jpeg import decode_jpeg as _decode
+
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG")
+    try:
+        return _decode(payload)
+    except UnsupportedJpegError as e:
+        raise UnsupportedMediaError(str(e)) from e
+
+
+_IMAGE_DECODERS = (
+    ("png", decode_png),
+    ("jpeg", decode_jpeg),
+    ("bmp", decode_bmp),
+    ("ppm", decode_ppm),
+)
 
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata structs, processed via Arrow-batched mapInPandas.
 
-Decode strategy (pipeline/codecs.py): PNG / BMP / PPM images and PCM
-WAV audio are decoded FOR REAL in pure stdlib + numpy — bit-exact pixel
-and sample recovery, real gradient/spectral features, real resampling,
-real PNG re-encode. Only formats that genuinely need an external codec
-(JPEG, MP3, video containers) fall back to the deterministic stub
+Decode strategy (pipeline/codecs.py): PNG / baseline JPEG / BMP / PPM
+images and PCM WAV audio are decoded FOR REAL in pure stdlib + numpy —
+bit-exact pixel and sample recovery (JPEG within codec tolerance), real
+gradient/spectral features, real resampling, real PNG re-encode. Only
+formats that genuinely need an external codec (progressive JPEG, MP3,
+video containers) fall back to the deterministic stub
 (`_fake_decode_*`, clearly marked) so the pipeline stays end-to-end
 runnable in this container; swap the fallback for Pillow/libsndfile in
 production via the same code path.
@@ -58,8 +59,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB fallback — deterministic fake for formats needing an
-    external codec (JPEG…). Produces (width, height, 8-dim vector)
-    purely from the byte content so tests are reproducible."""
+    external codec (progressive JPEG, WebP…) and for corrupt payloads.
+    Produces (width, height, 8-dim vector) purely from the byte content
+    so tests are reproducible."""
     n = len(payload)
     w = 16 + (n % 64)
     h = 16 + ((n // 64) % 64)
