@@ -40,9 +40,18 @@ def minhash_perms(num_perm: int, seed: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One row per distinct text: representative = min id, plus copy count."""
+    """One row per distinct text: representative = min id, plus copy count.
+
+    The group key leads with xxhash64(text): map-side partial
+    aggregation collapses duplicates before the shuffle either way, but
+    the leading 8-byte hash makes every exchange/sort/agg key
+    comparison O(1) instead of O(text length) — on multi-KB documents
+    at 100 TB that is the difference between comparing longs and
+    memcmp'ing kilobytes per row. Exact text equality still gates the
+    group (the hash is a prefix, not a substitute), so a 64-bit
+    collision can't merge two distinct documents."""
     return (
-        df.groupBy(text_col)
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("__h"), F.col(text_col))
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
