@@ -76,11 +76,11 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
     ft = {"value": "float64"}
     for pat in ("value > 150", "value > 150 for 10 sec",
                 "value > 150 andThen value < 120",
-                # windowed sub-expressions now run in-kernel via sliding
+                # windowed sub-expressions run in-kernel via sliding
                 # condition programs
                 "avg(value, 10 sec) > 150",
-                "lag(value, 5 sec) > value",
-                "value > 150 for 30 sec > 2 times"):
+                "value > 150 for 30 sec > 2 times",
+                "value > 150 for 30 sec > 5 sec"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
     # genuinely unsupported shapes still route to the carry buffer
@@ -89,10 +89,11 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
             stream, "value > 150 andThen value < 120 andThen value > 130",
             ["user_id"], "ts", ft,
         )
+    # lag = consume-once + forward bridging: needs the batch compiler
     with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(
-            stream, "value > 150 for 30 sec > 5 sec", ["user_id"], "ts", ft
-        )
+        stateful_pattern(stream, "lag(value, 5 sec) > value", ["user_id"], "ts", ft)
+    with pytest.raises(ValueError, match="carry-buffer"):
+        stateful_pattern(stream, "lag(value) > value", ["user_id"], "ts", ft)
 
 
 def test_stateful_incidents_union(spark, events_small, tmp_path):
@@ -121,7 +122,7 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
     )
     assert stateful_incidents(stream, job_win).isStreaming
     job_bad = StreamingPatternJob(
-        patterns=[RawPattern(1, "value > 150 for 30 sec > 5 sec")],
+        patterns=[RawPattern(1, "lag(value, 5 sec) > value")],
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     with pytest.raises(ValueError, match="carry-buffer"):
@@ -285,17 +286,18 @@ def test_stateful_truth_count_matches_batch(spark, events_small, mk_ts):
 
 
 @pytest.mark.slow
-def test_stateful_lag_window_matches_batch(spark, events_small, mk_ts):
-    """`lag(x, T) < x` (PreviousValue time-lag) through the kernel."""
+def test_stateful_truth_duration_matches_batch(spark, events_small, mk_ts):
+    """WindowStatistic truth-DURATION (`X for T > T'`) through the
+    kernel's truth-stat program vs the batch compiler."""
     from tsp_spark.streaming.stateful import stateful_pattern
 
-    pat = "value > lag(value, 20 sec) + 50"
+    pat = "value > 150 for 30 sec > 10 sec"
     ft = {"value": "float64"}
     batch = {
-        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        (r["user_id"], r["from_ts"], r["to_ts"])
         for r in compile_pattern(
             events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
-        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+        ).select("user_id", "from_ts", "to_ts").collect()
     }
     assert batch
 
@@ -304,11 +306,64 @@ def test_stateful_lag_window_matches_batch(spark, events_small, mk_ts):
         lambda stream: stateful_pattern(
             stream, pat, ["user_id"], "ts", ft,
             max_gap_ms=GAP_MS, watermark_delay="1 second",
-        ),
-        "stateful_lagw_t",
+        ).select("user_id", "from_ts", "to_ts"),
+        "stateful_tdur_t",
         flush_tail=("ok",),
-        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
         expected=batch,
     )
     assert batch <= got, f"missing {sorted(batch - got)[:5]}"
     assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.fixture(scope="module")
+def events_gappy(spark, mk_ts):
+    """Keyed series WITH mid-series >maxGap holes: exercises the
+    series-scoped window reset in the kernel programs (batch windows
+    partition by (keys, series))."""
+    rows = []
+    for user in (1, 2):
+        t = 0.0
+        for seg in range(3):
+            for i in range(60):
+                val = 200.0 + (i % 5) if 15 <= i < 45 else 100.0 + (i % 5)
+                rows.append((user, mk_ts(t), val, "ok"))
+                t += 1.0
+            t += 25.0  # > GAP_MS: forces a series split mid-stream
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_type string"
+    ).cache()
+
+
+@pytest.mark.slow
+def test_stateful_windowed_gap_reset_matches_batch(spark, events_gappy, mk_ts):
+    """Windowed avg + truth-count across >maxGap series splits: the
+    kernel must clear its deques exactly where the batch plan's
+    series-partitioned windows restart."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    ft = {"value": "float64"}
+    for pat, table in (
+        ("avg(value, 10 sec) > 150 for 5 sec", "gapreset_avg_t"),
+        ("value > 150 for 20 sec > 3 times", "gapreset_cnt_t"),
+    ):
+        batch = {
+            (r["user_id"], r["from_ts"], r["to_ts"])
+            for r in compile_pattern(
+                events_gappy, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+            ).select("user_id", "from_ts", "to_ts").collect()
+        }
+        assert batch, pat
+        got = _run_stream(
+            spark, events_gappy, mk_ts,
+            lambda stream: stateful_pattern(
+                stream, pat, ["user_id"], "ts", ft,
+                max_gap_ms=GAP_MS, watermark_delay="1 second",
+            ).select("user_id", "from_ts", "to_ts"),
+            table,
+            flush_tail=("ok",),
+            project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+            expected=batch,
+        )
+        assert batch <= got, f"{pat}: missing {sorted(batch - got)[:5]}"
+        assert got <= batch, f"{pat}: spurious {sorted(got - batch)[:5]}"

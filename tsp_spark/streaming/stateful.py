@@ -13,17 +13,22 @@ state store, with per-pattern state encoded side by side.
 Three state-machine families cover the patterns whose state is O(open
 runs): islands (row-level boolean), timer (``cond for T``), and the
 andThen sequence join. Windowed sub-expressions (``avg(x, T) > c``,
-``lag(x, T)``, truth-count ``for T > N times``) run through sliding
+truth stats ``for T <op> N times`` / ``<op> T'``) run through sliding
 condition *programs* (below) whose per-key state is the window's event
 deque — the reference's QueueStatsCounter shape
 (core/.../aggregators/GroupPattern.scala:56-93,
 WindowStatistic.scala:45-103): amortized O(1) queue maintenance per
-event, state bounded by window occupancy, never the stream length.
+event, state bounded by window occupancy, never the stream length, and
+series-scoped like every batch window (a >maxGap split clears it).
 Aggregates are recomputed from the deque (left-to-right, the batch
 window-frame order) rather than via running add/subtract accumulators,
 so streamed values are bit-identical to the batch plan — the
 reference's running-sum trade (FP drift for O(1) math) is documented
 here but not taken, because the oracle harness compares exact values.
+``lag`` (PreviousValue) stays on the carry buffer: its batch semantics
+are consume-once emission with forward-looking equal-value bridging,
+which needs the NEXT emission — unbounded lookahead a streaming kernel
+doesn't have.
 
 State encoding: each machine serializes to a list[int] (epoch millis
 and indices; -1 encodes None; doubles bit-cast to int64), one
@@ -239,7 +244,12 @@ class _AndThenSM:
 _CMP_FNS = {"gt", "ge", "lt", "le", "eq", "ne"}
 _ARITH_FNS = {"add", "sub", "mul", "div"}
 _BOOL_FNS = {"and", "or", "xor", "not"}
-_AGG_KINDS = {"avg", "sum", "count", "min", "max", "lag"}
+# lag (PreviousValue) is deliberately ABSENT: the batch compiler gives it
+# consume-once emission with forward-looking equal-value bridging
+# (SegmentizerPattern) — the bridge needs the NEXT emission, which a
+# streaming kernel cannot see without unbounded lookahead, so lag
+# patterns stay on the carry buffer where the full batch compiler runs.
+_AGG_KINDS = {"avg", "sum", "count", "min", "max"}
 
 
 def _contains_agg(node) -> bool:
@@ -366,23 +376,19 @@ def _eval_row(node, row, aggvals):
 
 class _SlidingAggState:
     """Mutable per-key state for ONE AggregateCall term: the deque of
-    (ms, value) pairs currently inside the trailing window, plus the
-    resolved lag value for ``lag(x, T)``. Lives as a plain object for
-    the duration of one micro-batch; (de)serializes to ints."""
+    (ms, value) pairs currently inside the trailing window. Lives as a
+    plain object for the duration of one micro-batch; (de)serializes to
+    ints."""
 
-    __slots__ = ("q", "lag_has", "lag_val")
+    __slots__ = ("q",)
 
     def __init__(self):
         self.q: list[tuple[int, float]] = []
-        self.lag_has = False
-        self.lag_val = 0.0
 
     def encode(self) -> list[int]:
         out = [len(self.q)]
         for ms, v in self.q:
             out.extend((ms, _fbits(v)))
-        out.append(1 if self.lag_has else 0)
-        out.append(_fbits(self.lag_val))
         return out
 
     @classmethod
@@ -393,22 +399,19 @@ class _SlidingAggState:
         for _ in range(n):
             obj.q.append((st[pos], _bitsf(st[pos + 1])))
             pos += 2
-        obj.lag_has = bool(st[pos])
-        obj.lag_val = _bitsf(st[pos + 1])
-        return obj, pos + 2
+        return obj, pos
 
 
 class _WindowedCondProgram:
     """Boolean condition containing windowed aggregate terms, evaluated
     incrementally per event (GroupPattern.scala:56-93 accumulator shape):
-
-    * avg/sum/count/min/max(x, T): half-open trailing window (t−W, t] —
-      the batch ``windowed_*`` frame (ops/windows.py time_window
-      half_open=True); values recomputed from the deque in event order
-      so they're bit-identical to the batch plan.
-    * lag(x, T): last non-null value at or before t−T (PreviousValue) —
-      pending deque plus the resolved value, O(window) state.
-    * lag(x): previous event's value.
+    avg/sum/count/min/max(x, T) over the half-open trailing window
+    (t−W, t] — the batch compiler's `_w_range(W−1)` frame — with values
+    recomputed from the deque in event order so they're bit-identical
+    to the batch plan. Windows are SERIES-scoped like every batch
+    window (partitionBy(keys, series)): a >maxGap split clears the
+    deques, mirroring the reference's per-sub-series state reset
+    (PatternProcessor.scala:33-56).
 
     Config-only object; per-key state is passed in/out explicitly.
     """
@@ -418,11 +421,16 @@ class _WindowedCondProgram:
         self.aggs = _collect_aggs(node)
         for a in self.aggs:
             if a.kind not in _AGG_KINDS:
-                raise ValueError(f"windowed aggregate '{a.kind}' unsupported")
+                raise ValueError(
+                    f"windowed aggregate '{a.kind}' is not supported by "
+                    f"the incremental kernel — use the carry-buffer "
+                    f"streaming mode (streaming/job.py)"
+                )
             if _collect_aggs(a.inner):
                 raise ValueError(
                     "nested windowed aggregates are not supported by the "
-                    "incremental kernel — use the carry-buffer mode"
+                    "incremental kernel — use the carry-buffer streaming "
+                    "mode (streaming/job.py)"
                 )
 
     # -- state ------------------------------------------------------------
@@ -444,28 +452,12 @@ class _WindowedCondProgram:
         return out
 
     # -- evaluation -------------------------------------------------------
-    def step(self, objs: list, ms: int, row) -> object:
+    def step(self, objs: list, ms: int, row, gap_split: bool) -> object:
         aggvals: dict[int, object] = {}
         for a, o in zip(self.aggs, objs):
+            if gap_split:
+                o.q.clear()  # batch windows are series-scoped
             iv = _eval_row(a.inner, row, {})
-            if a.kind == "lag":
-                if a.window_ms == 0:
-                    # previous event's value: emit stored, store current
-                    out = o.lag_val if o.lag_has else None
-                    if iv is None:
-                        o.lag_has = False
-                    else:
-                        o.lag_has, o.lag_val = True, float(iv)
-                    aggvals[id(a)] = out
-                    continue
-                # resolve entries now at or before t−T, newest wins
-                cut = ms - a.window_ms
-                while o.q and o.q[0][0] <= cut:
-                    o.lag_has, o.lag_val = True, o.q.pop(0)[1]
-                if iv is not None:
-                    o.q.append((ms, float(iv)))
-                aggvals[id(a)] = o.lag_val if o.lag_has else None
-                continue
             # trailing (t−W, t] frame: admit current, evict ms ≤ t−W
             if iv is not None:
                 o.q.append((ms, float(iv)))
@@ -501,29 +493,42 @@ def _nan_key(v: float):
     return (math.isnan(v), v)
 
 
-class _TruthCountProgram:
-    """WindowStatistic truth-count condition (``X for T <op> N times``,
-    WindowStatistic.scala:45-103): sliding deque of 0/1 cond outcomes in
-    the CLOSED trailing window [t−W, t] (the batch truth_stats frame),
-    condition true when lo ≤ count(true) ≤ hi."""
+class _TruthStatProgram:
+    """WindowStatistic truth-stat condition (``X for T <op> N times`` /
+    ``<op> T'``, WindowStatistic.scala:45-103): sliding deque of per-
+    event contributions in the CLOSED trailing window [t−W, t] (the
+    batch `_w_range(W)` frame). kind='times' contributes 1 per true
+    event; kind='time' contributes the inter-event delta (ms since the
+    previous event of the same sub-series, 0 for the series head) when
+    the cond is true — exactly the batch `sum(when(cond, delta))`.
+    Windows and deltas are series-scoped: a >maxGap split clears state.
 
-    def __init__(self, inner, window_ms: int, lo, hi):
+    ``exactly`` mirrors the compiler's full-window rule (compiler.py
+    _compile_for_interval): when set, the condition additionally
+    requires window_ms of SERIES time elapsed since the sub-series
+    head — tracked here as series_start."""
+
+    def __init__(self, inner, window_ms: int, lo, hi, kind: str, exactly: bool):
         # inner: column name (row-level fast path) or _WindowedCondProgram
         self.inner = inner
         self.window_ms = window_ms
-        self.lo = 0 if lo is None else lo
+        self.lo = lo
         self.hi = hi
+        self.kind = kind
+        self.exactly = exactly
 
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
-        n = st[pos]
-        pos += 1
+        series_start = _dec(st[pos])
+        prev_ms = _dec(st[pos + 1])
+        n = st[pos + 2]
+        pos += 3
         q = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(n)]
         pos += 2 * n
         if isinstance(self.inner, _WindowedCondProgram):
             iobjs, pos = self.inner.load(st, pos)
         else:
             iobjs = None
-        return [q, iobjs], pos
+        return [q, iobjs, series_start, prev_ms], pos
 
     def init(self) -> list:
         return [
@@ -531,31 +536,50 @@ class _TruthCountProgram:
             self.inner.init()
             if isinstance(self.inner, _WindowedCondProgram)
             else None,
+            None,
+            None,
         ]
 
     def dump(self, objs: list) -> list[int]:
-        q, iobjs = objs
-        out = [len(q)]
+        q, iobjs, series_start, prev_ms = objs
+        out = [_enc(series_start), _enc(prev_ms), len(q)]
         for ms, c in q:
             out.extend((ms, c))
         if isinstance(self.inner, _WindowedCondProgram):
             out.extend(self.inner.dump(iobjs))
         return out
 
-    def step(self, objs: list, ms: int, row) -> object:
-        q, iobjs = objs
+    def step(self, objs: list, ms: int, row, gap_split: bool) -> object:
+        q, iobjs, series_start, prev_ms = objs
+        if gap_split:
+            q = []
+            series_start, prev_ms = None, None
+        if series_start is None:
+            series_start = ms
         if isinstance(self.inner, _WindowedCondProgram):
-            cv = self.inner.step(iobjs, ms, row)
+            cv = self.inner.step(iobjs, ms, row, gap_split)
         else:
             v = row[self.inner]
             cv = (not pd.isna(v)) and bool(v)
-        q.append((ms, 1 if (cv is not None and cv) else 0))
+        truthy = cv is not None and bool(cv)
+        if self.kind == "times":
+            contrib = 1 if truthy else 0
+        else:  # 'time': inter-event delta, series head contributes 0
+            delta = 0 if prev_ms is None else ms - prev_ms
+            contrib = delta if truthy else 0
+        q.append((ms, contrib))
         lo_ms = ms - self.window_ms
         while q and q[0][0] < lo_ms:
             q.pop(0)
-        cnt = sum(c for _, c in q)
-        ok = cnt >= self.lo and (self.hi is None or cnt <= self.hi)
-        objs[0] = q
+        stat = sum(c for _, c in q)
+        ok = True
+        if self.lo is not None and self.lo > 0:
+            ok = ok and stat >= self.lo
+        if self.hi is not None:
+            ok = ok and stat <= self.hi
+        if self.exactly:
+            ok = ok and (ms - series_start >= self.window_ms)
+        objs[0], objs[2], objs[3] = q, series_start, ms
         return ok
 
 
@@ -681,7 +705,7 @@ def stateful_multi(
                         v = row[c]
                         conds.append((not pd.isna(v)) and bool(v))
                     else:
-                        v = c.step(progs[i][pi], ms, row)
+                        v = c.step(progs[i][pi], ms, row, gap_split)
                         pi += 1
                         conds.append(bool(v) if v is not None else False)
                 if isinstance(spec.sm, _AndThenSM):
@@ -790,12 +814,14 @@ def build_spec(
 ) -> tuple[DataFrame, PatternSpec]:
     """Compile a DSL pattern into (stream + cond sources, PatternSpec)
     for the multi kernel. Row-level booleans compile to JVM columns (the
-    fast path); booleans containing windowed aggregates (``avg(x, T)``,
-    ``lag(x, T)``, …) become sliding condition programs evaluated inside
-    the kernel, and ``for T <op> N times`` becomes a truth-count program
-    (WindowStatistic). Raises ValueError only for shapes that genuinely
-    need the carry-buffer mode (streaming/job.py): nested andThen,
-    truth-DURATION constraints, until/wait, nested window aggregates."""
+    fast path); booleans containing windowed aggregates (``avg(x, T)``
+    and friends) become sliding condition programs evaluated inside the
+    kernel, and ``for T <op> N times`` / ``<op> T'`` becomes a truth-
+    stat program (WindowStatistic) with the compiler's full-window
+    "exactly" gate. Raises ValueError only for shapes that genuinely
+    need the carry-buffer mode (streaming/job.py): nested andThen, lag
+    (consume-once + bridging semantics), until/wait, nested window
+    aggregates."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
@@ -843,14 +869,19 @@ def build_spec(
             pattern_id, subunit, _TimerSM(node.window_ms), [cc]
         )
     if isinstance(node, A.ForWithInterval):
-        if node.kind != "times":
-            raise ValueError(
-                "truth-duration constraints (`for T > T'`) are not "
-                "supported by the incremental kernel — use the "
-                "carry-buffer streaming mode (streaming/job.py)"
-            )
         inner = cond_source(node.inner)
-        prog = _TruthCountProgram(inner, node.window_ms, node.lo, node.hi)
+        # the compiler's full-window ("exactly") rule: wait for a full
+        # window when exactly, or when more data could still violate a
+        # finite upper bound (_compile_for_interval)
+        if node.kind == "times":
+            exactly = node.exactly or node.hi is not None
+        else:
+            exactly = node.exactly or (
+                node.hi is not None and node.hi < node.window_ms
+            )
+        prog = _TruthStatProgram(
+            inner, node.window_ms, node.lo, node.hi, node.kind, exactly
+        )
         return s, PatternSpec(pattern_id, subunit, _IslandSM(), [prog])
     cc = cond_source(node)
     return s, PatternSpec(pattern_id, subunit, _IslandSM(), [cc])
