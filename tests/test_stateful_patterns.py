@@ -367,3 +367,34 @@ def test_stateful_windowed_gap_reset_matches_batch(spark, events_gappy, mk_ts):
         )
         assert batch <= got, f"{pat}: missing {sorted(batch - got)[:5]}"
         assert got <= batch, f"{pat}: spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_until_matches_batch(spark, events_small, mk_ts):
+    """`X until B` desugars to row-level islands of (X and not B) — it
+    rides the kernel's column fast path; parity pins that routing."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "value > 50 until event_type = 'error'"
+    ft = {"value": "float64", "event_type": "string"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ).select("user_id", "from_ts", "to_ts"),
+        "stateful_until_t",
+        flush_tail=("error",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
