@@ -323,3 +323,38 @@ def test_jpeg_spark_pipeline(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = extract_image_features(df).collect()[0]
     assert (out["width"], out["height"]) == (20, 12)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn round trip: restart markers every 4 MCUs with DC
+    predictor resets — the decoder's restart path produces the same
+    image as the unrestarted encoding."""
+    from tsp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(32, 48, seed=13)
+    plain = encode_jpeg(img, quality=90)
+    with_rst = encode_jpeg(img, quality=90, restart_interval=4)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert np.array_equal(decode_jpeg(with_rst), decode_jpeg(plain))
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 chroma subsampling (the real-world default): 16x16 MCUs,
+    four Y blocks per MCU, 2x2 chroma upsampling in the decoder."""
+    from tsp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(40, 56, seed=21)
+    data = encode_jpeg(img, quality=92, subsampling="420")
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    diff = np.abs(out.astype(int) - img.astype(int))
+    # chroma is pooled 2x2 so tolerance is wider than 4:4:4, but luma
+    # structure must survive
+    assert diff.mean() < 6.0 and diff.max() <= 60
+    # odd dims exercise the partial-MCU crop
+    odd = _smooth_rgb(19, 27, seed=22)
+    out_odd = decode_jpeg(encode_jpeg(odd, quality=92, subsampling="420"))
+    assert out_odd.shape == (19, 27, 3)
+    # restarts compose with subsampling
+    both = encode_jpeg(img, quality=92, subsampling="420", restart_interval=2)
+    assert np.array_equal(decode_jpeg(both), out)

@@ -399,9 +399,19 @@ def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) or (h, w) uint8 → baseline JPEG (4:4:4, Annex K
-    Huffman tables, quality-scaled Annex K quant tables)."""
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → baseline JPEG (Annex K Huffman
+    tables, quality-scaled Annex K quant tables).
+    ``subsampling`` '444' (no chroma subsampling) or '420' (2×2-pooled
+    chroma, 16×16 MCUs — the real-world default, and the decoder's
+    multi-block-MCU + upsampling path). ``restart_interval`` > 0 emits
+    a DRI segment and RSTn markers every N MCUs with DC-predictor
+    resets — the error-resilience feature real encoders use."""
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=2)
     h, w = img.shape[:2]
@@ -416,8 +426,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     dc_enc = [_huff_sizes_codes(*_DC_LUMA), _huff_sizes_codes(*_DC_CHROMA)]
     ac_enc = [_huff_sizes_codes(*_AC_LUMA), _huff_sizes_codes(*_AC_CHROMA)]
 
-    ph = -(-h // 8) * 8
-    pw = -(-w // 8) * 8
+    hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    hmax = max(h_ for h_, _ in hv)
+    vmax = max(v_ for _, v_ in hv)
+    mw, mh = 8 * hmax, 8 * vmax
+    ph = -(-h // mh) * mh
+    pw = -(-w // mw) * mw
     writer = _BitWriter()
     pred = [0, 0, 0]
     qmats = []
@@ -425,45 +439,69 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         m = np.zeros(64, dtype=np.int64)
         m[_ZIGZAG] = q
         qmats.append(m.reshape(8, 8))
-    padded = [
+    padded_full = [
         np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
     ]
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(3):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = _T @ (block - 128.0) @ _T.T
-                qz = np.round(coefs / qmats[ci]).astype(np.int64)
-                zz = qz.reshape(-1)[_ZIGZAG]
-                ti = 0 if ci == 0 else 1
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s = _category(diff)
-                length, code = dc_enc[ti][s]
+    comp_planes = []
+    for (hi, vi), p in zip(hv, padded_full):
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:  # chroma: 2×2 average pooling
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        comp_planes.append(p)
+
+    def write_block(ci: int, block: np.ndarray) -> None:
+        coefs = _T @ (block - 128.0) @ _T.T
+        qz = np.round(coefs / qmats[ci]).astype(np.int64)
+        zz = qz.reshape(-1)[_ZIGZAG]
+        ti = 0 if ci == 0 else 1
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = _category(diff)
+        length, code = dc_enc[ti][s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        last = last_nz[-1] + 1 if len(last_nz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last:
+                length, code = ac_enc[ti][0x00]  # EOB
                 writer.write(code, length)
-                if s:
-                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                run = 0
-                last_nz = np.nonzero(zz[1:])[0]
-                last = last_nz[-1] + 1 if len(last_nz) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last:
-                        length, code = ac_enc[ti][0x00]  # EOB
-                        writer.write(code, length)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        length, code = ac_enc[ti][0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    s = _category(v)
-                    length, code = ac_enc[ti][(run << 4) | s]
-                    writer.write(code, length)
-                    writer.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_enc[ti][0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            s = _category(v)
+            length, code = ac_enc[ti][(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+
+    n_mcu = 0
+    rst = 0
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            n_mcu += 1
+            for ci in range(3):
+                hi, vi = hv[ci]
+                for v_ in range(vi):
+                    for h_ in range(hi):
+                        y0 = (my * vi + v_) * 8
+                        x0 = (mx * hi + h_) * 8
+                        write_block(
+                            ci, comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        )
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -476,14 +514,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
         ">HH", h, w
     ) + b"\x03"
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
+    for (hi, vi), cid, tq in zip(hv, (1, 2, 3), (0, 1, 1)):
+        out += bytes([cid, (hi << 4) | vi, tq])
     for tc, th, (bits, values) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
     ):
         out += b"\xff\xc4" + struct.pack(
             ">H", 19 + len(values)
         ) + bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tabs])
