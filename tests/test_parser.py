@@ -136,3 +136,23 @@ def test_invalid():
     for bad in ["x > ", "for 10 sec", "x > 0 for", "avg(x 10 sec) > 1", "x ) y"]:
         with pytest.raises(ParseError):
             parse_pattern(bad)
+
+
+def test_min_function_vs_minutes_unit():
+    """`min` is both the minutes TIME UNIT and the windowed-aggregate
+    NAME; a unit keyword directly followed by '(' parses as a call."""
+    from tsp_spark.dsl import ast as A
+    from tsp_spark.dsl.parser import parse_pattern
+
+    ft = {"value": "float64"}
+    n = parse_pattern("min(value, 10 sec) > 10", ft)
+    assert isinstance(n, A.Assert)
+    cmp = n.inner
+    assert isinstance(cmp.args[0], A.AggregateCall)
+    assert cmp.args[0].kind == "min" and cmp.args[0].window_ms == 10_000
+    # the minutes unit still works everywhere a time literal appears
+    t = parse_pattern("value > 50 for 2 min", ft)
+    assert isinstance(t, A.Timer)
+    assert t.min_window_ms <= 120_000 <= t.window_ms
+    both = parse_pattern("min(value, 2 min) > 1", ft)
+    assert both.inner.args[0].window_ms == 120_000

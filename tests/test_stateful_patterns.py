@@ -398,3 +398,39 @@ def test_stateful_until_matches_batch(spark, events_small, mk_ts):
     )
     assert batch <= got, f"missing {sorted(batch - got)[:5]}"
     assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_windowed_minmax_count_matches_batch(spark, events_gappy, mk_ts):
+    """The remaining windowed-aggregate kinds through the kernel
+    programs: min/max spread and count, composed with arithmetic and
+    boolean operators, across series splits."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    ft = {"value": "float64"}
+    for pat, table in (
+        ("max(value, 10 sec) - min(value, 10 sec) > 30 for 5 sec",
+         "winspread_t"),
+        ("count(value, 10 sec) >= 9 and sum(value, 10 sec) > 1500",
+         "wincount_t"),
+    ):
+        batch = {
+            (r["user_id"], r["from_ts"], r["to_ts"])
+            for r in compile_pattern(
+                events_gappy, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+            ).select("user_id", "from_ts", "to_ts").collect()
+        }
+        assert batch, pat
+        got = _run_stream(
+            spark, events_gappy, mk_ts,
+            lambda stream: stateful_pattern(
+                stream, pat, ["user_id"], "ts", ft,
+                max_gap_ms=GAP_MS, watermark_delay="1 second",
+            ).select("user_id", "from_ts", "to_ts"),
+            table,
+            flush_tail=("ok",),
+            project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+            expected=batch,
+        )
+        assert batch <= got, f"{pat}: missing {sorted(batch - got)[:5]}"
+        assert got <= batch, f"{pat}: spurious {sorted(got - batch)[:5]}"

@@ -420,6 +420,16 @@ class Parser:
                 return self.function_call()
             self.next()
             return self._identifier(t.text)
+        if (
+            t.kind == "kw"
+            and t.text in _TIME_UNITS
+            and self.peek(1).kind == "op"
+            and self.peek(1).text == "("
+        ):
+            # `min` is both the minutes unit and the windowed-aggregate
+            # name: a unit keyword immediately followed by '(' can only
+            # be a function call (no grammar rule puts '(' after a unit)
+            return self.function_call()
         raise ParseError(f"Unexpected token {t.text!r} at {t.pos}")
 
     def _identifier(self, name: str) -> Identifier:
