@@ -1,0 +1,168 @@
+"""Randomized batch-vs-stream parity sweep for the incremental kernel.
+
+Generates random kernel-eligible DSL patterns (row conds, timers,
+windowed aggregates, truth stats, until, andThen) and random gappy
+keyed series, then asserts the stateful kernel's closed intervals equal
+the batch compiler's on identical data — the same contract the pinned
+pytest parity suite checks, swept across fresh shapes.
+
+Usage: python tools/fuzz_stateful.py [seed ...]   (default 3 seeds)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GAP_MS = 15_000
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def gen_pattern(rng: random.Random) -> str:
+    def cond():
+        thr = rng.choice([80, 120, 150, 180])
+        return rng.choice(
+            [
+                f"value > {thr}",
+                f"value < {thr}",
+                f"value > {thr} and value < {thr + 60}",
+                f"avg(value, {rng.choice([5, 10])} sec) > {thr}",
+                f"sum(value, 5 sec) > {thr * 3}",
+                f"max(value, {rng.choice([5, 10])} sec) - "
+                f"min(value, 5 sec) > {rng.choice([20, 50])}",
+                f"count(value, 10 sec) >= {rng.choice([5, 9])}",
+            ]
+        )
+
+    kind = rng.randrange(5)
+    if kind == 0:
+        return cond()
+    if kind == 1:
+        return f"{cond()} for {rng.choice([5, 10])} sec"
+    if kind == 2:
+        op = rng.choice([">", ">=", "<", "<="])
+        return f"{cond()} for 20 sec {op} {rng.choice([2, 4])} times"
+    if kind == 3:
+        return f"{cond()} for 20 sec > {rng.choice([4, 8])} sec"
+    return f"value > 150 andThen value < {rng.choice([100, 120])}"
+
+
+def gen_series(rng: random.Random, spark):
+    rows = []
+    for user in (1, 2, 3):
+        t = 0.0
+        for _seg in range(rng.randint(2, 4)):
+            level = rng.choice([90.0, 160.0, 200.0])
+            for _ in range(rng.randint(20, 60)):
+                if rng.random() < 0.15:
+                    level = rng.choice([90.0, 130.0, 170.0, 210.0])
+                rows.append(
+                    (
+                        user,
+                        EPOCH + dt.timedelta(seconds=t),
+                        level + rng.random() * 8,
+                        "ok",
+                    )
+                )
+                t += rng.choice([0.5, 1.0, 2.0])
+            t += (GAP_MS / 1000) + rng.randint(5, 30)  # force series split
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_type string"
+    )
+
+
+def run_case(spark, rng: random.Random, pattern: str) -> str | None:
+    from tsp_spark.compile.compiler import compile_pattern
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    ft = {"value": "float64"}
+    src = gen_series(rng, spark)
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            src, pattern, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+
+    src_dir = tempfile.mkdtemp(prefix="tsp_fuzz_st_src")
+    chk = tempfile.mkdtemp(prefix="tsp_fuzz_st_chk")
+    table = f"fz_{abs(hash(pattern)) % 10**8}_{rng.randrange(10**6)}"
+    try:
+        src.coalesce(1).write.parquet(f"{src_dir}/b0")
+        flush = spark.createDataFrame(
+            [(u, EPOCH + dt.timedelta(seconds=90_000 + u), 0.0, "ok")
+             for u in (1, 2, 3)],
+            src.schema,
+        )
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            stateful_pattern(
+                stream, pattern, ["user_id"], "ts", ft,
+                max_gap_ms=GAP_MS, watermark_delay="1 second",
+            )
+            .select("user_id", "from_ts", "to_ts")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        flush.coalesce(1).write.mode("append").parquet(f"{src_dir}/b1")
+        deadline = time.time() + 90
+        got: set = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], r["from_ts"], r["to_ts"])
+                for r in spark.sql(f"SELECT * FROM {table}").collect()
+            }
+            if batch <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        if got != batch:
+            return (
+                f"missing={sorted(batch - got)[:3]} "
+                f"spurious={sorted(got - batch)[:3]}"
+            )
+        return None
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def main() -> int:
+    from tsp_spark.session import get_spark
+
+    spark = get_spark("fuzz_stateful", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    seeds = [int(s) for s in sys.argv[1:]] or [11, 222, 3333]
+    bad = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        for i in range(4):
+            pattern = gen_pattern(rng)
+            diff = run_case(spark, rng, pattern)
+            status = "DIVERGED " + diff if diff else "ok"
+            print(f"seed {seed} case {i}: [{pattern}] {status}", flush=True)
+            if diff:
+                bad += 1
+    print(f"TOTAL DIVERGENCES: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
