@@ -358,3 +358,21 @@ def test_jpeg_420_subsampling():
     # restarts compose with subsampling
     both = encode_jpeg(img, quality=92, subsampling="420", restart_interval=2)
     assert np.array_equal(decode_jpeg(both), out)
+
+
+def test_jpeg_property_roundtrip():
+    """Property sweep: random smooth images of random shapes round-trip
+    within codec tolerance at several qualities and subsamplings."""
+    from tsp_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(20260813)
+    for _ in range(6):
+        h = int(rng.integers(8, 49))
+        w = int(rng.integers(8, 49))
+        img = _smooth_rgb(h, w, seed=int(rng.integers(0, 1 << 30)))
+        quality = int(rng.choice([75, 85, 95]))
+        sub = str(rng.choice(["444", "420"]))
+        out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+        assert out.shape == (h, w, 3)
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.mean() < 8.0, (h, w, quality, sub, diff.mean())
