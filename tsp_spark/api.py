@@ -8,10 +8,12 @@ of the same (pattern, unit, subunit) merged when the gap ≤
 NewRowSchema-style output projection ($PatternID/$UUID/$IncidentStart/…,
 streaming/.../mappers/PatternsToRowMapper.scala:54-70).
 
-All patterns of a job share one pruned source scan; each pattern is an
-independent Catalyst plan over it, unioned so ReuseExchange dedupes the
-shared subtree (the reference likewise fans one stream out to N pattern
-state machines).
+Each pattern is an independent Catalyst plan over the same pruned
+source, unioned into one job (the reference likewise fans one stream
+out to N pattern state machines). Catalyst prunes every branch to its
+own referenced columns, so a multi-pattern job runs N narrow columnar
+scans rather than one wide materialized pass — measured faster than a
+barrier (see the comment in ``search_incidents``).
 """
 
 from __future__ import annotations
@@ -79,9 +81,10 @@ def search_incidents(
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
 
-    Multi-pattern jobs share ONE pruned, series-tagged source scan
-    (column pruning per the reference's PatternFieldExtractor); the
-    union of all pattern plans lets ReuseExchange dedupe it.
+    The source projection is pruned to the union of referenced fields
+    (the reference's PatternFieldExtractor); each pattern branch is then
+    pruned further by Catalyst to its own columns — N narrow scans, no
+    materialization barrier (measured trade documented below).
     """
     if fields_types is None:
         fields_types = {
@@ -96,10 +99,17 @@ def search_incidents(
     used_l = {u.lower() for u in used}
     cols = [c for c in df.columns if c.lower() in used_l or c in keys or c == ts]
     src = compiler.with_series(df.select(*cols))
-    # No persist: all patterns union into ONE plan, so Spark's
-    # ReuseExchange dedupes the shared scan→prune→series-window subtree
-    # (persisting here leaked executor memory across jobs and slowed
-    # later queries more than the reuse saved).
+    # Deliberately NO materialization barrier (persist/localCheckpoint)
+    # here. Measured reality: Catalyst prunes each pattern branch
+    # independently, so the union plans N narrow scans (each reading
+    # only that pattern's 2-3 columns) — ReuseExchange does NOT fire
+    # because the pruned subtrees differ. That is the better plan:
+    # barrier-materializing the full conditioned frame was measured 36%
+    # slower on the 4-pattern flagship at sf0.1 (4.5 s vs 3.3 s warm),
+    # and at the 100 TB target a checkpoint writes the whole working
+    # set to executor disks while columnar re-scans stay narrow and
+    # pushdown-pruned. Revisit only if a job's patterns share most
+    # columns AND storage is the bottleneck.
     parts: list[DataFrame] = []
     for p, node in zip(patterns, nodes):
         iv = compiler.compile_intervals(src, node)
