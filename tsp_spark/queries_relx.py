@@ -197,7 +197,7 @@ def q_rel_q10_returns(spark, sf_dir):
 ORACLE_Q10 = f"""
 SELECT c_custkey, c_name, round(c_acctbal * 100)::BIGINT AS acctbal_cents, n_name,
        sum(round(l_extendedprice * 100)::BIGINT
-           * (100 - round(l_discount * 100)::BIGINT)) AS revenue_e4
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -231,8 +231,8 @@ def q_rel_q12_priority(spark, sf_dir):
 
 ORACLE_Q12 = f"""
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE epoch_ms(l_shipdate) >= {Q12_LO_MS} AND epoch_ms(l_shipdate) < {Q12_HI_MS}
 GROUP BY l_returnflag
@@ -292,7 +292,7 @@ WITH big AS (
   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity::BIGINT) > {Q18_MIN_QTY}
 )
 SELECT c_custkey, c_name, l_orderkey AS o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
-       round(o_totalprice * 100)::BIGINT AS total_cents, sum_qty
+       round(o_totalprice * 100)::BIGINT AS total_cents, sum_qty::BIGINT AS sum_qty
 FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
 """
 
@@ -319,7 +319,7 @@ def q_rel_q19_disjunct(spark, sf_dir):
 
 ORACLE_Q19 = """
 SELECT sum(round(l_extendedprice * 100)::BIGINT
-           * (100 - round(l_discount * 100)::BIGINT)) AS revenue_e4,
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -362,7 +362,7 @@ WITH s AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
-       sum(round(c_acctbal * 100)::BIGINT) AS total_cents
+       sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS total_cents
 FROM customer, s
 WHERE round(c_acctbal * 100)::BIGINT * n > tot
   AND NOT EXISTS (SELECT 1 FROM orders
