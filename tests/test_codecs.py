@@ -325,6 +325,37 @@ def test_jpeg_spark_pipeline(spark):
     assert (out["width"], out["height"]) == (20, 12)
 
 
+def test_jpeg_hostile_headers_degrade_not_crash():
+    """r4 ADVICE: corrupt/crafted JPEG headers must degrade to
+    UnsupportedMediaError like the other codecs — a 65535×65535 SOF0
+    must not allocate 34 GB planes, and scans referencing unknown
+    components or missing DQT/DHT tables must not escape as
+    StopIteration/KeyError and kill the task."""
+    from tsp_spark.pipeline.codecs import decode_image
+    from tsp_spark.pipeline.jpeg import encode_jpeg
+
+    data = bytearray(encode_jpeg(_smooth_rgb(16, 16, seed=7), quality=90))
+    sof = data.index(b"\xff\xc0")  # …len(2) depth(1) h(2) w(2) nc(1) comps…
+    sos = data.index(b"\xff\xda")  # …len(2) ns(1) (cs, tables)…
+
+    def patched(offset: int, value: bytes) -> bytes:
+        out = bytearray(data)
+        out[offset : offset + len(value)] = value
+        return bytes(out)
+
+    hostile = [
+        patched(sof + 5, b"\xff\xff\xff\xff"),  # 65535×65535 dims
+        patched(sof + 5, b"\x00\x00"),          # zero height
+        patched(sof + 11, b"\x55"),             # sampling factors 5×5
+        patched(sof + 12, b"\x07"),             # comp 0 → missing DQT 7
+        patched(sos + 5, b"\x09"),              # scan → unknown comp id 9
+        patched(sos + 6, b"\x77"),              # scan → missing DHT 7/7
+    ]
+    for payload in hostile:
+        with pytest.raises(UnsupportedMediaError):
+            decode_image(payload)
+
+
 def test_jpeg_restart_markers():
     """DRI/RSTn round trip: restart markers every 4 MCUs with DC
     predictor resets — the decoder's restart path produces the same

@@ -181,3 +181,29 @@ def test_coordinator_notifications():
                              "rowsRead": 0, "rowsWritten": 7}
     finally:
         httpd.shutdown()
+
+
+def test_coordinator_http_error_logged_not_raised(capsys):
+    """r4 ADVICE: urlopen raises HTTPError for 4xx/5xx, so the status
+    log must live in an HTTPError handler — the old `resp.status >= 400`
+    branch was dead code and misreported errors as connect failures."""
+    import threading
+    from wsgiref.simple_server import make_server
+
+    from tsp_spark.service import CoordinatorClient
+
+    def failing_app(environ, start_response):
+        start_response("503 Service Unavailable", [("Content-Type", "text/plain")])
+        return [b"down"]
+
+    httpd = make_server("127.0.0.1", 0, failing_app)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        coord = CoordinatorClient(f"http://127.0.0.1:{port}")
+        coord.notify_job_started("j1")  # must not raise
+        err = capsys.readouterr().err
+        assert "coordinator returned 503" in err
+        assert "cannot connect" not in err
+    finally:
+        httpd.shutdown()

@@ -254,6 +254,58 @@ def test_stateful_windowed_avg_matches_batch(spark, events_small, mk_ts):
     assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
 
 
+def test_eval_row_string_comparisons():
+    """registry._cmp mirror (r4 ADVICE high): string operands inside a
+    windowed boolean must compare natively, not through float() — the
+    old coercion raised ValueError on the first row and killed the
+    streaming query. Mixed string/number follows Spark's implicit cast
+    (non-numeric string → NULL)."""
+    from tsp_spark.dsl.parser import parse_pattern
+    from tsp_spark.streaming.stateful import _eval_row
+
+    ft = {"s": "string", "v": "float64"}
+    row = {"s": "error", "v": 1.0}
+    assert _eval_row(parse_pattern("s = 'error'", ft), row, {}) is True
+    assert _eval_row(parse_pattern("s != 'error'", ft), row, {}) is False
+    assert _eval_row(parse_pattern("s < 'ok'", ft), row, {}) is True
+    # mixed: string side casts to double; non-numeric string → NULL
+    assert _eval_row(parse_pattern("s > 5", ft), row, {}) is None
+    assert _eval_row(parse_pattern("s = 'err'", ft), {"s": "err"}, {}) is True
+    assert _eval_row(parse_pattern("v > 0.5", ft), row, {}) is True
+
+
+@pytest.mark.slow
+def test_stateful_windowed_string_cmp_matches_batch(spark, events_small, mk_ts):
+    """A string equality ANDed with a windowed aggregate (the r4 ADVICE
+    failure shape): the whole boolean becomes a _WindowedCondProgram, so
+    its row-level arm must evaluate string comparisons in-kernel."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "avg(value, 10 sec) > 150 and event_type = 'ok'"
+    ft = {"value": "float64", "event_type": "string"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ).select("user_id", "from_ts", "to_ts"),
+        "stateful_winstr_t",
+        flush_tail=("x",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
 @pytest.mark.slow
 def test_stateful_truth_count_matches_batch(spark, events_small, mk_ts):
     """WindowStatistic truth-count (`X for T > N times`) through the

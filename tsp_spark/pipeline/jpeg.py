@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from tsp_spark.pipeline.codecs import _MAX_PIXELS
+
 
 class UnsupportedJpegError(ValueError):
     """Not a baseline JPEG this codec decodes (re-raised by codecs.py
@@ -266,12 +268,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             depth, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if depth != 8:
                 raise UnsupportedJpegError("only 8-bit depth")
+            # a corrupt header must not OOM an executor (same rule as
+            # codecs._check_dims): bound the pixel count BEFORE any
+            # plane allocation, and the sampling factors to T.81's 1..4
+            # so the MCU grid stays within a constant factor of w×h
+            if h <= 0 or w <= 0 or h * w > _MAX_PIXELS:
+                raise UnsupportedJpegError(f"implausible dimensions {w}x{h}")
+            if nc not in (1, 3):
+                raise UnsupportedJpegError(f"unsupported component count {nc}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise UnsupportedJpegError(
+                        f"sampling factors {ch}x{cv} out of range"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -285,7 +298,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise UnsupportedJpegError(
+                        f"scan references unknown component id {cs}"
+                    )
                 scan.append((comp, tables >> 4, tables & 0xF))
             data_pos = pos + seglen
             return _decode_scan(
@@ -298,6 +317,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     h, w = frame["h"], frame["w"]
+    # validate table references once up front: a KeyError mid-MCU would
+    # escape decode_image's corrupt-payload handler and kill the task
+    for comp, td, ta in scan:
+        if comp["tq"] not in qt:
+            raise UnsupportedJpegError(f"missing quant table {comp['tq']}")
+        if td not in huff_dc or ta not in huff_ac:
+            raise UnsupportedJpegError(f"missing Huffman table {td}/{ta}")
     comps = [c for c, _, _ in scan]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -27,6 +27,7 @@ import sys
 import threading
 import time
 import traceback
+import urllib.error
 import urllib.request
 import uuid as uuidlib
 from collections import OrderedDict
@@ -84,12 +85,12 @@ class CoordinatorClient:
             method="POST",
         )
         try:
-            with urllib.request.urlopen(req, timeout=5) as resp:
-                if resp.status >= 400:
-                    print(
-                        f"coordinator returned {resp.status} for {url}",
-                        file=sys.stderr,
-                    )
+            with urllib.request.urlopen(req, timeout=5):
+                pass  # 2xx/3xx — nothing to report
+        except urllib.error.HTTPError as e:
+            # urlopen raises for 4xx/5xx rather than returning a
+            # response object, so the status log lives here
+            print(f"coordinator returned {e.code} for {url}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — notify must never raise
             print(f"cannot connect to {url}: {e}", file=sys.stderr)
 

@@ -349,6 +349,23 @@ def _eval_row(node, row, aggvals):
         if a is None or b is None:
             return None
         if name in _CMP_FNS:
+            # Mirror registry._cmp: the float()/NaN path applies only to
+            # numeric operands; strings compare natively (Spark's UTF8
+            # binary order == Python's codepoint order for the DSL's
+            # ASCII values). A mixed string/number comparison follows
+            # Spark's implicit coercion — the string side casts to
+            # double, a non-numeric string becomes NULL.
+            if isinstance(a, str) != isinstance(b, str):
+                try:
+                    a = float(a) if isinstance(a, str) else a
+                    b = float(b) if isinstance(b, str) else b
+                except ValueError:
+                    return None
+            if isinstance(a, str):
+                return {
+                    "gt": a > b, "ge": a >= b, "lt": a < b,
+                    "le": a <= b, "eq": a == b, "ne": a != b,
+                }[name]
             fa, fb = float(a), float(b)
             if math.isnan(fa) or math.isnan(fb):
                 return name == "ne"
