@@ -80,7 +80,11 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
                 # condition programs
                 "avg(value, 10 sec) > 150",
                 "value > 150 for 30 sec > 2 times",
-                "value > 150 for 30 sec > 5 sec"):
+                "value > 150 for 30 sec > 5 sec",
+                # lag runs in-kernel via delayed resolution (r5)
+                "lag(value, 5 sec) > value",
+                "lag(value) > value",
+                "lag(value, 5 sec) > 150 for 10 sec"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
     # genuinely unsupported shapes still route to the carry buffer
@@ -89,11 +93,13 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
             stream, "value > 150 andThen value < 120 andThen value > 130",
             ["user_id"], "ts", ft,
         )
-    # lag = consume-once + forward bridging: needs the batch compiler
+    # lag state bit-casts doubles: string/untyped inners stay on the
+    # carry buffer where the full batch compiler runs
     with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(stream, "lag(value, 5 sec) > value", ["user_id"], "ts", ft)
-    with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(stream, "lag(value) > value", ["user_id"], "ts", ft)
+        stateful_pattern(
+            stream, "lag(event_type, 5 sec) = 'ok'", ["user_id"], "ts",
+            {**ft, "event_type": "string"},
+        )
 
 
 def test_stateful_incidents_union(spark, events_small, tmp_path):
@@ -121,8 +127,16 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     assert stateful_incidents(stream, job_win).isStreaming
-    job_bad = StreamingPatternJob(
+    # lag routes in-kernel since r5 (delayed resolution)
+    job_lag = StreamingPatternJob(
         patterns=[RawPattern(1, "lag(value, 5 sec) > value")],
+        keys=["user_id"], ts="ts", fields_types={"value": "float64"},
+    )
+    assert stateful_incidents(stream, job_lag).isStreaming
+    job_bad = StreamingPatternJob(
+        patterns=[
+            RawPattern(1, "value > 150 andThen value < 120 andThen value > 130")
+        ],
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     with pytest.raises(ValueError, match="carry-buffer"):
@@ -246,6 +260,74 @@ def test_stateful_windowed_avg_matches_batch(spark, events_small, mk_ts):
             max_gap_ms=GAP_MS, watermark_delay="1 second",
         ),
         "stateful_winavg_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pat", [
+    "lag(value) > value",
+    "lag(value, 5 sec) > value",
+    "lag(value, 7 sec) > 150",
+])
+def test_stateful_lag_matches_batch(spark, events_small, mk_ts, pat):
+    """PreviousValue through the incremental kernel (r4 verdict item 3):
+    lag(x) / lag(x, T) conditions — consume-once emission with the
+    batch compiler's equal-value bridge, resolved via the kernel's
+    pending-row truth tables — equal the batch plan on identical data."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_lag_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+def test_stateful_lag_for_matches_batch(spark, events_small, mk_ts):
+    """lag feeding a `for T` timer through the kernel: the timer SM
+    consumes delayed-resolution conditions via the row/cond queues."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "lag(value, 5 sec) > 150 for 10 sec"
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_lagfor_t",
         flush_tail=("ok",),
         project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
         expected=batch,

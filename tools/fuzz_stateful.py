@@ -39,6 +39,12 @@ def gen_pattern(rng: random.Random) -> str:
                 f"max(value, {rng.choice([5, 10])} sec) - "
                 f"min(value, 5 sec) > {rng.choice([20, 50])}",
                 f"count(value, 10 sec) >= {rng.choice([5, 9])}",
+                # lag: delayed-resolution pending rows + equal-value bridge
+                f"lag(value) > {thr}",
+                f"lag(value, {rng.choice([3, 5, 10])} sec) > {thr}",
+                f"lag(value, 5 sec) > value",
+                f"lag(value, {rng.choice([3, 7])} sec) - value "
+                f"> {rng.choice([-20, 0, 20])}",
             ]
         )
 

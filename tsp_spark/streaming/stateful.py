@@ -25,10 +25,14 @@ window-frame order) rather than via running add/subtract accumulators,
 so streamed values are bit-identical to the batch plan — the
 reference's running-sum trade (FP drift for O(1) math) is documented
 here but not taken, because the oracle harness compares exact values.
-``lag`` (PreviousValue) stays on the carry buffer: its batch semantics
-are consume-once emission with forward-looking equal-value bridging,
-which needs the NEXT emission — unbounded lookahead a streaming kernel
-doesn't have.
+``lag`` (PreviousValue.scala:42-73) runs in-kernel via DELAYED
+resolution: the batch compiler's forward-looking equal-value bridge
+needs the NEXT emission, but both candidate outcomes of a non-emitted
+row (bridged-to-previous-emission vs absent) are known at the row, so
+the row pends as a 2^k truth table over its undecided lag terms and
+resolves at the next emission, a series split, or state timeout.
+Pattern state machines then consume conditions through per-spec
+row/cond queues that advance strictly in row order.
 
 State encoding: each machine serializes to a list[int] (epoch millis
 and indices; -1 encodes None; doubles bit-cast to int64), one
@@ -244,12 +248,18 @@ class _AndThenSM:
 _CMP_FNS = {"gt", "ge", "lt", "le", "eq", "ne"}
 _ARITH_FNS = {"add", "sub", "mul", "div"}
 _BOOL_FNS = {"and", "or", "xor", "not"}
-# lag (PreviousValue) is deliberately ABSENT: the batch compiler gives it
-# consume-once emission with forward-looking equal-value bridging
-# (SegmentizerPattern) — the bridge needs the NEXT emission, which a
-# streaming kernel cannot see without unbounded lookahead, so lag
-# patterns stay on the carry buffer where the full batch compiler runs.
 _AGG_KINDS = {"avg", "sum", "count", "min", "max"}
+# lag (PreviousValue.scala:42-73) is supported via DELAYED resolution:
+# the batch compiler's forward-looking equal-value bridge (a non-emitted
+# row inherits the previous emission's value iff the NEXT emission
+# equals it) can't be decided at the row — but the two possible
+# outcomes CAN: the bridge value is always the previous emission, known
+# at the row. So a row whose lag term has no emission pends as a tiny
+# truth table over {bridged, absent}, resolved at the next emission
+# (equal → bridged), a >maxGap split, or state timeout (→ absent, the
+# batch null next_v). Pending rows are bounded by the events between
+# two consecutive emissions — window occupancy, never stream length.
+_LAG_KIND = "lag"
 
 
 def _contains_agg(node) -> bool:
@@ -267,6 +277,30 @@ def _contains_agg(node) -> bool:
         v = getattr(node, f.name)
         for x in v if isinstance(v, tuple) else (v,):
             if isinstance(x, A.Node) and _contains_agg(x):
+                return True
+    return False
+
+
+def _contains_nonnumeric(node) -> bool:
+    """Any string-typed (or type-unknown) leaf under ``node``? Lag state
+    bit-casts values to int64 doubles, so only known-numeric inners are
+    kernel-eligible; everything else keeps the carry-buffer route."""
+    import dataclasses
+
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, A.Identifier):
+        return node.dtype is None or node.dtype == "string"
+    if isinstance(node, A.Constant):
+        return isinstance(node.value, str)
+    if isinstance(node, A.Cast) and node.dtype == "string":
+        return True
+    if not dataclasses.is_dataclass(node):
+        return False
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        for x in v if isinstance(v, tuple) else (v,):
+            if isinstance(x, A.Node) and _contains_nonnumeric(x):
                 return True
     return False
 
@@ -402,6 +436,9 @@ class _SlidingAggState:
     def __init__(self):
         self.q: list[tuple[int, float]] = []
 
+    def reset(self):
+        self.q.clear()
+
     def encode(self) -> list[int]:
         out = [len(self.q)]
         for ms, v in self.q:
@@ -419,25 +456,96 @@ class _SlidingAggState:
         return obj, pos
 
 
-class _WindowedCondProgram:
-    """Boolean condition containing windowed aggregate terms, evaluated
-    incrementally per event (GroupPattern.scala:56-93 accumulator shape):
-    avg/sum/count/min/max(x, T) over the half-open trailing window
-    (t−W, t] — the batch compiler's `_w_range(W−1)` frame — with values
-    recomputed from the deque in event order so they're bit-identical
-    to the batch plan. Windows are SERIES-scoped like every batch
-    window (partitionBy(keys, series)): a >maxGap split clears the
-    deques, mirroring the reference's per-sub-series state reset
-    (PatternProcessor.scala:33-56).
+class _Lag1State:
+    """PreviousValue with the 1-event window (``lag(x)``): the previous
+    row's inner value, None when absent/Fail (PreviousValue.scala:57 —
+    the queue drops Fail entries without emitting)."""
 
-    Config-only object; per-key state is passed in/out explicitly.
+    __slots__ = ("prev",)
+
+    def __init__(self):
+        self.prev: float | None = None
+
+    def reset(self):
+        self.prev = None
+
+    def encode(self) -> list[int]:
+        return [0, 0] if self.prev is None else [1, _fbits(self.prev)]
+
+    @classmethod
+    def decode(cls, st: list[int], pos: int) -> tuple["_Lag1State", int]:
+        obj = cls()
+        if st[pos]:
+            obj.prev = _bitsf(st[pos + 1])
+        return obj, pos + 2
+
+
+class _LagTState:
+    """``lag(x, T)`` consume-once state (PreviousValue.scala:42-73): the
+    queue of values not yet emitted (ms > now − T) plus the previous
+    emission — the bridge candidate for rows pending resolution."""
+
+    __slots__ = ("q", "prev", "has_prev")
+
+    def __init__(self):
+        self.q: list[tuple[int, float]] = []
+        self.prev: float = 0.0
+        self.has_prev: bool = False
+
+    def reset(self):
+        self.q.clear()
+        self.prev, self.has_prev = 0.0, False
+
+    def encode(self) -> list[int]:
+        out = [1 if self.has_prev else 0, _fbits(self.prev), len(self.q)]
+        for ms, v in self.q:
+            out.extend((ms, _fbits(v)))
+        return out
+
+    @classmethod
+    def decode(cls, st: list[int], pos: int) -> tuple["_LagTState", int]:
+        obj = cls()
+        obj.has_prev = bool(st[pos])
+        obj.prev = _bitsf(st[pos + 1])
+        n = st[pos + 2]
+        pos += 3
+        for _ in range(n):
+            obj.q.append((st[pos], _bitsf(st[pos + 1])))
+            pos += 2
+        return obj, pos
+
+
+class _WindowedCondProgram:
+    """Boolean condition containing windowed aggregate and/or lag terms,
+    evaluated incrementally per event (GroupPattern.scala:56-93
+    accumulator shape): avg/sum/count/min/max(x, T) over the half-open
+    trailing window (t−W, t] — the batch compiler's `_w_range(W−1)`
+    frame — with values recomputed from the deque in event order so
+    they're bit-identical to the batch plan. Windows are SERIES-scoped
+    like every batch window (partitionBy(keys, series)): a >maxGap
+    split clears the deques, mirroring the reference's per-sub-series
+    state reset (PatternProcessor.scala:33-56).
+
+    ``lag(x, T)`` (PreviousValue.scala:42-73) makes the program
+    PENDING-CAPABLE (``can_pend``): a row whose lag frame
+    (t_prev−T, t−T] holds no value is non-emitted, and the batch
+    compiler's SegmentizerPattern bridge gives it the previous
+    emission's value iff the NEXT emission equals it. The next emission
+    isn't known yet, but both candidate outcomes are, so the row pends
+    as a truth table over its undecided lag terms and resolves at the
+    next emission / series split / timeout. ``feed`` therefore returns
+    the list of NEWLY DECIDED condition values (possibly empty, possibly
+    covering several older rows), in row order.
+
+    Config-only object; per-key state is passed in/out explicitly as
+    ``[term states…, pending rows]``.
     """
 
     def __init__(self, node):
         self.node = node
         self.aggs = _collect_aggs(node)
         for a in self.aggs:
-            if a.kind not in _AGG_KINDS:
+            if a.kind not in _AGG_KINDS and a.kind != _LAG_KIND:
                 raise ValueError(
                     f"windowed aggregate '{a.kind}' is not supported by "
                     f"the incremental kernel — use the carry-buffer "
@@ -449,32 +557,119 @@ class _WindowedCondProgram:
                     "incremental kernel — use the carry-buffer streaming "
                     "mode (streaming/job.py)"
                 )
+            if a.kind == _LAG_KIND and _contains_nonnumeric(a.inner):
+                raise ValueError(
+                    "lag over string/untyped values is not supported by "
+                    "the incremental kernel — use the carry-buffer "
+                    "streaming mode (streaming/job.py)"
+                )
+        self.can_pend = any(
+            a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
+        )
+
+    def _mk_state(self, a):
+        if a.kind != _LAG_KIND:
+            return _SlidingAggState()
+        return _Lag1State() if a.window_ms == 0 else _LagTState()
 
     # -- state ------------------------------------------------------------
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
         objs = []
-        for _ in self.aggs:
-            obj, pos = _SlidingAggState.decode(st, pos)
+        for a in self.aggs:
+            cls = type(self._mk_state(a))
+            obj, pos = cls.decode(st, pos)
             objs.append(obj)
+        pending = []
+        n = st[pos]
+        pos += 1
+        for _ in range(n):
+            k = st[pos]
+            und = list(st[pos + 1 : pos + 1 + k])
+            pos += 1 + k
+            table = [
+                None if x == 0 else bool(x - 1)
+                for x in st[pos : pos + (1 << k)]
+            ]
+            pos += 1 << k
+            pending.append([und, table])
+        objs.append(pending)
         return objs, pos
 
     def init(self) -> list:
-        return [_SlidingAggState() for _ in self.aggs]
+        return [self._mk_state(a) for a in self.aggs] + [[]]
 
     @staticmethod
     def dump(objs: list) -> list[int]:
         out: list[int] = []
-        for o in objs:
+        for o in objs[:-1]:
             out.extend(o.encode())
+        pending = objs[-1]
+        out.append(len(pending))
+        for und, table in pending:
+            out.append(len(und))
+            out.extend(und)
+            out.extend(0 if v is None else 1 + int(bool(v)) for v in table)
         return out
 
     # -- evaluation -------------------------------------------------------
-    def step(self, objs: list, ms: int, row, gap_split: bool) -> object:
+    @staticmethod
+    def _resolve(pending: list, ti: int, bridge: bool) -> None:
+        """Fix lag term ``ti``'s outcome in every pending row's table."""
+        for entry in pending:
+            und, table = entry
+            if ti not in und:
+                continue
+            p = und.index(ti)
+            new_table = []
+            for m in range(1 << (len(und) - 1)):
+                low = m & ((1 << p) - 1)
+                high = (m >> p) << (p + 1)
+                new_table.append(table[high | (int(bridge) << p) | low])
+            und.pop(p)
+            entry[1] = new_table
+
+    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        out: list = []
+        pending = objs[-1]
+        if gap_split:
+            # the old sub-series ends here: unresolved bridges get the
+            # batch's null next_v (windows are series-scoped) → absent
+            out.extend(self.drain(objs))
+            for o in objs[:-1]:
+                o.reset()
         aggvals: dict[int, object] = {}
-        for a, o in zip(self.aggs, objs):
-            if gap_split:
-                o.q.clear()  # batch windows are series-scoped
+        undecided: list[int] = []
+        for i, (a, o) in enumerate(zip(self.aggs, objs)):
             iv = _eval_row(a.inner, row, {})
+            if a.kind == _LAG_KIND and a.window_ms == 0:
+                # previous row's value; absent when none or Fail
+                aggvals[id(a)] = o.prev
+                o.prev = None if iv is None else float(iv)
+                continue
+            if a.kind == _LAG_KIND:
+                # consume-once: pop every value with ms' ≤ t−T; the last
+                # popped is this row's emission (the newest value in the
+                # half-open frame (t_prev−T, t−T])
+                lo = ms - a.window_ms
+                emit_val, emitted = 0.0, False
+                while o.q and o.q[0][0] <= lo:
+                    emitted, emit_val = True, o.q.pop(0)[1]
+                if emitted:
+                    bridge = (
+                        o.has_prev
+                        and not math.isnan(o.prev)
+                        and o.prev == emit_val
+                    )
+                    self._resolve(pending, i, bridge)
+                    o.prev, o.has_prev = emit_val, True
+                    aggvals[id(a)] = emit_val
+                elif not o.has_prev or math.isnan(o.prev):
+                    aggvals[id(a)] = None  # no bridge candidate: absent
+                else:
+                    undecided.append(i)
+                if iv is not None:
+                    o.q.append((ms, float(iv)))
+                continue
             # trailing (t−W, t] frame: admit current, evict ms ≤ t−W
             if iv is not None:
                 o.q.append((ms, float(iv)))
@@ -494,7 +689,28 @@ class _WindowedCondProgram:
                 aggvals[id(a)] = min(vals, key=_nan_key)
             else:  # max
                 aggvals[id(a)] = max(vals, key=_nan_key)
-        return _eval_row(self.node, row, aggvals)
+        # one outcome per hypothesis over this row's undecided lag terms
+        table = []
+        for mask in range(1 << len(undecided)):
+            av = dict(aggvals)
+            for b, ti in enumerate(undecided):
+                av[id(self.aggs[ti])] = (
+                    objs[ti].prev if (mask >> b) & 1 else None
+                )
+            v = _eval_row(self.node, row, av)
+            table.append(None if v is None else bool(v))
+        pending.append([undecided, table])
+        while pending and len(pending[0][1]) == 1:
+            out.append(pending.pop(0)[1][0])
+        return out
+
+    def drain(self, objs: list) -> list:
+        """Resolve every pending row with no future emission (series end
+        / timeout): all undecided terms collapse to absent — mask 0."""
+        pending = objs[-1]
+        out = [table[0] for _, table in pending]
+        pending.clear()
+        return out
 
 
 def _seq_sum(vals: list[float]) -> float:
@@ -533,19 +749,33 @@ class _TruthStatProgram:
         self.hi = hi
         self.kind = kind
         self.exactly = exactly
+        self.can_pend = (
+            isinstance(inner, _WindowedCondProgram) and inner.can_pend
+        )
 
+    # objs layout: [q, iobjs, series_start, arr_prev_ms, meta]
+    # meta holds (ms, delta, gap) for arrived rows whose inner condition
+    # is still pending (lag inners decide late); deltas are fixed at
+    # ARRIVAL so late processing sees the same inter-event spacing.
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
         series_start = _dec(st[pos])
-        prev_ms = _dec(st[pos + 1])
+        arr_prev = _dec(st[pos + 1])
         n = st[pos + 2]
         pos += 3
         q = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(n)]
         pos += 2 * n
+        nm = st[pos]
+        pos += 1
+        meta = [
+            (st[pos + 3 * i], st[pos + 3 * i + 1], st[pos + 3 * i + 2])
+            for i in range(nm)
+        ]
+        pos += 3 * nm
         if isinstance(self.inner, _WindowedCondProgram):
             iobjs, pos = self.inner.load(st, pos)
         else:
             iobjs = None
-        return [q, iobjs, series_start, prev_ms], pos
+        return [q, iobjs, series_start, arr_prev, meta], pos
 
     def init(self) -> list:
         return [
@@ -555,49 +785,70 @@ class _TruthStatProgram:
             else None,
             None,
             None,
+            [],
         ]
 
     def dump(self, objs: list) -> list[int]:
-        q, iobjs, series_start, prev_ms = objs
-        out = [_enc(series_start), _enc(prev_ms), len(q)]
+        q, iobjs, series_start, arr_prev, meta = objs
+        out = [_enc(series_start), _enc(arr_prev), len(q)]
         for ms, c in q:
             out.extend((ms, c))
+        out.append(len(meta))
+        for ms, d, g in meta:
+            out.extend((ms, d, g))
         if isinstance(self.inner, _WindowedCondProgram):
             out.extend(self.inner.dump(iobjs))
         return out
 
-    def step(self, objs: list, ms: int, row, gap_split: bool) -> object:
-        q, iobjs, series_start, prev_ms = objs
-        if gap_split:
-            q = []
-            series_start, prev_ms = None, None
-        if series_start is None:
-            series_start = ms
+    def _process(self, objs: list, decided: list) -> list:
+        """Run the deque/statistic update for each newly decided inner
+        condition, consuming arrival metas in row order."""
+        out = []
+        q, meta = objs[0], objs[4]
+        for cv in decided:
+            m_ms, m_delta, m_gap = meta.pop(0)
+            if m_gap:
+                q = []
+                objs[2] = None
+            if objs[2] is None:
+                objs[2] = m_ms
+            truthy = cv is not None and bool(cv)
+            if self.kind == "times":
+                contrib = 1 if truthy else 0
+            else:  # 'time': inter-event delta, series head contributes 0
+                contrib = m_delta if truthy else 0
+            q.append((m_ms, contrib))
+            lo_ms = m_ms - self.window_ms
+            while q and q[0][0] < lo_ms:
+                q.pop(0)
+            stat = sum(c for _, c in q)
+            ok = True
+            if self.lo is not None and self.lo > 0:
+                ok = ok and stat >= self.lo
+            if self.hi is not None:
+                ok = ok and stat <= self.hi
+            if self.exactly:
+                ok = ok and (m_ms - objs[2] >= self.window_ms)
+            out.append(ok)
+        objs[0] = q
+        return out
+
+    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        arr_prev = objs[3]
+        delta = 0 if (gap_split or arr_prev is None) else ms - arr_prev
+        objs[3] = ms
+        objs[4].append((ms, delta, 1 if gap_split else 0))
         if isinstance(self.inner, _WindowedCondProgram):
-            cv = self.inner.step(iobjs, ms, row, gap_split)
+            decided = self.inner.feed(objs[1], ms, row, gap_split)
         else:
             v = row[self.inner]
-            cv = (not pd.isna(v)) and bool(v)
-        truthy = cv is not None and bool(cv)
-        if self.kind == "times":
-            contrib = 1 if truthy else 0
-        else:  # 'time': inter-event delta, series head contributes 0
-            delta = 0 if prev_ms is None else ms - prev_ms
-            contrib = delta if truthy else 0
-        q.append((ms, contrib))
-        lo_ms = ms - self.window_ms
-        while q and q[0][0] < lo_ms:
-            q.pop(0)
-        stat = sum(c for _, c in q)
-        ok = True
-        if self.lo is not None and self.lo > 0:
-            ok = ok and stat >= self.lo
-        if self.hi is not None:
-            ok = ok and stat <= self.hi
-        if self.exactly:
-            ok = ok and (ms - series_start >= self.window_ms)
-        objs[0], objs[2], objs[3] = q, series_start, ms
-        return ok
+            decided = [(not pd.isna(v)) and bool(v)]
+        return self._process(objs, decided)
+
+    def drain(self, objs: list) -> list:
+        if isinstance(self.inner, _WindowedCondProgram):
+            return self._process(objs, self.inner.drain(objs[1]))
+        return []
 
 
 @dataclass
@@ -650,20 +901,50 @@ def stateful_multi(
     def _programs(spec):
         return [c for c in spec.cond_cols if not isinstance(c, str)]
 
+    def _buffered(spec):
+        """Any pending-capable cond source? Then row/cond queues must be
+        part of the serialized state (they can span micro-batches).
+        Non-buffered specs drain their queues within every row, so the
+        queues are always empty at pack time and aren't encoded."""
+        return any(
+            not isinstance(c, str) and c.can_pend for c in spec.cond_cols
+        )
+
     def _unpack_state(spec, arr):
-        """[len(sm_st)] + sm_st + program states → (sm_st, prog_objs)."""
+        """[len(sm_st)] + sm_st (+ rowq + per-source cond queues if
+        buffered) + program states → (sm_st, rowq, srcqs, prog_objs)."""
         arr = list(arr)
         n = arr[0]
         sm_st = arr[1 : 1 + n]
         pos = 1 + n
+        rowq: list = []
+        srcqs = [[] for _ in spec.cond_cols]
+        if _buffered(spec):
+            nq = arr[pos]
+            pos += 1
+            for _ in range(nq):
+                rowq.append((arr[pos], arr[pos + 1], _dec(arr[pos + 2])))
+                pos += 3
+            for j in range(len(spec.cond_cols)):
+                nv = arr[pos]
+                pos += 1
+                srcqs[j] = [bool(x) for x in arr[pos : pos + nv]]
+                pos += nv
         prog_objs = []
         for prog in _programs(spec):
             objs, pos = prog.load(arr, pos)
             prog_objs.append(objs)
-        return sm_st, prog_objs
+        return sm_st, rowq, srcqs, prog_objs
 
-    def _pack_state(spec, sm_st, prog_objs):
+    def _pack_state(spec, sm_st, rowq, srcqs, prog_objs):
         out = [len(sm_st)] + [int(x) for x in sm_st]
+        if _buffered(spec):
+            out.append(len(rowq))
+            for ms, gap, lst in rowq:
+                out.extend((ms, gap, _enc(lst)))
+            for sq in srcqs:
+                out.append(len(sq))
+                out.extend(int(v) for v in sq)
         for prog, objs in zip(_programs(spec), prog_objs):
             out.extend(prog.dump(objs))
         return out
@@ -678,19 +959,51 @@ def stateful_multi(
                 f, t_, n = it
                 closed.append((spec.pattern_id, spec.subunit, *key, f, t_, n))
 
+        def advance(i, spec):
+            """Step the SM with every queued row whose cond sources have
+            all decided — rows feed strictly in arrival order."""
+            sq = srcqs[i]
+            while rowqs[i] and all(sq):
+                ms0, gap0, last0 = rowqs[i].pop(0)
+                conds = [sq[j].pop(0) for j in range(len(sq))]
+                if isinstance(spec.sm, _AndThenSM):
+                    sts[i], items = spec.sm.step(
+                        sts[i], ms0, conds, bool(gap0), last0
+                    )
+                else:
+                    sts[i], items = spec.sm.step(sts[i], ms0, conds, bool(gap0))
+                emit(spec, items)
+
         if state.hasTimedOut:
             if state.exists:
                 got = state.get
                 last = got[0]
+                sts, rowqs, srcqs = [None] * len(specs), [], []
                 for i, spec in enumerate(specs):
-                    st, _objs = _unpack_state(spec, got[1 + i])
+                    st, rowq, sq, objs = _unpack_state(spec, got[1 + i])
+                    sts[i] = st
+                    rowqs.append(rowq)
+                    srcqs.append(sq)
+                    # no more data is coming: pending rows resolve absent
+                    pi = 0
+                    for j, c in enumerate(spec.cond_cols):
+                        if not isinstance(c, str):
+                            sq[j].extend(
+                                False if v is None else bool(v)
+                                for v in c.drain(objs[pi])
+                            )
+                            pi += 1
+                    advance(i, spec)
                     if isinstance(spec.sm, _AndThenSM):
                         emit(
                             spec,
-                            [(f, t_, None) for f, t_, _ in spec.sm.flush(st, last)],
+                            [
+                                (f, t_, None)
+                                for f, t_, _ in spec.sm.flush(sts[i], last)
+                            ],
                         )
                     else:
-                        emit(spec, spec.sm.flush(st))
+                        emit(spec, spec.sm.flush(sts[i]))
             state.remove()
             yield _pdf(closed, out_cols)
             return
@@ -698,14 +1011,18 @@ def stateful_multi(
         if state.exists:
             got = state.get
             last = _dec(got[0])
-            sts, progs = [], []
+            sts, rowqs, srcqs, progs = [], [], [], []
             for i, spec in enumerate(specs):
-                st, objs = _unpack_state(spec, got[1 + i])
+                st, rowq, sq, objs = _unpack_state(spec, got[1 + i])
                 sts.append(st)
+                rowqs.append(rowq)
+                srcqs.append(sq)
                 progs.append(objs)
         else:
             last = None
             sts = [spec.sm.init() for spec in specs]
+            rowqs = [[] for _ in specs]
+            srcqs = [[[] for _ in spec.cond_cols] for spec in specs]
             progs = [
                 [prog.init() for prog in _programs(spec)] for spec in specs
             ]
@@ -715,28 +1032,26 @@ def stateful_multi(
             ms = int(row[ts].value // 1_000_000)
             gap_split = last is not None and ms - last > max_gap_ms
             for i, spec in enumerate(specs):
-                conds = []
+                rowqs[i].append((ms, 1 if gap_split else 0, last))
                 pi = 0
-                for c in spec.cond_cols:
+                for j, c in enumerate(spec.cond_cols):
                     if isinstance(c, str):
                         v = row[c]
-                        conds.append((not pd.isna(v)) and bool(v))
+                        srcqs[i][j].append((not pd.isna(v)) and bool(v))
                     else:
-                        v = c.step(progs[i][pi], ms, row, gap_split)
+                        decided = c.feed(progs[i][pi], ms, row, gap_split)
                         pi += 1
-                        conds.append(bool(v) if v is not None else False)
-                if isinstance(spec.sm, _AndThenSM):
-                    sts[i], items = spec.sm.step(sts[i], ms, conds, gap_split, last)
-                else:
-                    sts[i], items = spec.sm.step(sts[i], ms, conds, gap_split)
-                emit(spec, items)
+                        srcqs[i][j].extend(
+                            False if v is None else bool(v) for v in decided
+                        )
+                advance(i, spec)
             last = ms
 
         state.update(
             (
                 last,
                 *[
-                    _pack_state(spec, sts[i], progs[i])
+                    _pack_state(spec, sts[i], rowqs[i], srcqs[i], progs[i])
                     for i, spec in enumerate(specs)
                 ],
             )
@@ -832,13 +1147,14 @@ def build_spec(
     """Compile a DSL pattern into (stream + cond sources, PatternSpec)
     for the multi kernel. Row-level booleans compile to JVM columns (the
     fast path); booleans containing windowed aggregates (``avg(x, T)``
-    and friends) become sliding condition programs evaluated inside the
-    kernel, and ``for T <op> N times`` / ``<op> T'`` becomes a truth-
-    stat program (WindowStatistic) with the compiler's full-window
-    "exactly" gate. Raises ValueError only for shapes that genuinely
-    need the carry-buffer mode (streaming/job.py): nested andThen, lag
-    (consume-once + bridging semantics), until/wait, nested window
-    aggregates."""
+    and friends) or lag terms (``lag(x[, T])``, delayed-resolution —
+    see _WindowedCondProgram) become sliding condition programs
+    evaluated inside the kernel, and ``for T <op> N times`` / ``<op>
+    T'`` becomes a truth-stat program (WindowStatistic) with the
+    compiler's full-window "exactly" gate. Raises ValueError only for
+    shapes that genuinely need the carry-buffer mode (streaming/job.py):
+    nested andThen, until/wait, nested window aggregates, lag over
+    string/untyped values."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
