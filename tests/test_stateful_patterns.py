@@ -84,21 +84,24 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
                 # lag runs in-kernel via delayed resolution (r5)
                 "lag(value, 5 sec) > value",
                 "lag(value) > value",
-                "lag(value, 5 sec) > 150 for 10 sec"):
+                "lag(value, 5 sec) > 150 for 10 sec",
+                # left-associative andThen chains run in-kernel (r5)
+                "value > 150 andThen value < 120 andThen value > 130"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
-    # genuinely unsupported shapes still route to the carry buffer
-    with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(
-            stream, "value > 150 andThen value < 120 andThen value > 130",
-            ["user_id"], "ts", ft,
-        )
     # lag state bit-casts doubles: string/untyped inners stay on the
     # carry buffer where the full batch compiler runs
     with pytest.raises(ValueError, match="carry-buffer"):
         stateful_pattern(
             stream, "lag(event_type, 5 sec) = 'ok'", ["user_id"], "ts",
             {**ft, "event_type": "string"},
+        )
+    # right-NESTED andThen compiles in batch as a boolean interval
+    # semi-join — different semantics — and stays on the carry buffer
+    with pytest.raises(ValueError, match="carry-buffer"):
+        stateful_pattern(
+            stream, "value > 150 andThen (value < 120 andThen value > 130)",
+            ["user_id"], "ts", ft,
         )
 
 
@@ -133,11 +136,18 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     assert stateful_incidents(stream, job_lag).isStreaming
-    job_bad = StreamingPatternJob(
+    # left-assoc chains route in-kernel since r5
+    job_chain = StreamingPatternJob(
         patterns=[
             RawPattern(1, "value > 150 andThen value < 120 andThen value > 130")
         ],
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
+    )
+    assert stateful_incidents(stream, job_chain).isStreaming
+    job_bad = StreamingPatternJob(
+        patterns=[RawPattern(1, "lag(event_type, 5 sec) = 'ok'")],
+        keys=["user_id"], ts="ts",
+        fields_types={"value": "float64", "event_type": "string"},
     )
     with pytest.raises(ValueError, match="carry-buffer"):
         stateful_incidents(stream, job_bad)
@@ -262,6 +272,41 @@ def test_stateful_windowed_avg_matches_batch(spark, events_small, mk_ts):
         "stateful_winavg_t",
         flush_tail=("ok",),
         project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pat", [
+    "value < 120 andThen value > 150 andThen value < 120",
+    "value < 120 andThen value > 150 andThen value < 120 andThen value > 150",
+])
+def test_stateful_andthen_chain_matches_batch(spark, events_small, mk_ts, pat):
+    """Left-associative nested andThen through the generalized chain SM
+    (r4 verdict item 4): stage-by-stage sequence joins equal the batch
+    compiler's folded and_then_intervals on identical data."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ),
+        "stateful_chain_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
         expected=batch,
     )
     assert batch <= got, f"missing {sorted(batch - got)[:5]}"

@@ -48,7 +48,7 @@ def gen_pattern(rng: random.Random) -> str:
             ]
         )
 
-    kind = rng.randrange(5)
+    kind = rng.randrange(6)
     if kind == 0:
         return cond()
     if kind == 1:
@@ -58,7 +58,17 @@ def gen_pattern(rng: random.Random) -> str:
         return f"{cond()} for 20 sec {op} {rng.choice([2, 4])} times"
     if kind == 3:
         return f"{cond()} for 20 sec > {rng.choice([4, 8])} sec"
-    return f"value > 150 andThen value < {rng.choice([100, 120])}"
+    if kind == 4:
+        return f"value > 150 andThen value < {rng.choice([100, 120])}"
+    # left-assoc chain through the generalized stage SM
+    mid = rng.choice(["value > 150", "value > 180", "avg(value, 5 sec) > 150"])
+    chain = (
+        f"value < {rng.choice([120, 140])} andThen {mid} "
+        f"andThen value < {rng.choice([120, 140])}"
+    )
+    if rng.random() < 0.3:
+        chain += " andThen value > 150"
+    return chain
 
 
 def gen_series(rng: random.Random, spark):

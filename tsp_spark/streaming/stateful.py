@@ -137,109 +137,151 @@ class _TimerSM:
 
 
 class _AndThenSM:
-    """AndThen sequence join (AndThenPattern.scala:69-88 via
-    ops/sequence.py): closed A-runs pair 1:1 with the earliest closed
-    B-run satisfying ``b_si <= a_ei + 1 AND b_ei >= a_si`` within one
-    gap-delimited sub-series; a split resets everything. Pending runs
-    are pruned the moment no future counterpart can match; consumed
-    B-runs stay as tombstones so a later A whose earliest satisfying B
-    was taken stays unmatched — the batch row_number pairing.
+    """AndThen sequence-join chain (AndThenPattern.scala:69-88 via
+    ops/sequence.py), generalized to the left-associative n-condition
+    chain ``c0 andThen c1 andThen … andThen c(n−1)`` exactly as the
+    batch compiler folds it: stage j sequence-joins the interval table
+    produced by stages < j with the closed runs of cond j.
 
-    State layout: [next_idx, a_si, a_from, b_si, b_from,
-                   n_pend_a, (a 4-tuples…), (b 5-tuples…)]
+    Per stage, left intervals pair 1:1 with the earliest closed right
+    run satisfying ``r_si <= l_ei + 1 AND r_ei >= l_si`` within one
+    gap-delimited sub-series; a split resets everything. Pending
+    entries are pruned the moment no future counterpart can match;
+    consumed right runs stay as tombstones so a later left interval
+    whose earliest satisfying run was taken stays unmatched — the batch
+    double row_number pairing. A matched pair forwards
+    ``(l_si, max(l_ei, r_ei), l_from, r_to)`` to the next stage
+    (and_then_intervals' output columns); the last stage emits.
+
+    State layout: [next_idx, open0_si, open0_from,
+                   per stage j=1..n−1: (open_si, open_from, n_l, n_r,
+                   l 4-tuples…, r 5-tuples…)]
     """
 
-    n_conds = 2
+    def __init__(self, n_conds: int = 2):
+        self.n_conds = n_conds
 
     def init(self) -> list[int]:
-        return [1, _NONE, _NONE, _NONE, _NONE, 0]
+        out = [1, _NONE, _NONE]
+        for _ in range(self.n_conds - 1):
+            out.extend((_NONE, _NONE, 0, 0))
+        return out
 
-    @staticmethod
-    def _unpack(st):
+    def _unpack(self, st):
         next_idx = st[0]
-        a_open = (st[1], st[2]) if st[1] != _NONE else None
-        b_open = (st[3], st[4]) if st[3] != _NONE else None
-        n_a = st[5]
-        flat = st[6:]
-        pend_a = [tuple(flat[i : i + 4]) for i in range(0, n_a * 4, 4)]
-        rest = flat[n_a * 4 :]
-        pend_b = [tuple(rest[i : i + 5]) for i in range(0, len(rest), 5)]
-        return next_idx, a_open, b_open, pend_a, pend_b
+        open0 = (st[1], st[2]) if st[1] != _NONE else None
+        pos = 3
+        stages = []
+        for _ in range(self.n_conds - 1):
+            op = (st[pos], st[pos + 1]) if st[pos] != _NONE else None
+            n_l, n_r = st[pos + 2], st[pos + 3]
+            pos += 4
+            pend_l = [tuple(st[pos + 4 * i : pos + 4 * i + 4]) for i in range(n_l)]
+            pos += 4 * n_l
+            pend_r = [tuple(st[pos + 5 * i : pos + 5 * i + 5]) for i in range(n_r)]
+            pos += 5 * n_r
+            stages.append([op, pend_l, pend_r])
+        return next_idx, open0, stages
 
     @staticmethod
-    def _pack(next_idx, a_open, b_open, pend_a, pend_b):
+    def _pack(next_idx, open0, stages):
         st = [
             next_idx,
-            a_open[0] if a_open else _NONE,
-            a_open[1] if a_open else _NONE,
-            b_open[0] if b_open else _NONE,
-            b_open[1] if b_open else _NONE,
-            len(pend_a),
+            open0[0] if open0 else _NONE,
+            open0[1] if open0 else _NONE,
         ]
-        for a in pend_a:
-            st.extend(a)
-        for b in pend_b:
-            st.extend(b)
+        for op, pend_l, pend_r in stages:
+            st.extend(
+                (
+                    op[0] if op else _NONE,
+                    op[1] if op else _NONE,
+                    len(pend_l),
+                    len(pend_r),
+                )
+            )
+            for a in pend_l:
+                st.extend(a)
+            for b in pend_r:
+                st.extend(b)
         return [int(x) for x in st]
 
     @staticmethod
-    def _match(pend_a, pend_b, matched):
-        out_a = []
-        for a in pend_a:
-            a_si, a_ei, a_from, _a_to = a
+    def _match(pend_l, pend_r, fwd):
+        out_l = []
+        for a in pend_l:
+            l_si, l_ei, l_from, _l_to = a
             hit = next(
-                (b for b in pend_b if b[0] <= a_ei + 1 and b[1] >= a_si), None
+                (b for b in pend_r if b[0] <= l_ei + 1 and b[1] >= l_si), None
             )
             if hit is None:
-                out_a.append(a)  # earliest satisfying B not closed yet
+                out_l.append(a)  # earliest satisfying run not closed yet
             elif not hit[4]:
-                matched.append((a_from, hit[3], None))
-                pend_b[pend_b.index(hit)] = (*hit[:4], 1)
-            # else: earliest satisfying B already consumed → A dead
-        return out_a
+                fwd.append((l_si, max(l_ei, hit[1]), l_from, hit[3]))
+                pend_r[pend_r.index(hit)] = (*hit[:4], 1)
+            # else: earliest satisfying run already consumed → left dead
+        return out_l
+
+    def _cascade(self, next_idx, open0, stages, idx, ms, conds, last):
+        """One row through every stage; returns final-stage matches."""
+        fwd: list[tuple] = []
+        c0 = conds[0]
+        if open0 and not c0:
+            fwd.append((open0[0], idx - 1, open0[1], last))
+            open0 = None
+        if c0 and not open0:
+            open0 = (idx, ms)
+        # floor of any FUTURE left interval si arriving at stage j+1:
+        # stage 0's open run (else the next unseen index), then the min
+        # over earlier stages' still-pending lefts (their matches keep
+        # the left si)
+        fl = open0[0] if open0 else next_idx
+        for j, stage in enumerate(stages):
+            op, pend_l, pend_r = stage
+            cj = conds[j + 1]
+            if op and not cj:
+                pend_r.append((op[0], idx - 1, op[1], last, 0))
+                op = None
+            if cj and not op:
+                op = (idx, ms)
+            pend_l.extend(fwd)
+            fwd = []
+            pend_l = self._match(pend_l, pend_r, fwd)
+            # prune: the earliest future right run starts at op.si (if
+            # open) else >= next_idx; a right run (tombstone or not)
+            # whose ei precedes every possible future left si is dead
+            r_floor = op[0] if op else next_idx
+            pend_l = [a for a in pend_l if a[1] + 1 >= r_floor]
+            pend_r[:] = [b for b in pend_r if b[1] >= fl]
+            fl = min([a[0] for a in pend_l] + [fl])
+            stage[0], stage[1] = op, pend_l
+        return open0, fwd
 
     def step(self, st, ms, conds, gap_split, last):
-        next_idx, a_open, b_open, pend_a, pend_b = self._unpack(st)
+        next_idx, open0, stages = self._unpack(st)
         matched: list[tuple] = []
         if gap_split:
-            if a_open:
-                pend_a.append((a_open[0], next_idx - 1, a_open[1], last))
-            if b_open:
-                pend_b.append((b_open[0], next_idx - 1, b_open[1], last, 0))
-            self._match(pend_a, pend_b, matched)
-            next_idx, a_open, b_open, pend_a, pend_b = 1, None, None, [], []
+            # close every open run at the split and match one last time
+            _, final = self._cascade(
+                next_idx, open0, stages, next_idx, ms, [False] * self.n_conds, last
+            )
+            matched.extend((f, t_, None) for _si, _ei, f, t_ in final)
+            next_idx, open0 = 1, None
+            stages = [[None, [], []] for _ in range(self.n_conds - 1)]
         idx = next_idx
         next_idx += 1
-        ca, cb = conds
-        if a_open and not ca:
-            pend_a.append((a_open[0], idx - 1, a_open[1], last))
-            a_open = None
-        if ca and not a_open:
-            a_open = (idx, ms)
-        if b_open and not cb:
-            pend_b.append((b_open[0], idx - 1, b_open[1], last, 0))
-            b_open = None
-        if cb and not b_open:
-            b_open = (idx, ms)
-        pend_a = self._match(pend_a, pend_b, matched)
-        # prune dead runs: the earliest future B starts at b_open.si (if
-        # open) else >= next_idx; a B (tombstone or not) whose b_ei
-        # precedes every possible future a_si is likewise dead
-        b_floor = b_open[0] if b_open else next_idx
-        pend_a = [a for a in pend_a if a[1] + 1 >= b_floor]
-        a_floor = a_open[0] if a_open else next_idx
-        pend_b = [b for b in pend_b if b[1] >= a_floor]
-        return self._pack(next_idx, a_open, b_open, pend_a, pend_b), matched
+        open0, final = self._cascade(
+            next_idx, open0, stages, idx, ms, conds, last
+        )
+        matched.extend((f, t_, None) for _si, _ei, f, t_ in final)
+        return self._pack(next_idx, open0, stages), matched
 
     def flush(self, st, last):
-        next_idx, a_open, b_open, pend_a, pend_b = self._unpack(st)
-        matched: list[tuple] = []
-        if a_open:
-            pend_a.append((a_open[0], next_idx - 1, a_open[1], last))
-        if b_open:
-            pend_b.append((b_open[0], next_idx - 1, b_open[1], last, 0))
-        self._match(pend_a, pend_b, matched)
-        return matched
+        next_idx, open0, stages = self._unpack(st)
+        _, final = self._cascade(
+            next_idx, open0, stages, next_idx, ms=0, conds=[False] * self.n_conds,
+            last=last,
+        )
+        return [(f, t_, None) for _si, _ei, f, t_ in final]
 
 
 # ------------------------------------------------- windowed cond programs
@@ -1187,15 +1229,31 @@ def build_spec(
         return name
 
     if isinstance(node, A.AndThen):
-        if isinstance(node.left, A.AndThen) or isinstance(node.right, A.AndThen):
-            raise ValueError(
-                "nested andThen chains are not supported by the "
-                "incremental stateful kernel — use the carry-buffer "
-                "streaming mode (streaming/job.py), which evaluates the "
-                "full batch compiler over bounded history"
-            )
-        ca, cb = cond_source(node.left), cond_source(node.right)
-        return s, PatternSpec(pattern_id, subunit, _AndThenSM(), [ca, cb])
+        # flatten the left-associative chain (the grammar's default
+        # associativity) — the batch compiler folds exactly this way:
+        # compile_intervals recurses LEFT and sequence-joins each right
+        # operand in turn, which _AndThenSM reproduces stage by stage.
+        # A right-NESTED andThen (parenthesized) compiles in batch as a
+        # boolean interval semi-join (_compile_andthen_bool) — different
+        # semantics — so it keeps the carry-buffer route.
+        chain = []
+        cur = node
+        while isinstance(cur, A.AndThen):
+            if isinstance(cur.right, A.AndThen):
+                raise ValueError(
+                    "right-nested andThen is not supported by the "
+                    "incremental stateful kernel — use the carry-buffer "
+                    "streaming mode (streaming/job.py), which evaluates "
+                    "the full batch compiler over bounded history"
+                )
+            chain.append(cur.right)
+            cur = cur.left
+        chain.append(cur)
+        chain.reverse()
+        conds = [cond_source(c) for c in chain]
+        return s, PatternSpec(
+            pattern_id, subunit, _AndThenSM(len(conds)), conds
+        )
     if isinstance(node, A.Timer):
         cc = cond_source(node.inner)
         return s, PatternSpec(
