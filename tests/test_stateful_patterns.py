@@ -495,6 +495,81 @@ def test_stateful_truth_duration_matches_batch(spark, events_small, mk_ts):
     assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
 
 
+@pytest.mark.slow
+def test_stateful_checkpoint_kill_and_resume_matches_batch(
+    spark, events_small, mk_ts, tmp_path
+):
+    """Resume-from-checkpoint parity (the reference proves this via
+    CheckpointingService.scala:12-168): run the stateful kernel over a
+    file source with a durable file sink, STOP the query mid-stream
+    while per-key state holds open runs (the cut at t=70s lands inside
+    every user's >150 stretch), restart from the same checkpoint dir,
+    and assert the union of emitted incidents equals the batch plan —
+    no losses, no duplicates."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    pat = "value > 150 for 10 sec"
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts", "n_rows").collect()
+    }
+    assert batch
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    cut = mk_ts(70)  # mid-run: open TimerSM state must survive the kill
+    events_small.where(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/b0")
+
+    def start():
+        stream = (
+            spark.readStream.schema(events_small.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        return (
+            stateful_pattern(
+                stream, pat, ["user_id"], "ts", ft,
+                max_gap_ms=GAP_MS, watermark_delay="1 second",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # the kill: open runs + watermark live only in the checkpoint
+
+    events_small.where(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/b1")
+    flush = spark.createDataFrame(
+        [(u, mk_ts(20_000 + u), 0.0, "ok") for u in (1, 2, 3)],
+        events_small.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(f"{src}/b2")
+
+    q2 = start()
+    deadline = time.time() + 60
+    got: set = set()
+    while time.time() < deadline:
+        q2.processAllAvailable()
+        rows = spark.read.schema(
+            "user_id bigint, from_ts timestamp, to_ts timestamp, n_rows bigint"
+        ).parquet(out).collect()
+        got = {(r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]) for r in rows}
+        if batch <= got:
+            break
+        time.sleep(0.5)
+    q2.stop()
+    assert batch <= got, f"lost across restart: {sorted(batch - got)[:5]}"
+    assert got <= batch, f"duplicated/spurious: {sorted(got - batch)[:5]}"
+
+
 @pytest.fixture(scope="module")
 def events_gappy(spark, mk_ts):
     """Keyed series WITH mid-series >maxGap holes: exercises the
