@@ -62,3 +62,48 @@ def test_oracle_dtypes_stay_driver_hashable():
         "oracle columns with driver-hash-hostile dtypes (add ::BIGINT): "
         + "; ".join(offenders)
     )
+
+
+def test_q1_money_sums_exact_beyond_int64(spark, tmp_path):
+    """r4 verdict item 7: Q1's big money sums must stay exact past the
+    int64 range (the old ::BIGINT oracle capped at SF≈50). Both engines
+    now compute them exactly — Spark in DECIMAL(38,0), DuckDB in
+    HUGEINT — and emit strings; a synthetic lineitem whose charge sum
+    is ~2e21 must round-trip identically."""
+    import datetime as dt
+
+    import duckdb
+
+    from tsp_spark.queries import ORACLE_Q1, q_rel_q1_pricing
+
+    rows = [
+        # cents ≈ 5e16 → per-row charge_e6 term ≈ 5e20 > int64 max
+        ("A", "F", 5.0, 5.0e14 + i, 0.05, 0.07, dt.datetime(1995, 1, 1))
+        for i in range(4)
+    ] + [("R", "O", 2.0, 1000.0, 0.1, 0.02, dt.datetime(1995, 6, 1))]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_shipdate timestamp",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in q_rel_q1_pricing(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    odf = con.execute(ORACLE_Q1).df()
+    assert len(got) == 2 and len(odf) == 2
+    big = got[("A", "F")]
+    assert int(big["sum_charge_e6"]) > 2**63  # genuinely past int64
+    for _, orow in odf.iterrows():
+        srow = got[(orow["l_returnflag"], orow["l_linestatus"])]
+        for c in ("sum_qty", "sum_base_cents", "sum_disc_e4",
+                  "sum_charge_e6", "count_order"):
+            assert str(srow[c]) == str(orow[c]), (c, srow[c], orow[c])

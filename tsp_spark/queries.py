@@ -546,36 +546,45 @@ def _cents(col: str) -> F.Column:
 
 
 def q_rel_q1_pricing(spark, sf_dir):
+    """Q1 pricing summary. The two big scaled sums (disc_e4 = cents×1e2,
+    charge_e6 = cents×1e4 per row) would overflow an int64 accumulator
+    around SF≈50, so they're computed in DECIMAL(38,0) — exact to 1e38,
+    i.e. any conceivable SF — and emitted as strings, the one dtype
+    whose driver hash is identical across Spark and DuckDB at any
+    magnitude (DuckDB's exact accumulator is HUGEINT, which pandas
+    maps to a hash-hostile object dtype)."""
     li = _load(spark, sf_dir, "lineitem")
     price_c = _cents("l_extendedprice")
     disc_c = _cents("l_discount")
     tax_c = _cents("l_tax")
+    disc_dec = price_c.cast("decimal(38,0)") * (100 - disc_c)
+    charge_dec = disc_dec * (100 + tax_c)
     return (
         li.where(F.col("l_shipdate") <= _ts_lit(Q1_CUTOFF_MS))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(price_c).alias("sum_base_cents"),
-            F.sum(price_c * (100 - disc_c)).alias("sum_disc_e4"),
-            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("sum_charge_e6"),
+            F.sum(disc_dec).cast("string").alias("sum_disc_e4"),
+            F.sum(charge_dec).cast("string").alias("sum_charge_e6"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-# NOTE: the ::BIGINT casts on the scaled-cents sums cap the oracle at
-# moderate scale factors — sum_charge_e6 (cents × 100 × 100 summed over
-# ~SF·1.5M rows) overflows int64 around SF≈50, where DuckDB raises an
-# Out of Range error (loud, not wrong: Spark's non-ANSI long sum would
-# silently wrap there too). Driver correctness runs at SF≤0.1; for
-# large-SF oracle runs drop the casts and compare HUGEINT via Python.
+# The big sums lift to HUGEINT BEFORE the per-row multiplies (a single
+# row's charge_e6 term passes int64 at cents ≈ 9e14) and stay exact at
+# any SF; ::VARCHAR matches the engine's string emission. Verified past
+# int64 by tests/test_registry_contract.py::test_q1_money_sums_exact_beyond_int64.
 ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
        sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
-       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS sum_disc_e4,
-       sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT)
-           * (100 + round(l_tax * 100)::BIGINT))::BIGINT AS sum_charge_e6,
+       sum(round(l_extendedprice * 100)::BIGINT::HUGEINT
+           * (100 - round(l_discount * 100)::BIGINT))::VARCHAR AS sum_disc_e4,
+       sum(round(l_extendedprice * 100)::BIGINT::HUGEINT
+           * (100 - round(l_discount * 100)::BIGINT)
+           * (100 + round(l_tax * 100)::BIGINT))::VARCHAR AS sum_charge_e6,
        count(*) AS count_order
 FROM lineitem
 WHERE epoch_ms(l_shipdate) <= {Q1_CUTOFF_MS}
