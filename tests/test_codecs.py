@@ -325,6 +325,76 @@ def test_jpeg_spark_pipeline(spark):
     assert (out["width"], out["height"]) == (20, 12)
 
 
+def _mp3_frame(bitrate_idx: int = 9, sr_idx: int = 0, padding: int = 0) -> bytes:
+    """One MPEG-1 Layer III frame: real header + filler body sized per
+    the spec (144·bitrate/samplerate + padding)."""
+    h = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17)  # sync, MPEG-1, Layer III
+        | (bitrate_idx << 12) | (sr_idx << 10) | (padding << 9)
+    )
+    bitrates = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    rates = (44100, 48000, 32000)
+    n = 144 * bitrates[bitrate_idx] * 1000 // rates[sr_idx] + padding
+    return h.to_bytes(4, "big") + b"\x55" * (n - 4)
+
+
+def test_mp3_header_parse_real():
+    """MP3 frame-header decode (r4 verdict item 8): CBR and VBR chains,
+    ID3v2 skip, trailing-junk tolerance — rate/duration/bitrate real
+    from headers alone."""
+    from tsp_spark.pipeline.codecs import parse_mp3_headers
+
+    # 10 CBR frames @128 kbps 44.1 kHz → 10×1152 samples ≈ 261 ms
+    cbr = b"".join(_mp3_frame() for _ in range(10))
+    sr, dur, kbps, n = parse_mp3_headers(cbr)
+    assert (sr, n) == (44100, 10)
+    assert dur == 10 * 1152 * 1000 // 44100
+    assert kbps == 128
+
+    # VBR: alternating 128/320 → average strictly between
+    vbr = b"".join(_mp3_frame(9 if i % 2 else 14) for i in range(10))
+    sr, _dur, kbps, n = parse_mp3_headers(vbr)
+    assert (sr, n) == (44100, 10) and 128 < kbps < 320
+
+    # ID3v2 prefix (syncsafe size) + chain + ID3v1 trailer ('TAG'…)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x01\x10" + b"\x00" * 0x90
+    tagged = id3 + cbr + b"TAG" + b"\x00" * 125
+    sr, dur2, _k, n = parse_mp3_headers(tagged)
+    assert (sr, n) == (44100, 10) and dur2 == dur
+
+    # padding bit changes frame length, chain still walks
+    padded = b"".join(_mp3_frame(padding=i % 2) for i in range(6))
+    assert parse_mp3_headers(padded)[3] == 6
+
+
+def test_mp3_corrupt_degrades_and_feature_path(spark):
+    """Corrupt MPEG payloads raise UnsupportedMediaError (stub path);
+    the Spark audio feature extractor reports REAL rate/duration for
+    MP3 while keeping the declared stub for spectral features."""
+    import pytest as _pytest
+
+    from tsp_spark.pipeline.codecs import UnsupportedMediaError, parse_mp3_headers
+    from tsp_spark.pipeline.multimodal import extract_audio_features
+
+    for bad in (
+        b"",
+        b"\xff\xfb",                      # truncated header
+        b"\xff\xf9\x00\x00" + b"x" * 40,  # free-format bitrate
+        b"\xff\xfb\xfc\x00" + b"x" * 40,  # bitrate index 15
+        b"ID3\x04\x00\x00\x00\x00\xff\x10",  # corrupt syncsafe size
+        b"not audio at all",
+    ):
+        with _pytest.raises(UnsupportedMediaError):
+            parse_mp3_headers(bad)
+
+    cbr = b"".join(_mp3_frame() for _ in range(10))
+    df = spark.createDataFrame([(1, bytearray(cbr))], "media_id long, payload binary")
+    out = extract_audio_features(df).collect()[0]
+    assert out["sample_rate"] == 44100
+    assert out["duration_ms"] == 10 * 1152 * 1000 // 44100
+    assert len(out["mfcc"]) == 13
+
+
 def test_jpeg_hostile_headers_degrade_not_crash():
     """r4 ADVICE: corrupt/crafted JPEG headers must degrade to
     UnsupportedMediaError like the other codecs — a 65535×65535 SOF0

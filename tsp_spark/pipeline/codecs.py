@@ -6,10 +6,11 @@ plus five scanline filters, baseline JPEG is a real Huffman→IDCT
 pipeline (pipeline/jpeg.py), BMP and PPM/PGM are plain struct parses,
 and WAV is the stdlib ``wave`` module. These are REAL decoders — PNG/
 BMP/PPM/WAV bit-exactly recover pixel/sample data, JPEG within codec
-tolerance — so the multimodal pipeline (pipeline/multimodal.py) only
-falls back to its declared deterministic stub for formats that
-genuinely need an external codec (progressive JPEG, MP3, video
-containers).
+tolerance — and MP3 gets a real frame-HEADER parse (rate/duration/
+bitrate per ISO/IEC 11172-3; synthesis stays stubbed), so the
+multimodal pipeline (pipeline/multimodal.py) only falls back to its
+declared deterministic stub for what genuinely needs an external codec
+(progressive JPEG, MP3 sample synthesis, video containers).
 
 Everything returns numpy arrays and plain ints; nothing here touches
 Spark. Raises ``UnsupportedMediaError`` for unknown magic bytes.
@@ -300,6 +301,88 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return sr, x
+
+
+# MPEG audio (ISO/IEC 11172-3 / 13818-3) frame-header tables.
+# Indexed by (version, layer); version: 1, 2 (2 also covers MPEG-2.5).
+_MP3_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
+def parse_mp3_headers(payload: bytes) -> tuple[int, int, int, int]:
+    """MPEG audio frame-HEADER parse (no synthesis — the filterbank/
+    Huffman stages stay behind the declared stub): walk the frame chain
+    and return (sample_rate, duration_ms, avg_bitrate_kbps, n_frames).
+
+    Real per the public spec: 11-bit sync, version/layer/bitrate/rate
+    fields, padding, per-layer frame sizing (Layer I: 4·(12·br/sr+pad);
+    II/III: (144 or 72)·br/sr+pad), samples-per-frame for duration, and
+    an ID3v2 skip (syncsafe size). VBR streams average naturally over
+    the walked frames. Raises UnsupportedMediaError when no coherent
+    frame chain exists (free-format bitrate included)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise UnsupportedMediaError("corrupt ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+    n_frames = 0
+    sr_out = 0
+    total_samples = 0
+    total_bits = 0
+    while pos + 4 <= len(payload):
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        ver_bits = (h >> 19) & 0x3
+        layer_bits = (h >> 17) & 0x3
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            # reserved version/layer, free-format or bad bitrate, bad rate
+            if n_frames:
+                break  # trailing junk after a valid chain (e.g. ID3v1)
+            raise UnsupportedMediaError("not a supported MPEG audio frame")
+        version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+        layer = 4 - layer_bits  # 3→I, 2→II, 1→III
+        vkey = 1 if version == "1" else 2
+        bitrate = _MP3_BITRATES[(vkey, layer)][br_idx] * 1000
+        sr = _MP3_RATES[version][sr_idx]
+        if layer == 1:
+            frame_len = (12 * bitrate // sr + padding) * 4
+            samples = 384
+        else:
+            factor = 144 if (layer == 2 or vkey == 1) else 72
+            frame_len = factor * bitrate // sr + padding
+            samples = 1152 if (layer == 2 or vkey == 1) else 576
+        if frame_len <= 4:
+            raise UnsupportedMediaError("implausible MPEG frame length")
+        if sr_out and sr != sr_out:
+            break  # rate change = end of coherent chain
+        sr_out = sr
+        n_frames += 1
+        total_samples += samples
+        total_bits += bitrate
+        pos += frame_len
+    if not n_frames:
+        raise UnsupportedMediaError("no MPEG audio frames")
+    duration_ms = total_samples * 1000 // sr_out
+    avg_kbps = total_bits // n_frames // 1000  # frames share a duration
+    return sr_out, duration_ms, avg_kbps, n_frames
 
 
 def mfcc_like(x: np.ndarray, sr: int, n_coef: int = 13, n_mels: int = 24) -> list[float]:

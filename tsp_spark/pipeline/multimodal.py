@@ -4,9 +4,10 @@ with typed metadata structs, processed via Arrow-batched mapInPandas.
 Decode strategy (pipeline/codecs.py): PNG / baseline JPEG / BMP / PPM
 images and PCM WAV audio are decoded FOR REAL in pure stdlib + numpy —
 bit-exact pixel and sample recovery (JPEG within codec tolerance), real
-gradient/spectral features, real resampling, real PNG re-encode. Only
-formats that genuinely need an external codec (progressive JPEG, MP3,
-video containers) fall back to the deterministic stub
+gradient/spectral features, real resampling, real PNG re-encode; MP3
+rate/duration come from a real frame-header parse. Only what genuinely
+needs an external codec (progressive JPEG, MP3 sample synthesis, video
+containers) falls back to the deterministic stub
 (`_fake_decode_*`, clearly marked) so the pipeline stays end-to-end
 runnable in this container; swap the fallback for Pillow/libsndfile in
 production via the same code path.
@@ -35,6 +36,7 @@ from tsp_spark.pipeline.codecs import (
     encode_png,
     image_features,
     mfcc_like,
+    parse_mp3_headers,
     resize_nearest,
 )
 
@@ -121,11 +123,20 @@ def _fake_decode_audio(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_audio_any(data: bytes) -> tuple[int, int, list[float]]:
-    """Real decode (PCM WAV: samples + mel/DCT spectral features) with
-    the declared stub as the unsupported-format fallback."""
+    """Real decode (PCM WAV: samples + mel/DCT spectral features; MP3:
+    REAL frame-header parse → sample rate/duration, synthesis stubbed)
+    with the declared stub as the unsupported-format fallback."""
     try:
         sr, x = decode_wav(data)
         return sr, int(x.size * 1000 / max(sr, 1)), mfcc_like(x, sr)
+    except UnsupportedMediaError:
+        pass
+    try:
+        # header-only parse: rate and duration are real; the spectral
+        # features would need full synthesis (filterbank/IMDCT), which
+        # stays behind the declared deterministic stub
+        sr, duration_ms, _kbps, _n = parse_mp3_headers(data)
+        return sr, duration_ms, _fake_decode_audio(data)[2]
     except UnsupportedMediaError:
         return _fake_decode_audio(data)
 
