@@ -86,7 +86,11 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
                 "lag(value) > value",
                 "lag(value, 5 sec) > 150 for 10 sec",
                 # left-associative andThen chains run in-kernel (r5)
-                "value > 150 andThen value < 120 andThen value > 130"):
+                "value > 150 andThen value < 120 andThen value > 130",
+                # wait (leading window) runs in-kernel (r5)
+                "wait(5 sec, value > 150)",
+                "wait(5 sec, value > 150) for 10 sec",
+                "value > 150 andThen wait(5 sec, value < 120)"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
     # lag state bit-casts doubles: string/untyped inners stay on the
@@ -375,6 +379,44 @@ def test_stateful_lag_for_matches_batch(spark, events_small, mk_ts):
         "stateful_lagfor_t",
         flush_tail=("ok",),
         project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"], r["n_rows"]),
+        expected=batch,
+    )
+    assert batch <= got, f"missing {sorted(batch - got)[:5]}"
+    assert got <= batch, f"spurious {sorted(got - batch)[:5]}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pat", [
+    "wait(5 sec, value > 150)",
+    "wait(5 sec, value > 150) for 10 sec",
+    "value > 150 andThen wait(5 sec, value < 120)",
+    "wait(3 sec, avg(value, 5 sec) > 150)",
+])
+def test_stateful_wait_matches_batch(spark, events_small, mk_ts, pat):
+    """wait(T, X) — the leading window — through the kernel's pending
+    _WaitProgram: a row decides true the moment X fires within [t, t+W],
+    false once event time passes t+W, series-truncated at gaps; equal to
+    the batch compiler's max-over-leading-frame on identical data."""
+    from tsp_spark.streaming.stateful import stateful_pattern
+
+    ft = {"value": "float64"}
+    batch = {
+        (r["user_id"], r["from_ts"], r["to_ts"])
+        for r in compile_pattern(
+            events_small, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+        ).select("user_id", "from_ts", "to_ts").collect()
+    }
+    assert batch
+
+    got = _run_stream(
+        spark, events_small, mk_ts,
+        lambda stream: stateful_pattern(
+            stream, pat, ["user_id"], "ts", ft,
+            max_gap_ms=GAP_MS, watermark_delay="1 second",
+        ).select("user_id", "from_ts", "to_ts"),
+        "stateful_wait_t",
+        flush_tail=("ok",),
+        project=lambda r: (r["user_id"], r["from_ts"], r["to_ts"]),
         expected=batch,
     )
     assert batch <= got, f"missing {sorted(batch - got)[:5]}"

@@ -58,6 +58,31 @@ from pyspark.sql import types as T
 _NONE = -1
 
 
+# Sentinel: the pattern emitted NO value at this row (lag present mask
+# false). The batch compiler DROPS such rows before islandization
+# (_islandize filters on `present`), so downstream they are INVISIBLE —
+# true runs merge across them — which is different from a false
+# condition (closes the run). Programs return it; the kernel skips the
+# row for island specs, per side for andThen chains, and maps it to
+# false inside Timer/ForWithInterval (whose batch compilation discards
+# the present mask, leaving null → false). A STRING compared with `==`,
+# not an object compared with `is`: the kernel closure crosses a
+# cloudpickle boundary into the Python workers, where an object
+# sentinel deserializes to a different instance and identity checks
+# silently fail (bool/None never == a str, so equality is exact).
+ABSENT = "__tsp_absent__"
+
+
+def _cv_enc(v) -> int:
+    if v == ABSENT:
+        return 3
+    return {None: 0, False: 1, True: 2}[None if v is None else bool(v)]
+
+
+def _cv_dec(x: int):
+    return (None, False, True, ABSENT)[x]
+
+
 def _enc(v):
     return _NONE if v is None else int(v)
 
@@ -153,48 +178,58 @@ class _AndThenSM:
     ``(l_si, max(l_ei, r_ei), l_from, r_to)`` to the next stage
     (and_then_intervals' output columns); the last stage emits.
 
-    State layout: [next_idx, open0_si, open0_from,
-                   per stage j=1..n−1: (open_si, open_from, n_l, n_r,
-                   l 4-tuples…, r 5-tuples…)]
+    An ABSENT cond makes the row INVISIBLE to that side only (the batch
+    _islandize drops a side's present-masked rows before islandization
+    while the shared raw index still counts every row): the side's open
+    run neither closes nor extends, and closures use the side's own
+    last-VISIBLE-row timestamp rather than the global previous row.
+
+    State layout: [next_idx, open0_si, open0_from, last0,
+                   per stage j=1..n−1: (open_si, open_from, last_j,
+                   n_l, n_r, l 4-tuples…, r 5-tuples…)]
     """
 
     def __init__(self, n_conds: int = 2):
         self.n_conds = n_conds
 
     def init(self) -> list[int]:
-        out = [1, _NONE, _NONE]
+        out = [1, _NONE, _NONE, _NONE]
         for _ in range(self.n_conds - 1):
-            out.extend((_NONE, _NONE, 0, 0))
+            out.extend((_NONE, _NONE, _NONE, 0, 0))
         return out
 
     def _unpack(self, st):
         next_idx = st[0]
         open0 = (st[1], st[2]) if st[1] != _NONE else None
-        pos = 3
+        last0 = _dec(st[3])
+        pos = 4
         stages = []
         for _ in range(self.n_conds - 1):
             op = (st[pos], st[pos + 1]) if st[pos] != _NONE else None
-            n_l, n_r = st[pos + 2], st[pos + 3]
-            pos += 4
+            lastj = _dec(st[pos + 2])
+            n_l, n_r = st[pos + 3], st[pos + 4]
+            pos += 5
             pend_l = [tuple(st[pos + 4 * i : pos + 4 * i + 4]) for i in range(n_l)]
             pos += 4 * n_l
             pend_r = [tuple(st[pos + 5 * i : pos + 5 * i + 5]) for i in range(n_r)]
             pos += 5 * n_r
-            stages.append([op, pend_l, pend_r])
-        return next_idx, open0, stages
+            stages.append([op, lastj, pend_l, pend_r])
+        return next_idx, open0, last0, stages
 
     @staticmethod
-    def _pack(next_idx, open0, stages):
+    def _pack(next_idx, open0, last0, stages):
         st = [
             next_idx,
             open0[0] if open0 else _NONE,
             open0[1] if open0 else _NONE,
+            _enc(last0),
         ]
-        for op, pend_l, pend_r in stages:
+        for op, lastj, pend_l, pend_r in stages:
             st.extend(
                 (
                     op[0] if op else _NONE,
                     op[1] if op else _NONE,
+                    _enc(lastj),
                     len(pend_l),
                     len(pend_r),
                 )
@@ -221,28 +256,33 @@ class _AndThenSM:
             # else: earliest satisfying run already consumed → left dead
         return out_l
 
-    def _cascade(self, next_idx, open0, stages, idx, ms, conds, last):
-        """One row through every stage; returns final-stage matches."""
+    def _cascade(self, next_idx, open0, last0, stages, idx, ms, conds):
+        """One row through every stage; returns (open0, last0, matches).
+        A side's ABSENT cond skips that side entirely (invisible row)."""
         fwd: list[tuple] = []
         c0 = conds[0]
-        if open0 and not c0:
-            fwd.append((open0[0], idx - 1, open0[1], last))
-            open0 = None
-        if c0 and not open0:
-            open0 = (idx, ms)
+        if c0 != ABSENT:
+            if open0 and not c0:
+                fwd.append((open0[0], idx - 1, open0[1], last0))
+                open0 = None
+            if c0 and not open0:
+                open0 = (idx, ms)
+            last0 = ms
         # floor of any FUTURE left interval si arriving at stage j+1:
         # stage 0's open run (else the next unseen index), then the min
         # over earlier stages' still-pending lefts (their matches keep
         # the left si)
         fl = open0[0] if open0 else next_idx
         for j, stage in enumerate(stages):
-            op, pend_l, pend_r = stage
+            op, lastj, pend_l, pend_r = stage
             cj = conds[j + 1]
-            if op and not cj:
-                pend_r.append((op[0], idx - 1, op[1], last, 0))
-                op = None
-            if cj and not op:
-                op = (idx, ms)
+            if cj != ABSENT:
+                if op and not cj:
+                    pend_r.append((op[0], idx - 1, op[1], lastj, 0))
+                    op = None
+                if cj and not op:
+                    op = (idx, ms)
+                lastj = ms
             pend_l.extend(fwd)
             fwd = []
             pend_l = self._match(pend_l, pend_r, fwd)
@@ -253,33 +293,34 @@ class _AndThenSM:
             pend_l = [a for a in pend_l if a[1] + 1 >= r_floor]
             pend_r[:] = [b for b in pend_r if b[1] >= fl]
             fl = min([a[0] for a in pend_l] + [fl])
-            stage[0], stage[1] = op, pend_l
-        return open0, fwd
+            stage[0], stage[1], stage[2] = op, lastj, pend_l
+        return open0, last0, fwd
 
     def step(self, st, ms, conds, gap_split, last):
-        next_idx, open0, stages = self._unpack(st)
+        next_idx, open0, last0, stages = self._unpack(st)
         matched: list[tuple] = []
         if gap_split:
             # close every open run at the split and match one last time
-            _, final = self._cascade(
-                next_idx, open0, stages, next_idx, ms, [False] * self.n_conds, last
+            _, _, final = self._cascade(
+                next_idx, open0, last0, stages, next_idx, ms,
+                [False] * self.n_conds,
             )
             matched.extend((f, t_, None) for _si, _ei, f, t_ in final)
-            next_idx, open0 = 1, None
-            stages = [[None, [], []] for _ in range(self.n_conds - 1)]
+            next_idx, open0, last0 = 1, None, None
+            stages = [[None, None, [], []] for _ in range(self.n_conds - 1)]
         idx = next_idx
         next_idx += 1
-        open0, final = self._cascade(
-            next_idx, open0, stages, idx, ms, conds, last
+        open0, last0, final = self._cascade(
+            next_idx, open0, last0, stages, idx, ms, conds
         )
         matched.extend((f, t_, None) for _si, _ei, f, t_ in final)
-        return self._pack(next_idx, open0, stages), matched
+        return self._pack(next_idx, open0, last0, stages), matched
 
     def flush(self, st, last):
-        next_idx, open0, stages = self._unpack(st)
-        _, final = self._cascade(
-            next_idx, open0, stages, next_idx, ms=0, conds=[False] * self.n_conds,
-            last=last,
+        next_idx, open0, last0, stages = self._unpack(st)
+        _, _, final = self._cascade(
+            next_idx, open0, last0, stages, next_idx, ms=0,
+            conds=[False] * self.n_conds,
         )
         return [(f, t_, None) for _si, _ei, f, t_ in final]
 
@@ -628,10 +669,7 @@ class _WindowedCondProgram:
             k = st[pos]
             und = list(st[pos + 1 : pos + 1 + k])
             pos += 1 + k
-            table = [
-                None if x == 0 else bool(x - 1)
-                for x in st[pos : pos + (1 << k)]
-            ]
+            table = [_cv_dec(x) for x in st[pos : pos + (1 << k)]]
             pos += 1 << k
             pending.append([und, table])
         objs.append(pending)
@@ -650,7 +688,7 @@ class _WindowedCondProgram:
         for und, table in pending:
             out.append(len(und))
             out.extend(und)
-            out.extend(0 if v is None else 1 + int(bool(v)) for v in table)
+            out.extend(_cv_enc(v) for v in table)
         return out
 
     # -- evaluation -------------------------------------------------------
@@ -681,11 +719,17 @@ class _WindowedCondProgram:
                 o.reset()
         aggvals: dict[int, object] = {}
         undecided: list[int] = []
+        absent_now = False  # some lag term decided non-emitted, unbridgeable
         for i, (a, o) in enumerate(zip(self.aggs, objs)):
             iv = _eval_row(a.inner, row, {})
             if a.kind == _LAG_KIND and a.window_ms == 0:
-                # previous row's value; absent when none or Fail
-                aggvals[id(a)] = o.prev
+                # previous row's value; the row is ABSENT (invisible to
+                # islandization, like the batch present mask) when the
+                # series has no previous row or its value was Fail
+                if o.prev is None:
+                    absent_now = True
+                else:
+                    aggvals[id(a)] = o.prev
                 o.prev = None if iv is None else float(iv)
                 continue
             if a.kind == _LAG_KIND:
@@ -706,7 +750,7 @@ class _WindowedCondProgram:
                     o.prev, o.has_prev = emit_val, True
                     aggvals[id(a)] = emit_val
                 elif not o.has_prev or math.isnan(o.prev):
-                    aggvals[id(a)] = None  # no bridge candidate: absent
+                    absent_now = True  # no bridge candidate possible
                 else:
                     undecided.append(i)
                 if iv is not None:
@@ -731,16 +775,25 @@ class _WindowedCondProgram:
                 aggvals[id(a)] = min(vals, key=_nan_key)
             else:  # max
                 aggvals[id(a)] = max(vals, key=_nan_key)
-        # one outcome per hypothesis over this row's undecided lag terms
-        table = []
-        for mask in range(1 << len(undecided)):
-            av = dict(aggvals)
-            for b, ti in enumerate(undecided):
-                av[id(self.aggs[ti])] = (
-                    objs[ti].prev if (mask >> b) & 1 else None
-                )
-            v = _eval_row(self.node, row, av)
-            table.append(None if v is None else bool(v))
+        # one outcome per hypothesis over this row's undecided lag terms.
+        # The row is PRESENT only when every lag term emitted or bridges
+        # (batch: present = AND of per-term emission/fill masks), so any
+        # absent hypothesis bit — or an already-decided absent term —
+        # makes the whole row ABSENT regardless of the boolean's value.
+        if absent_now:
+            undecided, table = [], [ABSENT]
+        else:
+            table = []
+            full = (1 << len(undecided)) - 1
+            for mask in range(1 << len(undecided)):
+                if mask != full:
+                    table.append(ABSENT)
+                    continue
+                av = dict(aggvals)
+                for b, ti in enumerate(undecided):
+                    av[id(self.aggs[ti])] = objs[ti].prev
+                v = _eval_row(self.node, row, av)
+                table.append(None if v is None else bool(v))
         pending.append([undecided, table])
         while pending and len(pending[0][1]) == 1:
             out.append(pending.pop(0)[1][0])
@@ -813,7 +866,7 @@ class _TruthStatProgram:
             for i in range(nm)
         ]
         pos += 3 * nm
-        if isinstance(self.inner, _WindowedCondProgram):
+        if not isinstance(self.inner, str):
             iobjs, pos = self.inner.load(st, pos)
         else:
             iobjs = None
@@ -823,7 +876,7 @@ class _TruthStatProgram:
         return [
             [],
             self.inner.init()
-            if isinstance(self.inner, _WindowedCondProgram)
+            if not isinstance(self.inner, str)
             else None,
             None,
             None,
@@ -838,7 +891,7 @@ class _TruthStatProgram:
         out.append(len(meta))
         for ms, d, g in meta:
             out.extend((ms, d, g))
-        if isinstance(self.inner, _WindowedCondProgram):
+        if not isinstance(self.inner, str):
             out.extend(self.inner.dump(iobjs))
         return out
 
@@ -854,7 +907,7 @@ class _TruthStatProgram:
                 objs[2] = None
             if objs[2] is None:
                 objs[2] = m_ms
-            truthy = cv is not None and bool(cv)
+            truthy = cv is not None and cv != ABSENT and bool(cv)
             if self.kind == "times":
                 contrib = 1 if truthy else 0
             else:  # 'time': inter-event delta, series head contributes 0
@@ -880,7 +933,7 @@ class _TruthStatProgram:
         delta = 0 if (gap_split or arr_prev is None) else ms - arr_prev
         objs[3] = ms
         objs[4].append((ms, delta, 1 if gap_split else 0))
-        if isinstance(self.inner, _WindowedCondProgram):
+        if not isinstance(self.inner, str):
             decided = self.inner.feed(objs[1], ms, row, gap_split)
         else:
             v = row[self.inner]
@@ -888,9 +941,114 @@ class _TruthStatProgram:
         return self._process(objs, decided)
 
     def drain(self, objs: list) -> list:
-        if isinstance(self.inner, _WindowedCondProgram):
+        if not isinstance(self.inner, str):
             return self._process(objs, self.inner.drain(objs[1]))
         return []
+
+
+class _WaitProgram:
+    """``wait(T, X)`` (leading window): a row is true iff X holds
+    anywhere in the CLOSED leading frame [t, t+W] of its sub-series —
+    the batch compiler's ``max(X).over(w_range(W, leading=True))``
+    (_compile_wait). Inherently pending: a row decides TRUE the moment
+    X fires within its window, FALSE when event time passes t+W with a
+    non-null X seen, and NULL (absent) when the frame held only nulls
+    or the series ended immediately. Pending rows are bounded by the
+    events inside one leading window.
+
+    ``inner`` is a precomputed boolean column name or a (possibly
+    pending-capable) _WindowedCondProgram; arrival metas keep row
+    timestamps aligned when the inner itself decides late."""
+
+    def __init__(self, inner, window_ms: int):
+        self.inner = inner
+        self.window_ms = window_ms
+        self.can_pend = True
+
+    # objs layout: [pend [(ms, saw_nonnull)], iobjs, meta [(ms, gap)]]
+    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+        n = st[pos]
+        pos += 1
+        pend = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(n)]
+        pos += 2 * n
+        nm = st[pos]
+        pos += 1
+        meta = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(nm)]
+        pos += 2 * nm
+        if not isinstance(self.inner, str):
+            iobjs, pos = self.inner.load(st, pos)
+        else:
+            iobjs = None
+        return [pend, iobjs, meta], pos
+
+    def init(self) -> list:
+        return [
+            [],
+            self.inner.init()
+            if not isinstance(self.inner, str)
+            else None,
+            [],
+        ]
+
+    def dump(self, objs: list) -> list[int]:
+        pend, iobjs, meta = objs
+        out = [len(pend)]
+        for ms, saw in pend:
+            out.extend((ms, saw))
+        out.append(len(meta))
+        for ms, gap in meta:
+            out.extend((ms, gap))
+        if not isinstance(self.inner, str):
+            out.extend(self.inner.dump(iobjs))
+        return out
+
+    @staticmethod
+    def _series_end(pend: list, out: list) -> None:
+        out.extend(False if saw else None for _ms, saw in pend)
+        pend.clear()
+
+    def _process(self, objs: list, decided: list) -> list:
+        out: list = []
+        pend = objs[0]
+        for cv in decided:
+            m_ms, m_gap = objs[2].pop(0)
+            if m_gap:  # frames are series-scoped: truncate at the split
+                self._series_end(pend, out)
+            # windows strictly older than W close (a row AT t+W is in)
+            while pend and m_ms > pend[0][0] + self.window_ms:
+                _pms, saw = pend.pop(0)
+                out.append(False if saw else None)
+            # ABSENT ≡ null here: the batch leading-frame max skips the
+            # row's null contribution but the row still anchors a frame
+            v = None if (cv is None or cv == ABSENT) else bool(cv)
+            if v is True:
+                out.extend(True for _ in pend)
+                pend.clear()
+                out.append(True)
+            else:
+                if v is not None:
+                    for i, (pms, saw) in enumerate(pend):
+                        if not saw:
+                            pend[i] = (pms, 1)
+                pend.append((m_ms, 1 if v is not None else 0))
+        return out
+
+    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        objs[2].append((ms, 1 if gap_split else 0))
+        if not isinstance(self.inner, str):
+            decided = self.inner.feed(objs[1], ms, row, gap_split)
+        else:
+            v = row[self.inner]
+            decided = [None if pd.isna(v) else bool(v)]
+        return self._process(objs, decided)
+
+    def drain(self, objs: list) -> list:
+        if not isinstance(self.inner, str):
+            out = self._process(objs, self.inner.drain(objs[1]))
+        else:
+            out = []
+        self._series_end(objs[0], out)
+        return out
 
 
 @dataclass
@@ -970,7 +1128,10 @@ def stateful_multi(
             for j in range(len(spec.cond_cols)):
                 nv = arr[pos]
                 pos += 1
-                srcqs[j] = [bool(x) for x in arr[pos : pos + nv]]
+                srcqs[j] = [
+                    (ABSENT if x == 2 else bool(x))
+                    for x in arr[pos : pos + nv]
+                ]
                 pos += nv
         prog_objs = []
         for prog in _programs(spec):
@@ -986,7 +1147,7 @@ def stateful_multi(
                 out.extend((ms, gap, _enc(lst)))
             for sq in srcqs:
                 out.append(len(sq))
-                out.extend(int(v) for v in sq)
+                out.extend(2 if v == ABSENT else int(v) for v in sq)
         for prog, objs in zip(_programs(spec), prog_objs):
             out.extend(prog.dump(objs))
         return out
@@ -1003,17 +1164,33 @@ def stateful_multi(
 
         def advance(i, spec):
             """Step the SM with every queued row whose cond sources have
-            all decided — rows feed strictly in arrival order."""
+            all decided — rows feed strictly in arrival order. An ABSENT
+            cond on a single-cond island spec makes the row INVISIBLE
+            (the batch _islandize drops present-masked rows before
+            islandization): the SM is not stepped — except that a row
+            carrying the gap flag still drives the series SPLIT through
+            the SM (the split belongs to the series, not the row; an
+            open old-series run must close even when the first row after
+            the gap is absent). Timer specs map ABSENT to false (batch
+            Timer discards the present mask → null cond → boundary);
+            chain SMs consume ABSENT per side."""
             sq = srcqs[i]
             while rowqs[i] and all(sq):
                 ms0, gap0, last0 = rowqs[i].pop(0)
                 conds = [sq[j].pop(0) for j in range(len(sq))]
+                gap0 = bool(gap0)
                 if isinstance(spec.sm, _AndThenSM):
                     sts[i], items = spec.sm.step(
-                        sts[i], ms0, conds, bool(gap0), last0
+                        sts[i], ms0, conds, gap0, last0
                     )
+                elif conds[0] == ABSENT and isinstance(spec.sm, _IslandSM):
+                    if gap0:  # invisible row, but the split is real
+                        sts[i], items = spec.sm.step(sts[i], ms0, [False], True)
+                        emit(spec, items)
+                    continue
                 else:
-                    sts[i], items = spec.sm.step(sts[i], ms0, conds, bool(gap0))
+                    conds = [False if v == ABSENT else v for v in conds]
+                    sts[i], items = spec.sm.step(sts[i], ms0, conds, gap0)
                 emit(spec, items)
 
         if state.hasTimedOut:
@@ -1031,7 +1208,7 @@ def stateful_multi(
                     for j, c in enumerate(spec.cond_cols):
                         if not isinstance(c, str):
                             sq[j].extend(
-                                False if v is None else bool(v)
+                                False if v is None else v
                                 for v in c.drain(objs[pi])
                             )
                             pi += 1
@@ -1084,7 +1261,7 @@ def stateful_multi(
                         decided = c.feed(progs[i][pi], ms, row, gap_split)
                         pi += 1
                         srcqs[i][j].extend(
-                            False if v is None else bool(v) for v in decided
+                            False if v is None else v for v in decided
                         )
                 advance(i, spec)
             last = ms
@@ -1193,10 +1370,11 @@ def build_spec(
     see _WindowedCondProgram) become sliding condition programs
     evaluated inside the kernel, and ``for T <op> N times`` / ``<op>
     T'`` becomes a truth-stat program (WindowStatistic) with the
-    compiler's full-window "exactly" gate. Raises ValueError only for
-    shapes that genuinely need the carry-buffer mode (streaming/job.py):
-    nested andThen, until/wait, nested window aggregates, lag over
-    string/untyped values."""
+    compiler's full-window "exactly" gate. ``wait(T, X)`` becomes a
+    pending leading-window program. Raises ValueError only for shapes
+    that genuinely need the carry-buffer mode (streaming/job.py):
+    right-nested andThen, wait nested inside larger booleans, nested
+    window aggregates, lag over string/untyped values."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
@@ -1214,6 +1392,13 @@ def build_spec(
     def cond_source(n):
         """Boolean sub-AST → column name (row-level) or program (windowed)."""
         nonlocal s, n_cols
+        nw = n
+        while isinstance(nw, A.Assert):
+            nw = nw.inner
+        if isinstance(nw, A.Wait):
+            # leading window: inherently pending — the _WaitProgram
+            # buffers rows until X fires or event time passes t+W
+            return _WaitProgram(cond_source(nw.inner), nw.window_ms)
         if _contains_agg(n):
             return _WindowedCondProgram(n)
         c = comp.compile_bool(stream, n)
