@@ -48,9 +48,16 @@ def gen_pattern(rng: random.Random) -> str:
             ]
         )
 
-    kind = rng.randrange(6)
+    kind = rng.randrange(7)
     if kind == 0:
         return cond()
+    if kind == 6:
+        # leading-window wait: pending program, series-truncated frames
+        inner = cond()
+        w = rng.choice([3, 5, 10])
+        if rng.random() < 0.4:
+            return f"wait({w} sec, {inner}) for {rng.choice([5, 10])} sec"
+        return f"wait({w} sec, {inner})"
     if kind == 1:
         return f"{cond()} for {rng.choice([5, 10])} sec"
     if kind == 2:
