@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "text_tokens_bpe",
     "text_fingerprint",
     "embed_quantize",
-    "ann_cosine_topk",
+    "ann_topk",
     "ann_ivf_topk",
     "embed_centroids",
     "dedup_embedding",

@@ -1363,6 +1363,31 @@ FROM r WHERE rank <= {k}
 ORACLE_ANN_LSH = _ann_lsh_oracle()
 
 
+def q_ann_topk(spark, sf_dir):
+    """Folded ANN variants (identical output schema, tagged by
+    ``variant`` so each stays independently oracle-verified): the
+    brute-force exact cosine top-k baseline and the sign-LSH bucketed
+    scale path. Fold exists so the new rel_tpch_fold fits the driver's
+    50-query correctness window — same two compiled plans as the
+    standalone forms, one unionByName."""
+    parts = [
+        ("exact", q_ann_cosine_topk),
+        ("lsh", q_ann_lsh_topk),
+    ]
+    out = None
+    for tag, fn in parts:
+        d = fn(spark, sf_dir).select(F.lit(tag).alias("variant"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+ORACLE_ANN_TOPK = f"""
+SELECT 'exact' AS variant, * FROM ({ORACLE_ANN})
+UNION ALL
+SELECT 'lsh' AS variant, * FROM ({ORACLE_ANN_LSH})
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing through the Arrow mapInPandas feature
     extractor: document text bytes are NOT a decodable image, so this
@@ -1765,8 +1790,7 @@ QUERIES = {
     "pipeline_curation_e2e": q_pipeline_curation_e2e,
     "text_profile": q_text_profile,
     "text_fingerprint": q_text_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_centroids": q_embed_centroids,
     "multimodal_features": q_multimodal_features,
@@ -1808,8 +1832,7 @@ ORACLES = {
     "pipeline_curation_e2e": ORACLE_CURATION_E2E,
     "text_profile": ORACLE_TEXT_PROFILE,
     "text_fingerprint": ORACLE_FINGERPRINT,
-    "ann_cosine_topk": ORACLE_ANN,
-    "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf_topk": ORACLE_IVF,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
