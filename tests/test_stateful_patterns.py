@@ -90,21 +90,29 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
                 # wait (leading window) runs in-kernel (r5)
                 "wait(5 sec, value > 150)",
                 "wait(5 sec, value > 150) for 10 sec",
-                "value > 150 andThen wait(5 sec, value < 120)"):
+                "value > 150 andThen wait(5 sec, value < 120)",
+                # r5 totality: right-nested andThen (sequence-membership
+                # program), wait under booleans (Kleene combinator),
+                # nested window aggregates, string lag, registry math
+                "value > 150 andThen (value < 120 andThen value > 130)",
+                "value > 150 and wait(5 sec, value < 120)",
+                "avg(avg(value, 5 sec), 20 sec) > 150",
+                "sin(avg(value, 10 sec) / 60) > 0.5",
+                "avg(value, 10 sec) > 150 until value > 190"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
-    # lag state bit-casts doubles: string/untyped inners stay on the
-    # carry buffer where the full batch compiler runs
+    # string lag runs in-kernel via the tagged value codec (r5)
+    out = stateful_pattern(
+        stream, "lag(event_type, 5 sec) = 'ok'", ["user_id"], "ts",
+        {**ft, "event_type": "string"},
+    )
+    assert out.isStreaming
+    # the one remaining carry-buffer route: lag nested INSIDE another
+    # windowed aggregate (the outer window would need the lag's
+    # absence/bridge present-mask)
     with pytest.raises(ValueError, match="carry-buffer"):
         stateful_pattern(
-            stream, "lag(event_type, 5 sec) = 'ok'", ["user_id"], "ts",
-            {**ft, "event_type": "string"},
-        )
-    # right-NESTED andThen compiles in batch as a boolean interval
-    # semi-join — different semantics — and stays on the carry buffer
-    with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(
-            stream, "value > 150 andThen (value < 120 andThen value > 130)",
+            stream, "avg(lag(value, 5 sec), 10 sec) > 150",
             ["user_id"], "ts", ft,
         )
 
@@ -148,10 +156,17 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     assert stateful_incidents(stream, job_chain).isStreaming
-    job_bad = StreamingPatternJob(
+    # string lag routes in-kernel since r5 (tagged value codec)
+    job_slag = StreamingPatternJob(
         patterns=[RawPattern(1, "lag(event_type, 5 sec) = 'ok'")],
         keys=["user_id"], ts="ts",
         fields_types={"value": "float64", "event_type": "string"},
+    )
+    assert stateful_incidents(stream, job_slag).isStreaming
+    # lag nested inside another windowed aggregate stays carry-buffer
+    job_bad = StreamingPatternJob(
+        patterns=[RawPattern(1, "avg(lag(value, 5 sec), 10 sec) > 150")],
+        keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     with pytest.raises(ValueError, match="carry-buffer"):
         stateful_incidents(stream, job_bad)

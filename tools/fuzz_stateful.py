@@ -45,10 +45,17 @@ def gen_pattern(rng: random.Random) -> str:
                 f"lag(value, 5 sec) > value",
                 f"lag(value, {rng.choice([3, 7])} sec) - value "
                 f"> {rng.choice([-20, 0, 20])}",
+                # r5 totality: string lag, nested aggregates, lag-of-agg,
+                # registry math inside windowed booleans
+                "lag(event_type, 5 sec) = 'hot'",
+                "lag(event_type) != event_type",
+                f"avg(avg(value, 5 sec), 20 sec) > {thr}",
+                f"lag(avg(value, 5 sec), 5 sec) > value",
+                f"sin(avg(value, 10 sec) / 60) > 0.5 and value > {thr}",
             ]
         )
 
-    kind = rng.randrange(7)
+    kind = rng.randrange(9)
     if kind == 0:
         return cond()
     if kind == 6:
@@ -75,7 +82,15 @@ def gen_pattern(rng: random.Random) -> str:
     )
     if rng.random() < 0.3:
         chain += " andThen value > 150"
-    return chain
+    if kind == 5:
+        return chain
+    if kind == 7:
+        # right-NESTED andThen: sequence-membership boolean program
+        inner = f"value > 150 andThen value < {rng.choice([100, 120])}"
+        return f"value < {rng.choice([120, 140])} andThen ({inner})"
+    # wait under a boolean combinator: Kleene combo program
+    op = rng.choice(["and", "or"])
+    return f"value > {rng.choice([80, 120])} {op} wait(5 sec, {cond()})"
 
 
 def gen_series(rng: random.Random, spark):
@@ -92,7 +107,7 @@ def gen_series(rng: random.Random, spark):
                         user,
                         EPOCH + dt.timedelta(seconds=t),
                         level + rng.random() * 8,
-                        "ok",
+                        rng.choice(["hot", "cold", "warm"]),
                     )
                 )
                 t += rng.choice([0.5, 1.0, 2.0])
@@ -106,7 +121,7 @@ def run_case(spark, rng: random.Random, pattern: str) -> str | None:
     from tsp_spark.compile.compiler import compile_pattern
     from tsp_spark.streaming.stateful import stateful_pattern
 
-    ft = {"value": "float64"}
+    ft = {"value": "float64", "event_type": "string"}
     src = gen_series(rng, spark)
     batch = {
         (r["user_id"], r["from_ts"], r["to_ts"])

@@ -1,0 +1,192 @@
+"""Offline batch-vs-kernel parity harness: drives the PRODUCTION
+stateful kernel (`_make_update`, the exact fn applyInPandasWithState
+runs) with a stub GroupState over chunked micro-batches — state packs
+and unpacks between chunks, so the int64 codecs are exercised — and
+compares the closed intervals against the batch compiler on identical
+data. No streaming query, so a case takes ~1 s instead of ~15 s; the
+pinned pytest suite + tools/fuzz_stateful.py still cover the real
+Structured Streaming path (watermark, timeout, checkpoint).
+
+Usage: python tools/kernel_parity.py [seed ...]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pandas as pd  # noqa: E402
+
+GAP_MS = 15_000
+
+
+class FakeGroupState:
+    """The slice of pyspark GroupState the kernel touches."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+    def remove(self):
+        self._val = None
+
+
+def kernel_intervals(
+    src, pattern, keys, ts, ft, max_gap_ms=GAP_MS, chunk=13
+):
+    """Closed intervals from the production kernel run offline:
+    {(key…, from_ms, to_ms)}. ``chunk`` rows per simulated micro-batch
+    (state round-trips through the int64 codec between chunks)."""
+    from tsp_spark.streaming.stateful import _make_update, build_spec
+
+    s, spec = build_spec(src, pattern, list(keys), ts, ft, max_gap_ms)
+    out_cols = ["pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_rows"]
+    update = _make_update([spec], list(keys), ts, max_gap_ms, out_cols)
+    pdf = s.orderBy(*keys, ts).toPandas()
+    got = set()
+
+    def collect(dfs):
+        for out in dfs:
+            for r in out.itertuples(index=False):
+                rec = tuple(getattr(r, k) for k in keys) + (
+                    int(r.from_ts.value // 1_000_000),
+                    int(r.to_ts.value // 1_000_000),
+                )
+                got.add(rec)
+
+    for kv, grp in pdf.groupby(list(keys), sort=True):
+        key = kv if isinstance(kv, tuple) else (kv,)
+        g = grp.sort_values(ts).reset_index(drop=True)
+        st = FakeGroupState()
+        for i0 in range(0, len(g), chunk):
+            collect(update(key, iter([g.iloc[i0 : i0 + chunk]]), st))
+        st.hasTimedOut = True
+        collect(update(key, iter([]), st))
+    return got
+
+
+def batch_intervals(src, pattern, keys, ts, ft, max_gap_ms=GAP_MS):
+    from tsp_spark.compile.compiler import compile_pattern
+
+    rows = (
+        compile_pattern(src, pattern, list(keys), ts, ft, max_gap_ms=max_gap_ms)
+        .select(*keys, "from_ts", "to_ts")
+        .collect()
+    )
+    return {
+        tuple(r[k] for k in keys)
+        + (
+            int(r["from_ts"].timestamp() * 1000),
+            int(r["to_ts"].timestamp() * 1000),
+        )
+        for r in rows
+    }
+
+
+def compare(spark, src, pattern, ft, chunk=13):
+    batch = batch_intervals(src, pattern, ["user_id"], "ts", ft)
+    got = kernel_intervals(src, pattern, ["user_id"], "ts", ft, chunk=chunk)
+    if got != batch:
+        return (
+            f"missing={sorted(batch - got)[:3]} spurious={sorted(got - batch)[:3]} "
+            f"(batch {len(batch)}, kernel {len(got)})"
+        )
+    return None
+
+
+# the round-5 kernel-totality shapes: string lag, nested aggregates,
+# right-nested andThen, wait/windowed terms under boolean combinators,
+# until over windowed terms, registry math inside windowed booleans
+PINNED = [
+    "lag(event_type) = 'hot'",
+    "lag(event_type, 5 sec) = 'hot'",
+    "lag(event_type, 5 sec) != event_type",
+    "avg(avg(value, 5 sec), 20 sec) > 150",
+    "max(avg(value, 5 sec), 10 sec) - min(value, 5 sec) > 30",
+    "lag(avg(value, 5 sec), 5 sec) > value",
+    "value > 150 andThen (value < 120 andThen value > 150)",
+    "value < 120 andThen (value > 150 andThen value < 120) andThen value > 150",
+    "value > 150 and wait(5 sec, value < 120)",
+    "wait(5 sec, value > 150) or value > 205",
+    "avg(value, 10 sec) > 150 until value > 205",
+    "sin(avg(value, 10 sec) / 60) > 0.5",
+    "abs(value - 160) < 20 and avg(value, 10 sec) > 150",
+    "(value > 150 andThen value < 120) and value < 200",
+    "wait(5 sec, avg(value, 5 sec) > 150)",
+    "wait(5 sec, value > 150 andThen value < 120)",
+    "(value > 150 andThen value < 120) for 10 sec",
+    "(value > 150 andThen value < 120) for 20 sec >= 2 times",
+]
+
+
+def gen_series(rng: random.Random, spark):
+    import datetime as dt
+
+    rows = []
+    EPOCH = dt.datetime(2024, 1, 1)
+    for user in (1, 2, 3):
+        t = 0.0
+        for _seg in range(rng.randint(2, 4)):
+            level = rng.choice([90.0, 160.0, 200.0])
+            for _ in range(rng.randint(20, 60)):
+                if rng.random() < 0.15:
+                    level = rng.choice([90.0, 130.0, 170.0, 210.0])
+                et = rng.choice(["hot", "cold", "hot", "warm"])
+                rows.append(
+                    (
+                        user,
+                        EPOCH + dt.timedelta(seconds=t),
+                        level + rng.random() * 8,
+                        et,
+                    )
+                )
+                t += rng.choice([0.5, 1.0, 2.0])
+            t += (GAP_MS / 1000) + rng.randint(5, 30)
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_type string"
+    )
+
+
+def main() -> int:
+    from tsp_spark.session import get_spark
+
+    spark = get_spark("kernel_parity", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    ft = {"value": "float64", "event_type": "string"}
+    seeds = [int(s) for s in sys.argv[1:]] or [7, 77]
+    bad = 0
+    for seed in seeds:
+        rng = random.Random(seed)
+        src = gen_series(rng, spark).cache()
+        src.count()
+        for pat in PINNED:
+            diff = compare(spark, src, pat, ft, chunk=rng.choice([5, 13, 50]))
+            status = "DIVERGED " + diff if diff else "ok"
+            print(f"seed {seed}: [{pat}] {status}", flush=True)
+            if diff:
+                bad += 1
+        src.unpersist()
+    print(f"TOTAL DIVERGENCES: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -317,15 +317,30 @@ class Parser:
     def boolean_expr(self) -> Node:
         node = self.boolean_term()
         while self.at_kw("or", "xor"):
+            save = self.pos
             op = self.next().text
-            node = FunctionCall(op, (node, self.boolean_term()))
+            try:
+                rhs = self.boolean_term()
+            except ParseError:
+                # PEG zeroOrMore(op ~ term): a failing term backtracks
+                # the WHOLE group, so `x or wait(…)` leaves `or wait(…)`
+                # for the trilean layer instead of failing the parse
+                self.pos = save
+                break
+            node = FunctionCall(op, (node, rhs))
         return node
 
     def boolean_term(self) -> Node:
         node = self.boolean_factor()
         while self.at_kw("and"):
+            save = self.pos
             self.next()
-            node = FunctionCall("and", (node, self.boolean_factor()))
+            try:
+                rhs = self.boolean_factor()
+            except ParseError:
+                self.pos = save
+                break
+            node = FunctionCall("and", (node, rhs))
         return node
 
     def boolean_factor(self) -> Node:

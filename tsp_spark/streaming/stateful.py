@@ -100,6 +100,42 @@ def _bitsf(b: int) -> float:
     return _struct.unpack(">d", _struct.pack(">q", int(b)))[0]
 
 
+def _venc(v) -> list[int]:
+    """Tagged value encoding for lag state: numeric values bit-cast to
+    one int64 (tag 0); strings as UTF-8 length + signed 8-byte chunks
+    (tag 1) — lag over string columns must round-trip values exactly
+    through the ArrayType(LongType) state store."""
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        out = [1, len(b)]
+        for i in range(0, len(b), 8):
+            out.append(int.from_bytes(b[i : i + 8].ljust(8, b"\0"), "big", signed=True))
+        return out
+    return [0, _fbits(v)]
+
+
+def _vdec(st: list[int], pos: int):
+    if st[pos] == 0:
+        return _bitsf(st[pos + 1]), pos + 2
+    n = st[pos + 1]
+    pos += 2
+    nb = (n + 7) // 8
+    raw = b"".join(
+        int(st[pos + i]).to_bytes(8, "big", signed=True) for i in range(nb)
+    )[:n]
+    return raw.decode("utf-8"), pos + nb
+
+
+def _lagv(v):
+    """Lag queue entry: strings kept verbatim, everything else as the
+    batch plan's double."""
+    return v if isinstance(v, str) else float(v)
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
 class _IslandSM:
     """SimplePattern RLE: one open run of true cond per key."""
 
@@ -124,6 +160,12 @@ class _IslandSM:
     def flush(self, st):
         run_start, last, n = _dec(st[0]), _dec(st[1]), st[2]
         return [(run_start, last, n)] if run_start is not None else []
+
+    def split(self, st):
+        """Close the old sub-series without consuming a row — delivered
+        the moment a gap-flagged row reaches the queue head, even when
+        that row's own cond is still pending."""
+        return self.init(), self.flush(st)
 
 
 class _TimerSM:
@@ -159,6 +201,9 @@ class _TimerSM:
     def flush(self, st):
         _rs, hold_start, last, n = _dec(st[0]), _dec(st[1]), _dec(st[2]), st[3]
         return [(hold_start, last, n)] if hold_start is not None else []
+
+    def split(self, st):
+        return self.init(), self.flush(st)
 
 
 class _AndThenSM:
@@ -324,6 +369,9 @@ class _AndThenSM:
         )
         return [(f, t_, None) for _si, _ei, f, t_ in final]
 
+    def split(self, st):
+        return self.init(), self.flush(st, None)
+
 
 # ------------------------------------------------- windowed cond programs
 
@@ -332,6 +380,45 @@ _CMP_FNS = {"gt", "ge", "lt", "le", "eq", "ne"}
 _ARITH_FNS = {"add", "sub", "mul", "div"}
 _BOOL_FNS = {"and", "or", "xor", "not"}
 _AGG_KINDS = {"avg", "sum", "count", "min", "max"}
+
+
+def _safe_exp(x: float) -> float:
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return float("inf")
+
+
+def _cot(x: float) -> float:
+    t = math.tan(x)
+    return float("nan") if t == 0.0 else 1.0 / t
+
+
+# unary math mirroring the batch registry's Spark columns (registry.py
+# default_registry): ln/log are NULL for non-positive inputs (Spark
+# log/log10), sqrt of a negative is NaN, exp saturates to inf
+_MATH1 = {
+    "sin": math.sin,
+    "cos": math.cos,
+    "tan": math.tan,
+    "tg": math.tan,
+    "cot": _cot,
+    "ctg": _cot,
+    "sind": lambda x: math.sin(math.radians(x)),
+    "cosd": lambda x: math.cos(math.radians(x)),
+    "tand": lambda x: math.tan(math.radians(x)),
+    "tgd": lambda x: math.tan(math.radians(x)),
+    "cotd": lambda x: _cot(math.radians(x)),
+    "ctgd": lambda x: _cot(math.radians(x)),
+    "exp": _safe_exp,
+    "ln": lambda x: None if x <= 0 else math.log(x),
+    "log": lambda x: None if x <= 0 else math.log10(x),
+    "sqrt": lambda x: float("nan") if x < 0 else math.sqrt(x),
+}
+
+_EVAL_FNS = (
+    _CMP_FNS | _ARITH_FNS | _BOOL_FNS | set(_MATH1) | {"abs", "sigmoid"}
+)
 # lag (PreviousValue.scala:42-73) is supported via DELAYED resolution:
 # the batch compiler's forward-looking equal-value bridge (a non-emitted
 # row inherits the previous emission's value iff the NEXT emission
@@ -364,28 +451,56 @@ def _contains_agg(node) -> bool:
     return False
 
 
-def _contains_nonnumeric(node) -> bool:
-    """Any string-typed (or type-unknown) leaf under ``node``? Lag state
-    bit-casts values to int64 doubles, so only known-numeric inners are
-    kernel-eligible; everything else keeps the carry-buffer route."""
+def _contains_pending_shape(node) -> bool:
+    """Any Wait or AndThen under ``node``? Those need pending-capable
+    cond programs (_WaitProgram / _SeqBoolProgram), composed through
+    _ComboProgram when they sit under boolean combinators."""
     import dataclasses
 
     from tsp_spark.dsl import ast as A
 
-    if isinstance(node, A.Identifier):
-        return node.dtype is None or node.dtype == "string"
-    if isinstance(node, A.Constant):
-        return isinstance(node.value, str)
-    if isinstance(node, A.Cast) and node.dtype == "string":
+    if isinstance(node, (A.Wait, A.AndThen)):
         return True
     if not dataclasses.is_dataclass(node):
         return False
     for f in dataclasses.fields(node):
         v = getattr(node, f.name)
         for x in v if isinstance(v, tuple) else (v,):
-            if isinstance(x, A.Node) and _contains_nonnumeric(x):
+            if isinstance(x, A.Node) and _contains_pending_shape(x):
                 return True
     return False
+
+
+def _validate_kernel_expr(node) -> None:
+    """Build-time guard: every node under a windowed boolean must be a
+    shape _eval_row can evaluate, so an unsupported function fails at
+    routing time (toward the carry-buffer mode) instead of killing the
+    streaming query on its first row."""
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, (A.Assert, A.Cast)):
+        _validate_kernel_expr(node.inner)
+        return
+    if isinstance(node, (A.Constant, A.Identifier)):
+        return
+    if isinstance(node, A.AggregateCall):
+        _validate_kernel_expr(node.inner)
+        return
+    if isinstance(node, A.FunctionCall):
+        if node.name not in _EVAL_FNS:
+            raise ValueError(
+                f"function '{node.name}' inside a windowed boolean is "
+                f"not supported by the incremental kernel — use the "
+                f"carry-buffer streaming mode (streaming/job.py)"
+            )
+        for a in node.args:
+            _validate_kernel_expr(a)
+        return
+    raise ValueError(
+        f"{type(node).__name__} inside a windowed boolean is not "
+        f"supported by the incremental kernel — use the carry-buffer "
+        f"streaming mode (streaming/job.py)"
+    )
 
 
 def _collect_aggs(node) -> list:
@@ -449,6 +564,22 @@ def _eval_row(node, row, aggvals):
         if name == "not":
             v = _eval_row(node.args[0], row, aggvals)
             return None if v is None else not bool(v)
+        if name in _MATH1:
+            v = _eval_row(node.args[0], row, aggvals)
+            return None if v is None else _MATH1[name](float(v))
+        if name == "abs":
+            v = _eval_row(node.args[0], row, aggvals)
+            return None if v is None else abs(v)
+        if name == "sigmoid":
+            v = _eval_row(node.args[0], row, aggvals)
+            k = (
+                _eval_row(node.args[1], row, aggvals)
+                if len(node.args) > 1
+                else 1.0
+            )
+            if v is None or k is None:
+                return None
+            return 1.0 / (1.0 + _safe_exp(-2.0 * float(k) * float(v)))
         a = _eval_row(node.args[0], row, aggvals)
         b = _eval_row(node.args[1], row, aggvals) if len(node.args) > 1 else None
         if name in _BOOL_FNS:
@@ -547,20 +678,21 @@ class _Lag1State:
     __slots__ = ("prev",)
 
     def __init__(self):
-        self.prev: float | None = None
+        self.prev: float | str | None = None
 
     def reset(self):
         self.prev = None
 
     def encode(self) -> list[int]:
-        return [0, 0] if self.prev is None else [1, _fbits(self.prev)]
+        return [0] if self.prev is None else [1, *_venc(self.prev)]
 
     @classmethod
     def decode(cls, st: list[int], pos: int) -> tuple["_Lag1State", int]:
         obj = cls()
         if st[pos]:
-            obj.prev = _bitsf(st[pos + 1])
-        return obj, pos + 2
+            obj.prev, pos = _vdec(st, pos + 1)
+            return obj, pos
+        return obj, pos + 1
 
 
 class _LagTState:
@@ -571,8 +703,8 @@ class _LagTState:
     __slots__ = ("q", "prev", "has_prev")
 
     def __init__(self):
-        self.q: list[tuple[int, float]] = []
-        self.prev: float = 0.0
+        self.q: list[tuple[int, float | str]] = []
+        self.prev: float | str = 0.0
         self.has_prev: bool = False
 
     def reset(self):
@@ -580,21 +712,23 @@ class _LagTState:
         self.prev, self.has_prev = 0.0, False
 
     def encode(self) -> list[int]:
-        out = [1 if self.has_prev else 0, _fbits(self.prev), len(self.q)]
+        out = [1 if self.has_prev else 0, *_venc(self.prev), len(self.q)]
         for ms, v in self.q:
-            out.extend((ms, _fbits(v)))
+            out.append(ms)
+            out.extend(_venc(v))
         return out
 
     @classmethod
     def decode(cls, st: list[int], pos: int) -> tuple["_LagTState", int]:
         obj = cls()
         obj.has_prev = bool(st[pos])
-        obj.prev = _bitsf(st[pos + 1])
-        n = st[pos + 2]
-        pos += 3
+        obj.prev, pos = _vdec(st, pos + 1)
+        n = st[pos]
+        pos += 1
         for _ in range(n):
-            obj.q.append((st[pos], _bitsf(st[pos + 1])))
-            pos += 2
+            ms = st[pos]
+            v, pos = _vdec(st, pos + 1)
+            obj.q.append((ms, v))
         return obj, pos
 
 
@@ -626,6 +760,7 @@ class _WindowedCondProgram:
 
     def __init__(self, node):
         self.node = node
+        _validate_kernel_expr(node)
         self.aggs = _collect_aggs(node)
         for a in self.aggs:
             if a.kind not in _AGG_KINDS and a.kind != _LAG_KIND:
@@ -634,21 +769,24 @@ class _WindowedCondProgram:
                     f"the incremental kernel — use the carry-buffer "
                     f"streaming mode (streaming/job.py)"
                 )
-            if _collect_aggs(a.inner):
+            if any(ia.kind == _LAG_KIND for ia in _collect_aggs(a.inner)):
+                # a lag INSIDE another windowed term would need the
+                # outer window to see the lag's absence/bridge mask —
+                # present-semantics the deque programs don't model
                 raise ValueError(
-                    "nested windowed aggregates are not supported by the "
-                    "incremental kernel — use the carry-buffer streaming "
-                    "mode (streaming/job.py)"
-                )
-            if a.kind == _LAG_KIND and _contains_nonnumeric(a.inner):
-                raise ValueError(
-                    "lag over string/untyped values is not supported by "
-                    "the incremental kernel — use the carry-buffer "
-                    "streaming mode (streaming/job.py)"
+                    "lag nested inside a windowed aggregate is not "
+                    "supported by the incremental kernel — use the "
+                    "carry-buffer streaming mode (streaming/job.py)"
                 )
         self.can_pend = any(
             a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
         )
+        # nested aggregates (avg(avg(x, T1), T2) …): _collect_aggs is
+        # pre-order (parents first), so reversed order evaluates every
+        # nested term before the term that consumes its value — the
+        # batch plan's window-over-windowed-column composition. State
+        # layout keeps pre-order.
+        self._order = list(range(len(self.aggs)))[::-1]
 
     def _mk_state(self, a):
         if a.kind != _LAG_KIND:
@@ -708,20 +846,25 @@ class _WindowedCondProgram:
             und.pop(p)
             entry[1] = new_table
 
+    def split(self, objs: list) -> list:
+        """Series split: unresolved bridges get the batch's null next_v
+        (windows are series-scoped) → absent; term state resets."""
+        out = self.drain(objs)
+        for o in objs[:-1]:
+            o.reset()
+        return out
+
     def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
         out: list = []
         pending = objs[-1]
         if gap_split:
-            # the old sub-series ends here: unresolved bridges get the
-            # batch's null next_v (windows are series-scoped) → absent
-            out.extend(self.drain(objs))
-            for o in objs[:-1]:
-                o.reset()
+            out.extend(self.split(objs))
         aggvals: dict[int, object] = {}
         undecided: list[int] = []
         absent_now = False  # some lag term decided non-emitted, unbridgeable
-        for i, (a, o) in enumerate(zip(self.aggs, objs)):
-            iv = _eval_row(a.inner, row, {})
+        for i in self._order:
+            a, o = self.aggs[i], objs[i]
+            iv = _eval_row(a.inner, row, aggvals)
             if a.kind == _LAG_KIND and a.window_ms == 0:
                 # previous row's value; the row is ABSENT (invisible to
                 # islandization, like the batch present mask) when the
@@ -730,7 +873,7 @@ class _WindowedCondProgram:
                     absent_now = True
                 else:
                     aggvals[id(a)] = o.prev
-                o.prev = None if iv is None else float(iv)
+                o.prev = None if iv is None else _lagv(iv)
                 continue
             if a.kind == _LAG_KIND:
                 # consume-once: pop every value with ms' ≤ t−T; the last
@@ -743,18 +886,18 @@ class _WindowedCondProgram:
                 if emitted:
                     bridge = (
                         o.has_prev
-                        and not math.isnan(o.prev)
+                        and not _is_nan(o.prev)
                         and o.prev == emit_val
                     )
                     self._resolve(pending, i, bridge)
                     o.prev, o.has_prev = emit_val, True
                     aggvals[id(a)] = emit_val
-                elif not o.has_prev or math.isnan(o.prev):
+                elif not o.has_prev or _is_nan(o.prev):
                     absent_now = True  # no bridge candidate possible
                 else:
                     undecided.append(i)
                 if iv is not None:
-                    o.q.append((ms, float(iv)))
+                    o.q.append((ms, _lagv(iv)))
                 continue
             # trailing (t−W, t] frame: admit current, evict ms ≤ t−W
             if iv is not None:
@@ -844,8 +987,12 @@ class _TruthStatProgram:
         self.hi = hi
         self.kind = kind
         self.exactly = exactly
-        self.can_pend = (
-            isinstance(inner, _WindowedCondProgram) and inner.can_pend
+        # pending-capable iff the inner source is: decided values then
+        # lag arrival, so the kernel's row/cond queues must serialize
+        # across micro-batches (any program inner may pend — wait,
+        # seq-membership, combos — not just lag-bearing windowed conds)
+        self.can_pend = not isinstance(inner, str) and getattr(
+            inner, "can_pend", False
         )
 
     # objs layout: [q, iobjs, series_start, arr_prev_ms, meta]
@@ -928,17 +1075,32 @@ class _TruthStatProgram:
         objs[0] = q
         return out
 
+    def split(self, objs: list) -> list:
+        """Series split: resolve every old-series row still pending on
+        its inner (the gap row's decisions must not be needed to close
+        the old series), then reset window state."""
+        out: list = []
+        if not isinstance(self.inner, str):
+            out = self._process(objs, self.inner.split(objs[1]))
+        objs[0] = []
+        objs[2] = None
+        objs[3] = None
+        return out
+
     def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        pre: list = []
+        if gap_split:
+            pre = self.split(objs)
         arr_prev = objs[3]
-        delta = 0 if (gap_split or arr_prev is None) else ms - arr_prev
+        delta = 0 if arr_prev is None else ms - arr_prev
         objs[3] = ms
         objs[4].append((ms, delta, 1 if gap_split else 0))
         if not isinstance(self.inner, str):
-            decided = self.inner.feed(objs[1], ms, row, gap_split)
+            decided = self.inner.feed(objs[1], ms, row, False)
         else:
             v = row[self.inner]
             decided = [(not pd.isna(v)) and bool(v)]
-        return self._process(objs, decided)
+        return pre + self._process(objs, decided)
 
     def drain(self, objs: list) -> list:
         if not isinstance(self.inner, str):
@@ -1033,14 +1195,29 @@ class _WaitProgram:
                 pend.append((m_ms, 1 if v is not None else 0))
         return out
 
-    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
-        objs[2].append((ms, 1 if gap_split else 0))
+    def split(self, objs: list) -> list:
+        """Series split: resolve the old series entirely — inner splits
+        (deciding its pending rows), those decisions flow through the
+        frame logic, and whatever still pends truncates at the series
+        end. The gap row's own decision is NOT needed."""
         if not isinstance(self.inner, str):
-            decided = self.inner.feed(objs[1], ms, row, gap_split)
+            out = self._process(objs, self.inner.split(objs[1]))
+        else:
+            out = []
+        self._series_end(objs[0], out)
+        return out
+
+    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        pre: list = []
+        if gap_split:
+            pre = self.split(objs)
+        objs[2].append((ms, 0))
+        if not isinstance(self.inner, str):
+            decided = self.inner.feed(objs[1], ms, row, False)
         else:
             v = row[self.inner]
             decided = [None if pd.isna(v) else bool(v)]
-        return self._process(objs, decided)
+        return pre + self._process(objs, decided)
 
     def drain(self, objs: list) -> list:
         if not isinstance(self.inner, str):
@@ -1049,6 +1226,284 @@ class _WaitProgram:
             out = []
         self._series_end(objs[0], out)
         return out
+
+
+class _ComboProgram:
+    """Trilean boolean combinator over cond sources that decide at
+    different delays — the composition layer that lets ``wait`` /
+    nested ``andThen`` / windowed terms sit under and/or/xor/not/until
+    inside the kernel. Children are precomputed JVM column names
+    (decide instantly) or programs (possibly pending); each child's
+    decided stream is buffered and the combinator emits as soon as
+    every child has decided its head row. Value = the batch registry's
+    Kleene op (Fail-propagating and/xor, Kleene-or); presence = AND of
+    child presences (an ABSENT child makes the row ABSENT — the batch
+    ``_and_presents`` rule). ``until`` is the batch desugaring
+    ``l AND NOT r``."""
+
+    def __init__(self, op: str, children: list):
+        self.op = op
+        self.children = children
+        self.can_pend = any(
+            getattr(c, "can_pend", False)
+            for c in children
+            if not isinstance(c, str)
+        )
+
+    # objs layout: [child objs… (None for str children), queues]
+    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+        objs = []
+        for c in self.children:
+            if isinstance(c, str):
+                objs.append(None)
+            else:
+                o, pos = c.load(st, pos)
+                objs.append(o)
+        qs = []
+        for _ in self.children:
+            n = st[pos]
+            pos += 1
+            qs.append([_cv_dec(x) for x in st[pos : pos + n]])
+            pos += n
+        objs.append(qs)
+        return objs, pos
+
+    def init(self) -> list:
+        return [
+            None if isinstance(c, str) else c.init() for c in self.children
+        ] + [[[] for _ in self.children]]
+
+    def dump(self, objs: list) -> list[int]:
+        out: list[int] = []
+        for c, o in zip(self.children, objs[:-1]):
+            if not isinstance(c, str):
+                out.extend(c.dump(o))
+        for q in objs[-1]:
+            out.append(len(q))
+            out.extend(_cv_enc(v) for v in q)
+        return out
+
+    def _combine(self, vals: list):
+        if any(v == ABSENT for v in vals):
+            return ABSENT
+        if self.op == "not":
+            v = vals[0]
+            return None if v is None else not bool(v)
+        op = self.op
+        if op == "until":
+            left, right = vals
+            vals = [left, None if right is None else not bool(right)]
+            op = "and"
+        bs = [None if v is None else bool(v) for v in vals]
+        if op == "and":
+            if any(v is False for v in bs):
+                return False
+            return None if any(v is None for v in bs) else True
+        if op == "or":
+            if any(v is True for v in bs):
+                return True
+            return None if any(v is None for v in bs) else False
+        if any(v is None for v in bs):  # xor
+            return None
+        return bs[0] != bs[1]
+
+    def _pump(self, qs: list) -> list:
+        out = []
+        while all(qs):
+            out.append(self._combine([q.pop(0) for q in qs]))
+        return out
+
+    def split(self, objs: list) -> list:
+        """Series split: every program child resolves its old-series
+        rows, so the queues balance and the combinator drains fully."""
+        qs = objs[-1]
+        for j, c in enumerate(self.children):
+            if not isinstance(c, str):
+                qs[j].extend(c.split(objs[j]))
+        return self._pump(qs)
+
+    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        pre: list = []
+        if gap_split:
+            pre = self.split(objs)
+        qs = objs[-1]
+        for j, c in enumerate(self.children):
+            if isinstance(c, str):
+                v = row[c]
+                qs[j].append(None if pd.isna(v) else bool(v))
+            else:
+                qs[j].extend(c.feed(objs[j], ms, row, False))
+        return pre + self._pump(qs)
+
+    def drain(self, objs: list) -> list:
+        qs = objs[-1]
+        for j, c in enumerate(self.children):
+            if not isinstance(c, str):
+                qs[j].extend(c.drain(objs[j]))
+        return self._pump(qs)
+
+
+class _SeqBoolProgram:
+    """``andThen`` nested in a boolean context: a row is true iff it
+    lies inside some matched interval of the inner sequence — the batch
+    ``_compile_andthen_bool`` interval semi-join (its ``coalesce(…,
+    False)`` means the outcome is always True/False, never absent),
+    run incrementally by composing an _AndThenSM over the nested
+    chain's cond sources.
+
+    A row decides True the moment a covering interval [from, to] emits
+    (emission is monotone — a hit can't be revoked), and False once the
+    SM can no longer produce an interval starting at-or-before the row:
+    future interval starts are bounded below by the first stage's open
+    run and every stage's still-pending left intervals, so when that
+    floor passes the row (or no candidate exists) the row is final.
+    Emitted intervals never cover FUTURE rows (an interval's ``to``
+    precedes the row that closed its last island), so the interval list
+    prunes to the pending frontier. Pending rows are bounded by one
+    in-flight sequence match — window occupancy, never stream length."""
+
+    def __init__(self, children: list):
+        self.children = children
+        self.sm = _AndThenSM(len(children))
+        self.can_pend = True
+
+    # objs layout: [sm_st, rowq, srcqs, pending, intervals, child objs]
+    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+        n = st[pos]
+        pos += 1
+        sm_st = list(st[pos : pos + n])
+        pos += n
+        nr = st[pos]
+        pos += 1
+        rowq = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(nr)]
+        pos += 2 * nr
+        srcqs = []
+        for _ in self.children:
+            nv = st[pos]
+            pos += 1
+            srcqs.append([_cv_dec(x) for x in st[pos : pos + nv]])
+            pos += nv
+        npd = st[pos]
+        pos += 1
+        pending = list(st[pos : pos + npd])
+        pos += npd
+        ni = st[pos]
+        pos += 1
+        intervals = [(st[pos + 2 * i], st[pos + 2 * i + 1]) for i in range(ni)]
+        pos += 2 * ni
+        childobjs = []
+        for c in self.children:
+            if isinstance(c, str):
+                childobjs.append(None)
+            else:
+                o, pos = c.load(st, pos)
+                childobjs.append(o)
+        return [sm_st, rowq, srcqs, pending, intervals, childobjs], pos
+
+    def init(self) -> list:
+        return [
+            self.sm.init(),
+            [],
+            [[] for _ in self.children],
+            [],
+            [],
+            [None if isinstance(c, str) else c.init() for c in self.children],
+        ]
+
+    def dump(self, objs: list) -> list[int]:
+        sm_st, rowq, srcqs, pending, intervals, childobjs = objs
+        out = [len(sm_st), *sm_st, len(rowq)]
+        for ms, gap in rowq:
+            out.extend((ms, gap))
+        for q in srcqs:
+            out.append(len(q))
+            out.extend(_cv_enc(v) for v in q)
+        out.append(len(pending))
+        out.extend(pending)
+        out.append(len(intervals))
+        for f, t in intervals:
+            out.extend((f, t))
+        for c, o in zip(self.children, childobjs):
+            if not isinstance(c, str):
+                out.extend(c.dump(o))
+        return out
+
+    def _resolve(self, sm_st, pending, intervals) -> list:
+        out = []
+        _ni, open0, _l0, stages = self.sm._unpack(sm_st)
+        cands = [open0[1]] if open0 else []
+        for _op, _lastj, pend_l, _pend_r in stages:
+            cands.extend(a[2] for a in pend_l)
+        ffm = min(cands) if cands else None  # None: no future start ≤ seen rows
+        while pending:
+            pms = pending[0]
+            if any(f <= pms <= t for f, t in intervals):
+                out.append(True)
+            elif ffm is None or pms < ffm:
+                out.append(False)
+            else:
+                break
+            pending.pop(0)
+        if pending:
+            lo = pending[0]
+            intervals[:] = [iv for iv in intervals if iv[1] >= lo]
+        else:
+            intervals.clear()
+        return out
+
+    def _pump(self, objs: list) -> list:
+        sm_st, rowq, srcqs, pending, intervals, _childobjs = objs
+        out = []
+        while rowq and all(srcqs):
+            ms0, gap0 = rowq.pop(0)
+            conds = [q.pop(0) for q in srcqs]
+            st2, items = self.sm.step(sm_st, ms0, conds, bool(gap0), None)
+            sm_st[:] = st2
+            intervals.extend((f, t) for f, t, _n in items)
+            pending.append(ms0)
+            out.extend(self._resolve(sm_st, pending, intervals))
+        return out
+
+    def _finish(self, objs: list, out: list) -> list:
+        """Flush the inner SM, resolve every pending row against the
+        final interval set, reset for the next sub-series."""
+        sm_st, _rowq, _srcqs, pending, intervals, _childobjs = objs
+        items = self.sm.flush(sm_st, None)
+        intervals.extend((f, t) for f, t, _n in items)
+        while pending:
+            pms = pending.pop(0)
+            out.append(any(f <= pms <= t for f, t in intervals))
+        intervals.clear()
+        sm_st[:] = self.sm.init()
+        return out
+
+    def split(self, objs: list) -> list:
+        _sm_st, _rowq, srcqs, _pending, _intervals, childobjs = objs
+        for j, c in enumerate(self.children):
+            if not isinstance(c, str):
+                srcqs[j].extend(c.split(childobjs[j]))
+        return self._finish(objs, self._pump(objs))
+
+    def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        pre: list = []
+        if gap_split:
+            pre = self.split(objs)
+        _sm_st, rowq, srcqs, _pending, _intervals, childobjs = objs
+        rowq.append((ms, 0))
+        for j, c in enumerate(self.children):
+            if isinstance(c, str):
+                v = row[c]
+                srcqs[j].append(None if pd.isna(v) else bool(v))
+            else:
+                srcqs[j].extend(c.feed(childobjs[j], ms, row, False))
+        return pre + self._pump(objs)
+
+    def drain(self, objs: list) -> list:
+        _sm_st, _rowq, srcqs, _pending, _intervals, childobjs = objs
+        for j, c in enumerate(self.children):
+            if not isinstance(c, str):
+                srcqs[j].extend(c.drain(childobjs[j]))
+        return self._finish(objs, self._pump(objs))
 
 
 @dataclass
@@ -1096,6 +1551,27 @@ def stateful_multi(
     out_cols = [
         "pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_rows",
     ]
+    update = _make_update(specs, keys, ts, max_gap_ms, out_cols)
+
+    return (
+        stream.withWatermark(ts, watermark_delay)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _make_update(specs, keys, ts, max_gap_ms, out_cols):
+    """Build the applyInPandasWithState update fn. Module-level (not a
+    closure of stateful_multi) so tests and tools can drive the exact
+    production kernel with a stub GroupState — fast batch-parity checks
+    with no streaming query, including state pack/unpack between
+    simulated micro-batches."""
     specs = list(specs)
 
     def _programs(spec):
@@ -1164,33 +1640,41 @@ def stateful_multi(
 
         def advance(i, spec):
             """Step the SM with every queued row whose cond sources have
-            all decided — rows feed strictly in arrival order. An ABSENT
-            cond on a single-cond island spec makes the row INVISIBLE
-            (the batch _islandize drops present-masked rows before
-            islandization): the SM is not stepped — except that a row
-            carrying the gap flag still drives the series SPLIT through
-            the SM (the split belongs to the series, not the row; an
-            open old-series run must close even when the first row after
-            the gap is absent). Timer specs map ABSENT to false (batch
-            Timer discards the present mask → null cond → boundary);
-            chain SMs consume ABSENT per side."""
+            all decided — rows feed strictly in arrival order. A gap
+            flag at the queue HEAD delivers the series split to the SM
+            immediately, before (and independent of) the gap row's own
+            cond — pending-capable sources may never decide the final
+            row of a stream, but the old sub-series is complete the
+            moment the gap row arrives, so its last island must close
+            now (the batch plan closes it unconditionally; waiting on
+            the gap row's cond would hold the interval until a timeout
+            that a stalled watermark may never fire). An ABSENT cond on
+            a single-cond island spec makes the row INVISIBLE (the
+            batch _islandize drops present-masked rows before
+            islandization): the SM is not stepped. Timer specs map
+            ABSENT to false (batch Timer discards the present mask →
+            null cond → boundary); chain SMs consume ABSENT per side."""
             sq = srcqs[i]
-            while rowqs[i] and all(sq):
-                ms0, gap0, last0 = rowqs[i].pop(0)
+            while rowqs[i]:
+                ms0, gap0, last0 = rowqs[i][0]
+                if gap0:
+                    sts[i], items = spec.sm.split(sts[i])
+                    emit(spec, items)
+                    rowqs[i][0] = (ms0, 0, last0)
+                    continue
+                if not all(sq):
+                    break
+                rowqs[i].pop(0)
                 conds = [sq[j].pop(0) for j in range(len(sq))]
-                gap0 = bool(gap0)
                 if isinstance(spec.sm, _AndThenSM):
                     sts[i], items = spec.sm.step(
-                        sts[i], ms0, conds, gap0, last0
+                        sts[i], ms0, conds, False, last0
                     )
                 elif conds[0] == ABSENT and isinstance(spec.sm, _IslandSM):
-                    if gap0:  # invisible row, but the split is real
-                        sts[i], items = spec.sm.step(sts[i], ms0, [False], True)
-                        emit(spec, items)
                     continue
                 else:
                     conds = [False if v == ABSENT else v for v in conds]
-                    sts[i], items = spec.sm.step(sts[i], ms0, conds, gap0)
+                    sts[i], items = spec.sm.step(sts[i], ms0, conds, False)
                 emit(spec, items)
 
         if state.hasTimedOut:
@@ -1278,17 +1762,7 @@ def stateful_multi(
         state.setTimeoutTimestamp(last + max_gap_ms)
         yield _pdf(closed, out_cols)
 
-    return (
-        stream.withWatermark(ts, watermark_delay)
-        .groupBy(*keys)
-        .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-    )
+    return update
 
 
 def _pdf(rows, cols):
@@ -1371,10 +1845,14 @@ def build_spec(
     evaluated inside the kernel, and ``for T <op> N times`` / ``<op>
     T'`` becomes a truth-stat program (WindowStatistic) with the
     compiler's full-window "exactly" gate. ``wait(T, X)`` becomes a
-    pending leading-window program. Raises ValueError only for shapes
-    that genuinely need the carry-buffer mode (streaming/job.py):
-    right-nested andThen, wait nested inside larger booleans, nested
-    window aggregates, lag over string/untyped values."""
+    pending leading-window program; nested/right-associated ``andThen``
+    becomes a sequence-membership program (_SeqBoolProgram); boolean
+    combinators over pending shapes compose through _ComboProgram;
+    nested window aggregates evaluate inner-first; lag carries string
+    values through the tagged state codec. Raises ValueError only for
+    shapes that genuinely need the carry-buffer mode (streaming/job.py):
+    lag nested inside another windowed aggregate, and expression nodes
+    _eval_row has no kernel evaluation for (reducers)."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
@@ -1389,8 +1867,28 @@ def build_spec(
     s = stream
     n_cols = 0
 
+    def flatten_chain(at_node):
+        """Left-associative flatten — the batch compiler folds exactly
+        this way: compile_intervals recurses LEFT and sequence-joins
+        each right operand in turn. A right operand that is ITSELF an
+        AndThen (parenthesized) stays one chain element — the batch
+        islandizes it through the boolean interval semi-join
+        (_compile_andthen_bool), which cond_source reproduces with a
+        _SeqBoolProgram."""
+        chain = []
+        cur = at_node
+        while isinstance(cur, A.AndThen):
+            chain.append(cur.right)
+            cur = cur.left
+        chain.append(cur)
+        chain.reverse()
+        return chain
+
     def cond_source(n):
-        """Boolean sub-AST → column name (row-level) or program (windowed)."""
+        """Boolean sub-AST → column name (row-level) or program
+        (windowed / pending), composed recursively: wait → leading
+        window program, nested andThen → sequence-membership program,
+        boolean combinators over pending shapes → Kleene combinator."""
         nonlocal s, n_cols
         nw = n
         while isinstance(nw, A.Assert):
@@ -1399,6 +1897,22 @@ def build_spec(
             # leading window: inherently pending — the _WaitProgram
             # buffers rows until X fires or event time passes t+W
             return _WaitProgram(cond_source(nw.inner), nw.window_ms)
+        if isinstance(nw, A.AndThen):
+            # andThen in a boolean context: interval-membership
+            # semantics (the batch _compile_andthen_bool semi-join)
+            return _SeqBoolProgram([cond_source(c) for c in flatten_chain(nw)])
+        if isinstance(nw, A.Until) and (
+            _contains_pending_shape(nw) or _contains_agg(nw)
+        ):
+            return _ComboProgram(
+                "until", [cond_source(nw.left), cond_source(nw.right)]
+            )
+        if (
+            isinstance(nw, A.FunctionCall)
+            and nw.name in ("and", "or", "xor", "not")
+            and _contains_pending_shape(nw)
+        ):
+            return _ComboProgram(nw.name, [cond_source(a) for a in nw.args])
         if _contains_agg(n):
             return _WindowedCondProgram(n)
         c = comp.compile_bool(stream, n)
@@ -1414,28 +1928,7 @@ def build_spec(
         return name
 
     if isinstance(node, A.AndThen):
-        # flatten the left-associative chain (the grammar's default
-        # associativity) — the batch compiler folds exactly this way:
-        # compile_intervals recurses LEFT and sequence-joins each right
-        # operand in turn, which _AndThenSM reproduces stage by stage.
-        # A right-NESTED andThen (parenthesized) compiles in batch as a
-        # boolean interval semi-join (_compile_andthen_bool) — different
-        # semantics — so it keeps the carry-buffer route.
-        chain = []
-        cur = node
-        while isinstance(cur, A.AndThen):
-            if isinstance(cur.right, A.AndThen):
-                raise ValueError(
-                    "right-nested andThen is not supported by the "
-                    "incremental stateful kernel — use the carry-buffer "
-                    "streaming mode (streaming/job.py), which evaluates "
-                    "the full batch compiler over bounded history"
-                )
-            chain.append(cur.right)
-            cur = cur.left
-        chain.append(cur)
-        chain.reverse()
-        conds = [cond_source(c) for c in chain]
+        conds = [cond_source(c) for c in flatten_chain(node)]
         return s, PatternSpec(
             pattern_id, subunit, _AndThenSM(len(conds)), conds
         )
