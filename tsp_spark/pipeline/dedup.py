@@ -110,6 +110,7 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     undirected ``pairs`` graph (id_a, id_b, …), label = the component's
@@ -125,22 +126,25 @@ def neardup_clusters(
     wall time) stop swinging run-to-run. All loop tables are sized by
     the CURRENT edge set only — isolated docs (the vast majority of a
     near-dup corpus) never enter the loop and join back at the end.
-    ``localCheckpoint`` truncates lineage each round; the per-round
-    driver sync is one (edge-count, order-insensitive hash-sum) scalar
-    pair whose stability IS the star-forest fixpoint (re-applying both
-    stars to a star forest reproduces it exactly).
+    ``localCheckpoint`` truncates lineage each round; convergence is
+    detected by testing the star-forest property DIRECTLY on each
+    round's output (unique sources, sources never centers — see inline
+    note), which stops one full star round earlier than waiting for two
+    identical consecutive edge sets.
     """
-    # canonical undirected form: a > b, no self-loops, deduped
-    edges = (
-        pairs.select(
-            F.greatest("id_a", "id_b").alias("a"),
-            F.least("id_a", "id_b").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    prev = None
+    # canonical undirected form: a > b, no self-loops, deduped.
+    # ``pairs_distinct=True`` skips the dedup shuffle over the FULL
+    # input edge set — the single biggest table this function touches —
+    # when the producer guarantees uniqueness (a bucketed a<b self-join
+    # like jaccard_pairs emits each pair once; banded MinHash does NOT:
+    # a pair surfaces once per agreeing band, so it keeps the distinct).
+    edges = pairs.select(
+        F.greatest("id_a", "id_b").alias("a"),
+        F.least("id_a", "id_b").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    if not pairs_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         # large-star: for each u, m = min(N(u) ∪ {u}); connect every
@@ -167,9 +171,9 @@ def neardup_clusters(
         ss = j.select(F.col("b").alias("x"), F.col("m").alias("y")).union(
             j.select(F.col("a").alias("x"), F.col("m").alias("y"))
         )
-        # lazy checkpoint: the convergence aggregate below is the action
-        # that materializes it, so each round costs ONE Spark job (an
-        # eager checkpoint would add a second full pass per round)
+        # lazy checkpoint: the convergence probe below is the action
+        # that materializes it, so each round costs ONE full Spark job
+        # (an eager checkpoint would add a second full pass per round)
         edges = (
             ss.select(
                 F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
@@ -178,17 +182,25 @@ def neardup_clusters(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # order-insensitive set fingerprint: count + XOR of edge hashes
-        # (XOR can't overflow under ANSI mode, unlike a long sum)
-        cur = tuple(
-            edges.agg(
-                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")
-            ).collect()[0]
+        # direct star-forest fixpoint test instead of compare-to-previous
+        # hashing: a canonical edge set (a > b) is a min-centered star
+        # forest ⟺ every source a appears exactly ONCE and no source is
+        # also a center (a ∩ b = ∅) — centers are then automatically the
+        # component minima since b < a on every edge. Testing the
+        # property on THIS round's output stops one full round earlier
+        # than waiting for two identical consecutive edge sets; the two
+        # probe jobs scan the (already tiny, post-contraction) edge set
+        # instead of re-running the 4-shuffle star round to confirm.
+        multi_source = (
+            edges.groupBy("a").agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
         )
-        if cur == prev:
+        source_is_center = edges.join(
+            edges.select(F.col("b").alias("a")), "a", "left_semi"
+        )
+        if multi_source.isEmpty() and source_is_center.isEmpty():
             converged = True
             break
-        prev = cur
     if not converged:
         warnings.warn(
             f"neardup_clusters: star-contraction did not reach its "

@@ -799,7 +799,7 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "text", "doc_id", ["source"], threshold=0.6)
-    return neardup_clusters(docs, pairs, "doc_id")
+    return neardup_clusters(docs, pairs, "doc_id", pairs_distinct=True)
 
 
 ORACLE_DEDUP_CLUSTERS = """
