@@ -477,3 +477,47 @@ def test_jpeg_property_roundtrip():
         assert out.shape == (h, w, 3)
         diff = np.abs(out.astype(int) - img.astype(int))
         assert diff.mean() < 8.0, (h, w, quality, sub, diff.mean())
+
+
+def test_avi_mjpeg_roundtrip():
+    """Real RIFF/AVI container: write MJPEG AVI, parse headers back,
+    decode frames within JPEG tolerance."""
+    from tsp_spark.pipeline.codecs import (
+        UnsupportedMediaError,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        parse_avi_headers,
+    )
+
+    frames = [_smooth_rgb(16, 24, seed=s) for s in (1, 2, 3)]
+    avi = encode_avi_mjpeg(frames, fps=12, quality=92)
+    meta = parse_avi_headers(avi)
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert meta["n_frames"] == 3
+    assert meta["fourcc"] == "MJPG"
+    assert meta["fps_milli"] == 12_000
+    m2, dec = decode_avi_frames(avi)
+    assert len(dec) == 3
+    for orig, got in zip(frames, dec):
+        assert got.shape == orig.shape
+        assert np.abs(got.astype(int) - orig.astype(int)).mean() < 8.0
+    # max_frames caps the decode work
+    _, first = decode_avi_frames(avi, max_frames=1)
+    assert len(first) == 1
+    import pytest
+
+    # corrupt/truncated payloads degrade, never crash
+    with pytest.raises(UnsupportedMediaError):
+        parse_avi_headers(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(UnsupportedMediaError):
+        parse_avi_headers(avi[:30])
+    # a chunk size overrunning its parent must be caught
+    bad = bytearray(avi)
+    bad[16:20] = (0x7FFFFFFF).to_bytes(4, "little")
+    with pytest.raises(UnsupportedMediaError):
+        parse_avi_headers(bytes(bad))
+    # non-MJPEG fourcc: metadata parses, frame decode refuses
+    other = avi.replace(b"MJPG", b"H264")
+    assert parse_avi_headers(other)["fourcc"] == "H264"
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi_frames(other)

@@ -42,6 +42,60 @@ def test_offline_parity_pinned(spark, series, pat):
     assert diff is None, f"[{pat}] {diff}"
 
 
+def test_offline_parity_multi_pattern(spark, series):
+    """Several heterogeneous patterns through ONE multi-spec kernel
+    (the production topology: one shuffle, one state store, N state
+    machines) — per-pattern intervals equal the batch compiler's."""
+    from kernel_parity import FakeGroupState, batch_intervals
+    from tsp_spark.streaming.stateful import _make_update, build_spec
+
+    pats = [
+        "value > 150",
+        "avg(value, 10 sec) > 150 for 10 sec",
+        "value > 150 andThen (value < 120 andThen value > 150)",
+        "value > 80 and wait(5 sec, lag(event_type, 5 sec) = 'hot')",
+    ]
+    cur = series
+    specs = []
+    for pid, pat in enumerate(pats, start=1):
+        cur, spec = build_spec(
+            cur, pat, ["user_id"], "ts", FT, 15_000, pattern_id=pid
+        )
+        specs.append(spec)
+    out_cols = [
+        "pattern_id", "subunit", "user_id", "from_ts", "to_ts", "n_rows",
+    ]
+    update = _make_update(specs, ["user_id"], "ts", 15_000, out_cols)
+    pdf = cur.orderBy("user_id", "ts").toPandas()
+    got: dict[int, set] = {pid: set() for pid in range(1, len(pats) + 1)}
+
+    def collect(dfs):
+        for out in dfs:
+            for r in out.itertuples(index=False):
+                got[r.pattern_id].add(
+                    (
+                        r.user_id,
+                        int(r.from_ts.value // 1_000_000),
+                        int(r.to_ts.value // 1_000_000),
+                    )
+                )
+
+    for kv, grp in pdf.groupby("user_id"):
+        g = grp.sort_values("ts").reset_index(drop=True)
+        st = FakeGroupState()
+        for i0 in range(0, len(g), 17):
+            collect(update((kv,), iter([g.iloc[i0 : i0 + 17]]), st))
+        st.hasTimedOut = True
+        collect(update((kv,), iter([]), st))
+
+    for pid, pat in enumerate(pats, start=1):
+        batch = batch_intervals(series, pat, ["user_id"], "ts", FT)
+        assert got[pid] == batch, (
+            f"[{pat}] missing={sorted(batch - got[pid])[:3]} "
+            f"spurious={sorted(got[pid] - batch)[:3]}"
+        )
+
+
 def test_offline_parity_tiny_chunks(spark, series):
     """1-row micro-batches: every row crosses a state pack/unpack —
     the harshest codec exercise for pending truth tables, seq-bool

@@ -51,3 +51,53 @@ def test_frame_sample(spark):
     rows = out.collect()
     assert all(r["frame_idx"] % 10 == 0 for r in rows)
     assert all(r["frame_idx"] < r["n_frames"] for r in rows)
+
+
+def test_video_features_real_avi(spark):
+    """MJPEG AVI payloads: real container metadata + real first-frame
+    features through the Arrow mapInPandas path; non-AVI payloads keep
+    the stub fallback in the same job."""
+    import numpy as np
+
+    from tsp_spark.pipeline.codecs import encode_avi_mjpeg, image_features
+    from tsp_spark.pipeline.multimodal import extract_video_features
+
+    rng = np.random.default_rng(7)
+    base = np.clip(
+        np.add.outer(np.linspace(40, 200, 12), np.linspace(0, 40, 18)), 0, 255
+    ).astype(np.uint8)
+    frames = [np.stack([base + i] * 3, axis=2).clip(0, 255) for i in range(4)]
+    avi = encode_avi_mjpeg([f.astype(np.uint8) for f in frames], fps=8)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_video_features(df).collect()}
+    real = out[1]
+    assert (real["width"], real["height"], real["n_frames"]) == (18, 12, 4)
+    assert real["fourcc"] == "MJPG" and real["fps_milli"] == 8_000
+    assert len(real["features"]) == len(image_features(frames[0]))
+    stub = out[2]
+    assert stub["fourcc"] == "" and stub["n_frames"] == len(b"not a video") % 256 + 1
+
+
+def test_frame_sample_real_container(spark):
+    """frame_sample_plan reads the REAL frame count from AVI payloads
+    and keeps the stub for everything else."""
+    import numpy as np
+
+    from tsp_spark.pipeline.codecs import encode_avi_mjpeg
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    avi = encode_avi_mjpeg([img] * 23, fps=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"xyz"))],
+        "media_id long, payload binary",
+    )
+    out = frame_sample_plan(df, every_n=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert {r["frame_idx"] for r in by_id[1]} == {0, 10, 20}
+    assert all(r["n_frames"] == 23 for r in by_id[1])
+    assert all(r["n_frames"] == len(b"xyz") % 256 + 1 for r in by_id[2])

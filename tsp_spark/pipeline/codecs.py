@@ -407,3 +407,155 @@ def mfcc_like(x: np.ndarray, sr: int, n_coef: int = 13, n_mels: int = 24) -> lis
     n = np.arange(n_mels)
     dct = np.cos(np.pi * np.outer(np.arange(n_coef), (2 * n + 1)) / (2.0 * n_mels))
     return [float(v) for v in dct @ logmel]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) video container — real parse/write per the public RIFF/AVI
+# spec (msdn AVIMAINHEADER/AVISTREAMHEADER/BITMAPINFOHEADER layouts).
+# MJPEG payload frames decode FOR REAL through pipeline/jpeg.py; any
+# other fourcc parses (dims/fps/frame count are container metadata) but
+# frame DECODE raises UnsupportedMediaError toward the caller's stub
+# fallback — the honest boundary, same policy as progressive JPEG.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) over a RIFF chunk
+    run; chunks are word-aligned (odd sizes padded by one byte)."""
+    while pos + 8 <= end:
+        fcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise UnsupportedMediaError(
+                f"RIFF chunk {fcc!r} overruns its parent ({size} bytes)"
+            )
+        yield fcc, body, size
+        pos = body + size + (size & 1)
+
+
+def parse_avi_headers(payload: bytes) -> dict:
+    """AVI container metadata: {'width', 'height', 'n_frames',
+    'fps_milli' (fps × 1000, exact dwRate/dwScale ratio), 'fourcc'}.
+    Raises UnsupportedMediaError on anything that is not a well-formed
+    AVI with one video stream."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(8 + riff_size, len(payload))
+    meta: dict = {}
+    try:
+        for fcc, body, size in _riff_chunks(payload, 12, end):
+            if fcc != b"LIST" or payload[body : body + 4] != b"hdrl":
+                continue
+            for f2, b2, s2 in _riff_chunks(payload, body + 4, body + size):
+                if f2 == b"avih" and s2 >= 40:
+                    (usec_pf, _mbps, _pad, _flags, total, _init, _nstr,
+                     _bufsz, w, h) = struct.unpack(
+                        "<10I", payload[b2 : b2 + 40]
+                    )
+                    meta.update(width=w, height=h, n_frames=total,
+                                usec_per_frame=usec_pf)
+                elif f2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                    for f3, b3, s3 in _riff_chunks(payload, b2 + 4, b2 + s2):
+                        if f3 == b"strh" and s3 >= 40:
+                            fcc_type = payload[b3 : b3 + 4]
+                            if fcc_type != b"vids":
+                                break  # audio/other stream: skip strl
+                            handler = payload[b3 + 4 : b3 + 8]
+                            scale, rate = struct.unpack(
+                                "<II", payload[b3 + 20 : b3 + 28]
+                            )
+                            meta["fourcc"] = handler.decode(
+                                "ascii", "replace"
+                            ).strip("\0 ")
+                            meta["fps_milli"] = (
+                                rate * 1000 // scale if scale else 0
+                            )
+    except struct.error as e:
+        raise UnsupportedMediaError(f"corrupt AVI header: {e}") from e
+    if "width" not in meta or "fourcc" not in meta:
+        raise UnsupportedMediaError("AVI missing avih/vids strh headers")
+    _check_dims(meta["width"], meta["height"])
+    return meta
+
+
+def avi_frame_payloads(payload: bytes):
+    """Yield raw frame chunk payloads ('00dc'/'00db') from the movi
+    list, in stream order."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise UnsupportedMediaError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(8 + riff_size, len(payload))
+    for fcc, body, size in _riff_chunks(payload, 12, end):
+        if fcc == b"LIST" and payload[body : body + 4] == b"movi":
+            for f2, b2, s2 in _riff_chunks(payload, body + 4, body + size):
+                if f2[2:4] in (b"dc", b"db"):
+                    yield payload[b2 : b2 + s2]
+
+
+def decode_avi_frames(payload: bytes, max_frames: int | None = None):
+    """Decode an MJPEG AVI's frames to RGB float arrays (real JPEG
+    decode per frame). Non-MJPEG fourccs raise UnsupportedMediaError —
+    metadata-only callers should use parse_avi_headers instead."""
+    meta = parse_avi_headers(payload)
+    if meta["fourcc"].upper() not in ("MJPG", "MJPEG"):
+        raise UnsupportedMediaError(
+            f"AVI codec {meta['fourcc']!r} needs an external decoder "
+            f"(only MJPEG decodes in-container)"
+        )
+    out = []
+    for i, frame in enumerate(avi_frame_payloads(payload)):
+        if max_frames is not None and i >= max_frames:
+            break
+        out.append(decode_jpeg(frame))
+    return meta, out
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 25, quality: int = 85
+) -> bytes:
+    """Minimal MJPEG AVI writer (RIFF hdrl/avih/strl/strh/strf + movi +
+    idx1), frames JPEG-encoded via pipeline/jpeg.py. Round-trips
+    through parse_avi_headers/decode_avi_frames."""
+    from tsp_spark.pipeline.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    jpegs = [chunk(b"00dc", encode_jpeg(f, quality=quality)) for f in frames]
+    avih = struct.pack(
+        "<10I16x",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(jpegs)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame chunk, offsets relative to 'movi' fourcc
+    idx = b""
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j) - 8)
+        off += len(j)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -5,12 +5,14 @@ Decode strategy (pipeline/codecs.py): PNG / baseline JPEG / BMP / PPM
 images and PCM WAV audio are decoded FOR REAL in pure stdlib + numpy —
 bit-exact pixel and sample recovery (JPEG within codec tolerance), real
 gradient/spectral features, real resampling, real PNG re-encode; MP3
-rate/duration come from a real frame-header parse. Only what genuinely
-needs an external codec (progressive JPEG, MP3 sample synthesis, video
-containers) falls back to the deterministic stub
-(`_fake_decode_*`, clearly marked) so the pipeline stays end-to-end
-runnable in this container; swap the fallback for Pillow/libsndfile in
-production via the same code path.
+rate/duration come from a real frame-header parse; MJPEG AVI video
+containers parse (RIFF hdrl walk) and frame-decode for real through
+pipeline/jpeg.py. Only what genuinely needs an external codec
+(progressive JPEG, MP3 sample synthesis, non-MJPEG video codecs) falls
+back to the deterministic stub (`_fake_decode_*`, clearly marked) so
+the pipeline stays end-to-end runnable in this container; swap the
+fallback for Pillow/libsndfile/ffmpeg in production via the same code
+path.
 
 Scale notes: binary payloads stay columnar (never hit the driver);
 mapInPandas streams Arrow batches so one task holds only
@@ -212,16 +214,110 @@ def frame_sample_plan(
     every_n: int = 10,
 ) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
-    index. Frame count is faked from payload length (STUB — a real
-    implementation reads container metadata)."""
-    n_frames = (F.length(F.col(payload_col)) % 256 + 1).alias("n_frames")
-    return (
-        df.select(F.col(id_col), n_frames)
-        .select(
-            id_col,
-            "n_frames",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-            ).alias("frame_idx"),
+    index. AVI payloads get their REAL container frame count
+    (codecs.parse_avi_headers walks the RIFF hdrl); anything else keeps
+    the deterministic payload-length stub so the plan never fails on a
+    bad payload."""
+    meta_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tsp_spark.pipeline.codecs import parse_avi_headers
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    n = max(int(parse_avi_headers(data)["n_frames"]), 1)
+                except UnsupportedMediaError:
+                    n = len(data) % 256 + 1  # STUB fallback
+                rows.append((mid, n))
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames"])
+
+    meta = df.select(id_col, payload_col).mapInPandas(batches, meta_schema)
+    return meta.select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps_milli", T.IntegerType()),
+        T.StructField("fourcc", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    sample_frames: int = 2,
+) -> DataFrame:
+    """Video metadata + first-frames features via Arrow-batched
+    mapInPandas. MJPEG AVIs decode FOR REAL (RIFF walk →
+    pipeline/jpeg.py per frame → per-frame image_features averaged over
+    the first ``sample_frames``); AVIs with other codecs return real
+    container metadata with the stub feature vector; non-AVI payloads
+    fall back to the deterministic image stub entirely."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from tsp_spark.pipeline.codecs import (
+            decode_avi_frames,
+            image_features,
+            parse_avi_headers,
         )
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    meta, frames = decode_avi_frames(data, sample_frames)
+                    feats = [image_features(f) for f in frames]
+                    fv = [float(x) for x in np.mean(feats, axis=0)]
+                except UnsupportedMediaError:
+                    try:
+                        meta = parse_avi_headers(data)
+                        fv = _fake_decode_image(data)[2]
+                    except UnsupportedMediaError:
+                        w, h, fv = _fake_decode_image(data)
+                        meta = {
+                            "width": w, "height": h,
+                            "n_frames": len(data) % 256 + 1,
+                            "fps_milli": 0, "fourcc": "",
+                        }
+                rows.append(
+                    (
+                        mid, meta["width"], meta["height"],
+                        meta["n_frames"], meta.get("fps_milli", 0),
+                        meta.get("fourcc", ""), fv,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "fps_milli", "fourcc", "features",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, VIDEO_FEATURES_SCHEMA
     )

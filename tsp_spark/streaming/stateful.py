@@ -1731,7 +1731,10 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
             ]
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
-        for _, row in rows.iterrows():
+        # plain dicts, not iterrows(): building a pandas Series per row
+        # costs ~100 µs each — 10-50× the whole state transition. The
+        # programs only need row[name] scalar access, which dicts give.
+        for row in rows.to_dict("records"):
             ms = int(row[ts].value // 1_000_000)
             gap_split = last is not None and ms - last > max_gap_ms
             for i, spec in enumerate(specs):
