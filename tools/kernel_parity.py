@@ -166,18 +166,33 @@ def gen_series(rng: random.Random, spark):
 
 
 def main() -> int:
+    """``kernel_parity.py [seed ...]`` sweeps PINNED per seed;
+    ``kernel_parity.py --fuzz N [seed ...]`` additionally runs N random
+    patterns per seed from the streaming fuzzer's generator — offline,
+    so ~15× more shapes per minute than tools/fuzz_stateful.py."""
     from tsp_spark.session import get_spark
+
+    args = sys.argv[1:]
+    n_fuzz = 0
+    if args and args[0] == "--fuzz":
+        n_fuzz = int(args[1])
+        args = args[2:]
 
     spark = get_spark("kernel_parity", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     ft = {"value": "float64", "event_type": "string"}
-    seeds = [int(s) for s in sys.argv[1:]] or [7, 77]
+    seeds = [int(s) for s in args] or [7, 77]
     bad = 0
     for seed in seeds:
         rng = random.Random(seed)
         src = gen_series(rng, spark).cache()
         src.count()
-        for pat in PINNED:
+        pats = list(PINNED)
+        if n_fuzz:
+            from fuzz_stateful import gen_pattern
+
+            pats += [gen_pattern(rng) for _ in range(n_fuzz)]
+        for pat in pats:
             diff = compare(spark, src, pat, ft, chunk=rng.choice([5, 13, 50]))
             status = "DIVERGED " + diff if diff else "ok"
             print(f"seed {seed}: [{pat}] {status}", flush=True)
