@@ -95,7 +95,19 @@ def jaccard_pairs(
         *bucket_cols, F.col("__id").alias("id_b"),
         F.col("__ws").alias("__wb"), F.col("__n").alias("__nb"),
     )
-    joined = a.join(b, on=list(bucket_cols)).where(F.col("id_a") < F.col("id_b"))
+    # size-ratio prune BEFORE the O(|A|·|B|) intersect: J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|) (intersection ≤ the smaller set, union ≥
+    # the larger), so pairs whose length ratio already caps J below the
+    # threshold never pay for array_intersect. The 1e-9 slack keeps
+    # boundary pairs despite float rounding; the prune is implied by the
+    # J ≥ t filter below, so results are identical.
+    ratio_ok = (
+        F.least(F.col("__na"), F.col("__nb")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("__na"), F.col("__nb")) - 1e-9
+    )
+    joined = a.join(b, on=list(bucket_cols)).where(
+        (F.col("id_a") < F.col("id_b")) & ratio_ok
+    )
     inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
     union = F.col("__na") + F.col("__nb") - inter
     j = inter.cast("double") / union
