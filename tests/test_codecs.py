@@ -521,3 +521,35 @@ def test_avi_mjpeg_roundtrip():
     assert parse_avi_headers(other)["fourcc"] == "H264"
     with pytest.raises(UnsupportedMediaError):
         decode_avi_frames(other)
+
+
+def test_avi_property_roundtrip():
+    """Property sweep: random frame counts, shapes, fps and qualities
+    round-trip through the AVI writer/parser with per-frame JPEG
+    tolerance."""
+    from tsp_spark.pipeline.codecs import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        parse_avi_headers,
+    )
+
+    rng = np.random.default_rng(20260814)
+    for _ in range(4):
+        n = int(rng.integers(1, 6))
+        h = int(rng.integers(8, 33))
+        w = int(rng.integers(8, 33))
+        fps = int(rng.choice([5, 12, 24, 30]))
+        q = int(rng.choice([80, 90, 95]))
+        frames = [
+            _smooth_rgb(h, w, seed=int(rng.integers(0, 1 << 30)))
+            for _ in range(n)
+        ]
+        avi = encode_avi_mjpeg(frames, fps=fps, quality=q)
+        meta = parse_avi_headers(avi)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, n)
+        assert meta["fps_milli"] == fps * 1000
+        _, dec = decode_avi_frames(avi)
+        assert len(dec) == n
+        for orig, got in zip(frames, dec):
+            assert got.shape == orig.shape
+            assert np.abs(got.astype(int) - orig.astype(int)).mean() < 9.0

@@ -27,6 +27,7 @@ adapted to this testdata's partsupp-free schema):
 * q17 — correlated per-group average, cross-multiplied (small qty)
 * q20 — nested semi-join-reduction chain (promo-part suppliers)
 * q21 — EXISTS + NOT-EXISTS as a grouped per-order profile (waiting)
+* rollup — GROUPING SETS (Expand + single-pass multi-level aggregate)
 
 Exactness rules follow tsp_spark.queries: money in integer cents,
 timestamps as epoch-ms BIGINTs, the Q22 average comparison cross-
@@ -771,6 +772,42 @@ GROUP BY s_name
 """
 
 
+def q_rel_rollup(spark, sf_dir):
+    """GROUPING SETS shape (beyond the 22-query suite — SURVEY §2.11
+    lists grouped aggregation as absent in the reference): a ROLLUP over
+    (returnflag, linestatus) producing per-group, per-flag and grand
+    totals in ONE pass. Spark plans rollup as a single Expand +
+    hash-aggregate — one shuffle carrying each row once per grouping
+    set, partial-aggregated map-side; the 'ALL' labels stand in for the
+    rollup NULLs so the fold's key columns stay non-null (this testdata
+    has no data NULLs in either column).
+
+    100 TB: Expand multiplies rows ×3 BEFORE the partial aggregate
+    collapses them per set — the shuffle still carries only
+    (groups × sets) rows, not the fact table."""
+    li = _q._load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(qty).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*)::BIGINT AS n_lines,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def _tpch_norm(df, variant, k1=None, k2=None, v1=None, v2=None):
     """Normalize a variant's native schema to the fold's common row
     shape (variant, k1, k2, v1, v2): keys as strings, values as longs,
@@ -808,6 +845,8 @@ def q_rel_tpch_fold(spark, sf_dir):
                    k1="s_name", v1="qty"),
         _tpch_norm(q_rel_q21_waiting(spark, sf_dir), "q21",
                    k1="s_name", v1="numwait"),
+        _tpch_norm(q_rel_rollup(spark, sf_dir), "rollup",
+                   k1="rf", k2="ls", v1="n_lines", v2="sum_qty"),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -840,6 +879,8 @@ ORACLE_TPCH_FOLD = "\nUNION ALL\n".join(
         _tpch_norm_sql(ORACLE_Q17, "q17", v1="small_rev_cents", v2="n_lines"),
         _tpch_norm_sql(ORACLE_Q20, "q20", k1="s_name", v1="qty"),
         _tpch_norm_sql(ORACLE_Q21, "q21", k1="s_name", v1="numwait"),
+        _tpch_norm_sql(ORACLE_ROLLUP, "rollup", k1="rf", k2="ls",
+                       v1="n_lines", v2="sum_qty"),
     ]
 )
 
