@@ -98,6 +98,64 @@ def scale_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 200):
     }
 
 
+def accums_rehearsal(spark, n_rows: int = 600_000, n_keys: int = 2):
+    """The reference's four 600k-row accumulator envelopes
+    (AccumsPerfTest.scala:72-86 — 6×100k synthetic blocks, 2 partition
+    keys), rehearsed with the EXACT pattern strings on a seeded 600k
+    in-memory series: each ran under a 60-250 s single-node threshold
+    there; here each runs through the full search_incidents path."""
+    import pyspark.sql.functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    base_ms = 1_704_067_200_000
+    # six 100k blocks like the reference's numbers() workload: blocks
+    # 0-1 hold lt10Sens ≡ 1 (the `= 1 … > 119 times` arm), blocks 2-4
+    # hold ≥8 with rare seeded dips (~0.5%, so `for 2 min` runs form
+    # and break), block 5 is quiet; gt1000Sens crosses its 5990
+    # threshold on alternating blocks (long runs for `for 2 min`)
+    raw = F.pmod(F.xxhash64("id"), F.lit(1000))
+    block = (F.col("id") / F.lit(100_000)).cast("int")
+    lt10 = (
+        F.when(block < 2, F.lit(1.0))
+        .when(block == 5, F.lit(5.0))
+        .when(raw < 5, (raw / 10).cast("double"))
+        .otherwise(F.lit(8.0) + (raw % 3).cast("double"))
+    )
+    gt1000 = F.when(
+        block % 2 == 1,
+        F.lit(5990.0) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10)).cast("double"),
+    ).otherwise(F.lit(5985.0))
+    ev = spark.range(n_rows).select(
+        F.pmod(F.col("id"), F.lit(n_keys)).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(base_ms) + (F.col("id") / n_keys).cast("long") * 1000
+        ).alias("ts"),
+        lt10.alias("lt10Sens"),
+        gt1000.alias("gt1000Sens"),
+    )
+    cases = [
+        ("lt10Sens >= 8 for 2 min > 1 min", 250.0),
+        ("(avg(lt10Sens, 30 sec) >= 8) for 2 min > 1 min", 175.0),
+        ("lt10Sens = 1 for 2 min > 119 times", 60.0),
+        ("gt1000Sens >= 5990 for 2 min", 75.0),
+    ]
+    ft = {"lt10Sens": "float64", "gt1000Sens": "float64"}
+    out = {}
+    for i, (pat, env) in enumerate(cases):
+        t0 = time.perf_counter()
+        n = search_incidents(
+            ev, [RawPattern(i, pat)], ["user_id"], "ts",
+            fields_types=ft, max_gap_ms=60_000, session_gap_ms=2_000,
+        ).count()
+        out[pat] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "incidents": n,
+            "reference_envelope_sec": env,
+        }
+    return {"rows": n_rows, "cases": out}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tsp_spark.queries import QUERIES, _load
@@ -130,6 +188,7 @@ def main() -> None:
     # 10M-row envelope rehearsal — reported separately so the headline
     # total stays comparable round-over-round
     scale = None
+    accums = None
     if os.environ.get("SPARK_GRAFT_SKIP_10M") != "1":
         scale = scale_rehearsal(spark)
         print(
@@ -138,6 +197,14 @@ def main() -> None:
             f"(reference envelope {scale['reference_envelope_sec']}s)",
             file=sys.stderr,
         )
+        accums = accums_rehearsal(spark)
+        for pat, r in accums["cases"].items():
+            print(
+                f"# accums_600k [{pat}]: {r['sec']:.3f}s "
+                f"({r['incidents']} incidents, envelope "
+                f"{r['reference_envelope_sec']}s)",
+                file=sys.stderr,
+            )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
@@ -149,6 +216,8 @@ def main() -> None:
     }
     if scale is not None:
         payload["scale_10m"] = scale
+    if accums is not None:
+        payload["accums_600k"] = accums
     print(json.dumps(payload))
 
 
