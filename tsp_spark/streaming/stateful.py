@@ -1566,6 +1566,80 @@ def stateful_multi(
     )
 
 
+def _islands_vec(st, ms, conds, gaps):
+    """Vectorized _IslandSM over one micro-batch: identical transitions
+    to step(), processed per RUN (numpy change-point segments) instead
+    of per row — the throughput path for the common pure-JVM-column
+    pattern. Segment starts are cond flips or gap rows; within a
+    segment every row shares (cond, no-gap), so the per-row recurrence
+    collapses to run bookkeeping."""
+    import numpy as np
+
+    run_start, last, n = _dec(st[0]), _dec(st[1]), st[2]
+    closed = []
+    N = len(ms)
+    flags = np.empty(N, dtype=bool)
+    flags[0] = True
+    if N > 1:
+        flags[1:] = (conds[1:] != conds[:-1]) | gaps[1:]
+    seg = np.flatnonzero(flags)
+    for k in range(len(seg)):
+        s = int(seg[k])
+        e = int(seg[k + 1]) if k + 1 < len(seg) else N
+        c = bool(conds[s])
+        g = bool(gaps[s])
+        if run_start is not None and (g or not c):
+            closed.append((run_start, last, n))
+            run_start, n = None, 0
+        if c:
+            if run_start is None:
+                run_start, n = int(ms[s]), 0
+            n += e - s
+        last = int(ms[e - 1])
+    return [_enc(run_start), _enc(last), n], closed
+
+
+def _timer_vec(sm, st, ms, conds, gaps):
+    """Vectorized _TimerSM (same segment walk as _islands_vec); the
+    hold-start row inside a true segment is a searchsorted on the
+    monotone timestamps instead of a per-row comparison."""
+    import numpy as np
+
+    run_start, hold_start, last, n = (
+        _dec(st[0]), _dec(st[1]), _dec(st[2]), st[3],
+    )
+    closed = []
+    N = len(ms)
+    flags = np.empty(N, dtype=bool)
+    flags[0] = True
+    if N > 1:
+        flags[1:] = (conds[1:] != conds[:-1]) | gaps[1:]
+    seg = np.flatnonzero(flags)
+    for k in range(len(seg)):
+        s = int(seg[k])
+        e = int(seg[k + 1]) if k + 1 < len(seg) else N
+        c = bool(conds[s])
+        g = bool(gaps[s])
+        if run_start is not None and (g or not c):
+            if hold_start is not None:
+                closed.append((hold_start, last, n))
+            run_start, hold_start, n = None, None, 0
+        if c:
+            if run_start is None:
+                run_start = int(ms[s])
+            if hold_start is not None:
+                n += e - s
+            else:
+                j = int(
+                    np.searchsorted(ms[s:e], run_start + sm.window_ms, "left")
+                )
+                if j < e - s:
+                    hold_start = int(ms[s + j])
+                    n = e - s - j
+        last = int(ms[e - 1])
+    return [_enc(run_start), _enc(hold_start), _enc(last), n], closed
+
+
 def _make_update(specs, keys, ts, max_gap_ms, out_cols):
     """Build the applyInPandasWithState update fn. Module-level (not a
     closure of stateful_multi) so tests and tools can drive the exact
@@ -1731,27 +1805,62 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
             ]
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
-        # plain dicts, not iterrows(): building a pandas Series per row
-        # costs ~100 µs each — 10-50× the whole state transition. The
-        # programs only need row[name] scalar access, which dicts give.
-        for row in rows.to_dict("records"):
-            ms = int(row[ts].value // 1_000_000)
-            gap_split = last is not None and ms - last > max_gap_ms
-            for i, spec in enumerate(specs):
-                rowqs[i].append((ms, 1 if gap_split else 0, last))
-                pi = 0
-                for j, c in enumerate(spec.cond_cols):
-                    if isinstance(c, str):
-                        v = row[c]
-                        srcqs[i][j].append((not pd.isna(v)) and bool(v))
-                    else:
-                        decided = c.feed(progs[i][pi], ms, row, gap_split)
-                        pi += 1
-                        srcqs[i][j].extend(
-                            False if v is None else v for v in decided
-                        )
-                advance(i, spec)
-            last = ms
+        # vectorized fast path: island/timer specs whose conds are all
+        # precomputed JVM columns (no pending programs, nothing queued)
+        # process the whole micro-batch per RUN via numpy — identical
+        # transitions, ~20× the per-row loop's throughput. Specs with
+        # condition programs keep the per-row feed below.
+        fast = [
+            i
+            for i, spec in enumerate(specs)
+            if type(spec.sm) in (_IslandSM, _TimerSM)
+            and all(isinstance(c, str) for c in spec.cond_cols)
+        ]
+        slow = [i for i in range(len(specs)) if i not in fast]
+        if len(rows) and fast:
+            import numpy as np
+
+            ms_arr = (rows[ts].astype("int64") // 1_000_000).to_numpy()
+            gaps = np.empty(len(ms_arr), dtype=bool)
+            gaps[0] = last is not None and ms_arr[0] - last > max_gap_ms
+            if len(ms_arr) > 1:
+                gaps[1:] = np.diff(ms_arr) > max_gap_ms
+            for i in fast:
+                spec = specs[i]
+                col = rows[spec.cond_cols[0]]
+                conds_arr = col.fillna(False).astype(bool).to_numpy()
+                if isinstance(spec.sm, _IslandSM):
+                    sts[i], items = _islands_vec(sts[i], ms_arr, conds_arr, gaps)
+                else:
+                    sts[i], items = _timer_vec(
+                        spec.sm, sts[i], ms_arr, conds_arr, gaps
+                    )
+                emit(spec, items)
+        if len(rows) and slow:
+            # plain dicts, not iterrows(): building a pandas Series per
+            # row costs ~100 µs each — 10-50× the whole state
+            # transition. Programs only need row[name] scalar access.
+            for row in rows.to_dict("records"):
+                ms = int(row[ts].value // 1_000_000)
+                gap_split = last is not None and ms - last > max_gap_ms
+                for i in slow:
+                    spec = specs[i]
+                    rowqs[i].append((ms, 1 if gap_split else 0, last))
+                    pi = 0
+                    for j, c in enumerate(spec.cond_cols):
+                        if isinstance(c, str):
+                            v = row[c]
+                            srcqs[i][j].append((not pd.isna(v)) and bool(v))
+                        else:
+                            decided = c.feed(progs[i][pi], ms, row, gap_split)
+                            pi += 1
+                            srcqs[i][j].extend(
+                                False if v is None else v for v in decided
+                            )
+                    advance(i, spec)
+                last = ms
+        if len(rows):
+            last = int(rows[ts].iloc[-1].value // 1_000_000)
 
         state.update(
             (
