@@ -1640,6 +1640,47 @@ def _timer_vec(sm, st, ms, conds, gaps):
     return [_enc(run_start), _enc(hold_start), _enc(last), n], closed
 
 
+def _andthen_vec(sm, st, ms, conds_cols, gaps):
+    """Vectorized _AndThenSM: within a segment of uniform conds and no
+    gaps, no side opens/closes after the first row, so no pend entries
+    change and no new matches can form — `_match` re-runs against
+    identical sets. The chain therefore steps ONCE per segment and then
+    bulk-advances the raw index and the per-side last-visible
+    timestamps; skipped intermediate prunes only defer removals the
+    next boundary's prune performs (pruning is monotone — it never
+    affects match results, only state size)."""
+    import numpy as np
+
+    closed: list = []
+    N = len(ms)
+    flags = np.empty(N, dtype=bool)
+    flags[0] = True
+    if N > 1:
+        change = gaps[1:].copy()
+        for c in conds_cols:
+            change |= c[1:] != c[:-1]
+        flags[1:] = change
+    seg = np.flatnonzero(flags)
+    for k in range(len(seg)):
+        s = int(seg[k])
+        e = int(seg[k + 1]) if k + 1 < len(seg) else N
+        if gaps[s]:
+            st, items = sm.split(st)
+            closed.extend(items)
+        conds = [bool(c[s]) for c in conds_cols]
+        st, items = sm.step(st, int(ms[s]), conds, False, None)
+        closed.extend(items)
+        if e - s > 1:
+            next_idx, open0, last0, stages = sm._unpack(st)
+            next_idx += e - s - 1
+            last_ms = int(ms[e - 1])
+            last0 = last_ms
+            for stg in stages:
+                stg[1] = last_ms
+            st = sm._pack(next_idx, open0, last0, stages)
+    return st, closed
+
+
 def _make_update(specs, keys, ts, max_gap_ms, out_cols):
     """Build the applyInPandasWithState update fn. Module-level (not a
     closure of stateful_multi) so tests and tools can drive the exact
@@ -1813,7 +1854,7 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
         fast = [
             i
             for i, spec in enumerate(specs)
-            if type(spec.sm) in (_IslandSM, _TimerSM)
+            if type(spec.sm) in (_IslandSM, _TimerSM, _AndThenSM)
             and all(isinstance(c, str) for c in spec.cond_cols)
         ]
         slow = [i for i in range(len(specs)) if i not in fast]
@@ -1827,13 +1868,21 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 gaps[1:] = np.diff(ms_arr) > max_gap_ms
             for i in fast:
                 spec = specs[i]
-                col = rows[spec.cond_cols[0]]
-                conds_arr = col.fillna(False).astype(bool).to_numpy()
+                cols_arr = [
+                    rows[c].fillna(False).astype(bool).to_numpy()
+                    for c in spec.cond_cols
+                ]
                 if isinstance(spec.sm, _IslandSM):
-                    sts[i], items = _islands_vec(sts[i], ms_arr, conds_arr, gaps)
-                else:
+                    sts[i], items = _islands_vec(
+                        sts[i], ms_arr, cols_arr[0], gaps
+                    )
+                elif isinstance(spec.sm, _TimerSM):
                     sts[i], items = _timer_vec(
-                        spec.sm, sts[i], ms_arr, conds_arr, gaps
+                        spec.sm, sts[i], ms_arr, cols_arr[0], gaps
+                    )
+                else:
+                    sts[i], items = _andthen_vec(
+                        spec.sm, sts[i], ms_arr, cols_arr, gaps
                     )
                 emit(spec, items)
         if len(rows) and slow:
