@@ -117,12 +117,65 @@ def jaccard_pairs(
     )
 
 
+def _local_star_forest(edges: DataFrame) -> DataFrame:
+    """Finish the contraction in ONE narrow task once the edge set fits
+    a single partition: union-find with min-root union and path
+    compression over the whole (coalesced) edge set, emitting the same
+    canonical min-centered star forest the star rounds converge to —
+    identical components, identical labels, zero further shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    def uf(it):
+        parts = [
+            (pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64))
+            for pdf in it
+        ]
+        if not parts:
+            yield pd.DataFrame({"a": [], "b": []}).astype("int64")
+            return
+        aa = np.concatenate([p[0] for p in parts])
+        bb = np.concatenate([p[1] for p in parts])
+        # dense remap: np.unique is sorted, so smaller dense index ⟺
+        # smaller doc id — union-by-smaller-root in dense space IS
+        # union-by-min-id, giving component-min labels directly
+        ids = np.unique(np.concatenate([aa, bb]))
+        da = np.searchsorted(ids, aa)
+        db = np.searchsorted(ids, bb)
+        parent = np.arange(len(ids), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for i in range(len(da)):
+            ra, rb = find(da[i]), find(db[i])
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        # full-resolve: repeated pointer jumping to the fixpoint
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        mask = parent != np.arange(len(ids))
+        yield pd.DataFrame({"a": ids[mask], "b": ids[parent[mask]]})
+
+    return edges.coalesce(1).mapInPandas(uf, "a long, b long")
+
+
 def neardup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
     pairs_distinct: bool = False,
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     undirected ``pairs`` graph (id_a, id_b, …), label = the component's
@@ -159,6 +212,17 @@ def neardup_clusters(
     edges = edges.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
+        # size-gated single-task finish (the classic hybrid): once the
+        # edge set fits one partition, a union-find pass in ONE narrow
+        # task replaces every remaining star round — at 100 TB the star
+        # rounds contract the graph logarithmically until it crosses
+        # this threshold (~32 MB of int64 pairs), then the tail rounds'
+        # shuffle overhead disappears. count() is ~free: the edge set
+        # is checkpoint-materialized either way.
+        if edges.count() <= local_finish_edges:
+            edges = _local_star_forest(edges)
+            converged = True
+            break
         # large-star: for each u, m = min(N(u) ∪ {u}); connect every
         # neighbor v > u to m. Output is canonical (v > m) by
         # construction since m ≤ u < v.
