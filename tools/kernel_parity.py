@@ -134,6 +134,8 @@ PINNED = [
     "wait(5 sec, value > 150 andThen value < 120)",
     "(value > 150 andThen value < 120) for 10 sec",
     "(value > 150 andThen value < 120) for 20 sec >= 2 times",
+    "sigmoid(avg(value, 10 sec) - 150) > 0.5",
+    "sqrt(abs(value - 150)) < 3 and avg(value, 5 sec) > 140",
 ]
 
 
