@@ -136,6 +136,11 @@ PINNED = [
     "(value > 150 andThen value < 120) for 20 sec >= 2 times",
     "sigmoid(avg(value, 10 sec) - 150) > 0.5",
     "sqrt(abs(value - 150)) < 3 and avg(value, 5 sec) > 140",
+    # deep composition: pending programs nested inside each other
+    "wait(5 sec, value > 150 and wait(3 sec, value < 120))",
+    "wait(5 sec, value > 150 andThen (value < 120 andThen value > 150))",
+    "(value > 150 and wait(3 sec, value < 120)) andThen value > 150",
+    "value > 150 andThen (value < 120 and wait(3 sec, value > 150))",
 ]
 
 
