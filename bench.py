@@ -197,6 +197,9 @@ def main() -> None:
             f"(reference envelope {scale['reference_envelope_sec']}s)",
             file=sys.stderr,
         )
+    # 600k accumulator envelopes: own flag so SPARK_GRAFT_SKIP_10M keeps
+    # its documented meaning (skip only the 10M-row rehearsal)
+    if os.environ.get("SPARK_GRAFT_SKIP_ACCUMS") != "1":
         accums = accums_rehearsal(spark)
         for pat, r in accums["cases"].items():
             print(

@@ -101,3 +101,40 @@ def test_frame_sample_real_container(spark):
     assert {r["frame_idx"] for r in by_id[1]} == {0, 10, 20}
     assert all(r["n_frames"] == 23 for r in by_id[1])
     assert all(r["n_frames"] == len(b"xyz") % 256 + 1 for r in by_id[2])
+
+
+def test_video_features_empty_movi(spark):
+    """ADVICE r5: an MJPEG AVI whose movi list has no video chunks must
+    degrade to metadata+stub, not crash the task on np.mean([])."""
+    import numpy as np
+
+    from tsp_spark.pipeline.codecs import encode_avi_mjpeg
+    from tsp_spark.pipeline.multimodal import extract_video_features
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    avi = encode_avi_mjpeg([img], fps=5)
+    # retag every video chunk as an audio chunk: container stays
+    # well-formed, frame iterator yields nothing
+    empty = avi.replace(b"00dc", b"01wb")
+    df = spark.createDataFrame(
+        [(1, bytearray(empty))], "media_id long, payload binary"
+    )
+    row = extract_video_features(df).collect()[0]
+    assert row["fourcc"] == "MJPG" and row["width"] == 8
+    assert len(row["features"]) == 8  # stub feature vector
+
+
+def test_id_col_preserved(spark):
+    """ADVICE r5: frame_sample_plan / extract_video_features must keep a
+    caller-supplied id column's name AND Spark type."""
+    from tsp_spark.pipeline.multimodal import extract_video_features
+
+    df = spark.createDataFrame(
+        [("docA", bytearray(b"xyz"))], "doc_id string, payload binary"
+    )
+    fs = frame_sample_plan(df, id_col="doc_id", every_n=10)
+    assert fs.schema["doc_id"].dataType.simpleString() == "string"
+    assert [r["doc_id"] for r in fs.collect()] == ["docA"]
+    vf = extract_video_features(df, id_col="doc_id")
+    assert vf.schema["doc_id"].dataType.simpleString() == "string"
+    assert vf.collect()[0]["doc_id"] == "docA"

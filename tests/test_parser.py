@@ -156,3 +156,15 @@ def test_min_function_vs_minutes_unit():
     assert t.min_window_ms <= 120_000 <= t.window_ms
     both = parse_pattern("min(value, 2 min) > 1", ft)
     assert both.inner.args[0].window_ms == 120_000
+
+
+def test_error_message_points_at_boolean_operand():
+    """ADVICE r5: a dangling boolean operator must re-raise the
+    boolean-layer diagnostic (pointing past the operator), not the
+    trilean paren fallback's generic "Expected '('"."""
+    for bad, end in [("value > 1 and", 13), ("value > 1 and and", 14)]:
+        with pytest.raises(ParseError) as ei:
+            parse_pattern(bad, {"value": "float64"})
+        msg = str(ei.value)
+        assert "Expected '('" not in msg
+        assert str(end) in msg

@@ -297,12 +297,18 @@ class Parser:
         try:
             b = self.boolean_expr()
             return Assert(b)
-        except ParseError:
+        except ParseError as inner:
             self.pos = save
-        self.eat_op("(")
-        node = self.trilean_expr()
-        self.eat_op(")")
-        return node
+            boolean_err = inner
+        try:
+            self.eat_op("(")
+            node = self.trilean_expr()
+            self.eat_op(")")
+            return node
+        except ParseError:
+            # The paren fallback's "Expected '('" is less useful than the
+            # boolean layer's diagnostic (e.g. missing operand after `and`)
+            raise boolean_err
 
     def wait_rule(self) -> Node:
         self.eat_kw("wait")

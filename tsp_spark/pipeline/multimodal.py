@@ -218,9 +218,10 @@ def frame_sample_plan(
     (codecs.parse_avi_headers walks the RIFF hdrl); anything else keeps
     the deterministic payload-length stub so the plan never fails on a
     bad payload."""
+    # Preserve the caller's id column: same name, same Spark type.
     meta_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("n_frames", T.IntegerType()),
         ]
     )
@@ -237,11 +238,11 @@ def frame_sample_plan(
                 except UnsupportedMediaError:
                     n = len(data) % 256 + 1  # STUB fallback
                 rows.append((mid, n))
-            yield pd.DataFrame(rows, columns=["media_id", "n_frames"])
+            yield pd.DataFrame(rows, columns=[id_col, "n_frames"])
 
     meta = df.select(id_col, payload_col).mapInPandas(batches, meta_schema)
     return meta.select(
-        "media_id",
+        id_col,
         "n_frames",
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
@@ -249,16 +250,22 @@ def frame_sample_plan(
     )
 
 
-VIDEO_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("n_frames", T.IntegerType()),
-        T.StructField("fps_milli", T.IntegerType()),
-        T.StructField("fourcc", T.StringType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
-    ]
+def _video_features_schema(id_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            id_field,
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps_milli", T.IntegerType()),
+            T.StructField("fourcc", T.StringType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+
+VIDEO_FEATURES_SCHEMA = _video_features_schema(
+    T.StructField("media_id", T.LongType())
 )
 
 
@@ -290,6 +297,11 @@ def extract_video_features(
                 data = bytes(payload) if payload is not None else b""
                 try:
                     meta, frames = decode_avi_frames(data, sample_frames)
+                    if not frames:
+                        # An MJPEG AVI with an empty movi list: np.mean over
+                        # zero frames would be a scalar NaN, not a vector —
+                        # degrade to the metadata+stub route instead.
+                        raise UnsupportedMediaError("no decodable frames")
                     feats = [image_features(f) for f in frames]
                     fv = [float(x) for x in np.mean(feats, axis=0)]
                 except UnsupportedMediaError:
@@ -313,11 +325,12 @@ def extract_video_features(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "n_frames",
+                    id_col, "width", "height", "n_frames",
                     "fps_milli", "fourcc", "features",
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        batches, VIDEO_FEATURES_SCHEMA
+    schema = _video_features_schema(
+        T.StructField(id_col, df.schema[id_col].dataType)
     )
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
