@@ -98,7 +98,12 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
                 "value > 150 and wait(5 sec, value < 120)",
                 "avg(avg(value, 5 sec), 20 sec) > 150",
                 "sin(avg(value, 10 sec) / 60) > 0.5",
-                "avg(value, 10 sec) > 150 until value > 190"):
+                "avg(value, 10 sec) > 150 until value > 190",
+                # lag nested inside a windowed aggregate runs in-kernel
+                # via per-entry bridge depmasks (r6)
+                "avg(lag(value, 5 sec), 10 sec) > 150",
+                "count(lag(value), 10 sec) >= 5",
+                "avg(lag(value, 5 sec), 10 sec) > 150 for 10 sec"):
         out = stateful_pattern(stream, pat, ["user_id"], "ts", ft)
         assert out.isStreaming and "from_ts" in out.columns
     # string lag runs in-kernel via the tagged value codec (r5)
@@ -107,12 +112,12 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
         {**ft, "event_type": "string"},
     )
     assert out.isStreaming
-    # the one remaining carry-buffer route: lag nested INSIDE another
-    # windowed aggregate (the outer window would need the lag's
-    # absence/bridge present-mask)
+    # the one remaining carry-buffer route: a pending lag nested INSIDE
+    # another lag's lookback (the outer queue's stored values — and so
+    # bridge equality — would be hypothesis-dependent)
     with pytest.raises(ValueError, match="carry-buffer"):
         stateful_pattern(
-            stream, "avg(lag(value, 5 sec), 10 sec) > 150",
+            stream, "lag(lag(value, 5 sec), 10 sec) > 150",
             ["user_id"], "ts", ft,
         )
 
@@ -163,9 +168,15 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
         fields_types={"value": "float64", "event_type": "string"},
     )
     assert stateful_incidents(stream, job_slag).isStreaming
-    # lag nested inside another windowed aggregate stays carry-buffer
-    job_bad = StreamingPatternJob(
+    # lag nested inside a windowed aggregate routes in-kernel since r6
+    job_lagagg = StreamingPatternJob(
         patterns=[RawPattern(1, "avg(lag(value, 5 sec), 10 sec) > 150")],
+        keys=["user_id"], ts="ts", fields_types={"value": "float64"},
+    )
+    assert stateful_incidents(stream, job_lagagg).isStreaming
+    # a pending lag nested inside another lag's lookback stays carry-buffer
+    job_bad = StreamingPatternJob(
+        patterns=[RawPattern(1, "lag(lag(value, 5 sec), 10 sec) > 150")],
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     with pytest.raises(ValueError, match="carry-buffer"):

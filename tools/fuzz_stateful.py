@@ -52,6 +52,15 @@ def gen_pattern(rng: random.Random) -> str:
                 f"avg(avg(value, 5 sec), 20 sec) > {thr}",
                 f"lag(avg(value, 5 sec), 5 sec) > value",
                 f"sin(avg(value, 10 sec) / 60) > 0.5 and value > {thr}",
+                # r6 totality: lag nested inside windowed aggregates
+                # (incremental bridge depmask resolution)
+                f"avg(lag(value, {rng.choice([3, 5])} sec), 10 sec) > {thr}",
+                f"sum(lag(value, 3 sec), 10 sec) > {thr * 3}",
+                f"count(lag(value, 5 sec), 10 sec) >= {rng.choice([5, 8])}",
+                f"avg(lag(value), 10 sec) > {thr}",
+                f"avg(avg(lag(value, 3 sec), 5 sec), 15 sec) > {thr}",
+                f"lag(value, 5 sec) > avg(lag(value, 5 sec), 10 sec)",
+                f"avg(lag(value, 5 sec) + value, 10 sec) > {thr * 2}",
             ]
         )
 

@@ -141,6 +141,19 @@ PINNED = [
     "wait(5 sec, value > 150 andThen (value < 120 andThen value > 150))",
     "(value > 150 and wait(3 sec, value < 120)) andThen value > 150",
     "value > 150 andThen (value < 120 and wait(3 sec, value > 150))",
+    # r6: lag nested inside windowed aggregates (incremental bridge
+    # depmask resolution — the last shape off the carry buffer)
+    "avg(lag(value, 5 sec), 10 sec) > 150",
+    "sum(lag(value, 3 sec), 10 sec) > 600",
+    "count(lag(value, 5 sec), 10 sec) >= 8",
+    "avg(lag(value), 10 sec) > 150",
+    "max(lag(value, 5 sec), 10 sec) - min(lag(value, 5 sec), 10 sec) > 30",
+    "avg(lag(value, 5 sec), 10 sec) > 150 for 10 sec",
+    "avg(lag(value, 5 sec), 10 sec) > 150 for 20 sec >= 2 times",
+    "avg(avg(lag(value, 3 sec), 5 sec), 15 sec) > 150",
+    "lag(value, 5 sec) > avg(lag(value, 5 sec), 10 sec)",
+    "avg(lag(value, 5 sec) + value, 10 sec) > 300",
+    "wait(5 sec, avg(lag(value, 3 sec), 5 sec) > 150)",
 ]
 
 

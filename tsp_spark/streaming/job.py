@@ -156,10 +156,11 @@ def stateful_incidents(stream: DataFrame, job: StreamingPatternJob) -> DataFrame
     streaming query, and the reference's topology is the same: one
     keyed stream fanned into N per-key state machines. N patterns cost
     one shuffle and one state store. The kernel is total over the
-    pattern grammar (windowed sub-expressions, lag, wait, nested
-    andThen all run as in-kernel condition programs); only lag nested
-    inside another windowed aggregate raises ValueError toward the
-    carry-buffer mode (``incidents_stream``).
+    pattern grammar (windowed sub-expressions, lag — including lag
+    nested inside windowed aggregates — wait, nested andThen all run
+    as in-kernel condition programs); only a pending lag nested inside
+    another lag's lookback raises ValueError toward the carry-buffer
+    mode (``incidents_stream``).
 
     Scale contrast with the carry mode: no driver-coordinated per-batch
     loop, no history re-evaluation — state is O(open runs) per key.

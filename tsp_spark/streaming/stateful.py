@@ -71,16 +71,51 @@ _NONE = -1
 # sentinel deserializes to a different instance and identity checks
 # silently fail (bool/None never == a str, so equality is exact).
 ABSENT = "__tsp_absent__"
+# An absent row whose RAW column value is true/false (not NULL): the
+# batch keeps presence as a SEPARATE mask from the value column, and
+# only standalone islandization (and per-element chain islandization)
+# filters on it — Timer, `for T op N times`, wait and until consume the
+# raw column with the mask discarded. For direct lag terms raw == NULL
+# at absent rows so plain ABSENT sufficed; a windowed aggregate OVER a
+# lag has a non-NULL raw value at rows where the lag is absent, so the
+# decided-value vocabulary must carry both bits.
+ABSENT_TRUE = "__tsp_absent_true__"
+ABSENT_FALSE = "__tsp_absent_false__"
+_ABSENTS = (ABSENT, ABSENT_TRUE, ABSENT_FALSE)
+
+
+def _is_absent(v) -> bool:
+    return isinstance(v, str) and v in _ABSENTS
+
+
+def _raw(v):
+    """Decided value → the batch's raw column value (present mask
+    discarded): True/False/None."""
+    if isinstance(v, str):
+        if v == ABSENT:
+            return None
+        if v == ABSENT_TRUE:
+            return True
+        if v == ABSENT_FALSE:
+            return False
+    return v
+
+
+def _absent_of(raw):
+    """Absent row with the given raw value → decided-value symbol."""
+    if raw is None:
+        return ABSENT
+    return ABSENT_TRUE if raw else ABSENT_FALSE
 
 
 def _cv_enc(v) -> int:
-    if v == ABSENT:
-        return 3
+    if isinstance(v, str):
+        return {ABSENT: 3, ABSENT_TRUE: 4, ABSENT_FALSE: 5}[v]
     return {None: 0, False: 1, True: 2}[None if v is None else bool(v)]
 
 
 def _cv_dec(x: int):
-    return (None, False, True, ABSENT)[x]
+    return (None, False, True, ABSENT, ABSENT_TRUE, ABSENT_FALSE)[x]
 
 
 def _enc(v):
@@ -639,24 +674,61 @@ def _eval_row(node, row, aggvals):
     raise ValueError(f"unsupported node {type(node).__name__}")
 
 
+def _slice_table(deps: list[int], table: list, ti: int, outcome: int):
+    """Fix undecided term ``ti``'s hypothesis bit in a 2^len(deps)
+    value table: drop the bit, keep the ``outcome`` slice. Shared by
+    pending-row truth tables and sliding-window entry tables."""
+    p = deps.index(ti)
+    new_table = []
+    for m in range(1 << (len(deps) - 1)):
+        low = m & ((1 << p) - 1)
+        high = (m >> p) << (p + 1)
+        new_table.append(table[high | (outcome << p) | low])
+    deps.pop(p)
+    return new_table
+
+
 class _SlidingAggState:
     """Mutable per-key state for ONE AggregateCall term: the deque of
-    (ms, value) pairs currently inside the trailing window. Lives as a
-    plain object for the duration of one micro-batch; (de)serializes to
-    ints."""
+    (ms, deps, table) entries currently inside the trailing window.
+    ``deps`` lists the lag terms (pre-order indices, ascending) whose
+    bridge decision was still open when the entry's row arrived; the
+    2^len(deps) ``table`` holds the entry's inner value under every
+    hypothesis over those bits (bit=1: the lag bridges with its
+    candidate; bit=0: it resolves absent, which NULLs any DIRECT
+    reference but not a nested aggregate's value). None = the inner is
+    NULL under that hypothesis — skipped by the window aggregate, the
+    batch frame-aggregate's NULL rule. Plain aggregates always carry
+    deps=() and a 1-entry table. Lives as a plain object for the
+    duration of one micro-batch; (de)serializes to ints."""
 
     __slots__ = ("q",)
 
     def __init__(self):
-        self.q: list[tuple[int, float]] = []
+        self.q: list[tuple[int, list[int], list]] = []
 
     def reset(self):
         self.q.clear()
 
+    def resolve(self, ti: int, bridge: bool) -> None:
+        """Lag term ``ti`` emitted: collapse every awaiting entry's
+        table to the decided slice; entries whose table is all-NULL
+        afterwards are dead weight and drop."""
+        keep = []
+        for ms, deps, table in self.q:
+            if ti in deps:
+                table = _slice_table(deps, table, ti, int(bridge))
+            if any(v is not None for v in table):
+                keep.append((ms, deps, table))
+        self.q = keep
+
     def encode(self) -> list[int]:
         out = [len(self.q)]
-        for ms, v in self.q:
-            out.extend((ms, _fbits(v)))
+        for ms, deps, table in self.q:
+            out.extend((ms, len(deps)))
+            out.extend(deps)
+            for v in table:
+                out.extend((0, 0) if v is None else (1, _fbits(v)))
         return out
 
     @classmethod
@@ -665,8 +737,15 @@ class _SlidingAggState:
         n = st[pos]
         pos += 1
         for _ in range(n):
-            obj.q.append((st[pos], _bitsf(st[pos + 1])))
+            ms, k = st[pos], st[pos + 1]
             pos += 2
+            deps = list(st[pos : pos + k])
+            pos += k
+            table = []
+            for _ in range(1 << k):
+                table.append(_bitsf(st[pos + 1]) if st[pos] else None)
+                pos += 2
+            obj.q.append((ms, deps, table))
         return obj, pos
 
 
@@ -762,22 +841,38 @@ class _WindowedCondProgram:
         self.node = node
         _validate_kernel_expr(node)
         self.aggs = _collect_aggs(node)
+        idx_of = {id(a): i for i, a in enumerate(self.aggs)}
+        # _deps[i]: indices of the lag terms anywhere in term i's inner
+        # subtree (transitive) — the bits an entry's value table spans.
+        # _sub[i]: ALL term indices in the subtree (lag + aggregates) —
+        # what _eval_row of term i's inner will look up.
+        self._deps: list[tuple[int, ...]] = []
+        self._sub: list[tuple[int, ...]] = []
         for a in self.aggs:
+            self._sub.append(
+                tuple(idx_of[id(x)] for x in _collect_aggs(a.inner))
+            )
             if a.kind not in _AGG_KINDS and a.kind != _LAG_KIND:
                 raise ValueError(
                     f"windowed aggregate '{a.kind}' is not supported by "
                     f"the incremental kernel — use the carry-buffer "
                     f"streaming mode (streaming/job.py)"
                 )
-            if any(ia.kind == _LAG_KIND for ia in _collect_aggs(a.inner)):
-                # a lag INSIDE another windowed term would need the
-                # outer window to see the lag's absence/bridge mask —
-                # present-semantics the deque programs don't model
+            inner_lags = [
+                ia for ia in _collect_aggs(a.inner) if ia.kind == _LAG_KIND
+            ]
+            if a.kind == _LAG_KIND and any(
+                ia.window_ms > 0 for ia in inner_lags
+            ):
+                # a pending lag INSIDE another lag's lookback would make
+                # the outer queue's stored values hypothesis-dependent —
+                # emission values (and so bridge equality) undecidable
                 raise ValueError(
-                    "lag nested inside a windowed aggregate is not "
+                    "lag nested inside another lag's lookback is not "
                     "supported by the incremental kernel — use the "
                     "carry-buffer streaming mode (streaming/job.py)"
                 )
+            self._deps.append(tuple(idx_of[id(ia)] for ia in inner_lags))
         self.can_pend = any(
             a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
         )
@@ -835,16 +930,8 @@ class _WindowedCondProgram:
         """Fix lag term ``ti``'s outcome in every pending row's table."""
         for entry in pending:
             und, table = entry
-            if ti not in und:
-                continue
-            p = und.index(ti)
-            new_table = []
-            for m in range(1 << (len(und) - 1)):
-                low = m & ((1 << p) - 1)
-                high = (m >> p) << (p + 1)
-                new_table.append(table[high | (int(bridge) << p) | low])
-            und.pop(p)
-            entry[1] = new_table
+            if ti in und:
+                entry[1] = _slice_table(und, table, ti, int(bridge))
 
     def split(self, objs: list) -> list:
         """Series split: unresolved bridges get the batch's null next_v
@@ -854,28 +941,67 @@ class _WindowedCondProgram:
             o.reset()
         return out
 
+    def _av_for(
+        self, mask: int, sub: list[int], terms: tuple[int, ...],
+        status: dict, valtabs: dict, objs: list,
+    ) -> dict:
+        """Hypothesis evaluation environment: map id(term node) → value
+        for every term in ``terms``, under hypothesis ``mask`` over the
+        undecided lag terms listed in ``sub`` (bit=1: the lag bridges
+        with its candidate; bit=0: it resolves absent → raw NULL).
+        Aggregate terms contribute their window value under the same
+        hypothesis (their undecided deps are always a subset of
+        ``sub``)."""
+        av: dict[int, object] = {}
+        for j in terms:
+            a = self.aggs[j]
+            if a.kind == _LAG_KIND:
+                st = status[j]
+                if st[0] == "v":
+                    av[id(a)] = st[1]
+                elif st[0] == "a":
+                    av[id(a)] = None
+                else:  # undecided
+                    bit = (mask >> sub.index(j)) & 1
+                    av[id(a)] = objs[j].prev if bit else None
+            else:
+                u, tab = valtabs[j]
+                m = 0
+                for b, t in enumerate(u):
+                    if (mask >> sub.index(t)) & 1:
+                        m |= 1 << b
+                av[id(a)] = tab[m]
+        return av
+
     def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
         out: list = []
         pending = objs[-1]
         if gap_split:
             out.extend(self.split(objs))
-        aggvals: dict[int, object] = {}
+        # per-term row status, built in reversed pre-order (deps first):
+        # lag j → ('v', value) emitted/previous, ('a',) decided absent,
+        # ('u',) pending on its bridge; agg i → valtabs[i] = (Ui, table)
+        # with its window value under every hypothesis over Ui (its
+        # still-undecided dep lags, ascending)
+        status: dict[int, tuple] = {}
+        valtabs: dict[int, tuple] = {}
         undecided: list[int] = []
-        absent_now = False  # some lag term decided non-emitted, unbridgeable
         for i in self._order:
             a, o = self.aggs[i], objs[i]
-            iv = _eval_row(a.inner, row, aggvals)
-            if a.kind == _LAG_KIND and a.window_ms == 0:
-                # previous row's value; the row is ABSENT (invisible to
-                # islandization, like the batch present mask) when the
-                # series has no previous row or its value was Fail
-                if o.prev is None:
-                    absent_now = True
-                else:
-                    aggvals[id(a)] = o.prev
-                o.prev = None if iv is None else _lagv(iv)
-                continue
             if a.kind == _LAG_KIND:
+                # the lag's own inner is fully decided (pending lags
+                # inside a lag's lookback are rejected at build time)
+                iv = _eval_row(
+                    a.inner, row,
+                    self._av_for(0, [], self._sub[i], status, valtabs, objs),
+                )
+                if a.window_ms == 0:
+                    # previous row's value; the row is ABSENT (invisible
+                    # to islandization, like the batch present mask) when
+                    # the series has no previous row or its value was Fail
+                    status[i] = ("a",) if o.prev is None else ("v", o.prev)
+                    o.prev = None if iv is None else _lagv(iv)
+                    continue
                 # consume-once: pop every value with ms' ≤ t−T; the last
                 # popped is this row's emission (the newest value in the
                 # half-open frame (t_prev−T, t−T])
@@ -890,54 +1016,84 @@ class _WindowedCondProgram:
                         and o.prev == emit_val
                     )
                     self._resolve(pending, i, bridge)
+                    # aggregates over this lag collapse their awaiting
+                    # window entries the same way (processed AFTER the
+                    # lag in reversed pre-order, so this row's entry is
+                    # pushed post-resolution)
+                    for k, dk in enumerate(self._deps):
+                        if i in dk and self.aggs[k].kind != _LAG_KIND:
+                            objs[k].resolve(i, bridge)
                     o.prev, o.has_prev = emit_val, True
-                    aggvals[id(a)] = emit_val
+                    status[i] = ("v", emit_val)
                 elif not o.has_prev or _is_nan(o.prev):
-                    absent_now = True  # no bridge candidate possible
+                    status[i] = ("a",)  # no bridge candidate possible
                 else:
+                    status[i] = ("u",)
                     undecided.append(i)
                 if iv is not None:
                     o.q.append((ms, _lagv(iv)))
                 continue
-            # trailing (t−W, t] frame: admit current, evict ms ≤ t−W
-            if iv is not None:
-                o.q.append((ms, float(iv)))
+            # windowed aggregate: entry value table over its undecided
+            # dep lags, then the trailing (t−W, t] frame per hypothesis
+            ui = sorted(j for j in self._deps[i] if status.get(j) == ("u",))
+            etab = []
+            for m in range(1 << len(ui)):
+                v = _eval_row(
+                    a.inner, row,
+                    self._av_for(m, ui, self._sub[i], status, valtabs, objs),
+                )
+                etab.append(None if v is None else float(v))
+            if any(v is not None for v in etab):
+                o.q.append((ms, list(ui), etab))
             lo = ms - a.window_ms
             while o.q and o.q[0][0] <= lo:
                 o.q.pop(0)
-            vals = [v for _, v in o.q]
-            if a.kind == "count":
-                aggvals[id(a)] = len(vals)
-            elif not vals:
-                aggvals[id(a)] = None
-            elif a.kind == "sum":
-                aggvals[id(a)] = _seq_sum(vals)
-            elif a.kind == "avg":
-                aggvals[id(a)] = _seq_sum(vals) / len(vals)
-            elif a.kind == "min":
-                aggvals[id(a)] = min(vals, key=_nan_key)
-            else:  # max
-                aggvals[id(a)] = max(vals, key=_nan_key)
-        # one outcome per hypothesis over this row's undecided lag terms.
-        # The row is PRESENT only when every lag term emitted or bridges
-        # (batch: present = AND of per-term emission/fill masks), so any
-        # absent hypothesis bit — or an already-decided absent term —
-        # makes the whole row ABSENT regardless of the boolean's value.
-        if absent_now:
-            undecided, table = [], [ABSENT]
-        else:
-            table = []
-            full = (1 << len(undecided)) - 1
-            for mask in range(1 << len(undecided)):
-                if mask != full:
-                    table.append(ABSENT)
-                    continue
-                av = dict(aggvals)
-                for b, ti in enumerate(undecided):
-                    av[id(self.aggs[ti])] = objs[ti].prev
-                v = _eval_row(self.node, row, av)
-                table.append(None if v is None else bool(v))
-        pending.append([undecided, table])
+            vtab = []
+            for m in range(1 << len(ui)):
+                vals = []
+                for _ems, edeps, et in o.q:
+                    em = 0
+                    for b, t in enumerate(edeps):
+                        if (m >> ui.index(t)) & 1:
+                            em |= 1 << b
+                    ev = et[em]
+                    if ev is not None:
+                        vals.append(ev)
+                if a.kind == "count":
+                    vtab.append(len(vals))
+                elif not vals:
+                    vtab.append(None)
+                elif a.kind == "sum":
+                    vtab.append(_seq_sum(vals))
+                elif a.kind == "avg":
+                    vtab.append(_seq_sum(vals) / len(vals))
+                elif a.kind == "min":
+                    vtab.append(min(vals, key=_nan_key))
+                else:  # max
+                    vtab.append(max(vals, key=_nan_key))
+            valtabs[i] = (tuple(ui), vtab)
+        # one outcome per hypothesis over this row's undecided lag
+        # terms. The row is PRESENT only when every lag term emitted or
+        # bridges (batch: present = AND of per-term emission/fill
+        # masks); an absent row still carries its RAW column value
+        # (aggregates keep their window value, direct lag refs go NULL)
+        # for the consumers that discard the mask (Timer, truth stats,
+        # wait, until).
+        term_absent = any(st == ("a",) for st in status.values())
+        terms_all = tuple(range(len(self.aggs)))
+        table = []
+        full = (1 << len(undecided)) - 1
+        for mask in range(1 << len(undecided)):
+            av = self._av_for(
+                mask, undecided, terms_all, status, valtabs, objs
+            )
+            v = _eval_row(self.node, row, av)
+            raw = None if v is None else bool(v)
+            if term_absent or mask != full:
+                table.append(_absent_of(raw))
+            else:
+                table.append(raw)
+        pending.append([list(undecided), table])
         while pending and len(pending[0][1]) == 1:
             out.append(pending.pop(0)[1][0])
         return out
@@ -1054,7 +1210,10 @@ class _TruthStatProgram:
                 objs[2] = None
             if objs[2] is None:
                 objs[2] = m_ms
-            truthy = cv is not None and cv != ABSENT and bool(cv)
+            # batch `sum(when(c.col, …))` consumes the RAW column with
+            # the present mask discarded (absent rows still contribute
+            # when their raw value is true)
+            truthy = _raw(cv) is True
             if self.kind == "times":
                 contrib = 1 if truthy else 0
             else:  # 'time': inter-event delta, series head contributes 0
@@ -1180,9 +1339,12 @@ class _WaitProgram:
             while pend and m_ms > pend[0][0] + self.window_ms:
                 _pms, saw = pend.pop(0)
                 out.append(False if saw else None)
-            # ABSENT ≡ null here: the batch leading-frame max skips the
-            # row's null contribution but the row still anchors a frame
-            v = None if (cv is None or cv == ABSENT) else bool(cv)
+            # the batch leading-frame max consumes the RAW column
+            # (present mask discarded): raw NULL skips the contribution
+            # but the row still anchors a frame; an absent row with a
+            # raw true/false value contributes it
+            r = _raw(cv)
+            v = None if r is None else bool(r)
             if v is True:
                 out.extend(True for _ in pend)
                 pend.clear()
@@ -1284,28 +1446,38 @@ class _ComboProgram:
         return out
 
     def _combine(self, vals: list):
-        if any(v == ABSENT for v in vals):
-            return ABSENT
+        # the value layer works on RAW column values (the batch column
+        # expressions ignore presence); presence recombines afterwards:
+        # and/or/xor/not AND their children's presents (_and_presents),
+        # `until` DROPS both presents (batch _compile_until returns no
+        # present) — its output rows are always visible
+        absent = self.op != "until" and any(_is_absent(v) for v in vals)
+        raws = [_raw(v) for v in vals]
         if self.op == "not":
-            v = vals[0]
-            return None if v is None else not bool(v)
+            v = raws[0]
+            res = None if v is None else not bool(v)
+            return _absent_of(res) if absent else res
         op = self.op
         if op == "until":
-            left, right = vals
-            vals = [left, None if right is None else not bool(right)]
+            left, right = raws
+            raws = [left, None if right is None else not bool(right)]
             op = "and"
-        bs = [None if v is None else bool(v) for v in vals]
+        bs = [None if v is None else bool(v) for v in raws]
         if op == "and":
             if any(v is False for v in bs):
-                return False
-            return None if any(v is None for v in bs) else True
-        if op == "or":
+                res = False
+            else:
+                res = None if any(v is None for v in bs) else True
+        elif op == "or":
             if any(v is True for v in bs):
-                return True
-            return None if any(v is None for v in bs) else False
-        if any(v is None for v in bs):  # xor
-            return None
-        return bs[0] != bs[1]
+                res = True
+            else:
+                res = None if any(v is None for v in bs) else False
+        elif any(v is None for v in bs):  # xor
+            res = None
+        else:
+            res = bs[0] != bs[1]
+        return _absent_of(res) if absent else res
 
     def _pump(self, qs: list) -> list:
         out = []
@@ -1456,7 +1628,12 @@ class _SeqBoolProgram:
         out = []
         while rowq and all(srcqs):
             ms0, gap0 = rowq.pop(0)
-            conds = [q.pop(0) for q in srcqs]
+            # chain elements islandize per element (present-filtered),
+            # so any absent flavor is side-invisible
+            conds = [
+                ABSENT if _is_absent(v) else v
+                for v in (q.pop(0) for q in srcqs)
+            ]
             st2, items = self.sm.step(sm_st, ms0, conds, bool(gap0), None)
             sm_st[:] = st2
             intervals.extend((f, t) for f, t, _n in items)
@@ -1720,7 +1897,7 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 nv = arr[pos]
                 pos += 1
                 srcqs[j] = [
-                    (ABSENT if x == 2 else bool(x))
+                    _cv_dec(x)
                     for x in arr[pos : pos + nv]
                 ]
                 pos += nv
@@ -1738,7 +1915,7 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 out.extend((ms, gap, _enc(lst)))
             for sq in srcqs:
                 out.append(len(sq))
-                out.extend(2 if v == ABSENT else int(v) for v in sq)
+                out.extend(_cv_enc(v) for v in sq)
         for prog, objs in zip(_programs(spec), prog_objs):
             out.extend(prog.dump(objs))
         return out
@@ -1782,13 +1959,20 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 rowqs[i].pop(0)
                 conds = [sq[j].pop(0) for j in range(len(sq))]
                 if isinstance(spec.sm, _AndThenSM):
+                    # chain elements islandize per element: any absent
+                    # flavor is side-invisible
+                    conds = [ABSENT if _is_absent(v) else v for v in conds]
                     sts[i], items = spec.sm.step(
                         sts[i], ms0, conds, False, last0
                     )
-                elif conds[0] == ABSENT and isinstance(spec.sm, _IslandSM):
+                elif _is_absent(conds[0]) and isinstance(spec.sm, _IslandSM):
                     continue
                 else:
-                    conds = [False if v == ABSENT else v for v in conds]
+                    # Timer consumes the RAW value (batch discards the
+                    # present mask; raw NULL → false → run boundary)
+                    conds = [
+                        False if _raw(v) is None else _raw(v) for v in conds
+                    ]
                     sts[i], items = spec.sm.step(sts[i], ms0, conds, False)
                 emit(spec, items)
 
@@ -2010,10 +2194,14 @@ def build_spec(
     becomes a sequence-membership program (_SeqBoolProgram); boolean
     combinators over pending shapes compose through _ComboProgram;
     nested window aggregates evaluate inner-first; lag carries string
-    values through the tagged state codec. Raises ValueError only for
-    shapes that genuinely need the carry-buffer mode (streaming/job.py):
-    lag nested inside another windowed aggregate, and expression nodes
-    _eval_row has no kernel evaluation for (reducers)."""
+    values through the tagged state codec; lag nested inside a windowed
+    aggregate (GroupPattern-over-PreviousValue,
+    ASTPatternGenerator.scala:128-154) resolves incrementally via
+    per-entry bridge depmasks (r6 — see _SlidingAggState.resolve).
+    Raises ValueError only for shapes that genuinely need the
+    carry-buffer mode (streaming/job.py): a pending lag nested inside
+    another lag's lookback, and expression nodes _eval_row has no
+    kernel evaluation for (reducers)."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
