@@ -266,3 +266,88 @@ def test_kafka_wire_contract_end_to_end(spark):
     # to_json renders timestamps in session-TZ ISO form
     assert got["from_ts"].startswith("2024-01-01T00:00:50")
     assert got["to_ts"].startswith("2024-01-01T00:01:09")
+
+
+def test_kafka_decode_through_streaming_query(spark):
+    """r6 (VERDICT item 6): the kafka adapter's post-socket pipeline —
+    `decode_kafka_records` (the exact function kafka_source calls) →
+    watermarked streaming kernel → sink — driven through a REAL
+    Structured Streaming query over rows byte-shaped like Spark's
+    kafka source output. After this test the only production line a
+    broker-less container leaves unexecuted is the `.format("kafka")`
+    load itself (documented residual gap)."""
+    import datetime as dt
+
+    from tsp_spark.io.kafka import decode_kafka_records
+
+    fields = {"ts": "timestamp", "loco": "int64", "speed": "float64"}
+    wire_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int"
+    )
+    wire_rows = []
+    typed_rows = []
+    for i in range(150):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+        speed = 95.0 if 40 <= i < 70 or 100 <= i < 125 else 10.0
+        typed_rows.append((t, 7, speed))
+        payload = json.dumps(
+            {"ts": t.strftime("%Y-%m-%d %H:%M:%S"), "loco": 7, "speed": speed}
+        ).encode()
+        wire_rows.append((None, payload, "locos", 0, i, t, 0))
+
+    patterns = [RawPattern(5, "speed > 60 for 10 sec")]
+    typed = spark.createDataFrame(
+        typed_rows, "ts timestamp, loco long, speed double"
+    )
+    batch = {
+        (r["pattern_id"], r["loco"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(
+            typed, patterns, ["loco"], "ts", fields_types=fields
+        ).collect()
+    }
+    assert batch  # two held runs
+
+    src_dir = tempfile.mkdtemp(prefix="tsp_kafka_wire")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_kafka_chk")
+    try:
+        wire = spark.createDataFrame(wire_rows, wire_schema)
+        # two chronological drops → two micro-batches through the
+        # decode, like two kafka polls
+        wire.where(F.col("offset") < 75).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        wire.where(F.col("offset") >= 75).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        raw_stream = (
+            spark.readStream.schema(wire_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        decoded = decode_kafka_records(raw_stream, fields)
+        assert decoded.isStreaming
+        got: set = set()
+        job = StreamingPatternJob(patterns, ["loco"], "ts", fields_types=fields)
+        q = incidents_stream(
+            decoded,
+            job,
+            sink=lambda df, _bid: got.update(
+                (r["pattern_id"], r["loco"], r["from_ts"], r["to_ts"])
+                for r in df.collect()
+            ),
+            checkpoint_dir=chk_dir,
+            trigger_seconds=0.5,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if batch <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        missing = batch - got
+        assert not missing, f"streaming missed: {sorted(missing)[:5]}"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

@@ -139,3 +139,20 @@ def test_clusters_deep_path_graph(spark):
     assert all(r["cluster_id"] == 0 for r in got)
     reps = [r["doc_id"] for r in got if r["is_representative"]]
     assert reps == [0]
+
+
+def test_jaccard_bucket_guard_fails_fast(spark):
+    """An oversized bucket must fail the job with a pointer to the LSH
+    path instead of silently going quadratic (dedup.py contract)."""
+    from tsp_spark.pipeline.dedup import jaccard_pairs
+
+    rows = [(i, "b", f"tok{i} common words here") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        jaccard_pairs(
+            df, "text", "doc_id", ["src"], max_bucket_size=3
+        ).count()
+    # within the limit (or with the guard off) results are unchanged
+    ok = jaccard_pairs(df, "text", "doc_id", ["src"], max_bucket_size=8)
+    off = jaccard_pairs(df, "text", "doc_id", ["src"], max_bucket_size=None)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, off.collect()))

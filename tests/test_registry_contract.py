@@ -31,19 +31,33 @@ def test_entry_contract_importable():
     assert callable(next(iter(q.values())))
 
 
-def test_oracle_dtypes_stay_driver_hashable():
+def _sf_dirs():
+    from pathlib import Path
+
+    root = Path("/root/testdata")
+    return sorted(
+        str(p) for p in root.glob("sf*") if (p / "lineitem.parquet").exists()
+    )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("sf_dir", _sf_dirs())
+def test_oracle_dtypes_stay_driver_hashable(sf_dir):
     """Every oracle's DuckDB result must avoid dtypes the driver's hash
     treats differently from Spark's: an uncast integer sum() yields
     HUGEINT (int128 → pandas object dtype) and hash-mismatches even when
     every value is equal. This cost rounds 3 AND 4 — r4 shipped 5 such
-    oracles (rel_q10/q12/q18/q19/q22). Bind each oracle against the
-    smallest sf dir and assert no HUGEINT/UHUGEINT/DECIMAL column
-    escapes; cast with ::BIGINT (or ::DOUBLE) in the outer SELECT."""
+    oracles (rel_q10/q12/q18/q19/q22). Bind each oracle against EVERY
+    on-disk sf dir (r6: binding only sf0.001 let a new oracle pass the
+    gate yet overflow at larger SF — DuckDB widens inferred types with
+    data) and assert no HUGEINT/UHUGEINT/DECIMAL column escapes; cast
+    with ::BIGINT (or ::DOUBLE) in the outer SELECT."""
     import duckdb
 
     from tsp_spark.queries import ORACLES
 
-    sf_dir = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",

@@ -1,0 +1,202 @@
+"""Vectorized vs per-row kernel path equivalence.
+
+The r6 vectorized micro-batch path (streaming/vectorized.py) must be
+indistinguishable from the per-row program feed: same closed
+intervals, same packed state — on noisy data with nulls, NaNs and
+series gaps, across chunk boundaries, and even when a key's stream
+alternates paths between micro-batches (the state layouts are
+shared). String-typed operands must demote the spec to the per-row
+path instead of failing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+
+from tsp_spark.streaming import stateful
+from tsp_spark.streaming.stateful import _make_update, build_spec
+
+GAP_MS = 15_000
+
+PATTERNS = [
+    "avg(value, 10 sec) > 150",
+    "sum(value, 7 sec) > 600",
+    "count(value, 10 sec) >= 8",
+    "min(value, 10 sec) > 120",
+    "max(value, 10 sec) - min(value, 5 sec) > 30",
+    "avg(avg(value, 5 sec), 20 sec) > 150",
+    "value > 150 for 20 sec >= 3 times",
+    "value > 150 for 20 sec > 5 sec",
+    "value > 150 for exactly 10 sec >= 1 times",
+    "avg(value, 10 sec) > 150 until value > 205",
+    "abs(value - 160) < 20 and avg(value, 10 sec) > 150",
+    "sin(avg(value, 10 sec) / 60) > 0.5",
+    "avg(value, 10 sec) > 150 for 15 sec",
+    "ivalue / 2 > 80 and sum(ivalue, 10 sec) > 900",  # exact-int branch
+]
+
+
+class FakeGroupState:
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+    def remove(self):
+        self._val = None
+
+
+def _gen(seed: int, n: int = 600, with_nan: bool = True) -> pd.DataFrame:
+    """``with_nan`` injects literal NaN VALUES beyond NULLs. For
+    float-typed fields the two are indistinguishable AND equivalent:
+    the decode maps NULL→NaN (BasicDecoders.scala:17-30, mirrored by
+    both engines), so Arrow collapsing SQL NULL and NaN in
+    applyInPandasWithState loses nothing."""
+    rng = random.Random(seed)
+    epoch = dt.datetime(2024, 1, 1)
+    rows = []
+    t = 0.0
+    level = 160.0
+    for _ in range(n):
+        if rng.random() < 0.3:
+            level = rng.choice([90.0, 130.0, 170.0, 210.0])
+        r = rng.random()
+        v = (
+            None
+            if r < 0.04
+            else (
+                float("nan")
+                if (with_nan and r < 0.07)
+                else level + rng.random() * 8
+            )
+        )
+        rows.append(
+            (
+                1,
+                epoch + dt.timedelta(seconds=t),
+                v,
+                None if v is None or v != v else int(v),
+                rng.choice(["hot", "cold"]),
+            )
+        )
+        t += rng.choice([0.5, 1.0, 2.0])
+        if rng.random() < 0.02:
+            t += GAP_MS / 1000 + 5
+    return pd.DataFrame(
+        rows, columns=["user_id", "ts", "value", "ivalue", "etype"]
+    )
+
+
+def _drive(spark, pdf, pattern, chunk, path_per_chunk):
+    """Run the production update fn over chunked micro-batches;
+    ``path_per_chunk(k)`` → True forces the per-row path for chunk k.
+    Returns (intervals, final packed state)."""
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    src = spark.createDataFrame(pdf)
+    s, spec = build_spec(src, pattern, ["user_id"], "ts", ft, GAP_MS)
+    out_cols = [
+        "pattern_id", "subunit", "user_id", "from_ts", "to_ts", "n_rows",
+    ]
+    update = _make_update([spec], ["user_id"], "ts", GAP_MS, out_cols)
+    data = s.orderBy("ts").toPandas()
+    st = FakeGroupState()
+    got = []
+    try:
+        for k, i0 in enumerate(range(0, len(data), chunk)):
+            stateful._FORCE_SLOW = path_per_chunk(k)
+            for out in update((1,), iter([data.iloc[i0 : i0 + chunk]]), st):
+                got.extend(
+                    (r.from_ts, r.to_ts) for r in out.itertuples(index=False)
+                )
+        packed = st._val
+        st.hasTimedOut = True
+        for out in update((1,), iter([]), st):
+            got.extend(
+                (r.from_ts, r.to_ts) for r in out.itertuples(index=False)
+            )
+    finally:
+        stateful._FORCE_SLOW = False
+    return sorted(got), packed
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_paths_equivalent(spark, pattern):
+    pdf = _gen(seed=11)
+    fast, st_fast = _drive(spark, pdf, pattern, 97, lambda k: False)
+    slow, st_slow = _drive(spark, pdf, pattern, 97, lambda k: True)
+    assert fast == slow
+    # Packed state layouts are interchangeable. Values are bit-equal
+    # except NESTED aggregates over non-integral data, whose stored
+    # inner-window values may differ by 1 ulp (prefix-scan vs
+    # left-to-right fold) — structurally identical, and conditions
+    # only flip on an exact threshold tie, which needs integral data
+    # (covered by the bit-exact int branch).
+    if "avg(avg" in pattern:
+        assert len(st_fast[1]) == len(st_slow[1])
+    else:
+        assert st_fast == st_slow
+
+
+def test_alternating_paths_mid_stream(spark):
+    """Flipping path per micro-batch must not perturb results — the
+    state each path writes is exactly what the other reads."""
+    pdf = _gen(seed=23)
+    pat = "avg(value, 10 sec) > 150 until value > 205"
+    ref, _ = _drive(spark, pdf, pat, 61, lambda k: True)
+    mix, _ = _drive(spark, pdf, pat, 61, lambda k: k % 2 == 0)
+    assert mix == ref
+
+
+def test_string_operand_demotes_not_fails(spark):
+    """A windowed boolean with a string comparison can't vectorize —
+    the spec must fall back to the per-row feed and still be right."""
+    pdf = _gen(seed=31)
+    pat = "etype = 'hot' and avg(value, 10 sec) > 150"
+    fast, _ = _drive(spark, pdf, pat, 83, lambda k: False)
+    slow, _ = _drive(spark, pdf, pat, 83, lambda k: True)
+    assert fast == slow
+
+
+def test_vectorized_matches_batch_compiler(spark):
+    """End-to-end oracle: vectorized kernel intervals == the batch
+    compiler's on identical data (two shapes; the broad sweep lives in
+    tools/kernel_parity.py)."""
+    from tsp_spark.compile.compiler import compile_pattern
+
+    pdf = _gen(seed=47)
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    for pat in [
+        "avg(value, 10 sec) > 150",
+        "value > 150 for 20 sec >= 3 times",
+    ]:
+        src = spark.createDataFrame(pdf)
+        batch = sorted(
+            (int(r["from_ts"].timestamp() * 1000), int(r["to_ts"].timestamp() * 1000))
+            for r in compile_pattern(
+                src, pat, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+            )
+            .select("from_ts", "to_ts")
+            .collect()
+        )
+        got, _ = _drive(spark, pdf, pat, 73, lambda k: False)
+        got = [
+            (int(f.value // 1_000_000), int(t.value // 1_000_000))
+            for f, t in got
+        ]
+        assert got == batch

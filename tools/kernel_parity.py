@@ -170,11 +170,15 @@ def gen_series(rng: random.Random, spark):
                 if rng.random() < 0.15:
                     level = rng.choice([90.0, 130.0, 170.0, 210.0])
                 et = rng.choice(["hot", "cold", "hot", "warm"])
+                # occasional NULLs exercise the decode: a NULL float
+                # field is Double.NaN (BasicDecoders.scala:17-30) —
+                # it poisons window aggregates and compares IEEE-false
+                v = None if rng.random() < 0.04 else level + rng.random() * 8
                 rows.append(
                     (
                         user,
                         EPOCH + dt.timedelta(seconds=t),
-                        level + rng.random() * 8,
+                        v,
                         et,
                     )
                 )

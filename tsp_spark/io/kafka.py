@@ -44,6 +44,19 @@ def decode_json_value(value: Column, fields_types: dict[str, str]) -> Column:
     return F.from_json(value.cast("string"), kafka_value_schema(fields_types))
 
 
+def decode_kafka_records(raw: DataFrame, fields_types: dict[str, str]) -> DataFrame:
+    """The ENTIRE post-socket pipeline of `kafka_source`: Spark's kafka
+    wire frame (binary key/value + topic/partition/offset/timestamp)
+    → positional JSON decode → one column per declared field. Kept as
+    a separate function so tests drive it through a REAL streaming
+    query over wire-shaped rows (tests/test_io_streaming.py:
+    test_kafka_decode_through_streaming_query) — the only production
+    line a broker-less container can't execute is the
+    `.format("kafka")` load itself."""
+    decoded = raw.select(decode_json_value(F.col("value"), fields_types).alias("r"))
+    return decoded.select("r.*")
+
+
 def kafka_source(
     spark: SparkSession, conf: KafkaInputConf, streaming: bool = True
 ) -> DataFrame:
@@ -57,8 +70,7 @@ def kafka_source(
     if conf.group_id:
         reader = reader.option("kafka.group.id", conf.group_id)
     raw = reader.load()
-    decoded = raw.select(decode_json_value(F.col("value"), conf.fields_types).alias("r"))
-    return decoded.select("r.*")
+    return decode_kafka_records(raw, conf.fields_types)
 
 
 def encode_json_row(df: DataFrame) -> DataFrame:

@@ -76,9 +76,17 @@ def jaccard_pairs(
     id_col: str,
     bucket_cols: Sequence[str],
     threshold: float = 0.6,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within buckets:
-    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold."""
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    The per-bucket self-join is O(bucket²): correct only while the
+    caller's bucket columns keep buckets bounded. That contract is
+    ENFORCED at runtime — any bucket over ``max_bucket_size`` docs
+    fails the job fast (executor-side `raise_error`, no silent
+    quadratic blowup at 100 TB) with a pointer to minhash_lsh_pairs.
+    Pass a higher limit or None to override deliberately."""
     # token-set size hoisted per row; |A ∪ B| = |A| + |B| − |A ∩ B|
     # avoids materializing the union array per pair (same exact value —
     # both sides are distinct arrays)
@@ -87,6 +95,37 @@ def jaccard_pairs(
         F.col(id_col).alias("__id"),
         _token_set(F.col(text_col)).alias("__ws"),
     ).withColumn("__n", F.size(F.col("__ws")))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+        # lazy, distributed guard: evaluated where the data is, and
+        # tied to a column the join actually consumes so it is never
+        # pruned. The window's bucket-key shuffle is the same exchange
+        # the self-join needs anyway.
+        t = t.withColumn(
+            "__n",
+            F.when(
+                bucket_n > max_bucket_size,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"jaccard_pairs bucket holds more than "
+                            f"{max_bucket_size} documents (bucket "
+                        ),
+                        F.concat_ws(
+                            ",", *[F.col(c).cast("string") for c in bucket_cols]
+                        ),
+                        F.lit(
+                            "): the per-bucket self-join would go "
+                            "quadratic. Use minhash_lsh_pairs for "
+                            "unbounded corpora, or raise "
+                            "max_bucket_size deliberately."
+                        ),
+                    )
+                ).cast("int"),
+            ).otherwise(F.col("__n")),
+        )
     a = t.select(
         *bucket_cols, F.col("__id").alias("id_a"),
         F.col("__ws").alias("__wa"), F.col("__n").alias("__na"),

@@ -116,16 +116,41 @@ def top_tokens(
     text_col: str,
     group_col: str,
     n: int = 10,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Per-group heavy hitters: the n most frequent tokens with a
-    deterministic (count desc, token asc) tie-break. Two-phase plan:
-    explode → partial-agg groupBy (map-side combine collapses repeats
-    before the shuffle) → one window pass over the same partitioning."""
+    deterministic (count desc, token asc) tie-break.
+
+    Skew-safe three-phase plan (the salted-aggregation idea from
+    ops/skew.py applied to top-n selection):
+    1. explode → partial-agg groupBy(group, token): Zipfian hot tokens
+       collapse MAP-SIDE (partial aggregation), so the reduce never
+       sees per-occurrence skew;
+    2. salted local top-n — rank within (group, hash(token) % S) and
+       keep rank ≤ n. Token-hash salting splits one group's whole
+       vocabulary across S tasks; a row ranked > n inside its salt
+       bucket already has ≥ n bucket rows ahead of it globally, so the
+       prune is provably result-identical;
+    3. global window over ≤ n·S survivors per group — bounded input
+       regardless of vocabulary size (the naive single-window plan
+       pulls a group's ENTIRE distinct vocabulary into one task, the
+       actual reduce-side hot spot at 100 TB).
+    ``salt_buckets=0`` disables phase 2 (tiny-data path)."""
     toks = df.select(
         F.col(group_col), F.explode(_tokens(F.col(text_col))).alias("token")
     )
     counts = toks.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("n_occ"))
-    w = Window.partitionBy(group_col).orderBy(F.col("n_occ").desc(), "token")
+    order = (F.col("n_occ").desc(), F.col("token").asc())
+    if salt_buckets:
+        w_local = Window.partitionBy(
+            group_col, F.pmod(F.xxhash64("token"), F.lit(salt_buckets))
+        ).orderBy(*order)
+        counts = (
+            counts.withColumn("__lr", F.row_number().over(w_local))
+            .where(F.col("__lr") <= n)
+            .drop("__lr")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= n)

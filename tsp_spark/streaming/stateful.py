@@ -57,6 +57,12 @@ from pyspark.sql import types as T
 
 _NONE = -1
 
+# Test hook: force every spec onto the per-row feed path (the
+# vectorized and per-row paths share state layout, so flipping this
+# between micro-batches is safe — tests/test_vectorized_kernel.py
+# compares the two end to end).
+_FORCE_SLOW = False
+
 
 # Sentinel: the pattern emitted NO value at this row (lag present mask
 # false). The batch compiler DROPS such rows before islandization
@@ -580,7 +586,21 @@ def _eval_row(node, row, aggvals):
         return node.value
     if isinstance(node, A.Identifier):
         v = row[node.name]
-        return None if pd.isna(v) else v
+        if pd.isna(v):
+            # the batch Identifier DECODE (compiler.py:267-276,
+            # BasicDecoders.scala:17-30): a NULL float-typed field is
+            # Double.NaN — a VALUE that enters window aggregates
+            # (poisoning sum/avg, counted by count, NaN-greatest for
+            # min/max) and compares IEEE-false; a NULL string is
+            # "[NULL]"; other dtypes stay NULL. The parser defaults
+            # undeclared fields to float64 exactly like the compiler.
+            dtype = node.dtype or "float64"
+            if dtype in ("float32", "float64"):
+                return float("nan")
+            if dtype == "string":
+                return "[NULL]"
+            return None
+        return v
     if isinstance(node, A.Cast):
         v = _eval_row(node.inner, row, aggvals)
         if v is None:
@@ -876,6 +896,14 @@ class _WindowedCondProgram:
         self.can_pend = any(
             a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
         )
+        # no lag anywhere → every row decides instantly and the whole
+        # micro-batch vectorizes (streaming/vectorized.py)
+        if not any(a.kind == _LAG_KIND for a in self.aggs):
+            from tsp_spark.streaming.vectorized import static_vec_ok
+
+            self.batch_capable = static_vec_ok(node)
+        else:
+            self.batch_capable = False
         # nested aggregates (avg(avg(x, T1), T2) …): _collect_aggs is
         # pre-order (parents first), so reversed order evaluates every
         # nested term before the term that consumes its value — the
@@ -1106,6 +1134,17 @@ class _WindowedCondProgram:
         pending.clear()
         return out
 
+    # -- vectorized micro-batch path (streaming/vectorized.py) ------------
+    def precheck_batch(self, objs, ms_arr, df) -> None:
+        from tsp_spark.streaming.vectorized import windowed_precheck
+
+        windowed_precheck(self, objs, ms_arr, df)
+
+    def feed_batch(self, objs, ms_arr, df, gaps, lg_rows):
+        from tsp_spark.streaming.vectorized import windowed_batch
+
+        return windowed_batch(self, objs, ms_arr, df, lg_rows)
+
 
 def _seq_sum(vals: list[float]) -> float:
     """Left-to-right sum — the batch window frame's accumulation order."""
@@ -1149,6 +1188,9 @@ class _TruthStatProgram:
         # seq-membership, combos — not just lag-bearing windowed conds)
         self.can_pend = not isinstance(inner, str) and getattr(
             inner, "can_pend", False
+        )
+        self.batch_capable = isinstance(inner, str) or getattr(
+            inner, "batch_capable", False
         )
 
     # objs layout: [q, iobjs, series_start, arr_prev_ms, meta]
@@ -1265,6 +1307,17 @@ class _TruthStatProgram:
         if not isinstance(self.inner, str):
             return self._process(objs, self.inner.drain(objs[1]))
         return []
+
+    # -- vectorized micro-batch path (streaming/vectorized.py) ------------
+    def precheck_batch(self, objs, ms_arr, df) -> None:
+        from tsp_spark.streaming.vectorized import truthstat_precheck
+
+        truthstat_precheck(self, objs, ms_arr, df)
+
+    def feed_batch(self, objs, ms_arr, df, gaps, lg_rows):
+        from tsp_spark.streaming.vectorized import truthstat_batch
+
+        return truthstat_batch(self, objs, ms_arr, df, gaps, lg_rows)
 
 
 class _WaitProgram:
@@ -1411,6 +1464,10 @@ class _ComboProgram:
             for c in children
             if not isinstance(c, str)
         )
+        self.batch_capable = all(
+            isinstance(c, str) or getattr(c, "batch_capable", False)
+            for c in children
+        )
 
     # objs layout: [child objs… (None for str children), queues]
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
@@ -1513,6 +1570,17 @@ class _ComboProgram:
             if not isinstance(c, str):
                 qs[j].extend(c.drain(objs[j]))
         return self._pump(qs)
+
+    # -- vectorized micro-batch path (streaming/vectorized.py) ------------
+    def precheck_batch(self, objs, ms_arr, df) -> None:
+        from tsp_spark.streaming.vectorized import combo_precheck
+
+        combo_precheck(self, objs, ms_arr, df)
+
+    def feed_batch(self, objs, ms_arr, df, gaps, lg_rows):
+        from tsp_spark.streaming.vectorized import combo_batch
+
+        return combo_batch(self, objs, ms_arr, df, gaps, lg_rows)
 
 
 class _SeqBoolProgram:
@@ -2030,32 +2098,71 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
             ]
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
-        # vectorized fast path: island/timer specs whose conds are all
-        # precomputed JVM columns (no pending programs, nothing queued)
-        # process the whole micro-batch per RUN via numpy — identical
-        # transitions, ~20× the per-row loop's throughput. Specs with
-        # condition programs keep the per-row feed below.
+        # vectorized fast path: island/timer/chain specs whose conds are
+        # precomputed JVM columns OR batch-capable (non-pending)
+        # condition programs process the whole micro-batch via numpy —
+        # identical transitions, 5-25× the per-row loop's throughput.
+        # Pending-capable programs (lag/wait/nested andThen) keep the
+        # per-row feed below.
         fast = [
             i
             for i, spec in enumerate(specs)
-            if type(spec.sm) in (_IslandSM, _TimerSM, _AndThenSM)
-            and all(isinstance(c, str) for c in spec.cond_cols)
+            if not _FORCE_SLOW
+            and type(spec.sm) in (_IslandSM, _TimerSM, _AndThenSM)
+            and all(
+                isinstance(c, str) or getattr(c, "batch_capable", False)
+                for c in spec.cond_cols
+            )
         ]
         slow = [i for i in range(len(specs)) if i not in fast]
         if len(rows) and fast:
             import numpy as np
+
+            from tsp_spark.streaming.vectorized import (
+                TRI_TRUE,
+                VecUnsupported,
+                last_gap_rows,
+            )
 
             ms_arr = (rows[ts].astype("int64") // 1_000_000).to_numpy()
             gaps = np.empty(len(ms_arr), dtype=bool)
             gaps[0] = last is not None and ms_arr[0] - last > max_gap_ms
             if len(ms_arr) > 1:
                 gaps[1:] = np.diff(ms_arr) > max_gap_ms
+            # demote specs whose programs can't vectorize THIS batch
+            # (string dtypes, out-of-order carried state) — prechecked
+            # before any state mutation, so the per-row path continues
+            # from identical state
+            for i in list(fast):
+                try:
+                    pi = 0
+                    for c in specs[i].cond_cols:
+                        if not isinstance(c, str):
+                            c.precheck_batch(progs[i][pi], ms_arr, rows)
+                            pi += 1
+                except VecUnsupported:
+                    fast.remove(i)
+                    slow.append(i)
+            lg_rows = None
             for i in fast:
                 spec = specs[i]
-                cols_arr = [
-                    rows[c].fillna(False).astype(bool).to_numpy()
-                    for c in spec.cond_cols
-                ]
+                cols_arr = []
+                pi = 0
+                for c in spec.cond_cols:
+                    if isinstance(c, str):
+                        cols_arr.append(
+                            rows[c].fillna(False).astype(bool).to_numpy()
+                        )
+                    else:
+                        if lg_rows is None:
+                            lg_rows = last_gap_rows(gaps)
+                        tri = c.feed_batch(
+                            progs[i][pi], ms_arr, rows, gaps, lg_rows
+                        )
+                        pi += 1
+                        # None → false (the batch's raw-value consumers);
+                        # batch-capable programs never emit ABSENT
+                        cols_arr.append(tri == TRI_TRUE)
                 if isinstance(spec.sm, _IslandSM):
                     sts[i], items = _islands_vec(
                         sts[i], ms_arr, cols_arr[0], gaps

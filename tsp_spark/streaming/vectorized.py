@@ -1,0 +1,578 @@
+"""Vectorized (numpy) micro-batch evaluation for NON-PENDING condition
+programs — the throughput path for windowed-aggregate / truth-stat /
+Kleene-combinator conditions whose every row decides instantly.
+
+The per-row program feed (stateful._WindowedCondProgram.feed and
+friends) is exact but Python-bound: ~157k rows/s per key-partition,
+5-25× below the numpy run-vectorized state machines it feeds. For
+programs with no lag terms (nothing ever pends — one decided value per
+row, in row order), the whole micro-batch collapses to array passes:
+
+- sliding trailing-window aggregates (GroupPattern.scala:56-93 shape)
+  via prefix scans: ``count`` by index arithmetic (exact), ``sum``/
+  ``avg`` by prefix-sum difference — run in int64 (bit-exact vs the
+  per-row left-to-right fold) whenever every window value is integral
+  and small enough that no partial sum can round, else in float64
+  (==the fold up to 1 ulp; a condition flips only on an exact
+  threshold tie, which needs integral data — covered by the exact
+  branch), ``min``/``max`` by a sparse table of np.fmin/np.maximum
+  (exact, and IEEE-NaN-identical: fmin skips NaN = the batch
+  NaN-sorts-greatest min, maximum propagates NaN = its max);
+- truth statistics (WindowStatistic.scala:45-103) via int64 prefix
+  sums over per-row contributions — always exact;
+- the boolean/arithmetic expression tree via a trilean int8 / masked
+  float64 evaluator mirroring stateful._eval_row's Kleene + IEEE
+  rules (unary registry math runs the SAME Python functions
+  element-wise, so math results are bit-identical).
+
+Series scoping (>maxGap splits) is applied with a per-row
+``last_gap_row`` index: entries originating before a row's most recent
+gap are excluded from its window — exactly the per-row path's
+state-reset-then-process order. State objects (the programs' ``objs``)
+are read and written in the per-row layout, so a spec can take either
+path on any micro-batch and the packed state stays interchangeable.
+
+Raises VecUnsupported (from the precheck, before any state mutation)
+for shapes the array engine can't mirror — string-typed operands,
+out-of-order carried state — and the kernel falls back to the per-row
+feed for that spec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_I52 = float(1 << 31)  # per-value bound for the exact-int sum branch
+
+TRI_NULL = np.int8(-1)
+TRI_FALSE = np.int8(0)
+TRI_TRUE = np.int8(1)
+
+
+class VecUnsupported(Exception):
+    """This program/batch can't be evaluated vectorized — use the
+    per-row feed (identical semantics, slower)."""
+
+
+# --------------------------------------------------------------- expression
+
+
+def static_vec_ok(node) -> bool:
+    """Build-time screen: no string constants/identifiers/casts
+    anywhere (string comparison rules are per-row only). Runtime
+    dtypes are re-checked in precheck."""
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, A.Assert):
+        return static_vec_ok(node.inner)
+    if isinstance(node, A.Constant):
+        return not isinstance(node.value, str)
+    if isinstance(node, A.Identifier):
+        return node.dtype not in ("string", "str")
+    if isinstance(node, A.Cast):
+        return node.dtype != "string" and static_vec_ok(node.inner)
+    if isinstance(node, A.AggregateCall):
+        return static_vec_ok(node.inner)
+    if isinstance(node, A.FunctionCall):
+        return all(static_vec_ok(a) for a in node.args)
+    return False
+
+
+def precheck_expr(node, df: pd.DataFrame) -> None:
+    """Raise VecUnsupported unless every Identifier under ``node`` is a
+    numeric/bool pandas column of ``df``. Runs BEFORE any state
+    mutation."""
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, (A.Assert, A.Cast, A.AggregateCall)):
+        precheck_expr(node.inner, df)
+        return
+    if isinstance(node, A.Constant):
+        if isinstance(node.value, str):
+            raise VecUnsupported("string constant")
+        return
+    if isinstance(node, A.Identifier):
+        if node.name not in df.columns:
+            raise VecUnsupported(f"missing column {node.name}")
+        if df[node.name].dtype.kind not in "iufb":
+            raise VecUnsupported(f"non-numeric column {node.name}")
+        return
+    if isinstance(node, A.FunctionCall):
+        for a in node.args:
+            precheck_expr(a, df)
+        return
+    raise VecUnsupported(f"node {type(node).__name__}")
+
+
+def _num(node, df, aggvals):
+    """Numeric evaluation → (vals float64, null bool, is_int bool).
+    ``is_int`` mirrors the per-row boxing: pandas int/bool columns
+    arrive as native ints via to_dict, floats stay floats."""
+    from tsp_spark.dsl import ast as A
+    from tsp_spark.streaming.stateful import _MATH1, _safe_exp
+
+    n = len(df)
+    if isinstance(node, A.Assert):
+        return _num(node.inner, df, aggvals)
+    if isinstance(node, A.Constant):
+        v = node.value
+        if isinstance(v, bool):
+            return (
+                np.full(n, float(v)),
+                np.zeros(n, dtype=bool),
+                True,
+            )
+        return (
+            np.full(n, float(v)),
+            np.zeros(n, dtype=bool),
+            isinstance(v, int),
+        )
+    if isinstance(node, A.Identifier):
+        col = df[node.name]
+        null = col.isna().to_numpy()
+        vals = col.to_numpy(dtype=np.float64, na_value=np.nan).copy()
+        # the batch Identifier decode (compiler.py:267-276): a NULL
+        # float-typed field is the VALUE Double.NaN, not a null — it
+        # enters window aggregates and compares IEEE-false. The
+        # parser/compiler default undeclared fields to float64.
+        if (node.dtype or "float64") in ("float32", "float64"):
+            vals[null] = np.nan
+            null = np.zeros(len(vals), dtype=bool)
+        else:
+            vals[null] = 0.0
+        return vals, null, col.dtype.kind in "ib"
+    if isinstance(node, A.AggregateCall):
+        vals, null, is_int = aggvals[id(node)]
+        return vals, null, is_int
+    if isinstance(node, A.Cast):
+        vals, null, is_int = _num(node.inner, df, aggvals)
+        if node.dtype == "boolean":
+            # bool(v): nonzero (NaN is truthy); stays int-boxed
+            return (vals != 0).astype(np.float64), null, True
+        if node.dtype in ("float32", "float64"):
+            # per-row casts via float() — float32 does NOT narrow
+            return vals.astype(np.float64), null, False
+        with np.errstate(invalid="ignore"):
+            return np.trunc(vals), null, True
+    if isinstance(node, A.FunctionCall):
+        name = node.name
+        if name in ("and", "or", "xor", "not") or name in (
+            "gt", "ge", "lt", "le", "eq", "ne",
+        ):
+            tri = _tri(node, df, aggvals)
+            return (
+                (tri == TRI_TRUE).astype(np.float64),
+                tri == TRI_NULL,
+                True,  # per-row booleans box as int-compatible
+            )
+        if name == "abs":
+            vals, null, is_int = _num(node.args[0], df, aggvals)
+            return np.abs(vals), null, is_int
+        if name == "sigmoid":
+            vals, null, _ = _num(node.args[0], df, aggvals)
+            if len(node.args) > 1:
+                kv, kn, _ = _num(node.args[1], df, aggvals)
+                null = null | kn
+            else:
+                kv = np.ones(n)
+            out = np.array(
+                [
+                    1.0 / (1.0 + _safe_exp(-2.0 * k * v))
+                    for k, v in zip(kv, vals)
+                ],
+                dtype=np.float64,
+            )
+            return out, null, False
+        if name in _MATH1:
+            vals, null, _ = _num(node.args[0], df, aggvals)
+            fn = _MATH1[name]
+            # the SAME Python libm calls as the per-row path — results
+            # bit-identical; one tight loop per math node per batch
+            out = np.empty(n, dtype=np.float64)
+            onull = null.copy()
+            for i, v in enumerate(vals):
+                if onull[i]:
+                    out[i] = 0.0
+                    continue
+                r = fn(float(v))
+                if r is None:  # ln/log of non-positive → NULL
+                    onull[i] = True
+                    out[i] = 0.0
+                else:
+                    out[i] = r
+            return out, onull, False
+        # arithmetic
+        a, an, ai = _num(node.args[0], df, aggvals)
+        b, bn, bi = _num(node.args[1], df, aggvals)
+        null = an | bn
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            if name == "add":
+                return a + b, null, ai and bi
+            if name == "sub":
+                return a - b, null, ai and bi
+            if name == "mul":
+                return a * b, null, ai and bi
+            if name == "div":
+                q = a / b
+                zero = b == 0
+                if ai and bi:
+                    # Int/Int: trunc toward zero; /0 → NULL
+                    return np.trunc(q), null | zero, True
+                q = np.where(zero, np.nan, q)
+                return q, null, False
+    raise VecUnsupported(f"node {type(node).__name__}")
+
+
+def _truthy(node, df, aggvals):
+    """Numeric subtree in boolean position → trilean (bool(v):
+    nonzero; NaN truthy)."""
+    vals, null, _ = _num(node, df, aggvals)
+    tri = (vals != 0).astype(np.int8)
+    tri[null] = TRI_NULL
+    return tri
+
+
+def _tri(node, df, aggvals) -> np.ndarray:
+    """Boolean evaluation → trilean int8 (-1 NULL / 0 / 1), mirroring
+    _eval_row's Kleene + IEEE comparison rules."""
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, A.Assert):
+        return _tri(node.inner, df, aggvals)
+    if isinstance(node, A.FunctionCall):
+        name = node.name
+        if name == "not":
+            a = _tri_of(node.args[0], df, aggvals)
+            out = np.where(a == TRI_NULL, TRI_NULL, 1 - a)
+            return out.astype(np.int8)
+        if name in ("and", "or", "xor"):
+            a = _tri_of(node.args[0], df, aggvals)
+            b = _tri_of(node.args[1], df, aggvals)
+            return kleene(name, a, b)
+        if name in ("gt", "ge", "lt", "le", "eq", "ne"):
+            a, an, _ = _num(node.args[0], df, aggvals)
+            b, bn, _ = _num(node.args[1], df, aggvals)
+            null = an | bn
+            # IEEE: NaN compares false for everything but ne — numpy's
+            # native behavior on float64
+            with np.errstate(invalid="ignore"):
+                if name == "gt":
+                    r = a > b
+                elif name == "ge":
+                    r = a >= b
+                elif name == "lt":
+                    r = a < b
+                elif name == "le":
+                    r = a <= b
+                elif name == "eq":
+                    r = a == b
+                else:
+                    r = a != b
+            tri = r.astype(np.int8)
+            tri[null] = TRI_NULL
+            return tri
+    # numeric node in boolean position (e.g. a bare cast/identifier)
+    return _truthy(node, df, aggvals)
+
+
+def _tri_of(node, df, aggvals):
+    from tsp_spark.dsl import ast as A
+
+    nw = node
+    while isinstance(nw, A.Assert):
+        nw = nw.inner
+    if isinstance(nw, A.FunctionCall) and nw.name in (
+        "and", "or", "xor", "not", "gt", "ge", "lt", "le", "eq", "ne",
+    ):
+        return _tri(nw, df, aggvals)
+    return _truthy(nw, df, aggvals)
+
+
+def kleene(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Trilean combinator over int8 arrays — the batch registry's
+    Kleene-or / Fail-propagating and/xor (registry.py)."""
+    if op == "and":
+        out = np.where(
+            (a == TRI_FALSE) | (b == TRI_FALSE),
+            TRI_FALSE,
+            np.where((a == TRI_NULL) | (b == TRI_NULL), TRI_NULL, TRI_TRUE),
+        )
+    elif op == "or":
+        out = np.where(
+            (a == TRI_TRUE) | (b == TRI_TRUE),
+            TRI_TRUE,
+            np.where((a == TRI_NULL) | (b == TRI_NULL), TRI_NULL, TRI_FALSE),
+        )
+    elif op == "xor":
+        out = np.where(
+            (a == TRI_NULL) | (b == TRI_NULL),
+            TRI_NULL,
+            (a != b).astype(np.int8),
+        )
+    else:
+        raise ValueError(op)
+    return out.astype(np.int8)
+
+
+# ------------------------------------------------------------- window scans
+
+
+def last_gap_rows(gaps: np.ndarray) -> np.ndarray:
+    """Per row: index of its most recent gap row (itself included),
+    -1 when the batch holds no gap at or before it. Entries
+    originating before that row are outside the row's sub-series."""
+    n = len(gaps)
+    return np.maximum.accumulate(np.where(gaps, np.arange(n), -1))
+
+
+def _entry_arrays(old_ms, old_vals, ms_arr, vals, keep):
+    """Concatenate carried state entries (origin −1: before every row
+    of this batch) with this batch's kept rows. Raises before any
+    mutation if the carried state is ahead of the batch (out-of-order
+    delivery — per-row semantics are the safe fallback)."""
+    if len(old_ms) and len(ms_arr) and old_ms[-1] > ms_arr[0]:
+        raise VecUnsupported("carried state newer than batch head")
+    ems = np.concatenate([old_ms, ms_arr[keep]])
+    evals = np.concatenate([old_vals, vals[keep]])
+    eorigin = np.concatenate(
+        [np.full(len(old_ms), -1, dtype=np.int64), np.flatnonzero(keep)]
+    )
+    return ems, evals, eorigin
+
+
+def _range_minmax(evals, lo, hi, fn):
+    """Range min/max over [lo, hi) via a sparse table of ``fn``
+    (np.fmin → batch NaN-greatest min; np.maximum → NaN-propagating
+    max). Exact — no arithmetic."""
+    m = len(lo)
+    out = np.full(m, np.nan)
+    null = np.ones(m, dtype=bool)
+    lens = hi - lo
+    sel = lens > 0
+    if not len(evals) or not sel.any():
+        return out, null
+    maxlen = int(lens.max())
+    tables = [evals]
+    k = 1
+    while (1 << k) <= maxlen:
+        prev = tables[-1]
+        half = 1 << (k - 1)
+        tables.append(fn(prev[:-half], prev[half:]))
+        k += 1
+    ls = lens[sel].astype(np.float64)
+    ks = (np.frexp(ls)[1] - 1).astype(np.int64)  # floor(log2 len)
+    idx = np.flatnonzero(sel)
+    for kk in np.unique(ks):
+        t = tables[kk]
+        rows = idx[ks == kk]
+        w = 1 << int(kk)
+        out[rows] = fn(t[lo[rows]], t[hi[rows] - w])
+    null[idx] = False
+    return out, null
+
+
+def sliding_aggregate(
+    kind: str,
+    window_ms: int,
+    state,  # _SlidingAggState
+    ms_arr: np.ndarray,
+    vals: np.ndarray,
+    null: np.ndarray,
+    lg_rows: np.ndarray,
+):
+    """One windowed-aggregate term over the whole micro-batch: the
+    half-open trailing frame (t−W, t], series-scoped. Mutates
+    ``state.q`` to the batch-end deque (per-row layout). Returns
+    (vals, null, is_int) aligned with rows."""
+    old_ms = np.array([e[0] for e in state.q], dtype=np.int64)
+    old_vals = np.array(
+        [e[2][0] for e in state.q], dtype=np.float64
+    )
+    keep = ~null
+    ems, evals, eorigin = _entry_arrays(old_ms, old_vals, ms_arr, vals, keep)
+    n = len(ms_arr)
+    hi = np.searchsorted(eorigin, np.arange(n), side="right")
+    lo_t = np.searchsorted(ems, ms_arr - window_ms, side="right")
+    floor = np.searchsorted(eorigin, lg_rows, side="left")
+    lo = np.maximum(lo_t, floor)
+    cnt = hi - lo
+
+    # batch-end state: entries still inside the LAST row's window and
+    # sub-series
+    if n:
+        final_lg = int(lg_rows[-1])
+        sel = (ems > int(ms_arr[-1]) - window_ms) & (eorigin >= final_lg)
+        state.q = [
+            (int(m), [], [float(v)])
+            for m, v in zip(ems[sel], evals[sel])
+        ]
+
+    if kind == "count":
+        return cnt.astype(np.float64), np.zeros(n, dtype=bool), True
+    if kind in ("min", "max"):
+        fn = np.fmin if kind == "min" else np.maximum
+        out, onull = _range_minmax(evals, lo, hi, fn)
+        return out, onull, False
+    # sum / avg
+    isnan = np.isnan(evals)
+    clean = np.where(isnan, 0.0, evals)
+    exact = (
+        len(evals) <= (1 << 20)
+        and bool(np.all(isnan | ((clean == np.floor(clean)) & (np.abs(clean) <= _I52))))
+    )
+    if exact:
+        p = np.concatenate([[0], np.cumsum(clean.astype(np.int64))])
+        sums = (p[hi] - p[lo]).astype(np.float64)
+    else:
+        p = np.concatenate([[0.0], np.cumsum(clean)])
+        sums = p[hi] - p[lo]
+    pn = np.concatenate([[0], np.cumsum(isnan.astype(np.int64))])
+    has_nan = (pn[hi] - pn[lo]) > 0
+    sums[has_nan] = np.nan
+    onull = cnt == 0
+    if kind == "sum":
+        sums[onull] = 0.0
+        return sums, onull, False
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = np.where(cnt > 0, sums / np.maximum(cnt, 1), 0.0)
+    return avg, onull, False
+
+
+# ------------------------------------------------------------ program feeds
+
+
+def windowed_precheck(prog, objs, ms_arr, df) -> None:
+    precheck_expr(prog.node, df)
+    for i, a in enumerate(prog.aggs):
+        q = objs[i].q
+        if q and len(ms_arr) and q[-1][0] > int(ms_arr[0]):
+            raise VecUnsupported("carried state newer than batch head")
+        if any(e[1] for e in q):
+            raise VecUnsupported("undecided entry deps in carried state")
+
+
+def windowed_batch(prog, objs, ms_arr, df, lg_rows) -> np.ndarray:
+    """_WindowedCondProgram (no lag terms) over the batch → trilean
+    decided values, one per row."""
+    aggvals: dict[int, tuple] = {}
+    for i in prog._order:
+        a = prog.aggs[i]
+        ivals, inull, _ = _num(a.inner, df, aggvals)
+        aggvals[id(a)] = sliding_aggregate(
+            a.kind, a.window_ms, objs[i], ms_arr, ivals, inull, lg_rows
+        )
+    return _tri_of(prog.node, df, aggvals)
+
+
+def truthstat_precheck(prog, objs, ms_arr, df) -> None:
+    if not isinstance(prog.inner, str):
+        prog.inner.precheck_batch(objs[1], ms_arr, df)
+    q = objs[0]
+    if q and len(ms_arr) and q[-1][0] > int(ms_arr[0]):
+        raise VecUnsupported("carried state newer than batch head")
+    if objs[4]:
+        raise VecUnsupported("pending arrival metas in carried state")
+
+
+def truthstat_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
+    """_TruthStatProgram over the batch → trilean (0/1) decided
+    values. Exact: contributions and statistics are integers."""
+    n = len(ms_arr)
+    if isinstance(prog.inner, str):
+        # (not isna) and bool(v) — the per-row str-inner rule
+        col = df[prog.inner]
+        truthy = col.fillna(False).astype(bool).to_numpy()
+    else:
+        truthy = (
+            prog.inner.feed_batch(objs[1], ms_arr, df, gaps, lg_rows)
+            == TRI_TRUE
+        )
+    # inter-event delta, fixed at arrival; 0 at each sub-series head
+    arr_prev = objs[3]
+    delta = np.empty(n, dtype=np.int64)
+    if n:
+        delta[0] = (
+            0
+            if (gaps[0] or arr_prev is None)
+            else int(ms_arr[0]) - int(arr_prev)
+        )
+        if n > 1:
+            delta[1:] = np.where(gaps[1:], 0, np.diff(ms_arr))
+    if prog.kind == "times":
+        contrib = truthy.astype(np.int64)
+    else:
+        contrib = np.where(truthy, delta, 0)
+
+    old_ms = np.array([e[0] for e in objs[0]], dtype=np.int64)
+    old_c = np.array([e[1] for e in objs[0]], dtype=np.int64)
+    ems, evals, eorigin = _entry_arrays(
+        old_ms, old_c, ms_arr, contrib, np.ones(n, dtype=bool)
+    )
+    hi = np.searchsorted(eorigin, np.arange(n), side="right")
+    # CLOSED window [t−W, t]
+    lo_t = np.searchsorted(ems, ms_arr - prog.window_ms, side="left")
+    floor = np.searchsorted(eorigin, lg_rows, side="left")
+    lo = np.maximum(lo_t, floor)
+    p = np.concatenate([[0], np.cumsum(evals)])
+    stat = p[hi] - p[lo]
+
+    ok = np.ones(n, dtype=bool)
+    if prog.lo is not None and prog.lo > 0:
+        ok &= stat >= prog.lo
+    if prog.hi is not None:
+        ok &= stat <= prog.hi
+    if prog.exactly and n:
+        # series time elapsed since the sub-series head
+        s0 = objs[2]
+        head = np.where(
+            lg_rows >= 0,
+            ms_arr[np.maximum(lg_rows, 0)],
+            int(s0) if s0 is not None else int(ms_arr[0]),
+        )
+        ok &= (ms_arr - head) >= prog.window_ms
+
+    if n:
+        final_lg = int(lg_rows[-1])
+        sel = (ems >= int(ms_arr[-1]) - prog.window_ms) & (
+            eorigin >= final_lg
+        )
+        objs[0] = [(int(m), int(c)) for m, c in zip(ems[sel], evals[sel])]
+        objs[3] = int(ms_arr[-1])
+        if final_lg >= 0:
+            objs[2] = int(ms_arr[final_lg])
+        elif objs[2] is None:
+            objs[2] = int(ms_arr[0])
+    return ok.astype(np.int8)
+
+
+def combo_precheck(prog, objs, ms_arr, df) -> None:
+    for j, c in enumerate(prog.children):
+        if not isinstance(c, str):
+            c.precheck_batch(objs[j], ms_arr, df)
+    if any(objs[-1]):
+        raise VecUnsupported("queued child values in carried state")
+
+
+def combo_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
+    tris = []
+    for j, c in enumerate(prog.children):
+        if isinstance(c, str):
+            col = df[c]
+            tri = col.fillna(False).astype(bool).to_numpy().astype(np.int8)
+            tri[col.isna().to_numpy()] = TRI_NULL
+            tris.append(tri)
+        else:
+            tris.append(c.feed_batch(objs[j], ms_arr, df, gaps, lg_rows))
+    op = prog.op
+    if op == "not":
+        a = tris[0]
+        return np.where(a == TRI_NULL, TRI_NULL, 1 - a).astype(np.int8)
+    if op == "until":
+        left, right = tris
+        nr = np.where(right == TRI_NULL, TRI_NULL, 1 - right).astype(np.int8)
+        return kleene("and", left, nr)
+    out = tris[0]
+    for t in tris[1:]:
+        out = kleene(op, out, t)
+    return out
