@@ -156,6 +156,74 @@ def accums_rehearsal(spark, n_rows: int = 600_000, n_keys: int = 2):
     return {"rows": n_rows, "cases": out}
 
 
+SF1_QUERIES = [
+    # the 8 most expensive queries (r5 bench ranking), CHEAPEST-AT-SF1
+    # first so the time budget always covers the near-linear cohort;
+    # the two known output-quadratic outliers (see docs/SCALE.md "sf1
+    # scaling rehearsal") run last and are skipped when the budget is
+    # spent — their full measurements are pinned in SCALE.md
+    "rel_q1_pricing",
+    "cep_andthen",
+    "rel_q3_shipping",
+    "ann_topk",
+    "dedup_minhash_lsh",
+    "cep_incidents_multi",
+    "dedup_jaccard",
+    "dedup_clusters",
+]
+
+
+def sf1_rehearsal(spark):
+    """10× scaling rehearsal (VERDICT r5 item 4): run the most
+    expensive queries at generated sf0.1 AND sf1 from the SAME
+    generator (tools/gen_sf.py — driver-matching schemas and
+    distributions; /root/testdata is read-only and ships no sf1) and
+    report the per-query scale factor. Near-linear (≤ ~12×) is the
+    pass bar; superlinear readings demand a SCALE.md root cause
+    (r6's two: output-quadratic near-dup density, documented there).
+    Tables generate once into .localdata/ (~170 MB, <1 min) and are
+    reused. A wall-clock budget ($SPARK_GRAFT_SF1_BUDGET, default
+    180 s incl. generation) bounds the whole section so the bench
+    never risks a driver timeout; skipped queries are reported as
+    skipped rather than silently dropped."""
+    from tools.gen_sf import ensure
+
+    from tsp_spark.queries import QUERIES
+
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "180"))
+    t_start = time.perf_counter()
+    base = Path(__file__).resolve().parent / ".localdata"
+    d01 = ensure(0.1, str(base / "sf0.1"))
+    d1 = ensure(1.0, str(base / "sf1"))
+    out = {}
+    for name in SF1_QUERIES:
+        if time.perf_counter() - t_start > budget:
+            out[name] = {"skipped": "sf1 time budget spent"}
+            print(f"# sf1 {name}: skipped (budget)", file=sys.stderr)
+            continue
+        fn = QUERIES[name]
+        best01 = float("inf")
+        for _ in range(2):  # warm code-gen so the 1-shot sf1 run is fair
+            t0 = time.perf_counter()
+            n01 = fn(spark, d01).count()
+            best01 = min(best01, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n1 = fn(spark, d1).count()
+        t1 = time.perf_counter() - t0
+        out[name] = {
+            "sf0.1_sec": round(best01, 3),
+            "sf1_sec": round(t1, 3),
+            "scale_x": round(t1 / best01, 1) if best01 > 0 else None,
+            "sf1_rows": n1,
+        }
+        print(
+            f"# sf1 {name}: {best01:.3f}s → {t1:.3f}s "
+            f"({t1 / best01:.1f}x for 10x data, {n1} rows)",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tsp_spark.queries import QUERIES, _load
@@ -209,6 +277,12 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # 10× scaling rehearsal: own flag, generated tables (see
+    # sf1_rehearsal docstring); reported separately from the headline
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        sf1 = sf1_rehearsal(spark)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "tsp_spark bench: sum of headline query wall times",
@@ -221,6 +295,8 @@ def main() -> None:
         payload["scale_10m"] = scale
     if accums is not None:
         payload["accums_600k"] = accums
+    if sf1 is not None:
+        payload["sf1_scaling"] = sf1
     print(json.dumps(payload))
 
 

@@ -306,7 +306,9 @@ def test_jpeg_through_decode_image_and_corrupt():
     # truncated scan → UnsupportedMediaError, not a raw crash
     with pytest.raises(UnsupportedMediaError):
         decode_image(data[: len(data) - 40])
-    # progressive SOF2 marker → unsupported, falls through cleanly
+    # SOF0 byte-flipped to SOF2: the scan header is then malformed
+    # FOR a progressive frame (DC scan with Se=63) — rejected cleanly,
+    # not a crash (real SOF2 decodes; see the progressive tests)
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(UnsupportedMediaError):
         decode_image(prog)
@@ -553,3 +555,67 @@ def test_avi_property_roundtrip():
         for orig, got in zip(frames, dec):
             assert got.shape == orig.shape
             assert np.abs(got.astype(int) - orig.astype(int)).mean() < 9.0
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """r6: progressive (SOF2) decode for real. The progressive encoder
+    carries EXACTLY the quantized coefficients the baseline encoder
+    does (shared _quantize_comps), so after the full 10-scan script —
+    spectral selection + successive approximation + EOB runs — the
+    decoded pixels must be BIT-IDENTICAL to the baseline decode."""
+    import numpy as np
+
+    from tsp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for seed, (h, w), sub, q in [
+        (5, (40, 56), "444", 90),
+        (11, (23, 35), "444", 92),  # odd dims
+        (3, (34, 50), "420", 85),   # subsampled, multi-block MCUs
+        (7, (64, 64), "444", 97),
+    ]:
+        img = _smooth_rgb(h, w, seed=seed)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog_bytes = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        assert b"\xff\xc2" in prog_bytes[:1000]  # SOF2
+        prog = decode_jpeg(prog_bytes)
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), (
+            f"seed={seed} {h}x{w} {sub} q{q}: "
+            f"{np.abs(prog.astype(int) - base.astype(int)).max()} max diff"
+        )
+
+
+def test_jpeg_progressive_noise_stress():
+    """High-frequency noise exercises every refinement path: dense AC
+    bands, long zero runs, ZRL-in-refinement, EOB runs with buffered
+    correction bits."""
+    import numpy as np
+
+    from tsp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    for q in (50, 90):
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_through_decode_image():
+    """codecs.decode_image must route SOF2 through the real decoder
+    (not the stub fallback)."""
+    from tsp_spark.pipeline.codecs import decode_image
+    from tsp_spark.pipeline.jpeg import encode_jpeg_progressive
+
+    img = _smooth_rgb(16, 24, seed=9)
+    fmt, arr = decode_image(encode_jpeg_progressive(img, quality=90))
+    assert fmt == "jpeg"
+    assert arr.shape == (16, 24, 3)

@@ -10,7 +10,8 @@ tolerance — and MP3 gets a real frame-HEADER parse (rate/duration/
 bitrate per ISO/IEC 11172-3; synthesis stays stubbed), so the
 multimodal pipeline (pipeline/multimodal.py) only falls back to its
 declared deterministic stub for what genuinely needs an external codec
-(progressive JPEG, MP3 sample synthesis, video containers).
+(MP3 sample synthesis, non-MJPEG video codecs; progressive JPEG
+decodes for real as of r6 — pipeline/jpeg.py).
 
 Everything returns numpy arrays and plain ints; nothing here touches
 Spark. Raises ``UnsupportedMediaError`` for unknown magic bytes.
@@ -415,7 +416,7 @@ def mfcc_like(x: np.ndarray, sr: int, n_coef: int = 13, n_mels: int = 24) -> lis
 # MJPEG payload frames decode FOR REAL through pipeline/jpeg.py; any
 # other fourcc parses (dims/fps/frame count are container metadata) but
 # frame DECODE raises UnsupportedMediaError toward the caller's stub
-# fallback — the honest boundary, same policy as progressive JPEG.
+# fallback — the honest boundary, same policy as the other stubs.
 # ---------------------------------------------------------------------------
 
 

@@ -1,4 +1,4 @@
-"""Baseline-sequential JPEG codec in pure stdlib + numpy.
+"""Baseline-sequential + progressive JPEG codec in pure stdlib + numpy.
 
 A REAL decoder for the dominant interchange format: marker parse → DQT/
 DHT/SOF0/SOS → Huffman-decoded MCUs (with restart-marker support) →
@@ -6,14 +6,24 @@ dequantize → zigzag → 8×8 IDCT → chroma upsample → YCbCr→RGB. Follows
 ITU-T T.81 (the public JPEG spec); the Huffman/quantization tables the
 encoder emits are the spec's own Annex K examples.
 
-Scope (raised as ``UnsupportedMediaError`` otherwise, so the multimodal
-pipeline's declared stub fallback engages): baseline DCT (SOF0) only —
-no progressive (SOF2), arithmetic coding, or 12-bit depth. That covers
-the overwhelming majority of real-world JPEGs.
+Progressive DCT (SOF2, r6) decodes for real too: multi-scan
+coefficient accumulation with spectral selection (Ss/Se bands),
+successive approximation (Ah/Al bit-plane refinement for DC and AC,
+T.81 G.1.2 / the libjpeg reference algorithms), and EOB-run codes
+(EOBn) spanning blocks. Reconstruction is shared with the baseline
+path, so a progressive and a baseline encoding of the same quantized
+coefficients decode to IDENTICAL pixels — pinned by test_codecs.
 
-The encoder exists so tests can round-trip on a genuine JPEG without
-shipping binary fixtures: 4:4:4, quality-scaled Annex K tables — any
-conformant decoder reads its output.
+Scope (raised as ``UnsupportedMediaError`` otherwise, so the multimodal
+pipeline's declared stub fallback engages): Huffman 8-bit DCT only —
+no arithmetic coding, hierarchical (SOF5-7/13-15), or 12-bit depth.
+That covers the overwhelming majority of real-world JPEGs.
+
+The encoders exist so tests can round-trip on genuine JPEGs without
+shipping binary fixtures: baseline (4:4:4 or 4:2:0, quality-scaled
+Annex K tables) and progressive (libjpeg's standard 10-scan script,
+incl. AC successive approximation with buffered correction bits) —
+any conformant decoder reads their output.
 """
 
 from __future__ import annotations
@@ -236,12 +246,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    prog_state = None  # per-component coefficient planes across scans
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise UnsupportedJpegError("marker expected")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog_state is not None:
+                return _reconstruct_progressive(frame, qt, prog_state)
+            break
+        if pos + 2 > len(payload):
             break
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
@@ -264,7 +279,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, values)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             depth, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if depth != 8:
                 raise UnsupportedJpegError("only 8-bit depth")
@@ -285,15 +300,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factors {ch}x{cv} out of range"
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise UnsupportedJpegError("only baseline sequential (SOF0)")
+            raise UnsupportedJpegError(
+                "only baseline (SOF0) / progressive (SOF2) Huffman DCT"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise UnsupportedJpegError("SOS before SOF0")
+                raise UnsupportedJpegError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
@@ -307,10 +327,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 scan.append((comp, tables >> 4, tables & 0xF))
             data_pos = pos + seglen
-            return _decode_scan(
-                payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _init_progressive(frame)
+            pos = _decode_progressive_scan(
+                payload, data_pos, frame, scan, huff_dc, huff_ac,
+                restart_interval, prog_state, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue
         pos += seglen
     raise UnsupportedJpegError("no scan data")
 
@@ -371,7 +401,14 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                         y0 = (my * comp["v"] + v) * 8
                         x0 = (mx * comp["h"] + hh) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    # upsample to full resolution and crop
+    return _finish_planes(frame, comps, planes)
+
+
+def _finish_planes(frame, comps, planes):
+    """Spatial planes → upsample to full resolution, crop, YCbCr→RGB."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     full = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -386,6 +423,221 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------- progressive (SOF2)
+
+
+def _grids(frame):
+    """(mcx, mcy, per-comp full padded block grid, per-comp
+    non-interleaved block grid). Interleaved scans cover the padded
+    MCU grid; single-component scans cover only ceil(comp_dim/8)
+    blocks (T.81 A.2.2/A.2.3)."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    full = [(mcy * c["v"], mcx * c["h"]) for c in comps]
+    nb = [
+        (
+            -(-(-(-h * c["v"] // vmax)) // 8),
+            -(-(-(-w * c["h"] // hmax)) // 8),
+        )
+        for c in comps
+    ]
+    return mcx, mcy, full, nb
+
+
+def _init_progressive(frame):
+    """Per-component coefficient store (padded grid, natural block
+    order, zigzag index within block) accumulated across scans."""
+    _, _, full, _ = _grids(frame)
+    return {
+        "coef": [
+            np.zeros((bh, bw, 64), dtype=np.int64) for bh, bw in full
+        ],
+    }
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan, huff_dc, huff_ac, dri, state, ss, se, ah, al
+):
+    """One progressive SOS: mutate ``state['coef']`` per T.81 G.1.2
+    (the libjpeg decode_mcu_{DC,AC}_{first,refine} algorithms), return
+    the byte offset of the next marker."""
+    comps = frame["comps"]
+    cidx = {id(c): i for i, c in enumerate(comps)}
+    mcx, mcy, full, nb = _grids(frame)
+    reader = _BitReader(payload, pos)
+    coef = state["coef"]
+
+    if ss == 0:
+        # DC scan (se must be 0). Interleaved over the MCU grid when
+        # ns > 1, else the component's own padded grid (DC covers the
+        # full padded grid either way — every block has a DC term).
+        if se != 0:
+            raise UnsupportedJpegError("DC scan with Se != 0")
+        for comp, td, _ta in scan:
+            if ah == 0 and td not in huff_dc:
+                raise UnsupportedJpegError(f"missing DC table {td}")
+        pred = [0] * len(scan)
+
+        def dc_block(si, ci, by, bx):
+            c = coef[ci][by, bx]
+            if ah == 0:
+                s = reader.decode_symbol(huff_dc[scan[si][1]])
+                pred[si] += _extend(reader.bits(s), s)
+                c[0] = pred[si] << al
+            elif reader.bit():
+                c[0] |= 1 << al
+
+        n_unit = 0
+        if len(scan) > 1:
+            for my in range(mcy):
+                for mx in range(mcx):
+                    if dri and n_unit and n_unit % dri == 0:
+                        reader.restart()
+                        pred = [0] * len(scan)
+                    n_unit += 1
+                    for si, (comp, _td, _ta) in enumerate(scan):
+                        ci = cidx[id(comp)]
+                        for v in range(comp["v"]):
+                            for hh in range(comp["h"]):
+                                dc_block(
+                                    si, ci,
+                                    my * comp["v"] + v, mx * comp["h"] + hh,
+                                )
+        else:
+            comp = scan[0][0]
+            ci = cidx[id(comp)]
+            bh, bw = full[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and n_unit and n_unit % dri == 0:
+                        reader.restart()
+                        pred = [0]
+                    n_unit += 1
+                    dc_block(0, ci, by, bx)
+        return _next_marker(payload, reader.pos)
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise UnsupportedJpegError("interleaved AC progressive scan")
+    comp, _td, ta = scan[0]
+    if ta not in huff_ac:
+        raise UnsupportedJpegError(f"missing AC table {ta}")
+    table = huff_ac[ta]
+    ci = cidx[id(comp)]
+    bh, bw = nb[ci]
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    n_unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and n_unit and n_unit % dri == 0:
+                reader.restart()
+                eobrun = 0
+            n_unit += 1
+            c = coef[ci][by, bx]
+            if ah == 0:
+                # first pass over this band (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise UnsupportedJpegError("AC index overflow")
+                    c[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:
+                # refinement pass (G.1.2.3): correction bits for
+                # already-nonzero coefficients, ±1<<al for newly
+                # significant ones, EOB runs count the current block
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(table)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # ZRL: advance over 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise UnsupportedJpegError(
+                                    "refinement size != 1"
+                                )
+                            val = p1 if reader.bit() else m1
+                        while k <= se:
+                            if c[k] != 0:
+                                if reader.bit() and not (c[k] & p1):
+                                    c[k] += p1 if c[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            c[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if c[k] != 0 and reader.bit() and not (c[k] & p1):
+                            c[k] += p1 if c[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(payload, reader.pos)
+
+
+def _next_marker(payload, pos):
+    """Skip to the next non-RST, non-stuffed marker after entropy
+    data (the scan decoder may stop with buffered pad bits)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _reconstruct_progressive(frame, qt, state):
+    """All scans consumed: dequantize, de-zigzag, IDCT per block."""
+    comps = frame["comps"]
+    _, _, full, _ = _grids(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise UnsupportedJpegError(f"missing quant table {c['tq']}")
+        q = qt[c["tq"]]
+        bh, bw = full[ci]
+        coefs = state["coef"][ci] * q  # (bh, bw, 64) zigzag
+        blocks = np.zeros((bh, bw, 64), dtype=np.float64)
+        blocks[:, :, _ZIGZAG] = coefs.astype(np.float64)
+        # batched IDCT: (bh, bw, 8, 8) = T.T @ B @ T per block
+        b8 = blocks.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ij,xyjk,kl->xyil", _T.T, b8, _T) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane)
+    return _finish_planes(frame, comps, planes)
 
 
 # -------------------------------------------------------------- encoder
@@ -425,6 +677,49 @@ def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
+def _quantize_comps(img, quality, subsampling):
+    """Shared front half of both encoders: color convert, pad to the
+    MCU grid, subsample chroma, forward-DCT and quantize every block.
+    Returns (h, w, hv, (qly, qlc), coefs) with coefs[ci] of shape
+    (bh, bw, 64) in zigzag order over the PADDED block grid — so a
+    baseline and a progressive encoding of the same image carry
+    IDENTICAL coefficients and decode to identical pixels."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    h, w = img.shape[:2]
+    x = img.astype(np.float64)
+    y = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    cb = -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128
+    cr = 0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2] + 128
+    planes = [y, cb, cr]
+    qly = _scale_q(_STD_LUMA_Q, quality)
+    qlc = _scale_q(_STD_CHROMA_Q, quality)
+    qtabs = [qly, qlc, qlc]
+    hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    hmax = max(h_ for h_, _ in hv)
+    vmax = max(v_ for _, v_ in hv)
+    mw, mh = 8 * hmax, 8 * vmax
+    ph = -(-h // mh) * mh
+    pw = -(-w // mw) * mw
+    padded_full = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    coefs = []
+    for ci, ((hi, vi), p) in enumerate(zip(hv, padded_full)):
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:  # chroma: 2×2 average pooling
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        qm = np.zeros(64, dtype=np.int64)
+        qm[_ZIGZAG] = qtabs[ci]
+        qm8 = qm.reshape(8, 8)
+        b8 = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        dct = np.einsum("ij,xyjk,kl->xyil", _T, b8, _T.T)
+        qz = np.round(dct / qm8).astype(np.int64).reshape(bh, bw, 64)
+        coefs.append(qz[:, :, _ZIGZAG])
+    return h, w, hv, (qly, qlc), coefs
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
@@ -438,47 +733,15 @@ def encode_jpeg(
     multi-block-MCU + upsampling path). ``restart_interval`` > 0 emits
     a DRI segment and RSTn markers every N MCUs with DC-predictor
     resets — the error-resilience feature real encoders use."""
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=2)
-    h, w = img.shape[:2]
-    x = img.astype(np.float64)
-    y = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
-    cb = -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128
-    cr = 0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2] + 128
-    planes = [y, cb, cr]
-    qly = _scale_q(_STD_LUMA_Q, quality)
-    qlc = _scale_q(_STD_CHROMA_Q, quality)
-    qtabs = [qly, qlc, qlc]
+    h, w, hv, (qly, qlc), coefs = _quantize_comps(img, quality, subsampling)
     dc_enc = [_huff_sizes_codes(*_DC_LUMA), _huff_sizes_codes(*_DC_CHROMA)]
     ac_enc = [_huff_sizes_codes(*_AC_LUMA), _huff_sizes_codes(*_AC_CHROMA)]
-
-    hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
     hmax = max(h_ for h_, _ in hv)
     vmax = max(v_ for _, v_ in hv)
-    mw, mh = 8 * hmax, 8 * vmax
-    ph = -(-h // mh) * mh
-    pw = -(-w // mw) * mw
     writer = _BitWriter()
     pred = [0, 0, 0]
-    qmats = []
-    for q in qtabs:
-        m = np.zeros(64, dtype=np.int64)
-        m[_ZIGZAG] = q
-        qmats.append(m.reshape(8, 8))
-    padded_full = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
-    comp_planes = []
-    for (hi, vi), p in zip(hv, padded_full):
-        ry, rx = vmax // vi, hmax // hi
-        if ry > 1 or rx > 1:  # chroma: 2×2 average pooling
-            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
-        comp_planes.append(p)
 
-    def write_block(ci: int, block: np.ndarray) -> None:
-        coefs = _T @ (block - 128.0) @ _T.T
-        qz = np.round(coefs / qmats[ci]).astype(np.int64)
-        zz = qz.reshape(-1)[_ZIGZAG]
+    def write_block(ci: int, zz: np.ndarray) -> None:
         ti = 0 if ci == 0 else 1
         diff = int(zz[0]) - pred[ci]
         pred[ci] = int(zz[0])
@@ -511,8 +774,10 @@ def encode_jpeg(
 
     n_mcu = 0
     rst = 0
-    for my in range(ph // mh):
-        for mx in range(pw // mw):
+    mcy = coefs[0].shape[0] // hv[0][1]
+    mcx = coefs[0].shape[1] // hv[0][0]
+    for my in range(mcy):
+        for mx in range(mcx):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 writer.flush()
                 writer.out += bytes([0xFF, 0xD0 + rst])
@@ -523,10 +788,8 @@ def encode_jpeg(
                 hi, vi = hv[ci]
                 for v_ in range(vi):
                     for h_ in range(hi):
-                        y0 = (my * vi + v_) * 8
-                        x0 = (mx * hi + h_) * 8
                         write_block(
-                            ci, comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                            ci, coefs[ci][my * vi + v_, mx * hi + h_]
                         )
     writer.flush()
 
@@ -555,5 +818,230 @@ def encode_jpeg(
         out += bytes([cid, tabs])
     out += b"\x00\x3f\x00"
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+# One flat AC table for progressive scans: every (run, size) symbol the
+# scans can emit — EOBn (n ≤ 14), ZRL, and sizes 1..14 — at a fixed
+# code length of 8 (240 codes < 255, so the all-ones code stays
+# unused as the spec requires). Annex K's AC tables lack the EOBn
+# symbols, so progressive needs its own.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
+)
+
+# libjpeg's standard 10-scan progressive script: DC first (Al=1), luma
+# low band, chroma full bands, luma high band, luma AC refinement,
+# DC refinement, then final AC refinements to full precision.
+_PROG_SCANS = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → progressive JPEG (SOF2) carrying
+    EXACTLY the coefficients `encode_jpeg` would — spectral selection
+    + successive approximation over libjpeg's standard scan script
+    (T.81 G.1.2 encoder procedures, incl. EOB-run accumulation and
+    buffered correction bits in refinement scans). Any conformant
+    decoder reconstructs the identical image."""
+    h, w, hv, (qly, qlc), coefs = _quantize_comps(img, quality, subsampling)
+    frame = {
+        "h": h, "w": w,
+        "comps": [{"h": hi, "v": vi} for hi, vi in hv],
+    }
+    mcx, mcy, full, nb = _grids(frame)
+    dc_enc = [_huff_sizes_codes(*_DC_LUMA), _huff_sizes_codes(*_DC_CHROMA)]
+    ac_enc = _huff_sizes_codes(*_AC_PROG)
+
+    def scan_bytes(comp_ids, ss, se, ah, al) -> bytes:
+        wtr = _BitWriter()
+        if ss == 0:
+            pred = {ci: 0 for ci in comp_ids}
+
+            def dc_unit(ci, by, bx):
+                c = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    vd = c >> al  # arithmetic shift (T.81 G.1.2.1)
+                    diff = vd - pred[ci]
+                    pred[ci] = vd
+                    s = _category(diff)
+                    ti = 0 if ci == 0 else 1
+                    length, code = dc_enc[ti][s]
+                    wtr.write(code, length)
+                    if s:
+                        wtr.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    wtr.write((c >> al) & 1, 1)
+
+            if len(comp_ids) > 1:
+                for my in range(mcy):
+                    for mx in range(mcx):
+                        for ci in comp_ids:
+                            hi, vi = hv[ci]
+                            for v_ in range(vi):
+                                for h_ in range(hi):
+                                    dc_unit(
+                                        ci, my * vi + v_, mx * hi + h_
+                                    )
+            else:
+                ci = comp_ids[0]
+                bh, bw = full[ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        dc_unit(ci, by, bx)
+            wtr.flush()
+            return bytes(wtr.out)
+
+        # AC scan: one component over its non-interleaved grid
+        ci = comp_ids[0]
+        bh, bw = nb[ci]
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                length, code = ac_enc[n << 4]
+                wtr.write(code, length)
+                if n:
+                    wtr.write(eobrun - (1 << n), n)
+                eobrun = 0
+            for b in pending:
+                wtr.write(b, 1)
+            pending.clear()
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    # first pass over this band (G.1.2.2): point
+                    # transform is a magnitude shift, sign preserved
+                    vals = [
+                        (1 if int(zz[k]) >= 0 else -1)
+                        * (abs(int(zz[k])) >> al)
+                        for k in range(ss, se + 1)
+                    ]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            length, code = ac_enc[0xF0]
+                            wtr.write(code, length)
+                            run -= 16
+                        s = _category(v)
+                        length, code = ac_enc[(run << 4) | s]
+                        wtr.write(code, length)
+                        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if nz[-1] < se - ss:
+                        eobrun += 1
+                else:
+                    # refinement pass (G.1.2.3): temp = |coef| >> al;
+                    # 1 → newly significant (emit run + sign), > 1 →
+                    # already significant (buffered correction bit)
+                    temps = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                    new = [i for i, t in enumerate(temps) if t == 1]
+                    if not new:
+                        pending.extend(t & 1 for t in temps if t > 1)
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    br: list[int] = []
+                    for i in range(new[-1] + 1):
+                        t = temps[i]
+                        if t == 0:
+                            run += 1
+                            continue
+                        # ZRL check at EVERY nonzero coefficient (t > 1
+                        # included) — a correction bit beyond the ZRL's
+                        # 16-zero window belongs to the NEXT symbol's
+                        # buffer, not this ZRL's (the libjpeg
+                        # encode_mcu_AC_refine loop structure)
+                        while run > 15:
+                            length, code = ac_enc[0xF0]
+                            wtr.write(code, length)
+                            for b in br:
+                                wtr.write(b, 1)
+                            br = []
+                            run -= 16
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        length, code = ac_enc[(run << 4) | 1]
+                        wtr.write(code, length)
+                        wtr.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                        for b in br:
+                            wtr.write(b, 1)
+                        br = []
+                        run = 0
+                    if new[-1] < se - ss:
+                        eobrun += 1
+                        pending.extend(
+                            temps[i] & 1
+                            for i in range(new[-1] + 1, len(temps))
+                            if temps[i] > 1
+                        )
+        flush_eob()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, qly), (1, qlc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(v) for v in q
+        )
+    out += b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", h, w
+    ) + b"\x03"
+    for (hi, vi), cid, tq in zip(hv, (1, 2, 3), (0, 1, 1)):
+        out += bytes([cid, (hi << 4) | vi, tq])
+    for tc, th, (bits, values) in (
+        (0, 0, _DC_LUMA), (0, 1, _DC_CHROMA), (1, 0, _AC_PROG)
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(values)
+        ) + bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    for comp_ids, ss, se, ah, al in _PROG_SCANS:
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comp_ids))
+        out += bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (td << 4) | 0])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += scan_bytes(comp_ids, ss, se, ah, al)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

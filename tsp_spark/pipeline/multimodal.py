@@ -8,7 +8,7 @@ gradient/spectral features, real resampling, real PNG re-encode; MP3
 rate/duration come from a real frame-header parse; MJPEG AVI video
 containers parse (RIFF hdrl walk) and frame-decode for real through
 pipeline/jpeg.py. Only what genuinely needs an external codec
-(progressive JPEG, MP3 sample synthesis, non-MJPEG video codecs) falls
+(MP3 sample synthesis, non-MJPEG video codecs) falls
 back to the deterministic stub (`_fake_decode_*`, clearly marked) so
 the pipeline stays end-to-end runnable in this container; swap the
 fallback for Pillow/libsndfile/ffmpeg in production via the same code
@@ -63,7 +63,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB fallback — deterministic fake for formats needing an
-    external codec (progressive JPEG, WebP…) and for corrupt payloads.
+    external codec (arithmetic-coded JPEG, WebP…) and for corrupt payloads.
     Produces (width, height, 8-dim vector) purely from the byte content
     so tests are reproducible."""
     n = len(payload)
