@@ -168,6 +168,20 @@ def generate(sf: float, out: Path) -> None:
     texts = [
         " ".join(vocab[rng.integers(0, 31, k)]) for k in n_tok
     ]
+    # ~2% near/exact duplicates of earlier docs (the driver corpus
+    # carries a small duplicated tail — 5000 docs / 4992 distinct at
+    # its sf0.1): half verbatim copies, half with one token swapped,
+    # so MinHash-LSH and exact-dedup find work at every scale
+    for i in rng.choice(
+        np.arange(1, n_doc), size=max(1, n_doc // 50), replace=False
+    ):
+        src_i = int(rng.integers(0, i))
+        toks = texts[src_i].split(" ")
+        if rng.random() < 0.5 and len(toks) > 1:
+            toks[int(rng.integers(0, len(toks)))] = str(
+                vocab[int(rng.integers(0, 31))]
+            )
+        texts[int(i)] = " ".join(toks)
     _write(out, "documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": texts,
