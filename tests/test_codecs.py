@@ -619,3 +619,37 @@ def test_jpeg_progressive_through_decode_image():
     fmt, arr = decode_image(encode_jpeg_progressive(img, quality=90))
     assert fmt == "jpeg"
     assert arr.shape == (16, 24, 3)
+
+
+def test_jpeg_progressive_noninterleaved_dc_scans():
+    """Per-component (non-interleaved) DC scans walk the component's
+    own ceil(dim/8) grid, NOT the padded MCU grid (T.81 A.2.2/A.2.3 —
+    review-caught: the padded-grid walk desyncs on conformant files
+    where the two differ, e.g. 4:2:0 luma with height 24 → nb 3 rows
+    vs padded 4)."""
+    import numpy as np
+
+    from tsp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    scans = [
+        ((0,), 0, 0, 0, 1),  # per-component DC scans
+        ((1,), 0, 0, 0, 1),
+        ((2,), 0, 0, 0, 1),
+        ((0,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+        ((0,), 0, 0, 1, 0),  # per-component DC refinement
+        ((1,), 0, 0, 1, 0),
+        ((2,), 0, 0, 1, 0),
+    ]
+    for (h, w), sub in [((24, 40), "420"), ((23, 35), "444"), ((34, 50), "420")]:
+        img = _smooth_rgb(h, w, seed=13)
+        base = decode_jpeg(encode_jpeg(img, quality=88, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=88, subsampling=sub, scans=scans)
+        )
+        assert np.array_equal(prog, base), (h, w, sub)

@@ -200,3 +200,69 @@ def test_vectorized_matches_batch_compiler(spark):
             for f, t in got
         ]
         assert got == batch
+
+
+def test_huge_magnitude_sums_demote_and_match(spark):
+    """Review-caught: float prefix-sum DIFFERENCES cancel
+    catastrophically (sum over [1e16…, 1.0…] windows loses the 1.0s),
+    where the per-row fold does not. Such batches must demote to the
+    per-row feed — transactionally, even when an earlier term already
+    advanced — so both paths agree."""
+    import datetime as dt
+
+    epoch = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = [1e16] * 6 + [1.0] * 7 + [1e16] * 3 + [2.0] * 5
+    for i, v in enumerate(vals):
+        rows.append((1, epoch + dt.timedelta(seconds=i), v, None, "x"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "ivalue", "etype"])
+    for pat in [
+        "sum(value, 5 sec) > 1",
+        "avg(value, 5 sec) > 1 and sum(avg(value, 3 sec), 6 sec) > 2",
+    ]:
+        fast, _ = _drive(spark, pdf, pat, 7, lambda k: False)
+        slow, _ = _drive(spark, pdf, pat, 7, lambda k: True)
+        assert fast == slow, pat
+
+
+def test_big_int_columns_demote_and_match(spark):
+    """Review-caught: float64 arithmetic rounds past 2^52 where the
+    per-row path computes exact Python ints — big int columns must
+    demote at precheck."""
+    import datetime as dt
+
+    epoch = dt.datetime(2024, 1, 1)
+    big = (1 << 53) + 2
+    rows = [
+        (1, epoch + dt.timedelta(seconds=i), 100.0, big + i, "x")
+        for i in range(12)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "ivalue", "etype"])
+    pat = "(ivalue + 1) - ivalue = 1 and count(value, 5 sec) >= 1"
+    fast, _ = _drive(spark, pdf, pat, 5, lambda k: False)
+    slow, _ = _drive(spark, pdf, pat, 5, lambda k: True)
+    assert fast == slow and len(fast) > 0
+
+
+def test_incompatible_checkpoint_state_fails_loudly(spark):
+    """Review-caught: the packed state layout changed in r6 with no
+    version word — restarting from an older checkpoint silently
+    misdecoded. Now every p_i array leads with a version word and an
+    unknown one raises a clear error instead of garbage incidents."""
+    pdf = _gen(seed=3, n=60)
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    src = spark.createDataFrame(pdf)
+    s, spec = build_spec(src, "avg(value, 10 sec) > 150", ["user_id"], "ts", ft, GAP_MS)
+    out_cols = ["pattern_id", "subunit", "user_id", "from_ts", "to_ts", "n_rows"]
+    update = _make_update([spec], ["user_id"], "ts", GAP_MS, out_cols)
+    data = s.orderBy("ts").toPandas()
+    st = FakeGroupState()
+    for _ in update((1,), iter([data.iloc[:30]]), st):
+        pass
+    assert st._val[1][0] == stateful._STATE_VERSION
+    # corrupt the version word like a pre-upgrade checkpoint would
+    tampered = (st._val[0], [999] + list(st._val[1][1:]))
+    st._val = tampered
+    with pytest.raises(Exception, match="incompatible kernel state"):
+        for _ in update((1,), iter([data.iloc[30:]]), st):
+            pass

@@ -475,8 +475,10 @@ def _decode_progressive_scan(
 
     if ss == 0:
         # DC scan (se must be 0). Interleaved over the MCU grid when
-        # ns > 1, else the component's own padded grid (DC covers the
-        # full padded grid either way — every block has a DC term).
+        # ns > 1; a SINGLE-component DC scan is non-interleaved and
+        # covers only the component's own ceil(dim/8) grid (T.81
+        # A.2.2/A.2.3 — same rule as AC scans; padded MCU-grid blocks
+        # exist only in interleaved scans).
         if se != 0:
             raise UnsupportedJpegError("DC scan with Se != 0")
         for comp, td, _ta in scan:
@@ -512,7 +514,7 @@ def _decode_progressive_scan(
         else:
             comp = scan[0][0]
             ci = cidx[id(comp)]
-            bh, bw = full[ci]
+            bh, bw = nb[ci]
             for by in range(bh):
                 for bx in range(bw):
                     if dri and n_unit and n_unit % dri == 0:
@@ -852,7 +854,10 @@ _PROG_SCANS = [
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    scans: list | None = None,
 ) -> bytes:
     """(h, w, 3) or (h, w) uint8 → progressive JPEG (SOF2) carrying
     EXACTLY the coefficients `encode_jpeg` would — spectral selection
@@ -902,8 +907,10 @@ def encode_jpeg_progressive(
                                         ci, my * vi + v_, mx * hi + h_
                                     )
             else:
+                # non-interleaved: the component's own grid, like AC
+                # scans (T.81 A.2.2/A.2.3)
                 ci = comp_ids[0]
-                bh, bw = full[ci]
+                bh, bw = nb[ci]
                 for by in range(bh):
                     for bx in range(bw):
                         dc_unit(ci, by, bx)
@@ -1035,7 +1042,7 @@ def encode_jpeg_progressive(
         out += b"\xff\xc4" + struct.pack(
             ">H", 19 + len(values)
         ) + bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
-    for comp_ids, ss, se, ah, al in _PROG_SCANS:
+    for comp_ids, ss, se, ah, al in (scans or _PROG_SCANS):
         out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comp_ids))
         out += bytes([len(comp_ids)])
         for ci in comp_ids:

@@ -63,6 +63,13 @@ _NONE = -1
 # compares the two end to end).
 _FORCE_SLOW = False
 
+# Packed per-spec state version word (leading element of every p_i
+# array): bump whenever the serialized layout changes so a streaming
+# restart from an incompatible checkpoint fails loudly in
+# _unpack_state instead of misdecoding. v2 = r6 (ABSENT_TRUE/FALSE
+# cond codes + sliding-agg entry dep tables).
+_STATE_VERSION = 0x7453_0002
+
 
 # Sentinel: the pattern emitted NO value at this row (lag present mask
 # false). The batch compiler DROPS such rows before islandization
@@ -1947,12 +1954,25 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
         )
 
     def _unpack_state(spec, arr):
-        """[len(sm_st)] + sm_st (+ rowq + per-source cond queues if
-        buffered) + program states → (sm_st, rowq, srcqs, prog_objs)."""
+        """[VERSION] + [len(sm_st)] + sm_st (+ rowq + per-source cond
+        queues if buffered) + program states → (sm_st, rowq, srcqs,
+        prog_objs). The layout is NOT stable across kernel upgrades
+        (r6 widened the cond-value codes and the sliding-agg entry
+        shape), so a version word guards every unpack: restarting a
+        streaming query from an older checkpoint fails loudly here
+        instead of silently misdecoding state (review-caught)."""
         arr = list(arr)
-        n = arr[0]
-        sm_st = arr[1 : 1 + n]
-        pos = 1 + n
+        if not arr or arr[0] != _STATE_VERSION:
+            raise ValueError(
+                f"incompatible kernel state (version "
+                f"{arr[0] if arr else 'empty'}, expected {_STATE_VERSION}): "
+                f"this checkpoint was written by a different kernel "
+                f"build — restart with a fresh checkpoint dir (the "
+                f"source replays by event time)"
+            )
+        n = arr[1]
+        sm_st = arr[2 : 2 + n]
+        pos = 2 + n
         rowq: list = []
         srcqs = [[] for _ in spec.cond_cols]
         if _buffered(spec):
@@ -1976,7 +1996,7 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
         return sm_st, rowq, srcqs, prog_objs
 
     def _pack_state(spec, sm_st, rowq, srcqs, prog_objs):
-        out = [len(sm_st)] + [int(x) for x in sm_st]
+        out = [_STATE_VERSION, len(sm_st)] + [int(x) for x in sm_st]
         if _buffered(spec):
             out.append(len(rowq))
             for ms, gap, lst in rowq:
@@ -2144,25 +2164,45 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                     fast.remove(i)
                     slow.append(i)
             lg_rows = None
-            for i in fast:
+            for i in list(fast):
                 spec = specs[i]
                 cols_arr = []
                 pi = 0
-                for c in spec.cond_cols:
-                    if isinstance(c, str):
-                        cols_arr.append(
-                            rows[c].fillna(False).astype(bool).to_numpy()
-                        )
-                    else:
-                        if lg_rows is None:
-                            lg_rows = last_gap_rows(gaps)
-                        tri = c.feed_batch(
-                            progs[i][pi], ms_arr, rows, gaps, lg_rows
-                        )
-                        pi += 1
-                        # None → false (the batch's raw-value consumers);
-                        # batch-capable programs never emit ABSENT
-                        cols_arr.append(tri == TRI_TRUE)
+                prog_list = _programs(spec)
+                # transactional: a mid-evaluation VecUnsupported (e.g.
+                # a later term's magnitude demotion after an earlier
+                # term already slid its deque) must not leave state
+                # half-advanced — snapshot through the packed codec
+                # and restore before routing the spec to the per-row
+                # feed for this batch
+                snaps = (
+                    [p.dump(progs[i][k]) for k, p in enumerate(prog_list)]
+                    if prog_list
+                    else None
+                )
+                try:
+                    for c in spec.cond_cols:
+                        if isinstance(c, str):
+                            cols_arr.append(
+                                rows[c].fillna(False).astype(bool).to_numpy()
+                            )
+                        else:
+                            if lg_rows is None:
+                                lg_rows = last_gap_rows(gaps)
+                            tri = c.feed_batch(
+                                progs[i][pi], ms_arr, rows, gaps, lg_rows
+                            )
+                            pi += 1
+                            # None → false (the batch's raw-value
+                            # consumers); batch-capable programs never
+                            # emit ABSENT
+                            cols_arr.append(tri == TRI_TRUE)
+                except VecUnsupported:
+                    for k, p in enumerate(prog_list):
+                        progs[i][k], _ = p.load(snaps[k], 0)
+                    fast.remove(i)
+                    slow.append(i)
+                    continue
                 if isinstance(spec.sm, _IslandSM):
                     sts[i], items = _islands_vec(
                         sts[i], ms_arr, cols_arr[0], gaps

@@ -12,10 +12,13 @@ row, in row order), the whole micro-batch collapses to array passes:
   via prefix scans: ``count`` by index arithmetic (exact), ``sum``/
   ``avg`` by prefix-sum difference — run in int64 (bit-exact vs the
   per-row left-to-right fold) whenever every window value is integral
-  and small enough that no partial sum can round, else in float64
-  (==the fold up to 1 ulp; a condition flips only on an exact
-  threshold tie, which needs integral data — covered by the exact
-  branch), ``min``/``max`` by a sparse table of np.fmin/np.maximum
+  and small enough that no partial sum can round; the float64 branch
+  is magnitude-bounded (values past 2^31 demote the batch to the
+  per-row feed — prefix DIFFERENCES cancel catastrophically there,
+  where the fold would not), so within it results match the fold to
+  ~window·eps relative error and a condition can only flip on a
+  same-order threshold tie, which needs integral data — covered by
+  the exact branch, ``min``/``max`` by a sparse table of np.fmin/np.maximum
   (exact, and IEEE-NaN-identical: fmin skips NaN = the batch
   NaN-sorts-greatest min, maximum propagates NaN = its max);
 - truth statistics (WindowStatistic.scala:45-103) via int64 prefix
@@ -95,8 +98,18 @@ def precheck_expr(node, df: pd.DataFrame) -> None:
     if isinstance(node, A.Identifier):
         if node.name not in df.columns:
             raise VecUnsupported(f"missing column {node.name}")
-        if df[node.name].dtype.kind not in "iufb":
+        kind = df[node.name].dtype.kind
+        if kind not in "iufb":
             raise VecUnsupported(f"non-numeric column {node.name}")
+        if kind == "i":
+            # the per-row path computes on exact Python ints; float64
+            # arithmetic rounds past 2^52 (e.g. (v+1)-v ≠ 1 at
+            # v = 2^53+2) — demote such batches to the per-row feed
+            v = df[node.name].abs().max()
+            if pd.notna(v) and int(v) > (1 << 52):
+                raise VecUnsupported(
+                    f"int column {node.name} exceeds exact float range"
+                )
         return
     if isinstance(node, A.FunctionCall):
         for a in node.args:
@@ -398,6 +411,21 @@ def sliding_aggregate(
     lo = np.maximum(lo_t, floor)
     cnt = hi - lo
 
+    if kind in ("sum", "avg"):
+        isnan = np.isnan(evals)
+        clean = np.where(isnan, 0.0, evals)
+        exact = (
+            len(evals) <= (1 << 20)
+            and bool(np.all(isnan | ((clean == np.floor(clean)) & (np.abs(clean) <= _I52))))
+        )
+        if not exact and len(clean) and float(np.max(np.abs(clean))) > _I52:
+            # prefix-sum DIFFERENCES cancel catastrophically at large
+            # magnitudes (sum of [1e16…, 1.0…] windows loses the 1.0s
+            # entirely — review-caught), while the per-row fold does
+            # not. Demote to the per-row feed BEFORE mutating state;
+            # the kernel restores the packed snapshot on this raise.
+            raise VecUnsupported("window values exceed stable sum range")
+
     # batch-end state: entries still inside the LAST row's window and
     # sub-series
     if n:
@@ -415,12 +443,6 @@ def sliding_aggregate(
         out, onull = _range_minmax(evals, lo, hi, fn)
         return out, onull, False
     # sum / avg
-    isnan = np.isnan(evals)
-    clean = np.where(isnan, 0.0, evals)
-    exact = (
-        len(evals) <= (1 << 20)
-        and bool(np.all(isnan | ((clean == np.floor(clean)) & (np.abs(clean) <= _I52))))
-    )
     if exact:
         p = np.concatenate([[0], np.cumsum(clean.astype(np.int64))])
         sums = (p[hi] - p[lo]).astype(np.float64)
