@@ -36,6 +36,16 @@ PATTERNS = [
     "sin(avg(value, 10 sec) / 60) > 0.5",
     "avg(value, 10 sec) > 150 for 15 sec",
     "ivalue / 2 > 80 and sum(ivalue, 10 sec) > 900",  # exact-int branch
+    # r6b: plain lag(x) vectorizes (shift + series resets; absent rows
+    # drop from islandization / feed raw to Timer & truth stats)
+    "lag(value) > 150",
+    "lag(value) > value",
+    "avg(lag(value), 10 sec) > 150",
+    "lag(value) > 150 for 12 sec",
+    "lag(value) > 150 for 20 sec >= 3 times",
+    "lag(value) > 150 until value > 205",
+    "lag(ivalue) = ivalue",
+    "value > 150 andThen lag(value) > 150",  # chains stay per-row
 ]
 
 

@@ -34,6 +34,8 @@ PATTERNS = [
     ("nested_avg", "avg(avg(value, 5 sec), 20 sec) > 150"),
     ("truthstat_times", "value > 150 for 30 sec >= 10 times"),
     ("combo_until", "avg(value, 10 sec) > 150 until value > 205"),
+    ("lag1_shift", "lag(value) > 150"),  # r6b: vectorized shift
+    ("lag1_in_avg", "avg(lag(value), 10 sec) > 150"),
     ("lag_bridge", "lag(value, 5 sec) > 150"),  # pending: per-row path
 ]
 

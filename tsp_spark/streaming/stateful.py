@@ -903,14 +903,18 @@ class _WindowedCondProgram:
         self.can_pend = any(
             a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
         )
-        # no lag anywhere → every row decides instantly and the whole
-        # micro-batch vectorizes (streaming/vectorized.py)
-        if not any(a.kind == _LAG_KIND for a in self.aggs):
+        # no PENDING lag (window > 0) → every row decides instantly
+        # and the whole micro-batch vectorizes (streaming/vectorized.py);
+        # plain ``lag(x)`` is a shift with series resets. can_absent:
+        # any lag term makes series-head rows ABSENT (present-masked),
+        # which island specs consume by dropping the rows.
+        if not self.can_pend:
             from tsp_spark.streaming.vectorized import static_vec_ok
 
             self.batch_capable = static_vec_ok(node)
         else:
             self.batch_capable = False
+        self.can_absent = any(a.kind == _LAG_KIND for a in self.aggs)
         # nested aggregates (avg(avg(x, T1), T2) …): _collect_aggs is
         # pre-order (parents first), so reversed order evaluates every
         # nested term before the term that consumes its value — the
@@ -1150,7 +1154,7 @@ class _WindowedCondProgram:
     def feed_batch(self, objs, ms_arr, df, gaps, lg_rows):
         from tsp_spark.streaming.vectorized import windowed_batch
 
-        return windowed_batch(self, objs, ms_arr, df, lg_rows)
+        return windowed_batch(self, objs, ms_arr, df, gaps, lg_rows)
 
 
 def _seq_sum(vals: list[float]) -> float:
@@ -1199,6 +1203,9 @@ class _TruthStatProgram:
         self.batch_capable = isinstance(inner, str) or getattr(
             inner, "batch_capable", False
         )
+        # absent inners are consumed RAW here, so the stat itself
+        # never propagates absence
+        self.can_absent = False
 
     # objs layout: [q, iobjs, series_start, arr_prev_ms, meta]
     # meta holds (ms, delta, gap) for arrived rows whose inner condition
@@ -1474,6 +1481,11 @@ class _ComboProgram:
         self.batch_capable = all(
             isinstance(c, str) or getattr(c, "batch_capable", False)
             for c in children
+        )
+        self.can_absent = op != "until" and any(
+            getattr(c, "can_absent", False)
+            for c in children
+            if not isinstance(c, str)
         )
 
     # objs layout: [child objs… (None for str children), queues]
@@ -2133,6 +2145,17 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 isinstance(c, str) or getattr(c, "batch_capable", False)
                 for c in spec.cond_cols
             )
+            # chain SMs consume ABSENT per side (side-invisible rows) —
+            # the vectorized chain walk can't express that, so
+            # absent-capable (lag-bearing) programs keep chains per-row
+            and not (
+                type(spec.sm) is _AndThenSM
+                and any(
+                    getattr(c, "can_absent", False)
+                    for c in spec.cond_cols
+                    if not isinstance(c, str)
+                )
+            )
         ]
         slow = [i for i in range(len(specs)) if i not in fast]
         if len(rows) and fast:
@@ -2142,6 +2165,8 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 TRI_TRUE,
                 VecUnsupported,
                 last_gap_rows,
+                tri_absent,
+                tri_raw,
             )
 
             ms_arr = (rows[ts].astype("int64") // 1_000_000).to_numpy()
@@ -2180,6 +2205,7 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                     if prog_list
                     else None
                 )
+                absent0 = None
                 try:
                     for c in spec.cond_cols:
                         if isinstance(c, str):
@@ -2193,10 +2219,16 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                                 progs[i][pi], ms_arr, rows, gaps, lg_rows
                             )
                             pi += 1
-                            # None → false (the batch's raw-value
-                            # consumers); batch-capable programs never
-                            # emit ABSENT
-                            cols_arr.append(tri == TRI_TRUE)
+                            if isinstance(spec.sm, _TimerSM):
+                                # Timer consumes the RAW value (the
+                                # batch discards the present mask;
+                                # raw NULL → false → run boundary)
+                                cols_arr.append(tri_raw(tri) == TRI_TRUE)
+                            else:
+                                ab = tri_absent(tri)
+                                if ab.any():
+                                    absent0 = ab
+                                cols_arr.append(tri == TRI_TRUE)
                 except VecUnsupported:
                     for k, p in enumerate(prog_list):
                         progs[i][k], _ = p.load(snaps[k], 0)
@@ -2204,6 +2236,35 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                     slow.append(i)
                     continue
                 if isinstance(spec.sm, _IslandSM):
+                    if absent0 is not None:
+                        # absent rows are INVISIBLE to islandization
+                        # (batch _islandize drops present-masked rows):
+                        # filter them out, folding their gap flags onto
+                        # the next visible row; a TRAILING gap with no
+                        # visible row after it still closes the open
+                        # island now, like the per-row gap delivery
+                        keep = ~absent0
+                        kidx = np.flatnonzero(keep)
+                        cg = np.cumsum(gaps)
+                        if len(kidx):
+                            g2 = np.empty(len(kidx), dtype=bool)
+                            g2[0] = cg[kidx[0]] > 0
+                            if len(kidx) > 1:
+                                g2[1:] = np.diff(cg[kidx]) > 0
+                            sts[i], items = _islands_vec(
+                                sts[i],
+                                ms_arr[kidx],
+                                cols_arr[0][kidx],
+                                g2,
+                            )
+                            emit(spec, items)
+                            trailing = cg[-1] - cg[kidx[-1]] > 0
+                        else:
+                            trailing = bool(gaps.any())
+                        if trailing:
+                            sts[i], items = spec.sm.split(sts[i])
+                            emit(spec, items)
+                        continue
                     sts[i], items = _islands_vec(
                         sts[i], ms_arr, cols_arr[0], gaps
                     )

@@ -51,6 +51,28 @@ _I52 = float(1 << 31)  # per-value bound for the exact-int sum branch
 TRI_NULL = np.int8(-1)
 TRI_FALSE = np.int8(0)
 TRI_TRUE = np.int8(1)
+# ABSENT rows (a lag term with no emission — batch present-mask false)
+# still carry their RAW value for the consumers that discard the mask
+# (stateful.ABSENT/_TRUE/_FALSE): encoded as raw+3 → 2=absent-null,
+# 3=absent-false, 4=absent-true. Programs with no lag terms never
+# emit them.
+TRI_ABS_NULL = np.int8(2)
+TRI_ABS_FALSE = np.int8(3)
+TRI_ABS_TRUE = np.int8(4)
+
+
+def tri_raw(t5: np.ndarray) -> np.ndarray:
+    """5-state → raw 3-state (present mask discarded)."""
+    return np.where(t5 >= 2, t5 - 3, t5).astype(np.int8)
+
+
+def tri_absent(t5: np.ndarray) -> np.ndarray:
+    return t5 >= 2
+
+
+def tri_mark_absent(tri: np.ndarray, absent: np.ndarray) -> np.ndarray:
+    """raw 3-state + absent mask → 5-state."""
+    return np.where(absent, tri + 3, tri).astype(np.int8)
 
 
 class VecUnsupported(Exception):
@@ -467,24 +489,56 @@ def sliding_aggregate(
 def windowed_precheck(prog, objs, ms_arr, df) -> None:
     precheck_expr(prog.node, df)
     for i, a in enumerate(prog.aggs):
-        q = objs[i].q
+        st = objs[i]
+        if not hasattr(st, "q"):  # _Lag1State carries just `prev`
+            if isinstance(getattr(st, "prev", None), str):
+                raise VecUnsupported("string-valued lag state")
+            continue
+        q = st.q
         if q and len(ms_arr) and q[-1][0] > int(ms_arr[0]):
             raise VecUnsupported("carried state newer than batch head")
         if any(e[1] for e in q):
             raise VecUnsupported("undecided entry deps in carried state")
 
 
-def windowed_batch(prog, objs, ms_arr, df, lg_rows) -> np.ndarray:
-    """_WindowedCondProgram (no lag terms) over the batch → trilean
-    decided values, one per row."""
+def windowed_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
+    """_WindowedCondProgram (no PENDING lag terms; plain ``lag(x)``
+    allowed — a shift with series resets) over the batch → 5-state
+    decided values, one per row. A row where any lag term is absent
+    (series head: no previous row) is ABSENT with its raw value
+    carried, exactly the per-row status=('a',) path."""
     aggvals: dict[int, tuple] = {}
+    absent = None
+    n = len(ms_arr)
     for i in prog._order:
         a = prog.aggs[i]
         ivals, inull, _ = _num(a.inner, df, aggvals)
+        if a.kind == "lag":  # window_ms == 0 — previous row's value
+            st = objs[i]
+            pvals = np.empty(n, dtype=np.float64)
+            pnull = np.empty(n, dtype=bool)
+            if n:
+                pvals[1:] = ivals[:-1]
+                pnull[1:] = inull[:-1]
+                if st.prev is None:
+                    pvals[0], pnull[0] = 0.0, True
+                else:
+                    pvals[0], pnull[0] = float(st.prev), False
+                # a >maxGap split clears the previous value BEFORE the
+                # gap row is processed
+                pnull |= gaps
+                pvals[pnull] = 0.0
+                st.prev = None if inull[-1] else float(ivals[-1])
+            aggvals[id(a)] = (pvals, pnull, False)
+            absent = pnull.copy() if absent is None else (absent | pnull)
+            continue
         aggvals[id(a)] = sliding_aggregate(
             a.kind, a.window_ms, objs[i], ms_arr, ivals, inull, lg_rows
         )
-    return _tri_of(prog.node, df, aggvals)
+    tri = _tri_of(prog.node, df, aggvals)
+    if absent is not None and absent.any():
+        return tri_mark_absent(tri, absent)
+    return tri
 
 
 def truthstat_precheck(prog, objs, ms_arr, df) -> None:
@@ -506,10 +560,10 @@ def truthstat_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
         col = df[prog.inner]
         truthy = col.fillna(False).astype(bool).to_numpy()
     else:
-        truthy = (
-            prog.inner.feed_batch(objs[1], ms_arr, df, gaps, lg_rows)
-            == TRI_TRUE
-        )
+        # batch `sum(when(c, …))` consumes the RAW value — an absent
+        # row with raw true still contributes (per-row _process rule)
+        t5 = prog.inner.feed_batch(objs[1], ms_arr, df, gaps, lg_rows)
+        truthy = tri_raw(t5) == TRI_TRUE
     # inter-event delta, fixed at arrival; 0 at each sub-series head
     arr_prev = objs[3]
     delta = np.empty(n, dtype=np.int64)
@@ -586,15 +640,27 @@ def combo_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
             tris.append(tri)
         else:
             tris.append(c.feed_batch(objs[j], ms_arr, df, gaps, lg_rows))
+    # value layer on RAW values; presence recombines afterwards —
+    # and/or/xor/not AND their children's presents, `until` DROPS both
+    # (the per-row _combine rule)
+    raws = [tri_raw(t) for t in tris]
+    absent = None
+    if prog.op != "until":
+        for t in tris:
+            a = tri_absent(t)
+            absent = a if absent is None else (absent | a)
     op = prog.op
     if op == "not":
-        a = tris[0]
-        return np.where(a == TRI_NULL, TRI_NULL, 1 - a).astype(np.int8)
-    if op == "until":
-        left, right = tris
+        a = raws[0]
+        out = np.where(a == TRI_NULL, TRI_NULL, 1 - a).astype(np.int8)
+    elif op == "until":
+        left, right = raws
         nr = np.where(right == TRI_NULL, TRI_NULL, 1 - right).astype(np.int8)
-        return kleene("and", left, nr)
-    out = tris[0]
-    for t in tris[1:]:
-        out = kleene(op, out, t)
+        out = kleene("and", left, nr)
+    else:
+        out = raws[0]
+        for t in raws[1:]:
+            out = kleene(op, out, t)
+    if absent is not None and absent.any():
+        return tri_mark_absent(out, absent)
     return out
