@@ -283,6 +283,31 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         sf1 = sf1_rehearsal(spark)
 
+    # streaming-kernel throughput sample (the incremental
+    # applyInPandasWithState kernel driven offline — pure kernel cost,
+    # one key-partition; see tools/kernel_throughput.py + SCALE.md)
+    kernel = None
+    if os.environ.get("SPARK_GRAFT_SKIP_KERNEL") != "1":
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from kernel_throughput import measure as kernel_measure
+
+        kernel = kernel_measure(
+            spark,
+            rows=100_000,
+            patterns=[
+                ("island_jvm", "value > 150"),
+                ("windowed_avg", "avg(value, 10 sec) > 150"),
+                ("truthstat_times", "value > 150 for 30 sec >= 10 times"),
+                ("lag1_shift", "lag(value) > 150"),
+                ("lag_bridge", "lag(value, 5 sec) > 150"),
+            ],
+        )
+        for name, r in kernel.items():
+            print(
+                f"# kernel {name}: {r['rows_per_sec']/1000:.0f}k rows/s",
+                file=sys.stderr,
+            )
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "tsp_spark bench: sum of headline query wall times",
@@ -297,6 +322,10 @@ def main() -> None:
         payload["accums_600k"] = accums
     if sf1 is not None:
         payload["sf1_scaling"] = sf1
+    if kernel is not None:
+        payload["kernel_rows_per_sec"] = {
+            k: v["rows_per_sec"] for k, v in kernel.items()
+        }
     print(json.dumps(payload))
 
 

@@ -59,6 +59,53 @@ def gen_noisy(n: int, seed: int = 7) -> pd.DataFrame:
     )
 
 
+def measure(
+    spark,
+    rows: int = 200_000,
+    chunk: int = 10_000,
+    slow: bool = False,
+    patterns=None,
+) -> dict:
+    """Per-pattern kernel rows/s (and interval counts) on the noisy
+    series; importable so bench.py tracks the numbers per round."""
+    from tsp_spark.streaming import stateful
+    from tsp_spark.streaming.stateful import _make_update, build_spec
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from kernel_parity import FakeGroupState
+
+    pdf = gen_noisy(rows)
+    src = spark.createDataFrame(pdf)
+    ft = {"value": "float64"}
+    keys = ["user_id"]
+    out = {}
+    prev = stateful._FORCE_SLOW
+    stateful._FORCE_SLOW = slow
+    try:
+        for label, pattern in patterns or PATTERNS:
+            s, spec = build_spec(src, pattern, keys, "ts", ft, GAP_MS)
+            out_cols = [
+                "pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_rows",
+            ]
+            update = _make_update([spec], keys, "ts", GAP_MS, out_cols)
+            data = s.orderBy("ts").toPandas()
+            st = FakeGroupState()
+            n_out = 0
+            t0 = time.perf_counter()
+            for i0 in range(0, len(data), chunk):
+                for o in update((1,), iter([data.iloc[i0 : i0 + chunk]]), st):
+                    n_out += len(o)
+            el = time.perf_counter() - t0
+            out[label] = {
+                "rows_per_sec": int(rows / el),
+                "sec": round(el, 3),
+                "intervals": n_out,
+            }
+    finally:
+        stateful._FORCE_SLOW = prev
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=200_000)
@@ -67,44 +114,18 @@ def main() -> int:
     args = ap.parse_args()
 
     from tsp_spark.session import get_spark
-    from tsp_spark.streaming import stateful
-    from tsp_spark.streaming.stateful import _make_update, build_spec
-
-    sys.path.insert(0, str(REPO / "tools"))
-    from kernel_parity import FakeGroupState
-
-    stateful._FORCE_SLOW = args.slow
 
     spark = get_spark(
         "kernel_throughput", master="local[4]", shuffle_partitions=4
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pdf = gen_noisy(args.rows)
-    src = spark.createDataFrame(pdf)
-    ft = {"value": "float64"}
-    keys = ["user_id"]
-
     print(f"rows={args.rows} chunk={args.chunk} "
           f"path={'per-row' if args.slow else 'vectorized'}")
-    for label, pattern in PATTERNS:
-        s, spec = build_spec(src, pattern, keys, "ts", ft, GAP_MS)
-        out_cols = [
-            "pattern_id", "subunit", *keys, "from_ts", "to_ts", "n_rows",
-        ]
-        update = _make_update([spec], keys, "ts", GAP_MS, out_cols)
-        data = s.orderBy("ts").toPandas()
-        st = FakeGroupState()
-        n_out = 0
-        t0 = time.perf_counter()
-        for i0 in range(0, len(data), args.chunk):
-            for out in update(
-                (1,), iter([data.iloc[i0 : i0 + args.chunk]]), st
-            ):
-                n_out += len(out)
-        el = time.perf_counter() - t0
+    res = measure(spark, args.rows, args.chunk, args.slow)
+    for label, r in res.items():
         print(
-            f"{label:18s} {args.rows/el/1000:9.0f}k rows/s"
-            f"   ({el:6.2f} s, {n_out} intervals)"
+            f"{label:18s} {r['rows_per_sec']/1000:9.0f}k rows/s"
+            f"   ({r['sec']:6.2f} s, {r['intervals']} intervals)"
         )
     return 0
 
