@@ -156,3 +156,45 @@ def test_jaccard_bucket_guard_fails_fast(spark):
     ok = jaccard_pairs(df, "text", "doc_id", ["src"], max_bucket_size=8)
     off = jaccard_pairs(df, "text", "doc_id", ["src"], max_bucket_size=None)
     assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, off.collect()))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefghij"), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.sampled_from([0.3, 0.5, 0.6, 0.8, 1.0]),
+    st.booleans(),
+)
+def test_jaccard_pairs_match_brute_force(spark, docs, threshold, bands):
+    """The banded/pruned join must return EXACTLY the brute-force pair
+    set at any threshold and with either join strategy (the band
+    prejoin and ratio prune are pure join-size optimizations)."""
+    from tsp_spark.pipeline.dedup import jaccard_pairs
+
+    texts = [" ".join(toks) if toks else "" for toks in docs]
+    rows = [(i, "b", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            df, "text", "doc_id", ["src"], threshold=threshold,
+            length_bands=bands,
+        ).collect()
+    }
+    want = set()
+    sets = [set(t.split(" ")) for t in texts]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            union = len(sets[i] | sets[j])
+            if union and len(sets[i] & sets[j]) / union >= threshold:
+                want.add((i, j))
+    assert got == want

@@ -77,6 +77,7 @@ def jaccard_pairs(
     bucket_cols: Sequence[str],
     threshold: float = 0.6,
     max_bucket_size: int | None = 10_000,
+    length_bands: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within buckets:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -86,7 +87,15 @@ def jaccard_pairs(
     ENFORCED at runtime — any bucket over ``max_bucket_size`` docs
     fails the job fast (executor-side `raise_error`, no silent
     quadratic blowup at 100 TB) with a pointer to minhash_lsh_pairs.
-    Pass a higher limit or None to override deliberately."""
+    Pass a higher limit or None to override deliberately.
+
+    ``length_bands=True`` additionally equi-joins on a token-count
+    band (see the theorem note below) — provably result-identical
+    (property-tested against brute force), and worth it only when a
+    bucket's doc lengths span decades so adjacent-band products are
+    far below bucket². On length-uniform corpora everything lands in
+    one band and the 3× probe-side fan-out is pure overhead (measured
+    ~15% slower on the bench corpus; default off)."""
     # token-set size hoisted per row; |A ∪ B| = |A| + |B| − |A ∩ B|
     # avoids materializing the union array per pair (same exact value —
     # both sides are distinct arrays)
@@ -126,13 +135,37 @@ def jaccard_pairs(
                 ).cast("int"),
             ).otherwise(F.col("__n")),
         )
+    # length-band refinement of the same theorem the ratio prune uses:
+    # J ≥ t ⇒ min/max set size ≥ t ⇒ the log_{1/t}(|set|) bands of a
+    # surviving pair differ by ≤ 1 — so instead of the full per-bucket
+    # cross join, the probe side fans out to its own band ±1 and
+    # equi-joins on (bucket, band). Join blocks shrink from bucket² to
+    # Σ adjacent-band products (a large factor on real corpora whose
+    # lengths span decades; result-identical because the ratio filter
+    # below is strictly tighter). The base uses (t − 1e-6) so the
+    # ratio filter's own float slack can never strand a kept pair two
+    # bands apart.
+    use_bands = length_bands and 0.0 < threshold < 1.0
+    if use_bands:
+        import math
+
+        base = math.log(1.0 / max(threshold - 1e-6, 1e-9))
+        t = t.withColumn(
+            "__band",
+            F.floor(
+                F.log(F.greatest(F.col("__n"), F.lit(1)).cast("double"))
+                / F.lit(base)
+            ).cast("int"),
+        )
     a = t.select(
         *bucket_cols, F.col("__id").alias("id_a"),
         F.col("__ws").alias("__wa"), F.col("__n").alias("__na"),
+        *([F.col("__band").alias("__ba")] if use_bands else []),
     )
     b = t.select(
         *bucket_cols, F.col("__id").alias("id_b"),
         F.col("__ws").alias("__wb"), F.col("__n").alias("__nb"),
+        *([F.col("__band").alias("__probe")] if use_bands else []),
     )
     # size-ratio prune BEFORE the O(|A|·|B|) intersect: J(A,B) ≤
     # min(|A|,|B|)/max(|A|,|B|) (intersection ≤ the smaller set, union ≥
@@ -144,7 +177,19 @@ def jaccard_pairs(
         F.least(F.col("__na"), F.col("__nb")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("__na"), F.col("__nb")) - 1e-9
     )
-    joined = a.join(b, on=list(bucket_cols)).where(
+    if use_bands:
+        a = a.withColumn(
+            "__probe",
+            F.explode(
+                F.array(
+                    F.col("__ba") - 1, F.col("__ba"), F.col("__ba") + 1
+                )
+            ),
+        ).drop("__ba")
+        join_keys = [*bucket_cols, "__probe"]
+    else:
+        join_keys = list(bucket_cols)
+    joined = a.join(b, on=join_keys).where(
         (F.col("id_a") < F.col("id_b")) & ratio_ok
     )
     inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
