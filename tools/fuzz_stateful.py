@@ -61,6 +61,13 @@ def gen_pattern(rng: random.Random) -> str:
                 f"avg(avg(lag(value, 3 sec), 5 sec), 15 sec) > {thr}",
                 f"lag(value, 5 sec) > avg(lag(value, 5 sec), 10 sec)",
                 f"avg(lag(value, 5 sec) + value, 10 sec) > {thr * 2}",
+                # r6 totality: row-wise reducers in-kernel (with
+                # windowed aggregates / pending lags as arguments)
+                f"avg(sumOf(value, value; _ > {thr}), 10 sec) > {thr * 2}",
+                f"minOf(value, avg(value, 10 sec)) > {thr}",
+                f"maxOf(value, lag(value, 5 sec)) > {thr}",
+                f"countOf(value, lag(value); _ > {thr}) >= 2",
+                f"avgOf(value, lag(value, 3 sec), avg(value, 5 sec)) > {thr}",
             ]
         )
 

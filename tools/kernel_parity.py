@@ -154,6 +154,15 @@ PINNED = [
     "lag(value, 5 sec) > avg(lag(value, 5 sec), 10 sec)",
     "avg(lag(value, 5 sec) + value, 10 sec) > 300",
     "wait(5 sec, avg(lag(value, 3 sec), 5 sec) > 150)",
+    # r6: row-wise reducers (sumOf…avgOf, `_`-constraints) evaluated
+    # in-kernel, incl. windowed aggregates and pending lags as args
+    "avg(sumOf(value, value; _ > 100), 10 sec) > 400",
+    "minOf(value, avg(value, 10 sec)) > 150",
+    "maxOf(value, lag(value, 5 sec)) > 205",
+    "countOf(value, lag(value); _ > 150) >= 2",
+    "avgOf(value, lag(value, 3 sec), avg(value, 5 sec)) > 150",
+    "sumOf(avg(value, 5 sec), value) > 300 until value > 205",
+    "minOf(value, 150) > 140 for 10 sec",
 ]
 
 

@@ -544,6 +544,12 @@ def _validate_kernel_expr(node) -> None:
         for a in node.args:
             _validate_kernel_expr(a)
         return
+    if isinstance(node, A.ReducerCall):
+        for a in node.args:
+            _validate_kernel_expr(a)
+        if node.cond is not None:
+            _validate_kernel_expr(node.cond)
+        return
     raise ValueError(
         f"{type(node).__name__} inside a windowed boolean is not "
         f"supported by the incremental kernel — use the carry-buffer "
@@ -567,6 +573,11 @@ def _collect_aggs(node) -> list:
                 walk(a)
         elif isinstance(n, (A.Cast, A.Assert)):
             walk(n.inner)
+        elif isinstance(n, A.ReducerCall):
+            for a in n.args:
+                walk(a)
+            if n.cond is not None:
+                walk(n.cond)
         elif isinstance(n, (A.Constant, A.Identifier)):
             pass
         else:
@@ -578,6 +589,22 @@ def _collect_aggs(node) -> list:
 
     walk(node)
     return out
+
+
+class _URow:
+    """Row view binding the reducer placeholder ``_`` to one element
+    value while delegating every other field lookup."""
+
+    __slots__ = ("_row", "_u")
+
+    def __init__(self, row, u):
+        self._row = row
+        self._u = u
+
+    def __getitem__(self, k):
+        if k == "_":
+            return self._u
+        return self._row[k]
 
 
 def _eval_row(node, row, aggvals):
@@ -621,6 +648,44 @@ def _eval_row(node, row, aggvals):
         return int(v)
     if isinstance(node, A.AggregateCall):
         return aggvals[id(node)]
+    if isinstance(node, A.ReducerCall):
+        # row-wise N-ary reducer (compiler.rowwise_reduce semantics,
+        # ReducePattern.scala:60): args cast to double, NULLs dropped,
+        # optional `_`-constraint filter (null/false drops the
+        # element), fold from the typed init value. min/max mirror
+        # Spark's array_min/array_max NaN-greatest total order.
+        vals: list[float] = []
+        for a in node.args:
+            v = _eval_row(a, row, aggvals)
+            if v is None:
+                continue
+            v = float(v)
+            if node.cond is not None:
+                cv = _eval_row(node.cond, _URow(row, v), aggvals)
+                if cv is None or not bool(cv):
+                    continue
+            vals.append(v)
+        name = node.name
+        if name == "countof":
+            return len(vals)
+        if name in ("sumof", "avgof"):
+            s = 0.0
+            for v in vals:
+                s += v
+            if name == "sumof":
+                return s
+            return s / len(vals) if vals else float("nan")
+        dbl_max = 1.7976931348623157e308
+        non_nan = [v for v in vals if not math.isnan(v)]
+        if name == "minof":
+            if non_nan:
+                return min(non_nan)
+            return float("nan") if vals else dbl_max
+        if name == "maxof":
+            if len(non_nan) != len(vals):
+                return float("nan")  # NaN is greatest
+            return max(vals) if vals else -dbl_max
+        raise ValueError(f"unknown reducer '{name}'")
     if isinstance(node, A.FunctionCall):
         name = node.name
         if name == "not":
@@ -2406,10 +2471,11 @@ def build_spec(
     aggregate (GroupPattern-over-PreviousValue,
     ASTPatternGenerator.scala:128-154) resolves incrementally via
     per-entry bridge depmasks (r6 — see _SlidingAggState.resolve).
-    Raises ValueError only for shapes that genuinely need the
+    Row-wise reducers (``sumOf…avgOf`` with `_`-constraints) evaluate
+    in-kernel anywhere an expression can appear (r6). Raises
+    ValueError only for the one shape that genuinely needs the
     carry-buffer mode (streaming/job.py): a pending lag nested inside
-    another lag's lookback, and expression nodes _eval_row has no
-    kernel evaluation for (reducers)."""
+    another lag's lookback."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern

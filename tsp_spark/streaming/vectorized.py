@@ -101,6 +101,10 @@ def static_vec_ok(node) -> bool:
         return static_vec_ok(node.inner)
     if isinstance(node, A.FunctionCall):
         return all(static_vec_ok(a) for a in node.args)
+    if isinstance(node, A.ReducerCall):
+        return all(static_vec_ok(a) for a in node.args) and (
+            node.cond is None or static_vec_ok(node.cond)
+        )
     return False
 
 
@@ -118,6 +122,8 @@ def precheck_expr(node, df: pd.DataFrame) -> None:
             raise VecUnsupported("string constant")
         return
     if isinstance(node, A.Identifier):
+        if node.name == "_":
+            return  # reducer placeholder — always a float64 element
         if node.name not in df.columns:
             raise VecUnsupported(f"missing column {node.name}")
         kind = df[node.name].dtype.kind
@@ -136,6 +142,12 @@ def precheck_expr(node, df: pd.DataFrame) -> None:
     if isinstance(node, A.FunctionCall):
         for a in node.args:
             precheck_expr(a, df)
+        return
+    if isinstance(node, A.ReducerCall):
+        for a in node.args:
+            precheck_expr(a, df)
+        if node.cond is not None:
+            precheck_expr(node.cond, df)
         return
     raise VecUnsupported(f"node {type(node).__name__}")
 
@@ -256,6 +268,67 @@ def _num(node, df, aggvals):
                     return np.trunc(q), null | zero, True
                 q = np.where(zero, np.nan, q)
                 return q, null, False
+    if isinstance(node, A.ReducerCall):
+        # row-wise reducer, element-parallel (stateful._eval_row
+        # ReducerCall semantics): per arg, include iff non-NULL and
+        # the `_`-constraint holds; fold in arg order. Adding 0.0 for
+        # excluded elements is bit-exact vs skipping them (acc starts
+        # at 0.0; x + 0.0 == x for every float64 incl. NaN/±inf), so
+        # sums match the per-row left fold exactly.
+        per: list[tuple[np.ndarray, np.ndarray]] = []
+        for a in node.args:
+            vals, null, _ = _num(a, df, aggvals)
+            inc = ~null
+            if node.cond is not None:
+                cdf = df.assign(**{"_": pd.Series(vals, index=df.index)})
+                tri = _tri_of(node.cond, cdf, aggvals)
+                inc = inc & (tri == TRI_TRUE)
+            per.append((vals, inc))
+        name = node.name
+        zeros = np.zeros(n, dtype=bool)
+        cnt = np.zeros(n, dtype=np.int64)
+        for _v, inc in per:
+            cnt += inc
+        if name == "countof":
+            return cnt.astype(np.float64), zeros, True
+        if name in ("sumof", "avgof"):
+            s = np.zeros(n, dtype=np.float64)
+            for vals, inc in per:
+                s = s + np.where(inc, vals, 0.0)
+            if name == "sumof":
+                return s, zeros, False
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+            return out, zeros, False
+        dbl_max = 1.7976931348623157e308
+        isnan = [np.isnan(v) for v, _i in per]
+        cnt_nn = np.zeros(n, dtype=np.int64)
+        for (v, inc), nn in zip(per, isnan):
+            cnt_nn += inc & ~nn
+        if name == "minof":
+            m = np.full(n, np.inf)
+            for (v, inc), nn in zip(per, isnan):
+                m = np.minimum(m, np.where(inc & ~nn, v, np.inf))
+            # NaN is greatest (Spark array_min): all-NaN → NaN,
+            # empty → Double.MaxValue init
+            return (
+                np.where(cnt_nn > 0, m, np.where(cnt > 0, np.nan, dbl_max)),
+                zeros,
+                False,
+            )
+        if name == "maxof":
+            m = np.full(n, -np.inf)
+            has_nan = np.zeros(n, dtype=bool)
+            for (v, inc), nn in zip(per, isnan):
+                m = np.maximum(m, np.where(inc & ~nn, v, -np.inf))
+                has_nan |= inc & nn
+            return (
+                np.where(
+                    has_nan, np.nan, np.where(cnt > 0, m, -dbl_max)
+                ),
+                zeros,
+                False,
+            )
     raise VecUnsupported(f"node {type(node).__name__}")
 
 
