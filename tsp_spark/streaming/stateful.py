@@ -591,6 +591,218 @@ def _collect_aggs(node) -> list:
     return out
 
 
+def _compile_eval(node):
+    """Compile a row-level/windowed boolean AST into a nested-closure
+    evaluator ``fn(row, aggvals)`` — branch-for-branch the same
+    semantics as :func:`_eval_row` (the readable reference
+    implementation, kept for tests), but with the isinstance dispatch,
+    name lookups, and ast-module import paid ONCE at build time
+    instead of per row × per hypothesis. AggregateCall lookups capture
+    ``id(node)`` of the exact term instance, so compiled closures are
+    tied to their pattern's node objects (callers cache per program,
+    never across programs)."""
+    from tsp_spark.dsl import ast as A
+
+    if isinstance(node, A.Assert):
+        return _compile_eval(node.inner)
+    if isinstance(node, A.Constant):
+        v = node.value
+        return lambda row, aggvals: v
+    if isinstance(node, A.Identifier):
+        name = node.name
+        dtype = node.dtype or "float64"
+        isna = pd.isna
+        if dtype in ("float32", "float64"):
+            nan = float("nan")
+
+            def f_ident(row, aggvals):
+                v = row[name]
+                return nan if isna(v) else v
+
+        elif dtype == "string":
+
+            def f_ident(row, aggvals):
+                v = row[name]
+                return "[NULL]" if isna(v) else v
+
+        else:
+
+            def f_ident(row, aggvals):
+                v = row[name]
+                return None if isna(v) else v
+
+        return f_ident
+    if isinstance(node, A.Cast):
+        fi = _compile_eval(node.inner)
+        dtype = node.dtype
+        if dtype == "boolean":
+            conv = bool
+        elif dtype in ("float32", "float64"):
+            conv = float
+        elif dtype == "string":
+            conv = str
+        else:
+            conv = int
+
+        def f_cast(row, aggvals):
+            v = fi(row, aggvals)
+            return None if v is None else conv(v)
+
+        return f_cast
+    if isinstance(node, A.AggregateCall):
+        key = id(node)
+        return lambda row, aggvals: aggvals[key]
+    if isinstance(node, A.ReducerCall):
+        arg_fns = [_compile_eval(a) for a in node.args]
+        cond_fn = None if node.cond is None else _compile_eval(node.cond)
+        name = node.name
+        dbl_max = 1.7976931348623157e308
+
+        def f_reduce(row, aggvals):
+            vals = []
+            for fa in arg_fns:
+                v = fa(row, aggvals)
+                if v is None:
+                    continue
+                v = float(v)
+                if cond_fn is not None:
+                    cv = cond_fn(_URow(row, v), aggvals)
+                    if cv is None or not bool(cv):
+                        continue
+                vals.append(v)
+            if name == "countof":
+                return len(vals)
+            if name in ("sumof", "avgof"):
+                s = 0.0
+                for v in vals:
+                    s += v
+                if name == "sumof":
+                    return s
+                return s / len(vals) if vals else float("nan")
+            non_nan = [v for v in vals if not math.isnan(v)]
+            if name == "minof":
+                if non_nan:
+                    return min(non_nan)
+                return float("nan") if vals else dbl_max
+            if len(non_nan) != len(vals):
+                return float("nan")  # maxof: NaN is greatest
+            return max(vals) if vals else -dbl_max
+
+        return f_reduce
+    if isinstance(node, A.FunctionCall):
+        name = node.name
+        fns = [_compile_eval(a) for a in node.args]
+        if name == "not":
+            f0 = fns[0]
+
+            def f_not(row, aggvals):
+                v = f0(row, aggvals)
+                return None if v is None else not bool(v)
+
+            return f_not
+        if name in _MATH1:
+            f0, mf = fns[0], _MATH1[name]
+
+            def f_math(row, aggvals):
+                v = f0(row, aggvals)
+                return None if v is None else mf(float(v))
+
+            return f_math
+        if name == "abs":
+            f0 = fns[0]
+
+            def f_abs(row, aggvals):
+                v = f0(row, aggvals)
+                return None if v is None else abs(v)
+
+            return f_abs
+        if name == "sigmoid":
+            f0 = fns[0]
+            f1 = fns[1] if len(fns) > 1 else None
+
+            def f_sig(row, aggvals):
+                v = f0(row, aggvals)
+                k = 1.0 if f1 is None else f1(row, aggvals)
+                if v is None or k is None:
+                    return None
+                return 1.0 / (1.0 + _safe_exp(-2.0 * float(k) * float(v)))
+
+            return f_sig
+        fa = fns[0]
+        fb = fns[1] if len(fns) > 1 else None
+        if name in _BOOL_FNS:
+
+            def f_bool(row, aggvals):
+                a = fa(row, aggvals)
+                b = fb(row, aggvals) if fb is not None else None
+                av = None if a is None else bool(a)
+                bv = None if b is None else bool(b)
+                if name == "and":
+                    if av is False or bv is False:
+                        return False
+                    return None if av is None or bv is None else True
+                if name == "or":
+                    if av is True or bv is True:
+                        return True
+                    return None if av is None or bv is None else False
+                return None if av is None or bv is None else av != bv
+
+            return f_bool
+        if name in _CMP_FNS:
+
+            def f_cmp(row, aggvals):
+                a = fa(row, aggvals)
+                b = fb(row, aggvals)
+                if a is None or b is None:
+                    return None
+                if isinstance(a, str) != isinstance(b, str):
+                    try:
+                        a = float(a) if isinstance(a, str) else a
+                        b = float(b) if isinstance(b, str) else b
+                    except ValueError:
+                        return None
+                if isinstance(a, str):
+                    return {
+                        "gt": a > b, "ge": a >= b, "lt": a < b,
+                        "le": a <= b, "eq": a == b, "ne": a != b,
+                    }[name]
+                fa_, fb_ = float(a), float(b)
+                if math.isnan(fa_) or math.isnan(fb_):
+                    return name == "ne"
+                return {
+                    "gt": fa_ > fb_, "ge": fa_ >= fb_, "lt": fa_ < fb_,
+                    "le": fa_ <= fb_, "eq": fa_ == fb_, "ne": fa_ != fb_,
+                }[name]
+
+            return f_cmp
+        if name in _ARITH_FNS:
+
+            def f_arith(row, aggvals):
+                a = fa(row, aggvals)
+                b = fb(row, aggvals)
+                if a is None or b is None:
+                    return None
+                if name == "add":
+                    return a + b
+                if name == "sub":
+                    return a - b
+                if name == "mul":
+                    return a * b
+                if isinstance(a, int) and isinstance(b, int):
+                    return None if b == 0 else int(a / b)
+                return float("nan") if b == 0 else a / b
+
+            return f_arith
+        raise ValueError(
+            f"function '{name}' inside a windowed boolean is not "
+            f"supported by the incremental kernel"
+        )
+    raise ValueError(
+        f"{type(node).__name__} inside a windowed boolean is not "
+        f"supported by the incremental kernel"
+    )
+
+
 class _URow:
     """Row view binding the reducer placeholder ``_`` to one element
     value while delegating every other field lookup."""
@@ -977,8 +1189,21 @@ class _WindowedCondProgram:
             from tsp_spark.streaming.vectorized import static_vec_ok
 
             self.batch_capable = static_vec_ok(node)
+            self.pend_batch_capable = False
         else:
+            from tsp_spark.streaming.vectorized import static_vec_ok
+
             self.batch_capable = False
+            # single pending-lag family (`lag(x,T) <cmp> …`): emissions
+            # and the prev/bridge chain vectorize over the micro-batch
+            # (vectorized.lag_pending_batch); only the post-last-
+            # emission tail truly pends
+            self.pend_batch_capable = (
+                len(self.aggs) == 1
+                and self.aggs[0].kind == _LAG_KIND
+                and self.aggs[0].window_ms > 0
+                and static_vec_ok(node)
+            )
         self.can_absent = any(a.kind == _LAG_KIND for a in self.aggs)
         # nested aggregates (avg(avg(x, T1), T2) …): _collect_aggs is
         # pre-order (parents first), so reversed order evaluates every
@@ -986,6 +1211,28 @@ class _WindowedCondProgram:
         # batch plan's window-over-windowed-column composition. State
         # layout keeps pre-order.
         self._order = list(range(len(self.aggs)))[::-1]
+
+    def _fns(self):
+        """Closure-compiled evaluators (semantics == _eval_row): the
+        isinstance dispatch is paid once per PROCESS, not per
+        row×hypothesis. Compiled lazily and never pickled — the
+        AggregateCall lookups capture ``id(term)``, which changes when
+        the program crosses the cloudpickle boundary into a Spark
+        Python worker, so each process compiles against its own node
+        identities."""
+        c = self.__dict__.get("_fns_cache")
+        if c is None:
+            c = (
+                _compile_eval(self.node),
+                [_compile_eval(a.inner) for a in self.aggs],
+            )
+            self.__dict__["_fns_cache"] = c
+        return c
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d.pop("_fns_cache", None)
+        return d
 
     def _mk_state(self, a):
         if a.kind != _LAG_KIND:
@@ -1080,6 +1327,7 @@ class _WindowedCondProgram:
     def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
         out: list = []
         pending = objs[-1]
+        node_fn, inner_fns = self._fns()
         if gap_split:
             out.extend(self.split(objs))
         # per-term row status, built in reversed pre-order (deps first):
@@ -1095,8 +1343,8 @@ class _WindowedCondProgram:
             if a.kind == _LAG_KIND:
                 # the lag's own inner is fully decided (pending lags
                 # inside a lag's lookback are rejected at build time)
-                iv = _eval_row(
-                    a.inner, row,
+                iv = inner_fns[i](
+                    row,
                     self._av_for(0, [], self._sub[i], status, valtabs, objs),
                 )
                 if a.window_ms == 0:
@@ -1142,8 +1390,8 @@ class _WindowedCondProgram:
             ui = sorted(j for j in self._deps[i] if status.get(j) == ("u",))
             etab = []
             for m in range(1 << len(ui)):
-                v = _eval_row(
-                    a.inner, row,
+                v = inner_fns[i](
+                    row,
                     self._av_for(m, ui, self._sub[i], status, valtabs, objs),
                 )
                 etab.append(None if v is None else float(v))
@@ -1191,7 +1439,7 @@ class _WindowedCondProgram:
             av = self._av_for(
                 mask, undecided, terms_all, status, valtabs, objs
             )
-            v = _eval_row(self.node, row, av)
+            v = node_fn(row, av)
             raw = None if v is None else bool(v)
             if term_absent or mask != full:
                 table.append(_absent_of(raw))
@@ -1220,6 +1468,19 @@ class _WindowedCondProgram:
         from tsp_spark.streaming.vectorized import windowed_batch
 
         return windowed_batch(self, objs, ms_arr, df, gaps, lg_rows)
+
+    def precheck_pend_batch(self, objs, ms_arr, df) -> None:
+        from tsp_spark.streaming.vectorized import lag_pending_precheck
+
+        lag_pending_precheck(self, objs, ms_arr, df)
+
+    def feed_batch_pending(self, objs, ms_arr, df, gaps) -> list:
+        """Bulk feed for the single-pending-lag family: the decided
+        condition values (row order, prior pending first), exactly
+        what per-row ``feed`` would have returned across the batch."""
+        from tsp_spark.streaming.vectorized import lag_pending_batch
+
+        return lag_pending_batch(self, objs, ms_arr, df, gaps)
 
 
 def _seq_sum(vals: list[float]) -> float:
@@ -1928,6 +2189,34 @@ def _islands_vec(st, ms, conds, gaps):
     return [_enc(run_start), _enc(last), n], closed
 
 
+def _islands_vec_masked(sm, st, ms, conds, gaps, absent):
+    """_islands_vec with an absent mask: absent rows are INVISIBLE to
+    islandization (the batch _islandize drops present-masked rows),
+    their gap flags fold onto the next visible row, and a trailing gap
+    with no visible row after it still closes the open island now —
+    the per-row head-gap delivery."""
+    import numpy as np
+
+    keep = ~absent
+    kidx = np.flatnonzero(keep)
+    cg = np.cumsum(gaps)
+    items_all: list = []
+    if len(kidx):
+        g2 = np.empty(len(kidx), dtype=bool)
+        g2[0] = cg[kidx[0]] > 0
+        if len(kidx) > 1:
+            g2[1:] = np.diff(cg[kidx]) > 0
+        st, items = _islands_vec(st, ms[kidx], conds[kidx], g2)
+        items_all.extend(items)
+        trailing = cg[-1] - cg[kidx[-1]] > 0
+    else:
+        trailing = bool(gaps.any())
+    if trailing:
+        st, items = sm.split(st)
+        items_all.extend(items)
+    return st, items_all
+
+
 def _timer_vec(sm, st, ms, conds, gaps):
     """Vectorized _TimerSM (same segment walk as _islands_vec); the
     hold-start row inside a true segment is a searchsorted on the
@@ -2223,6 +2512,32 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
             )
         ]
         slow = [i for i in range(len(specs)) if i not in fast]
+        # bulk pending path: single-cond island/timer specs over the
+        # single-pending-lag program family (`lag(x,T) <cmp> …`) —
+        # decided values computed for the whole micro-batch
+        # (vectorized.lag_pending_batch), then drained through the
+        # vectorized state machines; only undecidable tail rows stay
+        # queued. State layout identical to the per-row route.
+        bulk = [
+            i
+            for i in slow
+            if not _FORCE_SLOW
+            and type(specs[i].sm) in (_IslandSM, _TimerSM)
+            and len(specs[i].cond_cols) == 1
+            and not isinstance(specs[i].cond_cols[0], str)
+            and getattr(specs[i].cond_cols[0], "pend_batch_capable", False)
+        ]
+        for i in bulk:
+            slow.remove(i)
+        ms_arr = gaps = None
+        if len(rows) and (fast or bulk):
+            import numpy as np
+
+            ms_arr = (rows[ts].astype("int64") // 1_000_000).to_numpy()
+            gaps = np.empty(len(ms_arr), dtype=bool)
+            gaps[0] = last is not None and ms_arr[0] - last > max_gap_ms
+            if len(ms_arr) > 1:
+                gaps[1:] = np.diff(ms_arr) > max_gap_ms
         if len(rows) and fast:
             import numpy as np
 
@@ -2234,11 +2549,6 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 tri_raw,
             )
 
-            ms_arr = (rows[ts].astype("int64") // 1_000_000).to_numpy()
-            gaps = np.empty(len(ms_arr), dtype=bool)
-            gaps[0] = last is not None and ms_arr[0] - last > max_gap_ms
-            if len(ms_arr) > 1:
-                gaps[1:] = np.diff(ms_arr) > max_gap_ms
             # demote specs whose programs can't vectorize THIS batch
             # (string dtypes, out-of-order carried state) — prechecked
             # before any state mutation, so the per-row path continues
@@ -2302,33 +2612,11 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                     continue
                 if isinstance(spec.sm, _IslandSM):
                     if absent0 is not None:
-                        # absent rows are INVISIBLE to islandization
-                        # (batch _islandize drops present-masked rows):
-                        # filter them out, folding their gap flags onto
-                        # the next visible row; a TRAILING gap with no
-                        # visible row after it still closes the open
-                        # island now, like the per-row gap delivery
-                        keep = ~absent0
-                        kidx = np.flatnonzero(keep)
-                        cg = np.cumsum(gaps)
-                        if len(kidx):
-                            g2 = np.empty(len(kidx), dtype=bool)
-                            g2[0] = cg[kidx[0]] > 0
-                            if len(kidx) > 1:
-                                g2[1:] = np.diff(cg[kidx]) > 0
-                            sts[i], items = _islands_vec(
-                                sts[i],
-                                ms_arr[kidx],
-                                cols_arr[0][kidx],
-                                g2,
-                            )
-                            emit(spec, items)
-                            trailing = cg[-1] - cg[kidx[-1]] > 0
-                        else:
-                            trailing = bool(gaps.any())
-                        if trailing:
-                            sts[i], items = spec.sm.split(sts[i])
-                            emit(spec, items)
+                        sts[i], items = _islands_vec_masked(
+                            spec.sm, sts[i], ms_arr, cols_arr[0],
+                            gaps, absent0,
+                        )
+                        emit(spec, items)
                         continue
                     sts[i], items = _islands_vec(
                         sts[i], ms_arr, cols_arr[0], gaps
@@ -2342,6 +2630,63 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                         spec.sm, sts[i], ms_arr, cols_arr, gaps
                     )
                 emit(spec, items)
+        if len(rows) and bulk:
+            import numpy as np
+
+            from tsp_spark.streaming.vectorized import VecUnsupported
+
+            ms_list = gap_list = lasts = None
+            for i in bulk:
+                spec = specs[i]
+                c = spec.cond_cols[0]
+                try:
+                    c.precheck_pend_batch(progs[i][0], ms_arr, rows)
+                    decided = c.feed_batch_pending(
+                        progs[i][0], ms_arr, rows, gaps
+                    )
+                except VecUnsupported:
+                    slow.append(i)
+                    continue
+                if ms_list is None:
+                    ms_list = [int(x) for x in ms_arr]
+                    gap_list = [int(x) for x in gaps]
+                    lasts = [last] + ms_list[:-1]
+                rowqs[i].extend(zip(ms_list, gap_list, lasts))
+                sq = srcqs[i][0]
+                sq.extend(False if v is None else v for v in decided)
+                k = len(sq)
+                if k:
+                    head = rowqs[i][:k]
+                    del rowqs[i][:k]
+                    vals2 = sq[:k]
+                    del sq[:k]
+                    ms2 = np.array([h[0] for h in head], dtype=np.int64)
+                    g2 = np.array([bool(h[1]) for h in head])
+                    if isinstance(spec.sm, _TimerSM):
+                        # Timer consumes the RAW value (the batch
+                        # discards the present mask; raw NULL → false)
+                        conds2 = np.array(
+                            [_raw(v) is True for v in vals2]
+                        )
+                        sts[i], items = _timer_vec(
+                            spec.sm, sts[i], ms2, conds2, g2
+                        )
+                    else:
+                        ab = np.array([_is_absent(v) for v in vals2])
+                        cb = np.array([v is True for v in vals2])
+                        if ab.any():
+                            sts[i], items = _islands_vec_masked(
+                                spec.sm, sts[i], ms2, cb, g2, ab
+                            )
+                        else:
+                            sts[i], items = _islands_vec(
+                                sts[i], ms2, cb, g2
+                            )
+                    emit(spec, items)
+                # a remaining HEAD gap flag (e.g. the gap row itself
+                # still pending) delivers its split immediately, like
+                # the per-row head-gap rule
+                advance(i, spec)
         if len(rows) and slow:
             # plain dicts, not iterrows(): building a pandas Series per
             # row costs ~100 µs each — 10-50× the whole state

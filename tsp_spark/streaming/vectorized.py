@@ -737,3 +737,183 @@ def combo_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
     if absent is not None and absent.any():
         return tri_mark_absent(out, absent)
     return out
+
+
+# -------------------------------------------- pending single-lag program
+
+# decided-value objects indexed by the stateful codec's _cv codes
+# (0 None, 1 False, 2 True, 3 ABSENT, 4 ABSENT_TRUE, 5 ABSENT_FALSE)
+def _cv_objects():
+    from tsp_spark.streaming.stateful import ABSENT, ABSENT_FALSE, ABSENT_TRUE
+
+    return (None, False, True, ABSENT, ABSENT_TRUE, ABSENT_FALSE)
+
+
+def lag_pending_precheck(prog, objs, ms_arr, df) -> None:
+    """Dtype screen for lag_pending_batch — pure, runs before any
+    state mutation."""
+    precheck_expr(prog.node, df)
+    st = objs[0]
+    if isinstance(st.prev, str) or any(
+        isinstance(v, str) for _m, v in st.q
+    ):
+        raise VecUnsupported("string lag state")
+
+
+def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
+    """Micro-batch feed for a pending-capable program whose ONLY term
+    is one ``lag(x, T)`` (T > 0) over a plain row expression — the
+    throughput floor family (`lag(x,T) <cmp> …`). Reproduces
+    _WindowedCondProgram.feed row-for-row:
+
+    * consume-once emissions via ONE searchsorted over the entry
+      times (a row pops every queued value with ms' ≤ t−T; the last
+      popped is its emission);
+    * the prev/bridge chain evolves only at emissions, so it
+      vectorizes as a shift over the emission subsequence;
+    * a non-emitted row bridges iff its prev equals the NEXT
+      emission's value — decided IN-BATCH for every row before the
+      segment's last emission; only the tail after it truly pends;
+    * the condition evaluates ONCE per hypothesis over the whole
+      segment (value assignment and lag-NULL assignment), giving the
+      same decided-value vocabulary as the per-row path.
+
+    Returns the newly decided condition values in row order (prior
+    pending resolutions first) and mutates ``objs`` to the batch-end
+    state — layout-interchangeable with the per-row feed.
+    """
+    a = prog.aggs[0]
+    key = id(a)
+    T = a.window_ms
+    st, pending = objs
+    n = len(ms_arr)
+    iv, inull, _ = _num(a.inner, df, {})
+    CV = _cv_objects()
+    out: list = []
+
+    cuts = np.flatnonzero(gaps).tolist()
+    segments = []
+    s0 = 0
+    for c in cuts:
+        segments.append((s0, c))
+        s0 = c
+    segments.append((s0, n))
+    # split handling: a gap at row j splits BEFORE j — every segment
+    # after the first is preceded by a split (a gap on row 0 yields an
+    # empty first segment, so the split still lands before row 0)
+    for si, (s, e) in enumerate(segments):
+        if si > 0:
+            out.extend(tbl[0] for _und, tbl in pending)
+            pending.clear()
+            st.reset()
+        if s == e:
+            continue
+        m = e - s
+        sms = ms_arr[s:e]
+        qm = ~inull[s:e]
+        new_ms = sms[qm]
+        new_vals = iv[s:e][qm]
+        if st.q:
+            ems = np.concatenate(
+                [np.array([t for t, _ in st.q], dtype=np.int64), new_ms]
+            )
+            evals = np.concatenate(
+                [
+                    np.array([v for _, v in st.q], dtype=np.float64),
+                    new_vals,
+                ]
+            )
+        else:
+            ems, evals = new_ms, new_vals.astype(np.float64)
+        p = np.searchsorted(ems, sms - T, side="right")
+        p_prev = np.concatenate([[0], p[:-1]])
+        emitted = p > p_prev
+        em_idx = np.flatnonzero(emitted)
+        n_em = len(em_idx)
+        prev0 = float(st.prev) if st.has_prev else np.nan
+        has_prev0 = bool(st.has_prev)
+        if n_em:
+            evs = evals[p[em_idx] - 1]
+            prev_seq = np.concatenate([[prev0], evs[:-1]])
+            hp_seq = np.concatenate(
+                [[has_prev0], np.ones(n_em - 1, dtype=bool)]
+            )
+            with np.errstate(invalid="ignore"):
+                bridge = hp_seq & ~np.isnan(prev_seq) & (prev_seq == evs)
+            emc = np.cumsum(emitted) - emitted  # emissions strictly before
+            prev_at = np.concatenate([[prev0], evs])[emc]
+            hp_at = np.concatenate(
+                [[has_prev0], np.ones(n_em, dtype=bool)]
+            )[emc]
+        else:
+            evs = np.empty(0)
+            bridge = np.empty(0, dtype=bool)
+            emc = np.zeros(m, dtype=np.int64)
+            prev_at = np.full(m, prev0)
+            hp_at = np.full(m, has_prev0)
+        with np.errstate(invalid="ignore"):
+            nanprev = np.isnan(prev_at)
+        stat_a = ~emitted & (~hp_at | nanprev)
+        stat_u = ~emitted & hp_at & ~nanprev
+        resolved_u = stat_u & (emc < n_em)
+
+        # condition under both hypotheses, whole segment at once
+        val_v = (
+            np.where(emitted, evals[np.maximum(p, 1) - 1], prev_at)
+            if len(evals)
+            else prev_at
+        )
+        sdf = df.iloc[s:e]
+        tri_v = _tri_of(
+            prog.node, sdf, {key: (val_v, np.zeros(m, dtype=bool), False)}
+        )
+        tri_n = _tri_of(
+            prog.node,
+            sdf,
+            {key: (np.zeros(m), np.ones(m, dtype=bool), False)},
+        )
+        raw_v = np.where(tri_v < 0, 0, np.where(tri_v > 0, 2, 1))
+        raw_n = np.where(tri_n < 0, 0, np.where(tri_n > 0, 2, 1))
+        absent_code = np.where(raw_n == 0, 3, np.where(raw_n == 2, 4, 5))
+
+        codes = np.where(emitted, raw_v, absent_code)
+        if n_em:
+            br_of = bridge[np.minimum(emc, n_em - 1)]
+            codes = np.where(
+                resolved_u, np.where(br_of, raw_v, absent_code), codes
+            )
+
+        # first row that cannot decide within the batch
+        tail_u = np.flatnonzero(stat_u & ~resolved_u)
+        ft = int(tail_u[0]) if len(tail_u) else m
+        if pending and n_em == 0:
+            # prior pending unresolved by this segment: every row
+            # queues behind it
+            ft = 0
+        elif pending:
+            # prior pending resolves at the FIRST emission — but rows
+            # of this segment BEFORE that emission decide only up to
+            # it... they queue and flush together, so the emitted
+            # order is still: prior entries first, then rows 0..ft
+            b0 = int(bridge[0])
+            for und, tbl in pending:
+                out.append(tbl[b0] if und else tbl[0])
+            pending.clear()
+        for ci in codes[:ft]:
+            out.append(CV[int(ci)])
+        for j in range(ft, m):
+            if stat_u[j]:
+                pending.append(
+                    [[0], [CV[int(absent_code[j])], CV[int(raw_v[j])]]]
+                )
+            else:
+                pending.append([[], [CV[int(codes[j])]]])
+
+        # batch-end term state
+        p_last = int(p[-1])
+        st.q = [
+            (int(t), float(v)) for t, v in zip(ems[p_last:], evals[p_last:])
+        ]
+        if n_em:
+            st.prev, st.has_prev = float(evs[-1]), True
+    return out
