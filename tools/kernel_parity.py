@@ -163,6 +163,9 @@ PINNED = [
     "avgOf(value, lag(value, 3 sec), avg(value, 5 sec)) > 150",
     "sumOf(avg(value, 5 sec), value) > 300 until value > 205",
     "minOf(value, 150) > 140 for 10 sec",
+    # r6c: top-level wait — the bulk vectorized leading-frame path
+    "wait(5 sec, value > 150)",
+    "wait(10 sec, value > 205) for 10 sec",
 ]
 
 

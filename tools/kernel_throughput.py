@@ -36,7 +36,8 @@ PATTERNS = [
     ("combo_until", "avg(value, 10 sec) > 150 until value > 205"),
     ("lag1_shift", "lag(value) > 150"),  # r6b: vectorized shift
     ("lag1_in_avg", "avg(lag(value), 10 sec) > 150"),
-    ("lag_bridge", "lag(value, 5 sec) > 150"),  # pending: per-row path
+    ("lag_bridge", "lag(value, 5 sec) > 150"),  # pending: bulk vectorized r6c
+    ("wait_leading", "wait(5 sec, value > 150)"),  # pending: bulk vectorized r6c
 ]
 
 

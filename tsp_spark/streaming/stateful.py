@@ -1678,6 +1678,11 @@ class _WaitProgram:
         self.inner = inner
         self.window_ms = window_ms
         self.can_pend = True
+        # instantly-deciding inner → the whole frame logic vectorizes
+        # (vectorized.wait_pending_batch); pending inners stay per-row
+        self.pend_batch_capable = isinstance(inner, str) or getattr(
+            inner, "batch_capable", False
+        )
 
     # objs layout: [pend [(ms, saw_nonnull)], iobjs, meta [(ms, gap)]]
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
@@ -1781,6 +1786,16 @@ class _WaitProgram:
             out = []
         self._series_end(objs[0], out)
         return out
+
+    def precheck_pend_batch(self, objs, ms_arr, df) -> None:
+        from tsp_spark.streaming.vectorized import wait_pending_precheck
+
+        wait_pending_precheck(self, objs, ms_arr, df)
+
+    def feed_batch_pending(self, objs, ms_arr, df, gaps) -> list:
+        from tsp_spark.streaming.vectorized import wait_pending_batch
+
+        return wait_pending_batch(self, objs, ms_arr, df, gaps)
 
 
 class _ComboProgram:

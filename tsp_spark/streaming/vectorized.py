@@ -917,3 +917,116 @@ def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
         if n_em:
             st.prev, st.has_prev = float(evs[-1]), True
     return out
+
+
+def wait_pending_precheck(prog, objs, ms_arr, df) -> None:
+    """Dtype/state screen for wait_pending_batch — pure."""
+    inner = prog.inner
+    if objs[2]:
+        # a meta backlog means the inner once decided late (pending
+        # inner) — structurally impossible for the shapes this path
+        # accepts, but guard anyway
+        raise VecUnsupported("wait meta backlog")
+    if isinstance(inner, str):
+        if inner not in df.columns:
+            raise VecUnsupported(f"missing column {inner}")
+        return
+    if not getattr(inner, "batch_capable", False):
+        raise VecUnsupported("pending-capable wait inner")
+    inner.precheck_batch(objs[1], ms_arr, df)
+
+
+def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
+    """Micro-batch feed for ``wait(T, X)`` with an instantly-deciding
+    inner (JVM column or non-pending condition program). Mirrors
+    _WaitProgram._process row-for-row:
+
+    * a row decides TRUE at the first inner-true within its CLOSED
+      leading frame [t, t+W] (one suffix-scan + searchsorted);
+    * FALSE/NULL when a later arrival passes t+W (saw-nonnull decides
+      which) — with sorted timestamps that is ``last_ms > t+W``;
+    * resolution is provably FIFO (an unresolved row blocks nothing
+      behind it from being resolvable), so the decided set is a
+      prefix and the undecided tail pends with its saw flag.
+
+    Returns decided condition values in row order (prior pending
+    first) and mutates ``objs`` to batch-end state.
+    """
+    W = prog.window_ms
+    pend = objs[0]
+    n = len(ms_arr)
+    if isinstance(prog.inner, str):
+        col = df[prog.inner]
+        tri = col.fillna(False).astype(bool).to_numpy().astype(np.int8)
+        tri[col.isna().to_numpy()] = TRI_NULL
+    else:
+        lg_rows = last_gap_rows(gaps)
+        tri = prog.inner.feed_batch(objs[1], ms_arr, df, gaps, lg_rows)
+    raw = tri_raw(tri)
+    out: list = []
+
+    cuts = np.flatnonzero(gaps).tolist()
+    segments = []
+    s0 = 0
+    for c in cuts:
+        segments.append((s0, c))
+        s0 = c
+    segments.append((s0, n))
+    for si, (s, e) in enumerate(segments):
+        if si > 0:
+            out.extend(False if saw else None for _ms, saw in pend)
+            pend.clear()
+        if s == e:
+            continue
+        sms = ms_arr[s:e].astype(np.int64)
+        sv = raw[s:e]
+        m = e - s
+        nn = sv >= 0
+        istrue = sv == 1
+        cnn = np.concatenate([[0], np.cumsum(nn)])
+        hi = np.searchsorted(sms, sms + W, side="right") - 1
+        tmp = np.where(istrue, np.arange(m), m)
+        nt = np.minimum.accumulate(tmp[::-1])[::-1]
+        last_ms = int(sms[-1])
+        true_dec = nt <= hi
+        popped = last_ms > sms + W
+        saw_arr = (cnn[hi + 1] - cnn[np.arange(m)]) > 0
+        decided = true_dec | popped
+
+        blocked = False
+        while pend:
+            pms, saw = pend[0]
+            hi_p = int(np.searchsorted(sms, pms + W, side="right"))
+            any_true = bool(istrue[:hi_p].any())
+            if any_true:
+                out.append(True)
+                pend.pop(0)
+                continue
+            if last_ms > pms + W:
+                out.append(
+                    False if (saw or cnn[hi_p] > 0) else None
+                )
+                pend.pop(0)
+                continue
+            # unresolved: everything behind it queues too (FIFO)
+            blocked = True
+            break
+        if blocked:
+            ft = 0
+            # frames of surviving prior entries span the whole segment
+            if cnn[m] > 0:
+                for k in range(len(pend)):
+                    pend[k] = (pend[k][0], 1)
+        else:
+            nd = np.flatnonzero(~decided)
+            ft = int(nd[0]) if len(nd) else m
+        for j in range(ft):
+            if true_dec[j]:
+                out.append(True)
+            else:
+                out.append(False if saw_arr[j] else None)
+        tail_saw = (cnn[m] - cnn[ft:m]) > 0
+        pend.extend(
+            (int(sms[j]), int(tail_saw[j - ft])) for j in range(ft, m)
+        )
+    return out
