@@ -653,3 +653,47 @@ def test_jpeg_progressive_noninterleaved_dc_scans():
             encode_jpeg_progressive(img, quality=88, subsampling=sub, scans=scans)
         )
         assert np.array_equal(prog, base), (h, w, sub)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """Review-caught: T.81 B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker code; conformant files using them desynced
+    the marker walk and fell to the stub. Insert fill bytes before the
+    EOI, before a mid-stream SOS (progressive), and before the SOF of
+    a baseline file — the decode must stay bit-identical."""
+    import numpy as np
+
+    from tsp_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth_rgb(24, 32, seed=9)
+
+    for enc in (
+        lambda: encode_jpeg(img, quality=90),
+        lambda: encode_jpeg_progressive(img, quality=90),
+    ):
+        data = enc()
+        ref = decode_jpeg(data)
+
+        # fill byte before EOI
+        assert data.endswith(b"\xff\xd9")
+        v1 = data[:-2] + b"\xff\xff\xd9"
+        assert np.array_equal(decode_jpeg(v1), ref)
+
+        # fill bytes before the LAST SOS in the stream (for the
+        # progressive file that's a mid-stream scan header reached by
+        # _next_marker after entropy data)
+        sos = data.rfind(b"\xff\xda")
+        assert sos > 0
+        v2 = data[:sos] + b"\xff\xff" + data[sos:]
+        assert np.array_equal(decode_jpeg(v2), ref)
+
+        # fill byte before an early header marker (walked by the main
+        # marker loop before any entropy data)
+        sof = max(data.find(b"\xff\xc0"), data.find(b"\xff\xc2"))
+        assert sof > 0
+        v3 = data[:sof] + b"\xff" + data[sof:]
+        assert np.array_equal(decode_jpeg(v3), ref)

@@ -276,3 +276,98 @@ def test_incompatible_checkpoint_state_fails_loudly(spark):
     with pytest.raises(Exception, match="incompatible kernel state"):
         for _ in update((1,), iter([data.iloc[30:]]), st):
             pass
+
+
+def _drive_frames(spark, frames, pattern, force_slow):
+    """Feed explicit micro-batch frames (already per-batch sorted) so
+    cross-batch LATE data can be simulated — _drive always feeds a
+    globally sorted stream."""
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    src = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    s, spec = build_spec(src, pattern, ["user_id"], "ts", ft, GAP_MS)
+    out_cols = [
+        "pattern_id", "subunit", "user_id", "from_ts", "to_ts", "n_rows",
+    ]
+    update = _make_update([spec], ["user_id"], "ts", GAP_MS, out_cols)
+    prepared = s.toPandas()
+    sizes = [len(f) for f in frames]
+    st = FakeGroupState()
+    got = []
+    try:
+        stateful._FORCE_SLOW = force_slow
+        i0 = 0
+        for sz in sizes:
+            batch = prepared.iloc[i0 : i0 + sz].sort_values("ts")
+            i0 += sz
+            for out in update((1,), iter([batch]), st):
+                got.extend(
+                    (r.from_ts, r.to_ts) for r in out.itertuples(index=False)
+                )
+        packed = st._val
+        st.hasTimedOut = True
+        for out in update((1,), iter([]), st):
+            got.extend(
+                (r.from_ts, r.to_ts) for r in out.itertuples(index=False)
+            )
+    finally:
+        stateful._FORCE_SLOW = False
+    return sorted(got), packed
+
+
+def _frame(rows):
+    import datetime as dt
+
+    epoch = dt.datetime(2024, 1, 1)
+    return pd.DataFrame(
+        [
+            (
+                1,
+                epoch + dt.timedelta(milliseconds=ms),
+                v,
+                None if v is None or v != v else int(v),
+                e,
+            )
+            for ms, v, e in rows
+        ],
+        columns=["user_id", "ts", "value", "ivalue", "etype"],
+    )
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    ["lag(value, 5 sec) > 150", "wait(5 sec, value > 150)"],
+)
+def test_late_batch_demotes_pending_programs(spark, pattern):
+    """Review-caught: a micro-batch starting BEFORE the carried pending
+    queue's tail broke the vectorized searchsorted assumptions and
+    silently diverged from the per-row feed (emissions AND checkpoint
+    state). The prechecks now demote that batch to per-row."""
+    b1 = _frame([(8000, 100.0, "hot"), (9000, 160.0, "hot")])
+    b2 = _frame([(4000, 210.0, "hot"), (10000, 210.0, "hot")])
+    fast = _drive_frames(spark, [b1, b2], pattern, force_slow=False)
+    slow = _drive_frames(spark, [b1, b2], pattern, force_slow=True)
+    assert fast == slow
+
+
+def test_reducer_string_arg_drops_not_crashes(spark):
+    """Review-caught: an in-kernel ReducerCall hit float('hot') →
+    ValueError, and under ANSI mode the batch compiler's plain
+    cast('double') threw CAST_INVALID_INPUT. Both now drop non-numeric
+    elements (try_cast semantics); numeric strings still fold in."""
+    from tsp_spark.compile.compiler import compile_pattern
+
+    rows = [(i * 1000, 100.0 + i * 10, "hot" if i % 2 else "cold") for i in range(20)]
+    rows[3] = (3000, 130.0, "250")   # numeric string folds in
+    rows[5] = (5000, None, None)     # NULL string drops
+    pdf = _frame(rows)
+    pat = "countOf(value, etype; _ > 0) >= 1 and avg(value, 10 sec) > 150"
+    fast, _ = _drive(spark, pdf, pat, 7, lambda k: False)
+    slow, _ = _drive(spark, pdf, pat, 7, lambda k: True)
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    res = compile_pattern(
+        spark.createDataFrame(pdf), pat, ["user_id"], "ts", ft, GAP_MS
+    )
+    batch = sorted((r["from_ts"], r["to_ts"]) for r in res.collect())
+    assert fast == slow
+    assert [(f.to_pydatetime(), t.to_pydatetime()) for f, t in fast] == batch
+    assert len(batch) > 0

@@ -333,7 +333,11 @@ class PatternCompiler:
             cur = c.df
             compiled.append(c)
         has_window = any(c.has_window for c in compiled)
-        arr = F.array(*[c.col.cast("double") for c in compiled])
+        # try_cast, not cast: a non-numeric string argument must become
+        # NULL and drop from the fold (ReducePattern drops elements the
+        # decoder can't produce); under ANSI mode (Spark 4 default) a
+        # plain cast would throw CAST_INVALID_INPUT and kill the task.
+        arr = F.array(*[c.col.try_cast("double") for c in compiled])
 
         if node.cond is not None:
             def cond_fn(x: Column) -> Column:

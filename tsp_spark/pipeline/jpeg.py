@@ -210,6 +210,12 @@ class _BitReader:
     def restart(self):
         """Byte-align and consume an RSTn marker."""
         self.buf, self.n = 0, 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):  # fill bytes are legal before RSTn too (T.81 B.1.1.2)
+            self.pos += 1
         if (
             self.pos + 1 < len(self.data)
             and self.data[self.pos] == 0xFF
@@ -250,6 +256,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise UnsupportedJpegError("marker expected")
+        # Any number of 0xFF fill bytes may precede the marker code
+        # (T.81 B.1.1.2) — conformant encoders pad with them.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -613,10 +623,13 @@ def _next_marker(payload, pos):
     """Skip to the next non-RST, non-stuffed marker after entropy
     data (the scan decoder may stop with buffered pad bits)."""
     while pos + 1 < len(payload):
-        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
-            0xD0 <= payload[pos + 1] <= 0xD7
-        ):
-            return pos
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+                pos += 1
+                continue
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
         pos += 1
     return len(payload)
 

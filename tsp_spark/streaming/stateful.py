@@ -656,37 +656,19 @@ def _compile_eval(node):
         arg_fns = [_compile_eval(a) for a in node.args]
         cond_fn = None if node.cond is None else _compile_eval(node.cond)
         name = node.name
-        dbl_max = 1.7976931348623157e308
 
         def f_reduce(row, aggvals):
             vals = []
             for fa in arg_fns:
-                v = fa(row, aggvals)
+                v = _reducer_cast(fa(row, aggvals))
                 if v is None:
                     continue
-                v = float(v)
                 if cond_fn is not None:
                     cv = cond_fn(_URow(row, v), aggvals)
                     if cv is None or not bool(cv):
                         continue
                 vals.append(v)
-            if name == "countof":
-                return len(vals)
-            if name in ("sumof", "avgof"):
-                s = 0.0
-                for v in vals:
-                    s += v
-                if name == "sumof":
-                    return s
-                return s / len(vals) if vals else float("nan")
-            non_nan = [v for v in vals if not math.isnan(v)]
-            if name == "minof":
-                if non_nan:
-                    return min(non_nan)
-                return float("nan") if vals else dbl_max
-            if len(non_nan) != len(vals):
-                return float("nan")  # maxof: NaN is greatest
-            return max(vals) if vals else -dbl_max
+            return _fold_reducer(name, vals)
 
         return f_reduce
     if isinstance(node, A.FunctionCall):
@@ -803,6 +785,51 @@ def _compile_eval(node):
     )
 
 
+def _reducer_cast(v):
+    """One reducer argument → double, batch-compiler style
+    (compiler._compile_reducer wraps every arg in ``.cast("double")``):
+    a non-numeric string — including the "[NULL]" sentinel a NULL
+    string field evaluates to — casts to NULL and is dropped from the
+    fold instead of raising."""
+    if v is None:
+        return None
+    if isinstance(v, str) and "_" in v:
+        return None  # Python float() allows digit separators; SQL doesn't
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _fold_reducer(name, vals):
+    """Fold the filtered element list (ReducePattern semantics, see
+    compiler.rowwise_reduce): typed init values on empty input,
+    NaN-greatest total order for min/max. Shared by the compiled
+    closures (_compile_eval) and the interpreter (_eval_row); the
+    numpy path (vectorized._num) is element-parallel and legitimately
+    separate."""
+    if name == "countof":
+        return len(vals)
+    if name in ("sumof", "avgof"):
+        s = 0.0
+        for v in vals:
+            s += v
+        if name == "sumof":
+            return s
+        return s / len(vals) if vals else float("nan")
+    dbl_max = 1.7976931348623157e308
+    non_nan = [v for v in vals if not math.isnan(v)]
+    if name == "minof":
+        if non_nan:
+            return min(non_nan)
+        return float("nan") if vals else dbl_max
+    if name == "maxof":
+        if len(non_nan) != len(vals):
+            return float("nan")  # NaN is greatest
+        return max(vals) if vals else -dbl_max
+    raise ValueError(f"unknown reducer '{name}'")
+
+
 class _URow:
     """Row view binding the reducer placeholder ``_`` to one element
     value while delegating every other field lookup."""
@@ -868,36 +895,15 @@ def _eval_row(node, row, aggvals):
         # Spark's array_min/array_max NaN-greatest total order.
         vals: list[float] = []
         for a in node.args:
-            v = _eval_row(a, row, aggvals)
+            v = _reducer_cast(_eval_row(a, row, aggvals))
             if v is None:
                 continue
-            v = float(v)
             if node.cond is not None:
                 cv = _eval_row(node.cond, _URow(row, v), aggvals)
                 if cv is None or not bool(cv):
                     continue
             vals.append(v)
-        name = node.name
-        if name == "countof":
-            return len(vals)
-        if name in ("sumof", "avgof"):
-            s = 0.0
-            for v in vals:
-                s += v
-            if name == "sumof":
-                return s
-            return s / len(vals) if vals else float("nan")
-        dbl_max = 1.7976931348623157e308
-        non_nan = [v for v in vals if not math.isnan(v)]
-        if name == "minof":
-            if non_nan:
-                return min(non_nan)
-            return float("nan") if vals else dbl_max
-        if name == "maxof":
-            if len(non_nan) != len(vals):
-                return float("nan")  # NaN is greatest
-            return max(vals) if vals else -dbl_max
-        raise ValueError(f"unknown reducer '{name}'")
+        return _fold_reducer(node.name, vals)
     if isinstance(node, A.FunctionCall):
         name = node.name
         if name == "not":

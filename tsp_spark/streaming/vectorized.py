@@ -750,14 +750,19 @@ def _cv_objects():
 
 
 def lag_pending_precheck(prog, objs, ms_arr, df) -> None:
-    """Dtype screen for lag_pending_batch — pure, runs before any
-    state mutation."""
+    """Dtype/state screen for lag_pending_batch — pure, runs before
+    any state mutation."""
     precheck_expr(prog.node, df)
     st = objs[0]
     if isinstance(st.prev, str) or any(
         isinstance(v, str) for _m, v in st.q
     ):
         raise VecUnsupported("string lag state")
+    # A late micro-batch starting before the carried queue's tail
+    # breaks the sorted-times assumption behind the searchsorted pop
+    # (the per-row feed scans linearly and diverges) — demote.
+    if st.q and len(ms_arr) and st.q[-1][0] > int(ms_arr[0]):
+        raise VecUnsupported("carried state newer than batch head")
 
 
 def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
@@ -922,6 +927,12 @@ def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
 def wait_pending_precheck(prog, objs, ms_arr, df) -> None:
     """Dtype/state screen for wait_pending_batch — pure."""
     inner = prog.inner
+    pend = objs[0]
+    if pend and len(ms_arr) and pend[-1][0] > int(ms_arr[0]):
+        # Late batch behind a carried pending row: the closed-frame
+        # searchsorted assumes arrivals at/after every pending ms —
+        # demote to the per-row reference feed.
+        raise VecUnsupported("carried state newer than batch head")
     if objs[2]:
         # a meta backlog means the inner once decided late (pending
         # inner) — structurally impossible for the shapes this path
