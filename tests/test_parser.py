@@ -168,3 +168,17 @@ def test_error_message_points_at_boolean_operand():
         msg = str(ei.value)
         assert "Expected '('" not in msg
         assert str(end) in msg
+
+
+def test_error_message_prefers_deepest_layer():
+    """Review-caught: always re-raising the boolean-layer error
+    regressed malformed PARENTHESIZED trilean input — '(a andThen )'
+    reported a position inside the valid prefix. The deeper-consuming
+    attempt's diagnostic wins now, fixing both directions."""
+    with pytest.raises(ParseError) as ei:
+        parse_pattern("(value > 1 andThen )", {"value": "float64"})
+    # position 19 = the ')' after 'andThen', not the '>' at 7
+    assert "19" in str(ei.value)
+    with pytest.raises(ParseError) as ei:
+        parse_pattern("value > 1 and", {"value": "float64"})
+    assert "13" in str(ei.value) and "Expected '('" not in str(ei.value)

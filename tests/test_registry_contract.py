@@ -43,6 +43,17 @@ def _sf_dirs():
 import pytest  # noqa: E402
 
 
+def test_sf_dirs_present():
+    """Review-caught: if /root/testdata is absent the parametrize
+    below silently collects ZERO dtype-gate cases and the HUGEINT
+    regression class (which cost rounds 3 AND 4) ships unchecked.
+    Fail loudly instead."""
+    assert _sf_dirs(), (
+        "no /root/testdata/sf*/lineitem.parquet found — the oracle "
+        "dtype gate collected no cases"
+    )
+
+
 @pytest.mark.parametrize("sf_dir", _sf_dirs())
 def test_oracle_dtypes_stay_driver_hashable(sf_dir):
     """Every oracle's DuckDB result must avoid dtypes the driver's hash

@@ -298,6 +298,7 @@ class Parser:
             b = self.boolean_expr()
             return Assert(b)
         except ParseError as inner:
+            boolean_far = self.pos  # how far the boolean layer got
             self.pos = save
             boolean_err = inner
         try:
@@ -305,10 +306,16 @@ class Parser:
             node = self.trilean_expr()
             self.eat_op(")")
             return node
-        except ParseError:
-            # The paren fallback's "Expected '('" is less useful than the
-            # boolean layer's diagnostic (e.g. missing operand after `and`)
-            raise boolean_err
+        except ParseError as perr:
+            # Surface whichever attempt consumed more input — its
+            # diagnostic points nearest the real problem: a dangling
+            # `x and` dies deep in the boolean layer, a malformed
+            # `(a andThen )` dies deep in the paren/trilean layer.
+            paren_far = self.pos
+            self.pos = save
+            if boolean_far >= paren_far:
+                raise boolean_err
+            raise perr
 
     def wait_rule(self) -> Node:
         self.eat_kw("wait")

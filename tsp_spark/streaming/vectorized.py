@@ -426,6 +426,20 @@ def kleene(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- window scans
 
 
+def gap_segments(gaps: np.ndarray, n: int) -> list[tuple[int, int]]:
+    """Split [0, n) at gap rows. A gap at row j splits BEFORE j —
+    every segment after the first is preceded by a split, and a gap
+    on row 0 yields an EMPTY first segment so the split still lands
+    before row 0 (the per-row feed's exact behavior)."""
+    segments = []
+    s0 = 0
+    for c in np.flatnonzero(gaps).tolist():
+        segments.append((s0, c))
+        s0 = c
+    segments.append((s0, n))
+    return segments
+
+
 def last_gap_rows(gaps: np.ndarray) -> np.ndarray:
     """Per row: index of its most recent gap row (itself included),
     -1 when the batch holds no gap at or before it. Entries
@@ -796,16 +810,7 @@ def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
     CV = _cv_objects()
     out: list = []
 
-    cuts = np.flatnonzero(gaps).tolist()
-    segments = []
-    s0 = 0
-    for c in cuts:
-        segments.append((s0, c))
-        s0 = c
-    segments.append((s0, n))
-    # split handling: a gap at row j splits BEFORE j — every segment
-    # after the first is preceded by a split (a gap on row 0 yields an
-    # empty first segment, so the split still lands before row 0)
+    segments = gap_segments(gaps, n)
     for si, (s, e) in enumerate(segments):
         if si > 0:
             out.extend(tbl[0] for _und, tbl in pending)
@@ -976,14 +981,7 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
     raw = tri_raw(tri)
     out: list = []
 
-    cuts = np.flatnonzero(gaps).tolist()
-    segments = []
-    s0 = 0
-    for c in cuts:
-        segments.append((s0, c))
-        s0 = c
-    segments.append((s0, n))
-    for si, (s, e) in enumerate(segments):
+    for si, (s, e) in enumerate(gap_segments(gaps, n)):
         if si > 0:
             out.extend(False if saw else None for _ms, saw in pend)
             pend.clear()
