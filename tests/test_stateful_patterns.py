@@ -112,14 +112,13 @@ def test_stateful_pattern_routing(spark, events_small, tmp_path):
         {**ft, "event_type": "string"},
     )
     assert out.isStreaming
-    # the one remaining carry-buffer route: a pending lag nested INSIDE
-    # another lag's lookback (the outer queue's stored values — and so
-    # bridge equality — would be hypothesis-dependent)
-    with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_pattern(
-            stream, "lag(lag(value, 5 sec), 10 sec) > 150",
-            ["user_id"], "ts", ft,
-        )
+    # a pending lag nested inside another lag's lookback runs in-kernel
+    # too (r6c, speculative branch forking) — the kernel is total over
+    # the pattern grammar
+    out = stateful_pattern(
+        stream, "lag(lag(value, 5 sec), 10 sec) > 150", ["user_id"], "ts", ft
+    )
+    assert out.isStreaming
 
 
 def test_stateful_incidents_union(spark, events_small, tmp_path):
@@ -174,13 +173,13 @@ def test_stateful_incidents_union(spark, events_small, tmp_path):
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
     assert stateful_incidents(stream, job_lagagg).isStreaming
-    # a pending lag nested inside another lag's lookback stays carry-buffer
-    job_bad = StreamingPatternJob(
+    # a pending lag nested inside another lag's lookback runs in-kernel
+    # too (r6c, speculative branch forking)
+    job_nested = StreamingPatternJob(
         patterns=[RawPattern(1, "lag(lag(value, 5 sec), 10 sec) > 150")],
         keys=["user_id"], ts="ts", fields_types={"value": "float64"},
     )
-    with pytest.raises(ValueError, match="carry-buffer"):
-        stateful_incidents(stream, job_bad)
+    assert stateful_incidents(stream, job_nested).isStreaming
 
 
 @pytest.mark.slow

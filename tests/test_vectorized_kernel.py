@@ -371,3 +371,74 @@ def test_reducer_string_arg_drops_not_crashes(spark):
     assert fast == slow
     assert [(f.to_pydatetime(), t.to_pydatetime()) for f, t in fast] == batch
     assert len(batch) > 0
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "lag(lag(value, 5 sec), 10 sec) > 150",
+        "lag(lag(value, 5 sec)) > 150",
+        "lag(lag(lag(value, 2 sec), 3 sec), 5 sec) > 150",
+        "lag(lag(etype, 5 sec), 5 sec) = 'hot'",
+        "avg(lag(lag(value, 5 sec), 5 sec), 10 sec) > 150",
+        "lag(lag(value, 5 sec), 5 sec) > 150 for 20 sec >= 3 times",
+        "value > 150 andThen lag(lag(value, 5 sec), 5 sec) > 150",
+        "lag(lag(value, 5 sec), 5 sec) > 150 until value > 205",
+        "wait(10 sec, lag(lag(value, 5 sec), 5 sec) > 150)",
+    ],
+)
+def test_nested_lag_forking_matches_batch(spark, pattern):
+    """r6c: a pending lag nested inside another lag's lookback — the
+    kernel's last declared boundary — runs incrementally via
+    speculative branch forking (_WindowedCondProgram._fork_terms):
+    while the inner bridge is undecided the program state forks per
+    hypothesis, rows feed every branch, only the branch-agreed prefix
+    emits, and the inner's next emission joins. Must equal the batch
+    compiler across chunked micro-batches (state pack/unpack between
+    chunks exercises the branch codec)."""
+    from tsp_spark.compile.compiler import compile_pattern
+
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    for seed in (7, 31):
+        pdf = _gen(seed=seed, n=350)
+        src = spark.createDataFrame(pdf)
+        batch = sorted(
+            (r["from_ts"], r["to_ts"])
+            for r in compile_pattern(
+                src, pattern, ["user_id"], "ts", ft, GAP_MS
+            ).collect()
+        )
+        got, _ = _drive(spark, pdf, pattern, 53, lambda k: True)
+        got = [(f.to_pydatetime(), t.to_pydatetime()) for f, t in got]
+        assert got == batch, f"seed={seed}"
+
+
+def test_andthen_absent_run_end_index(spark):
+    """r6c review of the nested-lag work surfaced a PRE-EXISTING chain
+    bug: _AndThenSM closed a side's run with end index ``idx-1`` even
+    when the trailing rows were ABSENT for that side, so the run
+    claimed indices it never covered and stole matches that belonged
+    to a later run (seed 31: an inverted from>to incident plus a
+    missing one). Runs now close at the side's last VISIBLE index."""
+    from tsp_spark.compile.compiler import compile_pattern
+
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    for pat in [
+        "value > 150 andThen lag(value, 5 sec) > 150",
+        "lag(value, 5 sec) > 150 andThen value > 205",
+        "value < 100 andThen lag(value, 3 sec) > 150 andThen value > 205",
+    ]:
+        for seed in (31, 11, 23):
+            pdf = _gen(seed=seed, n=350)
+            src = spark.createDataFrame(pdf)
+            batch = sorted(
+                (r["from_ts"], r["to_ts"])
+                for r in compile_pattern(
+                    src, pat, ["user_id"], "ts", ft, GAP_MS
+                ).collect()
+            )
+            got, _ = _drive(spark, pdf, pat, 53, lambda k: True)
+            got = [(f.to_pydatetime(), t.to_pydatetime()) for f, t in got]
+            assert got == batch, f"{pat} seed={seed}"
+            for f, t in got:
+                assert f <= t

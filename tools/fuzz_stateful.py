@@ -68,6 +68,13 @@ def gen_pattern(rng: random.Random) -> str:
                 f"maxOf(value, lag(value, 5 sec)) > {thr}",
                 f"countOf(value, lag(value); _ > {thr}) >= 2",
                 f"avgOf(value, lag(value, 3 sec), avg(value, 5 sec)) > {thr}",
+                # r6c totality: pending lag inside another lag's
+                # lookback (speculative branch forking)
+                f"lag(lag(value, {rng.choice([3, 5])} sec), "
+                f"{rng.choice([5, 10])} sec) > {thr}",
+                f"lag(lag(value, 5 sec)) > {thr}",
+                f"avg(lag(lag(value, 3 sec), 3 sec), 10 sec) > {thr}",
+                f"lag(lag(event_type, 5 sec), 5 sec) = 'hot'",
             ]
         )
 

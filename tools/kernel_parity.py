@@ -166,6 +166,21 @@ PINNED = [
     # r6c: top-level wait — the bulk vectorized leading-frame path
     "wait(5 sec, value > 150)",
     "wait(10 sec, value > 205) for 10 sec",
+    # r6c: pending lag nested inside another lag's lookback — the LAST
+    # declared boundary, closed via speculative branch forking
+    "lag(lag(value, 5 sec), 10 sec) > 150",
+    "lag(lag(value, 5 sec)) > 150",
+    "lag(lag(value, 5 sec), 5 sec) > lag(value, 5 sec)",
+    "lag(lag(lag(value, 2 sec), 3 sec), 5 sec) > 150",
+    "lag(lag(event_type, 5 sec), 5 sec) = 'hot'",
+    "avg(lag(lag(value, 5 sec), 5 sec), 10 sec) > 150",
+    "lag(lag(value, 5 sec), 5 sec) > 150 for 10 sec",
+    "lag(lag(value, 5 sec), 5 sec) > 150 for 20 sec >= 2 times",
+    "value > 150 andThen lag(lag(value, 5 sec), 5 sec) > 150",
+    "lag(lag(value, 5 sec), 5 sec) > 150 until value > 205",
+    "wait(10 sec, lag(lag(value, 5 sec), 5 sec) > 150)",
+    "lag(avg(lag(value, 3 sec), 5 sec), 5 sec) > 150",
+    "min(lag(lag(value, 4 sec), 4 sec), 10 sec) > 120 and lag(value, 4 sec) > 100",
 ]
 
 

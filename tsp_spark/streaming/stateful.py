@@ -43,6 +43,7 @@ beyond open windows is ever retained.
 
 from __future__ import annotations
 
+import copy
 import math
 import struct as _struct
 from collections.abc import Iterator, Sequence
@@ -68,7 +69,7 @@ _FORCE_SLOW = False
 # restart from an incompatible checkpoint fails loudly in
 # _unpack_state instead of misdecoding. v2 = r6 (ABSENT_TRUE/FALSE
 # cond codes + sliding-agg entry dep tables).
-_STATE_VERSION = 0x7453_0002
+_STATE_VERSION = 0x7453_0003  # r6c: _AndThenSM last-visible idx; fork branches
 
 
 # Sentinel: the pattern emitted NO value at this row (lag present mask
@@ -275,54 +276,62 @@ class _AndThenSM:
     _islandize drops a side's present-masked rows before islandization
     while the shared raw index still counts every row): the side's open
     run neither closes nor extends, and closures use the side's own
-    last-VISIBLE-row timestamp rather than the global previous row.
+    last-VISIBLE-row timestamp AND index rather than the global
+    previous row (r6c: the index half — ``lvi`` — was missing, so a
+    run closing after a tail of absent rows claimed indices it never
+    covered and stole matches that belonged to a later run; caught by
+    nested-lag chain parity, seed 31).
 
-    State layout: [next_idx, open0_si, open0_from, last0,
+    State layout: [next_idx, open0_si, open0_from, last0, lvi0,
                    per stage j=1..n−1: (open_si, open_from, last_j,
-                   n_l, n_r, l 4-tuples…, r 5-tuples…)]
+                   lvi_j, n_l, n_r, l 4-tuples…, r 5-tuples…)]
     """
 
     def __init__(self, n_conds: int = 2):
         self.n_conds = n_conds
 
     def init(self) -> list[int]:
-        out = [1, _NONE, _NONE, _NONE]
+        out = [1, _NONE, _NONE, _NONE, _NONE]
         for _ in range(self.n_conds - 1):
-            out.extend((_NONE, _NONE, _NONE, 0, 0))
+            out.extend((_NONE, _NONE, _NONE, _NONE, 0, 0))
         return out
 
     def _unpack(self, st):
         next_idx = st[0]
         open0 = (st[1], st[2]) if st[1] != _NONE else None
         last0 = _dec(st[3])
-        pos = 4
+        lvi0 = st[4]
+        pos = 5
         stages = []
         for _ in range(self.n_conds - 1):
             op = (st[pos], st[pos + 1]) if st[pos] != _NONE else None
             lastj = _dec(st[pos + 2])
-            n_l, n_r = st[pos + 3], st[pos + 4]
-            pos += 5
+            lvij = st[pos + 3]
+            n_l, n_r = st[pos + 4], st[pos + 5]
+            pos += 6
             pend_l = [tuple(st[pos + 4 * i : pos + 4 * i + 4]) for i in range(n_l)]
             pos += 4 * n_l
             pend_r = [tuple(st[pos + 5 * i : pos + 5 * i + 5]) for i in range(n_r)]
             pos += 5 * n_r
-            stages.append([op, lastj, pend_l, pend_r])
-        return next_idx, open0, last0, stages
+            stages.append([op, lastj, lvij, pend_l, pend_r])
+        return next_idx, open0, last0, lvi0, stages
 
     @staticmethod
-    def _pack(next_idx, open0, last0, stages):
+    def _pack(next_idx, open0, last0, lvi0, stages):
         st = [
             next_idx,
             open0[0] if open0 else _NONE,
             open0[1] if open0 else _NONE,
             _enc(last0),
+            lvi0,
         ]
-        for op, lastj, pend_l, pend_r in stages:
+        for op, lastj, lvij, pend_l, pend_r in stages:
             st.extend(
                 (
                     op[0] if op else _NONE,
                     op[1] if op else _NONE,
                     _enc(lastj),
+                    lvij,
                     len(pend_l),
                     len(pend_r),
                 )
@@ -349,33 +358,36 @@ class _AndThenSM:
             # else: earliest satisfying run already consumed → left dead
         return out_l
 
-    def _cascade(self, next_idx, open0, last0, stages, idx, ms, conds):
-        """One row through every stage; returns (open0, last0, matches).
-        A side's ABSENT cond skips that side entirely (invisible row)."""
+    def _cascade(self, next_idx, open0, last0, lvi0, stages, idx, ms, conds):
+        """One row through every stage; returns (open0, last0, lvi0,
+        matches). A side's ABSENT cond skips that side entirely
+        (invisible row): no close, no extend, no lvi/last update."""
         fwd: list[tuple] = []
         c0 = conds[0]
         if c0 != ABSENT:
             if open0 and not c0:
-                fwd.append((open0[0], idx - 1, open0[1], last0))
+                fwd.append((open0[0], lvi0, open0[1], last0))
                 open0 = None
             if c0 and not open0:
                 open0 = (idx, ms)
             last0 = ms
+            lvi0 = idx
         # floor of any FUTURE left interval si arriving at stage j+1:
         # stage 0's open run (else the next unseen index), then the min
         # over earlier stages' still-pending lefts (their matches keep
         # the left si)
         fl = open0[0] if open0 else next_idx
         for j, stage in enumerate(stages):
-            op, lastj, pend_l, pend_r = stage
+            op, lastj, lvij, pend_l, pend_r = stage
             cj = conds[j + 1]
             if cj != ABSENT:
                 if op and not cj:
-                    pend_r.append((op[0], idx - 1, op[1], lastj, 0))
+                    pend_r.append((op[0], lvij, op[1], lastj, 0))
                     op = None
                 if cj and not op:
                     op = (idx, ms)
                 lastj = ms
+                lvij = idx
             pend_l.extend(fwd)
             fwd = []
             pend_l = self._match(pend_l, pend_r, fwd)
@@ -386,33 +398,35 @@ class _AndThenSM:
             pend_l = [a for a in pend_l if a[1] + 1 >= r_floor]
             pend_r[:] = [b for b in pend_r if b[1] >= fl]
             fl = min([a[0] for a in pend_l] + [fl])
-            stage[0], stage[1], stage[2] = op, lastj, pend_l
-        return open0, last0, fwd
+            stage[0], stage[1], stage[2], stage[3] = op, lastj, lvij, pend_l
+        return open0, last0, lvi0, fwd
 
     def step(self, st, ms, conds, gap_split, last):
-        next_idx, open0, last0, stages = self._unpack(st)
+        next_idx, open0, last0, lvi0, stages = self._unpack(st)
         matched: list[tuple] = []
         if gap_split:
             # close every open run at the split and match one last time
-            _, _, final = self._cascade(
-                next_idx, open0, last0, stages, next_idx, ms,
+            _, _, _, final = self._cascade(
+                next_idx, open0, last0, lvi0, stages, next_idx, ms,
                 [False] * self.n_conds,
             )
             matched.extend((f, t_, None) for _si, _ei, f, t_ in final)
-            next_idx, open0, last0 = 1, None, None
-            stages = [[None, None, [], []] for _ in range(self.n_conds - 1)]
+            next_idx, open0, last0, lvi0 = 1, None, None, _NONE
+            stages = [
+                [None, None, _NONE, [], []] for _ in range(self.n_conds - 1)
+            ]
         idx = next_idx
         next_idx += 1
-        open0, last0, final = self._cascade(
-            next_idx, open0, last0, stages, idx, ms, conds
+        open0, last0, lvi0, final = self._cascade(
+            next_idx, open0, last0, lvi0, stages, idx, ms, conds
         )
         matched.extend((f, t_, None) for _si, _ei, f, t_ in final)
-        return self._pack(next_idx, open0, last0, stages), matched
+        return self._pack(next_idx, open0, last0, lvi0, stages), matched
 
     def flush(self, st, last):
-        next_idx, open0, last0, stages = self._unpack(st)
-        _, _, final = self._cascade(
-            next_idx, open0, last0, stages, next_idx, ms=0,
+        next_idx, open0, last0, lvi0, stages = self._unpack(st)
+        _, _, _, final = self._cascade(
+            next_idx, open0, last0, lvi0, stages, next_idx, ms=0,
             conds=[False] * self.n_conds,
         )
         return [(f, t_, None) for _si, _ei, f, t_ in final]
@@ -1121,6 +1135,22 @@ class _LagTState:
         return obj, pos
 
 
+class _Branch:
+    """One speculative universe of a forked _WindowedCondProgram:
+    ``assign`` fixes a bridge hypothesis (True = bridges with its
+    candidate, False = resolves absent) for each OPEN nested-lag span;
+    ``objs`` is this universe's full term-state + pending list;
+    ``buf`` holds its decided condition values not yet agreed across
+    all live branches (and therefore not yet emitted)."""
+
+    __slots__ = ("assign", "objs", "buf")
+
+    def __init__(self, assign: dict, objs: list, buf: list):
+        self.assign = assign
+        self.objs = objs
+        self.buf = buf
+
+
 class _WindowedCondProgram:
     """Boolean condition containing windowed aggregate and/or lag terms,
     evaluated incrementally per event (GroupPattern.scala:56-93
@@ -1171,18 +1201,35 @@ class _WindowedCondProgram:
             inner_lags = [
                 ia for ia in _collect_aggs(a.inner) if ia.kind == _LAG_KIND
             ]
-            if a.kind == _LAG_KIND and any(
-                ia.window_ms > 0 for ia in inner_lags
-            ):
-                # a pending lag INSIDE another lag's lookback would make
-                # the outer queue's stored values hypothesis-dependent —
-                # emission values (and so bridge equality) undecidable
-                raise ValueError(
-                    "lag nested inside another lag's lookback is not "
-                    "supported by the incremental kernel — use the "
-                    "carry-buffer streaming mode (streaming/job.py)"
-                )
             self._deps.append(tuple(idx_of[id(ia)] for ia in inner_lags))
+        # FORK TERMS (r6c — the last grammar boundary closed): a pending
+        # lag nested inside ANOTHER lag's lookback makes the outer
+        # queue's stored values hypothesis-dependent, which per-row
+        # truth tables can't express (the hypothesis leaks into STATE
+        # EVOLUTION, not just row outcomes). Those inner terms run
+        # SPECULATIVELY instead: while such a term's bridge is
+        # undecided, the program state forks into one branch per
+        # hypothesis (bridge / absent), rows feed every branch, only
+        # the branch-agreed prefix of decided values emits, and the
+        # term's next emission (or series split / timeout, both
+        # resolving absent) picks the surviving branch. Matches the
+        # reference's compositional PreviousValue-over-PreviousValue
+        # (ASTPatternGenerator.scala builds the chain; each inner
+        # pattern's delayed IdxValue emission is exactly the branch
+        # join). Fork width ≤ 2^(#nested pending lags), live only
+        # while a bridge span is open.
+        self._fork_terms: tuple[int, ...] = tuple(
+            sorted(
+                {
+                    idx_of[id(ia)]
+                    for a in self.aggs
+                    if a.kind == _LAG_KIND
+                    for ia in _collect_aggs(a.inner)
+                    if ia.kind == _LAG_KIND and ia.window_ms > 0
+                }
+            )
+        )
+        self.has_fork = bool(self._fork_terms)
         self.can_pend = any(
             a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
         )
@@ -1246,7 +1293,7 @@ class _WindowedCondProgram:
         return _Lag1State() if a.window_ms == 0 else _LagTState()
 
     # -- state ------------------------------------------------------------
-    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+    def _u_load(self, st: list[int], pos: int) -> tuple[list, int]:
         objs = []
         for a in self.aggs:
             cls = type(self._mk_state(a))
@@ -1265,11 +1312,11 @@ class _WindowedCondProgram:
         objs.append(pending)
         return objs, pos
 
-    def init(self) -> list:
+    def _u_init(self) -> list:
         return [self._mk_state(a) for a in self.aggs] + [[]]
 
     @staticmethod
-    def dump(objs: list) -> list[int]:
+    def _u_dump(objs: list) -> list[int]:
         out: list[int] = []
         for o in objs[:-1]:
             out.extend(o.encode())
@@ -1281,6 +1328,50 @@ class _WindowedCondProgram:
             out.extend(_cv_enc(v) for v in table)
         return out
 
+    # fork-capable programs wrap the universe state in a branch list
+    # (objs == [[_Branch, …]]); everything else keeps the flat layout
+    # byte-identical to r6b (no checkpoint migration: the fork shape
+    # previously couldn't build a kernel spec at all)
+    def load(self, st: list[int], pos: int) -> tuple[list, int]:
+        if not self.has_fork:
+            return self._u_load(st, pos)
+        nb = st[pos]
+        pos += 1
+        branches = []
+        for _ in range(nb):
+            na = st[pos]
+            pos += 1
+            assign = {}
+            for _ in range(na):
+                assign[st[pos]] = bool(st[pos + 1])
+                pos += 2
+            nbuf = st[pos]
+            pos += 1
+            buf = [_cv_dec(x) for x in st[pos : pos + nbuf]]
+            pos += nbuf
+            uobjs, pos = self._u_load(st, pos)
+            branches.append(_Branch(assign, uobjs, buf))
+        return [branches], pos
+
+    def init(self) -> list:
+        if not self.has_fork:
+            return self._u_init()
+        return [[_Branch({}, self._u_init(), [])]]
+
+    def dump(self, objs: list) -> list[int]:
+        if not self.has_fork:
+            return self._u_dump(objs)
+        branches = objs[0]
+        out = [len(branches)]
+        for br in branches:
+            out.append(len(br.assign))
+            for j, b in sorted(br.assign.items()):
+                out.extend((j, int(b)))
+            out.append(len(br.buf))
+            out.extend(_cv_enc(v) for v in br.buf)
+            out.extend(self._u_dump(br.objs))
+        return out
+
     # -- evaluation -------------------------------------------------------
     @staticmethod
     def _resolve(pending: list, ti: int, bridge: bool) -> None:
@@ -1290,13 +1381,63 @@ class _WindowedCondProgram:
             if ti in und:
                 entry[1] = _slice_table(und, table, ti, int(bridge))
 
-    def split(self, objs: list) -> list:
+    def _u_split(self, objs: list) -> list:
         """Series split: unresolved bridges get the batch's null next_v
         (windows are series-scoped) → absent; term state resets."""
-        out = self.drain(objs)
+        out = self._u_drain(objs)
         for o in objs[:-1]:
             o.reset()
         return out
+
+    def split(self, objs: list) -> list:
+        if not self.has_fork:
+            return self._u_split(objs)
+        out = self._join_all_false(objs)
+        out.extend(self._u_split(objs[0][0].objs))
+        return out
+
+    def _join_all_false(self, objs: list) -> list:
+        """Every open span ends with NO next emission (series split /
+        timeout): each speculated bridge resolves absent (bit False).
+        The all-False branch survives — it exists by construction:
+        forks always split a branch into BOTH values of a bit, and a
+        real resolution kills exactly the mismatching half. Returns
+        the survivor's now-agreed buffer."""
+        branches = objs[0]
+        br = next(b for b in branches if not any(b.assign.values()))
+        br.assign.clear()
+        objs[0] = [br]
+        out = br.buf
+        br.buf = []
+        return out
+
+    def _flush_agreed(self, branches: list) -> list:
+        """Emit the prefix of decided values every live branch agrees
+        on (decided values are strictly row-ordered in each branch, so
+        position k is the same row in all of them)."""
+        if len(branches) == 1:
+            out = branches[0].buf
+            branches[0].buf = []
+            return out
+        n = min(len(b.buf) for b in branches)
+        k = 0
+        while k < n:
+            c0 = _cv_enc(branches[0].buf[k])
+            if any(_cv_enc(b.buf[k]) != c0 for b in branches[1:]):
+                break
+            k += 1
+        out = branches[0].buf[:k]
+        for b in branches:
+            del b.buf[:k]
+        return out
+
+    def _lag_pend_trigger(self, o, ms: int, a) -> bool:
+        """Pre-row prediction of the lag term's 'u' (undecided-bridge)
+        status: the row will neither pop an emission nor be absent.
+        Exact — emission depends only on the pre-row queue and ``ms``,
+        and prev/has_prev change only at emissions."""
+        will_emit = bool(o.q) and o.q[0][0] <= ms - a.window_ms
+        return (not will_emit) and o.has_prev and not _is_nan(o.prev)
 
     def _av_for(
         self, mask: int, sub: list[int], terms: tuple[int, ...],
@@ -1331,11 +1472,66 @@ class _WindowedCondProgram:
         return av
 
     def feed(self, objs: list, ms: int, row, gap_split: bool) -> list:
+        if not self.has_fork:
+            return self._feed_one(objs, ms, row, gap_split, None, None)
+        out: list = []
+        if gap_split:
+            # open spans end at the split with no next emission →
+            # every speculated bridge resolves absent; single branch
+            out.extend(self._join_all_false(objs))
+        else:
+            # pre-row trigger: a fork term about to go undecided in a
+            # branch splits that branch into both hypotheses BEFORE
+            # the row touches state
+            branches = []
+            for br in objs[0]:
+                bits = [
+                    j
+                    for j in self._fork_terms
+                    if j not in br.assign
+                    and self._lag_pend_trigger(br.objs[j], ms, self.aggs[j])
+                ]
+                if not bits:
+                    branches.append(br)
+                    continue
+                for mask in range(1 << len(bits)):
+                    assign = dict(br.assign)
+                    for b, j in enumerate(bits):
+                        assign[j] = bool((mask >> b) & 1)
+                    branches.append(
+                        _Branch(assign, copy.deepcopy(br.objs), list(br.buf))
+                    )
+            objs[0] = branches
+        live = []
+        for br in objs[0]:
+            res: list = []
+            br.buf.extend(
+                self._feed_one(br.objs, ms, row, gap_split, br.assign, res)
+            )
+            ok = True
+            for j, bridge in res:
+                if j in br.assign:
+                    # the span's REAL next emission arrived: the branch
+                    # whose hypothesis matches the bridge outcome
+                    # survives, its sibling dies
+                    if br.assign[j] != bridge:
+                        ok = False
+                        break
+                    del br.assign[j]
+            if ok:
+                live.append(br)
+        objs[0] = live
+        out.extend(self._flush_agreed(live))
+        return out
+
+    def _feed_one(
+        self, objs: list, ms: int, row, gap_split: bool, assign, resolutions
+    ) -> list:
         out: list = []
         pending = objs[-1]
         node_fn, inner_fns = self._fns()
         if gap_split:
-            out.extend(self.split(objs))
+            out.extend(self._u_split(objs))
         # per-term row status, built in reversed pre-order (deps first):
         # lag j → ('v', value) emitted/previous, ('a',) decided absent,
         # ('u',) pending on its bridge; agg i → valtabs[i] = (Ui, table)
@@ -1373,6 +1569,8 @@ class _WindowedCondProgram:
                         and not _is_nan(o.prev)
                         and o.prev == emit_val
                     )
+                    if resolutions is not None and assign and i in assign:
+                        resolutions.append((i, bool(bridge)))
                     self._resolve(pending, i, bridge)
                     # aggregates over this lag collapse their awaiting
                     # window entries the same way (processed AFTER the
@@ -1385,7 +1583,15 @@ class _WindowedCondProgram:
                     status[i] = ("v", emit_val)
                 elif not o.has_prev or _is_nan(o.prev):
                     status[i] = ("a",)  # no bridge candidate possible
+                elif assign and i in assign:
+                    # speculative universe: this term's bridge is the
+                    # branch's fixed hypothesis, not a table bit
+                    status[i] = ("v", o.prev) if assign[i] else ("a",)
                 else:
+                    if i in self._fork_terms:
+                        raise AssertionError(
+                            "fork term fed without a branch assignment"
+                        )
                     status[i] = ("u",)
                     undecided.append(i)
                 if iv is not None:
@@ -1456,12 +1662,20 @@ class _WindowedCondProgram:
             out.append(pending.pop(0)[1][0])
         return out
 
-    def drain(self, objs: list) -> list:
+    @staticmethod
+    def _u_drain(objs: list) -> list:
         """Resolve every pending row with no future emission (series end
         / timeout): all undecided terms collapse to absent — mask 0."""
         pending = objs[-1]
         out = [table[0] for _, table in pending]
         pending.clear()
+        return out
+
+    def drain(self, objs: list) -> list:
+        if not self.has_fork:
+            return self._u_drain(objs)
+        out = self._join_all_false(objs)
+        out.extend(self._u_drain(objs[0][0].objs))
         return out
 
     # -- vectorized micro-batch path (streaming/vectorized.py) ------------
@@ -2036,9 +2250,9 @@ class _SeqBoolProgram:
 
     def _resolve(self, sm_st, pending, intervals) -> list:
         out = []
-        _ni, open0, _l0, stages = self.sm._unpack(sm_st)
+        _ni, open0, _l0, _lvi0, stages = self.sm._unpack(sm_st)
         cands = [open0[1]] if open0 else []
-        for _op, _lastj, pend_l, _pend_r in stages:
+        for _op, _lastj, _lvij, pend_l, _pend_r in stages:
             cands.extend(a[2] for a in pend_l)
         ffm = min(cands) if cands else None  # None: no future start ≤ seen rows
         while pending:
@@ -2310,13 +2524,16 @@ def _andthen_vec(sm, st, ms, conds_cols, gaps):
         st, items = sm.step(st, int(ms[s]), conds, False, None)
         closed.extend(items)
         if e - s > 1:
-            next_idx, open0, last0, stages = sm._unpack(st)
+            next_idx, open0, last0, lvi0, stages = sm._unpack(st)
             next_idx += e - s - 1
             last_ms = int(ms[e - 1])
-            last0 = last_ms
+            # every vectorized-path row is visible (absent-capable
+            # chains are routed per-row), so the last visible index
+            # advances with the raw index
+            last0, lvi0 = last_ms, next_idx - 1
             for stg in stages:
-                stg[1] = last_ms
-            st = sm._pack(next_idx, open0, last0, stages)
+                stg[1], stg[2] = last_ms, next_idx - 1
+            st = sm._pack(next_idx, open0, last0, lvi0, stages)
     return st, closed
 
 
@@ -2838,10 +3055,14 @@ def build_spec(
     ASTPatternGenerator.scala:128-154) resolves incrementally via
     per-entry bridge depmasks (r6 — see _SlidingAggState.resolve).
     Row-wise reducers (``sumOf…avgOf`` with `_`-constraints) evaluate
-    in-kernel anywhere an expression can appear (r6). Raises
-    ValueError only for the one shape that genuinely needs the
-    carry-buffer mode (streaming/job.py): a pending lag nested inside
-    another lag's lookback."""
+    in-kernel anywhere an expression can appear (r6). A pending lag
+    nested inside ANOTHER lag's lookback — the last declared boundary
+    — runs incrementally too (r6c): the program state forks into
+    speculative bridge/absent branches while the inner span is open
+    and joins at its next emission (see _WindowedCondProgram._fork_terms).
+    The kernel is TOTAL over the pattern grammar; the carry-buffer
+    mode (streaming/job.py) remains only as a user-selectable
+    fallback."""
     from tsp_spark.compile.compiler import PatternCompiler
     from tsp_spark.dsl import ast as A
     from tsp_spark.dsl.parser import parse_pattern
