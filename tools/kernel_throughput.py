@@ -38,6 +38,8 @@ PATTERNS = [
     ("lag1_in_avg", "avg(lag(value), 10 sec) > 150"),
     ("lag_bridge", "lag(value, 5 sec) > 150"),  # pending: bulk vectorized r6c
     ("wait_leading", "wait(5 sec, value > 150)"),  # pending: bulk vectorized r6c
+    # r6c: nested pending lag — speculative branch forking, per-row only
+    ("lag_fork", "lag(lag(value, 5 sec), 10 sec) > 150"),
 ]
 
 

@@ -155,12 +155,13 @@ def stateful_incidents(stream: DataFrame, job: StreamingPatternJob) -> DataFrame
     stateful_multi) — Spark allows a single stateful operator per
     streaming query, and the reference's topology is the same: one
     keyed stream fanned into N per-key state machines. N patterns cost
-    one shuffle and one state store. The kernel is total over the
+    one shuffle and one state store. The kernel is TOTAL over the
     pattern grammar (windowed sub-expressions, lag — including lag
-    nested inside windowed aggregates — wait, nested andThen all run
-    as in-kernel condition programs); only a pending lag nested inside
-    another lag's lookback raises ValueError toward the carry-buffer
-    mode (``incidents_stream``).
+    nested inside windowed aggregates AND inside another lag's
+    lookback, the latter via speculative branch forking (r6c) — wait,
+    nested andThen all run as in-kernel condition programs); the
+    carry-buffer mode (``incidents_stream``) remains only as a
+    user-selectable fallback.
 
     Scale contrast with the carry mode: no driver-coordinated per-batch
     loop, no history re-evaluation — state is O(open runs) per key.

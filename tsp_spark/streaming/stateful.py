@@ -1543,8 +1543,10 @@ class _WindowedCondProgram:
         for i in self._order:
             a, o = self.aggs[i], objs[i]
             if a.kind == _LAG_KIND:
-                # the lag's own inner is fully decided (pending lags
-                # inside a lag's lookback are rejected at build time)
+                # the lag's own inner is fully decided here: any fork
+                # term among its deps carries a concrete 'v'/'a' status
+                # via the branch assignment (the AssertionError below
+                # guards the invariant), so mask 0 / empty sub is exact
                 iv = inner_fns[i](
                     row,
                     self._av_for(0, [], self._sub[i], status, valtabs, objs),
