@@ -46,6 +46,19 @@ PATTERNS = [
     # absent (not flip to true) where the lag emitted nothing
     "not (lag(v, 10 sec) > v)",
     "lag(v, 20 sec) > 50 or w > 90",
+    # r6c: pending lag nested inside another lag's lookback — the
+    # reference composes PreviousValue over PreviousValue
+    # (ASTPatternGenerator builds the chain recursively); the batch
+    # compiler (and so the speculative-fork kernel, parity-pinned to
+    # it) must agree with the ported state machine
+    "lag(lag(v, 5 sec), 10 sec) > v",
+    "lag(lag(v, 5 sec)) > 50",
+    "lag(lag(v), 5 sec) > 50",
+    # r6c oracle-arbitrated semantics the triple-lag shape caught:
+    # stream-membership skipping, `.equals` NaN bridging, and the
+    # present-mask gate on an outer lag's frame source
+    "lag(lag(lag(v, 2 sec), 3 sec), 5 sec) > 50",
+    "lag(lag(v, 5 sec), 5 sec) > lag(v, 5 sec)",
     "not (v > 50)",
     "v > 40 xor w > 60",
     "v / w > 1.2",

@@ -181,6 +181,13 @@ PINNED = [
     "wait(10 sec, lag(lag(value, 5 sec), 5 sec) > 150)",
     "lag(avg(lag(value, 3 sec), 5 sec), 5 sec) > 150",
     "min(lag(lag(value, 4 sec), 4 sec), 10 sec) > 120 and lag(value, 4 sec) > 100",
+    # r6c: the five shapes the randomized sweep caught during the
+    # stream-membership / NaN-bridge / lag1-last_emit work
+    "wait(5 sec, lag(lag(value, 5 sec)) > 180) for 5 sec",
+    "lag(lag(event_type, 5 sec), 5 sec) = 'hot' for 20 sec > 4 sec",
+    "lag(lag(event_type, 5 sec), 5 sec) = 'hot' for 20 sec > 2 times",
+    "lag(lag(event_type, 5 sec), 5 sec) = 'hot' for 20 sec <= 2 times",
+    "lag(lag(value, 5 sec)) > 120 for 5 sec",
 ]
 
 

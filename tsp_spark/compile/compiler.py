@@ -362,12 +362,60 @@ class PatternCompiler:
             # always ≥ 1 ms). Absent (not Fail) when the series has no
             # previous row or the previous value was Fail — the queue
             # drops Fail entries without emitting (PreviousValue.scala:57).
-            col = F.lag(c.col).over(self._w_order())
-            emitted = F.lag(F.when(c.col.isNotNull(), F.lit(1))).over(
-                self._w_order()
-            ).isNotNull()
-            present = _and_presents([c.present, emitted])
-            return Compiled(c.df, col, c.dtype, True, present)
+            if c.present is None:
+                col = F.lag(c.col).over(self._w_order())
+                emitted = F.lag(F.when(c.col.isNotNull(), F.lit(1))).over(
+                    self._w_order()
+                ).isNotNull()
+                present = _and_presents([c.present, emitted])
+                return Compiled(c.df, col, c.dtype, True, present)
+            # Masked inner (its own lag terms leave absent rows): the
+            # outer PreviousValue consumes the inner's EMITTED IdxValue
+            # stream only (AccumPattern folds over the inner's spans),
+            # so "previous" means the previous inner-PRESENT row, not
+            # the previous raw row — absent rows are invisible to this
+            # term (r6c, oracle-fuzz-caught on lag(lag(v, T))). The
+            # term's OWN Segmentizer then bridges its non-emitted rows
+            # between equal adjacent emissions, exactly like lag(x, T).
+            wp = self._w_order().rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            prev_entry = F.last(
+                F.when(c.present, F.struct(c.col.alias("v"))),
+                ignorenulls=True,
+            ).over(wp)
+            lval = prev_entry["v"]
+            emitted = (
+                F.coalesce(c.present, F.lit(False))
+                & prev_entry.isNotNull()
+                & lval.isNotNull()
+            )
+            if self.SERIES_COL not in c.df.columns:
+                # probe compile on a raw frame (see the lag(x, T)
+                # branch below) — un-bridged lazy form
+                return Compiled(
+                    c.df, F.when(emitted, lval), c.dtype, True, emitted
+                )
+            ename = _tmp("lag1v")
+            df2 = c.df.withColumn(ename, F.when(emitted, lval))
+            wpf = (
+                Window.partitionBy(*self._series_keys())
+                .orderBy(self.ts)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            wnf = (
+                Window.partitionBy(*self._series_keys())
+                .orderBy(self.ts)
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            prev_v = F.last(F.col(ename), ignorenulls=True).over(wpf)
+            next_v = F.first(F.col(ename), ignorenulls=True).over(wnf)
+            fill_ok = prev_v == next_v
+            col = F.coalesce(F.col(ename), F.when(fill_ok, prev_v))
+            present = F.col(ename).isNotNull() | F.coalesce(
+                fill_ok, F.lit(False)
+            )
+            return Compiled(df2, col, c.dtype, True, present)
         if node.kind == "lag":
             # PreviousValue.scala:42-73 is CONSUME-ONCE, not a continuous
             # "value as of t − T": each queued value is emitted at the
@@ -385,12 +433,35 @@ class PatternCompiler:
                 .orderBy(ms)
                 .rangeBetween(Window.unboundedPreceding, -node.window_ms)
             )
-            val = F.last(c.col, ignorenulls=True).over(w)
-            val_ms = F.last(F.when(c.col.isNotNull(), ms), ignorenulls=True).over(w)
-            prev_ms = F.lag(ms).over(self._w_order())
+            # only the inner's EMITTED stream enqueues: an aggregate
+            # inner keeps its window VALUE at absent rows (presence is
+            # a separate mask), so gate the frame source on presence
+            # or those values would leak into the outer queue (r6c)
+            src = c.col if c.present is None else F.when(c.present, c.col)
+            val = F.last(src, ignorenulls=True).over(w)
+            val_ms = F.last(F.when(src.isNotNull(), ms), ignorenulls=True).over(w)
+            # t_prev is the previous element of the INNER'S EMITTED
+            # stream: a masked inner's absent rows are not processed by
+            # the outer PreviousValue at all (no pop, no frame), so
+            # they must not advance t_prev (r6c, oracle-fuzz-caught)
+            prev_ms = (
+                F.lag(ms).over(self._w_order())
+                if c.present is None
+                else F.last(F.when(c.present, ms), ignorenulls=True).over(
+                    self._w_order().rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            )
             emitted = val_ms.isNotNull() & (
                 prev_ms.isNull() | (val_ms > prev_ms - node.window_ms)
             )
+            if c.present is not None:
+                # emission can only happen at a PROCESSED (inner-
+                # present) row — without this gate a due value "pops"
+                # at an inner-absent row and the leaked column value
+                # feeds the next nesting level (r6c, oracle-caught)
+                emitted = emitted & F.coalesce(c.present, F.lit(False))
             # Patterns.scala:123 wraps PreviousValue in SegmentizerPattern,
             # which merges consecutive EQUAL-valued emissions into one
             # idx span — so an absent index sandwiched between two equal
@@ -423,12 +494,20 @@ class PatternCompiler:
             )
             prev_v = F.last(F.col(ename), ignorenulls=True).over(wp)
             next_v = F.first(F.col(ename), ignorenulls=True).over(wn)
+            # Spark's `=` already treats NaN = NaN as TRUE, matching the
+            # Segmentizer's `.equals` (boxed Double) merge rule — NaN
+            # emissions bridge like any other value (r6c, oracle-caught
+            # via nested lags; unobservable for a single lag because the
+            # bridged row's condition equals its neighbors')
             fill_ok = prev_v == next_v
-            if c.dtype in ("float32", "float64"):
-                fill_ok = fill_ok & ~F.isnan(prev_v)
             col = F.coalesce(F.col(ename), F.when(fill_ok, prev_v))
-            present = _and_presents(
-                [c.present, F.col(ename).isNotNull() | F.coalesce(fill_ok, F.lit(False))]
+            # present = emitted OR bridged. The INNER's presence must
+            # NOT be ANDed in: a bridge legitimately covers rows where
+            # the inner was absent (the Segmentizer span runs between
+            # adjacent emissions regardless of why the interior rows
+            # didn't emit) — r6c, oracle-fuzz-caught
+            present = F.col(ename).isNotNull() | F.coalesce(
+                fill_ok, F.lit(False)
             )
             return Compiled(df2, col, c.dtype, True, present)
         # GroupPattern's sliding window is HALF-OPEN (t−w, t]: it evicts

@@ -185,6 +185,15 @@ def _is_nan(v) -> bool:
     return isinstance(v, float) and math.isnan(v)
 
 
+def _lag_eq(a, b) -> bool:
+    """Segmentizer merge equality (SegmentizerPattern.scala uses
+    ``.equals``, i.e. boxed java.lang.Double semantics): NaN EQUALS
+    NaN, so NaN emissions merge/bridge like any other value (r6c,
+    oracle-caught via nested lags — for a single lag the bridged row's
+    condition always matches its neighbors', so it was unobservable)."""
+    return a == b or (_is_nan(a) and _is_nan(b))
+
+
 class _IslandSM:
     """SimplePattern RLE: one open run of true cond per key."""
 
@@ -569,6 +578,38 @@ def _validate_kernel_expr(node) -> None:
         f"supported by the incremental kernel — use the carry-buffer "
         f"streaming mode (streaming/job.py)"
     )
+
+
+def _collect_direct_lags(node) -> list:
+    """Lag-kind AggregateCall nodes whose ABSENCE makes the expression
+    absent: descent stops at LAG boundaries (a deeper lag speaks only
+    through its enclosing lag's status) but continues through non-lag
+    aggregates — a GroupPattern emits only at ITS inner's stream rows,
+    so its presence is its inner's presence."""
+    from tsp_spark.dsl import ast as A
+
+    out = []
+
+    def walk(n):
+        if isinstance(n, A.AggregateCall):
+            if n.kind == "lag":
+                out.append(n)
+            else:
+                walk(n.inner)
+            return
+        if isinstance(n, A.FunctionCall):
+            for a in n.args:
+                walk(a)
+        elif isinstance(n, (A.Cast, A.Assert)):
+            walk(n.inner)
+        elif isinstance(n, A.ReducerCall):
+            for a in n.args:
+                walk(a)
+            if n.cond is not None:
+                walk(n.cond)
+
+    walk(node)
+    return out
 
 
 def _collect_aggs(node) -> list:
@@ -1076,26 +1117,41 @@ class _SlidingAggState:
 class _Lag1State:
     """PreviousValue with the 1-event window (``lag(x)``): the previous
     row's inner value, None when absent/Fail (PreviousValue.scala:57 —
-    the queue drops Fail entries without emitting)."""
+    the queue drops Fail entries without emitting). ``last_emit`` —
+    maintained only for DEP-BEARING lag1 terms (an outer lag over a
+    masked inner) — is the value of the last emission: the Segmentizer
+    bridge candidate for rows the term does not process (r6c)."""
 
-    __slots__ = ("prev",)
+    __slots__ = ("prev", "last_emit")
 
     def __init__(self):
         self.prev: float | str | None = None
+        self.last_emit: float | str | None = None
 
     def reset(self):
         self.prev = None
+        self.last_emit = None
+
+    def bridge_candidate(self):
+        return self.last_emit
 
     def encode(self) -> list[int]:
-        return [0] if self.prev is None else [1, *_venc(self.prev)]
+        out = [0] if self.prev is None else [1, *_venc(self.prev)]
+        out += [0] if self.last_emit is None else [1, *_venc(self.last_emit)]
+        return out
 
     @classmethod
     def decode(cls, st: list[int], pos: int) -> tuple["_Lag1State", int]:
         obj = cls()
         if st[pos]:
             obj.prev, pos = _vdec(st, pos + 1)
-            return obj, pos
-        return obj, pos + 1
+        else:
+            pos += 1
+        if st[pos]:
+            obj.last_emit, pos = _vdec(st, pos + 1)
+        else:
+            pos += 1
+        return obj, pos
 
 
 class _LagTState:
@@ -1113,6 +1169,9 @@ class _LagTState:
     def reset(self):
         self.q.clear()
         self.prev, self.has_prev = 0.0, False
+
+    def bridge_candidate(self):
+        return self.prev
 
     def encode(self) -> list[int]:
         out = [1 if self.has_prev else 0, *_venc(self.prev), len(self.q)]
@@ -1202,6 +1261,13 @@ class _WindowedCondProgram:
                 ia for ia in _collect_aggs(a.inner) if ia.kind == _LAG_KIND
             ]
             self._deps.append(tuple(idx_of[id(ia)] for ia in inner_lags))
+        # _direct[i]: lag terms the term's inner expression references
+        # at its TOP layer — ONLY their absence skips the row for term
+        # i (a deeper lag speaks through its enclosing term's status)
+        self._direct: list[tuple[int, ...]] = [
+            tuple(idx_of[id(x)] for x in _collect_direct_lags(a.inner))
+            for a in self.aggs
+        ]
         # FORK TERMS (r6c — the last grammar boundary closed): a pending
         # lag nested inside ANOTHER lag's lookback makes the outer
         # queue's stored values hypothesis-dependent, which per-row
@@ -1225,7 +1291,13 @@ class _WindowedCondProgram:
                     for a in self.aggs
                     if a.kind == _LAG_KIND
                     for ia in _collect_aggs(a.inner)
-                    if ia.kind == _LAG_KIND and ia.window_ms > 0
+                    if ia.kind == _LAG_KIND
+                    # 'u'-capable: pending window, or a dep-bearing
+                    # lag1 (its skip rows pend on its own bridge)
+                    and (
+                        ia.window_ms > 0
+                        or self._deps[idx_of[id(ia)]]
+                    )
                 }
             )
         )
@@ -1238,10 +1310,19 @@ class _WindowedCondProgram:
         # plain ``lag(x)`` is a shift with series resets. can_absent:
         # any lag term makes series-head rows ABSENT (present-masked),
         # which island specs consume by dropping the rows.
+        # any lag OVER another lag consumes a sub-stream (inner-absent
+        # rows are skipped entirely, incl. prev/t_prev state) — the
+        # vectorized shift-based evaluation can't express mid-stream
+        # skips, so nested-lag shapes stay per-row
+        self._nested_lag = any(
+            self._deps[i]
+            for i, a in enumerate(self.aggs)
+            if a.kind == _LAG_KIND
+        )
         if not self.can_pend:
             from tsp_spark.streaming.vectorized import static_vec_ok
 
-            self.batch_capable = static_vec_ok(node)
+            self.batch_capable = static_vec_ok(node) and not self._nested_lag
             self.pend_batch_capable = False
         else:
             from tsp_spark.streaming.vectorized import static_vec_ok
@@ -1431,13 +1512,37 @@ class _WindowedCondProgram:
             del b.buf[:k]
         return out
 
-    def _lag_pend_trigger(self, o, ms: int, a) -> bool:
-        """Pre-row prediction of the lag term's 'u' (undecided-bridge)
-        status: the row will neither pop an emission nor be absent.
-        Exact — emission depends only on the pre-row queue and ``ms``,
-        and prev/has_prev change only at emissions."""
-        will_emit = bool(o.q) and o.q[0][0] <= ms - a.window_ms
-        return (not will_emit) and o.has_prev and not _is_nan(o.prev)
+    def _pred_status(self, j: int, assign: dict, objs: list, ms: int) -> str:
+        """Branch-local PRE-ROW prediction of lag term j's status
+        category: 'v' | 'a' | 'u' | 'u?'. Exact — emissions depend only
+        on pre-row state and ``ms``; skip classification depends on dep
+        statuses, themselves predictable or branch-assigned. 'u?' means
+        j's fate hinges on a deeper unassigned fork term that must fork
+        first (the trigger loop scans innermost-first and re-runs)."""
+        if assign and j in assign:
+            return "v" if assign[j] else "a"
+        a = self.aggs[j]
+        o = objs[j]
+        for d in self._direct[j]:
+            ds = self._pred_status(d, assign, objs, ms)
+            if ds in ("u", "u?"):
+                return "u?"
+            if ds == "a":
+                has_cand = (
+                    o.has_prev
+                    if a.window_ms > 0
+                    else o.bridge_candidate() is not None
+                )
+                return "u" if has_cand else "a"
+        if a.window_ms == 0:
+            if o.prev is not None:
+                return "v"
+            if self._deps[j] and o.last_emit is not None:
+                return "u"
+            return "a"
+        if o.q and o.q[0][0] <= ms - a.window_ms:
+            return "v"
+        return "u" if o.has_prev else "a"
 
     def _av_for(
         self, mask: int, sub: list[int], terms: tuple[int, ...],
@@ -1461,7 +1566,7 @@ class _WindowedCondProgram:
                     av[id(a)] = None
                 else:  # undecided
                     bit = (mask >> sub.index(j)) & 1
-                    av[id(a)] = objs[j].prev if bit else None
+                    av[id(a)] = objs[j].bridge_candidate() if bit else None
             else:
                 u, tab = valtabs[j]
                 m = 0
@@ -1482,25 +1587,36 @@ class _WindowedCondProgram:
         else:
             # pre-row trigger: a fork term about to go undecided in a
             # branch splits that branch into both hypotheses BEFORE
-            # the row touches state
-            branches = []
-            for br in objs[0]:
-                bits = [
-                    j
-                    for j in self._fork_terms
-                    if j not in br.assign
-                    and self._lag_pend_trigger(br.objs[j], ms, self.aggs[j])
-                ]
-                if not bits:
-                    branches.append(br)
-                    continue
-                for mask in range(1 << len(bits)):
-                    assign = dict(br.assign)
-                    for b, j in enumerate(bits):
-                        assign[j] = bool((mask >> b) & 1)
-                    branches.append(
-                        _Branch(assign, copy.deepcopy(br.objs), list(br.buf))
-                    )
+            # the row touches state. Innermost-first (descending
+            # pre-order index): a chained term's fate can hinge on a
+            # deeper term's bit ('u?'), which resolves once the deeper
+            # term has forked — loop to a fixpoint.
+            fork_desc = sorted(self._fork_terms, reverse=True)
+            branches = objs[0]
+            while True:
+                split_at = None
+                for bi, br in enumerate(branches):
+                    for j in fork_desc:
+                        if j in br.assign:
+                            continue
+                        if (
+                            self._pred_status(j, br.assign, br.objs, ms)
+                            == "u"
+                        ):
+                            split_at = (bi, j)
+                            break
+                    if split_at:
+                        break
+                if not split_at:
+                    break
+                bi, j = split_at
+                br = branches[bi]
+                hi = _Branch(
+                    dict(br.assign), copy.deepcopy(br.objs), list(br.buf)
+                )
+                br.assign[j] = False
+                hi.assign[j] = True
+                branches.insert(bi + 1, hi)
             objs[0] = branches
         live = []
         for br in objs[0]:
@@ -1543,19 +1659,76 @@ class _WindowedCondProgram:
         for i in self._order:
             a, o = self.aggs[i], objs[i]
             if a.kind == _LAG_KIND:
+                if any(status.get(j) == ("a",) for j in self._direct[i]):
+                    # the inner emitted nothing at this row, so the row
+                    # is NOT an element of this lag's input stream
+                    # (AccumPattern folds over the inner's emitted
+                    # IdxValues only): no pop, no enqueue, no t_prev
+                    # advance, no prev erasure. The term's OWN
+                    # Segmentizer can still bridge the row — its
+                    # previous emission vs its next one — so with a
+                    # candidate the row pends ('u') instead of hard
+                    # absent (r6c, oracle-fuzz-caught)
+                    cand = o.bridge_candidate()
+                    has_cand = (
+                        o.has_prev if a.window_ms > 0 else cand is not None
+                    )
+                    if not has_cand:
+                        status[i] = ("a",)
+                    elif assign and i in assign:
+                        status[i] = ("v", cand) if assign[i] else ("a",)
+                    else:
+                        if i in self._fork_terms:
+                            raise AssertionError(
+                                "fork term fed without a branch assignment"
+                            )
+                        status[i] = ("u",)
+                        undecided.append(i)
+                    continue
                 # the lag's own inner is fully decided here: any fork
-                # term among its deps carries a concrete 'v'/'a' status
-                # via the branch assignment (the AssertionError below
+                # term among its deps carries a concrete 'v'/'a'/'u'
+                # status via the branch assignment (the AssertionError
                 # guards the invariant), so mask 0 / empty sub is exact
                 iv = inner_fns[i](
                     row,
                     self._av_for(0, [], self._sub[i], status, valtabs, objs),
                 )
                 if a.window_ms == 0:
-                    # previous row's value; the row is ABSENT (invisible
-                    # to islandization, like the batch present mask) when
-                    # the series has no previous row or its value was Fail
-                    status[i] = ("a",) if o.prev is None else ("v", o.prev)
+                    if self._deps[i] and o.prev is not None:
+                        # dep-bearing lag1 EMISSION: resolves the open
+                        # bridge span like a lag-T emission does
+                        bridge = o.last_emit is not None and _lag_eq(
+                            o.last_emit, o.prev
+                        )
+                        if resolutions is not None and assign and i in assign:
+                            resolutions.append((i, bool(bridge)))
+                        self._resolve(pending, i, bridge)
+                        for k, dk in enumerate(self._deps):
+                            if i in dk and self.aggs[k].kind != _LAG_KIND:
+                                objs[k].resolve(i, bridge)
+                        o.last_emit = o.prev
+                        status[i] = ("v", o.prev)
+                    elif self._deps[i] and o.last_emit is not None:
+                        # dep-bearing lag1, processed row, nothing to
+                        # emit (prev slot was Fail): bridgeable
+                        if assign and i in assign:
+                            status[i] = (
+                                ("v", o.last_emit) if assign[i] else ("a",)
+                            )
+                        else:
+                            if i in self._fork_terms:
+                                raise AssertionError(
+                                    "fork term fed without a branch "
+                                    "assignment"
+                                )
+                            status[i] = ("u",)
+                            undecided.append(i)
+                    else:
+                        # previous stream row's value; ABSENT when the
+                        # series has no previous row or its value was
+                        # Fail. Flat lag1 (no deps) keeps this exact
+                        # legacy behavior on ALL paths — see SEMANTICS.md
+                        status[i] = ("a",) if o.prev is None else ("v", o.prev)
                     o.prev = None if iv is None else _lagv(iv)
                     continue
                 # consume-once: pop every value with ms' ≤ t−T; the last
@@ -1566,11 +1739,7 @@ class _WindowedCondProgram:
                 while o.q and o.q[0][0] <= lo:
                     emitted, emit_val = True, o.q.pop(0)[1]
                 if emitted:
-                    bridge = (
-                        o.has_prev
-                        and not _is_nan(o.prev)
-                        and o.prev == emit_val
-                    )
+                    bridge = o.has_prev and _lag_eq(o.prev, emit_val)
                     if resolutions is not None and assign and i in assign:
                         resolutions.append((i, bool(bridge)))
                     self._resolve(pending, i, bridge)
@@ -1583,7 +1752,7 @@ class _WindowedCondProgram:
                             objs[k].resolve(i, bridge)
                     o.prev, o.has_prev = emit_val, True
                     status[i] = ("v", emit_val)
-                elif not o.has_prev or _is_nan(o.prev):
+                elif not o.has_prev:
                     status[i] = ("a",)  # no bridge candidate possible
                 elif assign and i in assign:
                     # speculative universe: this term's bridge is the
@@ -1601,19 +1770,31 @@ class _WindowedCondProgram:
                 continue
             # windowed aggregate: entry value table over its undecided
             # dep lags, then the trailing (t−W, t] frame per hypothesis
-            ui = sorted(j for j in self._deps[i] if status.get(j) == ("u",))
+            ui_row = sorted(
+                j for j in self._deps[i] if status.get(j) == ("u",)
+            )
             etab = []
-            for m in range(1 << len(ui)):
+            for m in range(1 << len(ui_row)):
                 v = inner_fns[i](
                     row,
-                    self._av_for(m, ui, self._sub[i], status, valtabs, objs),
+                    self._av_for(m, ui_row, self._sub[i], status, valtabs, objs),
                 )
                 etab.append(None if v is None else float(v))
             if any(v is not None for v in etab):
-                o.q.append((ms, list(ui), etab))
+                o.q.append((ms, list(ui_row), etab))
             lo = ms - a.window_ms
             while o.q and o.q[0][0] <= lo:
                 o.q.pop(0)
+            # the window table spans every bit still OPEN on a carried
+            # entry, not just terms 'u' TODAY: a dep lag can be skip-
+            # absent at this row (its inner emitted nothing) while its
+            # bridge span — and so the carried entries' values — is
+            # still unresolved (r6c)
+            ui = sorted(
+                set(ui_row).union(
+                    t for _ems, edeps, _et in o.q for t in edeps
+                )
+            )
             vtab = []
             for m in range(1 << len(ui)):
                 vals = []
@@ -1647,15 +1828,30 @@ class _WindowedCondProgram:
         # wait, until).
         term_absent = any(st == ("a",) for st in status.values())
         terms_all = tuple(range(len(self.aggs)))
+        # a valtab may span OPEN bits of deps that are skip-absent
+        # today (carried entries with unresolved bridge spans): the
+        # row's table must cover those bits too, but the row's own
+        # PRESENCE is judged only on its 'u' bits — an open bit varies
+        # the aggregate's VALUE, not whether this row emitted
+        extra = sorted(
+            {
+                t
+                for u, _vt in valtabs.values()
+                for t in u
+                if t not in undecided
+            }
+        )
+        row_n = len(undecided)
+        undecided = undecided + extra
         table = []
-        full = (1 << len(undecided)) - 1
+        row_full = (1 << row_n) - 1
         for mask in range(1 << len(undecided)):
             av = self._av_for(
                 mask, undecided, terms_all, status, valtabs, objs
             )
             v = node_fn(row, av)
             raw = None if v is None else bool(v)
-            if term_absent or mask != full:
+            if term_absent or (mask & row_full) != row_full:
                 table.append(_absent_of(raw))
             else:
                 table.append(raw)

@@ -849,7 +849,11 @@ def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
                 [[has_prev0], np.ones(n_em - 1, dtype=bool)]
             )
             with np.errstate(invalid="ignore"):
-                bridge = hp_seq & ~np.isnan(prev_seq) & (prev_seq == evs)
+                # Segmentizer equality is .equals (boxed Double): NaN
+                # bridges with NaN (stateful._lag_eq, r6c)
+                bridge = hp_seq & (
+                    (prev_seq == evs) | (np.isnan(prev_seq) & np.isnan(evs))
+                )
             emc = np.cumsum(emitted) - emitted  # emissions strictly before
             prev_at = np.concatenate([[prev0], evs])[emc]
             hp_at = np.concatenate(
@@ -861,10 +865,8 @@ def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
             emc = np.zeros(m, dtype=np.int64)
             prev_at = np.full(m, prev0)
             hp_at = np.full(m, has_prev0)
-        with np.errstate(invalid="ignore"):
-            nanprev = np.isnan(prev_at)
-        stat_a = ~emitted & (~hp_at | nanprev)
-        stat_u = ~emitted & hp_at & ~nanprev
+        stat_a = ~emitted & ~hp_at
+        stat_u = ~emitted & hp_at
         resolved_u = stat_u & (emc < n_em)
 
         # condition under both hypotheses, whole segment at once
