@@ -108,3 +108,50 @@ def test_offline_parity_tiny_chunks(spark, series):
     ):
         diff = compare(spark, series, pat, FT, chunk=1)
         assert diff is None, f"[{pat}] {diff}"
+
+
+def test_pure_lag1_chain_int_nulls(spark):
+    """r6d regression (review-caught can_pend under-report): a PURE
+    lag1 chain — lag(lag(x)), no window_ms anywhere — is still
+    pending-capable, because a dep-bearing lag1's skip rows (inner
+    absent) go 'u' on the lag's OWN bridge. can_pend=False made
+    _buffered() skip serializing the spec-level row/cond queues at
+    micro-batch pack time while the program kept its internal pending
+    row, desyncing the row/cond pairing for the rest of the key's
+    stream (10 divergences on this exact series pre-fix). The sharp
+    repro needs an INT column with mid-stream NULLs: a NULL int is
+    genuinely ABSENT (a NULL float decodes to NaN, which is present
+    and bridges), so the skip path fires away from series heads."""
+    import datetime as dt
+
+    from kernel_parity import batch_intervals, kernel_intervals
+    from tsp_spark.streaming.stateful import build_spec
+
+    EPOCH = dt.datetime(2024, 1, 1)
+    vals = [
+        200, 210, None, 220, 90, 95, 230, 240, 85,
+        250, None, 260, 80, 270, 275, 88, 280, 290,
+    ]
+    src = spark.createDataFrame(
+        [(1, EPOCH + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)],
+        "user_id bigint, ts timestamp, ivalue bigint",
+    )
+    ft = {"ivalue": "int64"}
+    for pat in ("lag(lag(ivalue)) > 100", "lag(lag(lag(ivalue))) > 100"):
+        _, spec = build_spec(
+            src, pat, ["user_id"], "ts", ft, 15_000, pattern_id=1
+        )
+        progs = [c for c in spec.cond_cols if not isinstance(c, str)]
+        assert progs and all(p.can_pend for p in progs), (
+            f"[{pat}] dep-bearing lag1 chain must report can_pend "
+            f"(it buffers the spec-level queues across micro-batches)"
+        )
+        batch = batch_intervals(src, pat, ["user_id"], "ts", ft)
+        for chunk in (1, 2, 3, 4, 6):
+            got = kernel_intervals(
+                src, pat, ["user_id"], "ts", ft, chunk=chunk
+            )
+            assert got == batch, (
+                f"[{pat}] chunk={chunk} missing={sorted(batch - got)[:3]} "
+                f"spurious={sorted(got - batch)[:3]}"
+            )

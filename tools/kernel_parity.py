@@ -188,6 +188,15 @@ PINNED = [
     "lag(lag(event_type, 5 sec), 5 sec) = 'hot' for 20 sec > 2 times",
     "lag(lag(event_type, 5 sec), 5 sec) = 'hot' for 20 sec <= 2 times",
     "lag(lag(value, 5 sec)) > 120 for 5 sec",
+    # r6d: PURE lag1 chains (no windowed lag anywhere) — dep-bearing
+    # lag1s pend on their own bridge at skip rows, so the spec-level
+    # row/cond queues must serialize across micro-batches even though
+    # every window_ms is 0 (can_pend under-report, review-caught; the
+    # sharp repro needs an int column with mid-stream NULLs — see
+    # tests/test_kernel_offline_parity.py::test_pure_lag1_chain_int_nulls)
+    "lag(lag(value)) > 150",
+    "lag(lag(lag(value))) > 150",
+    "lag(lag(event_type)) = 'hot'",
 ]
 
 

@@ -173,6 +173,41 @@ class PatternCompiler:
     def _ms(self) -> Column:
         return F.unix_millis(F.col(self.ts))
 
+    def _segmentizer_bridge(self, ename: str) -> tuple[Column, Column]:
+        """Shared Segmentizer semantics for both lag forms
+        (Patterns.scala:123 wraps PreviousValue in SegmentizerPattern):
+        consecutive EQUAL-valued emissions merge into one idx span, so
+        an absent row sandwiched between two equal emitted values
+        INHERITS that value. Spark's `=` already treats NaN = NaN as
+        TRUE, matching the Segmentizer's `.equals` (boxed Double) merge
+        rule — NaN emissions bridge like any other value (r6c,
+        oracle-caught via nested lags; unobservable for a single lag
+        because the bridged row's condition equals its neighbors').
+        present = emitted OR bridged; the INNER's presence must NOT be
+        ANDed in — a bridge legitimately covers rows where the inner
+        was absent (the span runs between adjacent emissions regardless
+        of why the interior rows didn't emit) — r6c, oracle-fuzz-caught.
+        ``ename`` must be a MATERIALIZED emission column (no
+        window-in-window). Returns (value col, present mask)."""
+        wp = (
+            Window.partitionBy(*self._series_keys())
+            .orderBy(self.ts)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wn = (
+            Window.partitionBy(*self._series_keys())
+            .orderBy(self.ts)
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        prev_v = F.last(F.col(ename), ignorenulls=True).over(wp)
+        next_v = F.first(F.col(ename), ignorenulls=True).over(wn)
+        fill_ok = prev_v == next_v
+        col = F.coalesce(F.col(ename), F.when(fill_ok, prev_v))
+        present = F.col(ename).isNotNull() | F.coalesce(
+            fill_ok, F.lit(False)
+        )
+        return col, present
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -398,23 +433,7 @@ class PatternCompiler:
                 )
             ename = _tmp("lag1v")
             df2 = c.df.withColumn(ename, F.when(emitted, lval))
-            wpf = (
-                Window.partitionBy(*self._series_keys())
-                .orderBy(self.ts)
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            wnf = (
-                Window.partitionBy(*self._series_keys())
-                .orderBy(self.ts)
-                .rowsBetween(1, Window.unboundedFollowing)
-            )
-            prev_v = F.last(F.col(ename), ignorenulls=True).over(wpf)
-            next_v = F.first(F.col(ename), ignorenulls=True).over(wnf)
-            fill_ok = prev_v == next_v
-            col = F.coalesce(F.col(ename), F.when(fill_ok, prev_v))
-            present = F.col(ename).isNotNull() | F.coalesce(
-                fill_ok, F.lit(False)
-            )
+            col, present = self._segmentizer_bridge(ename)
             return Compiled(df2, col, c.dtype, True, present)
         if node.kind == "lag":
             # PreviousValue.scala:42-73 is CONSUME-ONCE, not a continuous
@@ -462,14 +481,10 @@ class PatternCompiler:
                 # at an inner-absent row and the leaked column value
                 # feeds the next nesting level (r6c, oracle-caught)
                 emitted = emitted & F.coalesce(c.present, F.lit(False))
-            # Patterns.scala:123 wraps PreviousValue in SegmentizerPattern,
-            # which merges consecutive EQUAL-valued emissions into one
-            # idx span — so an absent index sandwiched between two equal
-            # emitted values INHERITS that value (fuzz-caught: two equal
-            # u's 2 s apart bridge the absent event between their
-            # emission points). NaN never merges (Scala Double == on NaN
-            # is false). Emissions must be materialized before the
-            # neighbor-fill windows (no window-in-window).
+            # Segmentizer bridging (equal-valued emission merge, NaN
+            # bridges with NaN) is shared with the lag1 branch — see
+            # _segmentizer_bridge. Emissions must be materialized
+            # before its neighbor-fill windows (no window-in-window).
             if self.SERIES_COL not in c.df.columns:
                 # Probe compile on a raw frame (streaming router's
                 # kernel-eligibility check): the window columns above
@@ -482,33 +497,7 @@ class PatternCompiler:
                 return Compiled(c.df, F.when(emitted, val), c.dtype, True, present)
             ename = _tmp("lagv")
             df2 = c.df.withColumn(ename, F.when(emitted, val))
-            wp = (
-                Window.partitionBy(*self._series_keys())
-                .orderBy(self.ts)
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            wn = (
-                Window.partitionBy(*self._series_keys())
-                .orderBy(self.ts)
-                .rowsBetween(1, Window.unboundedFollowing)
-            )
-            prev_v = F.last(F.col(ename), ignorenulls=True).over(wp)
-            next_v = F.first(F.col(ename), ignorenulls=True).over(wn)
-            # Spark's `=` already treats NaN = NaN as TRUE, matching the
-            # Segmentizer's `.equals` (boxed Double) merge rule — NaN
-            # emissions bridge like any other value (r6c, oracle-caught
-            # via nested lags; unobservable for a single lag because the
-            # bridged row's condition equals its neighbors')
-            fill_ok = prev_v == next_v
-            col = F.coalesce(F.col(ename), F.when(fill_ok, prev_v))
-            # present = emitted OR bridged. The INNER's presence must
-            # NOT be ANDed in: a bridge legitimately covers rows where
-            # the inner was absent (the Segmentizer span runs between
-            # adjacent emissions regardless of why the interior rows
-            # didn't emit) — r6c, oracle-fuzz-caught
-            present = F.col(ename).isNotNull() | F.coalesce(
-                fill_ok, F.lit(False)
-            )
+            col, present = self._segmentizer_bridge(ename)
             return Compiled(df2, col, c.dtype, True, present)
         # GroupPattern's sliding window is HALF-OPEN (t−w, t]: it evicts
         # elements with elem.time + window <= time (GroupPattern.scala:76)

@@ -1302,8 +1302,18 @@ class _WindowedCondProgram:
             )
         )
         self.has_fork = bool(self._fork_terms)
+        # pending-capable: a lag with a lookback window, OR a
+        # dep-bearing lag1 — its skip rows (inner absent) go 'u' on the
+        # lag's OWN bridge (r6c stream-membership semantics), so rows
+        # can leave a micro-batch undecided even with window_ms == 0.
+        # _buffered() keys off this flag to serialize the spec-level
+        # row/cond queues; under-reporting it would drop queued rows at
+        # state-pack time and desync the row/cond pairing across
+        # micro-batches (review-caught).
         self.can_pend = any(
-            a.kind == _LAG_KIND and a.window_ms > 0 for a in self.aggs
+            a.kind == _LAG_KIND
+            and (a.window_ms > 0 or self._deps[i])
+            for i, a in enumerate(self.aggs)
         )
         # no PENDING lag (window > 0) → every row decides instantly
         # and the whole micro-batch vectorizes (streaming/vectorized.py);
