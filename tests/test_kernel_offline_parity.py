@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from kernel_parity import PINNED, compare, gen_series  # noqa: E402
 
-FT = {"value": "float64", "event_type": "string"}
+FT = {"value": "float64", "event_type": "string", "ivalue": "int64"}
 
 
 @pytest.fixture(scope="module")

@@ -75,6 +75,21 @@ def gen_pattern(rng: random.Random) -> str:
                 f"lag(lag(value, 5 sec)) > {thr}",
                 f"avg(lag(lag(value, 3 sec), 3 sec), 10 sec) > {thr}",
                 f"lag(lag(event_type, 5 sec), 5 sec) = 'hot'",
+                # r6d: int column with mid-stream NULLs — a NULL int is
+                # genuinely ABSENT (a NULL float is NaN and present),
+                # so these drive skip/'u'/bridge paths away from series
+                # heads: pure lag1 chains, pending lags, and aggregates
+                # over an absence-bearing stream
+                f"ivalue > {thr}",
+                f"lag(ivalue) > {thr}",
+                f"lag(lag(ivalue)) > {thr}",
+                f"lag(lag(lag(ivalue))) > {thr}",
+                f"lag(ivalue, {rng.choice([3, 5])} sec) > {thr}",
+                f"lag(lag(ivalue, 3 sec)) > {thr}",
+                f"lag(lag(ivalue), 5 sec) > {thr}",
+                f"avg(lag(ivalue), 10 sec) > {thr}",
+                f"avg(ivalue, {rng.choice([5, 10])} sec) > {thr}",
+                f"lag(ivalue) > ivalue",
             ]
         )
 
@@ -131,12 +146,21 @@ def gen_series(rng: random.Random, spark):
                         EPOCH + dt.timedelta(seconds=t),
                         level + rng.random() * 8,
                         rng.choice(["hot", "cold", "warm"]),
+                        # NULL ints are genuinely ABSENT (unlike NULL
+                        # floats, which decode to NaN and stay present)
+                        # — mid-stream absence drives the lag skip/'u'
+                        # paths away from series heads (r6d)
+                        None
+                        if rng.random() < 0.06
+                        else int(level) + rng.randrange(8),
                     )
                 )
                 t += rng.choice([0.5, 1.0, 2.0])
             t += (GAP_MS / 1000) + rng.randint(5, 30)  # force series split
     return spark.createDataFrame(
-        rows, "user_id bigint, ts timestamp, value double, event_type string"
+        rows,
+        "user_id bigint, ts timestamp, value double, event_type string, "
+        "ivalue bigint",
     )
 
 
@@ -144,7 +168,7 @@ def run_case(spark, rng: random.Random, pattern: str) -> str | None:
     from tsp_spark.compile.compiler import compile_pattern
     from tsp_spark.streaming.stateful import stateful_pattern
 
-    ft = {"value": "float64", "event_type": "string"}
+    ft = {"value": "float64", "event_type": "string", "ivalue": "int64"}
     src = gen_series(rng, spark)
     batch = {
         (r["user_id"], r["from_ts"], r["to_ts"])
@@ -159,7 +183,7 @@ def run_case(spark, rng: random.Random, pattern: str) -> str | None:
     try:
         src.coalesce(1).write.parquet(f"{src_dir}/b0")
         flush = spark.createDataFrame(
-            [(u, EPOCH + dt.timedelta(seconds=90_000 + u), 0.0, "ok")
+            [(u, EPOCH + dt.timedelta(seconds=90_000 + u), 0.0, "ok", 0)
              for u in (1, 2, 3)],
             src.schema,
         )

@@ -217,18 +217,29 @@ def gen_series(rng: random.Random, spark):
                 # field is Double.NaN (BasicDecoders.scala:17-30) —
                 # it poisons window aggregates and compares IEEE-false
                 v = None if rng.random() < 0.04 else level + rng.random() * 8
+                # NULL ints are genuinely ABSENT (a NULL float decodes
+                # to NaN and stays present) — mid-stream absence drives
+                # the lag skip/'u'/bridge paths away from series heads
+                iv = (
+                    None
+                    if rng.random() < 0.06
+                    else int(level) + rng.randrange(8)
+                )
                 rows.append(
                     (
                         user,
                         EPOCH + dt.timedelta(seconds=t),
                         v,
                         et,
+                        iv,
                     )
                 )
                 t += rng.choice([0.5, 1.0, 2.0])
             t += (GAP_MS / 1000) + rng.randint(5, 30)
     return spark.createDataFrame(
-        rows, "user_id bigint, ts timestamp, value double, event_type string"
+        rows,
+        "user_id bigint, ts timestamp, value double, event_type string, "
+        "ivalue bigint",
     )
 
 
@@ -247,7 +258,7 @@ def main() -> int:
 
     spark = get_spark("kernel_parity", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    ft = {"value": "float64", "event_type": "string"}
+    ft = {"value": "float64", "event_type": "string", "ivalue": "int64"}
     seeds = [int(s) for s in args] or [7, 77]
     bad = 0
     for seed in seeds:
