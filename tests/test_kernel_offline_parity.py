@@ -155,3 +155,84 @@ def test_pure_lag1_chain_int_nulls(spark):
                 f"[{pat}] chunk={chunk} missing={sorted(batch - got)[:3]} "
                 f"spurious={sorted(got - batch)[:3]}"
             )
+
+
+def test_bulk_pending_feed_is_transactional(spark):
+    """r6d regression (review-caught): the bulk pending path
+    (wait / single-pending-lag specs) caught VecUnsupported with NO
+    snapshot/restore, unlike the fast path. A wait inner that mutates
+    lag state (prev advances to batch END) before a later term raises
+    (sum over values outside the stable float range) left the per-row
+    replay reading batch-end lag at row 0 — spurious wait incidents
+    (3 divergent chunkings on this exact series pre-fix)."""
+    import datetime as dt
+
+    from kernel_parity import batch_intervals, kernel_intervals
+
+    EPOCH = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 1e16 + 0.5 + i            # forces the stable-sum-range raise
+        y = 1e18 if i < 25 else 1.0   # lag > sum until late, then far below
+        rows.append((1, EPOCH + dt.timedelta(seconds=i), v, y))
+    src = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, yval double"
+    )
+    ft = {"value": "float64", "yval": "float64"}
+    pat = "wait(5 sec, sum(value, 60 sec) > lag(yval))"
+    batch = batch_intervals(src, pat, ["user_id"], "ts", ft)
+    for chunk in (30, 15, 10):
+        got = kernel_intervals(src, pat, ["user_id"], "ts", ft, chunk=chunk)
+        assert got == batch, (
+            f"chunk={chunk} missing={sorted(batch - got)[:3]} "
+            f"spurious={sorted(got - batch)[:3]}"
+        )
+
+
+def test_jvm_int_cast_parity(spark):
+    """r6d (review-caught): `x as intN` must behave like the
+    reference's decodeToInt `d.toInt` (BasicDecoders.scala:89-91) on
+    every path — NaN → 0 (a NULL float field IS NaN), float sources
+    saturate, int8/int16 narrow by signed low-bits wrap. Previously
+    the batch path crashed on NaN/overflow (Spark ANSI cast), the
+    per-row kernel crashed on int(nan), and the vectorized path
+    silently passed NaN through — three different behaviors."""
+    import datetime as dt
+
+    from kernel_parity import batch_intervals, kernel_intervals
+
+    EPOCH = dt.datetime(2024, 1, 1)
+    vals = [
+        150.0, None, 3e9, -3e9, 200.5, None, 1e20, 130.7, -150.2, 90.0,
+        2147483646.9, 180.0, None, 250.0, 99.0, 175.5,
+    ]
+    src = spark.createDataFrame(
+        [(1, EPOCH + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    ft = {"value": "float64"}
+    for pat in (
+        "value as int32 > 100",
+        "value as int64 > 100",
+        "value as int8 > 50",          # (byte)200.5 = -56: wrap visible
+        "value as int32 >= 2147483647",  # saturation visible
+        "avg(value as int32, 5 sec) > 100",
+    ):
+        batch = batch_intervals(src, pat, ["user_id"], "ts", ft)
+        for chunk in (1, 4, 16):
+            got = kernel_intervals(src, pat, ["user_id"], "ts", ft, chunk=chunk)
+            assert got == batch, (
+                f"[{pat}] chunk={chunk} missing={sorted(batch - got)[:3]} "
+                f"spurious={sorted(got - batch)[:3]}"
+            )
+
+    from tsp_spark.streaming.stateful import _jvm_int
+
+    # JVM ground truth: (int)NaN = 0, (long)1e20 = Long.MAX,
+    # (byte)200.5 = -56, (short)(int)-3e9 wraps the saturated int32
+    assert _jvm_int(float("nan"), "int32") == 0
+    assert _jvm_int(1e20, "int64") == 9223372036854775807
+    assert _jvm_int(200.5, "int8") == -56
+    assert _jvm_int(3e9, "int32") == 2147483647
+    assert _jvm_int(-3e9, "int32") == -2147483648
+    assert _jvm_int(65536 + 7, "int16") == 7

@@ -197,6 +197,11 @@ PINNED = [
     "lag(lag(value)) > 150",
     "lag(lag(lag(value))) > 150",
     "lag(lag(event_type)) = 'hot'",
+    # r6d: JVM-exact integer casts (NaN → 0, saturate, narrow-wrap) —
+    # NULL floats in the series exercise the NaN → 0 path
+    "value as int32 > 150",
+    "value as int64 > 150",
+    "avg(value as int32, 10 sec) > 150",
 ]
 
 

@@ -97,6 +97,57 @@ class Compiled:
     present: Column | None = None
 
 
+_INT_CAST_BITS = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
+
+
+def _jvm_cast(col: Column, src_dtype: str | None, dst_dtype: str) -> Column:
+    """Reference cast semantics for `x as <type>`: the generator wraps
+    the inner in MapPattern(decodeToInt/...) (ASTPatternGenerator.scala
+    :181-189), whose Double→Int decoder is Scala's `d.toInt`
+    (BasicDecoders.scala:89-91) — i.e. JVM numeric conversion: NaN → 0,
+    float sources SATURATE (then truncate toward zero), int sources
+    NARROW by low-bits wrap. Spark's ANSI cast instead throws on NaN
+    and overflow, so integer targets are rebuilt from when/clamp/pmod.
+    (Float saturation uses the largest double below 2^63 for int64 —
+    exact for every representable input; string/bool/float targets keep
+    the plain cast, whose failure modes match parseInt/toString.)"""
+    bits = _INT_CAST_BITS.get(dst_dtype)
+    src = src_dtype or "float64"
+    if bits is None or src in ("string", "boolean"):
+        return col.cast(spark_type_name(dst_dtype) or dst_dtype)
+    if src in ("float32", "float64"):
+        z = F.when(F.isnan(col), F.lit(0.0)).otherwise(col)
+        if bits == 64:
+            clamped = F.least(
+                F.greatest(z, F.lit(-9223372036854775808.0)),
+                F.lit(9223372036854774784.0),  # largest double < 2^63
+            )
+            return clamped.cast("bigint")
+        clamped = F.least(
+            F.greatest(z, F.lit(-2147483648.0)), F.lit(2147483647.0)
+        )
+        col = clamped.cast("int")
+        if bits == 32:
+            return col
+        # int8/int16: (int)d narrowed — low-bits wrap of the saturated int
+        return _narrow_wrap(col, bits, dst_dtype)
+    # integer source → integer target: JVM narrowing (low bits, signed)
+    if bits == 64:
+        return col.cast("bigint")
+    return _narrow_wrap(col, bits, dst_dtype)
+
+
+def _narrow_wrap(col: Column, bits: int, dst_dtype: str) -> Column:
+    """Signed low-bits narrowing, overflow-free: pmod keeps every
+    intermediate inside [0, 2^bits) (adding half BEFORE the pmod would
+    overflow ANSI bigint at Long.MAX)."""
+    half, span = 1 << (bits - 1), 1 << bits
+    p = F.pmod(col.cast("bigint"), F.lit(span))
+    return (
+        F.when(p >= F.lit(half), p - F.lit(span)).otherwise(p)
+    ).cast(spark_type_name(dst_dtype))
+
+
 def _and_presents(presents: Sequence[Column | None]) -> Column | None:
     ps = [p for p in presents if p is not None]
     if not ps:
@@ -312,8 +363,9 @@ class PatternCompiler:
 
         if isinstance(node, A.Cast):
             c = self._compile(df, node.inner, underscore)
+            col = _jvm_cast(c.col, c.dtype, node.dtype)
             return Compiled(
-                c.df, c.col.cast(spark_type_name(node.dtype) or node.dtype), node.dtype, c.has_window, c.present
+                c.df, col, node.dtype, c.has_window, c.present
             )
 
         if isinstance(node, A.Assert):

@@ -646,6 +646,40 @@ def _collect_aggs(node) -> list:
     return out
 
 
+_INT_CAST_BITS = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
+
+
+def _jvm_int(v, dtype: str) -> int:
+    """JVM numeric conversion for `x as intN`, matching the batch
+    compiler's _jvm_cast and the reference's decodeToInt `d.toInt`
+    (BasicDecoders.scala:89-91): NaN → 0, float sources SATURATE (to
+    int32 for sub-64-bit targets, like (int)d) then truncate toward
+    zero, int sources NARROW by signed low-bits wrap. Plain int()
+    raised ValueError on NaN — one path crashed where the others
+    didn't (review-caught)."""
+    bits = _INT_CAST_BITS[dtype]
+    if isinstance(v, float):
+        if v != v:  # NaN
+            n = 0
+        elif bits == 64:
+            if v >= 9223372036854775807.0:
+                return 9223372036854775807
+            elif v <= -9223372036854775808.0:
+                return -9223372036854775808
+            else:
+                n = int(v)
+        elif v >= 2147483647.0:
+            n = 2147483647
+        elif v <= -2147483648.0:
+            n = -2147483648
+        else:
+            n = int(v)
+    else:
+        n = int(v)
+    half, span = 1 << (bits - 1), 1 << bits
+    return (n + half) % span - half
+
+
 def _compile_eval(node):
     """Compile a row-level/windowed boolean AST into a nested-closure
     evaluator ``fn(row, aggvals)`` — branch-for-branch the same
@@ -697,7 +731,9 @@ def _compile_eval(node):
         elif dtype == "string":
             conv = str
         else:
-            conv = int
+
+            def conv(v, _dt=dtype):
+                return _jvm_int(v, _dt)
 
         def f_cast(row, aggvals):
             v = fi(row, aggvals)
@@ -939,7 +975,7 @@ def _eval_row(node, row, aggvals):
             return float(v)
         if node.dtype == "string":
             return str(v)
-        return int(v)
+        return _jvm_int(v, node.dtype)
     if isinstance(node, A.AggregateCall):
         return aggvals[id(node)]
     if isinstance(node, A.ReducerCall):
@@ -3085,12 +3121,21 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
             for i in bulk:
                 spec = specs[i]
                 c = spec.cond_cols[0]
+                # transactional, like the fast path above: the pending
+                # feed can mutate inner program state (e.g. a wait
+                # inner's lag term advances prev) BEFORE a later term
+                # raises VecUnsupported — snapshot through the packed
+                # codec and restore before the per-row feed replays
+                # this batch (review-caught: no restore meant the
+                # replay saw batch-end lag state on row 0)
+                snap = c.dump(progs[i][0])
                 try:
                     c.precheck_pend_batch(progs[i][0], ms_arr, rows)
                     decided = c.feed_batch_pending(
                         progs[i][0], ms_arr, rows, gaps
                     )
                 except VecUnsupported:
+                    progs[i][0], _ = c.load(snap, 0)
                     slow.append(i)
                     continue
                 if ms_list is None:

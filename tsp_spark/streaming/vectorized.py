@@ -75,6 +75,15 @@ def tri_mark_absent(tri: np.ndarray, absent: np.ndarray) -> np.ndarray:
     return np.where(absent, tri + 3, tri).astype(np.int8)
 
 
+def col_tri(col: pd.Series) -> np.ndarray:
+    """Precomputed JVM boolean column → trilean int8: NULL → TRI_NULL,
+    else bool(v). The shared decode for string (column-name) cond
+    sources across the batch evaluators."""
+    tri = col.fillna(False).astype(bool).to_numpy().astype(np.int8)
+    tri[col.isna().to_numpy()] = TRI_NULL
+    return tri
+
+
 class VecUnsupported(Exception):
     """This program/batch can't be evaluated vectorized — use the
     per-row feed (identical semantics, slower)."""
@@ -108,47 +117,129 @@ def static_vec_ok(node) -> bool:
     return False
 
 
+_I52F = float(1 << 52)
+_INF = float("inf")
+
+
 def precheck_expr(node, df: pd.DataFrame) -> None:
     """Raise VecUnsupported unless every Identifier under ``node`` is a
-    numeric/bool pandas column of ``df``. Runs BEFORE any state
-    mutation."""
+    numeric/bool pandas column of ``df`` AND every INTEGER-VALUED
+    subexpression is provably inside float64's exact range. Runs
+    BEFORE any state mutation.
+
+    The per-row path computes integer expressions on exact Python
+    ints; float64 rounds past 2^52 — and a per-COLUMN magnitude check
+    alone does not bound intermediates (review-caught: a+b+c+d with
+    four 2^52-bounded int columns double-rounds at 2^53+1). So this
+    propagates a conservative |value| bound bottom-up (add: ba+bb,
+    mul: ba·bb, trunc-div: ba, int cast: min(inner, saturation)) and
+    demotes whenever an int-valued node's bound crosses 2^52.
+    Float-valued subexpressions carry no bound — both paths evaluate
+    them in float64, so rounding is identical by construction.
+    Aggregate results count as int only for `count` (bounded by window
+    occupancy, < 2^31 physically); sum/avg window values enter the
+    per-row deque as floats, so their downstream arithmetic is float
+    on BOTH paths."""
+    _bound(node, df, {})
+
+
+def _col_bound(name: str, df: pd.DataFrame, cache: dict) -> float:
+    b = cache.get(name)
+    if b is None:
+        # via float64: int64's abs() overflows on INT64_MIN
+        # (review-caught); the float image of any magnitude beyond
+        # 2^52 still compares > 2^52 correctly
+        arr = df[name].to_numpy(dtype=np.float64, na_value=np.nan)
+        with np.errstate(invalid="ignore"):
+            b = float(np.nanmax(np.abs(arr))) if len(arr) else 0.0
+        if np.isnan(b):
+            b = 0.0
+        cache[name] = b
+    return b
+
+
+def _bound(node, df: pd.DataFrame, cache: dict) -> tuple[bool, float]:
+    """(is_int_valued, conservative max |value|); raises VecUnsupported
+    on unsupported shapes or int bounds beyond the exact-float range."""
     from tsp_spark.dsl import ast as A
 
-    if isinstance(node, (A.Assert, A.Cast, A.AggregateCall)):
-        precheck_expr(node.inner, df)
-        return
+    if isinstance(node, A.Assert):
+        return _bound(node.inner, df, cache)
+    if isinstance(node, A.Cast):
+        is_int, b = _bound(node.inner, df, cache)
+        bits = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}.get(
+            node.dtype
+        )
+        if bits is None:
+            if node.dtype == "boolean":
+                return True, 1.0
+            if node.dtype in ("float32", "float64"):
+                return False, b
+            raise VecUnsupported(f"cast to {node.dtype}")
+        sat = float(1 << (bits - 1))
+        return True, min(b, sat)
+    if isinstance(node, A.AggregateCall):
+        _bound(node.inner, df, cache)
+        if node.kind == "count":
+            return True, float(1 << 31)
+        return False, _INF
     if isinstance(node, A.Constant):
-        if isinstance(node.value, str):
+        v = node.value
+        if isinstance(v, str):
             raise VecUnsupported("string constant")
-        return
+        return isinstance(v, (int, bool)), abs(float(v))
     if isinstance(node, A.Identifier):
         if node.name == "_":
-            return  # reducer placeholder — always a float64 element
+            return False, _INF  # reducer placeholder — float64 element
         if node.name not in df.columns:
             raise VecUnsupported(f"missing column {node.name}")
         kind = df[node.name].dtype.kind
         if kind not in "iufb":
             raise VecUnsupported(f"non-numeric column {node.name}")
-        if kind == "i":
-            # the per-row path computes on exact Python ints; float64
-            # arithmetic rounds past 2^52 (e.g. (v+1)-v ≠ 1 at
-            # v = 2^53+2) — demote such batches to the per-row feed
-            v = df[node.name].abs().max()
-            if pd.notna(v) and int(v) > (1 << 52):
+        if kind in "iu":
+            b = _col_bound(node.name, df, cache)
+            if b > _I52F:
                 raise VecUnsupported(
                     f"int column {node.name} exceeds exact float range"
                 )
-        return
+            return True, b
+        if kind == "b":
+            return True, 1.0
+        # float column: no exactness requirement (both paths evaluate
+        # float64), but carry the ACTUAL magnitude so `x as intN`
+        # chains over bounded floats aren't demoted on the saturation
+        # ceiling alone
+        return False, _col_bound(node.name, df, cache)
     if isinstance(node, A.FunctionCall):
-        for a in node.args:
-            precheck_expr(a, df)
-        return
+        name = node.name
+        parts = [_bound(a, df, cache) for a in node.args]
+        if name in ("and", "or", "xor", "not") or name in (
+            "gt", "ge", "lt", "le", "eq", "ne",
+        ):
+            return True, 1.0
+        if name == "abs":
+            return parts[0]
+        if name in ("add", "sub", "mul", "div"):
+            (ai, ab), (bi, bb) = parts
+            is_int = ai and bi
+            if name in ("add", "sub"):
+                b = ab + bb
+            elif name == "mul":
+                b = ab * bb
+            else:
+                b = ab  # |trunc(a/b)| <= |a| for int/int; float else
+            if is_int and b > _I52F:
+                raise VecUnsupported(
+                    f"integer {name} intermediate exceeds exact float range"
+                )
+            return is_int, b
+        return False, _INF  # math/sigmoid — float on both paths
     if isinstance(node, A.ReducerCall):
         for a in node.args:
-            precheck_expr(a, df)
+            _bound(a, df, cache)
         if node.cond is not None:
-            precheck_expr(node.cond, df)
-        return
+            _bound(node.cond, df, cache)
+        return False, _INF  # reducers fold in float64 on both paths
     raise VecUnsupported(f"node {type(node).__name__}")
 
 
@@ -188,7 +279,7 @@ def _num(node, df, aggvals):
             null = np.zeros(len(vals), dtype=bool)
         else:
             vals[null] = 0.0
-        return vals, null, col.dtype.kind in "ib"
+        return vals, null, col.dtype.kind in "iub"
     if isinstance(node, A.AggregateCall):
         vals, null, is_int = aggvals[id(node)]
         return vals, null, is_int
@@ -200,8 +291,26 @@ def _num(node, df, aggvals):
         if node.dtype in ("float32", "float64"):
             # per-row casts via float() — float32 does NOT narrow
             return vals.astype(np.float64), null, False
+        # integer target: JVM conversion (stateful._jvm_int) — NaN → 0,
+        # int sources narrow by signed low-bits wrap. The float
+        # SATURATION zone (|v| ≥ 2^31 / 2^63) demotes to the per-row
+        # feed: the saturated long isn't float64-representable, so
+        # bit-parity there needs exact ints (review-caught: trunc
+        # passed NaN through where per-row crashed on int(nan))
+        bits = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}[
+            node.dtype
+        ]
         with np.errstate(invalid="ignore"):
-            return np.trunc(vals), null, True
+            if not is_int:
+                lim = 2147483648.0 if bits < 64 else 9223372036854775808.0
+                if bool(np.any(~null & (np.abs(vals) >= lim))):
+                    raise VecUnsupported("float→int cast saturation")
+            out = np.trunc(vals)
+            out = np.where(np.isnan(out), 0.0, out)
+            if bits < 64:
+                half, span = float(1 << (bits - 1)), float(1 << bits)
+                out = np.mod(out + half, span) - half
+            return out, null, True
     if isinstance(node, A.FunctionCall):
         name = node.name
         if name in ("and", "or", "xor", "not") or name in (
@@ -281,7 +390,7 @@ def _num(node, df, aggvals):
             inc = ~null
             if node.cond is not None:
                 cdf = df.assign(**{"_": pd.Series(vals, index=df.index)})
-                tri = _tri_of(node.cond, cdf, aggvals)
+                tri = _tri(node.cond, cdf, aggvals)
                 inc = inc & (tri == TRI_TRUE)
             per.append((vals, inc))
         name = node.name
@@ -351,12 +460,12 @@ def _tri(node, df, aggvals) -> np.ndarray:
     if isinstance(node, A.FunctionCall):
         name = node.name
         if name == "not":
-            a = _tri_of(node.args[0], df, aggvals)
+            a = _tri(node.args[0], df, aggvals)
             out = np.where(a == TRI_NULL, TRI_NULL, 1 - a)
             return out.astype(np.int8)
         if name in ("and", "or", "xor"):
-            a = _tri_of(node.args[0], df, aggvals)
-            b = _tri_of(node.args[1], df, aggvals)
+            a = _tri(node.args[0], df, aggvals)
+            b = _tri(node.args[1], df, aggvals)
             return kleene(name, a, b)
         if name in ("gt", "ge", "lt", "le", "eq", "ne"):
             a, an, _ = _num(node.args[0], df, aggvals)
@@ -382,19 +491,6 @@ def _tri(node, df, aggvals) -> np.ndarray:
             return tri
     # numeric node in boolean position (e.g. a bare cast/identifier)
     return _truthy(node, df, aggvals)
-
-
-def _tri_of(node, df, aggvals):
-    from tsp_spark.dsl import ast as A
-
-    nw = node
-    while isinstance(nw, A.Assert):
-        nw = nw.inner
-    if isinstance(nw, A.FunctionCall) and nw.name in (
-        "and", "or", "xor", "not", "gt", "ge", "lt", "le", "eq", "ne",
-    ):
-        return _tri(nw, df, aggvals)
-    return _truthy(nw, df, aggvals)
 
 
 def kleene(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -523,16 +619,28 @@ def sliding_aggregate(
     if kind in ("sum", "avg"):
         isnan = np.isnan(evals)
         clean = np.where(isnan, 0.0, evals)
-        exact = (
-            len(evals) <= (1 << 20)
-            and bool(np.all(isnan | ((clean == np.floor(clean)) & (np.abs(clean) <= _I52))))
-        )
-        if not exact and len(clean) and float(np.max(np.abs(clean))) > _I52:
-            # prefix-sum DIFFERENCES cancel catastrophically at large
-            # magnitudes (sum of [1e16…, 1.0…] windows loses the 1.0s
-            # entirely — review-caught), while the per-row fold does
-            # not. Demote to the per-row feed BEFORE mutating state;
-            # the kernel restores the packed snapshot on this raise.
+        with np.errstate(invalid="ignore"):
+            m = float(np.max(np.abs(clean))) if len(clean) else 0.0
+        integral = bool(np.all(isnan | (clean == np.floor(clean))))
+        # int64 prefix sums are bit-equal to the per-row float fold
+        # exactly while every RUNNING total stays below 2^53 (integral
+        # float addition is exact there, and the fold's deque holds
+        # floats): n·maxmag bounds that, for any batch length — the
+        # old fixed len ≤ 2^20 gate left big integral batches on the
+        # inexact float branch, where a threshold tie could flip
+        # (review-caught)
+        exact = integral and m * max(len(clean), 1) < float(1 << 53)
+        if not exact and len(clean) and (m > _I52 or integral):
+            # Non-integral beyond 2^31: prefix-sum DIFFERENCES cancel
+            # catastrophically at large magnitudes (sum of [1e16…,
+            # 1.0…] windows loses the 1.0s entirely — review-caught),
+            # while the per-row fold does not. Integral beyond the
+            # running-total bound: the per-row fold itself rounds, and
+            # only it reproduces the reference order. Demote BEFORE
+            # mutating state; the kernel restores the packed snapshot
+            # on this raise. Small non-integral floats stay on the
+            # float branch: ≤ 1 ulp of the fold, and a condition flip
+            # needs a threshold TIE, which needs integral data.
             raise VecUnsupported("window values exceed stable sum range")
 
     # batch-end state: entries still inside the LAST row's window and
@@ -622,7 +730,7 @@ def windowed_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
         aggvals[id(a)] = sliding_aggregate(
             a.kind, a.window_ms, objs[i], ms_arr, ivals, inull, lg_rows
         )
-    tri = _tri_of(prog.node, df, aggvals)
+    tri = _tri(prog.node, df, aggvals)
     if absent is not None and absent.any():
         return tri_mark_absent(tri, absent)
     return tri
@@ -721,10 +829,7 @@ def combo_batch(prog, objs, ms_arr, df, gaps, lg_rows) -> np.ndarray:
     tris = []
     for j, c in enumerate(prog.children):
         if isinstance(c, str):
-            col = df[c]
-            tri = col.fillna(False).astype(bool).to_numpy().astype(np.int8)
-            tri[col.isna().to_numpy()] = TRI_NULL
-            tris.append(tri)
+            tris.append(col_tri(df[c]))
         else:
             tris.append(c.feed_batch(objs[j], ms_arr, df, gaps, lg_rows))
     # value layer on RAW values; presence recombines afterwards —
@@ -876,10 +981,10 @@ def lag_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
             else prev_at
         )
         sdf = df.iloc[s:e]
-        tri_v = _tri_of(
+        tri_v = _tri(
             prog.node, sdf, {key: (val_v, np.zeros(m, dtype=bool), False)}
         )
-        tri_n = _tri_of(
+        tri_n = _tri(
             prog.node,
             sdf,
             {key: (np.zeros(m), np.ones(m, dtype=bool), False)},
@@ -974,9 +1079,7 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
     pend = objs[0]
     n = len(ms_arr)
     if isinstance(prog.inner, str):
-        col = df[prog.inner]
-        tri = col.fillna(False).astype(bool).to_numpy().astype(np.int8)
-        tri[col.isna().to_numpy()] = TRI_NULL
+        tri = col_tri(df[prog.inner])
     else:
         lg_rows = last_gap_rows(gaps)
         tri = prog.inner.feed_batch(objs[1], ms_arr, df, gaps, lg_rows)
