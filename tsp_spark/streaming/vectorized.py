@@ -12,13 +12,14 @@ row, in row order), the whole micro-batch collapses to array passes:
   via prefix scans: ``count`` by index arithmetic (exact), ``sum``/
   ``avg`` by prefix-sum difference — run in int64 (bit-exact vs the
   per-row left-to-right fold) whenever every window value is integral
-  and small enough that no partial sum can round; the float64 branch
-  is magnitude-bounded (values past 2^31 demote the batch to the
-  per-row feed — prefix DIFFERENCES cancel catastrophically there,
-  where the fold would not), so within it results match the fold to
-  ~window·eps relative error and a condition can only flip on a
-  same-order threshold tie, which needs integral data — covered by
-  the exact branch, ``min``/``max`` by a sparse table of np.fmin/np.maximum
+  and the worst-case RUNNING total stays below 2^53 (any batch
+  length); integral data beyond that bound, and non-integral values
+  past 2^31, demote the batch to the per-row feed (prefix DIFFERENCES
+  cancel catastrophically at large float magnitudes, where the fold
+  would not). The remaining float64 branch matches the fold to
+  ~window·eps relative error, and a condition can only flip on a
+  same-order threshold tie, which needs integral data — always the
+  exact branch. ``min``/``max`` by a sparse table of np.fmin/np.maximum
   (exact, and IEEE-NaN-identical: fmin skips NaN = the batch
   NaN-sorts-greatest min, maximum propagates NaN = its max);
 - truth statistics (WindowStatistic.scala:45-103) via int64 prefix
