@@ -154,3 +154,88 @@ def test_cast_and_math(spark, mk_ts):
     assert len(out.collect()) == 1
     out2 = compile_pattern(df, "abs(x - 6) < 0.5", ["unit"], "ts")
     assert len(out2.collect()) == 1
+
+
+def test_jvm_cast_semantics_batch(spark, mk_ts):
+    """r6d (review-caught): `x as intN` follows the reference's
+    decodeToInt `d.toInt` (BasicDecoders.scala:89-91) — NaN (a NULL
+    float field) casts to 0 instead of crashing Spark's ANSI cast,
+    floats saturate (with (long)d = Long.MAX exactly for d >= 2^63,
+    not the largest-double-below-2^63 clamp), int8/int16 narrow by
+    signed low-bits wrap."""
+    df = _events(
+        spark, mk_ts,
+        [("a", 0, None, "x"), ("a", 10, 1e20, "x"), ("a", 20, 200.5, "x")],
+    )
+    # NaN -> 0: only the NULL row matches = 0
+    out = compile_pattern(df, "x as int32 = 0", ["unit"], "ts")
+    assert len(out.collect()) == 1
+    # saturation hits Long.MAX exactly (off-by-1023 clamp would miss)
+    out2 = compile_pattern(
+        df, "x as int64 >= 9223372036854775000", ["unit"], "ts"
+    )
+    assert len(out2.collect()) == 1
+    # (byte)200.5 = -56
+    out3 = compile_pattern(df, "x as int8 = 0 - 56", ["unit"], "ts")
+    assert len(out3.collect()) == 1
+
+
+def test_none_max_gap_keeps_segmentizer_bridge(spark, mk_ts):
+    """r6d (review-caught): max_gap_ms=None must behave like an
+    infinite gap, not silently skip the lag Segmentizer bridge (the
+    probe-compile guard keyed on the series column's absence, which a
+    None-gap evaluation also hit)."""
+    import random
+
+    rng = random.Random(11)
+    rows, t = [], 0.0
+    for _ in range(150):
+        t += rng.choice([0.5, 1.0, 1.0, 7.0, 9.0])
+        v = None if rng.random() < 0.08 else rng.choice([40.0, 60.0, 60.0, 80.0])
+        rows.append(("a", t, v, "x"))
+    df = _events(spark, mk_ts, rows)
+    for pat in ("lag(lag(x, 5 sec)) > 50", "lag(x, 5 sec) > 50"):
+        a = sorted(
+            (r["from_ts"], r["to_ts"], r["n_rows"])
+            for r in compile_pattern(
+                df, pat, ["unit"], "ts", max_gap_ms=None
+            ).collect()
+        )
+        b = sorted(
+            (r["from_ts"], r["to_ts"], r["n_rows"])
+            for r in compile_pattern(
+                df, pat, ["unit"], "ts", max_gap_ms=10**12
+            ).collect()
+        )
+        assert a == b, f"[{pat}] None-gap diverged from infinite-gap"
+
+
+def test_bare_numeric_pattern_keeps_present(spark, mk_ts):
+    """r6d (review-caught): a bare numeric top-level pattern (nonzero =
+    true) must forward the present mask — a lag's absent rows are
+    invisible indices, not Fail run-breaks."""
+    rows = [("a", t, 5.0, "x") for t in range(6)]
+    df = _events(spark, mk_ts, rows)
+    # lag(x) is absent at the series head only; one unbroken true run
+    out = compile_pattern(df, "lag(x) for 2 sec", ["unit"], "ts")
+    ivs = out.collect()
+    assert len(ivs) == 1, f"expected one run, got {len(ivs)}"
+
+
+def test_minof_propagates_nan(spark, mk_ts):
+    """r6d (review-caught): the reference folds Math.min, which
+    PROPAGATES NaN (FunctionRegistry.scala:473-485) — a NULL float
+    argument poisons minOf instead of being skipped by array_min's
+    NaN-greatest order. Math.max coincides with array_max, so maxOf
+    was already right."""
+    df = spark.createDataFrame(
+        [
+            ("a", mk_ts(0), 50.0, 70.0),
+            ("a", mk_ts(10), 50.0, None),   # NaN arg -> minOf = NaN
+            ("a", mk_ts(20), 200.0, 90.0),
+        ],
+        "unit string, ts timestamp, p double, q double",
+    )
+    out = compile_pattern(df, "minOf(p, q) < 100", ["unit"], "ts")
+    ivs = sorted(r["from_ts"].timestamp() % 86400 for r in out.collect())
+    assert len(ivs) == 2  # rows 0 and 2; the NaN row is excluded

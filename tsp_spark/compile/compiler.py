@@ -67,7 +67,22 @@ def rowwise_reduce(name: str, filtered: Column) -> tuple[Column, str]:
     if name == "sumof":
         return F.aggregate(filtered, F.lit(0.0), lambda acc, x: acc + x), "float64"
     if name == "minof":
-        return F.coalesce(F.array_min(filtered), F.lit(dbl_max)), "float64"
+        # the reference folds Math.min, which PROPAGATES NaN
+        # (FunctionRegistry.scala:473-485) — Spark's array_min instead
+        # skips NaN under its NaN-greatest total order, silently
+        # dropping a NULL-float argument from the fold (review-caught;
+        # Math.max happens to agree with array_max, so only min needs
+        # the explicit NaN gate)
+        has_nan = F.exists(filtered, lambda x: F.isnan(x))
+        return (
+            F.coalesce(
+                F.when(has_nan, F.lit(float("nan"))).otherwise(
+                    F.array_min(filtered)
+                ),
+                F.lit(dbl_max),
+            ),
+            "float64",
+        )
     if name == "maxof":
         return F.coalesce(F.array_max(filtered), F.lit(-dbl_max)), "float64"
     if name == "countof":
@@ -118,11 +133,21 @@ def _jvm_cast(col: Column, src_dtype: str | None, dst_dtype: str) -> Column:
     if src in ("float32", "float64"):
         z = F.when(F.isnan(col), F.lit(0.0)).otherwise(col)
         if bits == 64:
-            clamped = F.least(
-                F.greatest(z, F.lit(-9223372036854775808.0)),
-                F.lit(9223372036854774784.0),  # largest double < 2^63
+            # saturation zone first: the clamp bound itself must be a
+            # representable double, and the largest double < 2^63 is
+            # 1023 below Long.MAX — (long)d yields Long.MAX exactly
+            # for any d ≥ 2^63 (review-caught, matches _jvm_int)
+            return (
+                F.when(
+                    z >= F.lit(9223372036854775808.0),
+                    F.lit(9223372036854775807).cast("bigint"),
+                )
+                .when(
+                    z <= F.lit(-9223372036854775808.0),
+                    F.lit(-9223372036854775808).cast("bigint"),
+                )
+                .otherwise(z.cast("bigint"))
             )
-            return clamped.cast("bigint")
         clamped = F.least(
             F.greatest(z, F.lit(-2147483648.0)), F.lit(2147483647.0)
         )
@@ -192,8 +217,15 @@ class PatternCompiler:
         every window/lag must be confined to its sub-series, not the
         whole key. Same window spec as every other operator → no extra
         shuffle."""
-        if self.max_gap_ms is None or self.SERIES_COL in df.columns:
+        if self.SERIES_COL in df.columns:
             return df
+        if self.max_gap_ms is None:
+            # no gap splitting: one series per key. The column must
+            # still exist — the lag branches use its ABSENCE to detect
+            # probe compiles (raw frames) and skip the Segmentizer
+            # bridge, so a None max_gap evaluation without it would
+            # silently lose bridging (review-caught)
+            return df.withColumn(self.SERIES_COL, F.lit(0).cast("long"))
         w = Window.partitionBy(*self.keys).orderBy(self.ts)
         ms = F.unix_millis(F.col(self.ts))
         brk = (ms - F.lag(ms).over(w) > self.max_gap_ms).cast("int")
@@ -306,8 +338,15 @@ class PatternCompiler:
         """Pattern → row-level trilean boolean column."""
         c = self._compile(df, node)
         if c.dtype != "boolean":
-            # non-boolean top level (e.g. bare sensor `for` …): nonzero = true
-            c = Compiled(c.df, c.col.cast("boolean"), "boolean", c.has_window)
+            # non-boolean top level (e.g. bare sensor `for` …): nonzero =
+            # true. Keep the present mask — dropping it would turn a
+            # lag's absent rows into Fail run-breaks instead of
+            # invisible indices (review-caught; the Assert branch
+            # already forwards it)
+            c = Compiled(
+                c.df, c.col.cast("boolean"), "boolean", c.has_window,
+                c.present,
+            )
         return c
 
     # ------------------------------------------------------------------
@@ -575,7 +614,16 @@ class PatternCompiler:
     # --- pattern-level operators --------------------------------------
     def _run_start_ms(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:
         """Materialize boundary flags for the cond's runs; return the
-        current run's start epoch-ms as a window column."""
+        current run's start epoch-ms as a window column.
+
+        Sibling of ops/islands.with_run_start, kept separate on
+        purpose: this form is a cumulative max over the compiler's ONE
+        shared window spec (no island-keyed repartitioning), so every
+        Window node chains behind the same Exchange. The max_gap
+        boundary term is defense in depth — under series partitioning
+        (_series_keys includes the series id) no intra-partition gap
+        can exceed max_gap, so it only matters if a caller ever feeds
+        a frame that skipped with_series."""
         w = self._w_order()
         ms = self._ms()
         boundary = (
@@ -593,7 +641,7 @@ class PatternCompiler:
 
     def _compile_timer(self, df: DataFrame, node: A.Timer) -> Compiled:
         c = self.compile_bool(df, node.inner)
-        c = self._maybe_materialize(c) if c.has_window else self._materialize(c)
+        c = self._materialize(c)  # both prior branches reduced to this
         df2, run_start = self._run_start_ms(c.df, c.col)
         held_ms = self._ms() - run_start
         col = F.when(

@@ -894,8 +894,10 @@ def _reducer_cast(v):
 
 def _fold_reducer(name, vals):
     """Fold the filtered element list (ReducePattern semantics, see
-    compiler.rowwise_reduce): typed init values on empty input,
-    NaN-greatest total order for min/max. Shared by the compiled
+    compiler.rowwise_reduce): typed init values on empty input; min
+    and max both fold JVM Math.min/Math.max, which PROPAGATE NaN
+    (FunctionRegistry.scala:473-500 — review-caught: min previously
+    mirrored Spark's NaN-skipping array_min). Shared by the compiled
     closures (_compile_eval) and the interpreter (_eval_row); the
     numpy path (vectorized._num) is element-parallel and legitimately
     separate."""
@@ -909,14 +911,13 @@ def _fold_reducer(name, vals):
             return s
         return s / len(vals) if vals else float("nan")
     dbl_max = 1.7976931348623157e308
-    non_nan = [v for v in vals if not math.isnan(v)]
     if name == "minof":
-        if non_nan:
-            return min(non_nan)
-        return float("nan") if vals else dbl_max
+        if any(math.isnan(v) for v in vals):
+            return float("nan")
+        return min(vals) if vals else dbl_max
     if name == "maxof":
-        if len(non_nan) != len(vals):
-            return float("nan")  # NaN is greatest
+        if any(math.isnan(v) for v in vals):
+            return float("nan")
         return max(vals) if vals else -dbl_max
     raise ValueError(f"unknown reducer '{name}'")
 

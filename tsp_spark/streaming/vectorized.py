@@ -412,17 +412,18 @@ def _num(node, df, aggvals):
             return out, zeros, False
         dbl_max = 1.7976931348623157e308
         isnan = [np.isnan(v) for v, _i in per]
-        cnt_nn = np.zeros(n, dtype=np.int64)
-        for (v, inc), nn in zip(per, isnan):
-            cnt_nn += inc & ~nn
         if name == "minof":
+            # Math.min PROPAGATES NaN (FunctionRegistry.scala:473-485)
+            # — any NaN element → NaN; empty → Double.MaxValue init
             m = np.full(n, np.inf)
+            has_nan = np.zeros(n, dtype=bool)
             for (v, inc), nn in zip(per, isnan):
                 m = np.minimum(m, np.where(inc & ~nn, v, np.inf))
-            # NaN is greatest (Spark array_min): all-NaN → NaN,
-            # empty → Double.MaxValue init
+                has_nan |= inc & nn
             return (
-                np.where(cnt_nn > 0, m, np.where(cnt > 0, np.nan, dbl_max)),
+                np.where(
+                    has_nan, np.nan, np.where(cnt > 0, m, dbl_max)
+                ),
                 zeros,
                 False,
             )
