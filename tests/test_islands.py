@@ -76,3 +76,48 @@ def test_and_then(spark, mk_ts):
     assert len(out) == 1
     r = out[0]
     assert r.unit == "a" and r.from_ts.second == 1 and r.to_ts.second == 4
+
+
+def test_and_then_respects_series_split(spark, mk_ts):
+    """r6d (review-caught): the reference resets ALL state at a gap >
+    max_gap_ms (PatternProcessor.scala:33-56) — an A-run ending just
+    before the split must NOT match a B-run starting right after it,
+    even though their per-key indices are adjacent."""
+    df = _events(
+        spark,
+        mk_ts,
+        [
+            ("a", 0, 5), ("a", 10, 6), ("a", 20, 7),       # A-run
+            ("a", 1000, -1), ("a", 1010, -2),              # B-run after split
+        ],
+    )
+    out = and_then(
+        df, ["unit"], "ts", F.col("x") > 4, F.col("x") < 0,
+        max_gap_ms=60_000,
+    ).collect()
+    assert out == [], f"match across a series split: {out}"
+    # same data, no split configured -> the adjacency match IS allowed
+    out2 = and_then(
+        df, ["unit"], "ts", F.col("x") > 4, F.col("x") < 0, max_gap_ms=None
+    ).collect()
+    assert len(out2) == 1
+
+
+def test_and_then_schema_contract(spark, mk_ts):
+    """r6d (review-caught): andThen output keeps the uniform interval
+    schema (keys…, from_ts, to_ts, n_rows, start_idx, end_idx) and no
+    internal columns leak from islands()."""
+    df = _events(
+        spark, mk_ts,
+        [("a", 0, 5), ("a", 1, 6), ("a", 2, -1), ("a", 3, -2)],
+    )
+    out = and_then(
+        df, ["unit"], "ts", F.col("x") > 4, F.col("x") < 0, max_gap_ms=None
+    )
+    assert out.columns == [
+        "unit", "from_ts", "to_ts", "n_rows", "start_idx", "end_idx"
+    ]
+    r = out.collect()[0]
+    assert r.n_rows == 4 and r.start_idx == 1 and r.end_idx == 4
+    isl = islands(df, ["unit"], "ts", F.col("x") > 4, max_gap_ms=None)
+    assert isl.columns == ["unit", "from_ts", "to_ts", "n_rows"]

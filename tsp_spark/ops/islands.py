@@ -18,6 +18,11 @@ window needs co-location), then everything is a single window pass +
 partial-aggregated groupBy that reuses the same partitioning, so Catalyst
 plans ONE exchange for the whole islandization. Output is tiny relative
 to input (one row per run), so downstream joins on islands are cheap.
+
+Assumes (keys…, ts) uniquely identifies a row (like the compiler's
+join-back): the windows order by ts alone, so duplicate timestamps
+within a key get nondeterministic relative order — island membership and
+``with_idx`` row numbers can differ between evaluations on such data.
 """
 
 from __future__ import annotations
@@ -89,10 +94,13 @@ def islands(
     if with_idx:
         aggs += [F.min("__idx").alias("start_idx"), F.max("__idx").alias("end_idx")]
     grouped = flagged.groupBy(*keys, "__island", "__cond").agg(*aggs)
+    # drop the internal island id — the docstring schema is
+    # ``keys…, from_ts, to_ts, n_rows`` and leaking it forces every
+    # caller to select around it (review-caught)
     if keep is not None:
         grouped = grouped.filter(F.col("__cond").eqNullSafe(F.lit(keep)))
-        return grouped.drop("__cond")
-    return grouped.withColumnRenamed("__cond", "cond_value")
+        return grouped.drop("__cond", "__island")
+    return grouped.withColumnRenamed("__cond", "cond_value").drop("__island")
 
 
 def with_run_start(
@@ -103,6 +111,7 @@ def with_run_start(
     max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
     run_start_col: str = "__run_start",
     island_col: str = "__island",
+    cond_col: str = "__cond",
 ) -> DataFrame:
     """Append, to every row, the start timestamp of the current island.
 
@@ -110,7 +119,15 @@ def with_run_start(
     row-level composable: a row satisfies the timer iff
     ``cond AND ts >= run_start + T`` — no join, just a second window
     over the same partitioning (no extra shuffle).
+
+    The flag columns (``island_col``, ``cond_col``) stay in the output —
+    override both names when composing two run-starts on one frame so
+    the second call can't clobber the first's columns (review-caught:
+    cond_col used to be hardwired to ``__cond``).
     """
-    flagged = with_islands(df, keys, ts, cond, max_gap_ms, island_col=island_col)
+    flagged = with_islands(
+        df, keys, ts, cond, max_gap_ms,
+        island_col=island_col, cond_col=cond_col,
+    )
     w_island = Window.partitionBy(*keys, island_col)
     return flagged.withColumn(run_start_col, F.min(ts).over(w_island))

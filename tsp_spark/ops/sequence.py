@@ -8,15 +8,19 @@ of failing events in between) does NOT match that A.
 
 Spark-first strategy: islandize both operands (run-length encoding makes
 the interval tables tiny relative to the event stream), then join island
-tables per key on the adjacency condition
+tables per key on the match condition
 
-    B.start_idx <= A.end_idx + 1  AND  B.end_idx > A.end_idx
+    B.start_idx <= A.end_idx + 1  AND  B.end_idx >= A.start_idx
 
-and keep, per A-island, the earliest matching B (min end). Both island
-tables derive from the same keyed shuffle; the join keys are the partition
-keys, so at scale this is a co-partitioned join of two small derived
-tables — with AQE it typically executes as a broadcast join of the
-smaller side.
+(not-gapped and not-late — overlapping runs DO match, including a B that
+ends inside A). Both island tables derive from the same keyed shuffle;
+the join keys are the partition keys, so at scale this is a
+co-partitioned join of two small derived tables — with AQE it typically
+executes as a broadcast join of the smaller side.
+
+Assumes (keys…, ts) uniquely identifies a row, like the compiler's
+join-back: duplicate timestamps within a key get nondeterministic
+per-side row numbers and can corrupt the index-adjacency join.
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tsp_spark.ops.islands import islands
+from tsp_spark.ops.islands import DEFAULT_MAX_GAP_MS, islands
 
 
 def and_then(
@@ -35,22 +39,42 @@ def and_then(
     ts: str,
     cond_a: Column,
     cond_b: Column,
-    max_gap_ms: int | None = 60_000,
+    max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
 ) -> DataFrame:
     """Match success runs of ``cond_a`` immediately followed by success
     runs of ``cond_b``; emit one row per A-run that matches:
-    ``keys…, from_ts (=A start), to_ts (=B end)``."""
-    ia = islands(df, keys, ts, cond_a, max_gap_ms, with_idx=True)
-    ib = islands(df, keys, ts, cond_b, max_gap_ms, with_idx=True)
-    return and_then_intervals(ia, ib, keys)
+    ``keys…, from_ts (=A start), to_ts (=B end)``.
+
+    Series-split aware (review-caught): the reference resets ALL state
+    at a gap > max_gap_ms (PatternProcessor.scala:33-56), so an A-run
+    ending just before a split must not match a B-run starting right
+    after it even though their indices are adjacent — the islandize and
+    the join both run per (keys…, series)."""
+    jkeys = list(keys)
+    if max_gap_ms is not None:
+        # same formula as the compiler's with_series
+        w = Window.partitionBy(*keys).orderBy(ts)
+        ms = F.unix_millis(F.col(ts))
+        brk = (ms - F.lag(ms).over(w) > F.lit(max_gap_ms)).cast("int")
+        df = df.withColumn(
+            "__series_seq",
+            F.sum(F.coalesce(brk, F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        jkeys = [*keys, "__series_seq"]
+    ia = islands(df, jkeys, ts, cond_a, max_gap_ms, with_idx=True)
+    ib = islands(df, jkeys, ts, cond_b, max_gap_ms, with_idx=True)
+    out = and_then_intervals(ia, ib, jkeys)
+    return out.drop("__series_seq") if max_gap_ms is not None else out
 
 
 def and_then_intervals(
     left: DataFrame, right: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
     """Sequence-join two interval tables (each with keys…, from_ts, to_ts,
-    start_idx, end_idx). Used directly for chained ``A andThen B andThen C``:
-    the previous result is the left side.
+    n_rows, start_idx, end_idx). Used directly for chained
+    ``A andThen B andThen C``: the previous result is the left side.
 
     Match rule (AndThenPattern.scala:69-88): a B-run matches an A-run
     unless B is late (B.end < A.start) or gapped (B.start > A.end + 1) —
@@ -59,7 +83,12 @@ def and_then_intervals(
     LHS starts to the timestamp when RHS ends" — [A.from, B.to] — which
     is what the golden fixtures (SimpleCasesTest cases 9, 16-17, 47-48,
     51-52) encode. Runs are consumed 1:1 sequentially, approximated by
-    keeping the earliest B per A and then the earliest A per B.
+    keeping the earliest B per A and then the earliest A per B (the
+    known deviations from the reference's two-queue rewind on
+    overlap-edge shapes are documented in docs/SEMANTICS.md §17).
+    ``n_rows`` is the reported index span ``end_idx − start_idx + 1``
+    (contiguous by the adjacency condition), keeping the
+    compile_pattern output contract uniform across pattern shapes.
     """
     a = left.select(
         *keys,
@@ -86,10 +115,12 @@ def and_then_intervals(
         .withColumn("__ra", F.row_number().over(w_b))
         .where(F.col("__ra") == 1)
     )
+    end_idx = F.greatest("__a_ei", "__b_ei")
     return paired.select(
         *keys,
         F.col("__a_from").alias("from_ts"),
         F.col("__b_to").alias("to_ts"),
+        (end_idx - F.col("__a_si") + 1).alias("n_rows"),
         F.col("__a_si").alias("start_idx"),
-        F.greatest("__a_ei", "__b_ei").alias("end_idx"),
+        end_idx.alias("end_idx"),
     )
