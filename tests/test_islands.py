@@ -121,3 +121,32 @@ def test_and_then_schema_contract(spark, mk_ts):
     assert r.n_rows == 4 and r.start_idx == 1 and r.end_idx == 4
     isl = islands(df, ["unit"], "ts", F.col("x") > 4, max_gap_ms=None)
     assert isl.columns == ["unit", "from_ts", "to_ts", "n_rows"]
+
+
+def test_forward_fill_keeps_own_value(spark, mk_ts):
+    """r6d (review-caught): expiry suppresses stale FILLS only — a
+    row's own non-null value survives any timeout, including 0."""
+    from tsp_spark.ops.fill import forward_fill
+
+    df = spark.createDataFrame(
+        [
+            ("a", mk_ts(0), 5.0),
+            ("a", mk_ts(10), None),
+            ("a", mk_ts(20), 7.0),
+        ],
+        "unit string, ts timestamp, v double",
+    )
+    out = forward_fill(
+        df, ["unit"], "ts", ["v"], default_timeout_ms=0
+    ).orderBy("ts").collect()
+    assert [r.v for r in out] == [5.0, None, 7.0]
+    # boundary is STRICT (SEMANTICS.md rule 6): a fill exactly
+    # timeout-old expires
+    out2 = forward_fill(
+        df, ["unit"], "ts", ["v"], default_timeout_ms=10_000
+    ).orderBy("ts").collect()
+    assert [r.v for r in out2] == [5.0, None, 7.0]
+    out3 = forward_fill(
+        df, ["unit"], "ts", ["v"], default_timeout_ms=10_001
+    ).orderBy("ts").collect()
+    assert [r.v for r in out3] == [5.0, 5.0, 7.0]

@@ -31,7 +31,13 @@ def forward_fill(
 ) -> DataFrame:
     """Fill nulls in ``cols`` with the last seen value per key, expiring
     values older than the per-column timeout (ms). ``None`` timeout =
-    fill forever."""
+    fill forever.
+
+    A row's OWN non-null value is always kept — expiry only suppresses
+    stale fills (review-caught: a timeout ≤ 0 used to null out real
+    data). Assumes (keys…, ts) uniquely identifies a row: with
+    duplicate timestamps the rows-frame last() depends on tie order,
+    which Spark does not stabilize across evaluations."""
     timeouts_ms = dict(timeouts_ms or {})
     w = (
         Window.partitionBy(*keys)
@@ -39,17 +45,21 @@ def forward_fill(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ms = F.unix_millis(F.col(ts))
-    out = df
+    filled_cols = {}
     for c in cols:
         timeout = timeouts_ms.get(c, default_timeout_ms)
         filled = F.last(F.col(c), ignorenulls=True).over(w)
         if timeout is None:
-            out = out.withColumn(c, filled)
+            filled_cols[c] = filled
         else:
             last_seen = F.max(F.when(F.col(c).isNotNull(), ms)).over(w)
             # strict <: the reference retains a cached value only while
             # now - seen < timeout (SparseRowsDataAccumulator.scala:91-95)
-            out = out.withColumn(
-                c, F.when(ms - last_seen < F.lit(timeout), filled)
+            filled_cols[c] = F.when(
+                F.col(c).isNotNull(), F.col(c)
+            ).otherwise(
+                F.when(ms - last_seen < F.lit(timeout), filled)
             )
-    return out
+    # ONE withColumns call: per-column withColumn re-analyzes the
+    # growing projection (O(n²) driver-side analysis on wide unfolds)
+    return df.withColumns(filled_cols)

@@ -37,10 +37,13 @@ def time_window(
     bounds it requires while keeping sub-second resolution.
     ``half_open`` shrinks the trailing bound by 1 ms → (t−W, t].
     """
-    window_ms = int(window_s * 1000)
+    # round, don't truncate: int(0.29 * 1000) == 289 silently shrinks
+    # the frame by 1 ms for non-representable float seconds
+    window_ms = round(window_s * 1000)
     w = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
     if leading:
-        return w.rangeBetween(0, window_ms)
+        # half-open leading = [t+1ms, t+W] — mirror of the trailing form
+        return w.rangeBetween(1 if half_open else 0, window_ms)
     return w.rangeBetween(-(window_ms - 1) if half_open else -window_ms, 0)
 
 
@@ -66,19 +69,28 @@ def windowed_max(col: Column, keys: Sequence[str], ts: str, window_s: float) -> 
 
 def lag_value(col: Column, keys: Sequence[str], ts: str) -> Column:
     """Previous event's value (the reference's ``lag(x)``,
-    core/.../aggregators/PreviousValue.scala with a 1-event window)."""
-    return F.lag(col).over(Window.partitionBy(*keys).orderBy(ts))
+    core/.../aggregators/PreviousValue.scala with a 1-event window).
+    Ordered by epoch millis like every sibling helper so Catalyst can
+    fuse all of them into one Window stage."""
+    return F.lag(col).over(
+        Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
+    )
 
 
 def lag_time(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Column:
-    """Value as of ``window_s`` seconds ago (``lag(x, T)``): the last
-    value at or before t − W (core/.../aggregators/PreviousValue.scala:50-63
-    — the reference takes the first retained value after eviction; the
-    closed-boundary choice is pinned by the oracle harness)."""
+    """CONTINUOUS value-as-of lookup: the last value at or before
+    t − W. This is the simple utility form — the reference's
+    ``lag(x, T)`` (PreviousValue.scala:42-73) is CONSUME-ONCE (each
+    queued value emits at most once; an empty frame (t_prev−T, t−T]
+    yields absent), which this helper deliberately does not reproduce:
+    the reference-exact form lives in the pattern compiler's lag
+    branch (compile/compiler.py) and the streaming kernel. Use this
+    one when a stale re-emitted value is acceptable (dashboards,
+    feature engineering), the compiler for pattern semantics."""
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.unix_millis(F.col(ts)))
-        .rangeBetween(Window.unboundedPreceding, -int(window_s * 1000))
+        .rangeBetween(Window.unboundedPreceding, -round(window_s * 1000))
     )
     return F.last(col, ignorenulls=True).over(w)
 
@@ -93,9 +105,16 @@ def truth_stats(
     """The reference's WindowStatistic: success/fail counts and durations
     within the trailing window (core/.../aggregators/WindowStatistic.scala).
 
-    Durations attribute to each event the time elapsed since the previous
-    event of the same key (the reference accumulates inter-event deltas),
-    clipped inside the window.
+    Durations attribute to each event its FULL inter-event delta (time
+    since the key's previous event) — the engine-wide convention shared
+    with the pattern compiler's `for T ≥ N sec` and pinned by the
+    DuckDB oracles. The reference additionally rewrites the EARLIEST
+    in-window event's delta to exactly the distance from the window
+    start (WindowStatistic.scala's eviction "correction", which both
+    clips long deltas and stretches short ones so total time saturates
+    at the window) — a deliberate deviation documented in
+    docs/SEMANTICS.md §12-13; with series-splitting on, a delta is
+    bounded by eventsMaxGapMs, which bounds the difference.
     """
     w = time_window(keys, ts, window_s)
     w_row = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))

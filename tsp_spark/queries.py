@@ -325,9 +325,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 def q_cep_lag(spark, sf_dir):
     """PreviousValue, both forms folded into one keyed pass
     (PreviousValue.scala:12-74): row-lag `lag(x)` + the 3× spike flag it
-    feeds, and time-based `lag(x, T)` — the value actual as of (t − 72 h).
-    Both window frames share the same (user_id, ts) sort, so the fold
-    costs one exchange total."""
+    feeds, and time-based `lag(x, T)` — here the CONTINUOUS
+    value-as-of-(t − 72 h) lookup (ops/windows.lag_time form). The
+    reference's consume-once emission discipline (each queued value
+    emits at most once, empty frame → absent) is exercised by the
+    compiler's lag branch instead — golden corpus, kernel parity, and
+    the oracle fuzz all pin it there. Both window frames share the same
+    (user_id, ts) sort, so the fold costs one exchange total."""
     ev = _load(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -475,7 +479,7 @@ def q_cep_fill_narrow(spark, sf_dir):
 def _fill_col_sql(s: str) -> str:
     return (
         f"CASE WHEN epoch_ms(ts) - max(CASE WHEN {s} IS NOT NULL THEN epoch_ms(ts) END)"
-        f" OVER w <= {FILL_TIMEOUT_MS}"
+        f" OVER w < {FILL_TIMEOUT_MS}"  # strict: expiry at exactly timeout (SEMANTICS.md rule 6)
         f" THEN last_value({s} IGNORE NULLS) OVER w END AS {s}"
     )
 
@@ -1545,7 +1549,7 @@ def q_cep_fill_wide(spark, sf_dir):
 def _fill_wide_col_sql(s: str, src: str) -> str:
     return (
         f"round(CASE WHEN epoch_ms(ts) - max(CASE WHEN {src} IS NOT NULL THEN epoch_ms(ts) END)"
-        f" OVER w <= {FILL_TIMEOUT_MS}"
+        f" OVER w < {FILL_TIMEOUT_MS}"  # strict: expiry at exactly timeout (SEMANTICS.md rule 6)
         f" THEN last_value({src} IGNORE NULLS) OVER w END, 4) AS {s}"
     )
 
