@@ -125,7 +125,12 @@ def test_clusters_deep_path_graph(spark):
     """Large-star/small-star reaches the fixpoint on a 200-node path in
     O(log n) rounds — plain min-label propagation would need ~200 rounds
     and max_iter=12 would silently truncate it. Also asserts the
-    non-convergence warning stays silent on the healthy path."""
+    non-convergence warning stays silent on the healthy path.
+
+    ``local_finish_edges=0`` forces the distributed star rounds — with
+    the default 2M gate every small test would take the numpy
+    union-find shortcut and leave the star loop + its convergence
+    probe with zero coverage (review-caught)."""
     import warnings as w
 
     n = 200
@@ -135,10 +140,34 @@ def test_clusters_deep_path_graph(spark):
     )
     with w.catch_warnings():
         w.simplefilter("error", RuntimeWarning)
-        got = neardup_clusters(docs, pairs, "doc_id", max_iter=12).collect()
+        got = neardup_clusters(
+            docs, pairs, "doc_id", max_iter=12, local_finish_edges=0
+        ).collect()
     assert all(r["cluster_id"] == 0 for r in got)
     reps = [r["doc_id"] for r in got if r["is_representative"]]
     assert reps == [0]
+
+
+def test_clusters_string_ids(spark):
+    """r6d (review-caught): non-integer doc ids (UUID-ish strings) must
+    work — the numpy union-find finish packs int64, so string-id edge
+    sets skip it and run the star rounds to the fixpoint."""
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}",) for i in range(12)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"doc-{i + 1:03d}") for i in range(5)]
+        + [("doc-008", "doc-009")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], bool(r["is_representative"]))
+        for r in neardup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got["doc-000"] == ("doc-000", True)
+    assert got["doc-005"] == ("doc-000", False)
+    assert got["doc-009"] == ("doc-008", False)
+    assert got["doc-011"] == ("doc-011", True)
 
 
 def test_jaccard_bucket_guard_fails_fast(spark):
@@ -198,3 +227,44 @@ def test_jaccard_pairs_match_brute_force(spark, docs, threshold, bands):
             if union and len(sets[i] & sets[j]) / union >= threshold:
                 want.add((i, j))
     assert got == want
+
+
+def test_minhash_band_bucket_guard(spark):
+    """r6d (review-caught): identical-signature groups (exact copies)
+    put k rows in one band bucket per band — the equi-join would go
+    quadratic in k. The guard fails fast with a pointer to exact
+    dedup; None disables it deliberately."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tsp_spark.pipeline.dedup import minhash_lsh_pairs
+
+    rows = [(i, "same boilerplate text repeated verbatim") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="exact_duplicates"):
+        minhash_lsh_pairs(
+            df, "text", "doc_id", max_band_bucket=8
+        ).collect()
+    # explicit opt-out still works
+    out = minhash_lsh_pairs(
+        df, "text", "doc_id", max_band_bucket=None
+    ).collect()
+    assert len(out) == 9 * 8 // 2
+
+
+def test_lsh_dims_mismatch_fails_fast(spark):
+    """r6d (review-caught): a dims mismatch used to NULL every plane
+    dot, collapse all vectors into bucket 0, and silently degrade the
+    LSH join to all-pairs."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tsp_spark.pipeline.similarity import lsh_bucket_topk
+
+    rows = [(i, [float(i), 1.0, 2.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="dims"):
+        lsh_bucket_topk(df, df.limit(2), dims=64).collect()
+    # matching dims works
+    out = lsh_bucket_topk(df, df.limit(2), dims=3, bits=2)
+    assert out.count() >= 0

@@ -70,6 +70,47 @@ def _token_set(text_col: Column) -> Column:
     )
 
 
+def _bucket_guard(
+    t: DataFrame,
+    bucket_cols: Sequence[str],
+    max_n: int,
+    consumed_col: str,
+    caller: str,
+    hint: str,
+) -> DataFrame:
+    """Distributed fail-fast on oversized buckets (shared by every
+    bucketed self-join here): a window count over the bucket key — the
+    same exchange the self-join needs anyway — folded into a column
+    the join actually consumes so it is never pruned. An over-limit
+    bucket fails the job with an actionable message instead of going
+    silently quadratic at 100 TB."""
+    from pyspark.sql import Window
+
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+    dt = t.schema[consumed_col].dataType.simpleString()
+    return t.withColumn(
+        consumed_col,
+        F.when(
+            bucket_n > max_n,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller} bucket holds more than {max_n} rows "
+                        f"(bucket "
+                    ),
+                    F.concat_ws(
+                        ",", *[F.col(c).cast("string") for c in bucket_cols]
+                    ),
+                    F.lit(
+                        f"): the per-bucket self-join would go "
+                        f"quadratic. {hint}"
+                    ),
+                )
+            ).cast(dt),
+        ).otherwise(F.col(consumed_col)),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -105,35 +146,10 @@ def jaccard_pairs(
         _token_set(F.col(text_col)).alias("__ws"),
     ).withColumn("__n", F.size(F.col("__ws")))
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
-        # lazy, distributed guard: evaluated where the data is, and
-        # tied to a column the join actually consumes so it is never
-        # pruned. The window's bucket-key shuffle is the same exchange
-        # the self-join needs anyway.
-        t = t.withColumn(
-            "__n",
-            F.when(
-                bucket_n > max_bucket_size,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"jaccard_pairs bucket holds more than "
-                            f"{max_bucket_size} documents (bucket "
-                        ),
-                        F.concat_ws(
-                            ",", *[F.col(c).cast("string") for c in bucket_cols]
-                        ),
-                        F.lit(
-                            "): the per-bucket self-join would go "
-                            "quadratic. Use minhash_lsh_pairs for "
-                            "unbounded corpora, or raise "
-                            "max_bucket_size deliberately."
-                        ),
-                    )
-                ).cast("int"),
-            ).otherwise(F.col("__n")),
+        t = _bucket_guard(
+            t, bucket_cols, max_bucket_size, "__n", "jaccard_pairs",
+            "Use minhash_lsh_pairs for unbounded corpora, or raise "
+            "max_bucket_size deliberately.",
         )
     # length-band refinement of the same theorem the ratio prune uses:
     # J ≥ t ⇒ min/max set size ≥ t ⇒ the log_{1/t}(|set|) bands of a
@@ -302,8 +318,15 @@ def neardup_clusters(
         # rounds contract the graph logarithmically until it crosses
         # this threshold (~32 MB of int64 pairs), then the tail rounds'
         # shuffle overhead disappears. count() is ~free: the edge set
-        # is checkpoint-materialized either way.
-        if edges.count() <= local_finish_edges:
+        # is checkpoint-materialized either way. Integer ids only: the
+        # numpy union-find packs ids as int64, while the star rounds
+        # handle any orderable id type — non-integer ids (UUID strings)
+        # just keep iterating the star rounds to the fixpoint
+        # (review-caught: the local finish used to crash on them).
+        int_ids = edges.schema["a"].dataType.simpleString() in (
+            "tinyint", "smallint", "int", "bigint"
+        )
+        if int_ids and edges.count() <= local_finish_edges:
             edges = _local_star_forest(edges)
             converged = True
             break
@@ -392,13 +415,16 @@ def embedding_neardup_pairs(
     id_col: str,
     bucket_cols: Sequence[str],
     threshold: float = 0.9,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within buckets:
     (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold.
 
-    Buckets bound the all-pairs join (like jaccard_pairs); for unbounded
-    corpora bucket by LSH signatures first (similarity.lsh_bucket_topk's
-    hyperplane signature works as a bucket column)."""
+    Buckets bound the all-pairs join (like jaccard_pairs, and with the
+    SAME runtime guard — an over-``max_bucket_size`` bucket fails fast
+    instead of going silently quadratic); for unbounded corpora bucket
+    by LSH signatures first (similarity.lsh_bucket_topk's hyperplane
+    signature works as a bucket column)."""
     from tsp_spark.pipeline.similarity import _as_double, _dot, _norm
 
     # norm computed once per vector before the join (not per pair);
@@ -408,6 +434,14 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", _norm(F.col("__v")))
+    if max_bucket_size is not None:
+        t = _bucket_guard(
+            t, bucket_cols, max_bucket_size, "__n",
+            "embedding_neardup_pairs",
+            "Bucket by an LSH signature first "
+            "(similarity.lsh_bucket_topk), or raise max_bucket_size "
+            "deliberately.",
+        )
     a = t.select(
         *bucket_cols, F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),
@@ -423,21 +457,6 @@ def embedding_neardup_pairs(
     ).where(F.col("cosine") >= F.lit(threshold))
 
 
-def _shingles(tokens: Column, k: int = 3) -> Column:
-    """k-word shingles as strings (empty-safe: short docs yield the
-    whole-doc shingle)."""
-    n = F.size(tokens)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -447,20 +466,37 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_band_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates.
 
-    Pipeline: tokens → k-shingles → xxhash64 → ``num_perm`` universal
-    hashes (a·h+b mod 2^61−1) minimized per doc → split signature into
+    Pipeline: tokens → k-shingles → md5 token hashes combined
+    arithmetically mod 2^31−1 (``_MERSENNE``) → ``num_perm`` universal
+    hashes (a·h+b mod 2^31−1) minimized per doc → split signature into
     ``bands`` → explode band hashes → self-join on (band, hash) →
     estimated Jaccard = signature agreement fraction ≥ threshold.
 
     The explode produces bands·n rows — linear, and the join key
-    (band_idx, band_hash) is high-cardinality, so this scales where
-    all-pairs cannot.
+    (band_idx, band_hash) is high-cardinality on ORGANIC text, so this
+    scales where all-pairs cannot. The degenerate case is
+    identical-signature groups (exact boilerplate copies, empty
+    docs): k identical docs put k rows in the same band bucket in
+    EVERY band, and the equi-join goes quadratic in k — so band
+    buckets carry the same runtime guard as jaccard_pairs
+    (``max_band_bucket``, fail-fast with an actionable message;
+    review-caught). Pre-collapsing exact duplicates
+    (exact_duplicates) removes the legitimate source of such groups.
     """
     rows_per_band = num_perm // bands
-    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    if rows_per_band * bands != num_perm:
+        # a plain assert would vanish under python -O, silently leaving
+        # the trailing signature slots out of every band
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}); "
+            f"otherwise the last {num_perm - rows_per_band * bands} "
+            f"signature slots would never be banded and recall would "
+            f"silently drop"
+        )
     perms = minhash_perms(num_perm, seed)
 
     tokens = F.split(F.col(text_col), " ")
@@ -533,6 +569,15 @@ def minhash_lsh_pairs(
     exploded = with_sig.select(
         "__id", "__sig", F.explode(band_arr).alias("b")
     ).select("__id", "__sig", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    if max_band_bucket is not None:
+        exploded = _bucket_guard(
+            exploded, ["band", "bhash"], max_band_bucket, "__id",
+            "minhash_lsh_pairs",
+            "Identical-signature groups (exact boilerplate / empty "
+            "docs) make the band join quadratic — collapse exact "
+            "duplicates first (exact_duplicates), or raise "
+            "max_band_bucket deliberately.",
+        )
 
     a = exploded.select("band", "bhash", F.col("__id").alias("id_a"))
     b = exploded.select("band", "bhash", F.col("__id").alias("id_b"))

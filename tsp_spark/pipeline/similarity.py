@@ -112,18 +112,52 @@ def lsh_bucket_topk(
             lambda acc, x: acc + x,
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__bucket", signature(F.col("__cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__bucket", signature(F.col("__qv")))
+    # dims guard (review-caught): a vec shorter/longer than the plane
+    # length makes every plane dot NULL (zip_with pads with NULLs), so
+    # EVERY row would land in bucket 0 and the bucket join silently
+    # degrades to the all-pairs cross join this function exists to
+    # avoid. Fail fast, where the data is.
+    def checked(vec: Column) -> Column:
+        return F.when(
+            F.size(vec) != dims,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh_bucket_topk: embedding length "
+                    ),
+                    F.size(vec).cast("string"),
+                    F.lit(
+                        f" != dims={dims} — every vector would hash to "
+                        f"bucket 0 and the join would go all-pairs. "
+                        f"Pass dims=<actual embedding length>."
+                    ),
+                )
+            ).cast("array<double>"),
+        ).otherwise(vec)
+
+    # norms hoisted to the per-row projections (same pattern as
+    # cosine_topk — bit-identical, and a corpus vector in a big bucket
+    # pays its O(dims) norm once instead of once per candidate pair)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            checked(_as_double(F.col(vec_col))).alias("__cv"),
+        )
+        .withColumn("__bucket", signature(F.col("__cv")))
+        .withColumn("__cn", _norm(F.col("__cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            checked(_as_double(F.col(vec_col))).alias("__qv"),
+        )
+        .withColumn("__bucket", signature(F.col("__qv")))
+        .withColumn("__qn", _norm(F.col("__qv")))
+    )
     joined = c.join(F.broadcast(q), on="__bucket").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = _dot(F.col("__cv"), F.col("__qv")) / (
-        _norm(F.col("__cv")) * _norm(F.col("__qv"))
-    )
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -188,10 +222,10 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", _norm(F.col("__qv")))
     probe_score = F.round(
         _dot(F.col("__qv"), F.col("__cent"))
-        / (_norm(F.col("__qv")) * _norm(F.col("__cent"))),
+        / (F.col("__qn") * _norm(F.col("__cent"))),
         6,
     )
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -200,19 +234,20 @@ def ivf_topk(
     probes = (
         F.broadcast(q)
         .crossJoin(F.broadcast(cent))
-        .select("query_id", "__qv", label_col, probe_score.alias("__ps"))
+        .select("query_id", "__qv", "__qn", label_col, probe_score.alias("__ps"))
         .withColumn("__pr", F.row_number().over(w_probe))
         .where(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv", label_col)
+        .select("query_id", "__qv", "__qn", label_col)
     )
+    # corpus norm hoisted pre-join (same hoist as cosine_topk:
+    # bit-identical, O(dims) once per corpus row instead of per pair)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col),
         _as_double(F.col(vec_col)).alias("__cv"),
-    )
+    ).withColumn("__cn", _norm(F.col("__cv")))
     cos = F.round(
-        _dot(F.col("__cv"), F.col("__qv"))
-        / (_norm(F.col("__cv")) * _norm(F.col("__qv"))),
+        _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")),
         6,
     )
     scored = (
