@@ -207,3 +207,126 @@ def test_coordinator_http_error_logged_not_raised(capsys):
         assert "cannot connect" not in err
     finally:
         httpd.shutdown()
+
+
+def test_validate_accepts_bare_json_array():
+    """r6d (review-caught): a bare JSON array body crashed with 500
+    (list.get before the isinstance fallback could apply)."""
+    svc = JobQueueService(runner=lambda req: 0, dequeue_interval_s=60)
+    try:
+        app = make_wsgi_app(svc, {"speed": "float64"})
+        code, out = wsgi_call(
+            app, "POST", "/patterns/validate",
+            [{"id": 1, "sourceCode": "speed > 10"}],
+        )
+        assert code.startswith("200"), out
+        assert out[0]["success"] is True
+    finally:
+        svc.shutdown()
+
+
+def test_submit_same_uuid_is_idempotent_while_live():
+    """r6d (review-caught): re-POSTing an in-flight uuid used to
+    enqueue the uid twice (the worker ran the job twice) and clobber
+    the record."""
+    svc = JobQueueService(runner=lambda req: 0, dequeue_interval_s=60)
+    try:
+        first = svc.submit({"uuid": "j-dup", "priority": 1})
+        again = svc.submit({"uuid": "j-dup", "priority": 5})
+        assert first["uuid"] == again["uuid"] == "j-dup"
+        assert again["priority"] == 1  # original record, not clobbered
+        assert [j["uuid"] for j in svc.queue_show()].count("j-dup") == 1
+    finally:
+        svc.shutdown()
+
+
+def test_stop_flag_cleared_and_runner_cancel_called():
+    """r6d (review-caught): the stop flag leaked when the runner
+    raised; and stop() now calls the runner's cancel hook so running
+    Spark work is actually interrupted."""
+    import threading
+
+    cancelled = []
+    started = threading.Event()
+    release = threading.Event()
+
+    def runner(req):
+        started.set()
+        release.wait(timeout=10)
+        raise RuntimeError("torn down by stop")
+
+    runner.cancel = lambda uid: (cancelled.append(uid), release.set())
+    svc = JobQueueService(runner=runner, dequeue_interval_s=0.05)
+    try:
+        svc.submit({"uuid": "j-stop"})
+        assert started.wait(timeout=10)
+        assert svc.stop("j-stop") is True
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if svc.status("j-stop")["status"] == "stopped":
+                break
+            time.sleep(0.05)
+        st = svc.status("j-stop")
+        # the raise after a requested stop reports 'stopped', not
+        # 'failed', and the flag set is drained
+        assert st["status"] == "stopped" and "error" not in st
+        assert cancelled == ["j-stop"]
+        assert svc.stop_requested("j-stop") is False
+    finally:
+        svc.shutdown()
+
+
+def test_sink_rows_render_utc_under_any_session_tz(spark):
+    """r6d (review-caught): $IncidentStart/$IncidentEnd must render the
+    reference's UTC form (Time.scala:26) regardless of
+    spark.sql.session.timeZone — to_utc_timestamp(col,'UTC') was an
+    identity that only looked right under a UTC session."""
+    from tsp_spark.io.sink_schema import (
+        NewRowSchema,
+        StringESValue,
+        compile_sink_row,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        inc = spark.sql(
+            "select 1 pattern_id, 'u' unit, 0 subunit, 'i1' incident_id, "
+            "timestamp_millis(0) from_ts, timestamp_millis(3600000) to_ts"
+        )
+        out = compile_sink_row(
+            inc,
+            NewRowSchema(
+                {"started": StringESValue("string", "$IncidentStart")}
+            ),
+        ).collect()[0]
+        assert out["started"] == "1970-01-01 00:00:00.000"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_unsupported_sink_conf_fails_loudly(spark, tmp_path):
+    """r6d (review-caught): a declared sink the runner can't express
+    must fail the job, not silently drop the data while reporting
+    'finished'."""
+    import pytest
+
+    from tsp_spark.service import make_spark_runner
+
+    src_path = str(tmp_path / "src")
+    spark.sql(
+        "select 1 user_id, timestamp_millis(0) ts, 200.0 value"
+    ).write.parquet(src_path)
+    run = make_spark_runner(spark)
+    req = {
+        "uuid": "j-sink",
+        "source": {
+            "parquetPath": src_path,
+            "datetimeField": "ts",
+            "partitionFields": ["user_id"],
+        },
+        "patterns": [{"id": 1, "sourceCode": "value > 100"}],
+        "sinks": [{"elasticUrl": "http://nope"}],
+    }
+    with pytest.raises(ValueError, match="unsupported sink conf"):
+        run(req)

@@ -163,13 +163,6 @@ def incidents_to_rows(
 
 
 def _dtype_tag(simple: str) -> str:
-    return {
-        "tinyint": "int8",
-        "smallint": "int16",
-        "int": "int32",
-        "bigint": "int64",
-        "float": "float32",
-        "double": "float64",
-        "boolean": "boolean",
-        "string": "string",
-    }.get(simple, "float64")
+    from tsp_spark.io.conf import wire_tag_of
+
+    return wire_tag_of(simple)

@@ -17,6 +17,35 @@ max 8192 key partitions — io/InputConf.scala:20).
 
 from __future__ import annotations
 
+
+# Wire-tag ("int64") ↔ Spark simple-type ("bigint") mapping — the ONE
+# copy (review-caught: four hand-maintained dicts in kafka.py,
+# sink_schema.py, jdbc.py and api.py had already drifted on their
+# unknown-type defaults). Unknown wire tags pass through unchanged so
+# Spark's own parser reports them; unknown Spark types tag as float64
+# (the parser/compiler default for undeclared fields).
+WIRE_TO_SPARK = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "timestamp": "timestamp",
+}
+SPARK_TO_WIRE = {v: k for k, v in WIRE_TO_SPARK.items()}
+
+
+def spark_type_of(wire_tag: str) -> str:
+    return WIRE_TO_SPARK.get(wire_tag, wire_tag)
+
+
+def wire_tag_of(spark_simple: str) -> str:
+    return SPARK_TO_WIRE.get(spark_simple, "float64")
+
+
 from dataclasses import dataclass, field
 
 

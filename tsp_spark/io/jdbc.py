@@ -14,19 +14,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tsp_spark.io.conf import JDBCInputConf, JDBCOutputConf
-
-_TYPE_TAGS = {
-    "tinyint": "int8",
-    "smallint": "int16",
-    "int": "int32",
-    "bigint": "int64",
-    "float": "float32",
-    "double": "float64",
-    "boolean": "boolean",
-    "string": "string",
-    "timestamp": "timestamp",
-}
+from tsp_spark.io.conf import (
+    SPARK_TO_WIRE as _TYPE_TAGS,
+    JDBCInputConf,
+    JDBCOutputConf,
+)
 
 
 def jdbc_source(spark: SparkSession, conf: JDBCInputConf) -> DataFrame:

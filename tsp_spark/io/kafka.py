@@ -14,19 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tsp_spark.io.conf import KafkaInputConf, KafkaOutputConf
-
-_SPARK_TYPES = {
-    "int8": "tinyint",
-    "int16": "smallint",
-    "int32": "int",
-    "int64": "bigint",
-    "float32": "float",
-    "float64": "double",
-    "boolean": "boolean",
-    "string": "string",
-    "timestamp": "timestamp",
-}
+from tsp_spark.io.conf import (
+    WIRE_TO_SPARK as _SPARK_TYPES,
+    KafkaInputConf,
+    KafkaOutputConf,
+)
 
 
 def kafka_value_schema(fields_types: dict[str, str]) -> str:
@@ -62,10 +54,18 @@ def kafka_source(
 ) -> DataFrame:
     """Subscribe and decode; returns one column per declared field."""
     reader = (spark.readStream if streaming else spark.read).format("kafka")
+    # Spark forbids startingOffsets=latest for BATCH kafka reads (the
+    # batch query would be empty by definition) — map the streaming
+    # default to earliest there, like kafka-console-consumer's
+    # --from-beginning (review-caught: the batch path never worked
+    # without the caller overriding offset_reset)
+    offsets = conf.offset_reset
+    if not streaming and offsets == "latest":
+        offsets = "earliest"
     reader = (
         reader.option("kafka.bootstrap.servers", conf.brokers)
         .option("subscribe", conf.topic)
-        .option("startingOffsets", conf.offset_reset)
+        .option("startingOffsets", offsets)
     )
     if conf.group_id:
         reader = reader.option("kafka.group.id", conf.group_id)

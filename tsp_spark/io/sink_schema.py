@@ -19,21 +19,23 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SPARK_TYPES = {
-    "int8": "tinyint",
-    "int16": "smallint",
-    "int32": "int",
-    "int64": "bigint",
-    "float32": "float",
-    "float64": "double",
-    "boolean": "boolean",
-    "string": "string",
-    "timestamp": "timestamp",
-}
+from tsp_spark.io.conf import WIRE_TO_SPARK as _SPARK_TYPES
 
 # incident-column expressions for each $-variable; timestamps render in
 # the reference's "yyyy-MM-dd HH:mm:ss.SSS" UTC form (Time.scala:26)
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"
+
+
+def _utc_fmt(col: Column) -> Column:
+    """Render a timestamp in UTC wall time REGARDLESS of the session
+    timezone (Time.scala:26: DateTimeFormatter ... withZone(UTC)).
+    date_format renders in the session zone, so shift the instant by
+    the session offset first; `to_utc_timestamp(ts, 'UTC')` was an
+    identity that only looked right under a UTC session
+    (review-caught)."""
+    return F.date_format(
+        F.to_utc_timestamp(col, F.current_timezone()), _TS_FMT
+    )
 
 
 @dataclass
@@ -87,11 +89,11 @@ def _var_col(name: str, metadata: dict[str, str]) -> Column:
     if name == "IncidentID":
         return F.col("incident_id").cast("string")
     if name == "IncidentStart":
-        return F.date_format(F.to_utc_timestamp(F.col("from_ts"), "UTC"), _TS_FMT)
+        return _utc_fmt(F.col("from_ts"))
     if name == "IncidentEnd":
-        return F.date_format(F.to_utc_timestamp(F.col("to_ts"), "UTC"), _TS_FMT)
+        return _utc_fmt(F.col("to_ts"))
     if name == "ProcessingDate":
-        return F.date_format(F.current_timestamp(), _TS_FMT)
+        return _utc_fmt(F.current_timestamp())
     if name.startswith("PatternMetadata@"):
         return F.lit(metadata.get(name.split("@", 1)[1], ""))
     raise ValueError(f"unknown interpolation ${name}")
@@ -120,6 +122,9 @@ def _convert(col: Column, to_type: str) -> Column:
         # reference parses back the rendered string; equivalent: cast
         return F.to_timestamp(col)
     if to_type == "boolean":
+        # CASE-SENSITIVE on purpose: PatternsToRowMapper.scala:110 is
+        # `value != "0" && value != "false" && value != "off"`, so
+        # "FALSE"/"no" convert to true in the reference too
         return ~col.cast("string").isin("0", "false", "off")
     if to_type == "object":
         return col

@@ -168,6 +168,17 @@ class JobQueueService:
         uid = request.get("uuid") or str(uuidlib.uuid4())
         priority = int(request.get("priority", 0))
         with self._lock:
+            # idempotent resubmit (review-caught): re-POSTing an
+            # in-flight uuid used to enqueue the SAME uid twice (the
+            # worker then ran the job twice) and clobber the first
+            # run's record. A live uid now returns its current state;
+            # terminal uids may be resubmitted (retry semantics).
+            existing = self._jobs.get(uid)
+            if existing is not None and existing.status in (
+                "queued", "running",
+            ):
+                return self._brief(existing)
+            request = {**request, "uuid": uid}  # runner tags its job group
             job = Job(uid, request, priority=priority)
             self._jobs[uid] = job
             # keep the queue sorted by (priority desc, submit order):
@@ -212,6 +223,16 @@ class JobQueueService:
                 return True
             if job.status == "running":
                 self._stop_flags.add(uid)
+                # actually interrupt the running Spark work: the
+                # runner exposes cancel(uid) → cancelJobGroup
+                # (review-caught: stop used to merely relabel the
+                # result after the job ran to completion)
+                cancel = getattr(self._runner, "cancel", None)
+                if cancel is not None:
+                    try:
+                        cancel(uid)
+                    except Exception:  # noqa: BLE001 — stop stays best-effort
+                        traceback.print_exc()
                 return True
         return False
 
@@ -249,15 +270,24 @@ class JobQueueService:
                 result = self._runner(job.request)
                 if uid in self._stop_flags:
                     job.status = "stopped"
-                    self._stop_flags.discard(uid)
                 else:
                     job.status = "finished"
                     if isinstance(result, int):
                         job.rows_written = result
             except Exception as e:  # noqa: BLE001 — report any job failure
-                job.status = "failed"
-                job.error = f"{type(e).__name__}: {e}"
-                traceback.print_exc()
+                if uid in self._stop_flags:
+                    # a cancelled Spark job group surfaces as an
+                    # exception in the runner — that's a successful
+                    # stop, not a failure (review-caught)
+                    job.status = "stopped"
+                else:
+                    job.status = "failed"
+                    job.error = f"{type(e).__name__}: {e}"
+                    traceback.print_exc()
+            finally:
+                # always clear the flag: leaving it leaked the set and
+                # kept stop_requested(uid) true forever (review-caught)
+                self._stop_flags.discard(uid)
             if self._coordinator is not None:
                 self._coordinator.notify_job_completed(
                     uid,
@@ -321,12 +351,70 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
         )
         if sink is not None:
             return sink(incidents, request)
-        for out in request.get("sinks", []):
-            if "parquetPath" in out:
-                incidents.write.mode("append").parquet(out["parquetPath"])
-        return incidents.count()
+        outs = request.get("sinks", [])
+        # compute the incident plan ONCE: each sink write plus the
+        # count() used to re-run the full search per action
+        # (review-caught)
+        if outs:
+            incidents = incidents.persist()
+        try:
+            for out in outs:
+                if "parquetPath" in out:
+                    incidents.write.mode("append").parquet(out["parquetPath"])
+                elif "jdbcUrl" in out:
+                    from tsp_spark.io.conf import JDBCOutputConf
+                    from tsp_spark.io.jdbc import jdbc_sink
 
-    return run
+                    jdbc_sink(
+                        incidents,
+                        JDBCOutputConf(
+                            jdbc_url=out["jdbcUrl"],
+                            table_name=out["tableName"],
+                            driver_name=out["driverName"],
+                            user_name=out.get("userName"),
+                            password=out.get("password"),
+                            batch_size=out.get("batchSize", 100),
+                        ),
+                    )
+                elif "broker" in out or "brokers" in out:
+                    from tsp_spark.io.conf import KafkaOutputConf
+                    from tsp_spark.io.kafka import kafka_sink
+
+                    kafka_sink(
+                        incidents,
+                        KafkaOutputConf(
+                            broker=out.get("broker") or out["brokers"],
+                            topic=out["topic"],
+                        ),
+                    )
+                else:
+                    # never silently drop a sink the caller declared
+                    # (review-caught: JDBC/Kafka confs used to no-op
+                    # while the job reported 'finished')
+                    raise ValueError(
+                        f"unsupported sink conf (expected parquetPath, "
+                        f"jdbcUrl or brokers): {sorted(out)}"
+                    )
+            return incidents.count()
+        finally:
+            if outs:
+                incidents.unpersist()
+
+    def run_grouped(request: dict) -> int:
+        """Tag all Spark work with the job uuid so stop() can cancel
+        the group mid-run (the reference's SignallingRef equivalent)."""
+        uid = str(request.get("uuid") or "")
+        sc = spark.sparkContext
+        if uid:
+            sc.setJobGroup(uid, f"tsp job {uid}", interruptOnCancel=True)
+        try:
+            return run(request)
+        finally:
+            if uid:
+                sc.setJobGroup("", "")
+
+    run_grouped.cancel = lambda uid: spark.sparkContext.cancelJobGroup(uid)
+    return run_grouped
 
 
 # -- WSGI layer ----------------------------------------------------------
@@ -370,7 +458,14 @@ def make_wsgi_app(service: JobQueueService, fields_types: dict[str, str] | None 
                 return respond("200 OK", service.overview())
             if method == "POST" and segs == ["patterns", "validate"]:
                 body = read_body()
-                pats = body.get("patterns", body if isinstance(body, list) else [])
+                # a bare JSON array body is valid (review-caught:
+                # list.get crashed with 500 before the isinstance
+                # fallback could apply)
+                pats = (
+                    body
+                    if isinstance(body, list)
+                    else body.get("patterns", [])
+                )
                 return respond("200 OK", validate_patterns(pats, fields_types))
             if method == "GET" and segs == ["metainfo", "getVersion"]:
                 return respond("200 OK", {"version": ENGINE_VERSION})
