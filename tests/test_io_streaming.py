@@ -351,3 +351,89 @@ def test_kafka_decode_through_streaming_query(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_carry_survives_restart_and_lagging_keys(spark, mk_ts):
+    """r6d (review-caught, two fixes in one scenario):
+
+    1. PER-KEY carry cutoff: user 2's event time lags user 1 by more
+       than the carry depth; a global-max cutoff evicted user 2's tail
+       entirely, losing its cross-boundary timer run.
+    2. Carry durability: the query is STOPPED between the two drops
+       and a NEW query (same checkpoint dir) continues — the carry
+       tail must reload from <checkpoint>/tsp_carry for both keys'
+       cross-boundary incidents to appear.
+    """
+    import datetime as dt
+
+    patterns = [RawPattern(1, "value > 100 for 15 sec")]
+    keys, ts, fields = ["user_id"], "ts", {"value": "float64"}
+    rows = []
+    # user 1: ts 0..30s (value > 100 throughout); user 2 identical
+    # shape but ~6 h earlier — farther than any carry depth
+    for u, base in ((1, 0.0), (2, -21_600.0)):
+        for i in range(31):
+            rows.append((u, mk_ts(base + i), 150.0))
+    all_rows = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    batch = {
+        (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(
+            all_rows, patterns, keys, ts, fields_types=fields
+        ).collect()
+    }
+    assert len(batch) == 2  # one timer incident per key
+    # split at each key's second 17 → the `for 15 sec` run spans the
+    # boundary for BOTH keys
+    first = all_rows.where(
+        F.col(ts)
+        <= F.when(F.col("user_id") == 1, F.lit(mk_ts(17.0))).otherwise(
+            F.lit(mk_ts(-21_583.0))
+        )
+    )
+    second = all_rows.exceptAll(first)
+    src_dir = tempfile.mkdtemp(prefix="tsp_carry_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_carry_chk")
+    got: set = set()
+
+    def mk_query():
+        stream = (
+            spark.readStream.schema(all_rows.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        job = StreamingPatternJob(patterns, keys, ts, fields_types=fields)
+        return incidents_stream(
+            stream,
+            job,
+            sink=lambda df, _bid: got.update(
+                (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+                for r in df.collect()
+            ),
+            checkpoint_dir=chk_dir,
+            trigger_seconds=0.2,
+        )
+
+    try:
+        first.coalesce(1).write.parquet(f"{src_dir}/b0")
+        q = mk_query()
+        q.processAllAvailable()
+        q.stop()  # driver "restart" between the drops
+        second.coalesce(1).write.mode("append").parquet(f"{src_dir}/b1")
+        q2 = mk_query()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q2.processAllAvailable()
+            if batch <= got:
+                break
+            time.sleep(0.3)
+        q2.stop()
+        missing = batch - got
+        assert not missing, (
+            f"cross-restart incidents missing: {sorted(missing)}"
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

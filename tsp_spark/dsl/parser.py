@@ -193,13 +193,18 @@ class Parser:
             self.next()
             cond = self.boolean_expr()
             # optional range is parsed but ignored by the reference too
-            self.try_range(consume_only=True)
+            # (ASTBuilder.scala:48-50 discards the captured range)
+            self.try_range()
             return Until(inner, cond)
         return inner
 
     def for_suffix(self, inner: Node, exactly: bool) -> Node:
         win_ms = self.time_literal()
-        # `T to T2` — bounded timer
+        # `T to T2` — bounded timer. Inverted bounds (T > T2) are
+        # ACCEPTED like the reference (ASTBuilder.scala:269-272 builds
+        # TimeInterval(t1, t2) with no ordering check): the resulting
+        # never-matching timer is the reference's behavior for that
+        # input, and patterns/validate must agree with its validator.
         if self.at_kw("to"):
             self.next()
             hi = self.time_literal()
@@ -239,7 +244,7 @@ class Parser:
             min_window_ms=max(int(win_ms - tol), 0),
         )
 
-    def try_range(self, consume_only: bool = False):
+    def try_range(self):
         """range := cmpOp (N 'times' | time) | N 'to' N 'times' | time 'to' time.
 
         Returns (kind, lo, hi) with inclusive bounds, or None. Reference
@@ -494,6 +499,10 @@ class Parser:
         self.eat_op(")")
 
         if lname.endswith("of"):
+            # ANY name ending in "of" routes to the reducer layer — the
+            # reference does exactly this (ASTBuilder.scala:380
+            # `case x if x.endsWith("of")`), so an unknown `floof(x)`
+            # fails later with "Unknown reducer", same as there
             return ReducerCall(lname, tuple(a for a in args), cond)
         times = [a for a in args if isinstance(a, TimeLiteral)]
         exprs = [a for a in args if not isinstance(a, TimeLiteral)]

@@ -20,9 +20,14 @@ Spark-first mapping:
                       reference's carried state machines. Carry depth =
                       the pattern's total window sum + events_max_gap_ms
                       (PatternMetadata.sumWindowsMs analogue).
-* checkpointing     → Structured Streaming checkpoints replace the
-                      reference's Redis row counters
-                      (CheckpointingService.scala:12-168)
+* checkpointing     → Structured Streaming checkpoints (source
+                      offsets) replace the reference's Redis row
+                      counters (CheckpointingService.scala:12-168);
+                      the carry tail itself is persisted per batch as
+                      parquet generations under
+                      `<checkpoint>/tsp_carry/<batch_id>` and reloaded
+                      on restart, so cross-boundary window state
+                      survives a driver crash too
 * incident merge    → incidents emitted per micro-batch are sessionized
                       downstream by the sink-side `sessionize_intervals`
                       over the re-emitted overlap region; emitted
@@ -39,11 +44,10 @@ plan, whole-stage codegen, no Python state server in the hot path).
 
 from __future__ import annotations
 
-import time
 from collections.abc import Callable, Sequence
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsp_spark.api import RawPattern, search_incidents
@@ -80,11 +84,19 @@ def _carry_depth_ms(job: StreamingPatternJob) -> int:
     # source text, times 4 (for/wait/lag/avg can stack), plus the gap.
     import re
 
+    from tsp_spark.dsl.parser import _TIME_UNITS
+
+    # the unit vocabulary comes from THE parser so it can never drift
+    # (review-caught: a hand-copied list omitted 'milliseconds', so
+    # such windows contributed 0 to the auto depth). Longest
+    # alternatives first so 'seconds' isn't half-matched as 'sec'.
+    alts = "|".join(sorted(_TIME_UNITS, key=len, reverse=True))
     worst = 0
-    units = {"ms": 1, "sec": 1000, "seconds": 1000, "min": 60000, "minutes": 60000, "hr": 3600000, "hours": 3600000}
     for p in job.patterns:
-        for num, unit in re.findall(r"(\d+(?:\.\d+)?)\s*(ms|sec|seconds|min|minutes|hr|hours)", p.source_code, re.I):
-            worst = max(worst, int(float(num) * units[unit.lower()]))
+        for num, unit in re.findall(
+            rf"(\d+(?:\.\d+)?)\s*({alts})\b", p.source_code, re.I
+        ):
+            worst = max(worst, int(float(num) * _TIME_UNITS[unit.lower()]))
     return worst * 4 + job.events_max_gap_ms + job.transform_window_ms
 
 
@@ -108,7 +120,13 @@ def incidents_stream(
     """
     spark = stream.sparkSession
     carry_ms = _carry_depth_ms(job)
-    state = {"carry": None}  # per-query carried tail (a small cached DF)
+    carry_root = f"{checkpoint_dir}/tsp_carry" if checkpoint_dir else None
+    # per-query carried tail (a small cached DF); on restart the tail
+    # is reloaded from the checkpoint dir (see _load_carry) so windows
+    # and sequences spanning the restart boundary keep their history —
+    # previously the carry lived only in this closure and a restart
+    # silently evaluated the first batch with no prefix (review-caught)
+    state = {"carry": _load_carry(spark, carry_root)}
 
     wm = stream.withWatermark(job.ts, job.watermark_delay)
 
@@ -117,6 +135,9 @@ def incidents_stream(
         carry = state["carry"]
         if carry is not None:
             df = carry.unionByName(batch_df)
+        # one materialization reused by every action below (the old
+        # lineage re-ran source read + transform up to 3× per batch)
+        df = df.localCheckpoint(eager=True)
         if not df.take(1):
             return
         searched = job.transform(df) if job.transform is not None else df
@@ -130,15 +151,28 @@ def incidents_stream(
             session_gap_ms=job.session_gap_ms,
         )
         sink(incidents, batch_id)
-        # retain the event-time tail as the next batch's prefix
-        hi = df.agg(F.max(F.col(job.ts)).alias("m")).collect()[0]["m"]
-        if hi is not None:
-            cutoff = F.lit(hi) - F.expr(f"INTERVAL {carry_ms} MILLISECONDS")
-            new_carry = df.where(F.col(job.ts) >= cutoff).localCheckpoint(eager=True)
-            old = state["carry"]
-            state["carry"] = new_carry
-            if old is not None:
-                old.unpersist()
+        # retain the event-time tail as the next batch's prefix —
+        # PER KEY: a key whose event time lags another must keep its
+        # own carry_ms of history (a global max cutoff evicted slow
+        # keys' tails entirely — review-caught), matching the
+        # reference's per-key state machines
+        keymax = F.max(F.col(job.ts)).over(Window.partitionBy(*job.keys))
+        new_carry = (
+            df.withColumn("__keymax", keymax)
+            .where(
+                F.col(job.ts)
+                >= F.col("__keymax")
+                - F.expr(f"INTERVAL {carry_ms} MILLISECONDS")
+            )
+            .drop("__keymax")
+            .localCheckpoint(eager=True)
+        )
+        if carry_root is not None:
+            _save_carry(new_carry, carry_root, batch_id)
+        old = state["carry"]
+        state["carry"] = new_carry
+        if old is not None:
+            old.unpersist()
 
     writer = wm.writeStream.foreachBatch(process_batch).trigger(
         processingTime=f"{trigger_seconds} seconds"
@@ -146,6 +180,63 @@ def incidents_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def _save_carry(tail: DataFrame, carry_root: str, batch_id: int) -> None:
+    """Persist the carry tail durably next to the streaming checkpoint:
+    one parquet dir per batch id (atomic via the _SUCCESS marker —
+    foreachBatch replays an uncommitted batch with the SAME id, which
+    simply overwrites its dir). Older generations are pruned, keeping
+    two in case the newest write raced a crash."""
+    spark = tail.sparkSession
+    tail.write.mode("overwrite").parquet(f"{carry_root}/{batch_id}")
+    fs, root, _ = _hadoop_fs(spark, carry_root)
+    gens = sorted(
+        int(st.getPath().getName())
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().isdigit()
+    )
+    for old_id in gens[:-2]:
+        fs.delete(_hadoop_path(spark, f"{carry_root}/{old_id}"), True)
+
+
+def _load_carry(spark: SparkSession, carry_root: str | None):
+    """Newest committed carry generation, or None. Works on any
+    Hadoop-compatible filesystem (the checkpoint dir's)."""
+    if carry_root is None:
+        return None
+    fs, root, _ = _hadoop_fs(spark, carry_root)
+    if not fs.exists(root):
+        return None
+    gens = sorted(
+        (
+            int(st.getPath().getName())
+            for st in fs.listStatus(root)
+            if st.isDirectory()
+            and st.getPath().getName().isdigit()
+            and fs.exists(
+                _hadoop_path(
+                    spark, f"{carry_root}/{st.getPath().getName()}/_SUCCESS"
+                )
+            )
+        ),
+        reverse=True,
+    )
+    if not gens:
+        return None
+    return spark.read.parquet(f"{carry_root}/{gens[0]}").localCheckpoint(
+        eager=True
+    )
+
+
+def _hadoop_path(spark: SparkSession, path_str: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path_str)
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    hpath = _hadoop_path(spark, path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, spark._jvm
 
 
 def stateful_incidents(stream: DataFrame, job: StreamingPatternJob) -> DataFrame:
