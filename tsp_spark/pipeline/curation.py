@@ -53,16 +53,24 @@ def _bucket(id_col: str, seed: str) -> F.Column:
     )
 
 
-def sample_member(id_col: str, fraction: float, seed: str = "s0") -> F.Column:
+def sample_member(
+    id_col: str, fraction: float, seed: str = "sample-s0"
+) -> F.Column:
     """Boolean membership column for the deterministic hash sample —
     usable standalone (e.g. as a flag next to a split assignment) or as
-    ``hash_sample``'s filter predicate."""
+    ``hash_sample``'s filter predicate.
+
+    The default salt differs from ``split_assign``'s on purpose
+    (review-caught): with a SHARED salt a 20% sample is the strict
+    prefix of the first split (every sampled row lands in train, none
+    in val/test). Pass equal seeds explicitly when nested/prefix
+    sampling is what you want."""
     cut = int(round(fraction * SAMPLE_BUCKETS))
     return _bucket(id_col, seed) < cut
 
 
 def hash_sample(
-    df: DataFrame, id_col: str, fraction: float, seed: str = "s0"
+    df: DataFrame, id_col: str, fraction: float, seed: str = "sample-s0"
 ) -> DataFrame:
     """Deterministic ``fraction`` sample: keep ids whose salted hash
     bucket falls below fraction·10000. Reproducible across engines,
@@ -82,6 +90,17 @@ def split_assign(
     bucket ranges: every id lands in exactly one split, stable under
     re-runs and engine changes. ``extra`` appends additional aliased
     columns (e.g. a ``sample_member`` flag) to the same map-only pass."""
+    if not fractions:
+        raise ValueError("split_assign needs at least one split fraction")
+    total = sum(fractions.values())
+    if any(f < 0 for f in fractions.values()) or abs(total - 1.0) > 1e-6:
+        # the LAST split is the unconditional remainder, so fractions
+        # that don't sum to 1 silently mis-size it (review-caught:
+        # {'train': 0.5} labeled 100% of rows train)
+        raise ValueError(
+            f"split fractions must be non-negative and sum to 1 "
+            f"(got {total:.6f}): the last split takes the remainder"
+        )
     expr = None
     cum = 0
     items = list(fractions.items())
@@ -134,15 +153,20 @@ def quantize_embeddings(
             ).cast("long"),
         ),
     )
-    # checksum Σ q_i·(i+1): exact integer, order-sensitive
-    qsum = F.aggregate(
-        F.zip_with(
-            F.col("__q"),
-            F.sequence(F.lit(1), F.size(F.col("__q"))),
-            lambda qi, i: qi * i,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # checksum Σ q_i·(i+1): exact integer, order-sensitive. Empty
+    # vectors short-circuit to 0: sequence(1, 0) is the DESCENDING
+    # array [1, 0], whose null-padded zip_with poisoned the fold to
+    # NULL (review-caught)
+    qsum = F.when(F.size(F.col("__q")) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.sequence(F.lit(1), F.size(F.col("__q"))),
+                lambda qi, i: qi * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     )
     err = F.aggregate(
         F.zip_with(F.col("__v"), F.col("__q"), lambda x, qi: (x - qi * s) * (x - qi * s)),

@@ -40,7 +40,26 @@ def kmv_distinct(
     est_distinct). Exact when a group has < k distinct values."""
     col = F.col(value_col) if isinstance(value_col, str) else value_col
     h = md5_long(col.cast("string"))
-    pairs = df.select(*group_cols, h.alias("__h")).distinct()
+    # NULL values are not countable distinct values: Spark sorts NULLS
+    # FIRST, so an unfiltered NULL hash would occupy a top-k slot,
+    # inflate n_kept and bias the estimator — while DuckDB (NULLS
+    # LAST) would disagree (review-caught)
+    pairs = (
+        df.where(col.isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
+    # salted local top-k before the per-group window (the top_tokens
+    # trick, provably result-identical: a hash below its salt-locale's
+    # top k is below the global top k): the reduce-side window input
+    # is bounded at 32·k rows per group instead of a group's ENTIRE
+    # distinct hash set flowing through one task at 100 TB
+    w_local = Window.partitionBy(
+        *group_cols, F.pmod(F.col("__h"), F.lit(32))
+    ).orderBy("__h")
+    pairs = pairs.withColumn(
+        "__lr", F.row_number().over(w_local)
+    ).where(F.col("__lr") <= k)
     w = Window.partitionBy(*group_cols).orderBy("__h")
     kept = pairs.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
     hk = F.max("__h").cast("double") / F.lit(HASH_SPACE)

@@ -49,9 +49,7 @@ def quality_cols(text_col: str) -> list[Column]:
     the identical expressions in one map-only projection."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
-    stop_n = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
-    )
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     uniq = F.size(F.array_distinct(toks))
     return [
         F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
@@ -82,9 +80,14 @@ def langid_cols(text_col: str) -> list[Column]:
     langs = list(LANG_MARKERS)
     best = F.greatest(*[scores[lang] for lang in langs])
     # when-chain in declaration order: the first list reaching the max wins
-    expr = F.when(F.lit(False), F.lit(""))
+    expr = None
     for lang in langs:
-        expr = expr.when((scores[lang] > 0) & (scores[lang] >= best), F.lit(lang))
+        clause = (scores[lang] > 0) & (scores[lang] >= best)
+        expr = (
+            F.when(clause, F.lit(lang))
+            if expr is None
+            else expr.when(clause, F.lit(lang))
+        )
     pred = expr.otherwise(F.lit("unknown"))
     return [
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
@@ -158,20 +161,37 @@ def top_tokens(
     )
 
 
+def token_hashes_col(text_col: str, bits: int = 16) -> Column:
+    """Low-``bits`` md5 token hashes for SimHash — keep only the low
+    bits (md5_long is non-negative, so % is safe) so bit tests stay
+    exact in double arithmetic (shiftleft/right need literal shift
+    amounts, but the shift is a lambda variable downstream)."""
+    from tsp_spark.pipeline.hashing import md5_long
+
+    return F.transform(
+        _tokens(F.col(text_col)),
+        lambda t: F.pmod(md5_long(t), F.lit(1 << bits)),
+    )
+
+
 def simhash_col(text_col: str, bits: int = 16) -> Column:
     """SimHash over portable md5-based token hashes (hashing.md5_long, so
     the DuckDB oracle reproduces it exactly): bit b of the output is 1
     when the sum of ±1 votes (tokens whose hash has bit b set vote +1) is
-    positive. Near-identical token multisets → small Hamming distance."""
-    from tsp_spark.pipeline.hashing import md5_long
+    positive. Near-identical token multisets → small Hamming distance.
 
-    toks = _tokens(F.col(text_col))
-    # keep only the low `bits` bits (md5_long is non-negative, so % is
-    # safe) so bit tests stay exact in double arithmetic (shiftleft/right
-    # need literal shift amounts, but here the shift is a lambda variable)
-    hashes = F.transform(
-        toks, lambda t: F.pmod(md5_long(t), F.lit(1 << bits))
-    )
+    Hoist ``token_hashes_col`` into its OWN projection and pass it via
+    ``hashes`` wherever throughput matters: expressions captured by a
+    higher-order-function lambda re-evaluate per outer array element
+    (no subexpression elimination inside lambdas — see
+    curation.py:111-114), so the inline form recomputes every token's
+    md5 once per bit (review-caught: 16× the hash work)."""
+    return simhash_from_hashes(token_hashes_col(text_col, bits), bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a precomputed (projected) low-bits token-hash
+    array — see ``simhash_col``."""
 
     def bit_of(h: Column, b: Column) -> Column:
         return F.pmod(F.floor(h / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
@@ -199,5 +219,12 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
-    """Per-document SimHash fingerprint (see ``simhash_col``)."""
-    return df.select(F.col(id_col), simhash_col(text_col, bits).alias("simhash"))
+    """Per-document SimHash fingerprint (see ``simhash_col``). Token
+    hashes are hoisted into their own projection so each token is
+    md5-hashed once, not once per bit."""
+    hashed = df.select(
+        F.col(id_col), token_hashes_col(text_col, bits).alias("__sh")
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("__sh"), bits).alias("simhash")
+    )

@@ -861,9 +861,11 @@ ORACLE_TOKENS_BPE = _bpe_oracle()
 def q_curation_sample_split(spark, sf_dir):
     """Folded curation assignment (pipeline/curation.py split_assign +
     sample_member): every document's disjoint train/val/test split AND
-    its deterministic 20%-sample membership, both pure functions of the
-    same salted hash bucket, emitted in ONE map-only pass (no join —
-    the flag rides the split projection)."""
+    its deterministic 20%-sample membership, emitted in ONE map-only
+    pass (no join — the flag rides the split projection). The two use
+    INDEPENDENT salts (the operator defaults): with a shared salt the
+    sample would be a strict prefix of the train split — every sampled
+    row in train, zero sample coverage of val/test (review-caught)."""
     from tsp_spark.pipeline.curation import sample_member, split_assign
 
     docs = _load(spark, sf_dir, "documents")
@@ -871,7 +873,7 @@ def q_curation_sample_split(spark, sf_dir):
         docs,
         "doc_id",
         {"train": 0.8, "val": 0.1, "test": 0.1},
-        extra={"in_sample": sample_member("doc_id", 0.2, seed="s0")},
+        extra={"in_sample": sample_member("doc_id", 0.2)},
     )
 
 
@@ -887,7 +889,7 @@ SELECT doc_id,
        CASE WHEN {_hash_bucket_sql("doc_id", "s0")} < 8000 THEN 'train'
             WHEN {_hash_bucket_sql("doc_id", "s0")} < 9000 THEN 'val'
             ELSE 'test' END AS split,
-       {_hash_bucket_sql("doc_id", "s0")} < 2000 AS in_sample
+       {_hash_bucket_sql("doc_id", "sample-s0")} < 2000 AS in_sample
 FROM documents
 """
 
@@ -943,6 +945,7 @@ def _kmv_oracle(k: int = 64) -> str:
 WITH pairs AS (
   SELECT DISTINCT event_type, {md5_long_sql("user_id::VARCHAR")} AS h
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 kept AS (
   SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
@@ -1292,14 +1295,25 @@ def q_text_profile(spark, sf_dir):
     (langid_cols), and SimHash (simhash_col) — as ONE map-only
     projection over a single documents scan: no self-joins, every
     signal column independently oracle-verified."""
-    from tsp_spark.pipeline.text import langid_cols, quality_cols, simhash_col
+    from tsp_spark.pipeline.text import (
+        langid_cols,
+        quality_cols,
+        simhash_from_hashes,
+        token_hashes_col,
+    )
 
     docs = _load(spark, sf_dir, "documents")
-    return docs.select(
+    # token hashes hoisted to their own projection: inline, the HOF
+    # lambda re-evaluates every token's md5 once per simhash bit
+    staged = docs.select(
         "doc_id",
         *quality_cols("text"),
         *langid_cols("text"),
-        simhash_col("text").alias("simhash"),
+        token_hashes_col("text").alias("__sh"),
+    )
+    return staged.select(
+        *[c for c in staged.columns if c != "__sh"],
+        simhash_from_hashes(F.col("__sh")).alias("simhash"),
     )
 
 
