@@ -697,3 +697,89 @@ def test_jpeg_fill_bytes_before_markers():
         assert sof > 0
         v3 = data[:sof] + b"\xff" + data[sof:]
         assert np.array_equal(decode_jpeg(v3), ref)
+
+
+def test_png_zip_bomb_rejected_bounded():
+    """r6d (review-caught): a 1×1 header with an oversized IDAT must be
+    rejected WITHOUT materializing the full inflate output."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from tsp_spark.pipeline.codecs import (
+        UnsupportedMediaError,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1 gray
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 MB declared, tiny wire
+    png = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(UnsupportedMediaError, match="longer than declared"):
+        decode_png(png)
+
+
+def test_avi_rec_list_and_corrupt_frame():
+    """r6d (review-caught): frames inside LIST 'rec ' groupings decode
+    (conformant interleaved AVIs); a corrupt MJPEG frame degrades to
+    UnsupportedMediaError instead of killing the task."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from tsp_spark.pipeline.codecs import (
+        UnsupportedMediaError,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frame = (np.arange(64, dtype=np.uint8).reshape(8, 8) % 256)
+    avi = encode_avi_mjpeg([np.stack([frame] * 3, axis=-1)] * 2, fps=10)
+    # rewrap the movi frames inside a LIST 'rec ' grouping
+    i = avi.index(b"movi") - 8  # the movi LIST header
+    (movi_size,) = struct.unpack("<I", avi[i + 4 : i + 8])
+    assert avi[i + 8 : i + 12] == b"movi"
+    inner = avi[i + 12 : i + 8 + movi_size]
+    rec = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"rec " + inner
+    new_movi_body = b"movi" + rec
+    rebuilt = (
+        avi[: i + 4]
+        + struct.pack("<I", len(new_movi_body))
+        + new_movi_body
+        + avi[i + 8 + movi_size :]
+    )
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    meta, frames = decode_avi_frames(rebuilt)
+    assert len(frames) == 2  # rec-wrapped frames found
+    # corrupt one frame: truncated SOF segment -> struct.error inside
+    # jpeg.py must surface as UnsupportedMediaError
+    j = avi.index(b"\xff\xd8")
+    corrupt = avi[:j] + b"\xff\xd8\xff\xc0\x00\x05\x08" + avi[j + 7 :]
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi_frames(corrupt)
+
+
+def test_mp3_id3v24_footer_skipped():
+    """r6d (review-caught): an ID3v2.4 tag with the footer flag adds 10
+    bytes — the frame scan must not land on the footer."""
+    from tsp_spark.pipeline.codecs import parse_mp3_headers
+
+    # one MPEG-1 Layer III frame @ 128 kbps, 44100 Hz
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = hdr + b"\x00" * (144 * 128000 // 44100 - 4)
+    tag_body = b"\x00" * 20
+    # ID3v2.4, footer flag (0x10) set, syncsafe size 20
+    tag = (
+        b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 20])
+        + tag_body + b"3DI" + b"\x00" * 7
+    )
+    sr, dur, kbps, n = parse_mp3_headers(tag + frame)
+    assert (sr, n) == (44100, 1) and kbps == 128

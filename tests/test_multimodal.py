@@ -125,9 +125,16 @@ def test_video_features_empty_movi(spark):
 
 
 def test_id_col_preserved(spark):
-    """ADVICE r5: frame_sample_plan / extract_video_features must keep a
-    caller-supplied id column's name AND Spark type."""
-    from tsp_spark.pipeline.multimodal import extract_video_features
+    """ADVICE r5 (extended to EVERY mapInPandas op here in r6d): all
+    five media operators must keep a caller-supplied id column's name
+    AND Spark type — image/audio/resize previously hardcoded
+    media_id/LongType and broke on string ids (review-caught)."""
+    from tsp_spark.pipeline.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        extract_video_features,
+        resize_images,
+    )
 
     df = spark.createDataFrame(
         [("docA", bytearray(b"xyz"))], "doc_id string, payload binary"
@@ -135,6 +142,14 @@ def test_id_col_preserved(spark):
     fs = frame_sample_plan(df, id_col="doc_id", every_n=10)
     assert fs.schema["doc_id"].dataType.simpleString() == "string"
     assert [r["doc_id"] for r in fs.collect()] == ["docA"]
-    vf = extract_video_features(df, id_col="doc_id")
-    assert vf.schema["doc_id"].dataType.simpleString() == "string"
-    assert vf.collect()[0]["doc_id"] == "docA"
+    for fn in (
+        extract_video_features,
+        extract_image_features,
+        extract_audio_features,
+    ):
+        out = fn(df, id_col="doc_id")
+        assert out.schema["doc_id"].dataType.simpleString() == "string", fn
+        assert out.collect()[0]["doc_id"] == "docA", fn
+    rz = resize_images(df, 4, 4, id_col="doc_id")
+    assert rz.schema["doc_id"].dataType.simpleString() == "string"
+    assert rz.collect()[0]["doc_id"] == "docA"

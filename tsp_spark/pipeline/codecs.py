@@ -58,27 +58,41 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndar
         pos += stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for i in range(channels, stride):
-                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 1:  # Sub — per-channel prefix sum (mod 256):
+            # cumsum in int64 then mod equals the sequential byte adds
+            # (review-caught: the per-byte Python loop was the decode
+            # hot spot on large images)
+            cur = (
+                np.cumsum(
+                    line.reshape(-1, channels).astype(np.int64), axis=0
+                )
+                & 0xFF
+            ).reshape(stride).astype(np.int16)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype == 3:  # Average — left-dependency is sequential, but
+            # iterate PIXELS (channels at a time, numpy ops per pixel)
+            # instead of bytes
+            cur = np.empty(stride, dtype=np.int16)
+            left = np.zeros(channels, dtype=np.int16)
+            for x in range(0, stride, channels):
+                px = (line[x : x + channels] + ((left + prev[x : x + channels]) >> 1)) & 0xFF
+                cur[x : x + channels] = px
+                left = px
+        elif ftype == 4:  # Paeth — same pixel-wise walk
+            cur = np.empty(stride, dtype=np.int16)
+            left = np.zeros(channels, dtype=np.int16)
+            upleft = np.zeros(channels, dtype=np.int16)
+            for x in range(0, stride, channels):
+                up = prev[x : x + channels]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                px = (line[x : x + channels] + pred) & 0xFF
+                cur[x : x + channels] = px
+                left, upleft = px, up
         else:
             raise UnsupportedMediaError(f"PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
@@ -114,8 +128,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if channels is None:
         raise UnsupportedMediaError(f"PNG color type {color_type}")
     _check_dims(width, height)
-    raw = zlib.decompress(idat)
-    if len(raw) < height * (width * channels + 1):
+    # bounded inflate (review-caught): a 1×1 header with a zip-bomb
+    # IDAT used to fully materialize before the size check — the OOM
+    # the _MAX_PIXELS guard exists to prevent. Decompress at most the
+    # expected stream length + 1 byte; any remainder means the stream
+    # is overlong for the declared dimensions.
+    expected = height * (width * channels + 1)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(idat, expected + 1)
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"PNG: bad IDAT stream ({e})") from e
+    if len(raw) > expected:
+        raise UnsupportedMediaError("PNG: IDAT longer than declared dims")
+    if len(raw) < expected:
         raise UnsupportedMediaError("PNG: truncated IDAT stream")
     img = _png_unfilter(raw, width, height, channels)
     if color_type == 3:  # palette lookup → RGB
@@ -300,6 +326,14 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     else:
         x = x / float(1 << (8 * sw - 1))
     if nch > 1:
+        if len(x) % nch:
+            # a truncated multi-channel payload parses per-sample but
+            # not per-frame — degrade, don't kill the Spark task
+            # (review-caught: the reshape ValueError escaped)
+            raise UnsupportedMediaError(
+                f"corrupt WAV frames: {len(x)} samples not divisible "
+                f"by {nch} channels"
+            )
         x = x.reshape(-1, nch).mean(axis=1)
     return sr, x
 
@@ -340,6 +374,11 @@ def parse_mp3_headers(payload: bytes) -> tuple[int, int, int, int]:
                 raise UnsupportedMediaError("corrupt ID3v2 syncsafe size")
             size = (size << 7) | b
         pos = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte footer follows the tag
+            # (review-caught: without the skip the frame scan landed
+            # on '3DI' and rejected valid files to the stub)
+            pos += 10
     n_frames = 0
     sr_out = 0
     total_samples = 0
@@ -455,7 +494,12 @@ def parse_avi_headers(payload: bytes) -> dict:
                      _bufsz, w, h) = struct.unpack(
                         "<10I", payload[b2 : b2 + 40]
                     )
-                    meta.update(width=w, height=h, n_frames=total,
+                    # clamp to int32: dwTotalFrames is uint32 and the
+                    # downstream schema is IntegerType — a hostile
+                    # 0xFFFFFFFF must degrade, not overflow the Arrow
+                    # cast or a frame-index sequence (review-caught)
+                    meta.update(width=w, height=h,
+                                n_frames=min(total, (1 << 31) - 1),
                                 usec_per_frame=usec_pf)
                 elif f2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
                     for f3, b3, s3 in _riff_chunks(payload, b2 + 4, b2 + s2):
@@ -470,8 +514,9 @@ def parse_avi_headers(payload: bytes) -> dict:
                             meta["fourcc"] = handler.decode(
                                 "ascii", "replace"
                             ).strip("\0 ")
-                            meta["fps_milli"] = (
-                                rate * 1000 // scale if scale else 0
+                            meta["fps_milli"] = min(
+                                rate * 1000 // scale if scale else 0,
+                                (1 << 31) - 1,
                             )
     except struct.error as e:
         raise UnsupportedMediaError(f"corrupt AVI header: {e}") from e
@@ -488,11 +533,19 @@ def avi_frame_payloads(payload: bytes):
         raise UnsupportedMediaError("not a RIFF/AVI payload")
     (riff_size,) = struct.unpack("<I", payload[4:8])
     end = min(8 + riff_size, len(payload))
+    def walk(start: int, stop: int):
+        for f2, b2, s2 in _riff_chunks(payload, start, stop):
+            if f2 == b"LIST" and payload[b2 : b2 + 4] == b"rec ":
+                # interleaved AVIs group frames in 'rec ' sub-lists
+                # (review-caught: without the recursion conformant
+                # files yielded zero frames and got stub features)
+                yield from walk(b2 + 4, b2 + s2)
+            elif f2[2:4] in (b"dc", b"db"):
+                yield payload[b2 : b2 + s2]
+
     for fcc, body, size in _riff_chunks(payload, 12, end):
         if fcc == b"LIST" and payload[body : body + 4] == b"movi":
-            for f2, b2, s2 in _riff_chunks(payload, body + 4, body + size):
-                if f2[2:4] in (b"dc", b"db"):
-                    yield payload[b2 : b2 + s2]
+            yield from walk(body + 4, body + size)
 
 
 def decode_avi_frames(payload: bytes, max_frames: int | None = None):
@@ -509,7 +562,18 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None):
     for i, frame in enumerate(avi_frame_payloads(payload)):
         if max_frames is not None and i >= max_frames:
             break
-        out.append(decode_jpeg(frame))
+        try:
+            out.append(decode_jpeg(frame))
+        except UnsupportedMediaError:
+            raise
+        except (struct.error, IndexError, ValueError) as e:
+            # a corrupt frame must degrade the payload to the stub
+            # route, not kill the Spark task (review-caught: raw
+            # jpeg.py struct/index errors escaped the conversion that
+            # decode_image applies on the still-image path)
+            raise UnsupportedMediaError(
+                f"corrupt MJPEG frame {i}: {type(e).__name__}: {e}"
+            ) from e
     return meta, out
 
 
@@ -532,7 +596,8 @@ def encode_avi_mjpeg(
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
-    jpegs = [chunk(b"00dc", encode_jpeg(f, quality=quality)) for f in frames]
+    bodies = [encode_jpeg(f, quality=quality) for f in frames]
+    jpegs = [chunk(b"00dc", b) for b in bodies]
     avih = struct.pack(
         "<10I16x",
         1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
@@ -552,11 +617,16 @@ def encode_avi_mjpeg(
     )
     movi_body = b"".join(jpegs)
     movi = lst(b"movi", movi_body)
-    # idx1: one entry per frame chunk, offsets relative to 'movi' fourcc
+    # idx1: one entry per frame chunk, offsets relative to 'movi'
+    # fourcc. dwChunkLength is the UNPADDED body size — len(chunk)-8
+    # would include the RIFF pad byte on odd-sized JPEGs, making
+    # idx1-driven players read one trailing garbage byte per frame
+    # (review-caught; the in-repo decoder walks movi, so only external
+    # players see idx1)
     idx = b""
     off = 4
-    for j in jpegs:
-        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j) - 8)
+    for j, b in zip(jpegs, bodies):
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(b))
         off += len(j)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body

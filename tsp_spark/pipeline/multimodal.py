@@ -61,6 +61,16 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _id_schema(df: DataFrame, id_col: str, *rest: T.StructField) -> T.StructType:
+    """Output schema that PRESERVES the caller's id column name and
+    Spark type (r5 ADVICE contract, extended to every mapInPandas op
+    here in r6d — image/audio/resize previously hardcoded
+    media_id/LongType and broke on string ids)."""
+    return T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType), *rest]
+    )
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB fallback — deterministic fake for formats needing an
     external codec (arithmetic-coded JPEG, WebP…) and for corrupt payloads.
@@ -97,10 +107,11 @@ def extract_image_features(
                 w, h, feats = _decode_image_any(data)
                 rows.append((mid, w, h, len(data), feats))
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "n_bytes", "features"]
+                rows, columns=[id_col, "width", "height", "n_bytes", "features"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    schema = _id_schema(df, id_col, *IMAGE_FEATURES_SCHEMA.fields[1:])
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -157,10 +168,11 @@ def extract_audio_features(
                 sr, dur, mfcc = _decode_audio_any(data)
                 rows.append((mid, sr, dur, mfcc))
             yield pd.DataFrame(
-                rows, columns=["media_id", "sample_rate", "duration_ms", "mfcc"]
+                rows, columns=[id_col, "sample_rate", "duration_ms", "mfcc"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    schema = _id_schema(df, id_col, *AUDIO_FEATURES_SCHEMA.fields[1:])
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -201,10 +213,11 @@ def resize_images(
                     )
                 rows.append((mid, target_w, target_h, out))
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "payload"]
+                rows, columns=[id_col, "width", "height", "payload"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+    schema = _id_schema(df, id_col, *RESIZED_SCHEMA.fields[1:])
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
 def frame_sample_plan(
