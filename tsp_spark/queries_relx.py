@@ -13,6 +13,7 @@ distinct plan shape:
 * q12_priority    — conditional aggregation after a fact join (Q12)
 * q16_distinct    — COUNT(DISTINCT) grouped aggregation (Q16)
 * q18_big_orders  — grouped HAVING feeding a join (Q18)
+* q19_disjunct    — OR-of-ANDs residual split over a fact join (Q19)
 * q22_anti        — scalar-aggregate subquery + anti join (Q22)
 
 plus rel_tpch_fold, one driver entry folding the remaining 8 TPC-H
@@ -543,10 +544,20 @@ def q_rel_q11_value(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(F.sum(val).alias("value_e2"))
     )
-    total = per.agg(F.sum("value_e2").alias("__tot"))
+    # the GLOBAL total sums every per-supplier value: at 100 TB it
+    # clears int64 (~1e19 for a region) and Spark's non-ANSI long sum
+    # would wrap silently while DuckDB widens to HUGEINT — accumulate
+    # in DECIMAL(38,0) like rel_q1's money sums (review-caught). The
+    # share test cross-multiplies in decimal too (x200 adds 3 digits,
+    # still far inside 38).
+    total = per.agg(
+        F.sum(F.col("value_e2").cast("decimal(38,0)")).alias("__tot")
+    )
     return (
         per.join(F.broadcast(total))
-        .where(F.col("value_e2") * 200 > F.col("__tot"))
+        .where(
+            F.col("value_e2").cast("decimal(38,0)") * 200 > F.col("__tot")
+        )
         .select("l_suppkey", "value_e2")
     )
 
@@ -703,7 +714,12 @@ def q_rel_q20_promo(spark, sf_dir):
         .agg(F.sum(qty).alias("qty"))
         .where(F.col("qty") > 50)
     )
-    return supp.join(F.broadcast(q), supp.s_suppkey == F.col("l_suppkey")).select(
+    # NO broadcast hint on q (review-caught): the HAVING keeps nearly
+    # every supplier (qty > 50 filters ~nothing), so q scales with
+    # supplier cardinality — a forced broadcast OOMs at 100 TB. AQE
+    # broadcasts it at small SF on its own; at scale both sides hash
+    # on s_suppkey.
+    return supp.join(q, supp.s_suppkey == F.col("l_suppkey")).select(
         "s_name", "qty"
     )
 
