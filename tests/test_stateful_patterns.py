@@ -755,3 +755,39 @@ def test_stateful_windowed_minmax_count_matches_batch(spark, events_gappy, mk_ts
         )
         assert batch <= got, f"{pat}: missing {sorted(batch - got)[:5]}"
         assert got <= batch, f"{pat}: spurious {sorted(got - batch)[:5]}"
+
+
+def test_reducer_cast_matches_spark_try_cast(spark):
+    """r8 task 4 (ADVICE low #4): the kernel's string→double reducer
+    cast must follow Spark's cast grammar exactly — `1.5d`/`1.5f`
+    suffixes and p-exponent hex floats parse, `1_000` digit
+    separators / unicode digits / signed nan do not, inf words are
+    case-insensitive. Pinned directly against try_cast on this build."""
+    import math
+
+    from tsp_spark.streaming.stateful import _reducer_cast
+
+    vals = [
+        "1.5", "1.5d", "1.5D", "1.5f", "1.5F", "1.5e2f", "1.5e+2",
+        "Infinity", "-Infinity", "+Infinity", "infinity", "INFINITY",
+        "inf", "+inf", "-inf", "NaN", "nan", "NAN", "+nan", "-nan",
+        "0x1.8p1", "0x1.8p1f", "0X1P3", "0x1.8", "0x10", "0x.8p2",
+        " 1.0 ", "\t2.5\n", "1_000", "1_0", ".5", "5.", "1e3", "+2.5",
+        "1e", "e3", "1.5e", ".", "-.", "1.5dd", "- 1", "Infinityd",
+        "infd", "１２３", "", "+", "-", "d", "[NULL]", "12,5", "0x",
+        "1.2.3", "--1", "++1", "1e+", "0xp1",
+    ]
+    expect = {
+        r["v"]: r["d"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", F.col("v").try_cast("double").alias("d"))
+        .collect()
+    }
+    for v in vals:
+        got, want = _reducer_cast(v), expect[v]
+        if want is None:
+            assert got is None, f"{v!r}: kernel {got} vs spark NULL"
+        elif math.isnan(want):
+            assert got is not None and math.isnan(got), f"{v!r}: {got}"
+        else:
+            assert got == want, f"{v!r}: kernel {got} vs spark {want}"

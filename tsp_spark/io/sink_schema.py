@@ -23,18 +23,36 @@ from tsp_spark.io.conf import WIRE_TO_SPARK as _SPARK_TYPES
 
 # incident-column expressions for each $-variable; timestamps render in
 # the reference's "yyyy-MM-dd HH:mm:ss.SSS" UTC form (Time.scala:26)
-_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"
 
 
 def _utc_fmt(col: Column) -> Column:
     """Render a timestamp in UTC wall time REGARDLESS of the session
     timezone (Time.scala:26: DateTimeFormatter ... withZone(UTC)).
-    date_format renders in the session zone, so shift the instant by
-    the session offset first; `to_utc_timestamp(ts, 'UTC')` was an
-    identity that only looked right under a UTC session
-    (review-caught)."""
-    return F.date_format(
-        F.to_utc_timestamp(col, F.current_timezone()), _TS_FMT
+
+    Pure epoch arithmetic, no timezone functions at all: the previous
+    `to_utc_timestamp(col, current_timezone())` + `date_format` pair
+    resolved the session-zone offset at two different instants, so a
+    timestamp inside a DST transition rendered one hour off in
+    DST-observing session zones (review-caught, r7 ADVICE low #5).
+    `unix_micros` is the zone-free instant; days/time-of-day fields
+    derive from it by integer math, which is exact for any instant,
+    pre-1970 included (floor division keeps the remainder
+    non-negative). Milliseconds truncate, matching `date_format`'s
+    SSS field. All JVM-side expressions — no UDF."""
+    us = F.unix_micros(col)
+    day_us = F.lit(86_400_000_000)
+    days = F.floor(us / day_us)
+    ms = F.floor((us - days * day_us) / F.lit(1000))
+    d = F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int"))
+    return F.format_string(
+        "%04d-%02d-%02d %02d:%02d:%02d.%03d",
+        F.year(d),
+        F.month(d),
+        F.dayofmonth(d),
+        F.floor(ms / F.lit(3_600_000)),
+        F.floor(ms / F.lit(60_000)) % 60,
+        F.floor(ms / F.lit(1_000)) % 60,
+        ms % 1000,
     )
 
 

@@ -74,6 +74,14 @@ class StreamingPatternJob:
     # the carry buffer retains enough history to re-fill correctly
     transform: Callable[[DataFrame], DataFrame] | None = None
     transform_window_ms: int = 0
+    # evict a key's carry once its own max event time falls this far
+    # behind the global max event time of the evaluation frame. None
+    # (default) = never evict: keys may legitimately lag arbitrarily
+    # (a backfilled series, a slow device) and the reference likewise
+    # keeps per-key state machines alive for the job's lifetime. Set
+    # it when key cardinality is unbounded (e.g. session ids) so carry
+    # size is bounded by the active-key set instead of lifetime keys.
+    idle_timeout_ms: int | None = None
 
 
 def _carry_depth_ms(job: StreamingPatternJob) -> int:
@@ -121,30 +129,52 @@ def incidents_stream(
     spark = stream.sparkSession
     carry_ms = _carry_depth_ms(job)
     carry_root = f"{checkpoint_dir}/tsp_carry" if checkpoint_dir else None
-    # per-query carried tail (a small cached DF); on restart the tail
-    # is reloaded from the checkpoint dir (see _load_carry) so windows
-    # and sequences spanning the restart boundary keep their history —
-    # previously the carry lived only in this closure and a restart
-    # silently evaluated the first batch with no prefix (review-caught)
-    state = {"carry": _load_carry(spark, carry_root)}
+    # per-query carried tail (a small cached DF). On (re)start the tail
+    # is reloaded from the checkpoint dir INSIDE the first
+    # process_batch call, where batch_id is known: after a crash the
+    # replayed batch must see the carry that preceded it, i.e. the
+    # newest committed generation with id STRICTLY LESS than the
+    # replayed batch id. Loading the newest generation unconditionally
+    # (the previous behavior) duplicated the tail when the driver died
+    # after _save_carry(N) but before the offset commit: batch N
+    # replayed on top of a carry that already contained batch N's
+    # rows, corrupting window counts/sums and lag/idx ordering
+    # (review-caught, r7 medium).
+    state: dict = {"carry": None, "restored": False}
 
     wm = stream.withWatermark(job.ts, job.watermark_delay)
+    keys = list(job.keys)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        df = batch_df
+        if not state["restored"]:
+            state["carry"] = _load_carry(spark, carry_root, before=batch_id)
+            state["restored"] = True
+        if not batch_df.take(1):
+            return
         carry = state["carry"]
+        to_unpersist: list[DataFrame] = []
+        untouched = None
         if carry is not None:
-            df = carry.unionByName(batch_df)
+            batch_df = batch_df.localCheckpoint(eager=True)
+            to_unpersist.append(batch_df)
+            # evaluate only keys with new rows: an untouched key's
+            # carry is unchanged, so re-running it would re-emit the
+            # identical incidents every trigger forever (review-caught)
+            batch_keys = batch_df.select(*keys).distinct()
+            touched = carry.join(batch_keys, on=keys, how="left_semi")
+            untouched = carry.join(batch_keys, on=keys, how="left_anti")
+            df = touched.unionByName(batch_df)
+        else:
+            df = batch_df
         # one materialization reused by every action below (the old
         # lineage re-ran source read + transform up to 3× per batch)
         df = df.localCheckpoint(eager=True)
-        if not df.take(1):
-            return
+        to_unpersist.append(df)
         searched = job.transform(df) if job.transform is not None else df
         incidents = search_incidents(
             searched,
             job.patterns,
-            list(job.keys),
+            keys,
             job.ts,
             fields_types=job.fields_types,
             max_gap_ms=job.events_max_gap_ms,
@@ -156,8 +186,8 @@ def incidents_stream(
         # own carry_ms of history (a global max cutoff evicted slow
         # keys' tails entirely — review-caught), matching the
         # reference's per-key state machines
-        keymax = F.max(F.col(job.ts)).over(Window.partitionBy(*job.keys))
-        new_carry = (
+        keymax = F.max(F.col(job.ts)).over(Window.partitionBy(*keys))
+        tail = (
             df.withColumn("__keymax", keymax)
             .where(
                 F.col(job.ts)
@@ -165,14 +195,31 @@ def incidents_stream(
                 - F.expr(f"INTERVAL {carry_ms} MILLISECONDS")
             )
             .drop("__keymax")
-            .localCheckpoint(eager=True)
         )
+        # untouched keys keep their previous tails (already exactly a
+        # per-key tail — the invariant is maintained across batches)
+        merged = tail.unionByName(untouched) if untouched is not None else tail
+        if job.idle_timeout_ms is not None:
+            gmax = df.agg(F.max(F.col(job.ts)).alias("m")).first()["m"]
+            if gmax is not None:
+                import datetime as _dt
+
+                horizon = gmax - _dt.timedelta(
+                    milliseconds=job.idle_timeout_ms
+                )
+                merged = (
+                    merged.withColumn("__keymax", keymax)
+                    .where(F.col("__keymax") >= F.lit(horizon))
+                    .drop("__keymax")
+                )
+        new_carry = merged.localCheckpoint(eager=True)
         if carry_root is not None:
             _save_carry(new_carry, carry_root, batch_id)
-        old = state["carry"]
         state["carry"] = new_carry
-        if old is not None:
-            old.unpersist()
+        if carry is not None:
+            to_unpersist.append(carry)
+        for cached in to_unpersist:
+            cached.unpersist()
 
     writer = wm.writeStream.foreachBatch(process_batch).trigger(
         processingTime=f"{trigger_seconds} seconds"
@@ -200,9 +247,19 @@ def _save_carry(tail: DataFrame, carry_root: str, batch_id: int) -> None:
         fs.delete(_hadoop_path(spark, f"{carry_root}/{old_id}"), True)
 
 
-def _load_carry(spark: SparkSession, carry_root: str | None):
-    """Newest committed carry generation, or None. Works on any
-    Hadoop-compatible filesystem (the checkpoint dir's)."""
+def _load_carry(spark: SparkSession, carry_root: str | None, before: int):
+    """Newest committed carry generation with id STRICTLY LESS than
+    ``before`` (the first batch id this query will process), or None.
+
+    The bound is what makes crash replay exact: if the driver died
+    after ``_save_carry(N)`` but before Structured Streaming committed
+    batch N's offsets, batch N replays — and must be evaluated against
+    the carry that preceded it (generation < N), not the generation it
+    already produced (which contains batch N's own tail and would
+    duplicate every replayed row inside one evaluation frame). Two
+    generations are retained precisely so N-1 is still present after
+    N was written. Works on any Hadoop-compatible filesystem (the
+    checkpoint dir's)."""
     if carry_root is None:
         return None
     fs, root, _ = _hadoop_fs(spark, carry_root)
@@ -210,14 +267,13 @@ def _load_carry(spark: SparkSession, carry_root: str | None):
         return None
     gens = sorted(
         (
-            int(st.getPath().getName())
+            gen_id
             for st in fs.listStatus(root)
-            if st.isDirectory()
-            and st.getPath().getName().isdigit()
+            if st.isDirectory() and st.getPath().getName().isdigit()
+            for gen_id in (int(st.getPath().getName()),)
+            if gen_id < before
             and fs.exists(
-                _hadoop_path(
-                    spark, f"{carry_root}/{st.getPath().getName()}/_SUCCESS"
-                )
+                _hadoop_path(spark, f"{carry_root}/{gen_id}/_SUCCESS")
             )
         ),
         reverse=True,

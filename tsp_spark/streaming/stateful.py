@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import copy
 import math
+import re
 import struct as _struct
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
@@ -876,16 +877,46 @@ def _compile_eval(node):
     )
 
 
+# Spark's string→double grammar (UTF8String/parseDouble: probed against
+# try_cast on this Spark build, pinned by test_reducer_cast_matches_spark):
+# optional fFdD suffix on numerics, hex floats REQUIRE a p-exponent,
+# inf/infinity/nan words are case-insensitive, nan takes no sign.
+_SPARK_TRIM = "".join(map(chr, range(0x21)))  # Java String.trim: <= U+0020
+_DEC_FLOAT = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[fFdD]?$")
+_HEX_FLOAT = re.compile(
+    r"([+-]?0[xX](?:[0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+    r"[pP][+-]?\d+)[fFdD]?$"
+)
+
+
 def _reducer_cast(v):
     """One reducer argument → double, batch-compiler style
-    (compiler._compile_reducer wraps every arg in ``.cast("double")``):
+    (compiler._compile_reducer wraps every arg in ``.try_cast("double")``):
     a non-numeric string — including the "[NULL]" sentinel a NULL
     string field evaluates to — casts to NULL and is dropped from the
-    fold instead of raising."""
+    fold instead of raising. String parsing follows Spark's cast
+    grammar exactly, NOT Python ``float()`` (which rejects ``1.5d`` /
+    hex-float forms Spark accepts, and accepts ``1_000`` digit
+    separators / unicode digits / signed nan Spark rejects) —
+    review-caught kernel/batch parity gap."""
     if v is None:
         return None
-    if isinstance(v, str) and "_" in v:
-        return None  # Python float() allows digit separators; SQL doesn't
+    if isinstance(v, str):
+        if not v.isascii():
+            return None
+        s = v.strip(_SPARK_TRIM)
+        low = s.lower()
+        if low == "nan":
+            return float("nan")
+        word = low[1:] if low[:1] in "+-" else low
+        if word in ("inf", "infinity"):
+            return float("-inf") if low[0] == "-" else float("inf")
+        m = _HEX_FLOAT.fullmatch(s)
+        if m is not None:
+            return float.fromhex(m.group(1))
+        if _DEC_FLOAT.fullmatch(s) is None:
+            return None
+        return float(s.rstrip("fFdD"))
     try:
         return float(v)
     except (TypeError, ValueError):
