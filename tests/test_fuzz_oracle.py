@@ -201,3 +201,109 @@ def test_engine_matches_oracle(spark, fuzz_data, pattern):
         f"first: case {mismatches[0][0]} engine={mismatches[0][1]} "
         f"oracle={mismatches[0][2]}"
     )
+
+
+# --------------------------------------------------------------------------
+# r8: reference-exact andThen consumption mode (two-queue union+rewind,
+# AndThenPattern.scala:42-94) fuzzed against the ported state machine on
+# overlap-dense series — the exact shapes where the fused default's
+# documented §17 deviations live.
+# --------------------------------------------------------------------------
+
+ANDTHEN_PATTERNS = [
+    "v > 50 andThen w > 50",
+    # same-field sequences: B runs nested inside / overlapping A runs
+    "v > 30 andThen v > 70",
+    "v > 70 andThen v > 30",
+    # boolean-algebra operands
+    "(v > 30 and w > 30) andThen u > 90",
+    "v <= 40 or w <= 40 andThen u > 110",
+    # chains, left-assoc and explicitly right-nested (associativity must
+    # be preserved — flattening would change pairing)
+    "v > 40 andThen w > 40 andThen u > 100",
+    "v > 40 andThen (w > 40 andThen u > 100)",
+    "(v > 40 andThen w > 40) andThen u > 100",
+    # dense/degenerate operands
+    "v >= 0 andThen w > 50",
+    "v > 50 andThen w >= 0",
+]
+
+
+def gen_dense_series(rng: random.Random, n: int) -> list[tuple[int, dict]]:
+    """Overlap-dense variant of gen_series: long plateaus (sticky
+    values) so operand truth runs overlap and nest — the consumption
+    order of the two-queue merge is only visible on such shapes."""
+    rows = []
+    t = 0
+    v = rng.uniform(0, 100)
+    w = rng.uniform(0, 100)
+    for _ in range(n):
+        t += rng.choice([1000, 1000, 1000, 1000, 2000, 15_000])
+        if rng.random() < 0.25:
+            v = rng.uniform(0, 100)
+        if rng.random() < 0.35:
+            w = rng.uniform(0, 100)
+        rows.append(
+            (
+                t,
+                {
+                    "v": None if rng.random() < 0.03 else round(v, 2),
+                    "w": None if rng.random() < 0.03 else round(w, 2),
+                    "u": round(v + w, 2),
+                },
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def dense_fuzz_data(spark):
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260814")))
+    cases = {cid: gen_dense_series(rng, rng.randint(3, 80)) for cid in range(40)}
+    rows = [
+        (cid, EPOCH + dt.timedelta(milliseconds=ms), r["v"], r["w"], r["u"])
+        for cid, series in cases.items()
+        for ms, r in series
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id int, ts timestamp, v double, w double, u double"
+    ).cache()
+    df.count()
+    return cases, df
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pattern", ANDTHEN_PATTERNS)
+def test_exact_andthen_matches_oracle(spark, dense_fuzz_data, pattern):
+    cases, df = dense_fuzz_data
+    want = oracle_incidents(cases, pattern)
+    got: dict[int, list[tuple[int, int]]] = {cid: [] for cid in cases}
+    out = search_incidents(
+        df,
+        [RawPattern(1, pattern)],
+        ["series_id"],
+        "ts",
+        fields_types=FIELDS,
+        max_gap_ms=GAP_MS,
+        session_gap_ms=SESSION_MS,
+        andthen_mode="exact",
+    ).collect()
+    for r in out:
+        got[r["series_id"]].append(
+            (
+                int(r["from_ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+                int(r["to_ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            )
+        )
+    base_ms = int(EPOCH.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    mismatches = []
+    for cid in cases:
+        g = sorted((f - base_ms, t - base_ms) for f, t in got[cid])
+        o = sorted(want[cid])
+        if g != o:
+            mismatches.append((cid, g, o))
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(cases)} cases diverge for {pattern!r}; "
+        f"first: case {mismatches[0][0]} engine={mismatches[0][1]} "
+        f"oracle={mismatches[0][2]}"
+    )

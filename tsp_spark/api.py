@@ -77,9 +77,15 @@ def search_incidents(
     max_gap_ms: int | None = 60_000,
     session_gap_ms: int = 2_000,
     tolerance_fraction: float = 0.0,
+    andthen_mode: str = "fused",
 ) -> DataFrame:
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
+
+    ``andthen_mode``: "fused" (default, golden-pinned interval join) or
+    "exact" (the reference's two-queue union+rewind consumption,
+    AndThenPattern.scala:42-94 — see ops/sequence.py and
+    docs/SEMANTICS.md §17 for when the two differ).
 
     The source projection is pruned to the union of referenced fields
     (the reference's PatternFieldExtractor); each pattern branch is then
@@ -90,7 +96,9 @@ def search_incidents(
         fields_types = {
             f.name: _dtype_tag(f.dataType.simpleString()) for f in df.schema.fields
         }
-    compiler = PatternCompiler(keys, ts, fields_types, max_gap_ms)
+    compiler = PatternCompiler(
+        keys, ts, fields_types, max_gap_ms, andthen_mode=andthen_mode
+    )
     nodes = [
         parse_pattern(p.source_code, fields_types, tolerance_fraction)
         for p in patterns

@@ -47,7 +47,7 @@ from tsp_spark.compile.registry import (
     spark_type_name,
 )
 from tsp_spark.ops.islands import islands
-from tsp_spark.ops.sequence import and_then_intervals
+from tsp_spark.ops.sequence import and_then_exact, and_then_intervals
 
 _counter = itertools.count()
 
@@ -198,12 +198,16 @@ class PatternCompiler:
         fields_types: dict[str, str] | None = None,
         max_gap_ms: int | None = 60_000,
         registry: FunctionRegistry = DEFAULT_REGISTRY,
+        andthen_mode: str = "fused",
     ):
+        if andthen_mode not in ("fused", "exact"):
+            raise ValueError(f"andthen_mode must be 'fused' or 'exact', got {andthen_mode!r}")
         self.keys = list(keys)
         self.ts = ts
         self.fields = fields_types or {}
         self.max_gap_ms = max_gap_ms
         self.registry = registry
+        self.andthen_mode = andthen_mode
 
     # ------------------------------------------------------------------
     # window helpers (all share partitionBy(keys[, series]) → one exchange)
@@ -299,6 +303,8 @@ class PatternCompiler:
         start_idx, end_idx)."""
         df = self.with_series(df)
         if isinstance(node, A.AndThen):
+            if self.andthen_mode == "exact":
+                return self._compile_andthen_exact(df, node)
             left = self.compile_intervals(df, node.left)
             right = self._islandize(df, node.right)
             # sequence-join within a gap-delimited sub-series only: the
@@ -309,9 +315,41 @@ class PatternCompiler:
             return and_then_intervals(left, right, self._series_keys())
         return self._islandize(df, node)
 
-    def _islandize(self, df: DataFrame, node: A.Node) -> DataFrame:
+    def _compile_andthen_exact(self, df: DataFrame, node: A.AndThen) -> DataFrame:
+        """Reference-exact ``andThen`` chain: each operand islandizes
+        with keep=None (its full RLE queue — true/false/NULL runs, the
+        ``enqueueWithUniting`` entries of an assert-mapped boolean),
+        then ops.sequence.and_then_exact runs the two-queue
+        union+rewind merge (AndThenPattern.scala:42-94) per
+        (key, series) preserving the AST's associativity. Verified
+        against tools/ref_oracle.py by fuzz on overlap-dense series
+        (tests/test_fuzz_oracle.py); operands whose reference queue
+        granularity is not a plain boolean RLE (a Timer's per-window
+        emissions, a consume-once lag) may still deviate on edges —
+        the fused default stays golden-pinned for those."""
+        leaves: list[A.Node] = []
+
+        def shape(n):
+            if isinstance(n, A.AndThen):
+                return (shape(n.left), shape(n.right))
+            leaves.append(n)
+            return len(leaves) - 1
+
+        tree = shape(node)
+        tables = [self._islandize(df, n, keep=None) for n in leaves]
+        w = Window.partitionBy(*self.keys).orderBy(self.ts)
+        indexed = df.withColumn("__idx", F.row_number().over(w))
+        return and_then_exact(
+            indexed, tables, tree, self._series_keys(), self.ts
+        )
+
+    def _islandize(
+        self, df: DataFrame, node: A.Node, keep: bool | None = True
+    ) -> DataFrame:
         """Islandize a boolean pattern; the result carries the series id
-        (consumers select the columns they need, AndThen joins on it)."""
+        (consumers select the columns they need, AndThen joins on it).
+        ``keep=None`` (the exact andThen mode) returns ALL runs with a
+        ``cond_value`` column — the operand's full PQueue entry list."""
         c = self.compile_bool(df, node)
         c = self._maybe_materialize(c)
         # Raw per-key idx FIRST, shared by every operand of a sequence —
@@ -322,7 +360,8 @@ class PatternCompiler:
         d = c.df.withColumn("__idx", F.row_number().over(w))
         if c.present is None:
             return islands(
-                d, self._series_keys(), self.ts, c.col, self.max_gap_ms, with_idx=True
+                d, self._series_keys(), self.ts, c.col, self.max_gap_ms,
+                keep=keep, with_idx=True,
             )
         # Absent rows (the pattern emitted no IdxValue there, e.g. the
         # consume-once lag) are invisible downstream: equal-valued runs
@@ -331,7 +370,8 @@ class PatternCompiler:
         # absence may stretch two adjacent present rows past max_gap,
         # which must NOT fake a series split.
         return islands(
-            d.where(c.present), self._series_keys(), self.ts, c.col, None, with_idx=True
+            d.where(c.present), self._series_keys(), self.ts, c.col, None,
+            keep=keep, with_idx=True,
         )
 
     def compile_bool(self, df: DataFrame, node: A.Node) -> Compiled:
