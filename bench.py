@@ -158,10 +158,10 @@ def accums_rehearsal(spark, n_rows: int = 600_000, n_keys: int = 2):
 
 SF1_QUERIES = [
     # the 8 most expensive queries (r5 bench ranking), CHEAPEST-AT-SF1
-    # first so the time budget always covers the near-linear cohort;
-    # the two known output-quadratic outliers (see docs/SCALE.md "sf1
-    # scaling rehearsal") run last and are skipped when the budget is
-    # spent — their full measurements are pinned in SCALE.md
+    # first so the time budget always covers the cohort; since r8
+    # (open-vocabulary Zipf corpus + prefix-filtered jaccard) all
+    # eight scale near-linearly — see docs/SCALE.md "sf1 scaling
+    # rehearsal" for the pinned table
     "rel_q1_pricing",
     "cep_andthen",
     "rel_q3_shipping",
@@ -180,7 +180,8 @@ def sf1_rehearsal(spark):
     distributions; /root/testdata is read-only and ships no sf1) and
     report the per-query scale factor. Near-linear (≤ ~12×) is the
     pass bar; superlinear readings demand a SCALE.md root cause
-    (r6's two: output-quadratic near-dup density, documented there).
+    (none since r8: the open-vocabulary corpus + prefix-filtered
+    jaccard removed the former output-quadratic dedup outliers).
     Tables generate once into .localdata/ (~170 MB, <1 min) and are
     reused. A wall-clock budget ($SPARK_GRAFT_SF1_BUDGET, default
     180 s incl. generation) bounds the whole section so the bench

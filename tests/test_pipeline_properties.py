@@ -201,12 +201,13 @@ def test_jaccard_bucket_guard_fails_fast(spark):
         max_size=25,
     ),
     st.sampled_from([0.3, 0.5, 0.6, 0.8, 1.0]),
-    st.booleans(),
+    st.sampled_from(["prefix", "allpairs", "allpairs+bands"]),
 )
-def test_jaccard_pairs_match_brute_force(spark, docs, threshold, bands):
-    """The banded/pruned join must return EXACTLY the brute-force pair
-    set at any threshold and with either join strategy (the band
-    prejoin and ratio prune are pure join-size optimizations)."""
+def test_jaccard_pairs_match_brute_force(spark, docs, threshold, strat):
+    """Every join strategy — prefix-filtered (r8 default), all-pairs,
+    all-pairs with length bands — must return EXACTLY the brute-force
+    pair set at any threshold (prefix filtering, the band prejoin and
+    the ratio prune are pure candidate-size optimizations)."""
     from tsp_spark.pipeline.dedup import jaccard_pairs
 
     texts = [" ".join(toks) if toks else "" for toks in docs]
@@ -216,7 +217,8 @@ def test_jaccard_pairs_match_brute_force(spark, docs, threshold, bands):
         (r["id_a"], r["id_b"])
         for r in jaccard_pairs(
             df, "text", "doc_id", ["src"], threshold=threshold,
-            length_bands=bands,
+            length_bands=strat.endswith("bands"),
+            strategy="prefix" if strat == "prefix" else "allpairs",
         ).collect()
     }
     want = set()

@@ -5,11 +5,23 @@ REPO-LOCAL dir (`/root/testdata` is read-only).
 
 Row counts scale linearly like the driver's sf0.001→0.1 ladder
 (lineitem = 6M·sf, events = 1M·sf, …); key relationships, value
-ranges, category sets, the 31-word document vocabulary and the
-64-dim unit embeddings mirror the shipped data, so per-query work
-scales the way the real tables would. Not byte-identical to the
-driver's generator (seed stream differs) — used ONLY for relative
-timing (sf1 time / sf0.1 time), never for correctness oracles.
+ranges, category sets and the 64-dim unit embeddings mirror the
+shipped data, so per-query work scales the way the real tables
+would. Not byte-identical to the driver's generator (seed stream
+differs) — used ONLY for relative timing (sf1 time / sf0.1 time),
+never for correctness oracles.
+
+DELIBERATE divergence (r8): the document corpus. The driver ships a
+31-word closed vocabulary at ~54 tokens/doc, which makes almost every
+doc pair a ≥0.6-Jaccard near-duplicate — near-dup PAIR COUNTS then
+grow quadratically with corpus size (17.7M pairs at sf1 vs 181k at
+sf0.1 under the old mirror — 97.6× output for 10× docs), so the 10×
+rehearsal measured output blowup, not engine scaling. This generator
+instead draws a Zipf-distributed OPEN vocabulary (size grows with the
+corpus, like real text): random doc pairs sit far below every dedup
+threshold, near-dups come only from the injected ~2% duplicated tail,
+and pair/edge counts grow ~linearly — the regime a real 100 TB corpus
+is in, and the one where sf1/sf0.1 timing ratios are meaningful.
 
 Usage: python tools/gen_sf.py SF OUT_DIR   (e.g. 1.0 .localdata/sf1)
 """
@@ -28,12 +40,29 @@ SEED = 42
 EPOCH_95 = np.datetime64("1995-01-01")
 EV_START = np.datetime64("2024-01-01T00:00:00")
 
-VOCAB = (
-    "batch part spark line column order small sort fast value scan hash "
-    "slow group agg filter query big key window row table stream merge "
-    "data a vector join shuffle plan page"
+_SYLL = (
+    "ba be bi bo bu da de di do du ka ke ki ko ku la le li lo lu "
+    "ma me mi mo mu na ne ni no nu ra re ri ro ru sa se si so su "
+    "ta te ti to tu va ve vi vo vu za ze zi zo zu ga go gu pa po"
 ).split()
-assert len(VOCAB) == 31
+
+
+def _vocab(n: int) -> np.ndarray:
+    """Open vocabulary: n distinct pronounceable words (syllable
+    triples), deterministic in rank order so Zipf rank i is the same
+    word at every scale point."""
+    s = len(_SYLL)
+    return np.array(
+        [
+            _SYLL[i % s] + _SYLL[(i // s) % s] + _SYLL[(i // (s * s)) % s]
+            for i in range(n)
+        ]
+    )
+
+
+def _zipf_probs(n: int, a: float = 1.07) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, n + 1, dtype="float64"), a)
+    return p / p.sum()
 
 P_ADJ = ["large", "hot", "small", "cold", "dark", "light", "new", "old"]
 P_NOUN = ["ring", "bolt", "case", "drum", "gear", "lace", "pipe", "wire"]
@@ -164,14 +193,28 @@ def generate(sf: float, out: Path) -> None:
     }))
 
     n_tok = rng.integers(15, 61, n_doc)
-    vocab = np.array(VOCAB)
+    # open Zipf vocabulary (see module docstring): vocab size grows
+    # with the corpus so random-pair Jaccard stays far below the 0.5/
+    # 0.6 dedup thresholds at every scale point — near-dup pairs come
+    # only from the injected duplicated tail below, keeping pair
+    # counts ~linear in corpus size like a real open-text corpus
+    n_vocab = max(2_000, n_doc // 10)
+    vocab = _vocab(n_vocab)
+    probs = _zipf_probs(n_vocab)
+    all_toks = rng.choice(n_vocab, size=int(n_tok.sum()), p=probs)
+    offs = np.concatenate([[0], np.cumsum(n_tok)])
     texts = [
-        " ".join(vocab[rng.integers(0, 31, k)]) for k in n_tok
+        " ".join(vocab[all_toks[offs[i]:offs[i + 1]]]) for i in range(n_doc)
     ]
+    sources = rng.integers(0, 20, n_doc)
     # ~2% near/exact duplicates of earlier docs (the driver corpus
     # carries a small duplicated tail — 5000 docs / 4992 distinct at
     # its sf0.1): half verbatim copies, half with one token swapped,
-    # so MinHash-LSH and exact-dedup find work at every scale
+    # so MinHash-LSH and exact-dedup find work at every scale. The
+    # duplicate inherits its source doc's `source` — real duplication
+    # (mirrors, re-crawls) clusters within a provenance bucket, and it
+    # keeps the source-bucketed jaccard query's pair density constant
+    # per doc (~linear pair growth) instead of near-zero.
     for i in rng.choice(
         np.arange(1, n_doc), size=max(1, n_doc // 50), replace=False
     ):
@@ -179,9 +222,10 @@ def generate(sf: float, out: Path) -> None:
         toks = texts[src_i].split(" ")
         if rng.random() < 0.5 and len(toks) > 1:
             toks[int(rng.integers(0, len(toks)))] = str(
-                vocab[int(rng.integers(0, 31))]
+                vocab[int(rng.choice(n_vocab, p=probs))]
             )
         texts[int(i)] = " ".join(toks)
+        sources[int(i)] = sources[src_i]
     _write(out, "documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": texts,
@@ -190,7 +234,7 @@ def generate(sf: float, out: Path) -> None:
                 rng.integers(0, 6, n_doc)
             ]
         ),
-        "source": [f"src{int(s)}" for s in rng.integers(0, 20, n_doc)],
+        "source": [f"src{int(s)}" for s in sources],
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 

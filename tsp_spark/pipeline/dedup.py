@@ -4,9 +4,14 @@ Scale design notes:
 * exact_dedup — hash groupBy on the text itself; at 100 TB group on
   xxhash64(text) first (cheap shuffle key), verifying exact equality
   within hash groups (collision-safe).
-* jaccard_pairs — all-pairs is O(n²); we band by caller-chosen bucket
-  columns (e.g. source/lang, or length bands) so the self-join is
-  per-bucket. For unbounded corpora use minhash_lsh_pairs instead.
+* jaccard_pairs — exact Jaccard within caller-chosen buckets (e.g.
+  source/lang). Default candidate generation is PREFIX FILTERING
+  (SSJoin/PPJoin): an equi-join on each doc's rarest
+  |d| − ⌈t·|d|⌉ + 1 tokens in document-frequency order —
+  result-identical to all-pairs, linear shuffles, verification work
+  ∝ Σ prefix-bucket². The legacy per-bucket all-pairs join remains as
+  strategy="allpairs". For approximate dedup on unbounded corpora use
+  minhash_lsh_pairs.
 * minhash_lsh_pairs — the 100 TB path: shingle → minhash signature →
   band hashes → candidate pairs via an equi-join on (band, band_hash)
   (a plain shuffle join, no cross product), then exact signature
@@ -119,24 +124,49 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_bucket_size: int | None = 10_000,
     length_bands: bool = False,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within buckets:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
 
-    The per-bucket self-join is O(bucket²): correct only while the
-    caller's bucket columns keep buckets bounded. That contract is
-    ENFORCED at runtime — any bucket over ``max_bucket_size`` docs
-    fails the job fast (executor-side `raise_error`, no silent
-    quadratic blowup at 100 TB) with a pointer to minhash_lsh_pairs.
-    Pass a higher limit or None to override deliberately.
+    ``strategy="prefix"`` (default, r8): prefix-filtered candidate
+    generation (Chaudhuri et al. SSJoin / Xiao et al. PPJoin). Under
+    any global token order, J(A,B) ≥ t forces the two docs to share a
+    token inside each doc's first ``|d| − ⌈t·|d|⌉ + 1`` tokens of that
+    order (pigeonhole on the overlap lower bound ⌈t·|d|⌉), so
+    candidates come from an EQUI-JOIN on (bucket…, prefix-token)
+    instead of the per-bucket cross join — linear shuffles end to end,
+    with the verification work proportional to Σ prefix-bucket² rather
+    than Σ bucket². The global order is document-frequency ascending
+    (ties by token hash): rare tokens fill the prefixes, so a common
+    token never fans out a large candidate block. Result-identical to
+    all-pairs — the final exact-Jaccard filter is unchanged and the
+    prefix lemma guarantees no qualifying pair is skipped
+    (property-tested against the all-pairs strategy).
 
-    ``length_bands=True`` additionally equi-joins on a token-count
-    band (see the theorem note below) — provably result-identical
-    (property-tested against brute force), and worth it only when a
-    bucket's doc lengths span decades so adjacent-band products are
-    far below bucket². On length-uniform corpora everything lands in
-    one band and the 3× probe-side fan-out is pure overhead (measured
-    ~15% slower on the bench corpus; default off)."""
+    ``strategy="allpairs"``: the per-bucket self-join, O(bucket²) —
+    correct only while the caller's bucket columns keep buckets
+    bounded. That contract is ENFORCED at runtime — any bucket over
+    ``max_bucket_size`` docs fails the job fast (executor-side
+    `raise_error`, no silent quadratic blowup at 100 TB) with a
+    pointer to minhash_lsh_pairs. Pass a higher limit or None to
+    override deliberately. In prefix mode the same guard watches
+    (bucket…, prefix-token) blocks instead — a degenerate corpus
+    where one rare token floods prefixes fails fast too.
+
+    ``length_bands=True`` (allpairs only) additionally equi-joins on a
+    token-count band (see the theorem note below) — provably
+    result-identical (property-tested against brute force), and worth
+    it only when a bucket's doc lengths span decades so adjacent-band
+    products are far below bucket². On length-uniform corpora
+    everything lands in one band and the 3× probe-side fan-out is pure
+    overhead (measured ~15% slower on the bench corpus; default off)."""
+    if strategy not in ("prefix", "allpairs"):
+        raise ValueError(f"strategy must be 'prefix' or 'allpairs', got {strategy!r}")
+    if strategy == "prefix":
+        return _jaccard_pairs_prefix(
+            df, text_col, id_col, bucket_cols, threshold, max_bucket_size
+        )
     # token-set size hoisted per row; |A ∪ B| = |A| + |B| − |A ∩ B|
     # avoids materializing the union array per pair (same exact value —
     # both sides are distinct arrays)
@@ -213,6 +243,105 @@ def jaccard_pairs(
     j = inter.cast("double") / union
     return (
         joined.select("id_a", "id_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_cols: Sequence[str],
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Prefix-filtered Jaccard self-join (see jaccard_pairs docstring).
+
+    Plan shape (every stage linear in corpus tokens):
+      1. token sets + sizes per doc (one projection);
+      2. explode to (doc, token) — linear;
+      3. token document frequency: one groupBy(token) — the corpus
+         vocabulary table;
+      4. join frequencies back (shuffle on token) and keep each doc's
+         ``|d| − ⌈t·|d|⌉ + 1`` lowest-(df, token) entries via a
+         row_number window partitioned by doc — shuffle on doc id;
+      5. candidate pairs: equi-join of the prefix table with itself on
+         (bucket…, token), a < b, deduped;
+      6. verification: join the two docs' token sets back by id, then
+         the size-ratio prune and the exact-Jaccard filter (identical
+         to the all-pairs path, so results match exactly).
+    The ⌈t·n⌉ bound subtracts 1e-9 before ceil so float rounding can
+    only ENLARGE a prefix (safe), never shrink it (which could drop a
+    qualifying pair)."""
+    t = df.select(
+        *bucket_cols,
+        F.col(id_col).alias("__id"),
+        _token_set(F.col(text_col)).alias("__ws"),
+    ).withColumn("__n", F.size(F.col("__ws")))
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    ex = t.select(
+        *bucket_cols, "__id", prefix_len.alias("__p"),
+        F.explode(F.col("__ws")).alias("__tok"),
+    )
+    freq = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    pref = (
+        ex.join(freq, on="__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__p"))
+        .select(*bucket_cols, "__id", "__tok")
+    )
+    if max_bucket_size is not None:
+        pref = _bucket_guard(
+            pref, [*bucket_cols, "__tok"], max_bucket_size, "__id",
+            "jaccard_pairs[prefix]",
+            "A single prefix token fans out a quadratic candidate "
+            "block (degenerate near-identical corpus) — collapse exact "
+            "duplicates first, use minhash_lsh_pairs, or raise "
+            "max_bucket_size deliberately.",
+        )
+    cand = (
+        pref.select(*bucket_cols, F.col("__id").alias("id_a"), "__tok")
+        .join(
+            pref.select(*bucket_cols, F.col("__id").alias("id_b"), "__tok"),
+            on=[*bucket_cols, "__tok"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = t.select("__id", "__ws", "__n")
+    joined = cand.join(
+        sets.select(
+            F.col("__id").alias("id_a"),
+            F.col("__ws").alias("__wa"),
+            F.col("__n").alias("__na"),
+        ),
+        on="id_a",
+    ).join(
+        sets.select(
+            F.col("__id").alias("id_b"),
+            F.col("__ws").alias("__wb"),
+            F.col("__n").alias("__nb"),
+        ),
+        on="id_b",
+    )
+    ratio_ok = (
+        F.least(F.col("__na"), F.col("__nb")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("__na"), F.col("__nb")) - 1e-9
+    )
+    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+    union = F.col("__na") + F.col("__nb") - inter
+    j = inter.cast("double") / union
+    return (
+        joined.where(ratio_ok)
+        .select("id_a", "id_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(threshold))
     )
 
