@@ -1416,6 +1416,9 @@ class _WindowedCondProgram:
                 and self.aggs[0].window_ms > 0
                 and static_vec_ok(node)
             )
+        # the bulk feed returns an int8 CODE array (no per-row Python
+        # objects) — the kernel's drain stays numpy end to end
+        self.pend_codes = self.pend_batch_capable
         self.can_absent = any(a.kind == _LAG_KIND for a in self.aggs)
         # nested aggregates (avg(avg(x, T1), T2) …): _collect_aggs is
         # pre-order (parents first), so reversed order evaluates every
@@ -1970,10 +1973,12 @@ class _WindowedCondProgram:
 
         lag_pending_precheck(self, objs, ms_arr, df)
 
-    def feed_batch_pending(self, objs, ms_arr, df, gaps) -> list:
+    def feed_batch_pending(self, objs, ms_arr, df, gaps):
         """Bulk feed for the single-pending-lag family: the decided
-        condition values (row order, prior pending first), exactly
-        what per-row ``feed`` would have returned across the batch."""
+        condition values (row order, prior pending first) as an int8
+        CODE array (``pend_codes`` contract; codes index
+        vectorized._cv_objects) — value-equivalent to what per-row
+        ``feed`` would have returned across the batch."""
         from tsp_spark.streaming.vectorized import lag_pending_batch
 
         return lag_pending_batch(self, objs, ms_arr, df, gaps)
@@ -2179,6 +2184,9 @@ class _WaitProgram:
         self.pend_batch_capable = isinstance(inner, str) or getattr(
             inner, "batch_capable", False
         )
+        # object-list bulk contract (wait_pending_batch); the int8-code
+        # array contract is the lag family's (see _WindowedCondProgram)
+        self.pend_codes = False
 
     # objs layout: [pend [(ms, saw_nonnull)], iobjs, meta [(ms, gap)]]
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
@@ -3169,6 +3177,82 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                 except VecUnsupported:
                     progs[i][0], _ = c.load(snap, 0)
                     slow.append(i)
+                    continue
+                if getattr(c, "pend_codes", False):
+                    # int8-code contract (the lag family): numpy end to
+                    # end — only the (small) undecided tail is boxed
+                    # into the per-row rowq layout. The feed either
+                    # resolves the ENTIRE backlog (plus a batch prefix)
+                    # or nothing (lag_pending_batch flushes pending
+                    # whole-segment), so decided codes align 1:1 with
+                    # backlog-then-batch order.
+                    k = len(decided)
+                    m = len(ms_arr)
+                    nb0 = min(len(rowqs[i]), k)
+                    kb = k - nb0
+                    if k:
+                        if nb0:
+                            back = rowqs[i][:nb0]
+                            del rowqs[i][:nb0]
+                            ms2 = np.concatenate(
+                                [
+                                    np.fromiter(
+                                        (h[0] for h in back),
+                                        np.int64,
+                                        nb0,
+                                    ),
+                                    ms_arr[:kb],
+                                ]
+                            )
+                            g2 = np.concatenate(
+                                [
+                                    np.fromiter(
+                                        (bool(h[1]) for h in back),
+                                        bool,
+                                        nb0,
+                                    ),
+                                    gaps[:kb],
+                                ]
+                            )
+                        else:
+                            ms2, g2 = ms_arr[:k], gaps[:k]
+                        if isinstance(spec.sm, _TimerSM):
+                            # Timer consumes the RAW value (the batch
+                            # discards the present mask; raw NULL →
+                            # false): codes 2 (True) / 4 (ABSENT_TRUE)
+                            conds2 = (decided == 2) | (decided == 4)
+                            sts[i], items = _timer_vec(
+                                spec.sm, sts[i], ms2, conds2, g2
+                            )
+                        else:
+                            ab = decided >= 3
+                            cb = decided == 2
+                            if ab.any():
+                                sts[i], items = _islands_vec_masked(
+                                    spec.sm, sts[i], ms2, cb, g2, ab
+                                )
+                            else:
+                                sts[i], items = _islands_vec(
+                                    sts[i], ms2, cb, g2
+                                )
+                        emit(spec, items)
+                    # queue the undecided batch tail in the per-row
+                    # layout (rows kb..m-1); srcqs stays empty
+                    if kb < m:
+                        tail_last = (
+                            last if kb == 0 else int(ms_arr[kb - 1])
+                        )
+                        tl = [tail_last] + [
+                            int(x) for x in ms_arr[kb : m - 1]
+                        ]
+                        rowqs[i].extend(
+                            zip(
+                                (int(x) for x in ms_arr[kb:]),
+                                (int(x) for x in gaps[kb:]),
+                                tl,
+                            )
+                        )
+                    advance(i, spec)
                     continue
                 if ms_list is None:
                     ms_list = [int(x) for x in ms_arr]
