@@ -225,6 +225,80 @@ def sf1_rehearsal(spark):
     return out
 
 
+def sf1_oracle_gate(spark):
+    """r8 (VERDICT task 7): value-check the sf1-benched queries against
+    DuckDB on the GENERATED dirs — rows + sorted-schema + exact values
+    via the same compare as tools/check_oracle (the driver's t2 gate
+    replica), so the 10× rehearsal timings stand on value-checked
+    results, not just row counts. The two exact-dedup queries check at
+    generated sf0.1: their brute-force DuckDB oracles are inherently
+    quadratic (measured >460 s at sf1 — the oracle, not the engine)
+    while the corpus SHAPE they must handle (open Zipf vocabulary,
+    injected duplicate tail) is identical at both scale points; the
+    Spark side additionally value-checks against the driver corpus at
+    sf0.01/0.1 in the official gate. Budget-bounded like the timing
+    rehearsal; over-budget queries record as skipped, never silently
+    dropped."""
+    import duckdb
+
+    from tools.check_oracle import TABLES, compare
+    from tools.gen_sf import ensure
+    from tsp_spark.queries import ORACLES, QUERIES
+
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", "240"))
+    t_start = time.perf_counter()
+    base = Path(__file__).resolve().parent / ".localdata"
+    d01 = ensure(0.1, str(base / "sf0.1"))
+    d1 = ensure(1.0, str(base / "sf1"))
+    # cheapest-oracle-first so the budget always covers the bulk;
+    # (query, dir, label) — dedup_jaccard/clusters pinned to sf0.1
+    plan = [
+        ("rel_q1_pricing", d1, "sf1"),
+        ("rel_q3_shipping", d1, "sf1"),
+        ("cep_andthen", d1, "sf1"),
+        ("cep_incidents_multi", d1, "sf1"),
+        ("dedup_jaccard", d01, "sf0.1-gen"),
+        ("dedup_clusters", d01, "sf0.1-gen"),
+        ("dedup_minhash_lsh", d1, "sf1"),
+        ("ann_topk", d1, "sf1"),
+    ]
+    cons = {}
+    out = {}
+    for name, d, label in plan:
+        if time.perf_counter() - t_start > budget:
+            out[name] = {"skipped": "sf1 oracle budget spent"}
+            print(f"# sf1_oracle {name}: skipped (budget)", file=sys.stderr)
+            continue
+        con = cons.get(d)
+        if con is None:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+                )
+            cons[d] = con
+        try:
+            spark_pdf = QUERIES[name](spark, d).toPandas()
+            oracle_pdf = con.execute(ORACLES[name]).df()
+            problems = compare(name, spark_pdf, oracle_pdf)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"error: {e}"]
+            spark_pdf = None
+        out[name] = {
+            "scale": label,
+            "rows": None if spark_pdf is None else len(spark_pdf),
+            "match": not problems,
+            **({"problems": problems[:3]} if problems else {}),
+        }
+        print(
+            f"# sf1_oracle {name} [{label}]: "
+            f"{'MATCH' if not problems else 'FAIL ' + '; '.join(problems[:2])}"
+            f" ({out[name]['rows']} rows)",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from tsp_spark.queries import QUERIES, _load
@@ -284,6 +358,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         sf1 = sf1_rehearsal(spark)
 
+    # value-check the rehearsed queries against DuckDB on the generated
+    # dirs (r8; see sf1_oracle_gate docstring)
+    sf1_oracle = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1_ORACLE") != "1":
+        sf1_oracle = sf1_oracle_gate(spark)
+
     # streaming-kernel throughput sample (the incremental
     # applyInPandasWithState kernel driven offline — pure kernel cost,
     # one key-partition; see tools/kernel_throughput.py + SCALE.md)
@@ -323,6 +403,8 @@ def main() -> None:
         payload["accums_600k"] = accums
     if sf1 is not None:
         payload["sf1_scaling"] = sf1
+    if sf1_oracle is not None:
+        payload["sf1_oracle"] = sf1_oracle
     if kernel is not None:
         payload["kernel_rows_per_sec"] = {
             k: v["rows_per_sec"] for k, v in kernel.items()
