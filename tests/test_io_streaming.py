@@ -654,3 +654,34 @@ def test_utc_fmt_is_dst_proof(spark):
             assert got == want, f"tz={tz}: {got} != {want}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+@pytest.mark.slow
+def test_soak_small_crash_replay_exact(spark, tmp_path):
+    """CI-sized version of tools/soak_streaming.py (the 10M soak is
+    pinned in docs/SCALE.md): many micro-batches, two injected
+    crashes in the save-then-die window plus one graceful restart,
+    and the sink-side sessionize over everything emitted must equal
+    the batch engine EXACTLY — no missing, no spurious."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from soak_streaming import run_soak
+
+    res = run_soak(
+        spark,
+        rows=200_000,
+        drops=6,
+        users=10,
+        crash_batches=(1, 4),
+        graceful_stop=2,
+        workdir=str(tmp_path),
+    )
+    assert res["injected_crashes"] == 2 and res["restarts"] >= 3
+    assert res["exact_match"], (
+        f"missing={res['missing']} spurious={res['spurious']}"
+    )
+    # carry stays bounded: every generation within 2x of the median
+    sizes = sorted(c["carry_rows"] for c in res["carry_curve"])
+    assert sizes[-1] <= 2 * sizes[len(sizes) // 2]

@@ -1,0 +1,245 @@
+"""Streaming soak: N rows through the carry-buffer streaming mode
+(`incidents_stream`) with injected mid-soak driver crashes, asserting
+EXACT end-to-end parity with the batch engine.
+
+What it proves (r8, VERDICT task 5):
+* sustained operation over many micro-batches (rows/s, carry-size
+  curve — the numbers land in docs/SCALE.md);
+* the r8 crash-replay fix under load: each injected crash happens in
+  the worst window — AFTER `_save_carry(batch N)` durably wrote the
+  new carry generation but BEFORE Structured Streaming committed
+  batch N's offsets — so the restarted query MUST re-evaluate the
+  replayed batch against the PRIOR carry generation or window counts
+  corrupt;
+* the documented sink contract end to end: emissions are
+  at-least-once with deterministic values; the sink-side
+  `sessionize_intervals` over everything emitted (including boundary
+  partials later extended, and crash re-emissions) must equal the
+  batch result EXACTLY — not just a superset.
+
+Usage: python tools/soak_streaming.py [--rows N] [--drops D]
+       [--users K] [--crashes i,j] [--graceful g]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+PATTERNS = [
+    (1, "value > 150 for 30 sec"),
+    # truth-count window: the duplication-sensitive family (doubled
+    # rows inside one evaluation frame double the count and corrupt
+    # from/to) — the shape that catches a bad crash replay
+    (2, "value > 100 for 60 sec > 45 times"),
+]
+FIELDS = {"value": "float64"}
+KEYS = ["user_id"]
+
+
+def gen_rows(n: int, users: int) -> pd.DataFrame:
+    """Deterministic keyed series: per-user 1 Hz square waves with
+    per-user period (20..79 s — some runs satisfy the 30 s timer and
+    the 46-truth count, some don't), a per-user millisecond phase so
+    (key, ts) is globally unique, ~1% nulls."""
+    per_user = n // users
+    u = np.repeat(np.arange(users, dtype=np.int64), per_user)
+    k = np.tile(np.arange(per_user, dtype=np.int64), users)
+    period = 20 + (u * 13) % 60  # 20..79 s per user
+    high = (k // period) % 3 == 0
+    value = np.where(high, 160.0, 90.0) + (k % 7) * 0.5
+    value[k % 97 == 0] = np.nan
+    ms = k * 1000 + u * 7
+    ts = np.datetime64("2024-01-01T00:00:00") + ms.astype("timedelta64[ms]")
+    df = pd.DataFrame({"user_id": u, "ts": ts, "value": value})
+    df["value"] = df["value"].astype("float64")
+    return df.sort_values("ts", ignore_index=True)
+
+
+def run_soak(
+    spark,
+    rows: int = 10_000_000,
+    drops: int = 25,
+    users: int = 100,
+    crash_batches: tuple[int, ...] = (7, 16),
+    graceful_stop: int | None = 12,
+    workdir: str | None = None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.ops.sessionize import sessionize_intervals
+    from tsp_spark.streaming.job import StreamingPatternJob, incidents_stream
+    import tsp_spark.streaming.job as jobmod
+
+    patterns = [RawPattern(pid, src) for pid, src in PATTERNS]
+    base = Path(workdir or tempfile.mkdtemp(prefix="tsp_soak"))
+    src_dir, chk_dir = base / "src", base / "chk"
+    own_tmp = workdir is None
+    try:
+        pdf = gen_rows(rows, users)
+        full = spark.createDataFrame(pdf)
+
+        # batch reference (sessionized incidents — the exact contract)
+        batch = {
+            (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+            for r in search_incidents(
+                full, patterns, KEYS, "ts", fields_types=FIELDS
+            ).collect()
+        }
+
+        # chronological drops, one file each → one micro-batch each
+        cuts = np.linspace(0, len(pdf), drops + 1).astype(int)
+        for d in range(drops):
+            spark.createDataFrame(
+                pdf.iloc[cuts[d]:cuts[d + 1]]
+            ).coalesce(1).write.parquet(str(src_dir / f"b{d:03d}"))
+
+        emitted: list[tuple] = []
+        carry_curve: list[dict] = []
+        crash_left = set(crash_batches)
+        real_save = jobmod._save_carry
+
+        def save_probe(tail, carry_root, batch_id):
+            real_save(tail, carry_root, batch_id)
+            fs, root, _ = jobmod._hadoop_fs(tail.sparkSession, f"{carry_root}/{batch_id}")
+            size = fs.getContentSummary(root).getLength()
+            carry_curve.append(
+                {"batch": int(batch_id), "carry_rows": tail.count(),
+                 "carry_bytes": int(size)}
+            )
+            if batch_id in crash_left:
+                crash_left.discard(batch_id)
+                raise RuntimeError(
+                    f"injected crash after carry save, batch {batch_id}"
+                )
+
+        jobmod._save_carry = save_probe
+
+        def sink(df, bid):
+            emitted.extend(
+                (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+                for r in df.collect()
+            )
+
+        def mk_query():
+            stream = (
+                spark.readStream.schema(full.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src_dir}/*")
+            )
+            job = StreamingPatternJob(patterns, KEYS, "ts", fields_types=FIELDS)
+            return incidents_stream(
+                stream, job, sink=sink,
+                checkpoint_dir=str(chk_dir), trigger_seconds=0.2,
+            )
+
+        t0 = time.perf_counter()
+        restarts = 0
+        graceful_done = graceful_stop is None
+        q = mk_query()
+        deadline = time.time() + 1800
+        while time.time() < deadline:
+            time.sleep(0.3)
+            if q.exception() is not None:
+                # injected crash surfaced: the query died after the
+                # carry save, before the offset commit — restart from
+                # the same checkpoint (the failed batch replays with
+                # the SAME batch id)
+                q.stop()
+                restarts += 1
+                q = mk_query()
+                continue
+            lastb = carry_curve[-1]["batch"] if carry_curve else -1
+            if not graceful_done and lastb >= graceful_stop:
+                q.stop()  # plain mid-soak driver restart (no crash)
+                graceful_done = True
+                restarts += 1
+                q = mk_query()
+                continue
+            if not crash_left and graceful_done and lastb >= drops - 1:
+                q.processAllAvailable()  # drain the tail
+                break
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        jobmod._save_carry = real_save
+
+        # sink contract: sessionize EVERYTHING emitted (partials,
+        # re-emissions) and demand exact batch equality
+        got_df = spark.createDataFrame(
+            emitted,
+            "pattern_id int, user_id bigint, from_ts timestamp, to_ts timestamp",
+        ).withColumn("subunit", F.lit(0))
+        merged = sessionize_intervals(
+            got_df, ["pattern_id", "subunit", "user_id"], gap_ms=2_000
+        )
+        got = {
+            (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+            for r in merged.collect()
+        }
+        missing = batch - got
+        spurious = got - batch
+        return {
+            "rows": rows,
+            "drops": drops,
+            "users": users,
+            "batch_incidents": len(batch),
+            "stream_incidents": len(got),
+            "raw_emissions": len(emitted),
+            "missing": sorted(missing)[:5],
+            "spurious": sorted(spurious)[:5],
+            "exact_match": not missing and not spurious,
+            "restarts": restarts,
+            "injected_crashes": len(crash_batches) - len(crash_left),
+            "elapsed_sec": round(elapsed, 1),
+            "rows_per_sec": int(rows / elapsed),
+            "carry_curve": carry_curve,
+        }
+    finally:
+        jobmod._save_carry = real_save
+        if own_tmp:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--drops", type=int, default=25)
+    ap.add_argument("--users", type=int, default=100)
+    ap.add_argument("--crashes", default="7,16")
+    ap.add_argument("--graceful", type=int, default=12)
+    args = ap.parse_args()
+
+    from tsp_spark.session import get_spark
+
+    spark = get_spark("tsp_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = run_soak(
+        spark,
+        rows=args.rows,
+        drops=args.drops,
+        users=args.users,
+        crash_batches=tuple(int(x) for x in args.crashes.split(",") if x),
+        graceful_stop=args.graceful,
+    )
+    curve = res.pop("carry_curve")
+    print(json.dumps(res, default=str, indent=2))
+    print("carry curve (batch, rows, bytes):")
+    for c in curve:
+        print(f"  {c['batch']:4d}  {c['carry_rows']:8d}  {c['carry_bytes']:10d}")
+    return 0 if res["exact_match"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
