@@ -783,3 +783,130 @@ def test_mp3_id3v24_footer_skipped():
     )
     sr, dur, kbps, n = parse_mp3_headers(tag + frame)
     assert (sr, n) == (44100, 1) and kbps == 128
+
+
+# ------------------------------------------------------- MPEG-1 Layer II
+
+
+def _align_snr(x, y, max_lag=600):
+    """Best SNR(dB) of y against x over integer lags (the codec's
+    filterbank has a fixed group delay the tests don't hardcode)."""
+    import numpy as np
+
+    n = min(len(x), len(y))
+    best = -1e9
+    for lag in range(-max_lag, max_lag + 1):
+        xs = x[max(0, -lag):n - max(0, lag)]
+        ys = y[max(0, lag):n - max(0, -lag)]
+        m = min(len(xs), len(ys))
+        if m < 6000:
+            continue
+        xs, ys = xs[2000:m - 2000], ys[2000:m - 2000]
+        e = xs - ys
+        best = max(
+            best,
+            10 * np.log10(float(xs @ xs) / max(float(e @ e), 1e-12)),
+        )
+    return best
+
+
+def test_mp2_roundtrip_tones():
+    """Full encode→bitstream→decode: a three-tone mix must survive the
+    Layer II path well above the quantizer floor (35 dB at 192 kbps,
+    53 dB measured at 320), and the existing header walker must agree
+    with the encoder's framing."""
+    import numpy as np
+
+    from tsp_spark.pipeline.codecs import (
+        decode_mp2, encode_mp2, parse_mp3_headers,
+    )
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1870 * t)
+         + 0.1 * np.sin(2 * np.pi * 6500 * t))
+    buf = encode_mp2(x, sr, 192)
+    assert buf[0] == 0xFF and (buf[1] & 0xFE) == 0xFC  # MPEG-1 L2 sync
+    hsr, dur_ms, kbps, n_frames = parse_mp3_headers(buf)
+    assert (hsr, kbps) == (48000, 192)
+    assert n_frames == len(buf) // (144 * 192000 // sr)
+    sr2, y = decode_mp2(buf)
+    assert sr2 == sr
+    assert _align_snr(x, y) > 30.0
+    # richer allocation at 320 kbps must measurably improve fidelity
+    buf320 = encode_mp2(x, sr, 320)
+    _, y320 = decode_mp2(buf320)
+    assert _align_snr(x, y320) > 45.0
+
+
+def test_mp2_sf_parts_and_grouped_codes():
+    """An amplitude-modulated band-limited signal exercises per-part
+    scale factors (three parts per frame) and the grouped 3/5/9-level
+    codes in the high subbands; the decode must track the envelope."""
+    import numpy as np
+
+    from tsp_spark.pipeline.codecs import decode_mp2, encode_mp2
+
+    sr = 32000
+    t = np.arange(2 * sr) / sr
+    env = 0.1 + 0.8 * (0.5 + 0.5 * np.sin(2 * np.pi * 2.0 * t))
+    x = env * np.sin(2 * np.pi * 700 * t)
+    buf = encode_mp2(x, sr, 192)
+    sr2, y = decode_mp2(buf)
+    assert sr2 == sr
+    assert _align_snr(x, y) > 25.0
+
+
+def test_mp2_id3_skip_and_honest_failures():
+    """ID3v2-prefixed Layer II decodes; joint stereo / MPEG-2 / junk
+    raise UnsupportedMediaError (the stub fallback boundary)."""
+    import numpy as np
+    import pytest
+
+    from tsp_spark.pipeline.codecs import (
+        UnsupportedMediaError, decode_mp2, encode_mp2,
+    )
+
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    buf = encode_mp2(x, sr, 192)
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    sr2, y = decode_mp2(id3 + buf)
+    assert sr2 == sr and len(y) > 0
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp2(b"not audio at all")
+    # flip the mode bits of the first frame to joint stereo (01)
+    joint = bytearray(buf)
+    joint[3] = (joint[3] & 0x3F) | 0x40
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp2(bytes(joint))
+    # MPEG-2 version bits → not MPEG-1 Layer II
+    v2 = bytearray(buf)
+    v2[1] = v2[1] & ~0x08
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp2(bytes(v2))
+
+
+def test_mp2_multimodal_audio_path():
+    """_decode_audio_any must route a Layer II payload through the
+    REAL synthesis (duration from decoded samples, MFCC from real
+    spectra — NOT the byte-arithmetic stub)."""
+    import numpy as np
+
+    from tsp_spark.pipeline.codecs import encode_mp2, mfcc_like, decode_mp2
+    from tsp_spark.pipeline.multimodal import (
+        _decode_audio_any, _fake_decode_audio,
+    )
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    buf = encode_mp2(x, sr, 192)
+    got_sr, got_dur, got_mfcc = _decode_audio_any(buf)
+    assert got_sr == sr
+    assert abs(got_dur - 1000) < 100
+    want = mfcc_like(decode_mp2(buf)[1], sr)
+    assert np.allclose(got_mfcc, want)
+    assert got_mfcc != _fake_decode_audio(buf)[2]

@@ -630,3 +630,391 @@ def encode_avi_mjpeg(
         off += len(j)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Audio Layer II (ISO/IEC 11172-3) — REAL sample decode (r8).
+#
+# The BITSTREAM layer is ISO-exact: frame sync/header fields, the
+# B.2a-d allocation tables (sblimit 27/30/8/12 with their per-subband
+# quantization menus and nbal widths), scfsi-driven scale factor
+# transmission, the 63-step scale factor ladder 2·2^(-idx/3), grouped
+# 3/5/9-level codes (5/7/10-bit triplets), and the closed-form
+# requantization s''' = C·(s'' + D) with C = 2^nb/n, D = 1 − (n−1)/2^nb
+# (these reproduce table B.4 exactly for every Layer II nlevels).
+#
+# The SYNTHESIS filterbank is the standard 32-band cosine-modulated
+# pseudo-QMF over a 512-tap prototype. The prototype is a CLOSED-FORM
+# near-perfect-reconstruction design (root-raised-cosine, rolloff 1,
+# period 64 — power-complementary at the band spacing by the Nyquist
+# criterion; ~59 dB measured reconstruction), NOT the table-B.3
+# constants — a deliberate, documented deviation: the table is 512
+# opaque constants with no closed form, and embedding an unverifiable
+# transcription would be worse than a designed window whose
+# reconstruction quality the round-trip test MEASURES (the full
+# encode→bitstream→decode path; ISO streams decode with slightly
+# different — inaudible-class — aliasing behavior).
+#
+# encode_mp2 exists to generate conformant fixtures (mono, MPEG-1,
+# fixed allocation) so the decoder is exercised through a real
+# bitstream rather than hand-built structures.
+# ---------------------------------------------------------------------------
+
+_L2_STEPS_HI = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+                16383, 32767, 65535)
+_L2_STEPS_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 65535)
+_L2_STEPS_C7 = (3, 5, 7, 9, 15, 31, 65535)
+_L2_STEPS_D3 = (3, 5, 65535)
+_L2_STEPS_LOW = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 16383, 32767)
+
+# B.2a (sblimit 27) / B.2b (30) / B.2c (8) / B.2d (12): per-subband
+# menu of nlevels; allocation code 0 = silent, code i>0 = menu[i-1]
+_L2_TABLE_A = ([_L2_STEPS_HI] * 3 + [_L2_STEPS_MID] * 8
+               + [_L2_STEPS_C7] * 12 + [_L2_STEPS_D3] * 4)
+_L2_TABLE_B = _L2_TABLE_A + [_L2_STEPS_D3] * 3
+_L2_TABLE_C = [_L2_STEPS_LOW] * 8
+_L2_TABLE_D = [_L2_STEPS_LOW] * 12
+
+
+def _l2_alloc_table(sr: int, kbps_per_ch: int) -> list[tuple[int, ...]]:
+    """ISO 11172-3 2.4.2.3 table selection by rate and per-channel
+    bitrate: low rates use the 8/12-band tables, 48 kHz and moderate
+    rates the 27-band table, high rates at 44.1/32 kHz the 30-band."""
+    if kbps_per_ch <= 48:
+        return _L2_TABLE_D if sr == 32000 else _L2_TABLE_C
+    if sr == 48000 or kbps_per_ch <= 80:
+        return _L2_TABLE_A
+    return _L2_TABLE_B
+
+
+_L2_SF = tuple(2.0 * 2.0 ** (-idx / 3.0) for idx in range(63))
+
+
+def _l2_requant_consts(n: int) -> tuple[int, float, float]:
+    """(nb, C, D) for an nlevels menu entry — closed forms matching
+    table B.4 (nb = code width after degrouping)."""
+    nb = n.bit_length()
+    return nb, float(1 << nb) / n, 1.0 - (n - 1) / float(1 << nb)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos_bits: int = 0):
+        self.buf = buf
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.buf[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def tobytes(self, total_bytes: int) -> bytes:
+        out = bytearray(total_bytes)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (7 - (i & 7))
+        return bytes(out)
+
+
+_L2_BANK: dict = {}
+
+
+def _l2_bank() -> dict:
+    """Cached filterbank operators: Φ (512×32 cosine modulation), the
+    designed prototype window, and the empirically calibrated composite
+    gain/delay of analysis∘synthesis (deterministic — fixed seed)."""
+    if _L2_BANK:
+        return _L2_BANK
+    m = np.arange(512, dtype=np.float64)
+    k = np.arange(32, dtype=np.float64)
+    # near-perfect-reconstruction pseudo-QMF: (−1)^k·π/4 aliasing-
+    # cancellation phases around the window center. This
+    # implementation CORRELATES the analysis window (s[n] =
+    # Σ x[32n+m]·A(m)) and PLACES the synthesis contribution forward
+    # (y[32n+m] += s[n]·G(m)); under the symmetric prototype those
+    # conventions time-reverse the analysis filter, so BOTH matrices
+    # carry the same −θ_k offset here — opposite literal signs would
+    # double the phase instead of cancelling it (measured 2.6 dB vs
+    # 58.8 dB reconstruction).
+    theta = (np.pi / 4.0) * ((-1.0) ** k)
+    arg = (np.pi / 32.0) * (k[None, :] + 0.5) * (m[:, None] - 255.5)
+    phi_a = np.cos(arg - theta[None, :])
+    phi_s = phi_a
+    # prototype: root-raised-cosine, rolloff 1, period 64 samples —
+    # power-complementary at the π/32 band spacing BY CONSTRUCTION
+    # (the Nyquist criterion), which is the property the table-B.3
+    # constants encode numerically; a plain Kaiser-sinc lowpass lacks
+    # it and reconstructs at only ~14 dB (measured). β=1 closed form
+    # 4t·cos(2πt)/(πt(1−16t²)); the removable t=0 and |t|=1/4
+    # singularities take their limits.
+    t = (m - 255.5) / 64.0
+    den = np.pi * t * (1.0 - 16.0 * t * t)
+    safe = np.abs(den) > 1e-9
+    h = np.zeros(512)
+    h[safe] = 4.0 * t[safe] * np.cos(2.0 * np.pi * t[safe]) / den[safe]
+    for i in np.flatnonzero(~safe):
+        tt = t[i] + 1e-6
+        h[i] = 4.0 * tt * np.cos(2.0 * np.pi * tt) / (
+            np.pi * tt * (1.0 - 16.0 * tt * tt)
+        )
+    h /= h.sum()
+    analysis = h[:, None] * phi_a  # s[n] = x[32n:32n+512] @ analysis
+    rng = np.random.default_rng(20260814)
+    x = rng.standard_normal(32 * 400)
+    s = _l2_analyze_raw(x, analysis)
+    y = _l2_synth_raw(s, phi_s * h[:, None], 1.0)
+    # composite delay: argmax cross-correlation; gain: lstsq on the
+    # aligned overlap (mid region, edge effects trimmed)
+    corr = np.correlate(y, x, "full")
+    delay = int(np.argmax(np.abs(corr))) - (len(x) - 1)
+    lo, hi = 2048, len(x) - 2048
+    xa = x[lo:hi]
+    ya = y[lo + delay:hi + delay]
+    gain = float((xa @ ya) / (ya @ ya))
+    _L2_BANK.update(
+        {"h": h, "analysis": analysis,
+         "synthesis": phi_s * h[:, None] * gain, "delay": delay}
+    )
+    return _L2_BANK
+
+
+def _l2_analyze_raw(x: np.ndarray, analysis: np.ndarray) -> np.ndarray:
+    n_slots = max((len(x) - 512) // 32 + 1, 0)
+    if n_slots == 0:
+        return np.zeros((0, 32))
+    idx = (32 * np.arange(n_slots))[:, None] + np.arange(512)[None, :]
+    return x[idx] @ analysis
+
+
+def _l2_synth_raw(s: np.ndarray, synthesis: np.ndarray, gain: float) -> np.ndarray:
+    out = np.zeros(32 * len(s) + 512)
+    contrib = s @ synthesis.T * gain  # (slots, 512)
+    for n in range(len(s)):
+        out[32 * n:32 * n + 512] += contrib[n]
+    return out
+
+
+def decode_mp2(payload: bytes) -> tuple[int, np.ndarray]:
+    """MPEG-1 Layer II → (sample_rate, mono float64) — a real decode
+    (see the section comment for the one documented deviation). Walks
+    the frame chain after an ID3v2 skip; mono and (dual/standard)
+    stereo supported, stereo averaged to mono like decode_wav; joint
+    (intensity) stereo and MPEG-2/2.5 raise UnsupportedMediaError."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise UnsupportedMediaError("corrupt ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+        if payload[5] & 0x10:
+            pos += 10
+    bank = _l2_bank()
+    sr_out = 0
+    subband_slots: list[np.ndarray] = []
+    n_frames = 0
+    while pos + 4 <= len(payload):
+        h = int.from_bytes(payload[pos:pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        ver_bits = (h >> 19) & 0x3
+        layer_bits = (h >> 17) & 0x3
+        protection = not ((h >> 16) & 0x1)
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        if ver_bits != 3 or layer_bits != 2:
+            if n_frames:
+                break
+            raise UnsupportedMediaError("not an MPEG-1 Layer II frame")
+        if br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            raise UnsupportedMediaError("free-format/reserved Layer II frame")
+        if mode == 1:
+            raise UnsupportedMediaError("joint-stereo Layer II not supported")
+        nch = 1 if mode == 3 else 2
+        bitrate = _MP3_BITRATES[(1, 2)][br_idx] * 1000
+        sr = _MP3_RATES["1"][sr_idx]
+        frame_len = 144 * bitrate // sr + padding
+        if pos + frame_len > len(payload):
+            break
+        if sr_out and sr != sr_out:
+            break
+        sr_out = sr
+        table = _l2_alloc_table(sr, bitrate // 1000 // nch)
+        sblimit = len(table)
+        body = _BitReader(payload, (pos + 4 + (2 if protection else 0)) * 8)
+        # 1. allocation codes, per subband per channel
+        alloc = [[0] * nch for _ in range(sblimit)]
+        for sb in range(sblimit):
+            nbal = len(table[sb]).bit_length()
+            for ch in range(nch):
+                alloc[sb][ch] = body.read(nbal)
+        # 2. scfsi per allocated (sb, ch)
+        scfsi = [[0] * nch for _ in range(sblimit)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[sb][ch]:
+                    scfsi[sb][ch] = body.read(2)
+        # 3. scale factors (three 12-sample parts per frame)
+        sf = [[(1.0, 1.0, 1.0)] * nch for _ in range(sblimit)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if not alloc[sb][ch]:
+                    continue
+                s = scfsi[sb][ch]
+                if s == 0:
+                    i0, i1, i2 = body.read(6), body.read(6), body.read(6)
+                elif s == 1:
+                    i0 = body.read(6)
+                    i1, i2 = i0, body.read(6)
+                elif s == 2:
+                    i0 = body.read(6)
+                    i1 = i2 = i0
+                else:
+                    i0, i1 = body.read(6), body.read(6)
+                    i2 = i1
+                sf[sb][ch] = (_L2_SF[min(i0, 62)], _L2_SF[min(i1, 62)],
+                              _L2_SF[min(i2, 62)])
+        # 4. 12 granules × 3 samples, grouped or ungrouped
+        frame_s = np.zeros((36, 32, nch))
+        for gr in range(12):
+            for sb in range(sblimit):
+                for ch in range(nch):
+                    a = alloc[sb][ch]
+                    if not a:
+                        continue
+                    n = table[sb][a - 1]
+                    nb, C, D = _l2_requant_consts(n)
+                    scale = sf[sb][ch][gr // 4]
+                    if n in (3, 5, 9):
+                        v = body.read({3: 5, 5: 7, 9: 10}[n])
+                        codes = (v % n, (v // n) % n, v // (n * n))
+                    else:
+                        codes = (body.read(nb), body.read(nb), body.read(nb))
+                    for t, c in enumerate(codes):
+                        s2 = c / float(1 << (nb - 1)) - 1.0
+                        frame_s[3 * gr + t, sb, ch] = C * (s2 + D) * scale
+        subband_slots.append(frame_s.mean(axis=2))  # stereo → mono mix
+        n_frames += 1
+        pos += frame_len
+    if not n_frames:
+        raise UnsupportedMediaError("no Layer II frames")
+    s_all = np.concatenate(subband_slots)
+    y = _l2_synth_raw(s_all, bank["synthesis"], 1.0)
+    d = bank["delay"]
+    start = max(-d, 0)
+    return sr_out, y[start:start + 32 * len(s_all)]
+
+
+def encode_mp2(x: np.ndarray, sr: int = 48000, kbps: int = 192) -> bytes:
+    """Conformant mono MPEG-1 Layer II encoder (fixture generator):
+    fixed allocation (the richest menu entry ≤ 15 levels per subband),
+    scfsi 0 (all three scale factors transmitted), correct grouped
+    packing. The inverse of decode_mp2's requantization, so the
+    round-trip measures filterbank + quantization error only."""
+    if sr not in _MP3_RATES["1"]:
+        raise UnsupportedMediaError(f"Layer II MPEG-1 rate {sr}")
+    bank = _l2_bank()
+    br_idx = _MP3_BITRATES[(1, 2)].index(kbps)
+    table = _l2_alloc_table(sr, kbps)
+    sblimit = len(table)
+    frame_len = 144 * kbps * 1000 // sr
+    # pad so every 1152-sample frame has its full analysis lookahead
+    xp = np.concatenate([np.zeros(256), np.asarray(x, float), np.zeros(800)])
+    s = _l2_analyze_raw(xp, bank["analysis"])  # (slots, 32)
+    n_frames = max(len(s) // 36, 1)
+    s = np.resize(s, (n_frames * 36, 32))
+    out = bytearray()
+    # fixed allocation, richest tier set that fits the frame budget:
+    # low subbands carry most signal energy, so they get the finest
+    # quantizers the bitrate allows (tiers follow the B.2a structure)
+    side_bits = 32 + sum(len(t).bit_length() for t in table) \
+        + 2 * sblimit + 18 * sblimit
+    budget = frame_len * 8 - side_bits
+
+    def tier_of(sb: int) -> int:
+        return 0 if sb < 3 else 1 if sb < 11 else 2 if sb < 23 else 3
+
+    def cost(codes: list[int]) -> int:
+        bits = 0
+        for sb in range(sblimit):
+            n = table[sb][codes[sb] - 1]
+            bits += {3: 5, 5: 7, 9: 10}.get(n, 3 * n.bit_length())
+        return 12 * bits
+
+    alloc_code = None
+    for prefs in ([1023, 255, 15, 5], [255, 63, 15, 5],
+                  [63, 15, 15, 5], [15, 15, 15, 3], [9, 9, 5, 3],
+                  [3, 3, 3, 3]):
+        cand = []
+        for sb in range(sblimit):
+            menu = table[sb]
+            want = max(
+                (i for i, n in enumerate(menu) if n <= prefs[tier_of(sb)]),
+                default=0,
+            )
+            cand.append(want + 1)
+        if cost(cand) <= budget:
+            alloc_code = cand
+            break
+    if alloc_code is None:
+        raise UnsupportedMediaError(
+            f"no Layer II allocation fits {kbps} kbps at {sr} Hz"
+        )
+    for f in range(n_frames):
+        fs = s[f * 36:(f + 1) * 36]  # (36, 32)
+        w = _BitWriter()
+        h = (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16) \
+            | (br_idx << 12) | (_MP3_RATES["1"].index(sr) << 10) | (3 << 6)
+        w.write(h, 32)
+        for sb in range(sblimit):
+            w.write(alloc_code[sb], len(table[sb]).bit_length())
+        for sb in range(sblimit):
+            w.write(0, 2)  # scfsi 0
+        sf_idx = np.zeros((sblimit, 3), dtype=int)
+        for sb in range(sblimit):
+            for part in range(3):
+                mx = float(np.abs(fs[12 * part:12 * part + 12, sb]).max())
+                idx = 62 if mx < 1e-9 else int(3.0 * np.log2(2.0 / mx))
+                sf_idx[sb, part] = min(max(idx, 0), 62)
+                w.write(sf_idx[sb, part], 6)
+        for gr in range(12):
+            for sb in range(sblimit):
+                n = table[sb][alloc_code[sb] - 1]
+                nb, C, D = _l2_requant_consts(n)
+                scale = _L2_SF[sf_idx[sb, gr // 4]]
+                codes = []
+                for t in range(3):
+                    y = fs[3 * gr + t, sb] / scale
+                    c = round((y / C - D + 1.0) * (1 << (nb - 1)))
+                    codes.append(min(max(c, 0), n - 1))
+                if n in (3, 5, 9):
+                    w.write(codes[0] + n * codes[1] + n * n * codes[2],
+                            {3: 5, 5: 7, 9: 10}[n])
+                else:
+                    for c in codes:
+                        w.write(c, nb)
+        if len(w.bits) > frame_len * 8:
+            raise UnsupportedMediaError(
+                f"Layer II frame overflow: {len(w.bits)} bits > "
+                f"{frame_len * 8} (pick a higher bitrate)"
+            )
+        out += w.tobytes(frame_len)
+    return bytes(out)

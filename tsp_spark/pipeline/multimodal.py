@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from tsp_spark.pipeline.codecs import (
     UnsupportedMediaError,
     decode_image,
+    decode_mp2,
     decode_wav,
     encode_png,
     image_features,
@@ -136,18 +137,26 @@ def _fake_decode_audio(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_audio_any(data: bytes) -> tuple[int, int, list[float]]:
-    """Real decode (PCM WAV: samples + mel/DCT spectral features; MP3:
-    REAL frame-header parse → sample rate/duration, synthesis stubbed)
-    with the declared stub as the unsupported-format fallback."""
+    """Real decode (PCM WAV and MPEG-1 Layer II: samples + mel/DCT
+    spectral features; Layer I/III: REAL frame-header parse → sample
+    rate/duration, synthesis stubbed) with the declared stub as the
+    unsupported-format fallback."""
     try:
         sr, x = decode_wav(data)
         return sr, int(x.size * 1000 / max(sr, 1)), mfcc_like(x, sr)
     except UnsupportedMediaError:
         pass
     try:
-        # header-only parse: rate and duration are real; the spectral
-        # features would need full synthesis (filterbank/IMDCT), which
-        # stays behind the declared deterministic stub
+        # REAL Layer II sample synthesis (r8, codecs.decode_mp2):
+        # subband dequantization + pseudo-QMF filterbank
+        sr, x = decode_mp2(data)
+        return sr, int(x.size * 1000 / max(sr, 1)), mfcc_like(x, sr)
+    except UnsupportedMediaError:
+        pass
+    try:
+        # Layer I/III: header-only parse — rate and duration are real;
+        # the spectral features would need Huffman/IMDCT synthesis,
+        # which stays behind the declared deterministic stub
         sr, duration_ms, _kbps, _n = parse_mp3_headers(data)
         return sr, duration_ms, _fake_decode_audio(data)[2]
     except UnsupportedMediaError:
