@@ -2184,9 +2184,10 @@ class _WaitProgram:
         self.pend_batch_capable = isinstance(inner, str) or getattr(
             inner, "batch_capable", False
         )
-        # object-list bulk contract (wait_pending_batch); the int8-code
-        # array contract is the lag family's (see _WindowedCondProgram)
-        self.pend_codes = False
+        # int8-code array bulk contract (r8, like the lag family);
+        # wait resolves its backlog FIFO-prefix-wise, which the
+        # kernel's code drain aligns on min(backlog, decided)
+        self.pend_codes = True
 
     # objs layout: [pend [(ms, saw_nonnull)], iobjs, meta [(ms, gap)]]
     def load(self, st: list[int], pos: int) -> tuple[list, int]:
@@ -2296,7 +2297,10 @@ class _WaitProgram:
 
         wait_pending_precheck(self, objs, ms_arr, df)
 
-    def feed_batch_pending(self, objs, ms_arr, df, gaps) -> list:
+    def feed_batch_pending(self, objs, ms_arr, df, gaps):
+        """Bulk feed (``pend_codes`` int8-array contract): decided
+        values in row order, prior pending first — may resolve only a
+        FIFO prefix of the backlog (see wait_pending_batch)."""
         from tsp_spark.streaming.vectorized import wait_pending_batch
 
         return wait_pending_batch(self, objs, ms_arr, df, gaps)
@@ -3179,13 +3183,14 @@ def _make_update(specs, keys, ts, max_gap_ms, out_cols):
                     slow.append(i)
                     continue
                 if getattr(c, "pend_codes", False):
-                    # int8-code contract (the lag family): numpy end to
-                    # end — only the (small) undecided tail is boxed
-                    # into the per-row rowq layout. The feed either
-                    # resolves the ENTIRE backlog (plus a batch prefix)
-                    # or nothing (lag_pending_batch flushes pending
-                    # whole-segment), so decided codes align 1:1 with
-                    # backlog-then-batch order.
+                    # int8-code contract (lag + wait families): numpy
+                    # end to end — only the (small) undecided tail is
+                    # boxed into the per-row rowq layout. Decided codes
+                    # align 1:1 with backlog-then-batch order; the lag
+                    # feed resolves the whole backlog or nothing
+                    # (whole-segment pending flush), the wait feed may
+                    # resolve a FIFO prefix — min(backlog, k) below
+                    # handles both.
                     k = len(decided)
                     m = len(ms_arr)
                     nb0 = min(len(rowqs[i]), k)

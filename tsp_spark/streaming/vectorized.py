@@ -1102,8 +1102,12 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
       behind it from being resolvable), so the decided set is a
       prefix and the undecided tail pends with its saw flag.
 
-    Returns decided condition values in row order (prior pending
-    first) and mutates ``objs`` to batch-end state.
+    Returns decided condition values as an ``np.int8`` CODE array
+    (0 None / 1 False / 2 True — the stateful codec vocabulary; wait
+    never produces absent codes) in row order, prior pending first,
+    and mutates ``objs`` to batch-end state. Unlike the lag family,
+    resolution may cover only a PREFIX of the carried backlog (FIFO
+    blocking) — the kernel's drain aligns on ``min(backlog, k)``.
     """
     W = prog.window_ms
     pend = objs[0]
@@ -1114,11 +1118,12 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
         lg_rows = last_gap_rows(gaps)
         tri = prog.inner.feed_batch(objs[1], ms_arr, df, gaps, lg_rows)
     raw = tri_raw(tri)
-    out: list = []
+    parts: list = []
+    res: list[int] = []  # small: backlog resolutions in order
 
     for si, (s, e) in enumerate(gap_segments(gaps, n)):
         if si > 0:
-            out.extend(False if saw else None for _ms, saw in pend)
+            res.extend(1 if saw else 0 for _ms, saw in pend)
             pend.clear()
         if s == e:
             continue
@@ -1143,13 +1148,11 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
             hi_p = int(np.searchsorted(sms, pms + W, side="right"))
             any_true = bool(istrue[:hi_p].any())
             if any_true:
-                out.append(True)
+                res.append(2)
                 pend.pop(0)
                 continue
             if last_ms > pms + W:
-                out.append(
-                    False if (saw or cnn[hi_p] > 0) else None
-                )
+                res.append(1 if (saw or cnn[hi_p] > 0) else 0)
                 pend.pop(0)
                 continue
             # unresolved: everything behind it queues too (FIFO)
@@ -1164,13 +1167,22 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
         else:
             nd = np.flatnonzero(~decided)
             ft = int(nd[0]) if len(nd) else m
-        for j in range(ft):
-            if true_dec[j]:
-                out.append(True)
-            else:
-                out.append(False if saw_arr[j] else None)
+        if res:
+            parts.append(np.array(res, dtype=np.int8))
+            res = []
+        if ft:
+            parts.append(
+                np.where(
+                    true_dec[:ft], np.int8(2),
+                    np.where(saw_arr[:ft], np.int8(1), np.int8(0)),
+                ).astype(np.int8)
+            )
         tail_saw = (cnn[m] - cnn[ft:m]) > 0
         pend.extend(
             (int(sms[j]), int(tail_saw[j - ft])) for j in range(ft, m)
         )
-    return out
+    if res:
+        parts.append(np.array(res, dtype=np.int8))
+    if not parts:
+        return np.empty(0, dtype=np.int8)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
