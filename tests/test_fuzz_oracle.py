@@ -226,6 +226,12 @@ ANDTHEN_PATTERNS = [
     # dense/degenerate operands
     "v >= 0 andThen w > 50",
     "v > 50 andThen w >= 0",
+    # timer as LEFT operand: its success runs reach the merge as plain
+    # islands and match the reference exactly (5-seed sweep, 125
+    # cases). Timer-as-RIGHT and wait operands deviate (probed r8:
+    # 7/25 and 13/25 cases) — their reference emission timing is not
+    # a boolean RLE; documented out of exact-mode scope.
+    "(v > 40 for 3 sec) andThen w > 50",
 ]
 
 
