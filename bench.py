@@ -372,9 +372,11 @@ def main() -> None:
         sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
         from kernel_throughput import measure as kernel_measure
 
+        # 200k rows: at 100k the ~40 ms fixed setup per pattern hid
+        # ~2× of the steady-state rate for the fastest families
         kernel = kernel_measure(
             spark,
-            rows=100_000,
+            rows=200_000,
             patterns=[
                 ("island_jvm", "value > 150"),
                 ("windowed_avg", "avg(value, 10 sec) > 150"),
