@@ -330,3 +330,55 @@ def test_unsupported_sink_conf_fails_loudly(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="unsupported sink conf"):
         run(req)
+
+
+def test_and_then_mode_selectable_per_job(spark, tmp_path):
+    """r8: a submitted job selects the reference-exact andThen
+    consumption via `andThenMode` — on an overlap shape where the two
+    modes provably differ (B runs nested inside one long A run, see
+    docs/SEMANTICS.md §17), exact mode merges through the union+rewind
+    consumption while the fused default pairs earliest-B-per-A."""
+    import datetime as dt
+
+    import pytest
+
+    rows = []
+    for i in range(15):
+        rows.append(
+            (
+                1,
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                1.0 if i <= 10 else 0.0,
+                1.0 if i in (3, 4, 7, 8) else 0.0,
+            )
+        )
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "k bigint, ts timestamp, a double, b double"
+    ).write.parquet(src_path)
+    run = make_spark_runner(spark)
+    captured = {}
+
+    def sink(incidents, request):
+        captured[request["uuid"]] = sorted(
+            (r["from_ts"].second, r["to_ts"].second)
+            for r in incidents.collect()
+        )
+        return len(captured[request["uuid"]])
+
+    base = {
+        "source": {
+            "parquetPath": src_path,
+            "datetimeField": "ts",
+            "partitionFields": ["k"],
+            "defaultEventsGapMs": 0,
+        },
+        "patterns": [{"id": 1, "sourceCode": "a > 0 andThen b > 0"}],
+    }
+    run_sinked = make_spark_runner(spark, sink=sink)
+    run_sinked({"uuid": "fused", **base})
+    run_sinked({"uuid": "exact", "andThenMode": "exact", **base})
+    assert captured["fused"] == [(0, 4)]
+    assert captured["exact"] == [(0, 11)]
+    with pytest.raises(ValueError, match="andthen_mode"):
+        run_sinked({"uuid": "bad", "andThenMode": "nope", **base})

@@ -348,6 +348,10 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             src["datetimeField"],
             max_gap_ms=src.get("eventsMaxGapMs", 60_000),
             session_gap_ms=src.get("defaultEventsGapMs", 2_000),
+            # engine extension (r8): "fused" (default, golden-pinned)
+            # or "exact" (the reference's two-queue andThen
+            # consumption — docs/SEMANTICS.md §17)
+            andthen_mode=request.get("andThenMode", "fused"),
         )
         if sink is not None:
             return sink(incidents, request)
