@@ -314,7 +314,10 @@ def main() -> None:
     # has a measurably LONGER JIT tail (r4 follow-up: 5 identical runs
     # gave 1.01/0.83/0.73/0.61/0.6 s — no code changed between r3's
     # 0.65 s and r4's 0.99 s), so volatile entries get a third attempt.
-    attempts = {"cep_sessionize": 3}
+    # dedup_jaccard/clusters get a third attempt too (r8): their
+    # multi-stage prefix-filter plans have a longer JIT/GC tail, and
+    # they are the rows a bench-vs-bench diff scrutinizes
+    attempts = {"cep_sessionize": 3, "dedup_jaccard": 3, "dedup_clusters": 3}
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -270,3 +270,27 @@ def test_lsh_dims_mismatch_fails_fast(spark):
     # matching dims works
     out = lsh_bucket_topk(df, df.limit(2), dims=3, bits=2)
     assert out.count() >= 0
+
+
+def test_jaccard_prefix_guard_fails_fast(spark):
+    """r8: in prefix mode the quadratic risk moves to (bucket,
+    prefix-token) blocks — a degenerate corpus where one token floods
+    every prefix must fail fast with the actionable message, and
+    within the limit prefix results equal the all-pairs strategy."""
+    # 8 near-identical docs: tiny vocabulary → one shared rare token
+    # lands in every prefix → an 8-doc prefix block under a limit of 3
+    rows = [(i, "b", f"alpha beta gamma delta{i % 2}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    from tsp_spark.pipeline.dedup import jaccard_pairs
+
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        jaccard_pairs(
+            df, "text", "doc_id", ["src"], max_bucket_size=3,
+            strategy="prefix",
+        ).count()
+    ok = jaccard_pairs(df, "text", "doc_id", ["src"], strategy="prefix")
+    ref = jaccard_pairs(
+        df, "text", "doc_id", ["src"], strategy="allpairs",
+        max_bucket_size=None,
+    )
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, ref.collect()))
