@@ -386,6 +386,7 @@ def main() -> None:
                 ("truthstat_times", "value > 150 for 30 sec >= 10 times"),
                 ("lag1_shift", "lag(value) > 150"),
                 ("lag_bridge", "lag(value, 5 sec) > 150"),
+                ("lag_fork", "lag(lag(value, 5 sec), 10 sec) > 150"),
             ],
         )
         for name, r in kernel.items():

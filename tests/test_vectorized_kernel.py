@@ -442,3 +442,43 @@ def test_andthen_absent_run_end_index(spark):
             assert got == batch, f"{pat} seed={seed}"
             for f, t in got:
                 assert f <= t
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "lag(lag(value, 5 sec), 10 sec) > 150",
+        "lag(lag(value, 3 sec), 3 sec) > value",
+        "lag(lag(ivalue, 5 sec), 5 sec) = ivalue",
+    ],
+)
+def test_fork_bulk_path_equivalent(spark, pattern):
+    """r8: the double-pending-lag family's vectorized bulk path
+    (vectorized.fork_pending_batch — no speculative forks on the
+    decided prefix) must equal the per-row fork path row-for-row
+    across chunked micro-batches, including MID-STREAM path
+    alternation (per-row chunks leave open branches/pending that the
+    bulk head must drain per-row before vectorizing), and equal the
+    batch compiler end-to-end."""
+    from tsp_spark.compile.compiler import compile_pattern
+
+    ft = {"value": "float64", "ivalue": "int64", "etype": "string"}
+    for seed in (11, 23, 47):
+        pdf = _gen(seed=seed, n=500)
+        for chunk in (37, 211):
+            fast, _sf = _drive(spark, pdf, pattern, chunk, lambda k: False)
+            slow, _ss = _drive(spark, pdf, pattern, chunk, lambda k: True)
+            assert fast == slow, f"seed={seed} chunk={chunk}"
+            mixed, _sm = _drive(
+                spark, pdf, pattern, chunk, lambda k: k % 2 == 0
+            )
+            assert mixed == slow, f"alternation seed={seed} chunk={chunk}"
+        src = spark.createDataFrame(pdf)
+        batch = sorted(
+            (r["from_ts"], r["to_ts"])
+            for r in compile_pattern(
+                src, pattern, ["user_id"], "ts", ft, GAP_MS
+            ).collect()
+        )
+        got = [(f.to_pydatetime(), t.to_pydatetime()) for f, t in fast]
+        assert got == batch, f"batch parity seed={seed}"

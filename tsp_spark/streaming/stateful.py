@@ -1416,6 +1416,27 @@ class _WindowedCondProgram:
                 and self.aggs[0].window_ms > 0
                 and static_vec_ok(node)
             )
+            # double-pending-lag family (`lag(lag(x,T1),T2) <cmp> …`,
+            # the speculative-fork shape): the decided prefix
+            # vectorizes with NO forks — in a batch the inner's bridge
+            # spans resolve at its next in-batch emission, so stream
+            # membership is known and the outer is a second single-lag
+            # pass over the stream subsequence
+            # (vectorized.fork_pending_batch); only the undecided tail
+            # (and a carried unclean head) runs the per-row fork path.
+            self._fork2 = (
+                self.has_fork
+                and len(self.aggs) == 2
+                and self.aggs[0].kind == _LAG_KIND
+                and self.aggs[1].kind == _LAG_KIND
+                and self.aggs[0].window_ms > 0
+                and self.aggs[1].window_ms > 0
+                and self.aggs[0].inner is self.aggs[1]
+                and not self._deps[1]
+                and static_vec_ok(node)
+            )
+            if self._fork2:
+                self.pend_batch_capable = True
         # the bulk feed returns an int8 CODE array (no per-row Python
         # objects) — the kernel's drain stays numpy end to end
         self.pend_codes = self.pend_batch_capable
@@ -1969,18 +1990,29 @@ class _WindowedCondProgram:
         return windowed_batch(self, objs, ms_arr, df, gaps, lg_rows)
 
     def precheck_pend_batch(self, objs, ms_arr, df) -> None:
-        from tsp_spark.streaming.vectorized import lag_pending_precheck
+        from tsp_spark.streaming.vectorized import (
+            fork_pending_precheck,
+            lag_pending_precheck,
+        )
 
-        lag_pending_precheck(self, objs, ms_arr, df)
+        if self.has_fork:
+            fork_pending_precheck(self, objs, ms_arr, df)
+        else:
+            lag_pending_precheck(self, objs, ms_arr, df)
 
     def feed_batch_pending(self, objs, ms_arr, df, gaps):
-        """Bulk feed for the single-pending-lag family: the decided
-        condition values (row order, prior pending first) as an int8
-        CODE array (``pend_codes`` contract; codes index
+        """Bulk feed for the single- and double-pending-lag families:
+        the decided condition values (row order, prior pending first)
+        as an int8 CODE array (``pend_codes`` contract; codes index
         vectorized._cv_objects) — value-equivalent to what per-row
         ``feed`` would have returned across the batch."""
-        from tsp_spark.streaming.vectorized import lag_pending_batch
+        from tsp_spark.streaming.vectorized import (
+            fork_pending_batch,
+            lag_pending_batch,
+        )
 
+        if self.has_fork:
+            return fork_pending_batch(self, objs, ms_arr, df, gaps)
         return lag_pending_batch(self, objs, ms_arr, df, gaps)
 
 

@@ -1186,3 +1186,275 @@ def wait_pending_batch(prog, objs, ms_arr, df, gaps) -> list:
     if not parts:
         return np.empty(0, dtype=np.int8)
     return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+# ------------------------------------- pending double-lag (fork) program
+
+
+def _lag_eq_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized stateful._lag_eq: boxed-Double equality — NaN bridges
+    with NaN."""
+    with np.errstate(invalid="ignore"):
+        return (a == b) | (np.isnan(a) & np.isnan(b))
+
+
+def fork_pending_precheck(prog, objs, ms_arr, df) -> None:
+    """Dtype/state screen for fork_pending_batch — pure."""
+    precheck_expr(prog.node, df)
+    # string-valued carried state (raw or stream values) demotes
+    for br in objs[0]:
+        for o in br.objs[:-1]:
+            if isinstance(getattr(o, "prev", None), str) or any(
+                isinstance(v, str) for _m, v in getattr(o, "q", ())
+            ):
+                raise VecUnsupported("string lag state")
+            if br.objs and getattr(o, "q", None) and len(ms_arr):
+                if o.q and o.q[-1][0] > int(ms_arr[0]):
+                    raise VecUnsupported(
+                        "carried state newer than batch head"
+                    )
+
+
+def _fork_clean(objs) -> bool:
+    """Single live branch, no open hypotheses, no buffered or pending
+    rows — the state the vectorized stretch requires."""
+    branches = objs[0]
+    if len(branches) != 1:
+        return False
+    br = branches[0]
+    return not br.assign and not br.buf and not br.objs[-1]
+
+
+def fork_pending_batch(prog, objs, ms_arr, df, gaps):
+    """Micro-batch feed for the double-pending-lag family
+    (``lag(lag(x, T1), T2) <cmp> …`` — the speculative-fork shape,
+    stateful.py r6c). The per-row path forks a branch per open inner
+    bridge span, which priced the family at ~47k rows/s; in a BATCH
+    almost every span resolves in-batch, so no fork is ever needed for
+    the decided prefix:
+
+    * inner ``lag(x, T1)``: consume-once emissions and the prev/bridge
+      chain vectorize exactly like lag_pending_batch;
+    * the outer's input stream = rows whose inner emitted or
+      bridge-resolved TRUE (stream membership is the fork hypothesis —
+      here it is decided by the inner's next in-batch emission);
+    * outer ``lag(y, T2)``: the same single-lag vectorization over the
+      stream subsequence (the outer pops/enqueues only at stream rows,
+      so its emissions live entirely inside it);
+    * a row is PRESENT iff both terms resolve to values; otherwise its
+      code is the absent flavor of the condition under the resolved
+      value/NULL hypothesis — the per-row truth-table vocabulary.
+
+    Rows after the segment's decided frontier (an open inner span with
+    no later inner emission, or an outer span with no later outer
+    emission) feed through the REAL per-row ``prog.feed`` on the same
+    state objects — branch forks live only there, and the carried
+    head of the next batch drains per-row until the state is clean
+    again (typically ~(T1+T2) of event time at each end). Returns
+    decided condition codes (np.int8, row order, prior pending first)
+    like the other pend_codes programs.
+    """
+    outer_a, inner_a = prog.aggs[0], prog.aggs[1]
+    t1 = inner_a.window_ms
+    t2 = outer_a.window_ms
+    okey = id(outer_a)
+    CV = _cv_objects()
+    code_of = {v: i for i, v in enumerate(CV)}
+    n = len(ms_arr)
+    parts: list = []
+    row_dicts = None
+    head_budget = 4096
+
+    def feed_row(j: int) -> None:
+        nonlocal row_dicts
+        if row_dicts is None:
+            row_dicts = df.to_dict("records")
+        vals = prog.feed(
+            objs, int(ms_arr[j]), row_dicts[j], bool(gaps[j])
+        )
+        if vals:
+            parts.append(
+                np.fromiter((code_of[v] for v in vals), np.int8, len(vals))
+            )
+
+    segments = gap_segments(gaps, n)
+    seg_iter = iter(segments)
+    cur = next(seg_iter, None)
+    i = 0
+    while cur is not None:
+        s, e = cur
+        if i >= e:
+            cur = next(seg_iter, None)
+            continue
+        if i < s:
+            i = s
+        if not _fork_clean(objs) or gaps[i]:
+            # unclean state (open spans / buffered rows) or a series
+            # split row: the real per-row feed handles both exactly
+            head_budget -= 1
+            if head_budget < 0:
+                raise VecUnsupported("fork state never settled")
+            feed_row(i)
+            i += 1
+            continue
+        br = objs[0][0]
+        st_i = br.objs[1]  # inner _LagTState (pre-order: outer first)
+        st_o = br.objs[0]
+        m = e - i
+        sdf = df.iloc[i:e]
+        sms = ms_arr[i:e]
+        iv, inull, _ = _num(inner_a.inner, sdf, {})
+
+        # ---- inner lag over every row ----
+        qm = ~inull
+        new_ms = sms[qm]
+        new_vals = iv[qm]
+        src_row = np.flatnonzero(qm)  # entry -> segment row that pushed it
+        if st_i.q:
+            ems_i = np.concatenate(
+                [np.array([t for t, _ in st_i.q], dtype=np.int64), new_ms]
+            )
+            evals_i = np.concatenate(
+                [np.array([v for _, v in st_i.q], dtype=np.float64),
+                 new_vals.astype(np.float64)]
+            )
+            src_i = np.concatenate(
+                [np.full(len(st_i.q), -1, dtype=np.int64), src_row]
+            )
+        else:
+            ems_i, evals_i = new_ms, new_vals.astype(np.float64)
+            src_i = src_row
+        p_i = np.searchsorted(ems_i, sms - t1, side="right")
+        pp_i = np.concatenate([[0], p_i[:-1]])
+        em_i = p_i > pp_i
+        em_rows_i = np.flatnonzero(em_i)
+        n_em_i = len(em_rows_i)
+        prev0_i = float(st_i.prev) if st_i.has_prev else np.nan
+        hp0_i = bool(st_i.has_prev)
+        if n_em_i:
+            evs_i = evals_i[p_i[em_rows_i] - 1]
+            prev_seq = np.concatenate([[prev0_i], evs_i[:-1]])
+            hp_seq = np.concatenate([[hp0_i], np.ones(n_em_i - 1, bool)])
+            bridge_i = hp_seq & _lag_eq_vec(prev_seq, evs_i)
+            emc_i = np.cumsum(em_i) - em_i  # emissions strictly before row
+            prev_at_i = np.concatenate([[prev0_i], evs_i])[emc_i]
+            hp_at_i = np.concatenate([[hp0_i], np.ones(n_em_i, bool)])[emc_i]
+        else:
+            evs_i = np.empty(0)
+            bridge_i = np.empty(0, bool)
+            emc_i = np.zeros(m, dtype=np.int64)
+            prev_at_i = np.full(m, prev0_i)
+            hp_at_i = np.full(m, hp0_i)
+        # inner statuses
+        inner_u = ~em_i & hp_at_i
+        res_i = inner_u & (emc_i < n_em_i)  # resolves at a later emission
+        br_i = np.zeros(m, dtype=bool)
+        if n_em_i:
+            br_i[res_i] = bridge_i[emc_i[res_i]]
+        inner_v = em_i | (res_i & br_i)
+        inner_und = inner_u & ~res_i
+        val_i = np.where(em_i, evals_i[np.maximum(p_i, 1) - 1] if len(evals_i) else 0.0, prev_at_i)
+
+        # ---- outer lag over the stream subsequence ----
+        stream = np.flatnonzero(inner_v)
+        s_ms = sms[stream]
+        s_val = val_i[stream]
+        if st_o.q:
+            ems_o = np.concatenate(
+                [np.array([t for t, _ in st_o.q], dtype=np.int64), s_ms]
+            )
+            evals_o = np.concatenate(
+                [np.array([v for _, v in st_o.q], dtype=np.float64),
+                 s_val.astype(np.float64)]
+            )
+            n_carry_o = len(st_o.q)
+        else:
+            ems_o, evals_o = s_ms, s_val.astype(np.float64)
+            n_carry_o = 0
+        p_o = np.searchsorted(ems_o, s_ms - t2, side="right")
+        pp_o = np.concatenate([[0], p_o[:-1]])
+        em_o_s = p_o > pp_o  # per stream position
+        em_pos_o = np.flatnonzero(em_o_s)
+        n_em_o = len(em_pos_o)
+        prev0_o = float(st_o.prev) if st_o.has_prev else np.nan
+        hp0_o = bool(st_o.has_prev)
+        if n_em_o:
+            evs_o = evals_o[p_o[em_pos_o] - 1]
+            prev_seq_o = np.concatenate([[prev0_o], evs_o[:-1]])
+            hp_seq_o = np.concatenate([[hp0_o], np.ones(n_em_o - 1, bool)])
+            bridge_o = hp_seq_o & _lag_eq_vec(prev_seq_o, evs_o)
+        else:
+            evs_o = np.empty(0)
+            bridge_o = np.empty(0, bool)
+        # per-ROW outer emission count at rows <= r (oc) and < r (occ)
+        em_row_flags = np.zeros(m, dtype=np.int64)
+        if n_em_o:
+            em_row_flags[stream[em_pos_o]] = 1
+        oc = np.cumsum(em_row_flags)            # emissions at rows <= r
+        occ = oc - em_row_flags                 # emissions at rows <  r
+        outer_emitted = em_row_flags.astype(bool)
+        out_em_val = np.zeros(m)
+        if n_em_o:
+            out_em_val[stream[em_pos_o]] = evs_o
+        prev_at_o = np.concatenate([[prev0_o], evs_o])[occ] if n_em_o else np.full(m, prev0_o)
+        hp_at_o = (np.concatenate([[hp0_o], np.ones(n_em_o, bool)])[occ]
+                   if n_em_o else np.full(m, hp0_o))
+        outer_u = ~outer_emitted & hp_at_o
+        res_o = outer_u & (oc < n_em_o)  # a strictly later outer emission
+        br_o = np.zeros(m, dtype=bool)
+        if n_em_o:
+            br_o[res_o] = bridge_o[oc[res_o]]
+        outer_und = outer_u & ~res_o
+        outer_v = outer_emitted | (res_o & br_o)
+        val_o = np.where(outer_emitted, out_em_val, prev_at_o)
+
+        und = inner_und | outer_und
+        first_und = np.flatnonzero(und)
+        F = int(first_und[0]) if len(first_und) else m
+        if F > 0:
+            # ---- decided codes for rows [0, F) ----
+            present = (inner_v & outer_v)[:F]
+            vh = val_o[:F]
+            null_mask = ~outer_v[:F]
+            fdf = sdf.iloc[:F]
+            tri_v = _tri(prog.node, fdf, {okey: (vh, null_mask, False)})
+            raw_v = np.where(tri_v < 0, 0, np.where(tri_v > 0, 2, 1))
+            absent_c = np.where(raw_v == 0, 3, np.where(raw_v == 2, 4, 5))
+            parts.append(
+                np.where(present, raw_v, absent_c).astype(np.int8)
+            )
+            # ---- frontier state (after processing row F-1) ----
+            lo_i = int(sms[F - 1]) - t1
+            keep_i = (ems_i > lo_i) & (src_i < F)
+            st_i.q = [
+                (int(t), float(v))
+                for t, v in zip(ems_i[keep_i], evals_i[keep_i])
+            ]
+            n_em_before = int(emc_i[F - 1] + em_i[F - 1])
+            if n_em_before:
+                st_i.prev, st_i.has_prev = float(evs_i[n_em_before - 1]), True
+            # outer: pops happen at stream rows; last stream row < F
+            s_before = stream[stream < F]
+            src_o = np.concatenate(
+                [np.full(n_carry_o, -1, dtype=np.int64), stream]
+            )
+            if len(s_before):
+                last_sp = len(s_before) - 1  # stream position
+                lo_o_cnt = int(p_o[last_sp])
+            else:
+                lo_o_cnt = 0
+            keep_o = (np.arange(len(ems_o)) >= lo_o_cnt) & (src_o < F)
+            st_o.q = [
+                (int(t), float(v))
+                for t, v in zip(ems_o[keep_o], evals_o[keep_o])
+            ]
+            n_em_o_before = int(oc[F - 1])
+            if n_em_o_before:
+                st_o.prev, st_o.has_prev = float(evs_o[n_em_o_before - 1]), True
+            i += F
+        if i < e:
+            feed_row(i)  # guaranteed progress into the per-row tail
+            i += 1
+    if not parts:
+        return np.empty(0, dtype=np.int8)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
