@@ -92,16 +92,24 @@ def measure(
             ]
             update = _make_update([spec], keys, "ts", GAP_MS, out_cols)
             data = s.orderBy("ts").toPandas()
-            st = FakeGroupState()
-            n_out = 0
-            t0 = time.perf_counter()
-            for i0 in range(0, len(data), chunk):
-                for o in update((1,), iter([data.iloc[i0 : i0 + chunk]]), st):
-                    n_out += len(o)
-            el = time.perf_counter() - t0
+            # best of 3 (fresh state each attempt): each sample is only
+            # 0.1-0.3 s, so a single GC pause or frequency dip skews a
+            # one-shot reading by 2× — the minimum is the kernel cost,
+            # same convention as bench.py's best-of-N
+            best, n_out = float("inf"), 0
+            for _attempt in range(1 if slow else 3):
+                st = FakeGroupState()
+                n_out = 0
+                t0 = time.perf_counter()
+                for i0 in range(0, len(data), chunk):
+                    for o in update(
+                        (1,), iter([data.iloc[i0 : i0 + chunk]]), st
+                    ):
+                        n_out += len(o)
+                best = min(best, time.perf_counter() - t0)
             out[label] = {
-                "rows_per_sec": int(rows / el),
-                "sec": round(el, 3),
+                "rows_per_sec": int(rows / best),
+                "sec": round(best, 3),
                 "intervals": n_out,
             }
     finally:
