@@ -685,3 +685,32 @@ def test_soak_small_crash_replay_exact(spark, tmp_path):
     # carry stays bounded: every generation within 2x of the median
     sizes = sorted(c["carry_rows"] for c in res["carry_curve"])
     assert sizes[-1] <= 2 * sizes[len(sizes) // 2]
+
+
+@pytest.mark.slow
+def test_soak_small_stateful_crash_replay_exact(spark, tmp_path):
+    """CI-sized stateful-kernel soak (10M version pinned in
+    docs/SCALE.md): applyInPandasWithState through a real streaming
+    query, two injected sink crashes before the streaming commit (the
+    replayed batch re-runs against the state store's last committed
+    version) plus a graceful restart — sessionized emissions must
+    equal the batch engine EXACTLY."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from soak_streaming import run_soak_stateful
+
+    res = run_soak_stateful(
+        spark,
+        rows=150_000,
+        drops=6,
+        users=10,
+        crash_batches=(1, 4),
+        graceful_after=2,
+        workdir=str(tmp_path),
+    )
+    assert res["injected_crashes"] == 2 and res["restarts"] >= 3
+    assert res["exact_match"], (
+        f"missing={res['missing']} spurious={res['spurious']}"
+    )

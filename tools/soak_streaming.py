@@ -243,3 +243,159 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def run_soak_stateful(
+    spark,
+    rows: int = 10_000_000,
+    drops: int = 25,
+    users: int = 100,
+    crash_batches: tuple[int, ...] = (7, 16),
+    graceful_after: int = 10,
+    workdir: str | None = None,
+) -> dict:
+    """Same soak contract for the OTHER streaming mode: the
+    true-incremental `stateful_incidents` kernel
+    (applyInPandasWithState). Two injected sink crashes AFTER the
+    batch's rows were collected but BEFORE the streaming commit (the
+    batch replays against the state store's last committed version —
+    exactly the window that corrupts if state versioning is wrong)
+    plus one graceful stop/restart; a far-future flush drop drains the
+    trailing windows. Sink-side sessionize over every at-least-once
+    emission must equal the batch engine EXACTLY."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.ops.sessionize import sessionize_intervals
+    from tsp_spark.streaming.job import StreamingPatternJob, stateful_incidents
+
+    patterns = [RawPattern(pid, src) for pid, src in PATTERNS]
+    base = Path(workdir or tempfile.mkdtemp(prefix="tsp_soak_st"))
+    src_dir, chk_dir = base / "src", base / "chk"
+    own_tmp = workdir is None
+    try:
+        pdf = gen_rows(rows, users)
+        # flush rows: one far-future 0-valued row per user (gap-splits
+        # every series so the kernel drains trailing runs); part of the
+        # batch reference too, so the comparison is apples-to-apples
+        last_ts = pdf["ts"].max()
+        flush = _pd.DataFrame(
+            {
+                "user_id": np.arange(users, dtype=np.int64),
+                "ts": last_ts + np.full(users, 10**9, dtype="timedelta64[ms]"),
+                "value": np.zeros(users),
+            }
+        )
+        all_pdf = _pd.concat([pdf, flush], ignore_index=True)
+        full = spark.createDataFrame(all_pdf)
+        batch = {
+            (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+            for r in search_incidents(
+                full, patterns, KEYS, "ts", fields_types=FIELDS
+            ).collect()
+        }
+
+        cuts = np.linspace(0, len(pdf), drops + 1).astype(int)
+        for d in range(drops):
+            spark.createDataFrame(
+                pdf.iloc[cuts[d]:cuts[d + 1]]
+            ).coalesce(1).write.parquet(str(src_dir / f"b{d:03d}"))
+        spark.createDataFrame(flush).coalesce(1).write.parquet(
+            str(src_dir / f"b{drops:03d}")
+        )
+
+        emitted: list[tuple] = []
+        seen_batches: set[int] = set()
+        crash_left = set(crash_batches)
+
+        def sink(df, bid):
+            emitted.extend(
+                (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+                for r in df.collect()
+            )
+            seen_batches.add(int(bid))
+            if bid in crash_left:
+                crash_left.discard(bid)
+                raise RuntimeError(
+                    f"injected crash after sink, before commit, batch {bid}"
+                )
+
+        job = StreamingPatternJob(
+            patterns, KEYS, "ts", fields_types=FIELDS,
+            watermark_delay="5 seconds",
+        )
+
+        def mk_query():
+            stream = (
+                spark.readStream.schema(full.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src_dir}/*")
+            )
+            return (
+                stateful_incidents(stream, job)
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(chk_dir))
+                .trigger(processingTime="0.2 seconds")
+                .start()
+            )
+
+        t0 = time.perf_counter()
+        restarts = 0
+        graceful_done = False
+        q = mk_query()
+        deadline = time.time() + 1800
+        while time.time() < deadline:
+            try:
+                q.processAllAvailable()
+                if not graceful_done and len(seen_batches) >= graceful_after:
+                    q.stop()
+                    graceful_done = True
+                    restarts += 1
+                    q = mk_query()
+                    continue
+                if not crash_left and graceful_done:
+                    break  # everything available processed, no crash due
+            except Exception:
+                q.stop()
+                restarts += 1
+                q = mk_query()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+
+        got_df = spark.createDataFrame(
+            emitted,
+            "pattern_id int, user_id bigint, from_ts timestamp, to_ts timestamp",
+        ).withColumn("subunit", F.lit(0))
+        merged = sessionize_intervals(
+            got_df, ["pattern_id", "subunit", "user_id"], gap_ms=2_000
+        )
+        got = {
+            (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+            for r in merged.collect()
+        }
+        state_bytes = sum(
+            f.stat().st_size for f in (chk_dir / "state").rglob("*") if f.is_file()
+        ) if (chk_dir / "state").exists() else 0
+        missing, spurious = batch - got, got - batch
+        return {
+            "mode": "stateful",
+            "rows": rows,
+            "drops": drops,
+            "users": users,
+            "batch_incidents": len(batch),
+            "stream_incidents": len(got),
+            "raw_emissions": len(emitted),
+            "missing": sorted(missing)[:5],
+            "spurious": sorted(spurious)[:5],
+            "exact_match": not missing and not spurious,
+            "restarts": restarts,
+            "injected_crashes": len(crash_batches) - len(crash_left),
+            "elapsed_sec": round(elapsed, 1),
+            "rows_per_sec": int(rows / elapsed),
+            "state_store_bytes": state_bytes,
+        }
+    finally:
+        if own_tmp:
+            shutil.rmtree(base, ignore_errors=True)
