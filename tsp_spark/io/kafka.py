@@ -7,6 +7,17 @@ Here: `readStream.format("kafka")` + `from_json` with the declared
 schema — the decode is a Column expression (`kafka_value_schema` /
 `decode_json_value`), so it is unit-testable without a broker and
 identical in batch (`spark.read.format("kafka")`) and streaming.
+
+Test-environment boundary (verified r8): this container ships NO
+`spark-sql-kafka` connector jar (pyspark/jars holds 287 jars, none
+kafka-*), so `.format("kafka")` cannot be loaded here at all —
+independent of any broker. Everything after the socket IS exercised:
+`decode_kafka_records` runs through a real watermarked Structured
+Streaming query over rows byte-shaped exactly like the kafka source's
+output (tests/test_io_streaming.py::test_kafka_decode_through_streaming_query),
+and the sink's `value` JSON round-trips
+(test_kafka_wire_contract_end_to_end). On a cluster with the connector
+jar, `kafka_source`/`kafka_sink` below are the production path.
 """
 
 from __future__ import annotations
