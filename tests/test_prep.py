@@ -1,0 +1,87 @@
+"""Unit tests for the training-data preparation ops (pipeline/prep.py):
+chunking, benchmark-contamination detection, PII redaction. The
+end-to-end value checks against DuckDB run in the oracle gate
+(queries prep_chunks / prep_contamination / prep_redact)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tsp_spark.pipeline.prep import (
+    chunk_documents,
+    contamination_check,
+    redact_pii,
+)
+
+
+def test_chunk_documents_exact(spark):
+    toks = [f"w{i}" for i in range(7)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    # doc 1: 7 tokens, stride 2 → starts 0,2,4,6
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert out[(1, 2)] == ("w4 w5 w6", 3)
+    assert out[(1, 3)] == ("w6", 1)
+    # short docs: a single chunk covering everything
+    assert out[(2, 0)] == ("a b", 2)
+    assert out[(3, 0)] == ("solo", 1)
+    assert len(out) == 6
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_contamination_check_counts(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs"),   # shares 2 distinct 3-grams
+            (2, "a completely different text here"),
+            (3, "too short"),                   # < 3 tokens → 0
+            (4, "quick brown fox quick brown fox"),  # dup 3-grams count once
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shared"], r["is_contaminated"])
+        for r in contamination_check(docs, bench, n=3).collect()
+    }
+    assert out[1] == (2, 1)   # "the quick brown", "quick brown fox"
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (1, 1)   # "quick brown fox" once, distinct
+    assert len(out) == 4
+
+
+def test_redact_pii_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +4915123456789 today"),
+            (4, "clean text with number 42 and date 2024-01-01"),
+            (5, "x@y.io or +1234567 at 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 0, 0)
+    assert out[2]["redacted"] == "server at <IP> and <IP> up"
+    assert out[2]["n_ip"] == 2
+    assert out[3]["redacted"] == "call <PHONE> today"
+    assert out[3]["n_phone"] == 1
+    # non-PII digits and dates survive untouched
+    assert out[4]["redacted"] == "clean text with number 42 and date 2024-01-01"
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (0, 0, 0)
+    assert out[5]["redacted"] == "<EMAIL> or <PHONE> at <IP>"

@@ -1,0 +1,159 @@
+"""Training-data preparation operators (r8): document chunking,
+benchmark-contamination detection, PII redaction.
+
+These close the remaining gaps a large-scale LLM training pipeline
+needs between dedup/quality filtering (pipeline/dedup.py, text.py) and
+the tokenizer: splitting long documents into training-window chunks,
+flagging documents that leak evaluation-benchmark n-grams, and
+scrubbing obvious PII. Everything is built-in Column expressions — no
+Python UDFs — so the plans stay inside whole-stage codegen and scale
+like the rest of the pipeline.
+
+Scale notes:
+* chunk_documents — pure per-row expressions (split → sequence →
+  slice): map-only, no shuffle; output rows = Σ ceil(tokens/step).
+* contamination_check — the benchmark n-gram set is the SMALL side by
+  construction (an eval suite is KBs-MBs, the corpus is TBs): distinct
+  it and let AQE broadcast the join; the corpus side is one
+  explode + distinct + groupBy(doc) with map-side partial aggregation.
+  For very large benchmarks pre-hash the n-grams (xxhash64) so the
+  join key is 8 bytes — the string form here keeps the DuckDB oracle
+  exact.
+* redact_pii — chained regexp_replace, map-only. Patterns avoid
+  lookaround/backrefs so Java (Spark) and RE2 (DuckDB oracle) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 30,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_tokens`` with ``overlap`` tokens carried between
+    consecutive chunks (stride = chunk_tokens − overlap). Returns
+    (id, chunk_id, chunk_text, n_tokens); chunk_id = stride index, so
+    the output is deterministic with no window function — chunking is
+    map-only at any corpus size."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        toks.alias("__toks"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("__start")
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as strings (space-joined); empty when the
+    document holds fewer than n tokens."""
+    count = F.size(toks)
+    return F.when(
+        count >= n,
+        F.transform(
+            F.sequence(F.lit(1), count - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every candidate document,
+    count the DISTINCT word ``n``-grams it shares with the evaluation
+    corpus ``bench`` (the standard train/test-leakage check). Returns
+    (id, n_shared, is_contaminated) for every doc in ``docs``; docs
+    shorter than n tokens share nothing by definition."""
+    bench_ngrams = (
+        bench.select(
+            F.explode(_ngram_array(F.split(F.col(text_col), " "), n)).alias("__g")
+        ).distinct()
+    )
+    doc_ngrams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_ngram_array(F.split(F.col(text_col), " "), n)).alias("__g"),
+    ).distinct()
+    hits = (
+        doc_ngrams.join(bench_ngrams, on="__g")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .join(hits, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared)
+            .cast("long")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+# PII patterns — deliberately lookaround/backref-free so the Java
+# (Spark) and RE2 (DuckDB) engines match identically
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub the standard PII shapes (emails, IPv4 addresses,
+    international-format phone numbers) from a text column,
+    map-only: returns (id, redacted text, per-category match counts).
+    Categories apply in declaration order; the replacement tokens
+    contain no digits or '@', so earlier replacements can never create
+    later matches."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            )
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(
+        F.col(id_col), redacted.alias("redacted"), *counts
+    )

@@ -1769,6 +1769,120 @@ def q_cep_incidents_multi(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data preparation ops (r8): chunking, contamination, PII
+# ---------------------------------------------------------------------------
+
+
+def q_prep_chunks(spark, sf_dir):
+    """Document → training-window chunks (pipeline/prep.py
+    chunk_documents): 30-token chunks with 10-token overlap; map-only
+    split/sequence/slice expressions, no shuffle."""
+    from tsp_spark.pipeline.prep import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=30, overlap=10,
+    )
+
+
+ORACLE_PREP_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws), 1), 20)) AS start
+  FROM t
+)
+SELECT doc_id,
+       (start // 20)::BIGINT AS chunk_id,
+       array_to_string(list_slice(ws, start + 1, start + 30), ' ') AS chunk_text,
+       least(30, len(ws) - start)::BIGINT AS n_tokens
+FROM s
+"""
+
+
+def q_prep_contamination(spark, sf_dir):
+    """Benchmark-contamination check (pipeline/prep.py
+    contamination_check): docs from source 'src0' act as the pseudo
+    evaluation corpus; every other document is scored by the distinct
+    word 3-grams it shares with it. The generated duplicate tail
+    guarantees real hits: a near-copy of a src0 doc in another source
+    is flagged."""
+    from tsp_spark.pipeline.prep import contamination_check
+
+    docs = _load(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "text", "doc_id", n=3,
+    )
+
+
+ORACLE_PREP_CONTAMINATION = """
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ng AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws) - 3 + 2),
+                               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS g
+  FROM tok WHERE len(ws) >= 3
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+cand AS (SELECT DISTINCT doc_id, g FROM ng WHERE source <> 'src0'),
+hits AS (SELECT doc_id, count(*) AS c FROM cand JOIN bench USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.c, 0)::BIGINT AS n_shared,
+       (COALESCE(h.c, 0) >= 1)::BIGINT AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_prep_redact(spark, sf_dir):
+    """PII redaction (pipeline/prep.py redact_pii) over a
+    deterministically PII-injected corpus (the raw testdata holds no
+    emails/IPs/phones, so both engines append the same synthetic
+    contact line per doc before scrubbing — the oracle compares the
+    REDACTED TEXT byte-for-byte plus per-category match counts)."""
+    from tsp_spark.pipeline.prep import redact_pii
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1415550"),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(docs, "text", "doc_id")
+
+
+ORACLE_PREP_REDACT = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@mail.example or +1415550' || (doc_id % 10000)::VARCHAR
+              || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+         '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ip,
+       len(regexp_extract_all(text, '\+[0-9]{7,15}'))::BIGINT AS n_phone
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -1812,6 +1926,9 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_centroids": q_embed_centroids,
     "multimodal_features": q_multimodal_features,
+    "prep_chunks": q_prep_chunks,
+    "prep_contamination": q_prep_contamination,
+    "prep_redact": q_prep_redact,
 }
 
 ORACLES = {
@@ -1855,6 +1972,9 @@ ORACLES = {
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "prep_chunks": ORACLE_PREP_CHUNKS,
+    "prep_contamination": ORACLE_PREP_CONTAMINATION,
+    "prep_redact": ORACLE_PREP_REDACT,
 }
 
 # extended relational anchors (TPC-H Q2/Q4/Q7/Q10/Q12/Q16/Q18/Q19/Q22
