@@ -294,3 +294,45 @@ def test_jaccard_prefix_guard_fails_fast(spark):
         max_bucket_size=None,
     )
     assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_simhash_pairs_match_brute_force(spark):
+    """r8: the banded SimHash join must return EXACTLY the brute-force
+    Hamming ≤ k pair set (pigeonhole: k < bands guarantees a shared
+    band), and the parameter guards enforce the recall precondition."""
+    import itertools
+
+    from tsp_spark.pipeline.dedup import simhash_pairs
+    from tsp_spark.pipeline.text import simhash
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),      # exact dup
+        (2, "alpha beta gamma delta epsilon eta"),       # near dup
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six eight"),
+        (5, "completely unrelated words here now"),
+        (6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df, "text", "doc_id", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "text", "doc_id", bits=32).collect()
+    }
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == want
+    assert got[(0, 1)] == 0  # exact dup → identical fingerprints
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, "text", "doc_id", bits=32, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(df, "text", "doc_id", bits=32, bands=5)

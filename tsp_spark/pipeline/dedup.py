@@ -16,6 +16,10 @@ Scale design notes:
   band hashes → candidate pairs via an equi-join on (band, band_hash)
   (a plain shuffle join, no cross product), then exact signature
   agreement as the similarity estimate.
+* simhash_pairs — banded SimHash near-dup (r8): Hamming ≤ k pairs via
+  an equi-join on fingerprint bands (pigeonhole recall guarantee) and
+  an exact popcount filter; portable md5 hashing so the DuckDB oracle
+  reproduces the fingerprints bit-exactly.
 
 All JVM-side (higher-order array functions + xxhash64); no Python UDFs.
 """
@@ -739,3 +743,89 @@ def minhash_lsh_pairs(
     return cands.select(
         "id_a", "id_b", est.alias("est_jaccard")
     ).where(F.col("est_jaccard") >= F.lit(threshold))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming) with
+    id_a < id_b and Hamming distance ≤ ``max_hamming`` between the
+    documents' ``bits``-bit SimHash fingerprints (pipeline/text.py
+    simhash — portable md5-based token hashes, so the DuckDB oracle
+    reproduces the fingerprints bit-exactly).
+
+    Candidate generation is banded (the SimHash analogue of MinHash
+    banding): the fingerprint splits into ``bands`` equal chunks, and
+    by pigeonhole any pair within ``max_hamming`` (< bands) agrees on
+    at least one whole band — so candidates come from an equi-join on
+    (band, band_value), never all-pairs, and the exact popcount filter
+    keeps the result identical to brute force (property-tested). Band
+    buckets carry the same runtime guard as the other bucketed joins;
+    near-identical corpora concentrate fingerprints, so the guard
+    protects against the degenerate quadratic case."""
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) or the "
+            f"band join loses recall (pigeonhole needs one untouched band)"
+        )
+    from tsp_spark.pipeline.text import simhash_from_hashes, token_hashes_col
+
+    w = bits // bands
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        token_hashes_col(text_col, bits).alias("__th"),
+    )
+    sh = hashed.select(
+        "__id", simhash_from_hashes(F.col("__th"), bits).alias("__sh")
+    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.pmod(
+                F.floor(F.col("__sh") / F.pow(F.lit(2.0), b * w)).cast("long"),
+                F.lit(1 << w),
+            ).alias("bval"),
+        ),
+    )
+    exploded = sh.select(
+        "__id", "__sh", F.explode(band_arr).alias("b")
+    ).select(
+        "__id", "__sh",
+        F.col("b.band").alias("band"), F.col("b.bval").alias("bval"),
+    )
+    if max_band_bucket is not None:
+        exploded = _bucket_guard(
+            exploded, ["band", "bval"], max_band_bucket, "__id",
+            "simhash_pairs",
+            "Near-identical fingerprints flood a band bucket — collapse "
+            "exact duplicates first (exact_dedup), raise bits, or raise "
+            "max_band_bucket deliberately.",
+        )
+    a = exploded.select(
+        "band", "bval", F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")
+    )
+    b = exploded.select(
+        "band", "bval", F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")
+    )
+    pairs = (
+        a.join(b, on=["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

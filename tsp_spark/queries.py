@@ -1882,6 +1882,42 @@ FROM t
 """
 
 
+def q_dedup_simhash(spark, sf_dir):
+    """Banded SimHash near-dup pairs (pipeline/dedup.py simhash_pairs):
+    Hamming ≤ 3 over 32-bit md5-portable fingerprints; candidates from
+    a (band, band_value) equi-join — the pigeonhole guarantee keeps it
+    exact vs the oracle's brute-force popcount over all pairs."""
+    from tsp_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _load(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=32, bands=4, max_hamming=3,
+    )
+
+
+ORACLE_DEDUP_SIMHASH = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 4294967296) AS hs
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 32),
+           b -> CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
+                       THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+  FROM th
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1929,6 +1965,7 @@ QUERIES = {
     "prep_chunks": q_prep_chunks,
     "prep_contamination": q_prep_contamination,
     "prep_redact": q_prep_redact,
+    "dedup_simhash": q_dedup_simhash,
 }
 
 ORACLES = {
@@ -1975,6 +2012,7 @@ ORACLES = {
     "prep_chunks": ORACLE_PREP_CHUNKS,
     "prep_contamination": ORACLE_PREP_CONTAMINATION,
     "prep_redact": ORACLE_PREP_REDACT,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }
 
 # extended relational anchors (TPC-H Q2/Q4/Q7/Q10/Q12/Q16/Q18/Q19/Q22
