@@ -7,19 +7,19 @@ oracle-checked queries on the TPC-H-ish testdata. Each exercises one
 distinct plan shape:
 
 * q2_min_within   — min-within-group subquery joined back (TPC-H Q2 shape)
-* q4_priority     — EXISTS / left-semi join with a non-equi residual (Q4)
 * q7_volume       — two-sided dimension join + calendar-year rollup (Q7)
 * q10_returns     — aggregated top-k with deterministic tie-break (Q10)
-* q12_priority    — conditional aggregation after a fact join (Q12)
 * q16_distinct    — COUNT(DISTINCT) grouped aggregation (Q16)
 * q18_big_orders  — grouped HAVING feeding a join (Q18)
-* q19_disjunct    — OR-of-ANDs residual split over a fact join (Q19)
-* q22_anti        — scalar-aggregate subquery + anti join (Q22)
 
-plus rel_tpch_fold, one driver entry folding the remaining 8 TPC-H
-shapes (every plan shape of the 22-query suite is now covered,
-adapted to this testdata's partsupp-free schema):
+plus rel_tpch_fold, one driver entry folding the remaining 12 TPC-H
+shapes (every plan shape of the 22-query suite is covered, adapted to
+this testdata's partsupp-free schema):
 
+* q4  — EXISTS / left-semi join with a non-equi residual (priority)
+* q12 — conditional aggregation after a fact join (priority split)
+* q19 — OR-of-ANDs residual split over a fact join (disjunct revenue)
+* q22 — scalar-aggregate subquery + anti join (above-average custs)
 * q8  — snowflake join + conditional-share rollup (market share)
 * q9  — LIKE-filtered multiway join + nation/year rollup (profit)
 * q11 — grouped agg filtered by a global scalar agg (value share)
@@ -387,10 +387,12 @@ GROUP BY c_nationkey
 
 
 # ---------------------------------------------------------------------------
-# rel_tpch_fold — the remaining 8 TPC-H plan shapes (Q8 Q9 Q11 Q13 Q15
-# Q17 Q20 Q21), adapted to the partsupp-free testdata schema exactly the
-# way Q2/Q4/Q16 above are, and folded into ONE driver entry so the
-# registry stays inside the driver's 50-query correctness window. Each
+# rel_tpch_fold — 12 folded TPC-H plan shapes (Q4 Q8 Q9 Q11 Q12 Q13 Q15
+# Q17 Q19 Q20 Q21 Q22 + a ROLLUP variant), adapted to the partsupp-free
+# testdata schema exactly the way Q2/Q16 above are, and folded into ONE
+# driver entry so the registry stays inside the driver's 50-query
+# correctness window (Q4/Q12/Q19/Q22 moved into the fold in r8 when the
+# prep_*/dedup_simhash additions pushed the registry to 54). Each
 # variant keeps its own Spark plan and its own DuckDB oracle; the fold
 # normalizes every result to (variant, k1, k2, v1, v2) — string keys,
 # BIGINT values, '' / 0 for unused slots — so each shape stays
@@ -840,10 +842,11 @@ def _tpch_norm(df, variant, k1=None, k2=None, v1=None, v2=None):
 
 
 def q_rel_tpch_fold(spark, sf_dir):
-    """The 8 folded TPC-H shapes, tagged by ``variant`` (see module
-    docstring): q8 share, q9 profit, q11 value concentration, q13
-    distribution, q15 top supplier, q17 small-quantity, q20 promo
-    suppliers, q21 waiting suppliers."""
+    """The folded TPC-H shapes, tagged by ``variant`` (see module
+    docstring): q4 late-ship priority, q8 share, q9 profit, q11 value
+    concentration, q12 priority split, q13 distribution, q15 top
+    supplier, q17 small-quantity, q19 disjunctive predicate, q20 promo
+    suppliers, q21 waiting suppliers, q22 anti-join, rollup."""
     parts = [
         _tpch_norm(q_rel_q8_share(spark, sf_dir), "q8",
                    k1="o_year", v1="nation_vol_e4", v2="total_vol_e4"),
@@ -863,6 +866,15 @@ def q_rel_tpch_fold(spark, sf_dir):
                    k1="s_name", v1="numwait"),
         _tpch_norm(q_rel_rollup(spark, sf_dir), "rollup",
                    k1="rf", k2="ls", v1="n_lines", v2="sum_qty"),
+        _tpch_norm(q_rel_q4_priority(spark, sf_dir), "q4",
+                   k1="o_orderpriority", v1="order_count"),
+        _tpch_norm(q_rel_q12_priority(spark, sf_dir), "q12",
+                   k1="l_returnflag", v1="high_line_count",
+                   v2="low_line_count"),
+        _tpch_norm(q_rel_q19_disjunct(spark, sf_dir), "q19",
+                   v1="revenue_e4", v2="n_lines"),
+        _tpch_norm(q_rel_q22_anti(spark, sf_dir), "q22",
+                   k1="c_nationkey", v1="numcust", v2="total_cents"),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -897,32 +909,31 @@ ORACLE_TPCH_FOLD = "\nUNION ALL\n".join(
         _tpch_norm_sql(ORACLE_Q21, "q21", k1="s_name", v1="numwait"),
         _tpch_norm_sql(ORACLE_ROLLUP, "rollup", k1="rf", k2="ls",
                        v1="n_lines", v2="sum_qty"),
+        _tpch_norm_sql(ORACLE_Q4, "q4", k1="o_orderpriority",
+                       v1="order_count"),
+        _tpch_norm_sql(ORACLE_Q12, "q12", k1="l_returnflag",
+                       v1="high_line_count", v2="low_line_count"),
+        _tpch_norm_sql(ORACLE_Q19, "q19", v1="revenue_e4", v2="n_lines"),
+        _tpch_norm_sql(ORACLE_Q22, "q22", k1="c_nationkey",
+                       v1="numcust", v2="total_cents"),
     ]
 )
 
 
 REL_QUERIES = {
     "rel_q2_min_within": q_rel_q2_min_within,
-    "rel_q4_priority": q_rel_q4_priority,
     "rel_q7_volume": q_rel_q7_volume,
     "rel_q10_returns": q_rel_q10_returns,
-    "rel_q12_priority": q_rel_q12_priority,
     "rel_q16_distinct": q_rel_q16_distinct,
     "rel_q18_big_orders": q_rel_q18_big_orders,
-    "rel_q19_disjunct": q_rel_q19_disjunct,
-    "rel_q22_anti": q_rel_q22_anti,
     "rel_tpch_fold": q_rel_tpch_fold,
 }
 
 REL_ORACLES = {
     "rel_q2_min_within": ORACLE_Q2,
-    "rel_q4_priority": ORACLE_Q4,
     "rel_q7_volume": ORACLE_Q7,
     "rel_q10_returns": ORACLE_Q10,
-    "rel_q12_priority": ORACLE_Q12,
     "rel_q16_distinct": ORACLE_Q16,
     "rel_q18_big_orders": ORACLE_Q18,
-    "rel_q19_disjunct": ORACLE_Q19,
-    "rel_q22_anti": ORACLE_Q22,
     "rel_tpch_fold": ORACLE_TPCH_FOLD,
 }
