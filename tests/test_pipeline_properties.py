@@ -336,3 +336,103 @@ def test_simhash_pairs_match_brute_force(spark):
         simhash_pairs(df, "text", "doc_id", bits=32, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divide"):
         simhash_pairs(df, "text", "doc_id", bits=32, bands=5)
+
+
+# ---------------------------------------------------------------------------
+# r8 sketch family: HLL, CMS heavy hitters, bottom-k quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_hll_exact_regimes_and_error_bound(spark):
+    from tsp_spark.pipeline.sketches import HLL_M, hll_distinct
+
+    # "small" (30 distinct) lands in the linear-counting branch where
+    # the estimate is near-exact; "big" (20000 distinct >> 2.5·m) uses
+    # the raw estimator, whose relative error is ~1.04/sqrt(m) = 6.5%.
+    rows = [("small", i) for i in range(30)] * 3 + [
+        ("big", i) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: r for r in hll_distinct(df, "v", ["g"]).collect()
+    }
+    small = out["small"]
+    assert small["v_zero"] > 0
+    assert abs(small["est_distinct"] - 30) / 30 < 0.10
+    big = out["big"]
+    rel_err = abs(big["est_distinct"] - 20000) / 20000
+    assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), f"off by {rel_err:.2%}"
+    # register integrity: sum_reg counts only occupied buckets
+    assert big["sum_reg"] >= (HLL_M - big["v_zero"])  # every reg ≥ 1
+
+
+def test_hll_merge_by_max_register(spark):
+    # HLL registers merge by per-bucket max: the sketch of A ∪ B must
+    # equal the sketch built from the union stream — run both paths
+    # and compare the full output row (registers drive every column).
+    from tsp_spark.pipeline.sketches import hll_distinct
+
+    a = [("g", i) for i in range(0, 900)]
+    b = [("g", i) for i in range(600, 1500)]  # overlapping
+    df_union = spark.createDataFrame(a + b, "g string, v long")
+    df_dedup = spark.createDataFrame(sorted(set(a + b)), "g string, v long")
+    got_u = hll_distinct(df_union, "v", ["g"]).collect()[0]
+    got_d = hll_distinct(df_dedup, "v", ["g"]).collect()[0]
+    assert got_u == got_d  # duplicates never move a max-register
+
+
+def test_cms_one_sided_error(spark):
+    from tsp_spark.pipeline.sketches import CMS_WIDTH, cms_heavy_hitters
+
+    # Zipf-ish stream: token t_i appears ~ N/i times
+    rows = []
+    for i in range(1, 60):
+        rows += [(f"t{i}",)] * (3000 // i)
+    df = spark.createDataFrame(rows, "item string")
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    total = sum(exact.values())
+    out = {r["item"]: r for r in cms_heavy_hitters(df, "item", inv_phi=50).collect()}
+    assert out, "no heavy hitters found"
+    eps_n = 2.718281828 / CMS_WIDTH * total
+    for item, r in out.items():
+        # one-sided: estimate never undercounts, overshoot ≤ e/w · N
+        assert r["n_exact"] == exact[item]
+        assert r["est_count"] >= r["n_exact"]
+        assert r["est_count"] <= r["n_exact"] + eps_n
+    # every true heavy hitter is reported (CMS never misses one)
+    for item, n in exact.items():
+        if n * 50 >= total:
+            assert item in out, f"missed heavy hitter {item}"
+
+
+def test_quantile_bottomk_exact_when_group_fits(spark):
+    from tsp_spark.pipeline.sketches import quantile_bottomk
+
+    # 100 rows < k=128 → the "sample" is the whole group and the
+    # nearest-rank quantiles are the exact population quantiles
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    rows = [("g", i, vals[i - 1]) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = quantile_bottomk(df, "v", "id", ["g"], k=128).collect()[0]
+    assert out["n_sample"] == 100
+    assert out["q_50"] == 50.0   # ceil(0.5·100) = 50
+    assert out["q_90"] == 90.0
+    assert out["q_99"] == 99.0
+
+
+def test_quantile_bottomk_sample_is_uniform_subset(spark):
+    from tsp_spark.pipeline.sketches import quantile_bottomk
+
+    # 5000 rows, k=128: quantiles must be actual data values and the
+    # sample median of a uniform 0..1 grid must land near 0.5
+    rows = [("g", i, i / 5000.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = quantile_bottomk(df, "v", "id", ["g"], k=128).collect()[0]
+    assert out["n_sample"] == 128
+    values = {r[2] for r in rows}
+    for c in ("q_50", "q_90", "q_99"):
+        assert out[c] in values
+    # binomial(128, .5) 5σ ≈ ±0.22
+    assert abs(out["q_50"] - 0.5) < 0.25

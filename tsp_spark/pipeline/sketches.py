@@ -70,3 +70,230 @@ def kmv_distinct(
             F.when(n < k, n.cast("double")).otherwise((F.lit(k) - 1) / hk), 4
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (p=8) — oracle-checkable via the md5_long bridge
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W = 60 - HLL_P  # 52 bits of rest after the bucket index
+# alpha_256 * m^2 * 2^52-scaling numerator, precomputed so the estimate
+# is ONE double division of exact integers (IEEE-exact in both engines):
+# alpha = 0.7213 / (1 + 1.079/m); numerator = alpha * m^2 * 2^(W+1)
+HLL_ALPHA_NUM = 4.2399330249068963e20
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate: (group_cols…,
+    v_zero, sum_reg, est_distinct).
+
+    Spark's own approx_count_distinct is HLL++ whose register layout
+    differs from DuckDB's approx_count_distinct, so the two can never
+    be value-compared; this is classic Flajolet HLL over the md5_long
+    60-bit hash — bucket = h mod 256, rho = leading-zero rank of the
+    remaining 52 bits — making every register, and therefore the
+    estimate, bit-reproducible in DuckDB SQL.
+
+    Exactness discipline: the harmonic sum Z = Σ 2^(−reg) is kept as
+    the exact integer S = Z·2^(W+1) (≤ 256·2^53 < 2^63), so the raw
+    estimate is a single IEEE division of two exact numbers; the only
+    transcendental is ln() on the linear-counting path (V of 256
+    possible values), rounded to 4 decimals.
+
+    100 TB shape: stage 1 collapses (group, bucket) to max(rho) with a
+    partial-agg groupBy (map-side combine bounds the shuffle at
+    |groups|·256 rows no matter the input size); stage 2 is a tiny
+    per-group fold. Registers are mergeable by max — the sketch
+    unions across datasets for free.
+
+    v_zero = empty buckets (drives the linear-counting branch),
+    sum_reg = Σ registers (an exact-integer integrity witness).
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_long(col.cast("string"))
+    bucket = F.pmod(h, F.lit(HLL_M))
+    # h >> 8, integer-exact (h is 60-bit: a double round-trip would
+    # corrupt bits past 2^53)
+    rest = F.shiftright(h, HLL_P)
+    bitlen = F.length(F.bin(rest))
+    rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - bitlen
+    )
+    regs = (
+        df.where(col.isNotNull())
+        .select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.max("__rho").alias("__reg"))
+    )
+    # variable-amount shift needs the SQL form (the Python shiftleft
+    # binding only takes a literal bit count)
+    two_pow = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __reg)")
+    per_group = regs.groupBy(*group_cols).agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v_zero"),
+        F.sum("__reg").cast("long").alias("sum_reg"),
+        F.sum(two_pow).cast("long").alias("__s_present"),
+    )
+    s_total = (
+        F.col("v_zero") * F.lit(1 << (HLL_W + 1)) + F.col("__s_present")
+    ).cast("double")
+    est_raw = F.lit(HLL_ALPHA_NUM) / s_total
+    lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero"))
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0), lin
+    ).otherwise(est_raw)
+    return per_group.select(
+        *group_cols, "v_zero", "sum_reg", F.round(est, 4).alias("est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_P = 2147483647  # 2^31 − 1 (Mersenne); h is reduced mod P first so
+# every product a·h + b stays < 2^62 — no BIGINT overflow in either engine
+CMS_A = (1000003, 999983, 756065179, 477218579)  # all < 2^31
+CMS_B = (12345, 67891, 424243, 777767)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str | Column,
+    inv_phi: int = 50,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: (item, est_count, n_exact) for
+    every item whose CMS estimate is ≥ 1/``inv_phi`` of the stream
+    length (est·inv_phi ≥ total — integer cross-multiplied, no
+    floats anywhere).
+
+    Genuine depth×width = 4×256 counter sketch: each occurrence
+    increments d counters addressed by independent universal hashes
+    ((aᵢ·h + bᵢ) mod (2³¹−1)) mod w over the md5_long item hash; an
+    item's estimate is the MIN of its d counters — ≥ the true count
+    always (one-sided error), within εN with ε = e/w. All-integer, so
+    DuckDB reproduces the sketch bit-for-bit.
+
+    n_exact (the true count) rides along as the one-sided-error
+    witness: est_count ≥ n_exact row-by-row.
+
+    100 TB shape: building the sketch is a groupBy over at most d·w =
+    1024 cells (map-side combine does nearly all the work — the
+    shuffle moves ≤ 1024 rows per map task); estimation broadcasts
+    those 1024 cells to the candidate items. Counters are mergeable
+    by cell-wise sum across partitions/datasets.
+    """
+    col = F.col(item_col) if isinstance(item_col, str) else item_col
+    items = df.where(col.isNotNull()).select(col.cast("string").alias("item"))
+    hr = F.pmod(md5_long(F.col("item")), F.lit(CMS_P))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    F.pmod(F.lit(CMS_A[i]) * hr + F.lit(CMS_B[i]), F.lit(CMS_P)),
+                    F.lit(CMS_WIDTH),
+                ).alias("bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    counters = (
+        items.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = exact.agg(F.sum("n_exact").alias("__total"))
+    cand = exact.select(
+        "item", "n_exact", F.explode(cells).alias("c")
+    ).select("item", "n_exact", F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    est = (
+        cand.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("item", "n_exact")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("est_count") * F.lit(inv_phi) >= F.col("__total"))
+        .select("item", "est_count", "n_exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k sample quantiles
+# ---------------------------------------------------------------------------
+
+
+def quantile_bottomk(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 128,
+    qs: Sequence[tuple[str, int, int]] = (
+        ("q_50", 1, 2),
+        ("q_90", 9, 10),
+        ("q_99", 99, 100),
+    ),
+) -> DataFrame:
+    """Per-group sample quantiles over a deterministic uniform sample:
+    the k rows with the smallest md5_long(key) per group (exact —
+    the whole group — when it has ≤ k rows), then nearest-rank
+    (type-1) quantiles of ``value_col`` within the sample:
+    (group_cols…, n_sample, q_50, q_90, q_99).
+
+    The hash-bottom-k sample replaces reservoir sampling (whose result
+    depends on row visit order, so it can never be oracle-compared);
+    bottom-k by a fixed hash is the standard distributed-uniform
+    alternative — coordination-free, mergeable (union + re-truncate),
+    and identical in any engine. Nearest-rank picks an actual data
+    value (no interpolation arithmetic), so outputs compare exactly
+    as doubles.
+
+    100 TB shape: the same salted local bottom-k pre-pass as
+    kmv_distinct bounds the per-group window input at 32·k rows
+    regardless of group size; everything after operates on ≤ k rows
+    per group."""
+    h = md5_long(F.col(key_col).cast("string"))
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).alias("__v"), h.alias("__h")
+    )
+    w_local = Window.partitionBy(
+        *group_cols, F.pmod(F.col("__h"), F.lit(32))
+    ).orderBy("__h")
+    base = base.withColumn("__lr", F.row_number().over(w_local)).where(
+        F.col("__lr") <= k
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    sample = base.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    w_v = Window.partitionBy(*group_cols).orderBy("__v")
+    n = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        "__v",
+        F.row_number().over(w_v).alias("__vr"),
+        F.count(F.lit(1)).over(n).alias("n_sample"),
+    )
+    aggs = [F.max("n_sample").alias("n_sample")]
+    for name, num, den in qs:
+        # nearest-rank: the value at row ceil(num·n/den) of the
+        # value-sorted sample (ties on value are harmless — any row of
+        # a tie run carries the same value). The rank is computed in
+        # INTEGER arithmetic — ceil(q·n) on a double q diverges between
+        # engines at exact-integer boundaries (DuckDB parses 0.99 as
+        # exact DECIMAL, Spark as DOUBLE: ceil(0.99·100) = 99 vs 100).
+        r_q = F.floor(
+            (F.lit(num) * F.col("n_sample") + F.lit(den - 1)) / F.lit(den)
+        ).cast("int")
+        aggs.append(
+            F.max(F.when(F.col("__vr") == r_q, F.col("__v"))).alias(name)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -962,6 +962,187 @@ FROM kept WHERE r <= {k} GROUP BY event_type
 ORACLE_KMV = _kmv_oracle()
 
 
+# ---------------------------------------------------------------------------
+# sketch_fold — the sketch family as ONE driver entry (same normalize-
+# and-union pattern as rel_tpch_fold): kmv distinct, HyperLogLog
+# distinct, count-min heavy hitters, bottom-k sample quantiles. Each
+# variant keeps its own Spark plan and exact DuckDB oracle; the fold
+# schema is (variant, k1, v1, v2, d1, d2, d3) — string key, BIGINT
+# counters, DOUBLE estimates, '' / 0 / 0.0 in unused slots.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_norm(df, variant, k1, v1=None, v2=None, d1=None, d2=None, d3=None):
+    return df.select(
+        F.lit(variant).alias("variant"),
+        F.col(k1).cast("string").alias("k1"),
+        (F.col(v1).cast("long") if v1 else F.lit(0).cast("long")).alias("v1"),
+        (F.col(v2).cast("long") if v2 else F.lit(0).cast("long")).alias("v2"),
+        (F.col(d1).cast("double") if d1 else F.lit(0.0)).alias("d1"),
+        (F.col(d2).cast("double") if d2 else F.lit(0.0)).alias("d2"),
+        (F.col(d3).cast("double") if d3 else F.lit(0.0)).alias("d3"),
+    )
+
+
+def q_sketch_fold(spark, sf_dir):
+    """The sketch family (pipeline/sketches.py), folded:
+
+    * kmv — k-minimum-values distinct sketch, user_id per event_type
+    * hll — HyperLogLog (p=8) distinct sketch, event_id per event_type
+      (event_id is row-unique so the raw-estimator branch is exercised
+      at bench SFs while small groups hit linear counting)
+    * cms — count-min 4×256 heavy hitters over document tokens (φ=2%)
+    * qbk — deterministic bottom-k sample quantiles of events.value
+
+    Every variant is bit-reproducible in DuckDB via the md5_long hash
+    bridge (pipeline/hashing.py)."""
+    from tsp_spark.pipeline.sketches import (
+        cms_heavy_hitters,
+        hll_distinct,
+        kmv_distinct,
+        quantile_bottomk,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    docs = _load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    parts = [
+        _sketch_norm(
+            kmv_distinct(ev, "user_id", ["event_type"], k=64),
+            "kmv", "event_type", v1="n_kept", d1="est_distinct",
+        ),
+        _sketch_norm(
+            hll_distinct(ev, "event_id", ["event_type"]),
+            "hll", "event_type", v1="v_zero", v2="sum_reg",
+            d1="est_distinct",
+        ),
+        _sketch_norm(
+            cms_heavy_hitters(tokens, "token", inv_phi=50),
+            "cms", "item", v1="est_count", v2="n_exact",
+        ),
+        _sketch_norm(
+            quantile_bottomk(ev, "value", "event_id", ["event_type"], k=128),
+            "qbk", "event_type", v1="n_sample",
+            d1="q_50", d2="q_90", d3="q_99",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sketch_fold_oracle() -> str:
+    from tsp_spark.pipeline.hashing import md5_long_sql
+    from tsp_spark.pipeline.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_DEPTH,
+        CMS_P,
+        CMS_WIDTH,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+    )
+
+    h_event = md5_long_sql("event_id::VARCHAR")
+    kmv = f"""
+SELECT 'kmv' AS variant, event_type AS k1, n_kept AS v1, 0::BIGINT AS v2,
+       est_distinct AS d1, 0.0 AS d2, 0.0 AS d3
+FROM ({_kmv_oracle()})
+"""
+    top = HLL_W + 1  # 53
+    hll = f"""
+SELECT 'hll' AS variant, event_type AS k1, v_zero AS v1, sum_reg AS v2,
+       round(CASE WHEN ({HLL_ALPHA_NUM!r} / s) <= {2.5 * HLL_M}
+                   AND v_zero > 0
+             THEN {float(HLL_M)} * ln({float(HLL_M)} / v_zero)
+             ELSE {HLL_ALPHA_NUM!r} / s END, 4) AS d1,
+       0.0 AS d2, 0.0 AS d3
+FROM (
+  SELECT event_type,
+         ({HLL_M} - count(*))::BIGINT AS v_zero,
+         sum(reg)::BIGINT AS sum_reg,
+         (({HLL_M} - count(*)) * (1::BIGINT << {top})
+          + sum(1::BIGINT << ({top} - reg)))::DOUBLE AS s
+  FROM (
+    SELECT event_type, b,
+           max(CASE WHEN rest = 0 THEN {top}
+                    ELSE {top} - length(bin(rest)) END) AS reg
+    FROM (
+      SELECT event_type, h % {HLL_M} AS b, h >> {HLL_P} AS rest
+      FROM (SELECT event_type, {h_event} AS h
+            FROM events WHERE event_id IS NOT NULL)
+    ) GROUP BY event_type, b
+  ) GROUP BY event_type
+)
+"""
+    buckets = ", ".join(
+        f"(({CMS_A[i]}::BIGINT * hr + {CMS_B[i]}) % {CMS_P}) % {CMS_WIDTH}"
+        for i in range(CMS_DEPTH)
+    )
+    cms = f"""
+SELECT 'cms' AS variant, item AS k1, est_count AS v1, n_exact AS v2,
+       0.0 AS d1, 0.0 AS d2, 0.0 AS d3
+FROM (
+  WITH occ AS (
+    SELECT unnest(string_split(text, ' ')) AS item
+    FROM documents WHERE text IS NOT NULL
+  ),
+  hr AS (SELECT item, {md5_long_sql("item")} % {CMS_P} AS hr FROM occ),
+  cell AS (
+    SELECT unnest([0,1,2,3]) AS i, unnest([{buckets}]) AS bucket FROM hr
+  ),
+  counters AS (SELECT i, bucket, count(*) AS cnt FROM cell GROUP BY i, bucket),
+  ex AS (SELECT item, count(*)::BIGINT AS n_exact FROM hr GROUP BY item),
+  tot AS (SELECT sum(n_exact) AS total FROM ex),
+  cand AS (
+    SELECT item, n_exact, unnest([0,1,2,3]) AS i, unnest([{buckets}]) AS bucket
+    FROM (SELECT item, n_exact, {md5_long_sql("item")} % {CMS_P} AS hr FROM ex)
+  ),
+  est AS (
+    SELECT item, n_exact, min(cnt)::BIGINT AS est_count
+    FROM cand JOIN counters USING (i, bucket) GROUP BY item, n_exact
+  )
+  SELECT item, est_count, n_exact FROM est, tot WHERE est_count * 50 >= total
+)
+"""
+    qbk = f"""
+SELECT 'qbk' AS variant, event_type AS k1, n_sample AS v1, 0::BIGINT AS v2,
+       q_50 AS d1, q_90 AS d2, q_99 AS d3
+FROM (
+  WITH base AS (
+    SELECT event_type, value AS v, {h_event} AS h
+    FROM events WHERE value IS NOT NULL
+  ),
+  samp AS (
+    SELECT event_type, v FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM base
+    ) WHERE r <= 128
+  ),
+  rk AS (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM samp
+  )
+  SELECT event_type, max(n)::BIGINT AS n_sample,
+         max(CASE WHEN vr = (1 * n + 1) // 2 THEN v END) AS q_50,
+         max(CASE WHEN vr = (9 * n + 9) // 10 THEN v END) AS q_90,
+         max(CASE WHEN vr = (99 * n + 99) // 100 THEN v END) AS q_99
+  FROM rk GROUP BY event_type
+)
+"""
+    return "\nUNION ALL\n".join([kmv, hll, cms, qbk])
+
+
+ORACLE_SKETCH_FOLD = _sketch_fold_oracle()
+
+
 def q_text_top_tokens(spark, sf_dir):
     """Per-source heavy hitters (pipeline/text.py top_tokens): 10 most
     frequent tokens, deterministic tie-break."""
@@ -1952,7 +2133,7 @@ QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_tokens_bpe": q_text_tokens_bpe,
     "text_top_tokens": q_text_top_tokens,
-    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_fold": q_sketch_fold,
     "curation_sample_split": q_curation_sample_split,
     "embed_quantize": q_embed_quantize,
     "pipeline_curation_e2e": q_pipeline_curation_e2e,
@@ -1998,7 +2179,7 @@ ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_tokens_bpe": ORACLE_TOKENS_BPE,
     "text_top_tokens": ORACLE_TOP_TOKENS,
-    "sketch_kmv_distinct": ORACLE_KMV,
+    "sketch_fold": ORACLE_SKETCH_FOLD,
     "curation_sample_split": ORACLE_SAMPLE_SPLIT,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "pipeline_curation_e2e": ORACLE_CURATION_E2E,
