@@ -15,9 +15,14 @@ independent of any broker. Everything after the socket IS exercised:
 `decode_kafka_records` runs through a real watermarked Structured
 Streaming query over rows byte-shaped exactly like the kafka source's
 output (tests/test_io_streaming.py::test_kafka_decode_through_streaming_query),
-and the sink's `value` JSON round-trips
-(test_kafka_wire_contract_end_to_end). On a cluster with the connector
-jar, `kafka_source`/`kafka_sink` below are the production path.
+the sink's `value` JSON round-trips
+(test_kafka_wire_contract_end_to_end), and the NETWORK half is
+covered by a live TCP source: Spark's built-in `socket` format
+streaming the same JSON wire lines from a real local server through
+the same decode + incident kernel with exact batch parity
+(test_socket_source_live_network_e2e). On a cluster with the
+connector jar, `kafka_source`/`kafka_sink` below are the production
+path.
 """
 
 from __future__ import annotations
