@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "embed_centroids",
     "dedup_embedding",
     "dedup_clusters",
+    "dedup_simhash",
+    "sketch_fold",
     "cep_minmax_window",
 ]
 

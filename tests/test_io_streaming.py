@@ -821,3 +821,70 @@ def test_socket_source_live_network_e2e(spark):
                 pass
         server.close()
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_first_seen_across_batches(spark):
+    """streaming_exact_dedup: duplicates inside one micro-batch AND
+    across micro-batches (cross-batch dedup state) are dropped; the
+    first-arriving copy survives; distinct content count matches the
+    batch engine's exact_dedup on the union of all drops."""
+    import datetime as dt
+
+    from tsp_spark.pipeline.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    # batch 0: docs a,b + an in-batch dup of a
+    b0 = [
+        (1, "alpha beta", t0),
+        (2, "gamma delta", t0 + dt.timedelta(seconds=1)),
+        (3, "alpha beta", t0 + dt.timedelta(seconds=2)),  # dup of 1
+    ]
+    # batch 1: cross-batch dup of b, new doc c, dup of c in-batch
+    b1 = [
+        (4, "gamma delta", t0 + dt.timedelta(seconds=10)),  # dup of 2
+        (5, "epsilon", t0 + dt.timedelta(seconds=11)),
+        (6, "epsilon", t0 + dt.timedelta(seconds=12)),      # dup of 5
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    src_dir = tempfile.mkdtemp(prefix="tsp_sdedup_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_sdedup_chk")
+    try:
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        out = streaming_exact_dedup(stream, "text", "ts", "10 minutes")
+        got: list = []
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdedup")
+            .option("checkpointLocation", chk_dir)
+            .outputMode("append")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.sql("SELECT doc_id, text FROM sdedup").collect()
+            if len(got) >= 3:
+                break
+            time.sleep(0.5)
+        q.stop()
+        kept = {r["doc_id"] for r in got}
+        assert kept == {1, 2, 5}, f"kept {sorted(kept)}"
+        # distinct-content parity with the batch engine
+        from tsp_spark.pipeline.dedup import exact_dedup
+
+        union = spark.createDataFrame(b0 + b1, schema)
+        n_batch = exact_dedup(union, "text", "doc_id").count()
+        assert len(got) == n_batch == 3
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

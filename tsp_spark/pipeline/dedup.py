@@ -829,3 +829,41 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup: keep the FIRST-arriving copy of each
+    distinct document, drop every later copy that arrives within the
+    watermark horizon — the streaming half of ``exact_dedup`` for a
+    continuously-ingesting training-data pipeline.
+
+    State discipline at 100 TB: the dedup state keys on two
+    independent 64-bit content hashes (xxhash64 + the md5-derived
+    md5_long), NOT the document text — state stays 16 bytes per
+    distinct document regardless of document size, and a collision
+    would need both hashes to collide simultaneously (~2^-120 per
+    pair). ``dropDuplicatesWithinWatermark`` evicts state older than
+    the watermark, so state is bounded by the distinct-document rate
+    × horizon, not by stream lifetime (the unbounded-state trap of
+    plain ``dropDuplicates`` on a stream).
+
+    Semantics note: batch ``exact_dedup`` picks the MIN-id copy as
+    representative; a stream cannot know a future smaller id, so the
+    representative is the first ARRIVAL (the standard streaming-ingest
+    contract). Late duplicates beyond the horizon re-admit — size the
+    watermark to the pipeline's re-delivery window.
+    """
+    from tsp_spark.pipeline.hashing import md5_long
+
+    return (
+        stream.withColumn("__h1", F.xxhash64(F.col(text_col)))
+        .withColumn("__h2", md5_long(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h1", "__h2"])
+        .drop("__h1", "__h2")
+    )
