@@ -436,3 +436,29 @@ def test_quantile_bottomk_sample_is_uniform_subset(spark):
         assert out[c] in values
     # binomial(128, .5) 5σ ≈ ±0.22
     assert abs(out["q_50"] - 0.5) < 0.25
+
+
+def test_compressibility_signal(spark):
+    import zlib
+
+    from tsp_spark.pipeline.text import compressibility
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 40),  # repetitive
+        (2, "9f8a7b6c5d4e3f2a1b0c" * 2),  # short, near-random
+        (3, ""),  # empty: n_bytes 0 guarded
+        (4, None),  # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compressibility(df, "text", "doc_id").collect()}
+    # exact parity with local zlib (determinism of the pandas_udf path)
+    for doc_id, text in rows:
+        if text is None:
+            assert out[doc_id]["n_compressed"] is None
+            continue
+        want = len(zlib.compress(text.encode("utf-8"), 6))
+        assert out[doc_id]["n_compressed"] == want
+        assert out[doc_id]["n_bytes"] == len(text.encode("utf-8"))
+    # the quality signal itself: repetition compresses far better
+    assert out[1]["ratio_pct"] < 20
+    assert out[2]["ratio_pct"] > 60

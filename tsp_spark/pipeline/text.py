@@ -8,6 +8,7 @@ arithmetic or single divisions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -227,4 +228,49 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     )
     return hashed.select(
         F.col(id_col), simhash_from_hashes(F.col("__sh"), bits).alias("simhash")
+    )
+
+
+def compressibility(
+    df: DataFrame, text_col: str, id_col: str, level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal: (id, n_bytes, n_compressed,
+    ratio_pct) per document — the classic training-data heuristic
+    (near-random text ≈ 100%, boilerplate/repetition ≪ 50%; extreme
+    values in either direction flag low-quality documents for a
+    curation filter).
+
+    zlib is Python-only, so this is the ARROW-BATCHED slow path done
+    right: one vectorized pandas_udf compresses a whole Arrow batch of
+    documents per call (never a per-row Python UDF); everything else
+    (byte length, the percentage) stays JVM-side. Deterministic: zlib
+    at a fixed level is a pure function of the bytes, so re-runs and
+    retried tasks agree (CPython bundles its own zlib — stable across
+    the cluster when executors share the Python build, the same
+    constraint every Pandas UDF already carries).
+
+    100 TB shape: map-only (no shuffle); Arrow transfer is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch; ratio_pct is an
+    integer cross-multiplication so no float drift."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        )
+
+    n_bytes = F.octet_length(F.col(text_col))
+    return df.select(
+        id_col,
+        n_bytes.alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("n_compressed"),
+    ).withColumn(
+        "ratio_pct",
+        (F.col("n_compressed") * 100 / F.greatest(F.col("n_bytes"), F.lit(1)))
+        .cast("int"),
     )
