@@ -888,3 +888,62 @@ def test_streaming_exact_dedup_first_seen_across_batches(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_streaming_neardup_dedup_lsh_index(spark):
+    """streaming_neardup_dedup: MinHash-LSH ingest against a growing
+    signature index. Batch 0 admits d1 (d2 is a batch-local near-dup,
+    min-id wins) and d3 (unique); batch 1 drops d4 (cross-batch
+    near-dup of the INDEXED d1), admits d5, drops d6 (batch-local
+    near-dup of d5). The index never stores text — only signatures
+    and band hashes."""
+    from tsp_spark.pipeline.dedup import streaming_neardup_dedup
+
+    base = "the quick brown fox jumps over one lazy dog while rain falls on warm dusty roads near tall green hills today".split()
+    alt = list(base); alt[-1] = "tonight"          # near-dup of base
+    alt2 = list(base); alt2[0] = "a"               # near-dup of base
+    other = "completely different tokens compose this second document about spark shuffles partitions and broadcast joins at scale".split()
+    uniq = "third subject matter entirely numbers seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty".split()
+    uniq2 = list(uniq); uniq2[-1] = "thirty"       # near-dup of uniq
+
+    b0 = [(1, " ".join(base)), (2, " ".join(alt)), (3, " ".join(other))]
+    b1 = [(4, " ".join(alt2)), (5, " ".join(uniq)), (6, " ".join(uniq2))]
+    schema = "doc_id long, text string"
+    root = tempfile.mkdtemp(prefix="tsp_sndd")
+    src, idx, out, chk = (f"{root}/{d}" for d in ("src", "idx", "out", "chk"))
+    try:
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = streaming_neardup_dedup(
+            stream, "text", "doc_id", index_dir=idx, out_dir=out,
+            checkpoint_dir=chk,
+        )
+        deadline = time.time() + 90
+        admitted: set = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                admitted = {
+                    r["doc_id"]
+                    for r in spark.read.parquet(f"{out}/*").collect()
+                }
+            except Exception:
+                admitted = set()
+            if len(admitted) >= 3:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert admitted == {1, 3, 5}, f"admitted {sorted(admitted)}"
+        # index holds exactly the admitted ids, signatures, band hashes
+        index = spark.read.parquet(f"{idx}/*")
+        assert {r["id"] for r in index.collect()} == {1, 3, 5}
+        row = index.where("id = 1").collect()[0]
+        assert len(row["sig"]) == 32 and len(row["bhashes"]) == 8
+        assert "text" not in index.columns
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

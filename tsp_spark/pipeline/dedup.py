@@ -620,6 +620,68 @@ def minhash_lsh_pairs(
     review-caught). Pre-collapsing exact duplicates
     (exact_duplicates) removes the legitimate source of such groups.
     """
+    with_sig, exploded = _minhash_bands(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed
+    )
+    if max_band_bucket is not None:
+        exploded = _bucket_guard(
+            exploded, ["band", "bhash"], max_band_bucket, "__id",
+            "minhash_lsh_pairs",
+            "Identical-signature groups (exact boilerplate / empty "
+            "docs) make the band join quadratic — collapse exact "
+            "duplicates first (exact_duplicates), or raise "
+            "max_band_bucket deliberately.",
+        )
+
+    a = exploded.select("band", "bhash", F.col("__id").alias("id_a"))
+    b = exploded.select("band", "bhash", F.col("__id").alias("id_b"))
+    # candidate ids first, signatures joined back after the dedup —
+    # shuffling bare (long, long) pairs instead of dragging two
+    # 32-element arrays through the join and dropDuplicates (~2× faster)
+    pair_ids = (
+        a.join(b, on=["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = (
+        pair_ids.join(
+            with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")),
+            on="id_a",
+        )
+        .join(
+            with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")),
+            on="id_b",
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_perm))
+    return cands.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= F.lit(threshold))
+
+
+def _minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash signature + band pipeline. Returns
+    ``(with_sig, exploded)``: the per-doc signature frame
+    (``__id, __sig``) and its banded explosion (``__id, __sig, band,
+    bhash`` — one row per (doc, band)). Used by the batch pair
+    generator (minhash_lsh_pairs) and the streaming ingest dedup
+    (streaming_neardup_dedup), which must hash identically so an index
+    built by either matches the other."""
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         # a plain assert would vanish under python -O, silently leaving
@@ -701,48 +763,11 @@ def minhash_lsh_pairs(
     )
     exploded = with_sig.select(
         "__id", "__sig", F.explode(band_arr).alias("b")
-    ).select("__id", "__sig", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
-    if max_band_bucket is not None:
-        exploded = _bucket_guard(
-            exploded, ["band", "bhash"], max_band_bucket, "__id",
-            "minhash_lsh_pairs",
-            "Identical-signature groups (exact boilerplate / empty "
-            "docs) make the band join quadratic — collapse exact "
-            "duplicates first (exact_duplicates), or raise "
-            "max_band_bucket deliberately.",
-        )
-
-    a = exploded.select("band", "bhash", F.col("__id").alias("id_a"))
-    b = exploded.select("band", "bhash", F.col("__id").alias("id_b"))
-    # candidate ids first, signatures joined back after the dedup —
-    # shuffling bare (long, long) pairs instead of dragging two
-    # 32-element arrays through the join and dropDuplicates (~2× faster)
-    pair_ids = (
-        a.join(b, on=["band", "bhash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    ).select(
+        "__id", "__sig", F.col("b.band").alias("band"),
+        F.col("b.bhash").alias("bhash"),
     )
-    cands = (
-        pair_ids.join(
-            with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")),
-            on="id_a",
-        )
-        .join(
-            with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")),
-            on="id_b",
-        )
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
-    est = agree.cast("double") / F.lit(float(len(perms)))
-    return cands.select(
-        "id_a", "id_b", est.alias("est_jaccard")
-    ).where(F.col("est_jaccard") >= F.lit(threshold))
+    return with_sig, exploded
 
 
 def simhash_pairs(
@@ -866,4 +891,165 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__h1", "__h2"])
         .drop("__h1", "__h2")
+    )
+
+
+def streaming_neardup_dedup(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+):
+    """Streaming NEAR-duplicate ingest dedup: MinHash-LSH each
+    micro-batch against a persistent signature index of everything
+    admitted so far; drop near-dups, admit and index the rest.
+
+    Admission rule (deterministic, order-free within a batch): a doc
+    is admitted iff
+      (a) no band collision with the index verifies at
+          est_jaccard ≥ threshold against an already-admitted doc, and
+      (b) it has no verified batch-local pair with a smaller id
+          (the min-id doc of every batch-local near-dup group wins —
+          same representative rule as the batch dedup_clusters entry).
+    Rule (b) is deliberately conservative on chains (a~b, b~c, a≁c
+    drops both b and c, where one-at-a-time ingest would re-admit c):
+    a deterministic batch-size-independent rule beats order-dependent
+    greedy admission for a distributed ingest, and over-dropping is
+    the safe direction for training-data dedup.
+
+    State/index design for 100 TB: the index holds one row per
+    admitted doc — (id, 32-int signature, 8 band hashes), ~300 B/doc,
+    NOT the text. Each micro-batch (small) is broadcast against the
+    index scan, so the per-trigger cost is one index scan + a
+    broadcast join, never a shuffle of the index; appends are
+    per-batch subdirectories so a replayed foreachBatch OVERWRITES its
+    own output (idempotent exactly-once sink). At real scale the
+    subdirectory layout would be compacted/bucketed by band hash
+    (partition pruning on the probe side) — noted, not needed at test
+    scale.
+
+    Batch/stream parity: signatures and bands come from the SAME
+    `_minhash_bands` pipeline as minhash_lsh_pairs, so an index built
+    offline by the batch engine is directly usable as the stream's
+    starting index.
+    """
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_sig, exploded = _minhash_bands(
+            batch_df.select(F.col(id_col).alias("__id"), text_col),
+            text_col, "__id", num_perm, bands, shingle_k, seed,
+        )
+        sigs = with_sig.localCheckpoint(eager=True)
+        bands_df = exploded.drop("__sig").localCheckpoint(eager=True)
+
+        def verified(pairs: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
+            """band-collision pairs -> est_jaccard-verified pairs"""
+            j = pairs.join(sa, "id_a").join(sb, "id_b")
+            agree = F.size(
+                F.filter(
+                    F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            return j.where(
+                agree.cast("double") / F.lit(float(num_perm))
+                >= F.lit(threshold)
+            )
+
+        sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+        sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
+
+        # (b) batch-local: min-id representative of every verified pair
+        local_pairs = (
+            bands_df.select("band", "bhash", F.col("__id").alias("id_a"))
+            .join(
+                bands_df.select("band", "bhash", F.col("__id").alias("id_b")),
+                ["band", "bhash"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        local_drop = (
+            verified(local_pairs, sa, sb).select(F.col("id_b").alias("__id"))
+        )
+
+        # (a) cross-batch: collide batch bands with the index, verify
+        try:
+            index = spark.read.parquet(f"{index_dir}/*")
+            have_index = True
+        except Exception:  # first batch: no index yet
+            have_index = False
+        if have_index:
+            idx_bands = index.select(
+                F.explode("bhashes").alias("b"), F.col("id").alias("id_a"),
+                F.col("sig").alias("__sa"),
+            ).select(
+                F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"),
+                "id_a", "__sa",
+            )
+            probe = F.broadcast(
+                bands_df.select("band", "bhash", F.col("__id").alias("id_b"))
+            )
+            cross_pairs = (
+                idx_bands.join(probe, ["band", "bhash"])
+                .select("id_a", "id_b", "__sa")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            cross_drop = (
+                cross_pairs.join(sb, "id_b")
+                .where(
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                F.col("__sa"), F.col("__sb"),
+                                lambda x, y: x == y,
+                            ),
+                            lambda v: v,
+                        )
+                    ).cast("double")
+                    / F.lit(float(num_perm))
+                    >= F.lit(threshold)
+                )
+                .select(F.col("id_b").alias("__id"))
+            )
+            drops = local_drop.unionByName(cross_drop).distinct()
+        else:
+            drops = local_drop.distinct()
+
+        admitted = batch_df.join(
+            drops.withColumnRenamed("__id", id_col), id_col, "left_anti"
+        )
+        # idempotent per-batch paths: a replay overwrites its own output
+        admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        new_index = (
+            sigs.join(
+                drops, sigs["__id"] == drops["__id"], "left_anti"
+            )
+            .join(
+                bands_df.groupBy("__id").agg(
+                    F.collect_list(F.struct("band", "bhash")).alias("bhashes")
+                ),
+                "__id",
+            )
+            .select(
+                F.col("__id").alias("id"), F.col("__sig").alias("sig"), "bhashes"
+            )
+        )
+        new_index.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+        sigs.unpersist()
+        bands_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
