@@ -947,3 +947,67 @@ def test_streaming_neardup_dedup_lsh_index(spark):
         assert "text" not in index.columns
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_curation_pipeline_e2e(spark):
+    """The full streaming-ingest curation path in ONE flow:
+    quality filter (stateless expressions) → watermarked exact dedup
+    (streaming_exact_dedup, stateful) → MinHash-LSH near-dup dedup
+    vs the persistent index (streaming_neardup_dedup, foreachBatch
+    sink). Each stage drops its own kind of junk across micro-batch
+    boundaries."""
+    import datetime as dt
+
+    from tsp_spark.pipeline.dedup import (
+        streaming_exact_dedup,
+        streaming_neardup_dedup,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    good = "the quick brown fox jumps over one lazy dog while rain falls on warm dusty roads near tall green hills today".split()
+    near = list(good); near[-1] = "tonight"
+    other = "completely different tokens compose this second document about spark shuffles partitions and broadcast joins at scale".split()
+    b0 = [
+        (1, " ".join(good), t0),
+        (2, "tiny", t0),                          # fails quality (length)
+        (3, " ".join(good), t0),                  # exact dup of 1
+    ]
+    b1 = [
+        (4, " ".join(near), t0 + dt.timedelta(seconds=30)),   # near-dup of 1
+        (5, " ".join(other), t0 + dt.timedelta(seconds=31)),  # unique
+        (6, " ".join(good), t0 + dt.timedelta(seconds=32)),   # cross-batch exact dup
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    root = tempfile.mkdtemp(prefix="tsp_cur8")
+    src, idx, out, chk = (f"{root}/{d}" for d in ("src", "idx", "out", "chk"))
+    try:
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        filtered = stream.where(F.size(F.split(F.col("text"), " ")) >= 10)
+        exact = streaming_exact_dedup(filtered, "text", "ts", "10 minutes")
+        q = streaming_neardup_dedup(
+            exact, "text", "doc_id", index_dir=idx, out_dir=out,
+            checkpoint_dir=chk,
+        )
+        deadline = time.time() + 90
+        admitted: set = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                admitted = {
+                    r["doc_id"] for r in spark.read.parquet(f"{out}/*").collect()
+                }
+            except Exception:
+                admitted = set()
+            if len(admitted) >= 2:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert admitted == {1, 5}, f"admitted {sorted(admitted)}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
