@@ -2065,14 +2065,21 @@ FROM t
 
 def q_dedup_simhash(spark, sf_dir):
     """Banded SimHash near-dup pairs (pipeline/dedup.py simhash_pairs):
-    Hamming ≤ 3 over 32-bit md5-portable fingerprints; candidates from
+    Hamming ≤ 3 over 52-bit md5-portable fingerprints; candidates from
     a (band, band_value) equi-join — the pigeonhole guarantee keeps it
-    exact vs the oracle's brute-force popcount over all pairs."""
+    exact vs the oracle's brute-force popcount over all pairs.
+
+    52 bits (not 32, r8 perf fix): 13-bit band values give 8192
+    distinct keys per band instead of 256, cutting false band
+    collisions ~32× (10.2 s → see BENCH at sf0.1 on the
+    near-identical driver corpus); 52 is the ceiling at which every
+    power-of-two division in the fingerprint pipeline stays IEEE-exact
+    (mantissa-preserving), so both engines remain bit-identical."""
     from tsp_spark.pipeline.dedup import simhash_pairs
 
     return simhash_pairs(
         _load(spark, sf_dir, "documents"), "text", "doc_id",
-        bits=32, bands=4, max_hamming=3,
+        bits=52, bands=4, max_hamming=3,
     )
 
 
@@ -2080,12 +2087,12 @@ ORACLE_DEDUP_SIMHASH = """
 WITH th AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-           t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 4294967296) AS hs
+           t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 4503599627370496) AS hs
   FROM documents
 ),
 sh AS (
   SELECT doc_id,
-         list_sum(list_transform(range(0, 32),
+         list_sum(list_transform(range(0, 52),
            b -> CASE WHEN list_sum(list_transform(hs,
                   h -> CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
                        THEN 1 ELSE -1 END)) > 0
