@@ -205,12 +205,19 @@ def cms_heavy_hitters(
             for i in range(CMS_DEPTH)
         ]
     )
-    counters = (
-        items.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # ONE pass over the raw occurrences (the exact per-item groupBy,
+    # map-side combined); the counters are then the WEIGHTED cell sums
+    # over the distinct-item frame — identical cell values (each
+    # occurrence of an item lands in the same d cells), but the 4-way
+    # explode runs over |distinct items| rows instead of the full
+    # stream — one full-data pass total, and the saving widens with
+    # duplication at scale
     exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    counters = (
+        exact.select("n_exact", F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("n_exact").alias("cnt"))
+    )
     total = exact.agg(F.sum("n_exact").alias("__total"))
     cand = exact.select(
         "item", "n_exact", F.explode(cells).alias("c")
