@@ -1011,3 +1011,64 @@ def test_streaming_curation_pipeline_e2e(spark):
         assert admitted == {1, 5}, f"admitted {sorted(admitted)}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_neardup_dedup_survives_restart(spark):
+    """The signature index and checkpoint survive a query restart: a
+    near-dup arriving AFTER the restart must still collide with a doc
+    admitted BEFORE it — cross-restart dedup state (the index is the
+    state; Structured Streaming's checkpoint only tracks offsets)."""
+    from tsp_spark.pipeline.dedup import streaming_neardup_dedup
+
+    base = "the quick brown fox jumps over one lazy dog while rain falls on warm dusty roads near tall green hills today".split()
+    near = list(base); near[-1] = "tonight"
+    uniq = "third subject matter entirely numbers seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty".split()
+    schema = "doc_id long, text string"
+    root = tempfile.mkdtemp(prefix="tsp_sndd_rs")
+    src, idx, out, chk = (f"{root}/{d}" for d in ("src", "idx", "out", "chk"))
+    try:
+        spark.createDataFrame(
+            [(1, " ".join(base))], schema
+        ).coalesce(1).write.parquet(f"{src}/b0")
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/*")
+            )
+            return streaming_neardup_dedup(
+                stream, "text", "doc_id", index_dir=idx, out_dir=out,
+                checkpoint_dir=chk,
+            )
+
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        assert {
+            r["doc_id"] for r in spark.read.parquet(f"{out}/*").collect()
+        } == {1}
+
+        # second life: a near-dup of doc 1 and one genuinely new doc
+        spark.createDataFrame(
+            [(2, " ".join(near)), (3, " ".join(uniq))], schema
+        ).coalesce(1).write.parquet(f"{src}/b1")
+        q = start()
+        deadline = time.time() + 60
+        admitted: set = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            admitted = {
+                r["doc_id"] for r in spark.read.parquet(f"{out}/*").collect()
+            }
+            if len(admitted) >= 2:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert admitted == {1, 3}, f"admitted {sorted(admitted)}"
+        index_ids = {
+            r["id"] for r in spark.read.parquet(f"{idx}/*").collect()
+        }
+        assert index_ids == {1, 3}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
