@@ -85,3 +85,60 @@ def test_redact_pii_categories(spark):
     assert out[4]["redacted"] == "clean text with number 42 and date 2024-01-01"
     assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (0, 0, 0)
     assert out[5]["redacted"] == "<EMAIL> or <PHONE> at <IP>"
+
+
+def test_pack_sequences_layout_laws_and_duckdb_parity(spark):
+    """pack_sequences: every doc placed exactly once; pack ids dense
+    from 0; start_in_pack < budget; consecutive docs in hash order are
+    token-contiguous across the concatenated stream. Cross-engine:
+    DuckDB computes the identical layout from the same definition."""
+    import duckdb
+
+    from tsp_spark.pipeline.prep import pack_sequences
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 40)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, "text", "doc_id", budget_tokens=64)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 200
+    total = sum(r["n_tokens"] for r in got.values())
+    # laws
+    packs = {r["pack_id"] for r in got.values()}
+    assert packs == set(range((total - 1) // 64 + 1)) or packs == set(
+        range(max(packs) + 1)
+    )
+    for r in got.values():
+        assert 0 <= r["start_in_pack"] < 64
+        assert r["pack_id"] * 64 + r["start_in_pack"] < total
+    # duckdb parity from the same definition
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    oracle = con.execute("""
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM docs
+        ),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM t
+        )
+        SELECT doc_id, n_tokens, start // 64 AS pack_id,
+               start % 64 AS start_in_pack
+        FROM s
+    """).fetchall()
+    for doc_id, n_tokens, pack_id, start_in_pack in oracle:
+        r = got[doc_id]
+        assert (r["n_tokens"], r["pack_id"], r["start_in_pack"]) == (
+            n_tokens, pack_id, start_in_pack
+        ), f"doc {doc_id}"

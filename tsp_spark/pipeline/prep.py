@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -156,4 +156,55 @@ def redact_pii(
         redacted = F.regexp_replace(redacted, pat, rep)
     return df.select(
         F.col(id_col), redacted.alias("redacted"), *counts
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """Sequence packing for training windows: lay the corpus out as
+    one deterministic concatenated token stream and assign each
+    document to the pack (context window) its first token lands in —
+    (id, pack_id, start_in_pack, n_tokens).
+
+    This is the standard concat-then-chunk packing used by training
+    pipelines (a pack is cropped at ``budget_tokens``; the document
+    that straddles a boundary runs past it and is cropped by the
+    consumer, exactly like corpus concatenation before fixed-length
+    example slicing). Document order inside the stream is the
+    md5_long hash of the id — deterministic and uniform, so packs mix
+    sources instead of preserving ingest order, and any engine
+    reproduces the same layout (no reservoir/partition order
+    dependence).
+
+    100 TB shape: one global sort by (hash, id) — the same exchange a
+    repartitionByRange would do — then a running-sum window over the
+    sorted stream. No joins, no data movement of the text itself
+    beyond the sort. For truly unbounded corpora, range-bucket the
+    hash space first and pack per bucket (pack_id offset by bucket);
+    the within-bucket layout is identical.
+    """
+    from tsp_spark.pipeline.hashing import md5_long
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    t = df.select(
+        F.col(id_col),
+        md5_long(F.col(id_col).cast("string")).alias("__h"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("__h", id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # integer DIV, not floor(double /): exact past 2^53 total tokens
+    return t.withColumn("__start", start).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"__start DIV {budget_tokens}").cast("long").alias("pack_id"),
+        F.pmod(F.col("__start"), F.lit(budget_tokens))
+        .cast("long")
+        .alias("start_in_pack"),
     )
