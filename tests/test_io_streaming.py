@@ -1072,3 +1072,60 @@ def test_streaming_neardup_dedup_survives_restart(spark):
         assert index_ids == {1, 3}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    """The HLL sketch's streaming form: a streaming groupBy over the
+    same register expressions maintains the exact registers
+    incrementally (bounded |groups|x256 state, complete-mode sink);
+    the estimate derived from the streamed registers equals the batch
+    sketch exactly — register mergeability IS the streaming story."""
+    from tsp_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    rows = [(f"g{i % 3}", i % 700) for i in range(4000)]
+    schema = "g string, v long"
+    src_dir = tempfile.mkdtemp(prefix="tsp_shll_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_shll_chk")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        half = len(rows) // 2
+        spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        regs_stream = hll_registers(stream, "v", ["g"])
+        q = (
+            regs_stream.writeStream.format("memory")
+            .queryName("hll_regs")
+            .option("checkpointLocation", chk_dir)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        streamed = hll_estimate_from_registers(
+            spark.table("hll_regs"), ["g"]
+        )
+        got = {r["g"]: r for r in streamed.collect()}
+        want = {r["g"]: r for r in hll_distinct(df, "v", ["g"]).collect()}
+        assert got.keys() == want.keys()
+        for g in want:
+            assert (
+                got[g]["v_zero"], got[g]["sum_reg"], got[g]["est_distinct"]
+            ) == (
+                want[g]["v_zero"], want[g]["sum_reg"], want[g]["est_distinct"]
+            ), g
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

@@ -115,6 +115,21 @@ def hll_distinct(
     v_zero = empty buckets (drives the linear-counting branch),
     sum_reg = Σ registers (an exact-integer integrity witness).
     """
+    regs = hll_registers(df, value_col, group_cols)
+    return hll_estimate_from_registers(regs, group_cols)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """The HLL register table (group_cols…, __b, __reg) — the sketch's
+    whole state. max-mergeable, so it is ALSO the streaming form: a
+    streaming groupBy over the same expressions maintains the exact
+    registers incrementally (one stateful agg with |groups|·256
+    bounded state), and ``hll_estimate_from_registers`` derives the
+    estimate from the sink at any time."""
     col = F.col(value_col) if isinstance(value_col, str) else value_col
     h = md5_long(col.cast("string"))
     bucket = F.pmod(h, F.lit(HLL_M))
@@ -125,12 +140,20 @@ def hll_distinct(
     rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
         F.lit(HLL_W + 1) - bitlen
     )
-    regs = (
+    return (
         df.where(col.isNotNull())
         .select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*group_cols, "__b")
         .agg(F.max("__rho").alias("__reg"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Fold a register table into (group_cols…, v_zero, sum_reg,
+    est_distinct) — shared by the batch path and any register sink
+    (streaming state, merged multi-dataset sketches)."""
     # variable-amount shift needs the SQL form (the Python shiftleft
     # binding only takes a literal bit count)
     two_pow = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __reg)")
