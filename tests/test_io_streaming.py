@@ -1129,3 +1129,43 @@ def test_streaming_hll_registers_match_batch(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_streaming_neardup_dedup_replay_is_idempotent(spark):
+    """Crash-replay safety (the r7 carry-bug class, here for the
+    near-dup index): the driver dies AFTER the index write for batch N
+    but BEFORE the offset commit, so batch N replays with its own
+    failed-attempt docs already in the index. The index read must
+    exclude generations with batch >= N or every admitted doc
+    band-matches ITSELF (est=1.0) and is silently dropped on replay."""
+    from tsp_spark.pipeline.dedup import _neardup_process_batch
+
+    base = "the quick brown fox jumps over one lazy dog while rain falls on warm dusty roads near tall green hills today".split()
+    uniq = "third subject matter entirely numbers seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty".split()
+    schema = "doc_id long, text string"
+    root = tempfile.mkdtemp(prefix="tsp_sndd_rp")
+    idx, out = f"{root}/idx", f"{root}/out"
+    cfg = dict(
+        text_col="text", id_col="doc_id", index_dir=idx, out_dir=out,
+        num_perm=32, bands=8, shingle_k=3, threshold=0.5, seed=42,
+    )
+    try:
+        b0 = spark.createDataFrame([(1, " ".join(base))], schema)
+        b1 = spark.createDataFrame([(2, " ".join(uniq))], schema)
+        _neardup_process_batch(spark, b0, 0, **cfg)
+        _neardup_process_batch(spark, b1, 1, **cfg)
+        # crash-replay of batch 1: the index already holds batch=1
+        _neardup_process_batch(spark, b1, 1, **cfg)
+        admitted = {
+            r["doc_id"] for r in spark.read.parquet(f"{out}/*").collect()
+        }
+        assert admitted == {1, 2}, (
+            f"admitted {sorted(admitted)} — replay dropped a doc against "
+            f"its own failed-attempt index entry"
+        )
+        index_ids = sorted(
+            r["id"] for r in spark.read.parquet(f"{idx}/*").collect()
+        )
+        assert index_ids == [1, 2]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

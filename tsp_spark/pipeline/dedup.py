@@ -970,113 +970,149 @@ def streaming_neardup_dedup(
     spark = stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        with_sig, exploded = _minhash_bands(
-            batch_df.select(F.col(id_col).alias("__id"), text_col),
-            text_col, "__id", num_perm, bands, shingle_k, seed,
+        _neardup_process_batch(
+            spark, batch_df, batch_id,
+            text_col=text_col, id_col=id_col, index_dir=index_dir,
+            out_dir=out_dir, num_perm=num_perm, bands=bands,
+            shingle_k=shingle_k, threshold=threshold, seed=seed,
         )
-        sigs = with_sig.localCheckpoint(eager=True)
-        bands_df = exploded.drop("__sig").localCheckpoint(eager=True)
-
-        def verified(pairs: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
-            """band-collision pairs -> est_jaccard-verified pairs"""
-            j = pairs.join(sa, "id_a").join(sb, "id_b")
-            agree = F.size(
-                F.filter(
-                    F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
-                    lambda v: v,
-                )
-            )
-            return j.where(
-                agree.cast("double") / F.lit(float(num_perm))
-                >= F.lit(threshold)
-            )
-
-        sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
-        sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
-
-        # (b) batch-local: min-id representative of every verified pair
-        local_pairs = (
-            bands_df.select("band", "bhash", F.col("__id").alias("id_a"))
-            .join(
-                bands_df.select("band", "bhash", F.col("__id").alias("id_b")),
-                ["band", "bhash"],
-            )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        local_drop = (
-            verified(local_pairs, sa, sb).select(F.col("id_b").alias("__id"))
-        )
-
-        # (a) cross-batch: collide batch bands with the index, verify
-        try:
-            index = spark.read.parquet(f"{index_dir}/*")
-            have_index = True
-        except Exception:  # first batch: no index yet
-            have_index = False
-        if have_index:
-            idx_bands = index.select(
-                F.explode("bhashes").alias("b"), F.col("id").alias("id_a"),
-                F.col("sig").alias("__sa"),
-            ).select(
-                F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"),
-                "id_a", "__sa",
-            )
-            probe = F.broadcast(
-                bands_df.select("band", "bhash", F.col("__id").alias("id_b"))
-            )
-            cross_pairs = (
-                idx_bands.join(probe, ["band", "bhash"])
-                .select("id_a", "id_b", "__sa")
-                .dropDuplicates(["id_a", "id_b"])
-            )
-            cross_drop = (
-                cross_pairs.join(sb, "id_b")
-                .where(
-                    F.size(
-                        F.filter(
-                            F.zip_with(
-                                F.col("__sa"), F.col("__sb"),
-                                lambda x, y: x == y,
-                            ),
-                            lambda v: v,
-                        )
-                    ).cast("double")
-                    / F.lit(float(num_perm))
-                    >= F.lit(threshold)
-                )
-                .select(F.col("id_b").alias("__id"))
-            )
-            drops = local_drop.unionByName(cross_drop).distinct()
-        else:
-            drops = local_drop.distinct()
-
-        admitted = batch_df.join(
-            drops.withColumnRenamed("__id", id_col), id_col, "left_anti"
-        )
-        # idempotent per-batch paths: a replay overwrites its own output
-        admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        new_index = (
-            sigs.join(
-                drops, sigs["__id"] == drops["__id"], "left_anti"
-            )
-            .join(
-                bands_df.groupBy("__id").agg(
-                    F.collect_list(F.struct("band", "bhash")).alias("bhashes")
-                ),
-                "__id",
-            )
-            .select(
-                F.col("__id").alias("id"), F.col("__sig").alias("sig"), "bhashes"
-            )
-        )
-        new_index.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
-        sigs.unpersist()
-        bands_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def _neardup_process_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    out_dir: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    threshold: float,
+    seed: int,
+) -> None:
+    """One micro-batch of streaming_neardup_dedup — module-level so
+    tests can drive crash-replay (same batch_id twice) directly."""
+    with_sig, exploded = _minhash_bands(
+        batch_df.select(F.col(id_col).alias("__id"), text_col),
+        text_col, "__id", num_perm, bands, shingle_k, seed,
+    )
+    sigs = with_sig.localCheckpoint(eager=True)
+    bands_df = exploded.drop("__sig").localCheckpoint(eager=True)
+
+    def verified(pairs: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
+        """band-collision pairs -> est_jaccard-verified pairs"""
+        j = pairs.join(sa, "id_a").join(sb, "id_b")
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        return j.where(
+            agree.cast("double") / F.lit(float(num_perm))
+            >= F.lit(threshold)
+        )
+
+    sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
+
+    # (b) batch-local: min-id representative of every verified pair
+    local_pairs = (
+        bands_df.select("band", "bhash", F.col("__id").alias("id_a"))
+        .join(
+            bands_df.select("band", "bhash", F.col("__id").alias("id_b")),
+            ["band", "bhash"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    local_drop = (
+        verified(local_pairs, sa, sb).select(F.col("id_b").alias("__id"))
+    )
+
+    # (a) cross-batch: collide batch bands with the index, verify.
+    # Read ONLY generations with batch < batch_id: after a crash
+    # between the index write and the offset commit, the replayed
+    # batch would otherwise see its OWN failed-attempt docs in the
+    # index — every admitted doc band-matches itself (est=1.0) and
+    # gets dropped, silently losing data (the same crash-replay
+    # class as the streaming carry bug fixed in streaming/job.py;
+    # pinned by test_streaming_neardup_dedup_replay_is_idempotent).
+    try:
+        index = (
+            spark.read.option("basePath", index_dir)
+            .parquet(f"{index_dir}/*")
+            .where(F.col("batch") < batch_id)
+        )
+        have_index = True
+    except Exception:  # first batch: no index yet
+        have_index = False
+    if have_index:
+        idx_bands = index.select(
+            F.explode("bhashes").alias("b"), F.col("id").alias("id_a"),
+            F.col("sig").alias("__sa"),
+        ).select(
+            F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"),
+            "id_a", "__sa",
+        )
+        probe = F.broadcast(
+            bands_df.select("band", "bhash", F.col("__id").alias("id_b"))
+        )
+        cross_pairs = (
+            idx_bands.join(probe, ["band", "bhash"])
+            .select("id_a", "id_b", "__sa")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cross_drop = (
+            cross_pairs.join(sb, "id_b")
+            .where(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("__sa"), F.col("__sb"),
+                            lambda x, y: x == y,
+                        ),
+                        lambda v: v,
+                    )
+                ).cast("double")
+                / F.lit(float(num_perm))
+                >= F.lit(threshold)
+            )
+            .select(F.col("id_b").alias("__id"))
+        )
+        drops = local_drop.unionByName(cross_drop).distinct()
+    else:
+        drops = local_drop.distinct()
+
+    admitted = batch_df.join(
+        drops.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )
+    # idempotent per-batch paths: a replay overwrites its own output
+    admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+    new_index = (
+        sigs.join(
+            drops, sigs["__id"] == drops["__id"], "left_anti"
+        )
+        .join(
+            bands_df.groupBy("__id").agg(
+                F.collect_list(F.struct("band", "bhash")).alias("bhashes")
+            ),
+            "__id",
+        )
+        .select(
+            F.col("__id").alias("id"), F.col("__sig").alias("sig"), "bhashes"
+        )
+    )
+    new_index.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+    sigs.unpersist()
+    bands_df.unpersist()
