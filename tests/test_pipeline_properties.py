@@ -462,3 +462,24 @@ def test_compressibility_signal(spark):
     # the quality signal itself: repetition compresses far better
     assert out[1]["ratio_pct"] < 20
     assert out[2]["ratio_pct"] > 60
+
+
+def test_hll_register_table_union_merges(spark):
+    # the documented multi-dataset merge path: a plain UNION of two
+    # register tables must estimate like the sketch of the union
+    from tsp_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([("g", i) for i in range(0, 900)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g", i) for i in range(600, 1500)], "g string, v long"
+    )
+    merged = hll_registers(a, "v", ["g"]).unionByName(
+        hll_registers(b, "v", ["g"])
+    )
+    got = hll_estimate_from_registers(merged, ["g"]).collect()[0]
+    want = hll_distinct(a.unionByName(b), "v", ["g"]).collect()[0]
+    assert got == want

@@ -984,6 +984,31 @@ def streaming_neardup_dedup(
     )
 
 
+def _index_generations(spark, index_dir: str, before: int) -> list[str]:
+    """Paths of committed index generations with batch id < ``before``,
+    via a Hadoop-FS listing (works on any scheme the cluster mounts).
+    A missing index root means no generations (the first batch); any
+    other FS error propagates so the streaming batch fails and
+    retries. Accepts an offline-bootstrap generation at ``batch=-1``
+    (what a batch-engine-built starting index should be written as)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch="):
+            try:
+                gen = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if gen < before:
+                out.append(f"{index_dir}/{name}")
+    return sorted(out)
+
+
 def _neardup_process_batch(
     spark,
     batch_df: DataFrame,
@@ -1007,20 +1032,27 @@ def _neardup_process_batch(
     )
     sigs = with_sig.localCheckpoint(eager=True)
     bands_df = exploded.drop("__sig").localCheckpoint(eager=True)
+    # the same degenerate-corpus guard as the batch minhash_lsh_pairs
+    # path this was factored from: a micro-batch flooded with
+    # near-identical templated docs would send a band bucket quadratic
+    # in the self-join below — fail fast with the actionable message
+    # instead (review-caught, r8)
+    bands_df = _bucket_guard(
+        bands_df, ["band", "bhash"], 10_000, "__id",
+        "streaming_neardup_dedup",
+        "Identical-signature groups make the batch-local band join "
+        "quadratic — collapse exact duplicates first "
+        "(streaming_exact_dedup upstream).",
+    )
 
-    def verified(pairs: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
-        """band-collision pairs -> est_jaccard-verified pairs"""
-        j = pairs.join(sa, "id_a").join(sb, "id_b")
+    def _agree_ok(col_a: Column, col_b: Column) -> Column:
+        """est_jaccard(sig_a, sig_b) ≥ threshold — ONE definition for
+        the batch-local and cross-batch drop paths (review-caught:
+        the inline duplicate would let the two paths drift)."""
         agree = F.size(
-            F.filter(
-                F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
-                lambda v: v,
-            )
+            F.filter(F.zip_with(col_a, col_b, lambda x, y: x == y), lambda v: v)
         )
-        return j.where(
-            agree.cast("double") / F.lit(float(num_perm))
-            >= F.lit(threshold)
-        )
+        return agree.cast("double") / F.lit(float(num_perm)) >= F.lit(threshold)
 
     sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
     sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
@@ -1037,7 +1069,9 @@ def _neardup_process_batch(
         .dropDuplicates(["id_a", "id_b"])
     )
     local_drop = (
-        verified(local_pairs, sa, sb).select(F.col("id_b").alias("__id"))
+        local_pairs.join(sa, "id_a").join(sb, "id_b")
+        .where(_agree_ok(F.col("__sa"), F.col("__sb")))
+        .select(F.col("id_b").alias("__id"))
     )
 
     # (a) cross-batch: collide batch bands with the index, verify.
@@ -1048,16 +1082,13 @@ def _neardup_process_batch(
     # gets dropped, silently losing data (the same crash-replay
     # class as the streaming carry bug fixed in streaming/job.py;
     # pinned by test_streaming_neardup_dedup_replay_is_idempotent).
-    try:
-        index = (
-            spark.read.option("basePath", index_dir)
-            .parquet(f"{index_dir}/*")
-            .where(F.col("batch") < batch_id)
-        )
-        have_index = True
-    except Exception:  # first batch: no index yet
-        have_index = False
-    if have_index:
+    # Generations are LISTED explicitly (no blanket try/except around
+    # the read: a transient FS error or corrupt footer must FAIL the
+    # batch so the checkpoint retries it, not silently disable
+    # cross-batch dedup and pollute the corpus — review-caught, r8).
+    gen_paths = _index_generations(spark, index_dir, before=batch_id)
+    if gen_paths:
+        index = spark.read.parquet(*gen_paths)
         idx_bands = index.select(
             F.explode("bhashes").alias("b"), F.col("id").alias("id_a"),
             F.col("sig").alias("__sa"),
@@ -1075,19 +1106,7 @@ def _neardup_process_batch(
         )
         cross_drop = (
             cross_pairs.join(sb, "id_b")
-            .where(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.col("__sa"), F.col("__sb"),
-                            lambda x, y: x == y,
-                        ),
-                        lambda v: v,
-                    )
-                ).cast("double")
-                / F.lit(float(num_perm))
-                >= F.lit(threshold)
-            )
+            .where(_agree_ok(F.col("__sa"), F.col("__sb")))
             .select(F.col("id_b").alias("__id"))
         )
         drops = local_drop.unionByName(cross_drop).distinct()

@@ -189,6 +189,9 @@ def pack_sequences(
     """
     from tsp_spark.pipeline.hashing import md5_long
 
+    if budget_tokens < 1:
+        # DIV 0 would yield NULL pack ids silently (review-caught)
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
     n_tok = F.size(F.split(F.col(text_col), " "))
     t = df.select(
         F.col(id_col),

@@ -153,7 +153,12 @@ def hll_estimate_from_registers(
 ) -> DataFrame:
     """Fold a register table into (group_cols…, v_zero, sum_reg,
     est_distinct) — shared by the batch path and any register sink
-    (streaming state, merged multi-dataset sketches)."""
+    (streaming state, merged multi-dataset sketches). A plain UNION of
+    several register tables is accepted: the max-merge below collapses
+    duplicate (group, bucket) rows first (without it a unioned input
+    would double-count the harmonic sum and drive v_zero negative —
+    review-caught, ≤256 rows/group so the extra agg is free)."""
+    regs = regs.groupBy(*group_cols, "__b").agg(F.max("__reg").alias("__reg"))
     # variable-amount shift needs the SQL form (the Python shiftleft
     # binding only takes a literal bit count)
     two_pow = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __reg)")
@@ -293,16 +298,20 @@ def quantile_bottomk(
     regardless of group size; everything after operates on ≤ k rows
     per group."""
     h = md5_long(F.col(key_col).cast("string"))
-    base = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, F.col(value_col).alias("__v"), h.alias("__h")
-    )
+    # NULL keys are filtered (md5_long(NULL)=NULL sorts NULLS FIRST in
+    # Spark but LAST in DuckDB — the kmv NULL rule, review-caught
+    # here too), and ties on duplicate keys break on the VALUE so the
+    # sample is deterministic, not partition-order-dependent
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(*group_cols, F.col(value_col).alias("__v"), h.alias("__h"))
     w_local = Window.partitionBy(
         *group_cols, F.pmod(F.col("__h"), F.lit(32))
-    ).orderBy("__h")
+    ).orderBy("__h", "__v")
     base = base.withColumn("__lr", F.row_number().over(w_local)).where(
         F.col("__lr") <= k
     )
-    w = Window.partitionBy(*group_cols).orderBy("__h")
+    w = Window.partitionBy(*group_cols).orderBy("__h", "__v")
     sample = base.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
     w_v = Window.partitionBy(*group_cols).orderBy("__v")
     n = Window.partitionBy(*group_cols)

@@ -271,6 +271,5 @@ def compressibility(
         _zlen(F.col(text_col)).alias("n_compressed"),
     ).withColumn(
         "ratio_pct",
-        (F.col("n_compressed") * 100 / F.greatest(F.col("n_bytes"), F.lit(1)))
-        .cast("int"),
+        F.expr("CAST(n_compressed * 100 DIV greatest(n_bytes, 1) AS INT)"),
     )

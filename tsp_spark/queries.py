@@ -928,16 +928,6 @@ FROM q
 """
 
 
-def q_sketch_kmv_distinct(spark, sf_dir):
-    """KMV distinct-count sketch (pipeline/sketches.py): distinct
-    user_id per event_type on the events table, k=64 — exact below k,
-    (k−1)/h_k above, bit-reproducible in DuckDB via md5_long."""
-    from tsp_spark.pipeline.sketches import kmv_distinct
-
-    ev = _load(spark, sf_dir, "events")
-    return kmv_distinct(ev, "user_id", ["event_type"], k=64)
-
-
 def _kmv_oracle(k: int = 64) -> str:
     from tsp_spark.pipeline.hashing import md5_long_sql
 
@@ -957,9 +947,6 @@ SELECT event_type, count(*) AS n_kept,
              4) AS est_distinct
 FROM kept WHERE r <= {k} GROUP BY event_type
 """
-
-
-ORACLE_KMV = _kmv_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1116,11 +1103,11 @@ SELECT 'qbk' AS variant, event_type AS k1, n_sample AS v1, 0::BIGINT AS v2,
 FROM (
   WITH base AS (
     SELECT event_type, value AS v, {h_event} AS h
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
   ),
   samp AS (
     SELECT event_type, v FROM (
-      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS r
       FROM base
     ) WHERE r <= 128
   ),
