@@ -483,3 +483,26 @@ def test_hll_register_table_union_merges(spark):
     got = hll_estimate_from_registers(merged, ["g"]).collect()[0]
     want = hll_distinct(a.unionByName(b), "v", ["g"]).collect()[0]
     assert got == want
+
+
+def test_ivf_index_search_matches_in_memory_and_prunes(spark, tmp_path):
+    """ivf_build_index + ivf_search_index: identical rows to the
+    in-memory ivf_topk on the same corpus/queries, and the physical
+    plan partition-prunes the lists read (dynamic partition pruning on
+    the probe join), so a search touches ~nprobe/n_lists of the index."""
+    from tsp_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+    from tsp_spark.queries import _load
+
+    emb = _load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 10")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx)
+    got = ivf_search_index(spark, idx, queries, k=5, nprobe=2)
+    want = ivf_topk(emb, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "lists read is not partition-pruned"

@@ -207,7 +207,23 @@ def ivf_topk(
     near-tie — keeps the plan oracle-reproducible (and rankings
     deterministic across cluster topologies). Ties break on ids.
     """
-    cent = (
+    cent = _centroid_arrays(corpus, vec_col, label_col)
+    probes = _probe_lists(queries, cent, vec_col, id_col, label_col, nprobe)
+    # corpus norm hoisted pre-join (same hoist as cosine_topk:
+    # bit-identical, O(dims) once per corpus row instead of per pair)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    return _score_probed_lists(c, probes, label_col, k)
+
+
+def _centroid_arrays(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-list centroid as a dim-ordered array (the IVF coarse
+    quantizer): (label_col, __cent). Components rounded to 6 decimals
+    so partial-agg summation order can't flip a near-tie."""
+    return (
         label_centroids(corpus, vec_col, label_col)
         .select(
             label_col, "dim", F.round("centroid_v", 6).alias("cv")
@@ -220,6 +236,18 @@ def ivf_topk(
             ).alias("__cent")
         )
     )
+
+
+def _probe_lists(
+    queries: DataFrame,
+    cent: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Assign each query its nprobe closest centroids:
+    (query_id, __qv, __qn, label_col)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
@@ -231,7 +259,7 @@ def ivf_topk(
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__ps").desc(), F.col(label_col)
     )
-    probes = (
+    return (
         F.broadcast(q)
         .crossJoin(F.broadcast(cent))
         .select("query_id", "__qv", "__qn", label_col, probe_score.alias("__ps"))
@@ -239,13 +267,13 @@ def ivf_topk(
         .where(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", "__qn", label_col)
     )
-    # corpus norm hoisted pre-join (same hoist as cosine_topk:
-    # bit-identical, O(dims) once per corpus row instead of per pair)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col),
-        _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("__cn", _norm(F.col("__cv")))
+
+
+def _score_probed_lists(
+    c: DataFrame, probes: DataFrame, label_col: str, k: int
+) -> DataFrame:
+    """Score the probed lists and keep per-query top-k: the corpus side
+    ``c`` must carry (neighbor_id, label_col, __cv, __cn)."""
     cos = F.round(
         _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")),
         6,
@@ -263,3 +291,51 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> None:
+    """Materialize the IVF index once for repeated serving:
+    ``<index_dir>/centroids`` (tiny) and ``<index_dir>/lists`` — the
+    corpus re-laid-out PARTITIONED BY the list id with the row norm
+    precomputed. Build-once/query-many is the realistic 100 TB ANN
+    shape: the per-query work drops to centroids + the probed list
+    partitions only, and the norm hoist happens once at build time
+    instead of per search."""
+    cent = _centroid_arrays(corpus, vec_col, label_col)
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    lists.write.mode("overwrite").partitionBy(label_col).parquet(
+        f"{index_dir}/lists"
+    )
+
+
+def ivf_search_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index (``ivf_build_index``): identical
+    results to the in-memory ``ivf_topk`` over the same corpus
+    (shared probe/score stages), but the corpus scan touches ONLY the
+    probed list partitions — the broadcast probe join on the
+    partition column triggers dynamic partition pruning, so the read
+    is ~nprobe/n_lists of the index regardless of corpus size."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    probes = _probe_lists(queries, cent, vec_col, id_col, label_col, nprobe)
+    lists = spark.read.parquet(f"{index_dir}/lists")
+    return _score_probed_lists(lists, probes, label_col, k)
