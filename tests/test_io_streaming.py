@@ -1169,3 +1169,53 @@ def test_streaming_neardup_dedup_replay_is_idempotent(spark):
         assert index_ids == [1, 2]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_ann_serving_against_ivf_index(spark):
+    """ANN serving on a query STREAM: each micro-batch of query
+    vectors searches the persisted IVF index (foreachBatch +
+    ivf_search_index) and must return exactly the in-memory ivf_topk
+    answers — the build-once/query-many loop closed end to end."""
+    from tsp_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+    from tsp_spark.queries import _load
+
+    emb = _load(spark, "/root/testdata/sf0.001", "embeddings")
+    root = tempfile.mkdtemp(prefix="tsp_sann")
+    idx, src, chk = f"{root}/idx", f"{root}/src", f"{root}/chk"
+    try:
+        ivf_build_index(emb, idx)
+        q0 = emb.where("vec_id < 5")
+        q1 = emb.where("vec_id >= 5 AND vec_id < 10")
+        q0.coalesce(1).write.parquet(f"{src}/b0")
+        q1.coalesce(1).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        got: list = []
+
+        def serve(batch_df, _bid):
+            got.extend(
+                map(tuple, ivf_search_index(
+                    spark, idx, batch_df, k=5, nprobe=2
+                ).collect())
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        want = sorted(
+            map(tuple, ivf_topk(emb, emb.where("vec_id < 10"), k=5, nprobe=2).collect())
+        )
+        assert sorted(got) == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
