@@ -282,13 +282,17 @@ def sf1_oracle_gate(spark):
                     f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
                 )
             cons[d] = con
+        # staged so a failure reports WHICH side died (a DuckDB oracle
+        # error after Spark materialized must not report rows=None and
+        # point diagnosis at the engine — review-caught, r8)
+        spark_pdf = None
         try:
             spark_pdf = QUERIES[name](spark, d).toPandas()
             oracle_pdf = con.execute(ORACLES[name]).df()
             problems = compare(name, spark_pdf, oracle_pdf)
         except Exception as e:  # noqa: BLE001
-            problems = [f"error: {e}"]
-            spark_pdf = None
+            side = "spark" if spark_pdf is None else "oracle/compare"
+            problems = [f"{side} error: {e}"]
         out[name] = {
             "scale": label,
             "rows": None if spark_pdf is None else len(spark_pdf),
@@ -301,6 +305,8 @@ def sf1_oracle_gate(spark):
             f" ({out[name]['rows']} rows)",
             file=sys.stderr,
         )
+    for con in cons.values():
+        con.close()
     return out
 
 

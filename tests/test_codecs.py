@@ -910,3 +910,18 @@ def test_mp2_multimodal_audio_path():
     want = mfcc_like(decode_mp2(buf)[1], sr)
     assert np.allclose(got_mfcc, want)
     assert got_mfcc != _fake_decode_audio(buf)[2]
+
+
+def test_mp2_overallocating_frame_degrades_not_crashes():
+    """Hostile Layer II frame: the header passes the frame-length
+    check but the 4-bit allocation codes demand more bits than the
+    96-byte frame holds. Must raise UnsupportedMediaError (the
+    multimodal fallback contract), never IndexError (which would kill
+    the Spark task)."""
+    import pytest
+
+    from tsp_spark.pipeline.codecs import UnsupportedMediaError, decode_mp2
+
+    payload = bytes([0xFF, 0xFD, 0x14, 0xC0]) + b"\xFF" * 92
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp2(payload)

@@ -1219,3 +1219,73 @@ def test_streaming_ann_serving_against_ivf_index(spark):
         assert sorted(got) == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_null_keyed_series_matches_batch(spark):
+    """A NULL-valued partition key is one series in batch mode (groupBy
+    keeps a NULL group); the streaming carry path must treat it the
+    same. Regression (r8 review): plain `on=keys` semi/anti joins never
+    match NULL, so the NULL series' carry was always classified
+    untouched and its cross-batch incident silently vanished."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # NULL-keyed qualifying run spans the two micro-batches: 20s of
+    # value>150 split at the 10s mark
+    for i in range(20):
+        rows.append((None, t0 + dt.timedelta(seconds=i), 200.0, "x"))
+    # a normal key so the batch has non-NULL traffic too
+    for i in range(20):
+        rows.append((7, t0 + dt.timedelta(seconds=i), 200.0, "x"))
+    schema = "user_id long, ts timestamp, value double, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    patterns = [RawPattern(1, "value > 150 for 10 sec")]
+    fields = {"user_id": "int64", "value": "float64", "event_type": "string"}
+    batch = {
+        (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(
+            df, patterns, ["user_id"], "ts", fields_types=fields
+        ).collect()
+    }
+    assert any(k[1] is None for k in batch), "no NULL-keyed batch incident"
+
+    src_dir = tempfile.mkdtemp(prefix="tsp_nullkey_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_nullkey_chk")
+    try:
+        cut = t0 + dt.timedelta(seconds=10)
+        df.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        df.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        got: set = set()
+        job = StreamingPatternJob(patterns, ["user_id"], "ts", fields_types=fields)
+        q = incidents_stream(
+            stream,
+            job,
+            sink=lambda d, _bid: got.update(
+                (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+                for r in d.collect()
+            ),
+            checkpoint_dir=chk_dir,
+            trigger_seconds=0.5,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if batch <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        missing = batch - got
+        assert not missing, f"streaming missed: {sorted(missing, key=str)[:5]}"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

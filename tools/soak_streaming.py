@@ -219,18 +219,36 @@ def main() -> int:
     ap.add_argument("--users", type=int, default=100)
     ap.add_argument("--crashes", default="7,16")
     ap.add_argument("--graceful", type=int, default=12)
+    ap.add_argument(
+        "--mode", choices=("carry", "stateful"), default="carry",
+        help="carry = foreachBatch carry-buffer mode; stateful = the "
+        "incremental applyInPandasWithState kernel (the SCALE.md "
+        "274k rows/s soak)",
+    )
     args = ap.parse_args()
 
     from tsp_spark.session import get_spark
 
     spark = get_spark("tsp_soak")
     spark.sparkContext.setLogLevel("ERROR")
+    crash = tuple(int(x) for x in args.crashes.split(",") if x)
+    if args.mode == "stateful":
+        res = run_soak_stateful(
+            spark,
+            rows=args.rows,
+            drops=args.drops,
+            users=args.users,
+            crash_batches=crash,
+            graceful_after=args.graceful,
+        )
+        print(json.dumps(res, default=str, indent=2))
+        return 0 if res["exact_match"] else 1
     res = run_soak(
         spark,
         rows=args.rows,
         drops=args.drops,
         users=args.users,
-        crash_batches=tuple(int(x) for x in args.crashes.split(",") if x),
+        crash_batches=crash,
         graceful_stop=args.graceful,
     )
     curve = res.pop("carry_curve")
@@ -239,10 +257,6 @@ def main() -> int:
     for c in curve:
         print(f"  {c['batch']:4d}  {c['carry_rows']:8d}  {c['carry_bytes']:10d}")
     return 0 if res["exact_match"] else 1
-
-
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def run_soak_stateful(
@@ -399,3 +413,7 @@ def run_soak_stateful(
     finally:
         if own_tmp:
             shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,17 +41,24 @@ def _utc_fmt(col: Column) -> Column:
     SSS field. All JVM-side expressions — no UDF."""
     us = F.unix_micros(col)
     day_us = F.lit(86_400_000_000)
-    days = F.floor(us / day_us)
-    ms = F.floor((us - days * day_us) / F.lit(1000))
+    # ALL-INTEGER division (SQL div), never floor(double /): a double
+    # quotient loses low bits for |us| > 2^53 (~±year 2255/1685), which
+    # could flip the day at a midnight boundary and drive the remainder
+    # negative (review-caught, r8). pmod keeps the remainder
+    # non-negative for pre-1970 instants; us − pmod is exactly
+    # divisible, so div is exact at any range.
+    us_mod = F.pmod(us, day_us)
+    days = F.call_function("div", us - us_mod, day_us)
+    ms = F.call_function("div", us_mod, F.lit(1000))
     d = F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int"))
     return F.format_string(
         "%04d-%02d-%02d %02d:%02d:%02d.%03d",
         F.year(d),
         F.month(d),
         F.dayofmonth(d),
-        F.floor(ms / F.lit(3_600_000)),
-        F.floor(ms / F.lit(60_000)) % 60,
-        F.floor(ms / F.lit(1_000)) % 60,
+        F.call_function("div", ms, F.lit(3_600_000)),
+        F.call_function("div", ms, F.lit(60_000)) % 60,
+        F.call_function("div", ms, F.lit(1_000)) % 60,
         ms % 1000,
     )
 

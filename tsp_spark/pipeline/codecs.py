@@ -700,11 +700,21 @@ def _l2_requant_consts(n: int) -> tuple[int, float, float]:
 
 
 class _BitReader:
-    def __init__(self, buf: bytes, pos_bits: int = 0):
+    def __init__(self, buf: bytes, pos_bits: int = 0, end_bits: int | None = None):
         self.buf = buf
         self.pos = pos_bits
+        # hostile-payload bound: a frame whose allocation codes demand
+        # more bits than the frame holds must degrade to the declared
+        # UnsupportedMediaError (caught by the multimodal fallback),
+        # not escape as IndexError and kill the Spark task
+        self.end = len(buf) * 8 if end_bits is None else min(end_bits, len(buf) * 8)
 
     def read(self, n: int) -> int:
+        if self.pos + n > self.end:
+            raise UnsupportedMediaError(
+                "bitstream exhausted: frame body shorter than its "
+                "allocation codes demand (truncated/hostile frame)"
+            )
         v = 0
         for _ in range(n):
             byte = self.buf[self.pos >> 3]
@@ -859,7 +869,11 @@ def decode_mp2(payload: bytes) -> tuple[int, np.ndarray]:
         sr_out = sr
         table = _l2_alloc_table(sr, bitrate // 1000 // nch)
         sblimit = len(table)
-        body = _BitReader(payload, (pos + 4 + (2 if protection else 0)) * 8)
+        body = _BitReader(
+            payload,
+            (pos + 4 + (2 if protection else 0)) * 8,
+            end_bits=(pos + frame_len) * 8,
+        )
         # 1. allocation codes, per subband per channel
         alloc = [[0] * nch for _ in range(sblimit)]
         for sb in range(sblimit):

@@ -168,6 +168,14 @@ def jaccard_pairs(
     if strategy not in ("prefix", "allpairs"):
         raise ValueError(f"strategy must be 'prefix' or 'allpairs', got {strategy!r}")
     if strategy == "prefix":
+        if length_bands:
+            # silently ignoring an explicit tuning request is worse
+            # than failing (review-caught): the flag only shapes the
+            # allpairs join
+            raise ValueError(
+                "length_bands=True applies only to strategy='allpairs' "
+                "(the prefix strategy prunes by the same theorem already)"
+            )
         return _jaccard_pairs_prefix(
             df, text_col, id_col, bucket_cols, threshold, max_bucket_size
         )
@@ -796,6 +804,11 @@ def simhash_pairs(
     protects against the degenerate quadratic case."""
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    if bits > 60:
+        # md5_long supplies 60 hash bits; higher widths would silently
+        # zero-fill the top bits (every doc agreeing there — recall
+        # unharmed but the fingerprints would lie about their width)
+        raise ValueError(f"bits ({bits}) must be <= 60 (md5_long width)")
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}) or the "

@@ -44,6 +44,7 @@ plan, whole-stage codegen, no Python state server in the hot path).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
@@ -159,10 +160,22 @@ def incidents_stream(
             to_unpersist.append(batch_df)
             # evaluate only keys with new rows: an untouched key's
             # carry is unchanged, so re-running it would re-emit the
-            # identical incidents every trigger forever (review-caught)
-            batch_keys = batch_df.select(*keys).distinct()
-            touched = carry.join(batch_keys, on=keys, how="left_semi")
-            untouched = carry.join(batch_keys, on=keys, how="left_anti")
+            # identical incidents every trigger forever (review-caught).
+            # NULL-SAFE key equality: a plain `on=keys` join never
+            # matches NULL key values, so a NULL-keyed series' carry
+            # would be classified untouched forever while its new rows
+            # evaluate without their prefix — silently missing
+            # incidents (batch mode groups NULL keys as one group;
+            # review-caught r8)
+            batch_keys = batch_df.select(
+                *[F.col(k).alias(f"__bk_{k}") for k in keys]
+            ).distinct()
+            null_safe = functools.reduce(
+                lambda a, b: a & b,
+                [carry[k].eqNullSafe(batch_keys[f"__bk_{k}"]) for k in keys],
+            )
+            touched = carry.join(batch_keys, null_safe, "left_semi")
+            untouched = carry.join(batch_keys, null_safe, "left_anti")
             df = touched.unionByName(batch_df)
         else:
             df = batch_df

@@ -1262,15 +1262,18 @@ def fork_pending_batch(prog, objs, ms_arr, df, gaps):
     code_of = {v: i for i, v in enumerate(CV)}
     n = len(ms_arr)
     parts: list = []
-    row_dicts = None
     head_budget = 4096
 
     def feed_row(j: int) -> None:
-        nonlocal row_dicts
-        if row_dicts is None:
-            row_dicts = df.to_dict("records")
+        # ONE row via the same pandas conversion path as
+        # to_dict("records") (native ints, floats stay floats): the
+        # per-row feed touches only the undecided head/tail (~tens of
+        # rows), so materializing the WHOLE batch as dicts here paid
+        # O(batch × columns) boxing every batch for a handful of rows
+        # (review-caught, r8)
         vals = prog.feed(
-            objs, int(ms_arr[j]), row_dicts[j], bool(gaps[j])
+            objs, int(ms_arr[j]), df.iloc[[j]].to_dict("records")[0],
+            bool(gaps[j]),
         )
         if vals:
             parts.append(
