@@ -192,7 +192,18 @@ def simhash_col(text_col: str, bits: int = 16) -> Column:
 
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash from a precomputed (projected) low-bits token-hash
-    array — see ``simhash_col``."""
+    array — see ``simhash_col``.
+
+    Lambda-based (interpreted HOFs) with double-division bit tests:
+    right for the small widths the fingerprint queries use, exact
+    ONLY to 52 bits (mantissa), and O(bits·tokens) interpreted calls.
+    simhash_pairs uses its own codegen explode path instead — reach
+    for that shape if a caller ever needs this at scale."""
+    if bits > 52:
+        raise ValueError(
+            f"bits ({bits}) > 52: the double-division bit test loses "
+            f"mantissa bits — use the codegen path (simhash_pairs)"
+        )
 
     def bit_of(h: Column, b: Column) -> Column:
         return F.pmod(F.floor(h / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
