@@ -506,3 +506,38 @@ def test_ivf_index_search_matches_in_memory_and_prunes(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, "lists read is not partition-pruned"
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from tsp_spark.pipeline.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    # chains of near-dups: {0,1,2}, {10,11}, {20,21,22,23}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 500
+    # every cluster in exactly one split
+    for cluster in ({0, 1, 2}, {10, 11}, {20, 21, 22, 23}):
+        splits = {rows[d]["split"] for d in cluster}
+        cids = {rows[d]["cluster_id"] for d in cluster}
+        assert len(splits) == 1 and len(cids) == 1, cluster
+    # all three splits materialize and proportions are sane
+    counts: dict = {}
+    for r in rows.values():
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 <= counts["train"] / 500 <= 0.9
+    # deterministic under re-run
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert again == {k: v["split"] for k, v in rows.items()}

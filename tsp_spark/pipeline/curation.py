@@ -179,3 +179,37 @@ def quantize_embeddings(
         qsum.alias("q_checksum"),
         F.round(err, 6).alias("l2_err"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "s0",
+) -> DataFrame:
+    """Train/val/test assignment where every NEAR-DUP CLUSTER lands in
+    ONE split: (id_col, cluster_id, split). Splitting documents
+    independently leaks training data into the eval split whenever two
+    near-copies straddle the boundary — the classic benchmark
+    contamination path a per-doc hash split cannot prevent. Here the
+    split hash keys on the CLUSTER id (connected components over the
+    caller's near-dup ``pairs``), so near-copies move together by
+    construction.
+
+    Same deterministic machinery as its parts: ``neardup_clusters``
+    (O(log n) star-contraction rounds) then the ``split_assign``
+    cumulative hash buckets on cluster_id — engine-reproducible and
+    stable under re-runs. Singleton documents are their own cluster,
+    so corpora with few near-dups degrade to the plain per-doc split.
+    """
+    from tsp_spark.pipeline.dedup import neardup_clusters
+
+    clusters = neardup_clusters(docs, pairs, id_col)
+    assigned = split_assign(
+        clusters.select(F.col("cluster_id").alias("__cid")).distinct(),
+        "__cid", fractions, seed=seed,
+    )
+    return clusters.join(
+        assigned, clusters["cluster_id"] == assigned["__cid"]
+    ).select(id_col, "cluster_id", "split")
