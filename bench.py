@@ -266,6 +266,10 @@ def sf1_oracle_gate(spark):
         # at sf1 vs ~16 s at sf0.1 (pure oracle scan cost) — the sf1
         # TIMING rehearsal above still runs ann at sf1
         ("ann_topk", d01, "sf0.1-gen"),
+        # the sketch family value-checked at 10×: the sketches' whole
+        # point is bounded state at scale, so the estimates must stay
+        # bit-reproducible when the inputs grow
+        ("sketch_fold", d1, "sf1"),
     ]
     cons = {}
     out = {}
