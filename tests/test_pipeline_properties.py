@@ -541,3 +541,56 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         ).collect()
     }
     assert again == {k: v["split"] for k, v in rows.items()}
+
+
+def test_ivf_index_torn_generation_ignored_and_string_labels(spark, tmp_path):
+    """(a) An uncommitted (torn) generation is invisible: a build that
+    died between the lists and marker writes must not be served —
+    searches keep answering from the last COMMITTED generation.
+    (b) String labels that parse numerically ('07' vs '7') stay
+    distinct lists — the partition key is an encoded string, so the
+    directory-name type inference can't collapse them."""
+    from pyspark.sql import functions as F
+
+    from tsp_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+
+    rows = [
+        (1, "7", [1.0, 0.0]), (2, "7", [0.9, 0.1]),
+        (3, "07", [0.0, 1.0]), (4, "07", [0.1, 0.9]),
+        (5, "x", [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    gen = ivf_build_index(df, idx)
+    assert gen == 0
+    queries = df.where("vec_id in (1, 3)")
+    got = sorted(map(tuple, ivf_search_index(
+        spark, idx, queries, k=2, nprobe=1
+    ).collect()))
+    want = sorted(map(tuple, ivf_topk(df, queries, k=2, nprobe=1).collect()))
+    assert got == want
+    # '7' and '07' are separate lists: query 1 (nprobe=1) must only
+    # see label-'7' corpus rows
+    n7 = {t[1] for t in got if t[0] == 1}
+    assert n7 == {2}, n7
+    # torn generation: lists written, NO marker — must be ignored
+    df.limit(1).select(
+        F.col("vec_id").alias("neighbor_id"), "label",
+        F.col("embedding").alias("__cv"), F.lit(1.0).alias("__cn"),
+        F.lit("lXXX").alias("__list"),
+    ).write.partitionBy("__list").parquet(f"{idx}/gen=1/lists")
+    got2 = sorted(map(tuple, ivf_search_index(
+        spark, idx, queries, k=2, nprobe=1
+    ).collect()))
+    assert got2 == got
+    # a committed rebuild IS picked up — and it RECLAIMS the torn
+    # gen=1 slot (generation numbering counts committed gens only)
+    assert ivf_build_index(df, idx) == 1
+    got3 = sorted(map(tuple, ivf_search_index(
+        spark, idx, queries, k=2, nprobe=1
+    ).collect()))
+    assert got3 == got

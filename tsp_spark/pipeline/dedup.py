@@ -946,6 +946,7 @@ def streaming_neardup_dedup(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_band_bucket: int | None = 10_000,
 ):
     """Streaming NEAR-duplicate ingest dedup: MinHash-LSH each
     micro-batch against a persistent signature index of everything
@@ -988,6 +989,7 @@ def streaming_neardup_dedup(
             text_col=text_col, id_col=id_col, index_dir=index_dir,
             out_dir=out_dir, num_perm=num_perm, bands=bands,
             shingle_k=shingle_k, threshold=threshold, seed=seed,
+            max_band_bucket=max_band_bucket,
         )
 
     return (
@@ -1036,6 +1038,7 @@ def _neardup_process_batch(
     shingle_k: int,
     threshold: float,
     seed: int,
+    max_band_bucket: int | None = 10_000,
 ) -> None:
     """One micro-batch of streaming_neardup_dedup — module-level so
     tests can drive crash-replay (same batch_id twice) directly."""
@@ -1050,13 +1053,20 @@ def _neardup_process_batch(
     # near-identical templated docs would send a band bucket quadratic
     # in the self-join below — fail fast with the actionable message
     # instead (review-caught, r8)
-    bands_df = _bucket_guard(
-        bands_df, ["band", "bhash"], 10_000, "__id",
-        "streaming_neardup_dedup",
-        "Identical-signature groups make the batch-local band join "
-        "quadratic — collapse exact duplicates first "
-        "(streaming_exact_dedup upstream).",
-    )
+    if max_band_bucket is not None:
+        # opt-out matters MORE here than in batch (review-caught): a
+        # deterministic guard failure replays forever on the same
+        # micro-batch — the stream is stuck until the operator is
+        # restarted with a higher limit or None
+        bands_df = _bucket_guard(
+            bands_df, ["band", "bhash"], max_band_bucket, "__id",
+            "streaming_neardup_dedup",
+            "Identical-signature groups make the batch-local band join "
+            "quadratic — collapse exact duplicates first "
+            "(streaming_exact_dedup upstream), or restart the query "
+            "with a higher max_band_bucket / None to let this batch "
+            "through.",
+        )
 
     def _agree_ok(col_a: Column, col_b: Column) -> Column:
         """est_jaccard(sig_a, sig_b) ≥ threshold — ONE definition for
@@ -1146,5 +1156,8 @@ def _neardup_process_batch(
         )
     )
     new_index.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
-    sigs.unpersist()
-    bands_df.unpersist()
+    # no explicit unpersist: Dataset.unpersist() does not free
+    # localCheckpoint RDD blocks (verified — only the ContextCleaner
+    # frees them once the RDD is GC'd), and after the guard rebinding
+    # it would not even reference the checkpointed frames; dropping
+    # the Python references here is what actually schedules cleanup

@@ -192,7 +192,12 @@ def pack_sequences(
     if budget_tokens < 1:
         # DIV 0 would yield NULL pack ids silently (review-caught)
         raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    # NULL text = zero tokens, zero-width placement at its stream
+    # position (review-caught: size(split(NULL)) is NULL, which would
+    # leak NULL n_tokens/pack_id rows and skip the running sum)
+    n_tok = F.coalesce(
+        F.size(F.split(F.col(text_col), " ")), F.lit(0)
+    )
     t = df.select(
         F.col(id_col),
         md5_long(F.col(id_col).cast("string")).alias("__h"),

@@ -293,30 +293,79 @@ def _score_probed_lists(
     )
 
 
+def _list_key(label: Column) -> Column:
+    """Partition-directory key for a list: ``l`` + 15-hex md5 of the
+    label's exact string form. Partition VALUES round-trip through
+    directory names with type inference — a string label '7' reads
+    back as an int and '07'/'7' collapse into one list (review-caught)
+    — so the partition key is a never-numeric, collision-free encoding
+    and the REAL label rides inside the data files untouched."""
+    return F.concat(F.lit("l"), F.substring(F.md5(label.cast("string")), 1, 15))
+
+
+def _ivf_generations(spark, index_dir: str) -> list[int]:
+    """COMMITTED generation numbers under index_dir (marker-gated)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    gens = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("gen="):
+            try:
+                n = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{name}/_COMMITTED")
+            ):
+                gens.append(n)
+    return sorted(gens)
+
+
 def ivf_build_index(
     corpus: DataFrame,
     index_dir: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
-) -> None:
-    """Materialize the IVF index once for repeated serving:
-    ``<index_dir>/centroids`` (tiny) and ``<index_dir>/lists`` — the
-    corpus re-laid-out PARTITIONED BY the list id with the row norm
-    precomputed. Build-once/query-many is the realistic 100 TB ANN
-    shape: the per-query work drops to centroids + the probed list
-    partitions only, and the norm hoist happens once at build time
-    instead of per search."""
-    cent = _centroid_arrays(corpus, vec_col, label_col)
-    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+) -> int:
+    """Materialize the IVF index once for repeated serving: a NEW
+    generation ``<index_dir>/gen=<n>/`` holding ``lists`` (the corpus
+    re-laid-out PARTITIONED BY the encoded list key with the row norm
+    precomputed) and ``centroids`` (tiny), committed by a marker file
+    written LAST — readers only ever see whole generations, so a
+    failed or concurrent rebuild can never serve new centroids against
+    old lists (torn index, review-caught). Build-once/query-many is
+    the realistic 100 TB ANN shape: the per-query work drops to
+    centroids + the probed list partitions only. Returns the committed
+    generation number."""
+    spark = corpus.sparkSession
+    gens = _ivf_generations(spark, index_dir)
+    n = (gens[-1] + 1) if gens else 0
+    gen_dir = f"{index_dir}/gen={n}"
     lists = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col),
         _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("__cn", _norm(F.col("__cv")))
-    lists.write.mode("overwrite").partitionBy(label_col).parquet(
-        f"{index_dir}/lists"
+    ).withColumn("__cn", _norm(F.col("__cv"))).withColumn(
+        "__list", _list_key(F.col(label_col))
     )
+    lists.write.mode("overwrite").partitionBy("__list").parquet(
+        f"{gen_dir}/lists"
+    )
+    cent = _centroid_arrays(corpus, vec_col, label_col)
+    cent.write.mode("overwrite").parquet(f"{gen_dir}/centroids")
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(gen_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/_COMMITTED"), True
+    ).close()
+    return n
 
 
 def ivf_search_index(
@@ -329,13 +378,24 @@ def ivf_search_index(
     k: int = 5,
     nprobe: int = 2,
 ) -> DataFrame:
-    """Search a persisted IVF index (``ivf_build_index``): identical
-    results to the in-memory ``ivf_topk`` over the same corpus
-    (shared probe/score stages), but the corpus scan touches ONLY the
-    probed list partitions — the broadcast probe join on the
-    partition column triggers dynamic partition pruning, so the read
-    is ~nprobe/n_lists of the index regardless of corpus size."""
-    cent = spark.read.parquet(f"{index_dir}/centroids")
-    probes = _probe_lists(queries, cent, vec_col, id_col, label_col, nprobe)
-    lists = spark.read.parquet(f"{index_dir}/lists")
-    return _score_probed_lists(lists, probes, label_col, k)
+    """Search the newest COMMITTED generation of a persisted IVF index
+    (``ivf_build_index``): identical results to the in-memory
+    ``ivf_topk`` over the same corpus (shared probe/score stages), but
+    the corpus scan touches ONLY the probed list partitions — the
+    broadcast probe join on the encoded partition key triggers dynamic
+    partition pruning, so the read is ~nprobe/n_lists of the index
+    regardless of corpus size. NULL labels never match a probe — the
+    same contract as the in-memory join."""
+    gens = _ivf_generations(spark, index_dir)
+    if not gens:
+        raise FileNotFoundError(
+            f"no committed IVF index generation under {index_dir} "
+            f"(run ivf_build_index first)"
+        )
+    gen_dir = f"{index_dir}/gen={gens[-1]}"
+    cent = spark.read.parquet(f"{gen_dir}/centroids")
+    probes = _probe_lists(
+        queries, cent, vec_col, id_col, label_col, nprobe
+    ).withColumn("__list", _list_key(F.col(label_col)))
+    lists = spark.read.parquet(f"{gen_dir}/lists")
+    return _score_probed_lists(lists, probes.drop(label_col), "__list", k)
