@@ -594,3 +594,41 @@ def test_ivf_index_torn_generation_ignored_and_string_labels(spark, tmp_path):
         spark, idx, queries, k=2, nprobe=1
     ).collect()))
     assert got3 == got
+
+
+def test_stratified_sample_rates_and_monotonicity(spark):
+    from tsp_spark.pipeline.curation import stratified_sample
+
+    rows = [(i, "crawl" if i % 2 else "curated") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(
+        df, "doc_id", "source", {"crawl": 0.1, "curated": 1.0}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["curated"] == 2000          # rate 1.0 keeps all
+    assert 120 <= counts["crawl"] <= 280       # ~10% of 2000, 5 sigma
+    # unknown stratum honors default_rate
+    extra = spark.createDataFrame([(99999, "other")], "doc_id long, source string")
+    assert stratified_sample(
+        extra, "doc_id", "source", {"crawl": 0.1}
+    ).count() == 0
+    assert stratified_sample(
+        extra, "doc_id", "source", {"crawl": 0.1}, default_rate=1.0
+    ).count() == 1
+    # nested-sample monotonicity: the 10% crawl sample is a subset of
+    # the 30% crawl sample (same seed, same bucket function)
+    lo = {
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", "source", {"crawl": 0.1}).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", "source", {"crawl": 0.3}).collect()
+    }
+    assert lo <= hi
+    # bad rates fail loudly
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "source", {"crawl": 1.5})

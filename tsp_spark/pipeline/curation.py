@@ -213,3 +213,31 @@ def leakage_safe_split(
     return clusters.join(
         assigned, clusters["cluster_id"] == assigned["__cid"]
     ).select(id_col, "cluster_id", "split")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "sample-s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its salted
+    id-hash bucket falls under ITS STRATUM's rate — the standard
+    rebalancing move for skewed training mixes (e.g. downsample crawl
+    to 10%, keep 100% of curated sources). Strata missing from
+    ``rates`` fall back to ``default_rate``. Map-only and
+    engine-reproducible like ``hash_sample`` (same bucket function, so
+    a row kept at 10% is also kept at any higher rate — nested-sample
+    monotonicity per stratum)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate = F.lit(default_rate)
+    for s, r in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(s), F.lit(r)).otherwise(rate)
+    cut = F.round(rate * SAMPLE_BUCKETS).cast("int")
+    return df.where(_bucket(id_col, seed) < cut)
