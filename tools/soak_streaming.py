@@ -149,7 +149,9 @@ def run_soak(
         restarts = 0
         graceful_done = graceful_stop is None
         q = mk_query()
-        deadline = time.time() + 1800
+        deadline = time.time() + 600
+        idle = 0
+        last_n_curve = -1
         while time.time() < deadline:
             time.sleep(0.3)
             if q.exception() is not None:
@@ -159,6 +161,7 @@ def run_soak(
                 # the SAME batch id)
                 q.stop()
                 restarts += 1
+                idle = 0
                 q = mk_query()
                 continue
             lastb = carry_curve[-1]["batch"] if carry_curve else -1
@@ -166,10 +169,25 @@ def run_soak(
                 q.stop()  # plain mid-soak driver restart (no crash)
                 graceful_done = True
                 restarts += 1
+                idle = 0
                 q = mk_query()
                 continue
             if not crash_left and graceful_done and lastb >= drops - 1:
                 q.processAllAvailable()  # drain the tail
+                break
+            # secondary exit: the batch-id fast path above can stall on
+            # rare file-listing races; once the crashes and the
+            # graceful restart are done and the query has been idle
+            # (no new carry generations) for ~15 s, drain and let the
+            # downstream exact-match assertion be the judge instead of
+            # spinning to the wall deadline
+            n_curve = len(carry_curve)
+            idle = idle + 1 if (not crash_left and graceful_done) else 0
+            if n_curve != last_n_curve:
+                last_n_curve = n_curve
+                idle = 0
+            if idle >= 50:
+                q.processAllAvailable()
                 break
         q.stop()
         elapsed = time.perf_counter() - t0
@@ -359,7 +377,7 @@ def run_soak_stateful(
         restarts = 0
         graceful_done = False
         q = mk_query()
-        deadline = time.time() + 1800
+        deadline = time.time() + 600
         while time.time() < deadline:
             try:
                 q.processAllAvailable()
