@@ -1289,3 +1289,58 @@ def test_streaming_null_keyed_series_matches_batch(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_state_survives_restart(spark):
+    """dropDuplicatesWithinWatermark state lives in the checkpoint: a
+    duplicate arriving AFTER a query restart must still be dropped
+    against a first-copy admitted BEFORE it."""
+    import datetime as dt
+
+    from tsp_spark.pipeline.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, text string, ts timestamp"
+    root = tempfile.mkdtemp(prefix="tsp_sed_rs")
+    # out/ must live OUTSIDE the source glob or the query ingests its
+    # own sink output and never drains
+    src_dir, out_dir, chk_dir = f"{root}/src", f"{root}/out", f"{root}/chk"
+    try:
+        spark.createDataFrame(
+            [(1, "alpha beta", t0)], schema
+        ).coalesce(1).write.parquet(f"{src_dir}/b0")
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src_dir}/*")
+            )
+            out = streaming_exact_dedup(stream, "text", "ts", "10 minutes")
+            return (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", chk_dir)
+                .outputMode("append")
+                .start()
+            )
+
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        # second life: a cross-restart duplicate + one new doc
+        spark.createDataFrame(
+            [(2, "alpha beta", t0 + dt.timedelta(seconds=30)),
+             (3, "gamma delta", t0 + dt.timedelta(seconds=31))],
+            schema,
+        ).coalesce(1).write.parquet(f"{src_dir}/b1")
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert kept == {1, 3}, f"kept {sorted(kept)}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
