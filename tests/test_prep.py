@@ -26,15 +26,17 @@ def test_chunk_documents_exact(spark):
             df, chunk_tokens=4, overlap=2
         ).collect()
     }
-    # doc 1: 7 tokens, stride 2 → starts 0,2,4,6
+    # doc 1: 7 tokens, stride 2 → starts 0,2,4; start 6 is NOT
+    # emitted — its only token (w6) already lies inside the start-4
+    # chunk's coverage, so it would be a fully-redundant tail chunk
     assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
     assert out[(1, 1)] == ("w2 w3 w4 w5", 4)
     assert out[(1, 2)] == ("w4 w5 w6", 3)
-    assert out[(1, 3)] == ("w6", 1)
+    assert (1, 3) not in out
     # short docs: a single chunk covering everything
     assert out[(2, 0)] == ("a b", 2)
     assert out[(3, 0)] == ("solo", 1)
-    assert len(out) == 6
+    assert len(out) == 5
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
 

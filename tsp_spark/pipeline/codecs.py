@@ -954,7 +954,14 @@ def encode_mp2(x: np.ndarray, sr: int = 48000, kbps: int = 192) -> bytes:
     xp = np.concatenate([np.zeros(256), np.asarray(x, float), np.zeros(800)])
     s = _l2_analyze_raw(xp, bank["analysis"])  # (slots, 32)
     n_frames = max(len(s) // 36, 1)
-    s = np.resize(s, (n_frames * 36, 32))
+    # zero-pad (NOT np.resize, whose cyclic repeat would fabricate
+    # repeated audio content in sub-frame fixtures), truncate the tail
+    # slots past the last whole frame
+    need = n_frames * 36
+    if len(s) < need:
+        s = np.pad(s, ((0, need - len(s)), (0, 0)))
+    else:
+        s = s[:need]
     out = bytearray()
     # fixed allocation, richest tier set that fits the frame budget:
     # low subbands carry most signal energy, so they get the finest

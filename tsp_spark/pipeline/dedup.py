@@ -128,10 +128,14 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_bucket_size: int | None = 10_000,
     length_bands: bool = False,
-    strategy: str = "prefix",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within buckets:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``strategy=None`` resolves to ``"prefix"`` unless
+    ``length_bands=True`` (a bands-only request means the allpairs
+    join the flag shapes — pre-r8 caller compatibility).
 
     ``strategy="prefix"`` (default, r8): prefix-filtered candidate
     generation (Chaudhuri et al. SSJoin / Xiao et al. PPJoin). Under
@@ -165,6 +169,12 @@ def jaccard_pairs(
     products are far below bucket². On length-uniform corpora
     everything lands in one band and the 3× probe-side fan-out is pure
     overhead (measured ~15% slower on the bench corpus; default off)."""
+    if strategy is None:
+        # default resolution keeps pre-r8 callers working: the
+        # length_bands flag only shapes the allpairs join, so a caller
+        # who asks for bands without naming a strategy means allpairs
+        # (r8 made 'prefix' the default and briefly broke that call)
+        strategy = "allpairs" if length_bands else "prefix"
     if strategy not in ("prefix", "allpairs"):
         raise ValueError(f"strategy must be 'prefix' or 'allpairs', got {strategy!r}")
     if strategy == "prefix":

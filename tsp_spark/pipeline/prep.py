@@ -41,7 +41,13 @@ def chunk_documents(
     consecutive chunks (stride = chunk_tokens − overlap). Returns
     (id, chunk_id, chunk_text, n_tokens); chunk_id = stride index, so
     the output is deterministic with no window function — chunking is
-    map-only at any corpus size."""
+    map-only at any corpus size.
+
+    A chunk is emitted only when it covers at least one token beyond
+    the previous chunk's coverage (start < n − overlap, or start 0):
+    a doc whose tail lies entirely inside the previous chunk's overlap
+    would otherwise re-emit that tail as a fully-redundant final
+    chunk — duplicated training text."""
     if overlap >= chunk_tokens:
         raise ValueError(
             f"overlap ({overlap}) must be smaller than chunk_tokens "
@@ -51,7 +57,7 @@ def chunk_documents(
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
     )
     out = df.select(
         F.col(id_col),

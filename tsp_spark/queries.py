@@ -1957,7 +1957,7 @@ ORACLE_PREP_CHUNKS = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (
   SELECT doc_id, ws,
-         unnest(range(0, greatest(len(ws), 1), 20)) AS start
+         unnest(range(0, greatest(len(ws) - 10, 1), 20)) AS start
   FROM t
 )
 SELECT doc_id,
