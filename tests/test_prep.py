@@ -104,6 +104,19 @@ def test_pack_sequences_layout_laws_and_duckdb_parity(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = pack_sequences(df, "text", "doc_id", budget_tokens=64)
+    # scale shape: the running sum must be a bucket-PARTITIONED window
+    # — an unpartitioned windowspec would put the whole corpus in one
+    # task (every windowspecdefinition in the plan leads with the
+    # bucket column)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        plan[i:i + 60]
+        for i in range(len(plan))
+        if plan.startswith("windowspecdefinition(", i)
+    ]
+    assert specs, plan
+    for s in specs:
+        assert s.startswith("windowspecdefinition(__b#"), s
     got = {r["doc_id"]: r for r in out.collect()}
     assert len(got) == 200
     total = sum(r["n_tokens"] for r in got.values())
@@ -144,3 +157,18 @@ def test_pack_sequences_layout_laws_and_duckdb_parity(spark):
         assert (r["n_tokens"], r["pack_id"], r["start_in_pack"]) == (
             n_tokens, pack_id, start_in_pack
         ), f"doc {doc_id}"
+    # layout is invariant under the bucket count (bit-identical to the
+    # single-stream definition at any n_buckets)
+    for nb in (1, 16, 1024):
+        alt = {
+            r["doc_id"]: (r["n_tokens"], r["pack_id"], r["start_in_pack"])
+            for r in pack_sequences(
+                df, "text", "doc_id", budget_tokens=64, n_buckets=nb
+            ).collect()
+        }
+        assert alt == {
+            k: (r["n_tokens"], r["pack_id"], r["start_in_pack"])
+            for k, r in got.items()
+        }, f"n_buckets={nb}"
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(df, "text", "doc_id", n_buckets=3)

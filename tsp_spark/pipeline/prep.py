@@ -170,6 +170,7 @@ def pack_sequences(
     text_col: str,
     id_col: str,
     budget_tokens: int = 2048,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Sequence packing for training windows: lay the corpus out as
     one deterministic concatenated token stream and assign each
@@ -186,18 +187,38 @@ def pack_sequences(
     reproduces the same layout (no reservoir/partition order
     dependence).
 
-    100 TB shape: one global sort by (hash, id) — the same exchange a
-    repartitionByRange would do — then a running-sum window over the
-    sorted stream. No joins, no data movement of the text itself
-    beyond the sort. For truly unbounded corpora, range-bucket the
-    hash space first and pack per bucket (pack_id offset by bucket);
-    the within-bucket layout is identical.
+    100 TB shape (r9, distributed): the running sum is NOT one
+    unpartitioned window (which Spark executes as a single task
+    holding every row). The 60-bit hash space is range-bucketed by
+    its top bits (``n_buckets`` ranges — bucket id is monotone in the
+    hash, so bucket-major order IS global (hash, id) order), then:
+
+    1. per-bucket token totals — a map-side-combined groupBy over the
+       skinny (bucket, n_tokens) projection, ``n_buckets`` rows out;
+    2. cumulative bucket offsets — a triangular self-join over those
+       ``n_buckets`` rows (≤ n_buckets² tiny rows, no window, no
+       single-task stage);
+    3. broadcast the offsets back and run the running-sum window
+       PARTITIONED by bucket — ~corpus/n_buckets rows per task.
+
+    global_start(row) = offset(bucket) + within-bucket running sum,
+    bit-identical to the single-stream layout at any n_buckets (the
+    test pins DuckDB parity and asserts no unpartitioned window
+    survives in the physical plan). The text column never enters the
+    exchange — only (id, hash, n_tokens) moves.
     """
     from tsp_spark.pipeline.hashing import md5_long
 
     if budget_tokens < 1:
         # DIV 0 would yield NULL pack ids silently (review-caught)
         raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > (1 << 20):
+        raise ValueError(
+            f"n_buckets must be a power of two in [1, 2^20], got {n_buckets}"
+        )
+    # md5_long is 60-bit non-negative; shifting off the low bits keeps
+    # bucket id monotone in the hash value
+    shift = 60 - (n_buckets.bit_length() - 1)
     # NULL text = zero tokens, zero-width placement at its stream
     # position (review-caught: size(split(NULL)) is NULL, which would
     # leak NULL n_tokens/pack_id rows and skip the running sum)
@@ -208,11 +229,27 @@ def pack_sequences(
         F.col(id_col),
         md5_long(F.col(id_col).cast("string")).alias("__h"),
         n_tok.cast("long").alias("n_tokens"),
+    ).withColumn("__b", F.shiftright(F.col("__h"), shift).cast("int"))
+    bucket_sums = t.groupBy("__b").agg(F.sum("n_tokens").alias("__bsum"))
+    # cumulative offsets over ≤ n_buckets rows via a triangular
+    # self-join — empty buckets simply don't appear and contribute 0
+    offsets = (
+        bucket_sums.alias("a")
+        .join(
+            bucket_sums.select(
+                F.col("__b").alias("__b2"), F.col("__bsum").alias("__s2")
+            ),
+            F.col("__b2") < F.col("a.__b"),
+            "left",
+        )
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("__s2"), F.lit(0)).alias("__off"))
     )
-    w = Window.orderBy("__h", id_col).rowsBetween(
+    t = t.join(F.broadcast(offsets), on="__b")
+    w = Window.partitionBy("__b").orderBy("__h", id_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    start = F.col("__off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     # integer DIV, not floor(double /): exact past 2^53 total tokens
     return t.withColumn("__start", start).select(
         id_col,
