@@ -63,6 +63,15 @@ def test_contamination_check_counts(spark):
     assert out[3] == (0, 0)
     assert out[4] == (1, 1)   # "quick brown fox" once, distinct
     assert len(out) == 4
+    # hashed-key variant (8-byte xxhash64 join keys, forced bench
+    # broadcast) is result-identical to the string join
+    hashed = {
+        r["doc_id"]: (r["n_shared"], r["is_contaminated"])
+        for r in contamination_check(
+            docs, bench, n=3, hash_ngrams=True, broadcast_bench=True
+        ).collect()
+    }
+    assert hashed == out
 
 
 def test_redact_pii_categories(spark):

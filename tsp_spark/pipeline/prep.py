@@ -97,20 +97,49 @@ def contamination_check(
     id_col: str = "doc_id",
     n: int = 3,
     min_shared: int = 1,
+    hash_ngrams: bool = False,
+    broadcast_bench: bool | None = None,
 ) -> DataFrame:
     """Benchmark-contamination detection: for every candidate document,
     count the DISTINCT word ``n``-grams it shares with the evaluation
     corpus ``bench`` (the standard train/test-leakage check). Returns
     (id, n_shared, is_contaminated) for every doc in ``docs``; docs
-    shorter than n tokens share nothing by definition."""
-    bench_ngrams = (
+    shorter than n tokens share nothing by definition.
+
+    ``hash_ngrams=True`` replaces the space-joined n-gram STRING join
+    key with its xxhash64 — an 8-byte key, hashed before the distincts
+    so both distinct shuffles and the join move fixed-width longs
+    instead of long strings. Use it whenever the bench side is big
+    enough that AQE won't broadcast it (a 100 GB bench must not
+    shuffle n-gram strings). Result-identical up to xxhash64
+    collisions between distinct n-grams (~p=k²/2⁶⁵ — negligible; the
+    oracle runs the exact string form against it).
+
+    ``broadcast_bench``: True forces a broadcast hint on the distinct
+    bench n-gram set, False forbids it, None (default) lets AQE
+    decide from the measured size."""
+    def key(d: DataFrame) -> DataFrame:
+        # hash BEFORE the distinct so the distinct shuffle itself
+        # moves 8-byte longs, not n-gram strings (explode is a
+        # generator, so the hash is a second projection step)
+        if hash_ngrams:
+            return d.withColumn("__g", F.xxhash64(F.col("__g")))
+        return d
+
+    bench_ngrams = key(
         bench.select(
             F.explode(_ngram_array(F.split(F.col(text_col), " "), n)).alias("__g")
-        ).distinct()
-    )
-    doc_ngrams = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_ngram_array(F.split(F.col(text_col), " "), n)).alias("__g"),
+        )
+    ).distinct()
+    if broadcast_bench is True:
+        bench_ngrams = F.broadcast(bench_ngrams)
+    elif broadcast_bench is False:
+        bench_ngrams = bench_ngrams.hint("shuffle_hash")
+    doc_ngrams = key(
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_ngram_array(F.split(F.col(text_col), " "), n)).alias("__g"),
+        )
     ).distinct()
     hits = (
         doc_ngrams.join(bench_ngrams, on="__g")

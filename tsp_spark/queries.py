@@ -1974,18 +1974,32 @@ def q_prep_contamination(spark, sf_dir):
     evaluation corpus; every other document is scored by the distinct
     word 3-grams it shares with it. The generated duplicate tail
     guarantees real hits: a near-copy of a src0 doc in another source
-    is flagged."""
+    is flagged.
+
+    Folded (r9): variant 'str' joins on the n-gram strings (the exact
+    oracle form); variant 'hash' joins on xxhash64 8-byte keys with a
+    forced bench broadcast — the shape for benches too big to shuffle
+    as strings. Both check against the same string-form oracle
+    (hashing is result-identical up to negligible xxhash64
+    collisions)."""
     from tsp_spark.pipeline.prep import contamination_check
 
     docs = _load(spark, sf_dir, "documents")
-    return contamination_check(
-        docs.where(F.col("source") != "src0"),
-        docs.where(F.col("source") == "src0"),
-        "text", "doc_id", n=3,
-    )
+    out = None
+    for tag, kw in (
+        ("str", {}),
+        ("hash", {"hash_ngrams": True, "broadcast_bench": True}),
+    ):
+        d = contamination_check(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            "text", "doc_id", n=3, **kw,
+        ).select(F.lit(tag).alias("variant"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
-ORACLE_PREP_CONTAMINATION = """
+_ORACLE_PREP_CONTAMINATION_ONE = """
 WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
 ng AS (
   SELECT doc_id, source,
@@ -2001,6 +2015,15 @@ SELECT d.doc_id,
        (COALESCE(h.c, 0) >= 1)::BIGINT AS is_contaminated
 FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+# the hash variant is result-identical to the string form (xxhash64
+# collisions between distinct 3-grams aside), so both variants check
+# against the one string-form oracle
+ORACLE_PREP_CONTAMINATION = f"""
+SELECT 'str' AS variant, * FROM ({_ORACLE_PREP_CONTAMINATION_ONE})
+UNION ALL
+SELECT 'hash' AS variant, * FROM ({_ORACLE_PREP_CONTAMINATION_ONE})
 """
 
 
