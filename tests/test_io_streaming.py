@@ -1131,6 +1131,76 @@ def test_streaming_hll_registers_match_batch(spark):
         shutil.rmtree(chk_dir, ignore_errors=True)
 
 
+def test_streaming_cms_matches_batch(spark):
+    """The count-min sketch's streaming form: a streaming groupBy over
+    the same cell expressions maintains the exact counter table
+    incrementally (state bounded at depth×width = 1024 rows,
+    complete-mode sink); heavy hitters derived from the streamed
+    counters equal the batch sketch exactly — cell-sum mergeability IS
+    the streaming story, and the stream total is recovered from the
+    row-0 cells with no side channel."""
+    from tsp_spark.pipeline.sketches import (
+        cms_counters,
+        cms_heavy_hitters,
+        cms_heavy_hitters_from_counters,
+    )
+
+    # zipf-ish: item k appears ~1000/k times → a few heavy hitters
+    rows = [(f"it{k}",) for k in range(1, 40) for _ in range(1000 // k)]
+    schema = "v string"
+    src_dir = tempfile.mkdtemp(prefix="tsp_scms_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_scms_chk")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        half = len(rows) // 2
+        spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            cms_counters(stream, "v")
+            .writeStream.format("memory")
+            .queryName("cms_cnt")
+            .option("checkpointLocation", chk_dir)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        exact = (
+            df.groupBy(F.col("v").alias("item"))
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+        )
+        streamed = cms_heavy_hitters_from_counters(
+            spark.table("cms_cnt"), exact, inv_phi=20
+        )
+        got = {
+            r["item"]: (r["est_count"], r["n_exact"])
+            for r in streamed.collect()
+        }
+        want = {
+            r["item"]: (r["est_count"], r["n_exact"])
+            for r in cms_heavy_hitters(df, "v", inv_phi=20).collect()
+        }
+        assert got == want
+        assert got  # the φ=1/20 threshold keeps some hitters
+        # one-sided error witness holds on the streamed estimate too
+        for est, n in got.values():
+            assert est >= n
+        # bounded state: the streamed table is at most depth×width
+        assert spark.table("cms_cnt").count() <= 4 * 256
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)
+
+
 def test_streaming_neardup_dedup_replay_is_idempotent(spark):
     """Crash-replay safety (the r7 carry-bug class, here for the
     near-dup index): the driver dies AFTER the index write for batch N

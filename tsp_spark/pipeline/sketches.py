@@ -220,8 +220,29 @@ def cms_heavy_hitters(
     """
     col = F.col(item_col) if isinstance(item_col, str) else item_col
     items = df.where(col.isNotNull()).select(col.cast("string").alias("item"))
-    hr = F.pmod(md5_long(F.col("item")), F.lit(CMS_P))
-    cells = F.array(
+    # ONE pass over the raw occurrences (the exact per-item groupBy,
+    # map-side combined); the counters are then the WEIGHTED cell sums
+    # over the distinct-item frame — identical cell values (each
+    # occurrence of an item lands in the same d cells), but the 4-way
+    # explode runs over |distinct items| rows instead of the full
+    # stream — one full-data pass total, and the saving widens with
+    # duplication at scale
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    counters = (
+        exact.select("n_exact", F.explode(_cms_cells(F.col("item"))).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("n_exact").alias("cnt"))
+    )
+    return cms_heavy_hitters_from_counters(counters, exact, inv_phi).select(
+        "item", "est_count", "n_exact"
+    )
+
+
+def _cms_cells(item: Column) -> Column:
+    """The d (row, bucket) cells an item addresses — array of structs
+    (i, bucket), shared by sketch build and estimation."""
+    hr = F.pmod(md5_long(item), F.lit(CMS_P))
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("i"),
@@ -233,32 +254,53 @@ def cms_heavy_hitters(
             for i in range(CMS_DEPTH)
         ]
     )
-    # ONE pass over the raw occurrences (the exact per-item groupBy,
-    # map-side combined); the counters are then the WEIGHTED cell sums
-    # over the distinct-item frame — identical cell values (each
-    # occurrence of an item lands in the same d cells), but the 4-way
-    # explode runs over |distinct items| rows instead of the full
-    # stream — one full-data pass total, and the saving widens with
-    # duplication at scale
-    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
-    counters = (
-        exact.select("n_exact", F.explode(cells).alias("c"))
+
+
+def cms_counters(df: DataFrame, item_col: str | Column) -> DataFrame:
+    """The CMS counter table (i, bucket, cnt) — the sketch's whole
+    state, built in ONE aggregation over raw occurrences, so it is
+    ALSO the streaming form (the hll_registers pattern): a streaming
+    groupBy over the same cell expressions maintains the exact
+    counters incrementally with state bounded at depth·width = 1024
+    rows no matter the stream length, and
+    ``cms_heavy_hitters_from_counters`` derives the heavy hitters from
+    the sink at any time. Counters are cell-sum-mergeable across
+    partitions, triggers, and datasets."""
+    col = F.col(item_col) if isinstance(item_col, str) else item_col
+    items = df.where(col.isNotNull()).select(col.cast("string").alias("item"))
+    return (
+        items.select(F.explode(_cms_cells(F.col("item"))).alias("c"))
         .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
-        .agg(F.sum("n_exact").alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    total = exact.agg(F.sum("n_exact").alias("__total"))
-    cand = exact.select(
-        "item", "n_exact", F.explode(cells).alias("c")
-    ).select("item", "n_exact", F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+
+
+def cms_heavy_hitters_from_counters(
+    counters: DataFrame, candidates: DataFrame, inv_phi: int = 50
+) -> DataFrame:
+    """Estimate heavy hitters from a counter table and a candidate
+    item set (a DataFrame with an ``item`` string column; extra
+    columns ride along into the output). A plain UNION of several
+    counter tables is accepted — duplicate cells are cell-sum-merged
+    first (≤ 1024 rows, free). The stream total needed for the φ
+    threshold is recovered from the sketch itself: every occurrence
+    increments exactly one cell of row 0, so Σ cnt over i=0 IS the
+    occurrence count — no side channel from the build."""
+    counters = counters.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    total = counters.where(F.col("i") == 0).agg(F.sum("cnt").alias("__total"))
+    keep = list(candidates.columns)
+    cand = candidates.select(
+        *keep, F.explode(_cms_cells(F.col("item"))).alias("c")
+    ).select(*keep, F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
     est = (
         cand.join(F.broadcast(counters), ["i", "bucket"])
-        .groupBy("item", "n_exact")
+        .groupBy(*keep)
         .agg(F.min("cnt").alias("est_count"))
     )
     return (
         est.join(F.broadcast(total))
         .where(F.col("est_count") * F.lit(inv_phi) >= F.col("__total"))
-        .select("item", "est_count", "n_exact")
+        .drop("__total")
     )
 
 
