@@ -1241,6 +1241,106 @@ def test_streaming_neardup_dedup_replay_is_idempotent(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_streaming_neardup_index_compaction_prunes_and_preserves(spark):
+    """Periodic index compaction (r9): generations below the trigger
+    batch fold into ONE band-hash-partitioned compact=<n> generation,
+    so the per-trigger cross-batch probe reads ~probed-buckets via
+    dynamic partition pruning instead of scanning the whole index.
+    Checks: (a) admitted output identical to the uncompacted run,
+    including a cross-batch near-dup whose original lives ONLY in the
+    compacted generation; (b) superseded deltas are GC'd and the
+    marker committed; (c) crash-replay of the compacting batch is
+    idempotent; (d) the probe plan against the compacted read carries
+    dynamic partition pruning."""
+    from tsp_spark.pipeline.dedup import (
+        _minhash_bands,
+        _neardup_cross_pairs,
+        _neardup_process_batch,
+    )
+
+    base = "the quick brown fox jumps over one lazy dog while rain falls on warm dusty roads near tall green hills today".split()
+    near = list(base)
+    near[5] = "beneath"  # one-word change → J ≈ 0.7 ≥ 0.5
+    others = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one hundred cats sat quietly watching ninety nine red balloons drift slowly across cold winter skies this morning again",
+        "completely unrelated subject matter covering seven distinct engineering topics nobody mentioned before in any earlier document batch here",
+    ]
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, " ".join(base))],
+        [(2, others[0])],
+        [(3, others[1])],
+        [(4, " ".join(near)), (5, others[2])],
+    ]
+    root = tempfile.mkdtemp(prefix="tsp_sndd_cp")
+    try:
+        admitted = {}
+        for tag, every in (("c", 2), ("p", None)):
+            idx, out = f"{root}/{tag}/idx", f"{root}/{tag}/out"
+            cfg = dict(
+                text_col="text", id_col="doc_id", index_dir=idx,
+                out_dir=out, num_perm=32, bands=8, shingle_k=3,
+                threshold=0.5, seed=42, compact_every=every,
+            )
+            for bid, rows in enumerate(batches):
+                _neardup_process_batch(
+                    spark, spark.createDataFrame(rows, schema), bid, **cfg
+                )
+            admitted[tag] = {
+                r["doc_id"]
+                for r in spark.read.parquet(f"{out}/batch=*").collect()
+            }
+        # (a) identical output; doc 4 (near-dup of doc 1, which by then
+        # lives ONLY in compact=2) dropped in both runs
+        assert admitted["c"] == admitted["p"] == {1, 2, 3, 5}
+        idx = f"{root}/c/idx"
+        # (b) compact committed, consumed deltas GC'd, tail deltas kept
+        names = {p.name for p in __import__("pathlib").Path(idx).iterdir()}
+        assert "compact=2" in names and "batch=2" in names and "batch=3" in names
+        assert "batch=0" not in names and "batch=1" not in names
+        assert (
+            __import__("pathlib").Path(idx, "compact=2", "_COMMITTED").exists()
+        )
+        # (c) crash-replay of the compacting batch: identical state
+        cfg_c = dict(
+            text_col="text", id_col="doc_id", index_dir=idx,
+            out_dir=f"{root}/c/out", num_perm=32, bands=8, shingle_k=3,
+            threshold=0.5, seed=42, compact_every=2,
+        )
+        _neardup_process_batch(
+            spark, spark.createDataFrame(batches[2], schema), 2, **cfg_c
+        )
+        replayed = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{root}/c/out/batch=*").collect()
+        }
+        assert replayed == {1, 2, 3, 5}
+        # (d) the compacted read is partition-pruned by the probe join
+        probe = _minhash_bands(
+            spark.createDataFrame(batches[3], schema).select(
+                F.col("doc_id").alias("__id"), "text"
+            ),
+            "text", "__id", 32, 8, 3, 42,
+        )[1].drop("__sig")
+        cands = _neardup_cross_pairs(spark, idx, 3, probe)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines() if "compact=2/rows" in ln
+        ]
+        assert scan_lines, plan
+        for ln in scan_lines:
+            pf = ln.split("PartitionFilters:", 1)[1]
+            assert "__pb" in pf and (
+                " INSET " in pf or " IN (" in pf or " = " in pf
+            ), (
+                "compacted index read is not partition-pruned: " + ln
+            )
+        assert {r["id_a"] for r in cands.collect()} >= {1}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_streaming_ann_serving_against_ivf_index(spark):
     """ANN serving on a query STREAM: each micro-batch of query
     vectors searches the persisted IVF index (foreachBatch +

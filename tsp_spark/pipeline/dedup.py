@@ -957,6 +957,7 @@ def streaming_neardup_dedup(
     threshold: float = 0.5,
     seed: int = 42,
     max_band_bucket: int | None = 10_000,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-duplicate ingest dedup: MinHash-LSH each
     micro-batch against a persistent signature index of everything
@@ -978,13 +979,23 @@ def streaming_neardup_dedup(
     State/index design for 100 TB: the index holds one row per
     admitted doc — (id, 32-int signature, 8 band hashes), ~300 B/doc,
     NOT the text. Each micro-batch (small) is broadcast against the
-    index scan, so the per-trigger cost is one index scan + a
-    broadcast join, never a shuffle of the index; appends are
-    per-batch subdirectories so a replayed foreachBatch OVERWRITES its
-    own output (idempotent exactly-once sink). At real scale the
-    subdirectory layout would be compacted/bucketed by band hash
-    (partition pruning on the probe side) — noted, not needed at test
-    scale.
+    index, never a shuffle of the index; appends are per-batch
+    subdirectories so a replayed foreachBatch OVERWRITES its own
+    output (idempotent exactly-once sink).
+
+    ``compact_every=N`` (r9) bounds the per-trigger index cost: every
+    N batches the delta generations fold into ONE band-hash-
+    partitioned ``compact=<n>`` generation (crash-safe via a
+    ``_COMMITTED`` marker written last; superseded deltas GC'd after
+    commit), and the probe join reads ONLY the ≤ 64 hash buckets the
+    batch touches (a literal partition filter — see
+    ``_neardup_cross_pairs``). Per-trigger cost becomes
+    ~touched-buckets/64 of the index plus the un-compacted tail,
+    instead of a full index scan; at a 10B-doc index that is the
+    difference between ~GBs and ~TBs per trigger. The compacted
+    layout trades ``bands``× signature duplication for the pruned
+    read — the standard LSH-index trade. Default None keeps the
+    flat delta layout (fine for short-lived streams and tests).
 
     Batch/stream parity: signatures and bands come from the SAME
     `_minhash_bands` pipeline as minhash_lsh_pairs, so an index built
@@ -999,7 +1010,7 @@ def streaming_neardup_dedup(
             text_col=text_col, id_col=id_col, index_dir=index_dir,
             out_dir=out_dir, num_perm=num_perm, bands=bands,
             shingle_k=shingle_k, threshold=threshold, seed=seed,
-            max_band_bucket=max_band_bucket,
+            max_band_bucket=max_band_bucket, compact_every=compact_every,
         )
 
     return (
@@ -1009,29 +1020,185 @@ def streaming_neardup_dedup(
     )
 
 
-def _index_generations(spark, index_dir: str, before: int) -> list[str]:
-    """Paths of committed index generations with batch id < ``before``,
-    via a Hadoop-FS listing (works on any scheme the cluster mounts).
-    A missing index root means no generations (the first batch); any
-    other FS error propagates so the streaming batch fails and
-    retries. Accepts an offline-bootstrap generation at ``batch=-1``
-    (what a batch-engine-built starting index should be written as)."""
+# bucket count of the band-hash-partitioned compacted index layout. A
+# module CONSTANT, not a parameter, on purpose: probe and index MUST
+# hash (band, bhash) into the same bucket space — a restart with a
+# different count would silently miss cross-batch duplicates.
+_NEARDUP_PB = 64
+
+
+def _pb_col() -> Column:
+    """Compacted-index partition bucket of a (band, bhash) pair."""
+    return F.pmod(
+        F.xxhash64(F.col("band"), F.col("bhash")), F.lit(_NEARDUP_PB)
+    ).cast("int")
+
+
+def _index_resolve(
+    spark, index_dir: str, before: int
+) -> tuple[str | None, list[str]]:
+    """Resolve the index view for batches < ``before``: the newest
+    COMMITTED compacted generation covering batches < upto ≤ before
+    (``compact=<upto>/`` gated by a ``_COMMITTED`` marker written
+    last, the ivf_build_index pattern — a compaction that died
+    mid-write is invisible), plus the committed delta batches in
+    [upto, before). Listing goes via Hadoop FS (works on any scheme
+    the cluster mounts); a missing index root means no generations
+    (the first batch); any other FS error propagates so the streaming
+    batch fails and retries. Accepts an offline-bootstrap generation
+    at ``batch=-1`` (what a batch-engine-built starting index should
+    be written as)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
-        return []
-    out = []
+        return None, []
+    compacts: list[int] = []
+    deltas: list[int] = []
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("batch="):
-            try:
-                gen = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if gen < before:
-                out.append(f"{index_dir}/{name}")
-    return sorted(out)
+        if not status.isDirectory():
+            continue
+        head, _, tail = name.partition("=")
+        try:
+            gen = int(tail)
+        except ValueError:
+            continue
+        if head == "batch" and gen < before:
+            deltas.append(gen)
+        elif head == "compact" and gen <= before and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{name}/_COMMITTED")
+        ):
+            compacts.append(gen)
+    base = max(compacts) if compacts else None
+    delta_paths = [
+        f"{index_dir}/batch={g}"
+        for g in sorted(deltas)
+        if base is None or g >= base
+    ]
+    return (
+        f"{index_dir}/compact={base}" if base is not None else None,
+        delta_paths,
+    )
+
+
+def _compact_index(spark, index_dir: str, upto: int) -> None:
+    """Fold every committed generation covering batches < ``upto``
+    (the previous compact plus the deltas since) into ONE
+    band-hash-partitioned generation ``compact=<upto>/rows/`` — rows
+    exploded to (band, bhash, id, sig) and disk-partitioned by the
+    (band, bhash) bucket, so a probe join reads ~probed-buckets of
+    the index instead of scanning it end to end (dynamic partition
+    pruning on the broadcast probe, the ivf_search_index shape).
+    Storage trades ``bands``× signature duplication for the pruned
+    read — the standard LSH-index layout.
+
+    Crash-safe and replay-idempotent: content is deterministic from
+    committed sources, the ``_COMMITTED`` marker is written LAST, and
+    an already-committed target makes this a no-op (a replayed batch
+    re-invokes it). Superseded sources are deleted only after the
+    marker exists; a crash between marker and delete just re-runs the
+    delete on replay (the resolve rule never double-counts — deltas
+    below a chosen compact are ignored)."""
+    jvm = spark._jvm
+    target = f"{index_dir}/compact={upto}"
+    marker = jvm.org.apache.hadoop.fs.Path(f"{target}/_COMMITTED")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        compact_path, delta_paths = _index_resolve(spark, index_dir, upto)
+        if compact_path is None and not delta_paths:
+            return
+        parts = []
+        if delta_paths:
+            parts.append(
+                spark.read.parquet(*delta_paths).select(
+                    F.explode("bhashes").alias("b"), "id", "sig"
+                ).select("b.band", "b.bhash", "id", "sig")
+            )
+        if compact_path:
+            parts.append(
+                spark.read.parquet(f"{compact_path}/rows").select(
+                    "band", "bhash", "id", "sig"
+                )
+            )
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+        rows.withColumn("__pb", _pb_col()).write.mode("overwrite").partitionBy(
+            "__pb"
+        ).parquet(f"{target}/rows")
+        fs.create(marker, True).close()
+    # GC superseded sources (idempotent; resolve already ignores them)
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(index_dir)):
+        name = status.getPath().getName()
+        head, _, tail = name.partition("=")
+        try:
+            gen = int(tail)
+        except ValueError:
+            continue
+        if (head == "batch" and gen < upto) or (
+            head == "compact" and gen < upto
+        ):
+            fs.delete(status.getPath(), True)
+
+
+def _neardup_cross_pairs(
+    spark, index_dir: str, before: int, bands_df: DataFrame
+):
+    """Cross-batch candidate pairs (id_a, id_b, __sa) of a probe
+    micro-batch against the committed index view for batches <
+    ``before`` — the compacted generation is read partition-PRUNED to
+    the buckets the probe actually touches; un-compacted deltas are
+    scanned in full (they are the recent tail, small by construction
+    when compaction runs). Returns None when the index is empty.
+
+    The pruning is STATIC, not DPP: the probe's distinct bucket set
+    (≤ _NEARDUP_PB = 64 ints — a bounded driver-side action per
+    trigger, the partition-pruning handshake) becomes a literal IN
+    partition filter on the scan. Deliberate: dynamic partition
+    pruning is a heuristic (it declines without selective predicates
+    or useful stats), and a silently-skipped prune here means a full
+    index scan per trigger at 10B docs — the literal filter prunes
+    unconditionally."""
+    compact_path, delta_paths = _index_resolve(spark, index_dir, before)
+    parts = []
+    if delta_paths:
+        idx_bands = spark.read.parquet(*delta_paths).select(
+            F.explode("bhashes").alias("b"), F.col("id").alias("id_a"),
+            F.col("sig").alias("__sa"),
+        ).select(
+            F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"),
+            "id_a", "__sa",
+        )
+        probe = F.broadcast(
+            bands_df.select("band", "bhash", F.col("__id").alias("id_b"))
+        )
+        parts.append(
+            idx_bands.join(probe, ["band", "bhash"]).select(
+                "id_a", "id_b", "__sa"
+            )
+        )
+    if compact_path:
+        probe_b = bands_df.select(
+            "band", "bhash", F.col("__id").alias("id_b")
+        ).withColumn("__pb", _pb_col())
+        pb_vals = [
+            r["__pb"] for r in probe_b.select("__pb").distinct().collect()
+        ]
+        comp = spark.read.parquet(f"{compact_path}/rows").where(
+            F.col("__pb").isin(pb_vals)
+        )
+        parts.append(
+            comp.join(F.broadcast(probe_b), ["__pb", "band", "bhash"]).select(
+                F.col("id").alias("id_a"), "id_b", F.col("sig").alias("__sa")
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def _neardup_process_batch(
@@ -1049,6 +1216,7 @@ def _neardup_process_batch(
     threshold: float,
     seed: int,
     max_band_bucket: int | None = 10_000,
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of streaming_neardup_dedup — module-level so
     tests can drive crash-replay (same batch_id twice) directly."""
@@ -1119,24 +1287,10 @@ def _neardup_process_batch(
     # the read: a transient FS error or corrupt footer must FAIL the
     # batch so the checkpoint retries it, not silently disable
     # cross-batch dedup and pollute the corpus — review-caught, r8).
-    gen_paths = _index_generations(spark, index_dir, before=batch_id)
-    if gen_paths:
-        index = spark.read.parquet(*gen_paths)
-        idx_bands = index.select(
-            F.explode("bhashes").alias("b"), F.col("id").alias("id_a"),
-            F.col("sig").alias("__sa"),
-        ).select(
-            F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"),
-            "id_a", "__sa",
-        )
-        probe = F.broadcast(
-            bands_df.select("band", "bhash", F.col("__id").alias("id_b"))
-        )
-        cross_pairs = (
-            idx_bands.join(probe, ["band", "bhash"])
-            .select("id_a", "id_b", "__sa")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+    cross_pairs = _neardup_cross_pairs(
+        spark, index_dir, batch_id, bands_df
+    )
+    if cross_pairs is not None:
         cross_drop = (
             cross_pairs.join(sb, "id_b")
             .where(_agree_ok(F.col("__sa"), F.col("__sb")))
@@ -1166,6 +1320,12 @@ def _neardup_process_batch(
         )
     )
     new_index.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+    # periodic compaction: fold every generation BELOW this batch into
+    # one band-hash-partitioned compact=<batch_id> (this batch's own
+    # delta stays a delta — a replay of this batch must not see it);
+    # idempotent under replay via the _COMMITTED marker
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        _compact_index(spark, index_dir, upto=batch_id)
     # no explicit unpersist: Dataset.unpersist() does not free
     # localCheckpoint RDD blocks (verified — only the ContextCleaner
     # frees them once the RDD is GC'd), and after the guard rebinding
