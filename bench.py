@@ -172,6 +172,12 @@ SF1_QUERIES = [
     "cep_incidents_multi",
     "dedup_jaccard",
     "dedup_clusters",
+    # r9: the r8 additions join the 10× cohort (VERDICT r8 item 2)
+    "sketch_fold",
+    "dedup_simhash",
+    "prep_chunks",
+    "prep_redact",
+    "prep_contamination",
 ]
 
 
@@ -217,11 +223,17 @@ def sf1_rehearsal(spark):
             "sf0.1_sec": round(best01, 3),
             "sf1_sec": round(t1, 3),
             "scale_x": round(t1 / best01, 1) if best01 > 0 else None,
+            # both counts: when a query's OUTPUT grows superlinearly
+            # (pair-emitting dedups on a corpus whose duplicate
+            # clusters grow with scale), wall-clock scale_x must be
+            # read against output growth — e.g. dedup_simhash r9:
+            # 6.9x wall for 70x pairs = sublinear per unit of output
+            "sf0.1_rows": n01,
             "sf1_rows": n1,
         }
         print(
             f"# sf1 {name}: {best01:.3f}s → {t1:.3f}s "
-            f"({t1 / best01:.1f}x for 10x data, {n1} rows)",
+            f"({t1 / best01:.1f}x for 10x data, {n01} → {n1} rows)",
             file=sys.stderr,
         )
     return out
@@ -270,6 +282,11 @@ def sf1_oracle_gate(spark):
         # point is bounded state at scale, so the estimates must stay
         # bit-reproducible when the inputs grow
         ("sketch_fold", d1, "sf1"),
+        # r9: the r8 additions value-checked at 10× too
+        ("prep_redact", d1, "sf1"),
+        ("prep_chunks", d1, "sf1"),
+        ("dedup_simhash", d1, "sf1"),
+        ("prep_contamination", d1, "sf1"),
     ]
     cons = {}
     out = {}

@@ -48,14 +48,26 @@ FIELDS = {"value": "float64"}
 KEYS = ["user_id"]
 
 
-def gen_rows(n: int, users: int) -> pd.DataFrame:
+def gen_rows(n: int, users: int, skew: bool = False) -> pd.DataFrame:
     """Deterministic keyed series: per-user 1 Hz square waves with
     per-user period (20..79 s — some runs satisfy the 30 s timer and
     the 46-truth count, some don't), a per-user millisecond phase so
-    (key, ts) is globally unique, ~1% nulls."""
-    per_user = n // users
-    u = np.repeat(np.arange(users, dtype=np.int64), per_user)
-    k = np.tile(np.arange(per_user, dtype=np.int64), users)
+    (key, ts) is globally unique, ~1% nulls.
+
+    ``skew=True``: user 0 carries ~50% of all rows and the rest share
+    the other half — the hot-key shape that stresses the island
+    kernel's single keyed exchange (one task owns half the data
+    unless AQE skew-join/partition splitting engages)."""
+    if skew:
+        hot = n // 2
+        rest = (n - hot) // (users - 1)
+        counts = np.array([hot] + [rest] * (users - 1), dtype=np.int64)
+    else:
+        counts = np.full(users, n // users, dtype=np.int64)
+    u = np.repeat(np.arange(users, dtype=np.int64), counts)
+    k = np.concatenate(
+        [np.arange(c, dtype=np.int64) for c in counts]
+    )
     period = 20 + (u * 13) % 60  # 20..79 s per user
     high = (k // period) % 3 == 0
     value = np.where(high, 160.0, 90.0) + (k % 7) * 0.5
@@ -75,6 +87,7 @@ def run_soak(
     crash_batches: tuple[int, ...] = (7, 16),
     graceful_stop: int | None = 12,
     workdir: str | None = None,
+    skew: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -88,7 +101,7 @@ def run_soak(
     src_dir, chk_dir = base / "src", base / "chk"
     own_tmp = workdir is None
     try:
-        pdf = gen_rows(rows, users)
+        pdf = gen_rows(rows, users, skew=skew)
         full = spark.createDataFrame(pdf)
 
         # batch reference (sessionized incidents — the exact contract)
@@ -238,6 +251,11 @@ def main() -> int:
     ap.add_argument("--crashes", default="7,16")
     ap.add_argument("--graceful", type=int, default=12)
     ap.add_argument(
+        "--skew", action="store_true",
+        help="user 0 carries ~50%% of all rows (hot-key stress on the "
+        "island kernel's keyed exchange)",
+    )
+    ap.add_argument(
         "--mode", choices=("carry", "stateful"), default="carry",
         help="carry = foreachBatch carry-buffer mode; stateful = the "
         "incremental applyInPandasWithState kernel (the SCALE.md "
@@ -268,6 +286,7 @@ def main() -> int:
         users=args.users,
         crash_batches=crash,
         graceful_stop=args.graceful,
+        skew=args.skew,
     )
     curve = res.pop("carry_curve")
     print(json.dumps(res, default=str, indent=2))
@@ -307,7 +326,7 @@ def run_soak_stateful(
     src_dir, chk_dir = base / "src", base / "chk"
     own_tmp = workdir is None
     try:
-        pdf = gen_rows(rows, users)
+        pdf = gen_rows(rows, users, skew=skew)
         # flush rows: one far-future 0-valued row per user (gap-splits
         # every series so the kernel drains trailing runs); part of the
         # batch reference too, so the comparison is apples-to-apples
