@@ -632,3 +632,50 @@ def test_stratified_sample_rates_and_monotonicity(spark):
     # bad rates fail loudly
     with pytest.raises(ValueError):
         stratified_sample(df, "doc_id", "source", {"crawl": 1.5})
+
+
+def test_repetition_signals_exact(spark):
+    """Gopher-style repetition filters: hand-computed fractions on
+    crafted docs (modal-bigram share, duplicated-trigram share),
+    short-doc zeroes, and the brute-force python reference on a
+    mixed batch."""
+    from tsp_spark.pipeline.text import repetition_signals
+
+    docs = [
+        # "a b a b a" → bigrams [ab, ba, ab, ba]: top 2/4; trigrams
+        # [aba, bab, aba]: dup occurrences {aba×2} → 2/3
+        (1, "a b a b a"),
+        # all-distinct tokens → top bigram 1/4, no dup trigrams
+        (2, "v w x y z"),
+        (3, "solo"),        # too short for either n-gram
+        (4, "two words"),   # one bigram (top 1/1), no trigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in repetition_signals(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (2 / 4, 2 / 3)
+    assert got[2] == (1 / 4, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (1 / 1, 0.0)
+
+    def ref(text):
+        toks = text.split(" ")
+        out = []
+        for n in (2, 3):
+            grams = [
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            ] if len(toks) >= n else []
+            if not grams:
+                out.append(0.0)
+            elif n == 2:
+                out.append(max(grams.count(d) for d in set(grams)) / len(grams))
+            else:
+                out.append(
+                    sum(1 for g in grams if grams.count(g) >= 2) / len(grams)
+                )
+        return tuple(out)
+
+    for doc_id, text in docs:
+        assert got[doc_id] == ref(text), doc_id

@@ -241,9 +241,13 @@ def pack_sequences(
     if budget_tokens < 1:
         # DIV 0 would yield NULL pack ids silently (review-caught)
         raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
-    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > (1 << 20):
+    # cap 4096: the offsets stage is a triangular self-join, O(B²)
+    # rows — 16M at the cap (trivial), but 2^20 buckets would make it
+    # a trillion-row stage; 4096 buckets already puts a 10B-doc corpus
+    # at ~2.4M skinny rows per window task
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > 4096:
         raise ValueError(
-            f"n_buckets must be a power of two in [1, 2^20], got {n_buckets}"
+            f"n_buckets must be a power of two in [1, 4096], got {n_buckets}"
         )
     # md5_long is 60-bit non-negative; shifting off the low bits keeps
     # bucket id monotone in the hash value

@@ -67,6 +67,67 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), *quality_cols(text_col))
 
 
+def _gram_join(toks: Column, n: int) -> Column:
+    """Space-joined word n-gram occurrence list (empty when the doc has
+    fewer than n tokens) — occurrence list, NOT distinct: repetition
+    signals count multiplicity."""
+    count = F.size(toks)
+    return F.when(
+        count >= n,
+        F.transform(
+            F.sequence(F.lit(1), count - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_cols(text_col: str) -> list[Column]:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, 'Scaling Language Models', appendix A — the standard
+    pre-training repetition filters), token-level:
+
+    * ``top_bigram_frac`` — occurrences of the MOST frequent bigram /
+      total bigram occurrences (Gopher's 'top n-gram fraction');
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears ≥ 2 times (Gopher's 'duplicate n-gram
+      fraction').
+
+    Both are 0.0 for docs too short to form the n-gram. Pure
+    expressions — the per-doc O(G²) distinct-vs-occurrence probe is
+    fine at real document lengths (hundreds of tokens) and keeps the
+    whole profile map-only; both are single divisions of exact ints,
+    so DuckDB reproduces them bit-for-bit."""
+    toks = _tokens(F.col(text_col))
+    g2 = _gram_join(toks, 2)
+    g3 = _gram_join(toks, 3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda d: F.size(F.filter(g2, lambda x: x == d)),
+        )
+    )
+    dup3 = F.size(
+        F.filter(
+            g3,
+            lambda x: F.size(F.filter(g3, lambda y: y == x)) >= 2,
+        )
+    )
+    return [
+        F.when(
+            F.size(g2) > 0, top2.cast("double") / F.size(g2)
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(
+            F.size(g3) > 0, dup3.cast("double") / F.size(g3)
+        ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+    ]
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition screen: (id, top_bigram_frac,
+    dup_trigram_frac) — see repetition_cols."""
+    return df.select(F.col(id_col), *repetition_cols(text_col))
+
+
 def langid_cols(text_col: str) -> list[Column]:
     """Column builders for marker-word language scoring: hit count per
     language list, deterministic argmax (first list wins ties, 'unknown'

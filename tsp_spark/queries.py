@@ -1459,13 +1459,15 @@ ORACLE_SIMHASH = _simhash_oracle()
 
 def q_text_profile(spark, sf_dir):
     """Folded per-document text signals — quality screens
-    (pipeline/text.py quality_cols), marker-word language ID
-    (langid_cols), and SimHash (simhash_col) — as ONE map-only
-    projection over a single documents scan: no self-joins, every
-    signal column independently oracle-verified."""
+    (pipeline/text.py quality_cols), Gopher-style repetition filters
+    (repetition_cols, r9), marker-word language ID (langid_cols), and
+    SimHash (simhash_col) — as ONE map-only projection over a single
+    documents scan: no self-joins, every signal column independently
+    oracle-verified."""
     from tsp_spark.pipeline.text import (
         langid_cols,
         quality_cols,
+        repetition_cols,
         simhash_from_hashes,
         token_hashes_col,
     )
@@ -1476,6 +1478,7 @@ def q_text_profile(spark, sf_dir):
     staged = docs.select(
         "doc_id",
         *quality_cols("text"),
+        *repetition_cols("text"),
         *langid_cols("text"),
         token_hashes_col("text").alias("__sh"),
     )
@@ -1488,10 +1491,42 @@ def q_text_profile(spark, sf_dir):
 _LANGID_OUT = ", ".join(
     [f"l.score_{lang}" for lang in LANG_MARKERS] + ["l.pred_lang"]
 )
+# Gopher-style repetition signals (text.py repetition_cols): the modal
+# bigram's occurrence share and the share of trigram occurrences that
+# repeat — exact-int divisions, bit-identical cross-engine
+ORACLE_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(g2) > 0 THEN
+         list_max(list_transform(list_distinct(g2),
+                                 d -> len(list_filter(g2, x -> x = d))))::DOUBLE
+           / len(g2)
+       ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN len(g3) > 0 THEN
+         len(list_filter(g3,
+                         x -> len(list_filter(g3, y -> y = x)) >= 2))::DOUBLE
+           / len(g3)
+       ELSE 0.0 END AS dup_trigram_frac
+FROM g
+"""
+
 ORACLE_TEXT_PROFILE = f"""
 SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.stopword_ratio,
-       q.unique_ratio, q.is_repetitive, {_LANGID_OUT}, s.simhash
+       q.unique_ratio, q.is_repetitive, r.top_bigram_frac,
+       r.dup_trigram_frac, {_LANGID_OUT}, s.simhash
 FROM ({ORACLE_QUALITY}) q
+JOIN ({ORACLE_REPETITION}) r ON q.doc_id = r.doc_id
 JOIN ({ORACLE_LANGID}) l ON q.doc_id = l.doc_id
 JOIN ({ORACLE_SIMHASH}) s ON q.doc_id = s.doc_id
 """
