@@ -1341,6 +1341,86 @@ def test_streaming_neardup_index_compaction_prunes_and_preserves(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_streaming_neardup_offline_bootstrap_compacts(spark):
+    """An offline batch-engine-built starting index (the documented
+    ``batch=-1`` bootstrap generation) participates in dedup AND in
+    compaction: its docs keep winning after the deltas fold into the
+    compacted layout, and the bootstrap delta itself is GC'd."""
+    import pathlib
+
+    from tsp_spark.pipeline.dedup import (
+        _minhash_bands,
+        _neardup_process_batch,
+    )
+
+    # exact copies of the bootstrap doc (J=1 — band collision is
+    # certain, so the test isolates the index path, not LSH recall)
+    base = "the quick brown fox jumps over one lazy dog while rain falls on warm dusty roads near tall green hills today".split()
+    schema = "doc_id long, text string"
+    root = tempfile.mkdtemp(prefix="tsp_sndd_bs")
+    idx, out = f"{root}/idx", f"{root}/out"
+    try:
+        # offline bootstrap: batch engine writes doc 1's signature at
+        # the documented batch=-1 slot
+        with_sig, exploded = _minhash_bands(
+            spark.createDataFrame([(1, " ".join(base))], schema).select(
+                F.col("doc_id").alias("__id"), "text"
+            ),
+            "text", "__id", 32, 8, 3, 42,
+        )
+        boot = with_sig.join(
+            exploded.drop("__sig").groupBy("__id").agg(
+                F.collect_list(F.struct("band", "bhash")).alias("bhashes")
+            ),
+            "__id",
+        ).select(
+            F.col("__id").alias("id"), F.col("__sig").alias("sig"), "bhashes"
+        )
+        boot.write.parquet(f"{idx}/batch=-1")
+        cfg = dict(
+            text_col="text", id_col="doc_id", index_dir=idx, out_dir=out,
+            num_perm=32, bands=8, shingle_k=3, threshold=0.5, seed=42,
+            compact_every=2,
+        )
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon",
+            "one hundred cats sat quietly watching ninety nine red balloons drift slowly across cold winter skies this morning",
+        ]
+        _neardup_process_batch(
+            spark, spark.createDataFrame([(2, texts[0])], schema), 0, **cfg
+        )
+        _neardup_process_batch(
+            spark, spark.createDataFrame([(3, texts[1])], schema), 1, **cfg
+        )
+        # batch 2 triggers compaction of {-1, 0, 1} at its end; batch 3
+        # then probes a near-dup of the BOOTSTRAP doc against the
+        # COMPACTED layout (resolve(before=3) = compact=2 + delta 2)
+        _neardup_process_batch(
+            spark, spark.createDataFrame([(4, " ".join(base))], schema),
+            2, **cfg,
+        )
+        _neardup_process_batch(
+            spark, spark.createDataFrame([(5, " ".join(base))], schema),
+            3, **cfg,
+        )
+        admitted = {
+            r["doc_id"] for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        # 4 dropped vs bootstrap doc 1 through the flat deltas; 5
+        # dropped vs the same doc through the compacted generation
+        assert admitted == {2, 3}, admitted
+        names = {p.name for p in pathlib.Path(idx).iterdir()}
+        assert "compact=2" in names and "batch=-1" not in names, names
+        ids = sorted(
+            r["id"]
+            for r in spark.read.parquet(f"{idx}/compact=2/rows")
+            .select("id").distinct().collect()
+        )
+        assert ids == [1, 2, 3], ids
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_streaming_ann_serving_against_ivf_index(spark):
     """ANN serving on a query STREAM: each micro-batch of query
     vectors searches the persisted IVF index (foreachBatch +
