@@ -150,3 +150,49 @@ def test_forward_fill_keeps_own_value(spark, mk_ts):
         df, ["unit"], "ts", ["v"], default_timeout_ms=10_001
     ).orderBy("ts").collect()
     assert [r.v for r in out3] == [5.0, 5.0, 7.0]
+
+
+def test_islands_sharded_matches_unsharded(spark):
+    """islands_sharded == islands on a hostile randomized series (3
+    keys incl. a hot one, NULL conditions, gaps straddling shard
+    boundaries), across shard sizes from one-second shards (every
+    stitch chain maximal) to one shard total, with and without the
+    gap rule, for keep=True and keep=None."""
+    import random
+
+    from tsp_spark.ops.islands import islands_sharded
+
+    rng = random.Random(7)
+    rows = []
+    for key, n in (("hot", 400), ("k1", 60), ("k2", 1)):
+        t = 0
+        for _ in range(n):
+            t += rng.choice([1, 1, 1, 5, 61, 200])  # seconds; gaps > 60s
+            v = rng.choice([1.0, 9.0, 9.0, None])
+            rows.append((key, t, v))
+    df = spark.createDataFrame(
+        [
+            (k, __import__("datetime").datetime(2024, 1, 1)
+             + __import__("datetime").timedelta(seconds=t), v)
+            for k, t, v in rows
+        ],
+        "unit string, ts timestamp, x double",
+    )
+    cond = F.col("x") > 4
+    for max_gap in (60_000, None):
+        for keep in (True, None):
+            want = sorted(
+                map(tuple, islands(
+                    df, ["unit"], "ts", cond, max_gap, keep=keep
+                ).collect()),
+                key=repr,
+            )
+            for shard_ms in (1_000, 47_000, 3_600_000, 10**12):
+                got = sorted(
+                    map(tuple, islands_sharded(
+                        df, ["unit"], "ts", cond, max_gap,
+                        keep=keep, shard_ms=shard_ms,
+                    ).collect()),
+                    key=repr,
+                )
+                assert got == want, (max_gap, keep, shard_ms)

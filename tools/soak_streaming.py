@@ -276,6 +276,7 @@ def main() -> int:
             users=args.users,
             crash_batches=crash,
             graceful_after=args.graceful,
+            skew=args.skew,
         )
         print(json.dumps(res, default=str, indent=2))
         return 0 if res["exact_match"] else 1
@@ -304,6 +305,7 @@ def run_soak_stateful(
     crash_batches: tuple[int, ...] = (7, 16),
     graceful_after: int = 10,
     workdir: str | None = None,
+    skew: bool = False,
 ) -> dict:
     """Same soak contract for the OTHER streaming mode: the
     true-incremental `stateful_incidents` kernel

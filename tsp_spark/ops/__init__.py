@@ -4,7 +4,12 @@ The reusable building blocks the pattern compiler (and users directly)
 assemble into jobs. All are expression/window based — no Python row UDFs.
 """
 
-from tsp_spark.ops.islands import islands, with_islands, with_run_start
+from tsp_spark.ops.islands import (
+    islands,
+    islands_sharded,
+    with_islands,
+    with_run_start,
+)
 from tsp_spark.ops.windows import (
     time_window,
     windowed_avg,
@@ -24,6 +29,7 @@ from tsp_spark.ops.skew import salted_agg
 
 __all__ = [
     "islands",
+    "islands_sharded",
     "with_islands",
     "with_run_start",
     "time_window",

@@ -103,6 +103,74 @@ def islands(
     return grouped.withColumnRenamed("__cond", "cond_value").drop("__island")
 
 
+def islands_sharded(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    cond: Column,
+    max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
+    keep: bool | None = True,
+    shard_ms: int = 3_600_000,
+) -> DataFrame:
+    """``islands`` with the per-key row work spread over TIME SHARDS —
+    the hot-key mitigation (see docs/SCALE.md skewed-soak note): a
+    keyed window puts a key's entire series in one task, so a key
+    carrying half the corpus Amdahl-bounds the stage no matter how
+    many executors exist. Here rows partition by (key, ⌊ms/shard_ms⌋)
+    — the hot key's scan parallelizes across its time range — and
+    only the ISLAND-level stitch (rows = runs, orders of magnitude
+    smaller) runs per-key.
+
+    Exact by construction: ``keep=None`` islands TILE a key's rows in
+    time order, so every within-shard boundary is already decided by
+    the base kernel, and a cross-shard pair of adjacent islands
+    re-evaluates the exact same boundary rule the row kernel would
+    have applied to its boundary rows — condition changed (null-safe)
+    or gap > max_gap_ms; adjacent same-shard islands are boundaries
+    by construction. A per-key running sum over the island sequence
+    then merges runs that straddle any number of shards
+    (property-tested equal to ``islands`` across shard sizes from
+    one-row-per-shard to one-shard-total).
+
+    Same caveats as ``islands`` (unique (keys…, ts)); ``with_idx``
+    is not offered — global per-key row numbers are precisely the
+    serialization this variant exists to avoid. Choose ``shard_ms``
+    ≫ max_gap_ms and ≫ typical run length so stitch chains stay
+    short; any value is CORRECT (chains just grow), the choice only
+    tunes parallelism."""
+    ms = F.unix_millis(F.col(ts))
+    base = df.withColumn("__shard", F.floor(ms / F.lit(shard_ms)))
+    part = islands(
+        base, list(keys) + ["__shard"], ts, cond, max_gap_ms, keep=None
+    )
+    w = Window.partitionBy(*keys).orderBy("from_ts", "to_ts")
+    prev_cond = F.lag("cond_value").over(w)
+    prev_to = F.lag("to_ts").over(w)
+    prev_shard = F.lag("__shard").over(w)
+    gap = F.unix_millis(F.col("from_ts")) - F.unix_millis(prev_to)
+    cross_boundary = ~F.col("cond_value").eqNullSafe(prev_cond)
+    if max_gap_ms is not None:
+        cross_boundary = cross_boundary | (gap > F.lit(max_gap_ms))
+    new_island = (
+        F.when(prev_to.isNull(), F.lit(1))               # first island
+        .when(F.col("__shard").eqNullSafe(prev_shard), F.lit(1))
+        .otherwise(cross_boundary.cast("int"))
+    )
+    merged = part.withColumn(
+        "__mid",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = merged.groupBy(*keys, "__mid", "cond_value").agg(
+        F.min("from_ts").alias("from_ts"),
+        F.max("to_ts").alias("to_ts"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    if keep is not None:
+        grouped = grouped.filter(F.col("cond_value").eqNullSafe(F.lit(keep)))
+        return grouped.drop("cond_value", "__mid")
+    return grouped.drop("__mid")
+
+
 def with_run_start(
     df: DataFrame,
     keys: Sequence[str],
