@@ -196,3 +196,50 @@ def test_islands_sharded_matches_unsharded(spark):
                     key=repr,
                 )
                 assert got == want, (max_gap, keep, shard_ms)
+
+
+def test_search_incidents_shard_ms_parity(spark):
+    """search_incidents(shard_ms=...) returns byte-identical incidents
+    to the default path on a skewed series, with a mixed job: the
+    row-local predicate takes the sharded kernel, the timer pattern
+    silently falls back to the standard compiler."""
+    import datetime
+    import random
+
+    from tsp_spark.api import RawPattern, is_row_local, search_incidents
+    from tsp_spark.dsl.parser import parse_pattern
+
+    ft = {"x": "float64"}
+    assert is_row_local(parse_pattern("x > 4", ft, 0.0))
+    assert is_row_local(parse_pattern("x + 1 > 4 and x < 100", ft, 0.0))
+    assert not is_row_local(parse_pattern("x > 4 for 2 sec", ft, 0.0))
+    assert not is_row_local(parse_pattern("avg(x, 10 sec) > 4", ft, 0.0))
+    assert not is_row_local(parse_pattern("lag(x) > 4", ft, 0.0))
+
+    rng = random.Random(11)
+    rows = []
+    for key, n in ((0, 3000), (1, 200), (2, 7)):
+        t = 0
+        for _ in range(n):
+            t += rng.choice([1, 1, 1, 2, 61, 120])
+            rows.append((
+                key,
+                datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(seconds=t),
+                rng.choice([1.0, 9.0, 9.0, None]),
+            ))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, x double")
+    pats = [RawPattern(1, "x > 4"), RawPattern(2, "x > 4 for 2 sec")]
+    want = sorted(
+        map(tuple, search_incidents(
+            df, pats, ["user_id"], "ts", fields_types=ft
+        ).collect()),
+        key=repr,
+    )
+    got = sorted(
+        map(tuple, search_incidents(
+            df, pats, ["user_id"], "ts", fields_types=ft, shard_ms=60_000
+        ).collect()),
+        key=repr,
+    )
+    assert got == want and len(want) > 0

@@ -67,6 +67,37 @@ def referenced_fields(node) -> set[str]:
     return out
 
 
+def is_row_local(node) -> bool:
+    """True when a pattern AST evaluates row by row — no sequences,
+    timers, truth-stat windows, `until`/`wait`, windowed aggregates or
+    lags. Such a pattern's whole evaluation IS `ops.islands` over its
+    boolean column, so it is eligible for the sharded hot-key kernel
+    (`islands_sharded`); everything stateful needs the per-key ordered
+    scan and falls back to the standard compiler path."""
+    import dataclasses
+
+    from tsp_spark.dsl import ast as A
+
+    stateful = (
+        A.AndThen, A.Timer, A.ForWithInterval, A.Until, A.Wait,
+        A.AggregateCall,
+    )
+
+    def walk(n) -> bool:
+        if isinstance(n, stateful):
+            return False
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                vs = v if isinstance(v, tuple) else (v,)
+                for x in vs:
+                    if isinstance(x, A.Node) and not walk(x):
+                        return False
+        return True
+
+    return walk(node)
+
+
 def search_incidents(
     df: DataFrame,
     patterns: Sequence[RawPattern],
@@ -78,6 +109,7 @@ def search_incidents(
     session_gap_ms: int = 2_000,
     tolerance_fraction: float = 0.0,
     andthen_mode: str = "fused",
+    shard_ms: int | None = None,
 ) -> DataFrame:
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
@@ -86,6 +118,15 @@ def search_incidents(
     "exact" (the reference's two-queue union+rewind consumption,
     AndThenPattern.scala:42-94 — see ops/sequence.py and
     docs/SEMANTICS.md §17 for when the two differ).
+
+    ``shard_ms``: opt-in hot-key mitigation. Patterns whose AST is
+    row-local (``is_row_local`` — plain predicates, the flagship
+    RealDataPerfTest shape) islandize via ``islands_sharded``: row
+    work partitions by (key, time-shard) instead of serializing each
+    key into one task, exact at any shard size (measured 2.9× on a
+    50%-hot-key 10M-row workload, docs/SCALE.md); stateful patterns
+    in the same job silently keep the standard path. Default None =
+    identical plans to r8.
 
     The source projection is pruned to the union of referenced fields
     (the reference's PatternFieldExtractor); each pattern branch is then
@@ -106,7 +147,8 @@ def search_incidents(
     used = set().union(*(referenced_fields(n) for n in nodes)) if nodes else set()
     used_l = {u.lower() for u in used}
     cols = [c for c in df.columns if c.lower() in used_l or c in keys or c == ts]
-    src = compiler.with_series(df.select(*cols))
+    raw_src = df.select(*cols)
+    src = compiler.with_series(raw_src)
     # Deliberately NO materialization barrier (persist/localCheckpoint)
     # here. Measured reality: Catalyst prunes each pattern branch
     # independently, so the union plans N narrow scans (each reading
@@ -120,7 +162,21 @@ def search_incidents(
     # columns AND storage is the bottleneck.
     parts: list[DataFrame] = []
     for p, node in zip(patterns, nodes):
-        iv = compiler.compile_intervals(src, node)
+        if shard_ms is not None and is_row_local(node):
+            # row-local predicate: its evaluation IS islandization, so
+            # run the sharded kernel on the PRE-series frame (the
+            # series split is exactly the gap rule islands applies
+            # itself; with_series' per-key window would reintroduce
+            # the very serialization being avoided)
+            from tsp_spark.ops.islands import islands_sharded
+
+            c = compiler.compile_bool(raw_src, node)
+            iv = islands_sharded(
+                c.df, keys, ts, c.col, max_gap_ms,
+                keep=True, shard_ms=shard_ms,
+            )
+        else:
+            iv = compiler.compile_intervals(src, node)
         parts.append(
             iv.select(
                 F.lit(p.id).alias("pattern_id"),
