@@ -100,6 +100,61 @@ def scale_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 200):
     }
 
 
+def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
+    """Hot-key rehearsal (r9): the flagship 2-pattern workload with
+    user 0 carrying 50% of all rows, default vs the sharded
+    islandization (`search_incidents(shard_ms=1h)` — exact, opt-in,
+    row-local patterns only). Records both wall times and asserts the
+    incident counts agree, so the skew story is a driver-recorded
+    number, not a docs claim."""
+    import pyspark.sql.functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    base_ms = 1_704_067_200_000
+    hot = n_rows // 2
+    raw4 = F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10_000))
+    raw6 = F.pmod(F.xxhash64("id", F.lit(6)), F.lit(10_000))
+
+    def hi(raw):
+        return F.when(raw < 5, raw.cast("double") / 10_000).otherwise(
+            0.5 + raw.cast("double") / 20_000
+        )
+
+    ev = spark.range(n_rows).select(
+        F.when(F.col("id") < hot, F.lit(0)).otherwise(
+            1 + F.pmod(F.col("id"), F.lit(n_keys - 1))
+        ).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(base_ms)
+            + F.when(F.col("id") < hot, F.col("id"))
+            .otherwise((F.col("id") - hot) / (n_keys - 1))
+            .cast("long") * 1000
+        ).alias("ts"),
+        hi(raw4).alias("hi4"),
+        hi(raw6).alias("hi6"),
+    )
+    pats = [RawPattern(4, "hi4 < 0.5"), RawPattern(6, "hi6 < 0.5")]
+    ft = {"hi4": "float64", "hi6": "float64"}
+    out = {"rows": n_rows, "hot_key_fraction": 0.5}
+    counts = {}
+    for label, kw in (("default", {}), ("shard_1h", {"shard_ms": 3_600_000})):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = search_incidents(
+                ev, pats, ["user_id"], "ts", fields_types=ft,
+                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_sec"] = round(best, 3)
+        counts[label] = n
+    out["incidents"] = counts["default"]
+    out["counts_match"] = counts["default"] == counts["shard_1h"]
+    out["speedup_x"] = round(out["default_sec"] / out["shard_1h_sec"], 1)
+    return out
+
+
 def accums_rehearsal(spark, n_rows: int = 600_000, n_keys: int = 2):
     """The reference's four 600k-row accumulator envelopes
     (AccumsPerfTest.scala:72-86 — 6×100k synthetic blocks, 2 partition
@@ -387,6 +442,17 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # hot-key rehearsal: own flag (see skew_rehearsal docstring)
+    skew = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
+        skew = skew_rehearsal(spark)
+        print(
+            f"# skew_10m: default {skew['default_sec']:.3f}s vs sharded "
+            f"{skew['shard_1h_sec']:.3f}s ({skew['speedup_x']}x, "
+            f"counts_match={skew['counts_match']})",
+            file=sys.stderr,
+        )
+
     # 10× scaling rehearsal: own flag, generated tables (see
     # sf1_rehearsal docstring); reported separately from the headline
     sf1 = None
@@ -439,6 +505,8 @@ def main() -> None:
         payload["scale_10m"] = scale
     if accums is not None:
         payload["accums_600k"] = accums
+    if skew is not None:
+        payload["skew_10m"] = skew
     if sf1 is not None:
         payload["sf1_scaling"] = sf1
     if sf1_oracle is not None:
