@@ -1201,6 +1201,66 @@ def test_streaming_cms_matches_batch(spark):
         shutil.rmtree(chk_dir, ignore_errors=True)
 
 
+def test_streaming_bottomk_quantiles_match_batch(spark):
+    """The bottom-k quantile sketch's streaming form: an
+    applyInPandasWithState kernel maintains each group's k smallest
+    (hash, value) pairs across micro-batches (state bounded by k, not
+    stream length; order-free by construction), and the quantiles
+    folded from the newest emitted generation equal the batch
+    quantile_bottomk EXACTLY — same sample, same nearest-rank fold."""
+    from tsp_spark.pipeline.sketches import (
+        quantile_bottomk,
+        quantiles_from_sample_sink,
+        streaming_bottomk_sample,
+    )
+
+    rows = [
+        (f"g{i % 3}", f"key{i}", float((i * 37) % 1000)) for i in range(4000)
+    ]
+    schema = "g string, kk string, v double"
+    src_dir = tempfile.mkdtemp(prefix="tsp_sbk_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_sbk_chk")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        half = len(rows) // 2
+        spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            streaming_bottomk_sample(stream, "v", "kk", ["g"], k=64)
+            .writeStream.format("memory")
+            .queryName("bk_sample")
+            .option("checkpointLocation", chk_dir)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sink = spark.table("bk_sample")
+        # both generations were emitted (update mode appends)
+        assert {r["__gen"] for r in sink.select("__gen").distinct().collect()} == {1, 2}
+        got = {
+            r["g"]: (r["n_sample"], r["q_50"], r["q_90"], r["q_99"])
+            for r in quantiles_from_sample_sink(sink, ["g"]).collect()
+        }
+        want = {
+            r["g"]: (r["n_sample"], r["q_50"], r["q_90"], r["q_99"])
+            for r in quantile_bottomk(df, "v", "kk", ["g"], k=64).collect()
+        }
+        assert got == want and set(got) == {"g0", "g1", "g2"}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)
+
+
 def test_streaming_neardup_dedup_replay_is_idempotent(spark):
     """Crash-replay safety (the r7 carry-bug class, here for the
     near-dup index): the driver dies AFTER the index write for batch N

@@ -355,6 +355,22 @@ def quantile_bottomk(
     )
     w = Window.partitionBy(*group_cols).orderBy("__h", "__v")
     sample = base.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    return sample_quantiles(sample, group_cols, qs)
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[tuple[str, int, int]] = (
+        ("q_50", 1, 2),
+        ("q_90", 9, 10),
+        ("q_99", 99, 100),
+    ),
+) -> DataFrame:
+    """Nearest-rank quantiles over an already-drawn per-group sample
+    (a frame with group_cols and ``__v``) — shared by the batch
+    ``quantile_bottomk`` and any sample sink (the streaming bottom-k
+    state)."""
     w_v = Window.partitionBy(*group_cols).orderBy("__v")
     n = Window.partitionBy(*group_cols)
     ranked = sample.select(
@@ -378,3 +394,111 @@ def quantile_bottomk(
             F.max(F.when(F.col("__vr") == r_q, F.col("__v"))).alias(name)
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k sample (the quantile sketch's incremental state)
+# ---------------------------------------------------------------------------
+
+
+def streaming_bottomk_sample(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 128,
+) -> DataFrame:
+    """The bottom-k hash sample as INCREMENTAL STREAMING STATE — the
+    hll_registers/cms_counters pattern completed for the quantile
+    sketch. Bottom-k by a fixed hash is order-free (the k smallest
+    (md5_long(key), value) pairs of a multiset don't depend on
+    arrival order), so maintaining them per group across micro-batches
+    reproduces the batch ``quantile_bottomk`` sample EXACTLY: state is
+    ≤ k (long, double) pairs per group — bounded by k, not stream
+    length — merged in one ``applyInPandasWithState`` kernel (the
+    hashes themselves are computed JVM-side before the kernel).
+
+    Emits each updated group's full current sample per trigger, tagged
+    with a per-group generation counter ``__gen`` (update-mode sinks
+    append; the consumer keeps each group's newest generation —
+    ``quantiles_from_sample_sink`` does exactly that and folds the
+    nearest-rank quantiles via the shared ``sample_quantiles``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    h = md5_long(F.col(key_col).cast("string"))
+    proj = stream.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        *group_cols,
+        h.alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    gtypes = [
+        (f.name, f.dataType.simpleString())
+        for f in proj.schema.fields
+        if f.name in group_cols
+    ]
+    out_schema = (
+        ", ".join(f"{n} {t}" for n, t in gtypes)
+        + ", __h long, __v double, __gen long"
+    )
+    state_schema = "hs array<long>, vs array<double>, gen long"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            hs, vs, gen = state.get
+            h_arr = np.asarray(hs, dtype=np.int64)
+            v_arr = np.asarray(vs, dtype=np.float64)
+        else:
+            h_arr = np.empty(0, dtype=np.int64)
+            v_arr = np.empty(0, dtype=np.float64)
+            gen = 0
+        for pdf in pdf_iter:
+            h_arr = np.concatenate(
+                [h_arr, pdf["__h"].to_numpy(np.int64)]
+            )
+            v_arr = np.concatenate(
+                [v_arr, pdf["__v"].to_numpy(np.float64)]
+            )
+        # k smallest by (h, v) WITH multiplicity — identical to the
+        # batch window's (__h, __v) row_number ordering
+        order = np.lexsort((v_arr, h_arr))[:k]
+        h_arr, v_arr = h_arr[order], v_arr[order]
+        gen += 1
+        state.update((h_arr.tolist(), v_arr.tolist(), int(gen)))
+        out = pd.DataFrame({"__h": h_arr, "__v": v_arr})
+        for (name, _t), val in zip(gtypes, key):
+            out[name] = val
+        out["__gen"] = gen
+        yield out[[n for n, _ in gtypes] + ["__h", "__v", "__gen"]]
+
+    return proj.groupBy(*group_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def quantiles_from_sample_sink(
+    sink: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[tuple[str, int, int]] = (
+        ("q_50", 1, 2),
+        ("q_90", 9, 10),
+        ("q_99", 99, 100),
+    ),
+) -> DataFrame:
+    """Fold an update-mode ``streaming_bottomk_sample`` sink (appended
+    emissions, possibly many generations per group) into per-group
+    nearest-rank quantiles: keep each group's NEWEST generation — the
+    complete current sample — and run the shared ``sample_quantiles``
+    fold. Equals the batch ``quantile_bottomk`` on the same data
+    exactly."""
+    w = Window.partitionBy(*group_cols)
+    latest = sink.withColumn("__mx", F.max("__gen").over(w)).where(
+        F.col("__gen") == F.col("__mx")
+    )
+    return sample_quantiles(
+        latest.select(*group_cols, "__v"), group_cols, qs
+    )
