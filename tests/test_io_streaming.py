@@ -1261,6 +1261,68 @@ def test_streaming_bottomk_quantiles_match_batch(spark):
         shutil.rmtree(chk_dir, ignore_errors=True)
 
 
+def test_streaming_kmv_matches_batch(spark):
+    """KMV's streaming form: the same bottom-k kernel in
+    distinct-hash mode (k smallest distinct hashes = the KMV state),
+    folded by kmv_from_sample_sink — equals batch kmv_distinct
+    exactly, including groups small enough to be exact counts."""
+    from tsp_spark.pipeline.sketches import (
+        kmv_distinct,
+        kmv_from_sample_sink,
+        streaming_bottomk_sample,
+    )
+
+    # g0/g1: ~700 distinct values (estimator path, k=64); g2: 9
+    # distinct (exact path); duplicates across batches exercise the
+    # distinct-hash merge
+    rows = [(f"g{i % 2}", i % 700) for i in range(3000)] + [
+        ("g2", i % 9) for i in range(300)
+    ]
+    schema = "g string, v long"
+    src_dir = tempfile.mkdtemp(prefix="tsp_skmv_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_skmv_chk")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        half = len(rows) // 2
+        spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b0"
+        )
+        spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+            f"{src_dir}/b1"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            streaming_bottomk_sample(
+                stream, "v", "v", ["g"], k=64, distinct_hashes=True
+            )
+            .writeStream.format("memory")
+            .queryName("kmv_sample")
+            .option("checkpointLocation", chk_dir)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["g"]: (r["n_kept"], r["est_distinct"])
+            for r in kmv_from_sample_sink(
+                spark.table("kmv_sample"), ["g"], k=64
+            ).collect()
+        }
+        want = {
+            r["g"]: (r["n_kept"], r["est_distinct"])
+            for r in kmv_distinct(df, "v", ["g"], k=64).collect()
+        }
+        assert got == want and got["g2"][0] == 9
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)
+
+
 def test_streaming_neardup_dedup_replay_is_idempotent(spark):
     """Crash-replay safety (the r7 carry-bug class, here for the
     near-dup index): the driver dies AFTER the index write for batch N

@@ -407,6 +407,7 @@ def streaming_bottomk_sample(
     key_col: str,
     group_cols: Sequence[str],
     k: int = 128,
+    distinct_hashes: bool = False,
 ) -> DataFrame:
     """The bottom-k hash sample as INCREMENTAL STREAMING STATE — the
     hll_registers/cms_counters pattern completed for the quantile
@@ -422,7 +423,12 @@ def streaming_bottomk_sample(
     with a per-group generation counter ``__gen`` (update-mode sinks
     append; the consumer keeps each group's newest generation —
     ``quantiles_from_sample_sink`` does exactly that and folds the
-    nearest-rank quantiles via the shared ``sample_quantiles``)."""
+    nearest-rank quantiles via the shared ``sample_quantiles``).
+
+    ``distinct_hashes=True`` keeps the k smallest DISTINCT hashes
+    instead — the KMV sketch's state (pass the counted column as BOTH
+    value_col and key_col); ``kmv_from_sample_sink`` folds the sink
+    into the same estimator as the batch ``kmv_distinct``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -462,10 +468,17 @@ def streaming_bottomk_sample(
             v_arr = np.concatenate(
                 [v_arr, pdf["__v"].to_numpy(np.float64)]
             )
-        # k smallest by (h, v) WITH multiplicity — identical to the
-        # batch window's (__h, __v) row_number ordering
-        order = np.lexsort((v_arr, h_arr))[:k]
-        h_arr, v_arr = h_arr[order], v_arr[order]
+        if distinct_hashes:
+            # KMV mode: the k smallest DISTINCT hashes (kmv_distinct's
+            # (group, hash) distinct); values ride along arbitrarily
+            h_arr, first = np.unique(h_arr, return_index=True)
+            v_arr = v_arr[first]
+            h_arr, v_arr = h_arr[:k], v_arr[:k]
+        else:
+            # k smallest by (h, v) WITH multiplicity — identical to
+            # the batch window's (__h, __v) row_number ordering
+            order = np.lexsort((v_arr, h_arr))[:k]
+            h_arr, v_arr = h_arr[order], v_arr[order]
         gen += 1
         state.update((h_arr.tolist(), v_arr.tolist(), int(gen)))
         out = pd.DataFrame({"__h": h_arr, "__v": v_arr})
@@ -501,4 +514,25 @@ def quantiles_from_sample_sink(
     )
     return sample_quantiles(
         latest.select(*group_cols, "__v"), group_cols, qs
+    )
+
+
+def kmv_from_sample_sink(
+    sink: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Fold a ``streaming_bottomk_sample(distinct_hashes=True)`` sink
+    into the KMV estimate — same (n_kept, est_distinct) formula as the
+    batch ``kmv_distinct`` over the same k, so the streamed sketch
+    equals the batch sketch exactly."""
+    w = Window.partitionBy(*group_cols)
+    latest = sink.withColumn("__mx", F.max("__gen").over(w)).where(
+        F.col("__gen") == F.col("__mx")
+    )
+    hk = F.max("__h").cast("double") / F.lit(HASH_SPACE)
+    n = F.count(F.lit(1))
+    return latest.groupBy(*group_cols).agg(
+        n.alias("n_kept"),
+        F.round(
+            F.when(n < k, n.cast("double")).otherwise((F.lit(k) - 1) / hk), 4
+        ).alias("est_distinct"),
     )
