@@ -382,3 +382,44 @@ def test_and_then_mode_selectable_per_job(spark, tmp_path):
     assert captured["exact"] == [(0, 11)]
     with pytest.raises(ValueError, match="andthen_mode"):
         run_sinked({"uuid": "bad", "andThenMode": "nope", **base})
+
+
+def test_shard_ms_selectable_per_job(spark, tmp_path):
+    """r9: a submitted job opts into the sharded islandization via
+    `shardMs`; the incident set is identical to the default path
+    (row-local pattern, series gap straddling a shard seam)."""
+    import datetime as dt
+
+    rows = []
+    for i in range(40):
+        t = i if i < 20 else i + 300  # 5-min gap mid-series
+        rows.append(
+            (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+             1.0 if (i // 4) % 2 == 0 else 0.0)
+        )
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "k bigint, ts timestamp, a double"
+    ).write.parquet(src_path)
+    captured = {}
+
+    def sink(incidents, request):
+        captured[request["uuid"]] = sorted(
+            (r["from_ts"], r["to_ts"]) for r in incidents.collect()
+        )
+        return len(captured[request["uuid"]])
+
+    base = {
+        "source": {
+            "parquetPath": src_path,
+            "datetimeField": "ts",
+            "partitionFields": ["k"],
+            "defaultEventsGapMs": 0,
+        },
+        "patterns": [{"id": 1, "sourceCode": "a > 0"}],
+    }
+    run_sinked = make_spark_runner(spark, sink=sink)
+    run_sinked({"uuid": "plain", **base})
+    run_sinked({"uuid": "sharded", "shardMs": 10_000, **base})
+    assert captured["plain"] == captured["sharded"]
+    assert len(captured["plain"]) > 1
