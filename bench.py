@@ -152,6 +152,10 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     out["incidents"] = counts["default"]
     out["counts_match"] = counts["default"] == counts["shard_1h"]
     out["speedup_x"] = round(out["default_sec"] / out["shard_1h_sec"], 1)
+    if not out["counts_match"]:
+        # a sharded-vs-default divergence is a correctness regression,
+        # not a perf data point — fail the bench loudly
+        raise RuntimeError(f"skew rehearsal count mismatch: {counts}")
     return out
 
 

@@ -1256,6 +1256,15 @@ def test_streaming_bottomk_quantiles_match_batch(spark):
             for r in quantile_bottomk(df, "v", "kk", ["g"], k=64).collect()
         }
         assert got == want and set(got) == {"g0", "g1", "g2"}
+        # at-least-once robustness: re-appending the newest generation
+        # (a replayed trigger) must not change the fold — multiplicity
+        # rows carry a stable (gen, i) identity for the dedup
+        replayed = sink.unionByName(sink.where(F.col("__gen") == 2))
+        again = {
+            r["g"]: (r["n_sample"], r["q_50"], r["q_90"], r["q_99"])
+            for r in quantiles_from_sample_sink(replayed, ["g"]).collect()
+        }
+        assert again == want
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
@@ -1307,17 +1316,27 @@ def test_streaming_kmv_matches_batch(spark):
         )
         q.processAllAvailable()
         q.stop()
+        sink = spark.table("kmv_sample")
         got = {
             r["g"]: (r["n_kept"], r["est_distinct"])
-            for r in kmv_from_sample_sink(
-                spark.table("kmv_sample"), ["g"], k=64
-            ).collect()
+            for r in kmv_from_sample_sink(sink, ["g"], k=64).collect()
         }
         want = {
             r["g"]: (r["n_kept"], r["est_distinct"])
             for r in kmv_distinct(df, "v", ["g"], k=64).collect()
         }
         assert got == want and got["g2"][0] == 9
+        # at-least-once robustness: a replayed trigger re-appends the
+        # SAME newest generation; the fold dedupes on (g, gen, i), so
+        # the estimate must not change (n_kept would double otherwise)
+        replayed = sink.unionByName(
+            sink.where(F.col("__gen") == 2)
+        )
+        again = {
+            r["g"]: (r["n_kept"], r["est_distinct"])
+            for r in kmv_from_sample_sink(replayed, ["g"], k=64).collect()
+        }
+        assert again == want
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
@@ -1716,3 +1735,106 @@ def test_streaming_exact_dedup_state_survives_restart(spark):
         assert kept == {1, 3}, f"kept {sorted(kept)}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cms_absent_candidate_estimates_zero(spark):
+    """A watchlist candidate absent from the stream whose cells only
+    PARTIALLY collide with real items must estimate 0 (zero cells are
+    implicit in a sketch) — an inner cell join would hand it the min
+    of its colliding cells only and report a spurious heavy hitter."""
+    import hashlib
+
+    from tsp_spark.pipeline.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_P,
+        CMS_WIDTH,
+        cms_counters,
+        cms_heavy_hitters_from_counters,
+    )
+
+    def cells(item):
+        h = int(hashlib.md5(item.encode()).hexdigest()[:15], 16) % CMS_P
+        return {
+            (i, ((CMS_A[i] * h + CMS_B[i]) % CMS_P) % CMS_WIDTH)
+            for i in range(4)
+        }
+
+    real = cells("x")
+    absent = next(
+        w for w in (f"w{i}" for i in range(100_000))
+        if 0 < len(cells(w) & real) < 4
+    )
+    df = spark.createDataFrame([("x",)] * 1000, "v string")
+    counters = cms_counters(df, "v")
+    cand = spark.createDataFrame([(absent,), ("x",)], "item string")
+    got = {
+        r["item"]: r["est_count"]
+        for r in cms_heavy_hitters_from_counters(
+            counters, cand, inv_phi=10**9
+        ).collect()
+    }
+    assert got.get("x") == 1000
+    assert absent not in got, (
+        f"{absent} (cells {sorted(cells(absent))}, real {sorted(real)}) "
+        f"got a spurious positive estimate"
+    )
+
+
+def test_islands_sharded_rejects_bad_shard_ms(spark, mk_ts=None):
+    import pytest
+
+    from tsp_spark.ops.islands import islands_sharded
+
+    df = spark.createDataFrame(
+        [("a", __import__("datetime").datetime(2024, 1, 1), 1.0)],
+        "unit string, ts timestamp, x double",
+    )
+    for bad in (0, -5, 2.5, None):
+        with pytest.raises(ValueError, match="shard_ms"):
+            islands_sharded(df, ["unit"], "ts", F.col("x") > 0, shard_ms=bad)
+
+
+def test_streaming_bottomk_preserves_long_values(spark):
+    """The kernel keeps the value column's NATIVE type: bigints past
+    2^53 survive exactly (a double cast would collapse 2^53+1 onto
+    2^53), and the folded quantiles equal the batch sketch."""
+    from tsp_spark.pipeline.sketches import (
+        quantile_bottomk,
+        quantiles_from_sample_sink,
+        streaming_bottomk_sample,
+    )
+
+    big = 1 << 53
+    rows = [("g", f"k{i}", big + i) for i in range(9)]
+    schema = "g string, kk string, v long"
+    src_dir = tempfile.mkdtemp(prefix="tsp_sbkl_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_sbkl_chk")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema(schema).parquet(f"{src_dir}/*")
+        )
+        q = (
+            streaming_bottomk_sample(stream, "v", "kk", ["g"], k=16)
+            .writeStream.format("memory")
+            .queryName("bk_long")
+            .option("checkpointLocation", chk_dir)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sink = spark.table("bk_long")
+        assert dict(sink.dtypes)["__v"] == "bigint"
+        vals = sorted(r["__v"] for r in sink.collect())
+        assert vals == [big + i for i in range(9)]  # exact, no 2^53 collapse
+        got = quantiles_from_sample_sink(sink, ["g"]).collect()[0]
+        want = quantile_bottomk(df, "v", "kk", ["g"], k=16).collect()[0]
+        assert (got["n_sample"], got["q_50"], got["q_99"]) == (
+            want["n_sample"], want["q_50"], want["q_99"]
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

@@ -138,6 +138,11 @@ def islands_sharded(
     ≫ max_gap_ms and ≫ typical run length so stitch chains stay
     short; any value is CORRECT (chains just grow), the choice only
     tunes parallelism."""
+    if not isinstance(shard_ms, int) or shard_ms < 1:
+        # shard_ms=0 would otherwise surface as an ANSI DIVIDE_BY_ZERO
+        # mid-job (and replay forever in a retried context) instead of
+        # a clean argument error (review-caught, r9)
+        raise ValueError(f"shard_ms must be a positive int, got {shard_ms!r}")
     ms = F.unix_millis(F.col(ts))
     base = df.withColumn("__shard", F.floor(ms / F.lit(shard_ms)))
     part = islands(

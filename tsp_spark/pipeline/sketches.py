@@ -62,14 +62,7 @@ def kmv_distinct(
     ).where(F.col("__lr") <= k)
     w = Window.partitionBy(*group_cols).orderBy("__h")
     kept = pairs.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
-    hk = F.max("__h").cast("double") / F.lit(HASH_SPACE)
-    n = F.count(F.lit(1))
-    return kept.groupBy(*group_cols).agg(
-        n.alias("n_kept"),
-        F.round(
-            F.when(n < k, n.cast("double")).otherwise((F.lit(k) - 1) / hk), 4
-        ).alias("est_distinct"),
-    )
+    return kept.groupBy(*group_cols).agg(*_kmv_estimate_aggs(k))
 
 
 # ---------------------------------------------------------------------------
@@ -292,8 +285,14 @@ def cms_heavy_hitters_from_counters(
     cand = candidates.select(
         *keep, F.explode(_cms_cells(F.col("item"))).alias("c")
     ).select(*keep, F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    # LEFT join + zero-fill: a sketch stores zero cells implicitly, so
+    # an inner join would hand a never-seen candidate the min of only
+    # its COLLIDING cells — a spurious positive count where the real
+    # CMS minimum is 0 (review-caught, r9: the generalized API accepts
+    # watchlist candidates absent from the stream)
     est = (
-        cand.join(F.broadcast(counters), ["i", "bucket"])
+        cand.join(F.broadcast(counters), ["i", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
         .groupBy(*keep)
         .agg(F.min("cnt").alias("est_count"))
     )
@@ -401,6 +400,21 @@ def sample_quantiles(
 # ---------------------------------------------------------------------------
 
 
+def _np_dtype_for(spark_type: str):
+    """numpy dtype for a Spark numeric simpleString; the kernel is
+    numeric-only (clean error otherwise)."""
+    import numpy as np
+
+    if spark_type in ("tinyint", "smallint", "int", "bigint"):
+        return np.int64
+    if spark_type in ("float", "double"):
+        return np.float64
+    raise ValueError(
+        f"streaming_bottomk_sample supports numeric value columns, "
+        f"got {spark_type}"
+    )
+
+
 def streaming_bottomk_sample(
     stream: DataFrame,
     value_col: str,
@@ -414,16 +428,24 @@ def streaming_bottomk_sample(
     sketch. Bottom-k by a fixed hash is order-free (the k smallest
     (md5_long(key), value) pairs of a multiset don't depend on
     arrival order), so maintaining them per group across micro-batches
-    reproduces the batch ``quantile_bottomk`` sample EXACTLY: state is
-    ≤ k (long, double) pairs per group — bounded by k, not stream
-    length — merged in one ``applyInPandasWithState`` kernel (the
-    hashes themselves are computed JVM-side before the kernel).
+    reproduces the batch ``quantile_bottomk`` sample EXACTLY — the
+    value column keeps its NATIVE numeric type end to end (a blanket
+    double cast would silently corrupt bigints past 2^53 and change
+    the (h, v) tie-break order — review-caught, r9): state is ≤ k
+    (hash, value) pairs per group — bounded by k, not stream length —
+    merged in one ``applyInPandasWithState`` kernel (the hashes
+    themselves are computed JVM-side before the kernel).
 
     Emits each updated group's full current sample per trigger, tagged
-    with a per-group generation counter ``__gen`` (update-mode sinks
-    append; the consumer keeps each group's newest generation —
+    with a per-group generation counter ``__gen`` AND a within-emission
+    row index ``__i`` — together a stable identity for every emitted
+    row, so an at-least-once sink that holds a replayed trigger's
+    duplicate emission stays foldable (the sink folds dedupe on
+    (group, __gen, __i) before counting; without it a replay would
+    double n_sample/n_kept — review-caught, r9, the crash-replay bug
+    class). The consumer keeps each group's newest generation —
     ``quantiles_from_sample_sink`` does exactly that and folds the
-    nearest-rank quantiles via the shared ``sample_quantiles``).
+    nearest-rank quantiles via the shared ``sample_quantiles``.
 
     ``distinct_hashes=True`` keeps the k smallest DISTINCT hashes
     instead — the KMV sketch's state (pass the counted column as BOTH
@@ -439,8 +461,12 @@ def streaming_bottomk_sample(
     ).select(
         *group_cols,
         h.alias("__h"),
-        F.col(value_col).cast("double").alias("__v"),
+        F.col(value_col).alias("__v"),
     )
+    vtype = dict(
+        (f.name, f.dataType.simpleString()) for f in proj.schema.fields
+    )["__v"]
+    np_v = _np_dtype_for(vtype)
     gtypes = [
         (f.name, f.dataType.simpleString())
         for f in proj.schema.fields
@@ -448,25 +474,25 @@ def streaming_bottomk_sample(
     ]
     out_schema = (
         ", ".join(f"{n} {t}" for n, t in gtypes)
-        + ", __h long, __v double, __gen long"
+        + f", __h long, __v {vtype}, __gen long, __i int"
     )
-    state_schema = "hs array<long>, vs array<double>, gen long"
+    state_schema = f"hs array<long>, vs array<{vtype}>, gen long"
 
     def update(key, pdf_iter, state):
         if state.exists:
             hs, vs, gen = state.get
             h_arr = np.asarray(hs, dtype=np.int64)
-            v_arr = np.asarray(vs, dtype=np.float64)
+            v_arr = np.asarray(vs, dtype=np_v)
         else:
             h_arr = np.empty(0, dtype=np.int64)
-            v_arr = np.empty(0, dtype=np.float64)
+            v_arr = np.empty(0, dtype=np_v)
             gen = 0
         for pdf in pdf_iter:
             h_arr = np.concatenate(
                 [h_arr, pdf["__h"].to_numpy(np.int64)]
             )
             v_arr = np.concatenate(
-                [v_arr, pdf["__v"].to_numpy(np.float64)]
+                [v_arr, pdf["__v"].to_numpy(np_v)]
             )
         if distinct_hashes:
             # KMV mode: the k smallest DISTINCT hashes (kmv_distinct's
@@ -485,11 +511,25 @@ def streaming_bottomk_sample(
         for (name, _t), val in zip(gtypes, key):
             out[name] = val
         out["__gen"] = gen
-        yield out[[n for n, _ in gtypes] + ["__h", "__v", "__gen"]]
+        out["__i"] = np.arange(len(h_arr), dtype=np.int32)
+        yield out[[n for n, _ in gtypes] + ["__h", "__v", "__gen", "__i"]]
 
     return proj.groupBy(*group_cols).applyInPandasWithState(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def _latest_generation(sink: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Each group\'s newest emitted generation, exactly once per row:
+    dedupe on (group, __gen, __i) FIRST — an at-least-once sink may
+    hold a replayed trigger\'s duplicate emission of the same
+    generation, and counting it twice would double n_sample/n_kept —
+    then keep max(__gen)."""
+    deduped = sink.dropDuplicates([*group_cols, "__gen", "__i"])
+    w = Window.partitionBy(*group_cols)
+    return deduped.withColumn("__mx", F.max("__gen").over(w)).where(
+        F.col("__gen") == F.col("__mx")
     )
 
 
@@ -503,36 +543,40 @@ def quantiles_from_sample_sink(
     ),
 ) -> DataFrame:
     """Fold an update-mode ``streaming_bottomk_sample`` sink (appended
-    emissions, possibly many generations per group) into per-group
-    nearest-rank quantiles: keep each group's NEWEST generation — the
-    complete current sample — and run the shared ``sample_quantiles``
-    fold. Equals the batch ``quantile_bottomk`` on the same data
-    exactly."""
-    w = Window.partitionBy(*group_cols)
-    latest = sink.withColumn("__mx", F.max("__gen").over(w)).where(
-        F.col("__gen") == F.col("__mx")
-    )
+    emissions, possibly many generations per group, possibly replayed
+    duplicates) into per-group nearest-rank quantiles via the shared
+    ``sample_quantiles`` fold. Equals the batch ``quantile_bottomk``
+    on the same data exactly."""
     return sample_quantiles(
-        latest.select(*group_cols, "__v"), group_cols, qs
+        _latest_generation(sink, group_cols).select(*group_cols, "__v"),
+        group_cols,
+        qs,
     )
 
 
-def kmv_from_sample_sink(
-    sink: DataFrame, group_cols: Sequence[str], k: int = 64
-) -> DataFrame:
-    """Fold a ``streaming_bottomk_sample(distinct_hashes=True)`` sink
-    into the KMV estimate — same (n_kept, est_distinct) formula as the
-    batch ``kmv_distinct`` over the same k, so the streamed sketch
-    equals the batch sketch exactly."""
-    w = Window.partitionBy(*group_cols)
-    latest = sink.withColumn("__mx", F.max("__gen").over(w)).where(
-        F.col("__gen") == F.col("__mx")
-    )
+def _kmv_estimate_aggs(k: int) -> list[Column]:
+    """The KMV (n_kept, est_distinct) aggregate pair — ONE definition
+    shared by the batch ``kmv_distinct`` and the streaming sink fold
+    so the two can never drift (review-caught, r9)."""
     hk = F.max("__h").cast("double") / F.lit(HASH_SPACE)
     n = F.count(F.lit(1))
-    return latest.groupBy(*group_cols).agg(
+    return [
         n.alias("n_kept"),
         F.round(
             F.when(n < k, n.cast("double")).otherwise((F.lit(k) - 1) / hk), 4
         ).alias("est_distinct"),
+    ]
+
+
+def kmv_from_sample_sink(
+    sink: DataFrame, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Fold a ``streaming_bottomk_sample(distinct_hashes=True)`` sink
+    into the KMV estimate — the same estimator as the batch
+    ``kmv_distinct``, so the streamed sketch equals the batch sketch
+    exactly. ``k`` is REQUIRED and must be the k the sample was built
+    with: a defaulted mismatch (sample k=128, fold k=64) would
+    silently misestimate by ~2× (review-caught, r9)."""
+    return _latest_generation(sink, group_cols).groupBy(*group_cols).agg(
+        *_kmv_estimate_aggs(k)
     )
