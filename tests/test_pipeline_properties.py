@@ -679,3 +679,43 @@ def test_repetition_signals_exact(spark):
 
     for doc_id, text in docs:
         assert got[doc_id] == ref(text), doc_id
+
+
+def test_line_repetition_signals_exact(spark):
+    """Gopher line-level repetition: hand-computed fractions, blank
+    lines counted, single-line zero, plus a python brute-force
+    reference."""
+    from tsp_spark.pipeline.text import line_repetition_signals
+
+    docs = [
+        # 4 lines, "aa" repeated twice → dup lines 2/4; chars: dup 4
+        # of total 2+2+3+4=11
+        (1, "aa\naa\nbbb\ncccc"),
+        (2, "one line only"),
+        # blank-line run: 3 of 4 lines duplicated ("" twice is 2... )
+        (3, "x\n\n\ny"),          # lines x,'','',y → dup 2/4, chars 0/2
+        (4, "same\nsame\nsame"),  # all dup → 3/3, 12/12
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in line_repetition_signals(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (2 / 4, 4 / 11)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (2 / 4, 0.0)
+    assert got[4] == (1.0, 1.0)
+
+    def ref(text):
+        ls = text.split("\n")
+        if len(ls) <= 1:
+            return (0.0, 0.0)
+        dup = [x for x in ls if ls.count(x) >= 2]
+        chars = sum(len(x) for x in ls)
+        return (
+            len(dup) / len(ls),
+            (sum(len(x) for x in dup) / chars) if chars else 0.0,
+        )
+
+    for doc_id, text in docs:
+        assert got[doc_id] == ref(text), doc_id

@@ -128,6 +128,49 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), *repetition_cols(text_col))
 
 
+def line_repetition_cols(text_col: str) -> list[Column]:
+    """Gopher's LINE-level repetition signals for corpora with
+    newline structure (web scrapes, code):
+
+    * ``dup_line_frac`` — fraction of lines that are duplicates of
+      another line in the same document (all occurrences of a
+      repeated line count, Gopher's 'duplicate line fraction');
+    * ``dup_line_char_frac`` — fraction of the document's non-newline
+      characters inside those duplicated lines.
+
+    Both 0.0 for documents with ≤ 1 line or no repeated line. Pure
+    expressions, exact-int divisions (engine-portable like
+    repetition_cols); blank lines count as lines — a run of blank
+    lines is itself boilerplate repetition."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    dup = F.filter(
+        lines,
+        lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2,
+    )
+    n_dup = F.size(dup)
+    chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        dup, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return [
+        F.when(n > 1, n_dup.cast("double") / n)
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when((n > 1) & (chars > 0), dup_chars.cast("double") / chars)
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    ]
+
+
+def line_repetition_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document line-repetition screen: (id, dup_line_frac,
+    dup_line_char_frac) — see line_repetition_cols."""
+    return df.select(F.col(id_col), *line_repetition_cols(text_col))
+
+
 def langid_cols(text_col: str) -> list[Column]:
     """Column builders for marker-word language scoring: hit count per
     language list, deterministic argmax (first list wins ties, 'unknown'
