@@ -719,3 +719,65 @@ def test_line_repetition_signals_exact(spark):
 
     for doc_id, text in docs:
         assert got[doc_id] == ref(text), doc_id
+
+
+def test_duplicated_span_stats_exact(spark):
+    """Exact-substring span detector (Lee et al. k-gram form):
+    hand-built corpus exercising cross-doc dupes, within-doc repeats,
+    overlapping-window merge, short docs, and clean docs — checked
+    against an independent python brute force."""
+    from tsp_spark.pipeline.dedup import duplicated_span_stats
+
+    K = 3
+    shared = "the quick brown fox jumps"       # 5 tokens → 3 grams
+    docs = [
+        (1, f"alpha {shared} omega one"),       # shares 5-token run w/ 2
+        (2, f"start {shared} end two zz"),
+        (3, "self self self self unique tail"),  # within-doc repeat
+        (4, "too short"),                        # n < K → all zeros
+        (5, "completely novel words nothing here matches at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["dup_tokens"], r["dup_frac"]
+        )
+        for r in duplicated_span_stats(
+            df, "text", "doc_id", k=K
+        ).collect()
+    }
+
+    # brute force: every k-gram occurrence in the corpus, count >= 2
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        per_doc[doc_id] = toks
+        for i in range(len(toks) - K + 1):
+            grams[tuple(toks[i:i + K])] += 1
+
+    for doc_id, text in docs:
+        toks = per_doc[doc_id]
+        n = len(toks)
+        covered = set()
+        for i in range(len(toks) - K + 1):
+            if grams[tuple(toks[i:i + K])] >= 2:
+                covered.update(range(i, i + K))
+        # merged spans = runs of consecutive covered positions
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        want = (n, spans, len(covered), len(covered) / n)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+    # sanity on the hand-built shape: docs 1 and 2 share exactly the
+    # 5-token run (one merged span), doc 3 has a within-doc span
+    assert got[1][1:] == (1, 5, 5 / 8)
+    assert got[3][1] == 1 and got[3][2] == 4
+    assert got[4] == (2, 0, 0, 0.0)
+    assert got[5][1:] == (0, 0, 0.0)

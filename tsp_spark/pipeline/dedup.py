@@ -20,6 +20,11 @@ Scale design notes:
   an equi-join on fingerprint bands (pigeonhole recall guarantee) and
   an exact popcount filter; portable md5 hashing so the DuckDB oracle
   reproduces the fingerprints bit-exactly.
+* duplicated_span_stats — exact-substring duplication (r9, Lee et al.
+  k-gram form): grams hashed to 8-byte longs inside a transform()
+  BEFORE any explode, one corpus-wide gram groupBy, one semi-join back
+  to positions, keyed per-doc window merge. Linear shuffles; the
+  distributed stand-in for a suffix array at ≥ k-token granularity.
 
 All JVM-side (higher-order array functions + xxhash64); no Python UDFs.
 """
@@ -1331,3 +1336,119 @@ def _neardup_process_batch(
     # frees them once the RDD is GC'd), and after the guard rebinding
     # it would not even reference the checkpointed frames; dropping
     # the Python references here is what actually schedules cleanup
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how many of its tokens sit inside a token k-gram
+    that occurs at least ``min_count`` times in the WHOLE corpus
+    (within-document repeats count, exactly as in the paper's
+    suffix-array formulation restricted to k-token windows).
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_spans, dup_tokens, dup_frac)`` where spans are
+    the per-document merge of overlapping duplicated k-gram windows —
+    ``dup_tokens`` is the total size of that disjoint span union, so a
+    downstream trimmer knows exactly which token ranges to cut.
+
+    Plan shape (the 100 TB story): one expression-only pass builds the
+    per-position gram hashes (slice + concat + hash inside
+    ``transform`` — no explode until the grams are already 8-byte
+    longs), then ONE hash groupBy over gram hashes (map-side partial
+    agg), ONE shuffle semi-join back to positions, and a per-document
+    window for the span merge (keyed exchange, never global). This is
+    the practical distributed approximation of the paper's suffix
+    array: identical results for duplicates of length ≥ k, linear
+    shuffles, no quadratic candidate sets.
+
+    ``hash_fn='md5'`` uses the 60-bit md5_long bridge so a DuckDB
+    oracle reproduces the decision bit-exactly; ``'xxh'`` switches the
+    gram key to xxhash64 (faster, same answer modulo 64-bit collisions
+    — equality is all the key is used for)."""
+    from pyspark.sql import Window
+
+    from tsp_spark.pipeline.hashing import md5_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if hash_fn not in ("md5", "xxh"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+
+    def _gram_hash(i: Column) -> Column:
+        gram = F.concat_ws(" ", F.slice(toks, i + 1, k))
+        return md5_long(gram) if hash_fn == "md5" else F.xxhash64(gram)
+
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__n", n
+    )
+    grams = (
+        base.where(F.col("__n") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - k), _gram_hash
+                )
+            ).alias("pos", "__gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__gh")
+    )
+    hits = grams.join(dup, "__gh", "leftsemi").withColumn(
+        "__end", F.col("pos") + k
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    spans = (
+        hits.withColumn(
+            "__new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
+            ).cast("long"),
+        )
+        .withColumn("__g", F.sum("__new").over(w))
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("__s"),
+            F.max("__end").alias("__e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("__e") - F.col("__s")).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select(F.col(id_col), F.col("__n").alias("n_tokens"))
+        .join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -1274,14 +1274,81 @@ ORACLE_LANGID = _langid_oracle()
 
 
 def q_text_fingerprint(spark, sf_dir):
-    return fingerprint(_load(spark, sf_dir, "documents"), "text", "doc_id")
+    """Document-identity fold: the rolling-hash fingerprint plus
+    exact-substring duplication stats (duplicated_span_stats — the
+    Lee-et-al "dedup training data" k-gram span detector, r9).
+    Variants share (variant, doc_id, v1, v2, d1):
+
+    * fp    — v1 = rolling-hash fingerprint
+    * spans — v1 = dup_tokens (size of the merged duplicated-span
+      union), v2 = n_spans, d1 = dup_frac (exact IEEE division of two
+      small exact longs, so no rounding bridge is needed)
+    """
+    from tsp_spark.pipeline.dedup import duplicated_span_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "text", "doc_id").select(
+        F.lit("fp").alias("variant"),
+        F.col("doc_id"),
+        F.col("fingerprint").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0.0).alias("d1"),
+    )
+    spans = duplicated_span_stats(docs, "text", "doc_id", k=8).select(
+        F.lit("spans").alias("variant"),
+        F.col("doc_id"),
+        F.col("dup_tokens").alias("v1"),
+        F.col("n_spans").alias("v2"),
+        F.col("dup_frac").alias("d1"),
+    )
+    return fp.unionByName(spans)
 
 
 ORACLE_FINGERPRINT = """
-SELECT doc_id,
+SELECT 'fp' AS variant, doc_id,
        list_reduce(list_transform(string_split(text, ' '), x -> len(x)::BIGINT),
-                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+                   (a, b) -> (a * 31 + b) % 1000000007) AS v1,
+       0::BIGINT AS v2, 0.0 AS d1
 FROM documents
+UNION ALL
+SELECT 'spans' AS variant, doc_id,
+       dup_tokens AS v1, n_spans AS v2, dup_frac AS d1
+FROM (
+  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  g AS (
+    SELECT doc_id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+    FROM toks WHERE len(t) >= 8
+  ),
+  gh AS (
+    SELECT doc_id, pos,
+           ('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15))::BIGINT AS h
+    FROM g
+  ),
+  dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+  hits AS (
+    SELECT doc_id, pos, pos + 8 AS e FROM gh WHERE h IN (SELECT h FROM dup)
+  ),
+  isl AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN pos > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS st
+    FROM hits
+  ),
+  grp AS (SELECT doc_id, pos, e, sum(st) OVER (
+            PARTITION BY doc_id ORDER BY pos) AS grd FROM isl),
+  merged AS (SELECT doc_id, grd, min(pos) AS s, max(e) AS e
+             FROM grp GROUP BY doc_id, grd),
+  per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(e - s)::BIGINT AS dup_tokens
+              FROM merged GROUP BY doc_id)
+  SELECT t.doc_id,
+         coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+         coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+         coalesce(p.dup_tokens, 0)::DOUBLE / len(t.t)::DOUBLE AS dup_frac
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+)
 """
 
 
