@@ -781,3 +781,75 @@ def test_duplicated_span_stats_exact(spark):
     assert got[3][1] == 1 and got[3][2] == 4
     assert got[4] == (2, 0, 0, 0.0)
     assert got[5][1:] == (0, 0, 0.0)
+
+
+def test_ngram_lm_scores_exact(spark):
+    """Bigram-LM quality signal: hand-built corpus against an
+    independent python reference (add-one smoothing, V = distinct
+    tokens, mean of 6-decimal-rounded ln terms), plus the separate
+    train-corpus path with unseen bigrams hitting the smoothed
+    floor."""
+    import math
+    from collections import Counter
+
+    from tsp_spark.pipeline.text import ngram_lm_scores
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "z"),            # < 2 tokens → (0, 0.0)
+        (4, "c c c c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref(score_docs, train_docs):
+        big = Counter()
+        ctx = Counter()
+        vocab = set()
+        for _, t in train_docs:
+            toks = t.split(" ")
+            vocab.update(toks)
+            for i in range(len(toks) - 1):
+                big[(toks[i], toks[i + 1])] += 1
+                ctx[toks[i]] += 1
+        v = len(vocab)
+        out = {}
+        for d, t in score_docs:
+            toks = t.split(" ")
+            if len(toks) < 2:
+                out[d] = (0, 0.0)
+                continue
+            lps = [
+                round(
+                    math.log(
+                        (big[(toks[i], toks[i + 1])] + 1)
+                        / (ctx[toks[i]] + v)
+                    ),
+                    6,
+                )
+                for i in range(len(toks) - 1)
+            ]
+            s = 0.0
+            for x in lps:
+                s += x
+            out[d] = (len(lps), s / len(lps))
+        return out
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in ngram_lm_scores(df, "text", "doc_id").collect()
+    }
+    assert got == ref(docs, docs)
+
+    # separate training corpus: doc bigrams unseen in training score
+    # at the smoothed floor ln(1 / (ctx + V)) and ctx-unseen at ln(1/V)
+    train = [(10, "a b c"), (11, "b c")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in ngram_lm_scores(df, "text", "doc_id", train_df=tdf).collect()
+    }
+    assert got2 == ref(docs, train)
+    # sanity: doc 4's "c c" bigram is unseen AND c has no context in
+    # training ("c" is always final) → every term is ln(1/V), V=3
+    assert got2[4] == (3, round(math.log(1 / 3), 6))

@@ -388,3 +388,114 @@ def compressibility(
         "ratio_pct",
         F.expr("CAST(n_compressed * 100 DIV greatest(n_bytes, 1) AS INT)"),
     )
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality signal: mean log-probability
+    of each document under an add-one-smoothed token-BIGRAM model
+    trained on ``train_df`` (default: the scored corpus itself — the
+    self-perplexity screen that flags boilerplate as anomalously
+    high-probability and gibberish as anomalously low).
+
+    ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with V = distinct
+    token count of the training corpus; the score is
+    ``Σ ln P / n_bigrams`` (0.0 and n_bigrams = 0 for docs with < 2
+    tokens). Unseen bigrams/contexts when ``train_df`` differs from
+    ``df`` fall to the smoothed floor via count 0.
+
+    Engine-portable exactness: every count is exact-int, the
+    probability is ONE IEEE division of exact values, each per-bigram
+    ``ln`` is rounded to 6 decimals BEFORE summation (so a potential
+    last-ulp libm difference between engines cannot accumulate), and
+    the per-doc sum is an ordered left fold over a position-sorted
+    array — bit-identical to DuckDB's
+    ``list_reduce(list_prepend(0.0, list(lp ORDER BY pos)), +)``.
+    The final mean is deliberately NOT rounded: the fold and the
+    division are already bit-deterministic, and rounding a
+    short-decimal rational (6-decimal sum / small int) can land
+    exactly on a .5e-6 tie that Spark (BigDecimal of the shortest
+    repr) and DuckDB (exact binary value) break differently —
+    observed live at sum -122.482314 / 36. Rounding ln outputs is
+    safe (irrational, never short-decimal); rounding their quotients
+    is not.
+
+    Scale: two groupBys over bigram/context keys (map-side combined,
+    bounded by distinct-bigram count), one scalar V broadcast, one
+    shuffle join of occurrences to the model, one keyed per-doc
+    aggregation. At 100 TB pre-hash the (w1, w2) join key to 8 bytes
+    (xxhash64) exactly as contamination_check(hash_ngrams=True) does;
+    the string keys are kept here because the model table doubles as
+    a human-readable artifact."""
+    train = df if train_df is None else train_df
+
+    def _bigrams(frame: DataFrame, with_pos: bool) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        )
+        base = frame.where(F.size(toks) >= 2)
+        if with_pos:
+            return base.select(
+                F.col(id_col), F.posexplode(pairs).alias("pos", "bg")
+            ).select(id_col, "pos", "bg.w1", "bg.w2")
+        return base.select(F.explode(pairs).alias("bg")).select(
+            "bg.w1", "bg.w2"
+        )
+
+    big = _bigrams(train, with_pos=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+    vocab = train.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("__v"))
+
+    occ = _bigrams(df, with_pos=True)
+    lp = (
+        occ.join(big, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
+                    / (
+                        F.coalesce(F.col("__cw"), F.lit(0)) + F.col("__v")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    agg = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda a, x: a + x["lp"],
+        ).alias("__s"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(
+                F.col("__s") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("lm_score"),
+        )
+    )

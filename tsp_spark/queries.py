@@ -1283,8 +1283,13 @@ def q_text_fingerprint(spark, sf_dir):
     * spans — v1 = dup_tokens (size of the merged duplicated-span
       union), v2 = n_spans, d1 = dup_frac (exact IEEE division of two
       small exact longs, so no rounding bridge is needed)
+    * lm    — v1 = n_bigrams, d1 = the CCNet-style bigram-LM mean
+      log-prob (ngram_lm_scores, r9): per-term ln clamped to 6
+      decimals, ordered fold, unrounded final division — see the
+      operator docstring for why the mean must NOT be rounded
     """
     from tsp_spark.pipeline.dedup import duplicated_span_stats
+    from tsp_spark.pipeline.text import ngram_lm_scores
 
     docs = _load(spark, sf_dir, "documents")
     fp = fingerprint(docs, "text", "doc_id").select(
@@ -1301,7 +1306,14 @@ def q_text_fingerprint(spark, sf_dir):
         F.col("n_spans").alias("v2"),
         F.col("dup_frac").alias("d1"),
     )
-    return fp.unionByName(spans)
+    lm = ngram_lm_scores(docs, "text", "doc_id").select(
+        F.lit("lm").alias("variant"),
+        F.col("doc_id"),
+        F.col("n_bigrams").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.col("lm_score").alias("d1"),
+    )
+    return fp.unionByName(spans).unionByName(lm)
 
 
 ORACLE_FINGERPRINT = """
@@ -1348,6 +1360,35 @@ FROM (
          coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
          coalesce(p.dup_tokens, 0)::DOUBLE / len(t.t)::DOUBLE AS dup_frac
   FROM toks t LEFT JOIN per_doc p USING (doc_id)
+)
+UNION ALL
+SELECT 'lm' AS variant, doc_id, n_bigrams AS v1, 0::BIGINT AS v2,
+       lm_score AS d1
+FROM (
+  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  occ AS (
+    SELECT doc_id, unnest(generate_series(0, len(t) - 2)) AS pos, t
+    FROM toks WHERE len(t) >= 2
+  ),
+  o2 AS (SELECT doc_id, pos, t[pos+1] AS w1, t[pos+2] AS w2 FROM occ),
+  big AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM o2 GROUP BY w1, w2),
+  ctx AS (SELECT w1, sum(cb)::BIGINT AS cw FROM big GROUP BY w1),
+  vv AS (SELECT count(DISTINCT x)::BIGINT AS v
+         FROM (SELECT unnest(t) AS x FROM toks)),
+  lp AS (
+    SELECT o.doc_id, o.pos,
+           round(ln((b.cb + 1)::DOUBLE / (c.cw + vv.v)::DOUBLE), 6) AS lp
+    FROM o2 o JOIN big b USING (w1, w2) JOIN ctx c USING (w1) CROSS JOIN vv
+  ),
+  agg AS (
+    SELECT doc_id, count(*)::BIGINT AS m,
+           list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                       (a, b) -> a + b) AS s
+    FROM lp GROUP BY doc_id
+  )
+  SELECT t.doc_id, coalesce(a.m, 0)::BIGINT AS n_bigrams,
+         coalesce(a.s / a.m, 0.0) AS lm_score
+  FROM toks t LEFT JOIN agg a USING (doc_id)
 )
 """
 
