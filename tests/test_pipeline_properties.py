@@ -853,3 +853,45 @@ def test_ngram_lm_scores_exact(spark):
     # sanity: doc 4's "c c" bigram is unseen AND c has no context in
     # training ("c" is always final) → every term is ln(1/V), V=3
     assert got2[4] == (3, round(math.log(1 / 3), 6))
+
+
+def test_tfidf_top_terms_exact(spark):
+    """TF-IDF keyword extraction vs a python brute force: raw tf,
+    ln(N/df) idf clamped to 6 decimals, (score desc, token) total
+    order, exact rank-k cutoff."""
+    import math
+    from collections import Counter
+
+    from tsp_spark.pipeline.text import tfidf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "apple date date date"),
+        (4, "egg egg egg egg"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["token"], r["tf"], r["score"], r["rank"])
+        for r in tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    )
+
+    n = len(docs)
+    tfs = {d: Counter(t.split(" ")) for d, t in docs}
+    dfreq = Counter(tok for c in tfs.values() for tok in c)
+    want = []
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (tok, tf, tf * round(math.log(n / dfreq[tok]), 6))
+                for tok, tf in c.items()
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rank, (tok, tf, score) in enumerate(scored[:2], start=1):
+            want.append((d, tok, tf, score, rank))
+    assert got == sorted(want)
+    # doc 4 is single-token: egg appears in 1 of 4 docs, tf 4
+    assert [g for g in got if g[0] == 4] == [
+        (4, "egg", 4, 4 * round(math.log(4.0), 6), 1)
+    ]

@@ -499,3 +499,65 @@ def ngram_lm_scores(
             ).alias("lm_score"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the k highest-scoring
+    terms with ``score = tf * round(ln(N / df), 6)`` (raw term
+    frequency, natural-log IDF over exact document frequencies).
+
+    Engine-portable exactness follows the ngram_lm_scores recipe: the
+    only transcendental (ln) is clamped to 6 decimals per TERM, and
+    the score is then ONE IEEE multiply of an exact int by that
+    clamped double — deterministic in both engines. Ties are totally
+    ordered by (score desc, token asc); a token appears once per doc,
+    so the order is a total one and the rank-k cutoff is exact.
+
+    Scale: tf is a (doc, token) groupBy with map-side combine; df
+    derives from tf by a second groupBy on token (never re-reads the
+    corpus); N is a broadcast scalar. The top-k window partitions by
+    DOCUMENT — its input per task is the doc's distinct vocabulary,
+    bounded by doc length, so no salting is needed (contrast
+    top_tokens, where a GROUP's vocabulary is unbounded)."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.col("tf"),
+            (
+                F.col("tf").cast("double")
+                * F.round(
+                    F.log(
+                        F.col("__n").cast("double")
+                        / F.col("df").cast("double")
+                    ),
+                    6,
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "score", "rank")
+    )

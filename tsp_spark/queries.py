@@ -1131,11 +1131,35 @@ ORACLE_SKETCH_FOLD = _sketch_fold_oracle()
 
 
 def q_text_top_tokens(spark, sf_dir):
-    """Per-source heavy hitters (pipeline/text.py top_tokens): 10 most
-    frequent tokens, deterministic tie-break."""
-    from tsp_spark.pipeline.text import top_tokens
+    """Token-ranking fold: per-source heavy hitters (top_tokens) and
+    per-document TF-IDF keywords (tfidf_top_terms, r9). Variants share
+    (variant, grp, token, v1, d1, rank):
 
-    return top_tokens(_load(spark, sf_dir, "documents"), "text", "source", n=10)
+    * top   — grp = source, v1 = n_occ, d1 = 0.0
+    * tfidf — grp = doc_id as string, v1 = tf, d1 = score
+      (tf × round(ln(N/df), 6); ln clamped per term, the multiply is
+      one IEEE op — the ngram_lm_scores exactness recipe)
+    """
+    from tsp_spark.pipeline.text import tfidf_top_terms, top_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    top = top_tokens(docs, "text", "source", n=10).select(
+        F.lit("top").alias("variant"),
+        F.col("source").alias("grp"),
+        F.col("token"),
+        F.col("n_occ").cast("long").alias("v1"),
+        F.lit(0.0).alias("d1"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    tfidf = tfidf_top_terms(docs, "text", "doc_id", k=5).select(
+        F.lit("tfidf").alias("variant"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.col("token"),
+        F.col("tf").cast("long").alias("v1"),
+        F.col("score").alias("d1"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return top.unionByName(tfidf)
 
 
 ORACLE_TOP_TOKENS = """
@@ -1145,7 +1169,32 @@ WITH t AS (
 c AS (SELECT source, token, count(*) AS n_occ FROM t GROUP BY source, token),
 r AS (SELECT *, row_number() OVER (PARTITION BY source
                                    ORDER BY n_occ DESC, token) AS rank FROM c)
-SELECT source, token, n_occ, rank FROM r WHERE rank <= 10
+SELECT 'top' AS variant, source AS grp, token, n_occ::BIGINT AS v1,
+       0.0 AS d1, rank::INT AS rank
+FROM r WHERE rank <= 10
+UNION ALL
+SELECT 'tfidf' AS variant, grp, token, v1, d1, rank FROM (
+  WITH tf AS (
+    SELECT doc_id, token, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, token
+  ),
+  dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+  nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  s AS (
+    SELECT tf.doc_id, tf.token, tf.tf,
+           tf.tf::DOUBLE * round(ln(nn.n::DOUBLE / dfreq.df::DOUBLE), 6)
+             AS score
+    FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+  ),
+  rr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, token) AS rank
+         FROM s)
+  SELECT doc_id::VARCHAR AS grp, token, tf AS v1, score AS d1,
+         rank::INT AS rank
+  FROM rr WHERE rank <= 5
+)
 """
 
 
