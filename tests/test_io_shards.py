@@ -153,3 +153,41 @@ def test_arg_validation(spark, tmp_path):
             df.withColumn("shard", F.lit(1)),
             str(tmp_path / "x"), key_col="doc_id", n_shards=2,
         )
+
+
+def test_pack_then_shard_end_to_end(spark, tmp_path):
+    """The training-data delivery chain: pack_sequences lays out the
+    corpus into fixed-token packs, write_training_shards delivers the
+    pack assignments as committed shards keyed by pack_id (every doc
+    of one pack lands in one shard — the property a trainer needs),
+    and the validated read-back reproduces the packing exactly."""
+    from tsp_spark.pipeline.prep import pack_sequences
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    packed = pack_sequences(docs, "text", "doc_id", budget_tokens=512)
+
+    path = str(tmp_path / "packs")
+    manifest = write_training_shards(
+        packed,
+        path,
+        key_col="pack_id",
+        n_shards=4,
+        order_cols=["start_in_pack"],
+    )
+    assert manifest["total_rows"] == docs.count()
+
+    back = read_training_shards(spark, path, validate=True)
+    # a pack never straddles shards: xxhash64 keying is pack-constant
+    assert (
+        back.groupBy("pack_id")
+        .agg(F.count_distinct("shard").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    # exact layout parity with a fresh packing
+    a = sorted(map(tuple, back.select(*packed.columns).collect()))
+    b = sorted(map(tuple, packed.collect()))
+    assert a == b
