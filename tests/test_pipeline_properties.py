@@ -895,3 +895,78 @@ def test_tfidf_top_terms_exact(spark):
     assert [g for g in got if g[0] == 4] == [
         (4, "egg", 4, 4 * round(math.log(4.0), 6), 1)
     ]
+
+
+def test_span_and_lm_random_corpora_brute_force(spark):
+    """Randomized parity for duplicated_span_stats and ngram_lm_scores
+    on small adversarial corpora (tiny vocab → heavy collisions,
+    single-token docs, within-doc runs), against python brute forces.
+    Seeded — deterministic across runs."""
+    import math
+    import random
+    from collections import Counter
+
+    from tsp_spark.pipeline.dedup import duplicated_span_stats
+    from tsp_spark.pipeline.text import ngram_lm_scores
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["a", "b", "c", "dd"]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        K = rng.choice([2, 3])
+
+        # --- spans brute force
+        grams = Counter()
+        for _, t in docs:
+            toks = t.split(" ")
+            for i in range(len(toks) - K + 1):
+                grams[tuple(toks[i:i + K])] += 1
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+            for r in duplicated_span_stats(df, "text", "doc_id", k=K).collect()
+        }
+        for d, t in docs:
+            toks = t.split(" ")
+            covered = set()
+            for i in range(len(toks) - K + 1):
+                if grams[tuple(toks[i:i + K])] >= 2:
+                    covered.update(range(i, i + K))
+            spans, prev = 0, None
+            for p in sorted(covered):
+                if prev is None or p > prev + 1:
+                    spans += 1
+                prev = p
+            assert got[d] == (len(toks), spans, len(covered)), (trial, d)
+
+        # --- LM brute force
+        big, ctx, vset = Counter(), Counter(), set()
+        for _, t in docs:
+            toks = t.split(" ")
+            vset.update(toks)
+            for i in range(len(toks) - 1):
+                big[(toks[i], toks[i + 1])] += 1
+                ctx[toks[i]] += 1
+        v = len(vset)
+        got_lm = {
+            r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+            for r in ngram_lm_scores(df, "text", "doc_id").collect()
+        }
+        for d, t in docs:
+            toks = t.split(" ")
+            if len(toks) < 2:
+                assert got_lm[d] == (0, 0.0), (trial, d)
+                continue
+            s = 0.0
+            for i in range(len(toks) - 1):
+                s += round(
+                    math.log(
+                        (big[(toks[i], toks[i + 1])] + 1) / (ctx[toks[i]] + v)
+                    ),
+                    6,
+                )
+            m = len(toks) - 1
+            assert got_lm[d] == (m, s / m), (trial, d)
