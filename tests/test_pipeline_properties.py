@@ -970,3 +970,79 @@ def test_span_and_lm_random_corpora_brute_force(spark):
                 )
             m = len(toks) - 1
             assert got_lm[d] == (m, s / m), (trial, d)
+
+
+def test_build_training_mix_budgets_and_nesting(spark):
+    """Budget-driven mix: rates derived from token budgets, full-keep
+    sources kept whole, nested monotonicity under a budget raise,
+    deterministic interleave order, and arg validation."""
+    import pytest
+
+    from tsp_spark.pipeline.curation import build_training_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # two synthetic 'corpora' carved from the same table
+    crawl = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    curated = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    crawl_tokens = crawl.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+
+    mix, plan = build_training_mix(
+        {"crawl": crawl, "curated": curated},
+        "text",
+        "doc_id",
+        {"crawl": crawl_tokens // 3, "curated": 10**9},
+    )
+    rows = mix.collect()
+
+    # curated: budget >= total -> rate 1.0, kept whole
+    assert plan["curated"]["rate"] == 1.0
+    n_curated = sum(1 for r in rows if r["source"] == "curated")
+    assert n_curated == curated.count()
+
+    # crawl: rate ~ 1/3, binomial tolerance on the token budget
+    assert 0.30 <= plan["crawl"]["rate"] <= 0.37
+    crawl_kept_tokens = sum(
+        r["n_tokens"] for r in rows if r["source"] == "crawl"
+    )
+    assert abs(crawl_kept_tokens - crawl_tokens // 3) < 0.25 * crawl_tokens
+
+    # nesting: raising crawl's budget only ADDS crawl docs
+    mix2, _ = build_training_mix(
+        {"crawl": crawl, "curated": curated},
+        "text",
+        "doc_id",
+        {"crawl": (2 * crawl_tokens) // 3, "curated": 10**9},
+    )
+    ids1 = {r["id"] for r in rows if r["source"] == "crawl"}
+    ids2 = {
+        r["id"] for r in mix2.collect() if r["source"] == "crawl"
+    }
+    assert ids1 <= ids2 and len(ids2) > len(ids1)
+
+    # interleave: both sources present in every quartile of mix_order
+    ordered = sorted(rows, key=lambda r: r["mix_order"])
+    q = len(ordered) // 4
+    for i in range(4):
+        seg = ordered[i * q:(i + 1) * q]
+        assert {r["source"] for r in seg} == {"crawl", "curated"}, i
+
+    # determinism
+    mix3, plan3 = build_training_mix(
+        {"crawl": crawl, "curated": curated},
+        "text",
+        "doc_id",
+        {"crawl": crawl_tokens // 3, "curated": 10**9},
+    )
+    assert plan3 == plan
+    assert sorted(map(tuple, mix3.collect())) == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError, match="same corpora"):
+        build_training_mix(
+            {"crawl": crawl}, "text", "doc_id", {"web": 1}
+        )
+    with pytest.raises(ValueError, match=">= 0"):
+        build_training_mix(
+            {"crawl": crawl}, "text", "doc_id", {"crawl": -1}
+        )

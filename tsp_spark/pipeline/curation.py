@@ -241,3 +241,79 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == F.lit(s), F.lit(r)).otherwise(rate)
     cut = F.round(rate * SAMPLE_BUCKETS).cast("int")
     return df.where(_bucket(id_col, seed) < cut)
+
+
+def build_training_mix(
+    sources: dict[str, DataFrame],
+    text_col: str,
+    id_col: str,
+    token_budgets: dict[str, int],
+    seed: str = "mix-s0",
+) -> tuple[DataFrame, dict]:
+    """Budget-driven multi-corpus training mix: derive each source's
+    sampling rate from a TOKEN budget (the way mixes are actually
+    specified -- "300B crawl, 30B code, all of curated"), sample each
+    source deterministically, and union them with a deterministic
+    interleave order.
+
+    Returns ``(mix_df, plan)``:
+
+    * ``mix_df`` -- (source, id, text, n_tokens, mix_order). Sorting or
+      range-partitioning by ``mix_order`` (xxhash64 of "source id")
+      yields a uniform source interleave without a global shuffle of
+      the corpus -- a trainer reading shards keyed on it sees the mix
+      ratio in every window, not source-sized runs.
+    * ``plan`` -- per source: total corpus tokens, the derived rate
+      (``min(1, budget / total)``), and the budget. Rate-based
+      sampling hits the budget in expectation (binomial tolerance --
+      at real corpus sizes the relative error is negligible); an
+      exact-cut variant would reuse pack_sequences' range-bucketed
+      prefix-sum machinery, at the cost of a second pass.
+
+    Determinism: membership reuses ``sample_member`` with a per-source
+    salt derived from ``seed``, so the mix is reproducible across
+    engines and partitionings and NESTED -- raising one source's budget
+    only ADDS documents (monotone, the property that makes mix
+    ablations comparable). One aggregation pass per source (map-side
+    combined sum), then map-only filters; nothing collects beyond one
+    scalar per source."""
+    if sources.keys() != token_budgets.keys():
+        raise ValueError(
+            f"sources {sorted(sources)} and budgets "
+            f"{sorted(token_budgets)} must name the same corpora"
+        )
+    if not sources:
+        raise ValueError("build_training_mix needs at least one source")
+    for name, b in token_budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {name!r} must be >= 0, got {b}")
+
+    plan: dict[str, dict] = {}
+    parts = []
+    for name, df in sorted(sources.items()):
+        n_tokens = F.size(F.split(F.col(text_col), " "))
+        total = df.agg(
+            F.sum(n_tokens.cast("long")).alias("t")
+        ).collect()[0]["t"] or 0
+        budget = token_budgets[name]
+        rate = 1.0 if total <= budget else budget / total
+        plan[name] = {"total_tokens": int(total), "rate": rate,
+                      "budget_tokens": budget}
+        kept = df.where(
+            sample_member(id_col, rate, seed=f"{seed}:{name}")
+        )
+        parts.append(
+            kept.select(
+                F.lit(name).alias("source"),
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("text"),
+                n_tokens.cast("long").alias("n_tokens"),
+                F.xxhash64(
+                    F.concat_ws(" ", F.lit(name), F.col(id_col))
+                ).alias("mix_order"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, plan
