@@ -191,3 +191,17 @@ def test_pack_then_shard_end_to_end(spark, tmp_path):
     a = sorted(map(tuple, back.select(*packed.columns).collect()))
     b = sorted(map(tuple, packed.collect()))
     assert a == b
+
+
+def test_empty_dataset_commit_is_readable(spark, tmp_path):
+    """Review-caught: a zero-row write must still produce a READABLE
+    commit (filters legitimately drop everything); the manifest's
+    recorded schema rebuilds the empty frame."""
+    df = _docs(spark, 300).where(F.col("doc_id") < 0)
+    path = str(tmp_path / "empty")
+    m = write_training_shards(df, path, key_col="doc_id", n_shards=4)
+    assert m["total_rows"] == 0 and m["shards"] == {}
+
+    back = read_training_shards(spark, path, validate=True)
+    assert back.count() == 0
+    assert [c for c in back.columns if c != "shard"] == df.columns

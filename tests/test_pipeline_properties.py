@@ -1006,7 +1006,11 @@ def test_build_training_mix_budgets_and_nesting(spark):
     crawl_kept_tokens = sum(
         r["n_tokens"] for r in rows if r["source"] == "crawl"
     )
-    assert abs(crawl_kept_tokens - crawl_tokens // 3) < 0.25 * crawl_tokens
+    # ±10% of TARGET: the hash sample's real deviation at this corpus
+    # size is well under 5%, so this band still has headroom while
+    # catching any off-by-a-factor rate derivation
+    target = crawl_tokens // 3
+    assert abs(crawl_kept_tokens - target) < 0.10 * target
 
     # nesting: raising crawl's budget only ADDS crawl docs
     mix2, _ = build_training_mix(
@@ -1046,3 +1050,65 @@ def test_build_training_mix_budgets_and_nesting(spark):
         build_training_mix(
             {"crawl": crawl}, "text", "doc_id", {"crawl": -1}
         )
+
+
+def test_build_training_mix_tiny_rate_and_guards(spark):
+    """Review-caught quantization bug: a 1e-6-scale rate must neither
+    silently drop the source (the 1/10^4 sample_member grid would)
+    nor misreport the plan; a rate below even the 1/10^9 grid raises."""
+    import pytest
+
+    from tsp_spark.pipeline.curation import build_training_mix
+
+    n_docs = 1_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w " * 9 + "w").alias("text"),  # 10 tokens each
+    )
+    total = n_docs * 10
+    budget = total // 30_000  # rate ~3.33e-5: round(rate*1e4) == 0
+    mix, plan = build_training_mix(
+        {"s": docs}, "text", "doc_id", {"s": budget}
+    )
+    assert plan["s"]["rate"] == pytest.approx(budget / total)
+    assert plan["s"]["effective_rate"] == pytest.approx(
+        budget / total, rel=2e-2
+    )
+    n = mix.count()
+    # expected ~33 kept docs (binomial sd ~5.8); the 10^4 grid would
+    # have kept exactly 0
+    assert 5 <= n <= 80, n
+    mix2, _ = build_training_mix(
+        {"s": docs}, "text", "doc_id", {"s": budget}
+    )
+    assert mix2.exceptAll(mix).count() == 0 and mix.count() == mix2.count()
+
+    # a rate that quantizes to zero raises instead of silent drop
+    tiny = spark.range(10**6, 10**6 + 2000).select(
+        F.col("id").alias("doc_id"), F.lit("w " * 9 + "w").alias("text")
+    )
+    with pytest.raises(ValueError, match="quantizes to zero"):
+        # total 20000 tokens, budget 1 -> rate 5e-5... that's ABOVE
+        # 1/10^9; force below: budget such that rate < 0.5e-9 needs a
+        # huge corpus -- instead assert the guard via monkey granularity
+        import tsp_spark.pipeline.curation as cur
+
+        old = cur._MIX_BUCKETS
+        cur._MIX_BUCKETS = 1000
+        try:
+            build_training_mix(
+                {"t": tiny}, "text", "doc_id", {"t": 1}
+            )
+        finally:
+            cur._MIX_BUCKETS = old
+
+
+def test_ngram_lm_scores_empty_train_raises(spark):
+    """Review-caught: an empty held-out training corpus must raise
+    (V = 0 would otherwise send every score to +Inf silently)."""
+    from tsp_spark.pipeline.text import ngram_lm_scores
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = docs.where("doc_id < 0")
+    with pytest.raises(ValueError, match="V = 0"):
+        ngram_lm_scores(docs, "text", "doc_id", train_df=empty)

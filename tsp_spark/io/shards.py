@@ -67,12 +67,6 @@ def _read_text(spark: SparkSession, path: str) -> str:
     return spark.read.text(path, wholetext=True).head()[0]
 
 
-def _content_checksum(df: DataFrame) -> F.Column:
-    """Order-independent full-row checksum: bit_xor of xxhash64 over
-    every column (column order fixed by the input schema)."""
-    return F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
-
-
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -131,20 +125,39 @@ def write_training_shards(
         .parquet(f"{path}/data")
     )
 
-    stats = (
-        sharded.groupBy(_SHARD_COL)
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            _content_checksum(df).alias("checksum"),
-        )
-        .collect()
+    # manifest stats come from READING BACK the written artifact, not
+    # from re-executing the input lineage: a nondeterministic or
+    # since-changed upstream (rand-derived columns, a re-listed source
+    # dir) would otherwise commit a manifest describing data that was
+    # never written — and at 100 TB the re-execution would also double
+    # the pipeline cost. An empty input writes no parquet files; the
+    # schema recorded in the manifest keeps the commit readable.
+    data_fs, data_path = _fs_and_path(spark, f"{path}/data")
+    has_files = data_fs.exists(data_path) and any(
+        not st.getPath().getName().startswith("_")
+        for st in data_fs.listStatus(data_path)
     )
+    if has_files:
+        written = spark.read.parquet(f"{path}/data")
+        stats = (
+            written.groupBy(_SHARD_COL)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.bit_xor(
+                    F.xxhash64(*[F.col(c) for c in df.columns])
+                ).alias("checksum"),
+            )
+            .collect()
+        )
+    else:
+        stats = []
     manifest = {
         "n_shards": n_shards,
         "total_rows": int(sum(r["rows"] for r in stats)),
         "key_col": key_col,
         "order_cols": order,
         "columns": df.columns,
+        "schema": json.loads(df.schema.json()),
         "shards": {
             str(r[_SHARD_COL]): {
                 "rows": int(r["rows"]),
@@ -173,6 +186,16 @@ def read_training_shards(
             f"{path} has no _COMMITTED marker — torn or in-flight write"
         )
     manifest = json.loads(_read_text(spark, f"{path}/manifest.json"))
+    if manifest["total_rows"] == 0:
+        # a legitimately-empty commit has no parquet files; rebuild
+        # the frame from the recorded schema (plus the shard column a
+        # partitioned read would surface)
+        from pyspark.sql.types import IntegerType, StructType
+
+        schema = StructType.fromJson(manifest["schema"]).add(
+            _SHARD_COL, IntegerType()
+        )
+        return spark.createDataFrame([], schema)
     df = spark.read.parquet(f"{path}/data")
     if validate:
         data_cols = [c for c in df.columns if c != _SHARD_COL]

@@ -29,6 +29,10 @@ BPE_OTHER = r" ?[^A-Za-z0-9 ]+"
 BPE_ALL = f"{BPE_WORD}|{BPE_NUM}|{BPE_OTHER}"
 
 SAMPLE_BUCKETS = 10_000
+# build_training_mix resolution: rates derive from token BUDGETS and
+# can be legitimately tiny (1M tokens of a 1T corpus = 1e-6), far
+# below SAMPLE_BUCKETS' 1e-4 grid
+_MIX_BUCKETS = 1_000_000_000
 
 
 def bpe_token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -270,13 +274,19 @@ def build_training_mix(
       exact-cut variant would reuse pack_sequences' range-bucketed
       prefix-sum machinery, at the cost of a second pass.
 
-    Determinism: membership reuses ``sample_member`` with a per-source
-    salt derived from ``seed``, so the mix is reproducible across
-    engines and partitionings and NESTED -- raising one source's budget
-    only ADDS documents (monotone, the property that makes mix
-    ablations comparable). One aggregation pass per source (map-side
-    combined sum), then map-only filters; nothing collects beyond one
-    scalar per source."""
+    Determinism: membership is the ``sample_member`` hash scheme with
+    a per-source salt derived from ``seed`` but over 10^9 buckets
+    (``sample_member``'s 10^4 quantize to ±0.5e-4 absolute -- a 1e-6
+    rate, i.e. a 1M-token budget against a 1T-token corpus, would
+    silently round to ZERO; review-caught), so the mix is reproducible
+    across engines and partitionings and NESTED -- raising one
+    source's budget only ADDS documents (monotone, the property that
+    makes mix ablations comparable). ``plan`` records both the exact
+    ``rate`` and the ``effective_rate`` actually enforced by the
+    bucket cut; a positive budget whose cut quantizes to zero raises
+    instead of silently dropping the source. One aggregation pass per
+    source (map-side combined sum), then map-only filters; nothing
+    collects beyond one scalar per source."""
     if sources.keys() != token_budgets.keys():
         raise ValueError(
             f"sources {sorted(sources)} and budgets "
@@ -297,11 +307,32 @@ def build_training_mix(
         ).collect()[0]["t"] or 0
         budget = token_budgets[name]
         rate = 1.0 if total <= budget else budget / total
-        plan[name] = {"total_tokens": int(total), "rate": rate,
-                      "budget_tokens": budget}
-        kept = df.where(
-            sample_member(id_col, rate, seed=f"{seed}:{name}")
+        cut = int(round(rate * _MIX_BUCKETS))
+        if budget > 0 and total > 0 and cut == 0:
+            raise ValueError(
+                f"source {name!r}: rate {rate:.3e} quantizes to zero "
+                f"even at 1/{_MIX_BUCKETS} granularity -- the whole "
+                "source would be silently dropped"
+            )
+        plan[name] = {
+            "total_tokens": int(total),
+            "rate": rate,
+            "effective_rate": cut / _MIX_BUCKETS,
+            "budget_tokens": budget,
+        }
+        member = (
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f"#{seed}:{name}"),
+                    )
+                ),
+                F.lit(_MIX_BUCKETS),
+            )
+            < cut
         )
+        kept = df.where(member)
         parts.append(
             kept.select(
                 F.lit(name).alias("source"),

@@ -424,10 +424,12 @@ def ngram_lm_scores(
     safe (irrational, never short-decimal); rounding their quotients
     is not.
 
-    Scale: two groupBys over bigram/context keys (map-side combined,
-    bounded by distinct-bigram count), one scalar V broadcast, one
-    shuffle join of occurrences to the model, one keyed per-doc
-    aggregation. At 100 TB pre-hash the (w1, w2) join key to 8 bytes
+    Scale: in the default self-trained mode the model is the
+    occurrence table aggregated (ONE corpus tokenization, reused),
+    two groupBys over bigram/context keys (map-side combined, bounded
+    by distinct-bigram count), one collected scalar V substituted as
+    a literal, one shuffle join of occurrences to the model, one
+    keyed per-doc aggregation. At 100 TB pre-hash the (w1, w2) join key to 8 bytes
     (xxhash64) exactly as contamination_check(hash_ngrams=True) does;
     the string keys are kept here because the model table doubles as
     a human-readable artifact."""
@@ -451,19 +453,30 @@ def ngram_lm_scores(
             "bg.w1", "bg.w2"
         )
 
-    big = _bigrams(train, with_pos=False).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("__cb")
-    )
-    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
-    vocab = train.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).agg(F.countDistinct("w").alias("__v"))
-
     occ = _bigrams(df, with_pos=True)
+    if train_df is None:
+        # self-trained: the model IS the occurrence table aggregated —
+        # never tokenize/explode the corpus a second time
+        big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    else:
+        big = _bigrams(train, with_pos=False).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("__cb")
+        )
+    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+    # V materializes driver-side: one scalar, substituted as a literal
+    # (cheaper than a crossJoin) and guarded — an empty training corpus
+    # would otherwise send every score to ln((0+1)/(0+0)) = +Inf and
+    # silently poison the quality screen
+    v = train.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("__v")).collect()[0]["__v"]
+    if not v:
+        raise ValueError(
+            "ngram_lm_scores: training corpus has no tokens (V = 0)"
+        )
     lp = (
         occ.join(big, ["w1", "w2"], "left")
         .join(ctx, ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
             F.col("pos"),
@@ -471,7 +484,7 @@ def ngram_lm_scores(
                 F.log(
                     (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
                     / (
-                        F.coalesce(F.col("__cw"), F.lit(0)) + F.col("__v")
+                        F.coalesce(F.col("__cw"), F.lit(0)) + F.lit(v)
                     ).cast("double")
                 ),
                 6,
