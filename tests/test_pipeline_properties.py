@@ -1112,3 +1112,48 @@ def test_ngram_lm_scores_empty_train_raises(spark):
     empty = docs.where("doc_id < 0")
     with pytest.raises(ValueError, match="V = 0"):
         ngram_lm_scores(docs, "text", "doc_id", train_df=empty)
+
+
+def test_trim_duplicated_spans_exact(spark):
+    """The trimmer half of the exact-substring pipeline: rebuilt text
+    equals the python brute force (drop-all policy), spans cut across
+    docs and within docs, untouched docs round-trip verbatim, fully-
+    duplicated docs collapse to the empty string."""
+    from collections import Counter
+
+    from tsp_spark.pipeline.dedup import trim_duplicated_spans
+
+    K = 3
+    shared = "the quick brown fox jumps"
+    docs = [
+        (1, f"alpha {shared} omega one"),
+        (2, f"start {shared} end two zz"),
+        (3, "self self self self unique tail"),
+        (4, "too short"),
+        (5, "completely novel words nothing here matches at all"),
+        (6, shared),  # fully duplicated -> empty rebuild
+        (7, shared),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_kept"])
+        for r in trim_duplicated_spans(df, "text", "doc_id", k=K).collect()
+    }
+
+    grams = Counter()
+    for _, t in docs:
+        toks = t.split(" ")
+        for i in range(len(toks) - K + 1):
+            grams[tuple(toks[i:i + K])] += 1
+    for d, t in docs:
+        toks = t.split(" ")
+        covered = set()
+        for i in range(len(toks) - K + 1):
+            if grams[tuple(toks[i:i + K])] >= 2:
+                covered.update(range(i, i + K))
+        kept = [tok for i, tok in enumerate(toks) if i not in covered]
+        assert got[d] == (" ".join(kept), len(toks), len(kept)), d
+
+    assert got[4] == ("too short", 2, 2)       # below k: untouched
+    assert got[6] == ("", 5, 0)                # fully duplicated
+    assert got[1][0] == "alpha omega one"      # the shared run is cut

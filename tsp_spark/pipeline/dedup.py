@@ -1338,6 +1338,77 @@ def _neardup_process_batch(
     # the Python references here is what actually schedules cleanup
 
 
+def _merged_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+    hash_fn: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of duplicated_span_stats / trim_duplicated_spans:
+    returns ``(base, merged)`` where base = (id, text, __n) and merged
+    = one row per disjoint duplicated span (id, __s, __e) — the
+    per-doc union of overlapping duplicated k-gram windows. See
+    duplicated_span_stats for the plan-shape discussion."""
+    from pyspark.sql import Window
+
+    from tsp_spark.pipeline.hashing import md5_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if hash_fn not in ("md5", "xxh"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
+
+    toks = F.split(F.col(text_col), " ")
+
+    def _gram_hash(i: Column) -> Column:
+        gram = F.concat_ws(" ", F.slice(toks, i + 1, k))
+        return md5_long(gram) if hash_fn == "md5" else F.xxhash64(gram)
+
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__n", F.size(toks)
+    )
+    grams = (
+        base.where(F.col("__n") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - k), _gram_hash
+                )
+            ).alias("pos", "__gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__gh")
+    )
+    hits = grams.join(dup, "__gh", "leftsemi").withColumn(
+        "__end", F.col("pos") + k
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    merged = (
+        hits.withColumn(
+            "__new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
+            ).cast("long"),
+        )
+        .withColumn("__g", F.sum("__new").over(w))
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("__s"),
+            F.max("__end").alias("__e"),
+        )
+    )
+    return base, merged
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str,
@@ -1373,66 +1444,12 @@ def duplicated_span_stats(
     oracle reproduces the decision bit-exactly; ``'xxh'`` switches the
     gram key to xxhash64 (faster, same answer modulo 64-bit collisions
     — equality is all the key is used for)."""
-    from pyspark.sql import Window
-
-    from tsp_spark.pipeline.hashing import md5_long
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if hash_fn not in ("md5", "xxh"):
-        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
-
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-
-    def _gram_hash(i: Column) -> Column:
-        gram = F.concat_ws(" ", F.slice(toks, i + 1, k))
-        return md5_long(gram) if hash_fn == "md5" else F.xxhash64(gram)
-
-    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
-        "__n", n
+    base, merged = _merged_dup_spans(
+        df, text_col, id_col, k, min_count, hash_fn
     )
-    grams = (
-        base.where(F.col("__n") >= k)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__n") - k), _gram_hash
-                )
-            ).alias("pos", "__gh"),
-        )
-    )
-    dup = (
-        grams.groupBy("__gh")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= min_count)
-        .select("__gh")
-    )
-    hits = grams.join(dup, "__gh", "leftsemi").withColumn(
-        "__end", F.col("pos") + k
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    spans = (
-        hits.withColumn(
-            "__new",
-            (
-                F.col("pos")
-                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
-            ).cast("long"),
-        )
-        .withColumn("__g", F.sum("__new").over(w))
-        .groupBy(id_col, "__g")
-        .agg(
-            F.min("pos").alias("__s"),
-            F.max("__end").alias("__e"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.col("__e") - F.col("__s")).alias("dup_tokens"),
-        )
+    spans = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s")).alias("dup_tokens"),
     )
     return (
         base.select(F.col(id_col), F.col("__n").alias("n_tokens"))
@@ -1450,5 +1467,56 @@ def duplicated_span_stats(
                 F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
                 / F.col("n_tokens").cast("double")
             ).alias("dup_frac"),
+        )
+    )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The trimmer half of the Lee-et-al exact-substring pipeline:
+    rebuild each document with every token inside a duplicated span
+    REMOVED (drop-all policy — duplicated boilerplate is cut from all
+    its occurrences; a keep-one-canonical-occurrence refinement is a
+    caller-side choice of min_count / candidate ranking, not a
+    different plan shape).
+
+    Returns (id, text_clean, n_tokens, n_kept). Plan: the shared span
+    detection (_merged_dup_spans — one gram groupBy, one semi-join,
+    one keyed window), then the spans collect per document into an
+    array (bounded: disjoint spans over the doc), join back to the
+    corpus, and the rebuild is a MAP-ONLY higher-order filter — token
+    i survives iff no span covers it — so the expensive text column
+    never shuffles. Per-row cost O(n_tokens x n_spans); spans are few
+    by construction (disjoint, length >= k)."""
+    base, merged = _merged_dup_spans(
+        df, text_col, id_col, k, min_count, hash_fn
+    )
+    span_arr = merged.groupBy(id_col).agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    spans = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<__s:long,__e:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            spans, lambda sp: (sp["__s"] <= i) & (i < sp["__e"])
+        ),
+    )
+    return (
+        base.join(span_arr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", kept).alias("text_clean"),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
         )
     )

@@ -1336,8 +1336,15 @@ def q_text_fingerprint(spark, sf_dir):
       log-prob (ngram_lm_scores, r9): per-term ln clamped to 6
       decimals, ordered fold, unrounded final division — see the
       operator docstring for why the mean must NOT be rounded
+    * trim  — v1 = md5_long of the REBUILT text with duplicated spans
+      cut (trim_duplicated_spans — value-checks the whole
+      reconstructed string without shipping it), v2 = n_kept
     """
-    from tsp_spark.pipeline.dedup import duplicated_span_stats
+    from tsp_spark.pipeline.dedup import (
+        duplicated_span_stats,
+        trim_duplicated_spans,
+    )
+    from tsp_spark.pipeline.hashing import md5_long
     from tsp_spark.pipeline.text import ngram_lm_scores
 
     docs = _load(spark, sf_dir, "documents")
@@ -1362,7 +1369,14 @@ def q_text_fingerprint(spark, sf_dir):
         F.lit(0).cast("long").alias("v2"),
         F.col("lm_score").alias("d1"),
     )
-    return fp.unionByName(spans).unionByName(lm)
+    trim = trim_duplicated_spans(docs, "text", "doc_id", k=8).select(
+        F.lit("trim").alias("variant"),
+        F.col("doc_id"),
+        md5_long(F.col("text_clean")).alias("v1"),
+        F.col("n_kept").alias("v2"),
+        F.lit(0.0).alias("d1"),
+    )
+    return fp.unionByName(spans).unionByName(lm).unionByName(trim)
 
 
 ORACLE_FINGERPRINT = """
@@ -1438,6 +1452,50 @@ FROM (
   SELECT t.doc_id, coalesce(a.m, 0)::BIGINT AS n_bigrams,
          coalesce(a.s / a.m, 0.0) AS lm_score
   FROM toks t LEFT JOIN agg a USING (doc_id)
+)
+UNION ALL
+SELECT 'trim' AS variant, doc_id,
+       ('0x' || substring(md5(text_clean), 1, 15))::BIGINT AS v1,
+       n_kept AS v2, 0.0 AS d1
+FROM (
+  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  g AS (SELECT doc_id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+        FROM toks WHERE len(t) >= 8),
+  gh AS (SELECT doc_id, pos,
+         ('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15))::BIGINT AS h
+         FROM g),
+  dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+  hits AS (SELECT doc_id, pos, pos + 8 AS e FROM gh
+           WHERE h IN (SELECT h FROM dup)),
+  isl AS (SELECT doc_id, pos, e,
+          CASE WHEN pos > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS st
+          FROM hits),
+  grp AS (SELECT doc_id, pos, e, sum(st) OVER (
+            PARTITION BY doc_id ORDER BY pos) AS g2 FROM isl),
+  merged AS (SELECT doc_id, g2, min(pos) AS s, max(e) AS e
+             FROM grp GROUP BY doc_id, g2),
+  covered AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS p
+              FROM merged),
+  posed AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS p, t
+            FROM toks),
+  keptpos AS (
+    SELECT po.doc_id, po.p, po.t[po.p + 1] AS tok
+    FROM posed po LEFT JOIN covered c
+      ON po.doc_id = c.doc_id AND po.p = c.p
+    WHERE c.p IS NULL
+  ),
+  rebuilt AS (
+    SELECT doc_id,
+           coalesce(string_agg(tok, ' ' ORDER BY p), '') AS text_clean,
+           count(*)::BIGINT AS n_kept
+    FROM keptpos GROUP BY doc_id
+  )
+  SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+         coalesce(r.n_kept, 0)::BIGINT AS n_kept
+  FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 )
 """
 
