@@ -1157,3 +1157,60 @@ def test_trim_duplicated_spans_exact(spark):
     assert got[4] == ("too short", 2, 2)       # below k: untouched
     assert got[6] == ("", 5, 0)                # fully duplicated
     assert got[1][0] == "alpha omega one"      # the shared run is cut
+
+
+def test_pca_fit_transform_matches_numpy(spark):
+    """Distributed PCA vs numpy on the collected data: covariance
+    eigenstructure, projection parity (signs fixed deterministically),
+    whitening produces unit variance, and the fit is partitioning-
+    independent."""
+    import numpy as np
+
+    from tsp_spark.pipeline.similarity import pca_fit, pca_transform
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    x = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").collect()
+        ]
+    )
+    n, dim = x.shape
+
+    model = pca_fit(emb, "embedding", n_components=8)
+    assert model["n_rows"] == n and model["dim"] == dim
+
+    # reference: numpy eigh on the sample covariance
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    np.testing.assert_allclose(model["mean"], mean, atol=1e-9)
+    np.testing.assert_allclose(
+        model["explained_var"], evals[order], rtol=1e-8
+    )
+    for got_c, ref_c in zip(model["components"], evecs[:, order].T):
+        # same axis up to sign
+        dot = abs(float(np.dot(got_c, ref_c)))
+        assert dot == pytest.approx(1.0, abs=1e-8)
+
+    # projection parity + whitened unit variance
+    proj = pca_transform(emb, "embedding", model, whiten=True)
+    p = np.asarray(
+        [
+            np.asarray(r["pca"], dtype=np.float64)
+            for r in proj.orderBy("vec_id").collect()
+        ]
+    )
+    np.testing.assert_allclose(
+        (x - mean) @ model["whiten"].T, p, atol=1e-9
+    )
+    np.testing.assert_allclose(p.var(axis=0, ddof=1), 1.0, rtol=1e-5)
+
+    # partitioning independence: refit on a repartitioned frame
+    model2 = pca_fit(emb.repartition(13), "embedding", n_components=8)
+    np.testing.assert_allclose(
+        model2["components"], model["components"], atol=1e-9
+    )

@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -399,3 +400,134 @@ def ivf_search_index(
     ).withColumn("__list", _list_key(F.col(label_col)))
     lists = spark.read.parquet(f"{gen_dir}/lists")
     return _score_probed_lists(lists, probes.drop(label_col), "__list", k)
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    n_components: int,
+    eps: float = 1e-9,
+) -> dict:
+    """Distributed PCA fit over an embedding column: returns a small
+    driver-side model ``{mean, components, explained_var, whiten,
+    n_rows, dim}`` (numpy arrays).
+
+    Plan shape (the 100 TB story): ONE pass over the corpus via
+    ``mapInPandas`` emitting one PARTIAL-MOMENT row per Arrow batch --
+    (count, sum vector, flattened upper Gram matrix X^T X computed by
+    BLAS on the batch) -- then the partials reduce in SPARK (posexplode
+    to (idx, value) + a two-stage groupBy sum), so the driver collects
+    exactly dim + dim(dim+1)/2 + 1 doubles no matter the corpus or
+    partition count. Eigendecomposition of the dim x dim covariance
+    runs on the driver (numpy, microseconds at embedding dims).
+
+    Eigenvector sign is fixed deterministically (largest-|component|
+    coordinate made positive), so the model is reproducible across
+    runs and partitionings."""
+    import numpy as np
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    dim = int(first["d"])
+    if not 1 <= n_components <= dim:
+        raise ValueError(
+            f"n_components must be in [1, {dim}], got {n_components}"
+        )
+    n_tri = dim * (dim + 1) // 2
+    iu = None  # built lazily inside the workers
+
+    proj = df.select(F.col(vec_col).alias("v"))
+
+    def moments(batches):
+        import numpy as np
+
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
+            )
+            if x.size == 0:
+                continue
+            gram = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "cnt": [float(len(x))],
+                    "vals": [
+                        np.concatenate([x.sum(axis=0), gram[iu]]).tolist()
+                    ],
+                }
+            )
+
+    partials = proj.mapInPandas(
+        moments, schema="cnt double, vals array<double>"
+    )
+    # reduce in Spark: element-wise sums via posexplode + groupBy —
+    # driver sees (1 + dim + n_tri) scalars total
+    summed = (
+        partials.select(
+            F.col("cnt"), F.posexplode(F.col("vals")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    n_rows = partials.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    if not n_rows or n_rows < 2:
+        raise ValueError(f"pca_fit: needs >= 2 rows, got {n_rows}")
+    vec = np.zeros(dim + n_tri)
+    for r in summed:
+        vec[r["i"]] = r["s"]
+    n = float(n_rows)
+    mean = vec[:dim] / n
+    gram = np.zeros((dim, dim))
+    iu = np.triu_indices(dim)
+    gram[iu] = vec[dim:]
+    gram = gram + np.triu(gram, 1).T
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T  # (n_components, dim)
+    # deterministic sign: the largest-|x| coordinate of each component
+    # is made positive (ties broken by lowest index via argmax)
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_var": evals,
+        "whiten": comps / np.sqrt(evals + eps)[:, None],
+        "n_rows": int(n_rows),
+        "dim": dim,
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    vec_col: str,
+    model: dict,
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA model (map-only): one
+    Arrow-batched pandas_udf computing ``(x - mean) @ W^T`` with the
+    model matrices captured in the closure (a few KB broadcast with
+    the task). ``whiten=True`` scales components to unit variance --
+    the standard preprocessing before cosine ANN or clustering."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mean = model["mean"]
+    mat = (model["whiten"] if whiten else model["components"]).T.copy()
+
+    @pandas_udf("array<double>")
+    def _project(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        out = (x - mean) @ mat
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _project(F.col(vec_col)))
