@@ -1214,3 +1214,64 @@ def test_pca_fit_transform_matches_numpy(spark):
     np.testing.assert_allclose(
         model2["components"], model["components"], atol=1e-9
     )
+
+
+def test_kmeans_recovers_blobs_and_feeds_ivf(spark):
+    """Lloyd's k-means: recovers well-separated blobs with 100% purity,
+    is deterministic across partitionings, keeps empty clusters
+    stable, and its assignment plugs into ivf_topk as the list
+    structure (the true-IVF path)."""
+    import numpy as np
+
+    from tsp_spark.pipeline.similarity import (
+        ivf_topk,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4])
+    rows = []
+    for i in range(240):
+        b = i % 3
+        rows.append(
+            (i, b, [float(x) for x in centers[b] + rng.normal(0, 0.5, 8)])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, true_blob int, embedding array<double>"
+    )
+
+    cents = kmeans_fit(df, "embedding", "vec_id", k=3, n_iter=15)
+    assert cents.shape == (3, 8)
+    got = kmeans_assign(df, "embedding", cents).collect()
+    # purity: every true blob maps to exactly one learned cluster
+    mapping = {}
+    for r in got:
+        mapping.setdefault(r["true_blob"], set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+    # determinism across partitionings
+    cents2 = kmeans_fit(
+        df.repartition(7), "embedding", "vec_id", k=3, n_iter=15
+    )
+    np.testing.assert_allclose(cents, cents2, atol=1e-9)
+
+    # k > distinct points: the empty cluster keeps its init centroid
+    tiny = spark.createDataFrame(
+        [(i, [float(i % 2)] * 4) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    c4 = kmeans_fit(tiny, "embedding", "vec_id", k=4, n_iter=5)
+    assert c4.shape == (4, 4) and np.isfinite(c4).all()
+
+    # the learned clusters serve as IVF lists end-to-end
+    listed = kmeans_assign(df, "embedding", cents, out_col="label")
+    res = ivf_topk(
+        listed, listed.where(F.col("vec_id") < 3), k=3, nprobe=1
+    )
+    out = res.collect()
+    assert len(out) == 9
+    # with nprobe=1 on tight blobs, neighbors share the query's blob
+    blob = {r["vec_id"]: r["true_blob"] for r in df.collect()}
+    assert all(blob[r["query_id"]] == blob[r["neighbor_id"]] for r in out)

@@ -531,3 +531,105 @@ def pca_transform(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _project(F.col(vec_col)))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_iter: int = 10,
+    seed: str = "kmeans-s0",
+):
+    """Distributed Lloyd's k-means over an embedding column — the
+    coarse-quantizer trainer for a true IVF index (ivf_topk accepts
+    any list assignment; this produces one from the data's geometry
+    instead of a pre-existing label).
+
+    Deterministic throughout: initial centroids are the vectors of
+    the k ids with the smallest salted md5_long (reproducible across
+    engines/partitionings, no reservoir order dependence); each
+    iteration is ONE map-only Arrow-batched assignment (broadcast
+    centroid matrix in the UDF closure, BLAS distances) plus ONE
+    groupBy over (cluster, dim) with partial aggregation — k x dim
+    doubles reach the driver per iteration, independent of corpus
+    size. Empty clusters keep their previous centroid. Returns the
+    (k, dim) numpy centroid matrix."""
+    import numpy as np
+
+    from tsp_spark.pipeline.hashing import md5_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    init_rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+            ).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but only {len(init_rows)} rows"
+        )
+    centroids = np.asarray(
+        [np.asarray(r["v"], dtype=np.float64) for r in init_rows]
+    )
+
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, vec_col, centroids, out_col="__c")
+        sums = (
+            assigned.select(
+                F.col("__c"),
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("dim", "v"),
+            )
+            .groupBy("__c", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc = np.zeros_like(centroids)
+        cnt = np.zeros(len(centroids))
+        for r in sums:
+            acc[r["__c"], r["dim"]] = r["s"]
+            cnt[r["__c"]] = r["n"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        if np.allclose(new, centroids, atol=1e-12):
+            centroids = new
+            break
+        centroids = new
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: one Arrow-batched
+    pandas_udf with the (k, dim) centroid matrix in the closure;
+    squared-L2 argmin via BLAS, deterministic lowest-index
+    tie-break (np.argmin)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def _nearest(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _nearest(F.col(vec_col)))
