@@ -435,7 +435,6 @@ def pca_fit(
             f"n_components must be in [1, {dim}], got {n_components}"
         )
     n_tri = dim * (dim + 1) // 2
-    iu = None  # built lazily inside the workers
 
     proj = df.select(F.col(vec_col).alias("v"))
 
@@ -450,39 +449,39 @@ def pca_fit(
             if x.size == 0:
                 continue
             gram = x.T @ x
+            # slot 0 carries the row count so ONE reduce covers
+            # count + mean + Gram (a separate count action would
+            # re-execute the whole corpus pass)
             yield pd.DataFrame(
                 {
-                    "cnt": [float(len(x))],
                     "vals": [
-                        np.concatenate([x.sum(axis=0), gram[iu]]).tolist()
+                        np.concatenate(
+                            [[float(len(x))], x.sum(axis=0), gram[iu]]
+                        ).tolist()
                     ],
                 }
             )
 
-    partials = proj.mapInPandas(
-        moments, schema="cnt double, vals array<double>"
-    )
+    partials = proj.mapInPandas(moments, schema="vals array<double>")
     # reduce in Spark: element-wise sums via posexplode + groupBy —
-    # driver sees (1 + dim + n_tri) scalars total
+    # driver sees (1 + dim + n_tri) scalars total, in ONE action
     summed = (
-        partials.select(
-            F.col("cnt"), F.posexplode(F.col("vals")).alias("i", "x")
-        )
+        partials.select(F.posexplode(F.col("vals")).alias("i", "x"))
         .groupBy("i")
         .agg(F.sum("x").alias("s"))
         .collect()
     )
-    n_rows = partials.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
-    if not n_rows or n_rows < 2:
-        raise ValueError(f"pca_fit: needs >= 2 rows, got {n_rows}")
-    vec = np.zeros(dim + n_tri)
+    vec = np.zeros(1 + dim + n_tri)
     for r in summed:
         vec[r["i"]] = r["s"]
+    n_rows = vec[0]
+    if n_rows < 2:
+        raise ValueError(f"pca_fit: needs >= 2 rows, got {int(n_rows)}")
     n = float(n_rows)
-    mean = vec[:dim] / n
+    mean = vec[1 : 1 + dim] / n
     gram = np.zeros((dim, dim))
     iu = np.triu_indices(dim)
-    gram[iu] = vec[dim:]
+    gram[iu] = vec[1 + dim :]
     gram = gram + np.triu(gram, 1).T
     cov = (gram - n * np.outer(mean, mean)) / (n - 1.0)
     evals, evecs = np.linalg.eigh(cov)
