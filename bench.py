@@ -237,6 +237,11 @@ SF1_QUERIES = [
     "prep_chunks",
     "prep_redact",
     "prep_contamination",
+    # r9b: this round's fold growth joins too — text_fingerprint now
+    # carries spans/lm/trim (substring dedup + bigram LM + trimmer),
+    # text_top_tokens carries tfidf
+    "text_fingerprint",
+    "text_top_tokens",
 ]
 
 
@@ -346,6 +351,10 @@ def sf1_oracle_gate(spark):
         ("prep_chunks", d1, "sf1"),
         ("dedup_simhash", d1, "sf1"),
         ("prep_contamination", d1, "sf1"),
+        # r9b: the grown folds value-checked at 10x (substring spans,
+        # trimmer rebuild hash, bigram-LM fold, tfidf ranking)
+        ("text_fingerprint", d1, "sf1"),
+        ("text_top_tokens", d1, "sf1"),
     ]
     cons = {}
     out = {}

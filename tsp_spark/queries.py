@@ -1181,7 +1181,8 @@ SELECT 'tfidf' AS variant, grp, token, v1, d1, rank FROM (
     GROUP BY doc_id, token
   ),
   dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
-  nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  -- MATERIALIZED for the same reason as the lm oracle's vv CTE
+  nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
   s AS (
     SELECT tf.doc_id, tf.token, tf.tf,
            tf.tf::DOUBLE * round(ln(nn.n::DOUBLE / dfreq.df::DOUBLE), 6)
@@ -1436,7 +1437,10 @@ FROM (
   o2 AS (SELECT doc_id, pos, t[pos+1] AS w1, t[pos+2] AS w2 FROM occ),
   big AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM o2 GROUP BY w1, w2),
   ctx AS (SELECT w1, sum(cb)::BIGINT AS cw FROM big GROUP BY w1),
-  vv AS (SELECT count(DISTINCT x)::BIGINT AS v
+  -- MATERIALIZED is load-bearing: with toks multiply-consumed, DuckDB
+  -- re-evaluates this uncorrelated scalar PER JOINED ROW (measured: the
+  -- sf1 oracle wrote >79 GB of temp and never finished; 3 s materialized)
+  vv AS MATERIALIZED (SELECT count(DISTINCT x)::BIGINT AS v
          FROM (SELECT unnest(t) AS x FROM toks)),
   lp AS (
     SELECT o.doc_id, o.pos,
