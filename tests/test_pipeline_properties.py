@@ -1275,3 +1275,51 @@ def test_kmeans_recovers_blobs_and_feeds_ivf(spark):
     # with nprobe=1 on tight blobs, neighbors share the query's blob
     blob = {r["vec_id"]: r["true_blob"] for r in df.collect()}
     assert all(blob[r["query_id"]] == blob[r["neighbor_id"]] for r in out)
+
+
+def test_embedding_ops_reject_dirty_vectors(spark):
+    """Review-caught: NULL or ragged embedding rows must fail with a
+    clear validation message, not an opaque BLAS/length-mismatch error
+    deep in an executor (the lsh_bucket_topk dims-guard precedent)."""
+    import numpy as np
+
+    from tsp_spark.pipeline.similarity import (
+        kmeans_assign,
+        pca_fit,
+        pca_transform,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5, 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_fit(clean, "embedding", n_components=2)
+    cents = np.asarray([[0.0, 0.0, 0.0, 0.0], [30.0, 30.0, 0.5, 1.0]])
+
+    ragged = clean.union(
+        spark.createDataFrame(
+            [(99, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    nulled = clean.union(
+        spark.createDataFrame(
+            [(98, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    for bad, msg in ((ragged, "embedding length"), (nulled, "NULL embedding")):
+        with pytest.raises(Exception, match=msg):
+            pca_transform(bad, "embedding", model).collect()
+        with pytest.raises(Exception, match=msg):
+            kmeans_assign(bad, "embedding", cents).collect()
+    with pytest.raises(Exception, match="embedding length"):
+        pca_fit(ragged, "embedding", n_components=2)
+
+    # all-NULL input: clear error, not a numpy crash
+    with pytest.raises(ValueError, match="no non-NULL"):
+        pca_fit(
+            spark.createDataFrame(
+                [(1, None)], "vec_id long, embedding array<double>"
+            ),
+            "embedding",
+            n_components=1,
+        )

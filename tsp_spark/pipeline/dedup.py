@@ -1409,6 +1409,56 @@ def _merged_dup_spans(
     return base, merged
 
 
+def duplicated_span_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Stats AND trim in ONE plan: per document, the span statistics
+    (n_tokens, n_spans, dup_tokens, dup_frac) plus the rebuilt
+    text_clean / n_kept — a single _merged_dup_spans core, a single
+    groupBy producing both the aggregates and the span array, one
+    join back, one map-only projection. Use this when both halves are
+    needed (the driver fold does): two separate stats+trim calls
+    execute the gram groupBy / semi-join / window twice — measured,
+    Catalyst does NOT reuse the exchanges across independent operator
+    invocations."""
+    base, merged = _merged_dup_spans(
+        df, text_col, id_col, k, min_count, hash_fn
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nsp"),
+        F.sum(F.col("__e") - F.col("__s")).alias("__dup"),
+        F.collect_list(F.struct("__s", "__e")).alias("__spans"),
+    )
+    toks = F.split(F.col(text_col), " ")
+    spans = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<__s:long,__e:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            spans, lambda sp: (sp["__s"] <= i) & (i < sp["__e"])
+        ),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__nsp"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
+        (
+            F.coalesce(F.col("__dup"), F.lit(0)).cast("double")
+            / F.col("__n").cast("double")
+        ).alias("dup_frac"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str,

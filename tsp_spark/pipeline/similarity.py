@@ -402,6 +402,29 @@ def ivf_search_index(
     return _score_probed_lists(lists, probes.drop(label_col), "__list", k)
 
 
+def _vec_matrix(series, dim: int, where: str):
+    """Worker-side (n, dim) float64 matrix from an Arrow column of
+    embedding arrays, with CLEAR errors for the dirty-data cases that
+    otherwise die deep inside BLAS or as an opaque pandas_udf
+    length-mismatch: NULL rows, ragged lengths, zero-length vectors
+    (numpy turns a ragged batch into an object array or an (n, 0)
+    shape — both previously conflated with an empty batch)."""
+    import numpy as np
+
+    rows = []
+    for r in series:
+        if r is None:
+            raise ValueError(f"{where}: NULL embedding row")
+        rows.append(np.asarray(r, dtype=np.float64))
+    x = np.asarray(rows)
+    if x.ndim != 2 or x.shape[1] != dim:
+        bad = sorted({v.shape[0] for v in rows} - {dim})
+        raise ValueError(
+            f"{where}: embedding length(s) {bad} != expected dim {dim}"
+        )
+    return x
+
+
 def pca_fit(
     df: DataFrame,
     vec_col: str,
@@ -426,10 +449,16 @@ def pca_fit(
     runs and partitionings."""
     import numpy as np
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_fit: no non-NULL vectors in input")
     dim = int(first["d"])
+    if dim < 1:
+        raise ValueError(f"pca_fit: zero-length {vec_col!r} vectors")
     if not 1 <= n_components <= dim:
         raise ValueError(
             f"n_components must be in [1, {dim}], got {n_components}"
@@ -443,11 +472,9 @@ def pca_fit(
 
         iu = np.triu_indices(dim)
         for pdf in batches:
-            x = np.asarray(
-                [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
-            )
-            if x.size == 0:
+            if len(pdf) == 0:
                 continue
+            x = _vec_matrix(pdf["v"], dim, "pca_fit")
             gram = x.T @ x
             # slot 0 carries the row count so ONE reduce covers
             # count + mean + Gram (a separate count action would
@@ -521,11 +548,13 @@ def pca_transform(
     mean = model["mean"]
     mat = (model["whiten"] if whiten else model["components"]).T.copy()
 
+    dim = model["dim"]
+
     @pandas_udf("array<double>")
     def _project(v: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
-        if x.size == 0:
+        if len(v) == 0:
             return pd.Series([], dtype=object)
+        x = _vec_matrix(v, dim, "pca_transform")
         out = (x - mean) @ mat
         return pd.Series(list(out))
 
@@ -567,7 +596,7 @@ def kmeans_fit(
                 F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
             ).alias("__h"),
         )
-        .orderBy("__h")
+        .orderBy("__h", F.col(id_col).cast("string"))
         .limit(k)
         .collect()
     )
@@ -579,31 +608,41 @@ def kmeans_fit(
         [np.asarray(r["v"], dtype=np.float64) for r in init_rows]
     )
 
-    for _ in range(n_iter):
-        assigned = kmeans_assign(df, vec_col, centroids, out_col="__c")
-        sums = (
-            assigned.select(
-                F.col("__c"),
-                F.posexplode(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                ).alias("dim", "v"),
+    # persist the one needed column: each Lloyd iteration scans the
+    # input again, and without this an expensive upstream lineage
+    # (joins, PCA, filters) would be recomputed n_iter times — the
+    # same rule the connected-components loop applies per round
+    vecs = df.select(F.col(vec_col).alias("__v")).persist()
+    try:
+        for _ in range(n_iter):
+            assigned = kmeans_assign(vecs, "__v", centroids, out_col="__c")
+            sums = (
+                assigned.select(
+                    F.col("__c"),
+                    F.posexplode(
+                        F.transform(
+                            F.col("__v"), lambda x: x.cast("double")
+                        )
+                    ).alias("dim", "v"),
+                )
+                .groupBy("__c", "dim")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            .groupBy("__c", "dim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = centroids.copy()
-        acc = np.zeros_like(centroids)
-        cnt = np.zeros(len(centroids))
-        for r in sums:
-            acc[r["__c"], r["dim"]] = r["s"]
-            cnt[r["__c"]] = r["n"]
-        nonempty = cnt > 0
-        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
-        if np.allclose(new, centroids, atol=1e-12):
+            new = centroids.copy()
+            acc = np.zeros_like(centroids)
+            cnt = np.zeros(len(centroids))
+            for r in sums:
+                acc[r["__c"], r["dim"]] = r["s"]
+                cnt[r["__c"]] = r["n"]
+            nonempty = cnt > 0
+            new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+            if np.allclose(new, centroids, rtol=0.0, atol=1e-12):
+                centroids = new
+                break
             centroids = new
-            break
-        centroids = new
+    finally:
+        vecs.unpersist()
     return centroids
 
 
@@ -623,11 +662,13 @@ def kmeans_assign(
     c = np.asarray(centroids, dtype=np.float64)
     c_sq = (c * c).sum(axis=1)
 
+    dim = c.shape[1]
+
     @pandas_udf("int")
     def _nearest(v: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(r, dtype=np.float64) for r in v])
-        if x.size == 0:
+        if len(v) == 0:
             return pd.Series([], dtype="int32")
+        x = _vec_matrix(v, dim, "kmeans_assign")
         d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 

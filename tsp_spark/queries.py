@@ -1341,10 +1341,7 @@ def q_text_fingerprint(spark, sf_dir):
       cut (trim_duplicated_spans — value-checks the whole
       reconstructed string without shipping it), v2 = n_kept
     """
-    from tsp_spark.pipeline.dedup import (
-        duplicated_span_stats,
-        trim_duplicated_spans,
-    )
+    from tsp_spark.pipeline.dedup import duplicated_span_profile
     from tsp_spark.pipeline.hashing import md5_long
     from tsp_spark.pipeline.text import ngram_lm_scores
 
@@ -1356,13 +1353,33 @@ def q_text_fingerprint(spark, sf_dir):
         F.lit(0).cast("long").alias("v2"),
         F.lit(0.0).alias("d1"),
     )
-    spans = duplicated_span_stats(docs, "text", "doc_id", k=8).select(
-        F.lit("spans").alias("variant"),
-        F.col("doc_id"),
-        F.col("dup_tokens").alias("v1"),
-        F.col("n_spans").alias("v2"),
-        F.col("dup_frac").alias("d1"),
-    )
+    # ONE span-detection core for both variants (duplicated_span_profile),
+    # and ONE pass over its output: the spans/trim rows explode from an
+    # array per document instead of a self-union — a union would let
+    # column pruning specialize each branch's subtree, and Catalyst then
+    # cannot reuse the gram groupBy / semi-join / window exchanges
+    # (measured: the unioned form executes the core twice)
+    profile = duplicated_span_profile(docs, "text", "doc_id", k=8)
+    span_trim = profile.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("spans").alias("variant"),
+                    F.col("doc_id"),
+                    F.col("dup_tokens").cast("long").alias("v1"),
+                    F.col("n_spans").cast("long").alias("v2"),
+                    F.col("dup_frac").alias("d1"),
+                ),
+                F.struct(
+                    F.lit("trim").alias("variant"),
+                    F.col("doc_id"),
+                    md5_long(F.col("text_clean")).alias("v1"),
+                    F.col("n_kept").cast("long").alias("v2"),
+                    F.lit(0.0).alias("d1"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     lm = ngram_lm_scores(docs, "text", "doc_id").select(
         F.lit("lm").alias("variant"),
         F.col("doc_id"),
@@ -1370,14 +1387,7 @@ def q_text_fingerprint(spark, sf_dir):
         F.lit(0).cast("long").alias("v2"),
         F.col("lm_score").alias("d1"),
     )
-    trim = trim_duplicated_spans(docs, "text", "doc_id", k=8).select(
-        F.lit("trim").alias("variant"),
-        F.col("doc_id"),
-        md5_long(F.col("text_clean")).alias("v1"),
-        F.col("n_kept").alias("v2"),
-        F.lit(0.0).alias("d1"),
-    )
-    return fp.unionByName(spans).unionByName(lm).unionByName(trim)
+    return fp.unionByName(span_trim).unionByName(lm)
 
 
 ORACLE_FINGERPRINT = """
