@@ -1323,3 +1323,52 @@ def test_embedding_ops_reject_dirty_vectors(spark):
             "embedding",
             n_components=1,
         )
+
+
+def test_bpe_train_and_encode(spark):
+    """Learned BPE: the Sennrich paper's classic example trains the
+    expected first merges, encode round-trips (concat of a word's
+    tokens == word + '</w>'), inference equals training segmentation,
+    and everything is deterministic across partitionings."""
+    from tsp_spark.pipeline.bpe import _encode_word, bpe_encode, bpe_train
+
+    # the canonical corpus: low x5, lower x2, newest x6, widest x3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = [(i, " ".join(words)) for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    merges = bpe_train(df, "text", "doc_id", n_merges=10)
+    # first merges: (e,s) 27, then (es,t) 27, then (est,</w>) 27...
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+
+    out = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_encode(df, "text", "doc_id", merges).collect()
+    }
+    toks, n = out[0]
+    assert n == len(toks)
+    # round-trip: tokens re-concatenate to the original words
+    joined = "".join(toks).replace("</w>", " ").strip()
+    assert joined == " ".join(words)
+    # inference segmentation equals training segmentation per word
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    flat = []
+    for w in words:
+        flat.extend(_encode_word(w, ranks))
+    assert toks == flat
+
+    # determinism across partitionings
+    merges2 = bpe_train(df.repartition(5), "text", "doc_id", n_merges=10)
+    assert merges2 == merges
+
+    # sampled training still yields a usable table on the real corpus
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = bpe_train(
+        corpus, "text", "doc_id", n_merges=50, sample_fraction=0.5
+    )
+    assert len(m) == 50
+    enc = bpe_encode(corpus, "text", "doc_id", m)
+    row = enc.orderBy("doc_id").first()
+    assert row["n_bpe_tokens"] > 0

@@ -6,6 +6,7 @@ function designed for 100 TB scale (no driver-side loops, broadcast
 where small, banded joins instead of all-pairs where big).
 """
 
+from tsp_spark.pipeline.bpe import bpe_encode, bpe_train
 from tsp_spark.pipeline.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs
 from tsp_spark.pipeline.text import (
     token_stats,
@@ -22,6 +23,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "token_stats",
     "quality_scores",
+    "bpe_encode",
+    "bpe_train",
     "language_id",
     "fingerprint",
     "simhash",
