@@ -1372,3 +1372,34 @@ def test_bpe_train_and_encode(spark):
     enc = bpe_encode(corpus, "text", "doc_id", m)
     row = enc.orderBy("doc_id").first()
     assert row["n_bpe_tokens"] > 0
+
+
+def test_kmeans_quantizer_feeds_persisted_ivf_index(spark, tmp_path):
+    """The full serving chain with a LEARNED quantizer: kmeans labels
+    become the persisted IVF index's list structure, and searching the
+    committed index equals the in-memory ivf_topk over the same
+    assignment."""
+    from tsp_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=4, n_iter=8)
+    listed = kmeans_assign(emb, "embedding", cents, out_col="label")
+
+    gen = ivf_build_index(listed, str(tmp_path / "ivf"))
+    assert gen == 0
+    queries = listed.where(F.col("vec_id") < 5)
+    served = ivf_search_index(
+        spark, str(tmp_path / "ivf"), queries, k=3, nprobe=2
+    )
+    mem = ivf_topk(listed, queries, k=3, nprobe=2)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
