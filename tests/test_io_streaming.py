@@ -1838,3 +1838,84 @@ def test_streaming_bottomk_preserves_long_values(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_streaming_lm_scoring_against_batch_model(spark):
+    """Score a document STREAM against a frozen batch-trained bigram
+    LM (ngram_lm_fit + ngram_lm_score_with_model inside foreachBatch,
+    the IVF build-once/serve-many shape): streamed scores equal the
+    batch scores for the same documents exactly, across micro-batch
+    boundaries."""
+    import tempfile
+
+    from tsp_spark.pipeline.text import (
+        ngram_lm_fit,
+        ngram_lm_score_with_model,
+        ngram_lm_scores,
+    )
+
+    train = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    model = ngram_lm_fit(train, "text")
+    model["big"].persist()
+    model["ctx"].persist()
+
+    score_rows = [
+        (1000 + i, t)
+        for i, t in enumerate(
+            [r["text"] for r in train.limit(6).collect()]
+            + ["completely unseen words here", "zz"]
+        )
+    ]
+    schema = "doc_id long, text string"
+    src_dir = tempfile.mkdtemp(prefix="tsp_slm_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_slm_chk")
+    got = {}
+    try:
+        half = len(score_rows) // 2
+        spark.createDataFrame(score_rows[:half], schema).coalesce(
+            1
+        ).write.parquet(f"{src_dir}/b0")
+        spark.createDataFrame(score_rows[half:], schema).coalesce(
+            1
+        ).write.parquet(f"{src_dir}/b1")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+
+        def score_batch(batch_df, batch_id):
+            for r in ngram_lm_score_with_model(
+                batch_df, "text", "doc_id", model
+            ).collect():
+                got[r["doc_id"]] = (r["n_bigrams"], r["lm_score"])
+
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", chk_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        want_df = spark.createDataFrame(score_rows, schema)
+        want = {
+            r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+            for r in ngram_lm_scores(
+                want_df, "text", "doc_id", train_df=train
+            ).collect()
+        }
+        assert got == want
+        # the unseen-words doc scored at the smoothed floor, not 0/Inf
+        unseen_id = score_rows[-2][0]
+        assert got[unseen_id][0] > 0
+        import math
+        assert math.isfinite(got[unseen_id][1]) and got[unseen_id][1] < 0
+    finally:
+        model["big"].unpersist()
+        model["ctx"].unpersist()
+        import shutil
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

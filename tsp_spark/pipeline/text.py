@@ -433,36 +433,41 @@ def ngram_lm_scores(
     (xxhash64) exactly as contamination_check(hash_ngrams=True) does;
     the string keys are kept here because the model table doubles as
     a human-readable artifact."""
-    train = df if train_df is None else train_df
-
-    def _bigrams(frame: DataFrame, with_pos: bool) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
-        pairs = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.element_at(toks, i + 2).alias("w2"),
-            ),
-        )
-        base = frame.where(F.size(toks) >= 2)
-        if with_pos:
-            return base.select(
-                F.col(id_col), F.posexplode(pairs).alias("pos", "bg")
-            ).select(id_col, "pos", "bg.w1", "bg.w2")
-        return base.select(F.explode(pairs).alias("bg")).select(
-            "bg.w1", "bg.w2"
-        )
-
-    occ = _bigrams(df, with_pos=True)
+    occ = _lm_bigrams(df, text_col, id_col, with_pos=True)
     if train_df is None:
         # self-trained: the model IS the occurrence table aggregated —
         # never tokenize/explode the corpus a second time
         big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+        ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+        v = _lm_vocab_size(df, text_col)
+        model = {"big": big, "ctx": ctx, "v": v}
     else:
-        big = _bigrams(train, with_pos=False).groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).alias("__cb")
-        )
-    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+        model = ngram_lm_fit(train_df, text_col)
+    return _lm_score_occurrences(df, occ, id_col, model)
+
+
+def _lm_bigrams(
+    frame: DataFrame, text_col: str, id_col: str, with_pos: bool
+) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    base = frame.where(F.size(toks) >= 2)
+    if with_pos:
+        return base.select(
+            F.col(id_col), F.posexplode(pairs).alias("pos", "bg")
+        ).select(id_col, "pos", "bg.w1", "bg.w2")
+    return base.select(F.explode(pairs).alias("bg")).select(
+        "bg.w1", "bg.w2"
+    )
+
+
+def _lm_vocab_size(train: DataFrame, text_col: str) -> int:
     # V materializes driver-side: one scalar, substituted as a literal
     # (cheaper than a crossJoin) and guarded — an empty training corpus
     # would otherwise send every score to ln((0+1)/(0+0)) = +Inf and
@@ -474,9 +479,40 @@ def ngram_lm_scores(
         raise ValueError(
             "ngram_lm_scores: training corpus has no tokens (V = 0)"
         )
+    return int(v)
+
+
+def ngram_lm_fit(train_df: DataFrame, text_col: str) -> dict:
+    """Fit the bigram model once: ``{big, ctx, v}`` — the bigram and
+    context count DataFrames plus the vocabulary size. Reuse it across
+    many scoring calls (``ngram_lm_score_with_model``), including
+    inside ``foreachBatch`` to score a STREAM against a frozen
+    batch-trained model (the IVF build-once/serve-many shape; persist
+    big/ctx so each micro-batch joins cached counts instead of
+    re-aggregating the training corpus)."""
+    big = _lm_bigrams(train_df, text_col, "__unused", False).groupBy(
+        "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("__cb"))
+    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+    return {"big": big, "ctx": ctx, "v": _lm_vocab_size(train_df, text_col)}
+
+
+def ngram_lm_score_with_model(
+    df: DataFrame, text_col: str, id_col: str, model: dict
+) -> DataFrame:
+    """Score any frame (batch or a foreachBatch micro-batch) against a
+    fitted model — two stream-static-shaped left joins plus the keyed
+    per-doc fold; unseen bigrams/contexts hit the smoothed floor."""
+    occ = _lm_bigrams(df, text_col, id_col, with_pos=True)
+    return _lm_score_occurrences(df, occ, id_col, model)
+
+
+def _lm_score_occurrences(
+    df: DataFrame, occ: DataFrame, id_col: str, model: dict
+) -> DataFrame:
     lp = (
-        occ.join(big, ["w1", "w2"], "left")
-        .join(ctx, ["w1"], "left")
+        occ.join(model["big"], ["w1", "w2"], "left")
+        .join(model["ctx"], ["w1"], "left")
         .select(
             F.col(id_col),
             F.col("pos"),
@@ -484,7 +520,8 @@ def ngram_lm_scores(
                 F.log(
                     (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
                     / (
-                        F.coalesce(F.col("__cw"), F.lit(0)) + F.lit(v)
+                        F.coalesce(F.col("__cw"), F.lit(0))
+                        + F.lit(model["v"])
                     ).cast("double")
                 ),
                 6,
