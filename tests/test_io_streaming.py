@@ -1858,8 +1858,6 @@ def test_streaming_lm_scoring_against_batch_model(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).select("doc_id", "text")
     model = ngram_lm_fit(train, "text")
-    model["big"].persist()
-    model["ctx"].persist()
 
     score_rows = [
         (1000 + i, t)
@@ -1898,7 +1896,7 @@ def test_streaming_lm_scoring_against_batch_model(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in time"
 
         want_df = spark.createDataFrame(score_rows, schema)
         want = {
@@ -1914,8 +1912,9 @@ def test_streaming_lm_scoring_against_batch_model(spark):
         import math
         assert math.isfinite(got[unseen_id][1]) and got[unseen_id][1] < 0
     finally:
-        model["big"].unpersist()
-        model["ctx"].unpersist()
+        for sq in spark.streams.active:
+            sq.stop()
+        model["unpersist"]()
         import shutil
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)

@@ -1344,7 +1344,7 @@ def test_bpe_train_and_encode(spark):
     assert merges[2] == ("est", "</w>")
 
     out = {
-        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_learned_bpe_tokens"])
         for r in bpe_encode(df, "text", "doc_id", merges).collect()
     }
     toks, n = out[0]
@@ -1371,7 +1371,28 @@ def test_bpe_train_and_encode(spark):
     assert len(m) == 50
     enc = bpe_encode(corpus, "text", "doc_id", m)
     row = enc.orderBy("doc_id").first()
-    assert row["n_bpe_tokens"] > 0
+    assert row["n_learned_bpe_tokens"] > 0
+
+    # the incremental (indexed lazy-heap) trainer must equal the naive
+    # reference on randomized word tables — including tie territory
+    import random
+
+    from tsp_spark.pipeline.bpe import _bpe_train_reference
+
+    rng = random.Random(0xBEEF)
+    for trial in range(3):
+        wf = {
+            "".join(
+                rng.choice("ab") for _ in range(rng.randint(1, 6))
+            ): rng.randint(1, 9)
+            for _ in range(30)
+        }
+        wdf = spark.createDataFrame(
+            [(i, " ".join([w] * n)) for i, (w, n) in enumerate(wf.items())],
+            "doc_id long, text string",
+        )
+        got = bpe_train(wdf, "text", "doc_id", n_merges=25)
+        assert got == _bpe_train_reference(wf, 25), trial
 
 
 def test_kmeans_quantizer_feeds_persisted_ivf_index(spark, tmp_path):

@@ -81,15 +81,28 @@ def bpe_train(
     most frequent words (deterministic (count desc, word) order — the
     long tail of hapaxes contributes almost nothing to merge counts,
     which is why sampled training is the industry standard). Merge
-    ties break lexicographically, so training is reproducible."""
+    ties break lexicographically, so training is reproducible.
+
+    The driver loop is the standard INCREMENTAL trainer
+    (subword-nmt's shape): a pair→words index plus a lazy max-heap,
+    so each merge touches only the words containing the merged pair —
+    not an O(vocab) rescan per merge (review-caught; the naive
+    recompute-everything loop is kept as ``_bpe_train_reference`` and
+    pinned equal by test)."""
+    import heapq
+
     from tsp_spark.pipeline.curation import sample_member
 
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
     base = df
     if sample_fraction < 1.0:
         base = df.where(sample_member(id_col, sample_fraction, seed=seed))
-    words = (
+    rows = (
         base.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w")
         )
@@ -100,14 +113,81 @@ def bpe_train(
         .limit(max_words)
         .collect()
     )
-    vocab = {_word_symbols(r["w"]): int(r["n"]) for r in words}
+    if not rows:
+        raise ValueError(
+            "bpe_train: no words in the (sampled) training corpus — "
+            "an empty merge table would silently degrade encoding to "
+            "character level"
+        )
+
+    words: list[list] = []  # [symbols list, freq]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def bump(idx: int, sign: int) -> None:
+        syms, freq = words[idx]
+        for p in zip(syms, syms[1:]):
+            c = pair_counts.get(p, 0) + sign * freq
+            pair_counts[p] = c
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+                heapq.heappush(heap, (-c, p))
+            # decrements leave a stale heap entry; the pop loop
+            # re-validates against pair_counts and reinserts
+
+    for i, r in enumerate(rows):
+        words.append([list(_word_symbols(r["w"])), int(r["n"])])
+        bump(i, +1)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur <= 0:
+            continue
+        if -negc != cur:
+            heapq.heappush(heap, (-cur, best))
+            continue
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        for idx in sorted(pair_words.pop(best, ())):
+            syms, freq = words[idx]
+            has = any(
+                syms[i] == a and syms[i + 1] == b
+                for i in range(len(syms) - 1)
+            )
+            if not has:  # lazy index: word may have changed shape
+                continue
+            bump(idx, -1)
+            res = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[idx][0] = res
+            bump(idx, +1)
+        pair_counts[best] = 0
+    return merges
+
+
+def _bpe_train_reference(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The naive recompute-everything trainer, kept as the test oracle
+    for the incremental loop above (identical selection rule: highest
+    count, lexicographically-smallest pair on ties)."""
+    vocab = {_word_symbols(w): n for w, n in word_freqs.items()}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = _pair_counts(vocab)
         if not pairs:
             break
-        # max by (count, REVERSED lexicographic) → deterministic:
-        # highest count wins, lexicographically-smallest pair on ties
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         vocab = _merge_vocab(vocab, best)
@@ -163,11 +243,15 @@ def bpe_encode(
         return pd.Series(out)
 
     enc = F.col("__bpe")
+    # n_learned_bpe_tokens, not n_bpe_tokens: curation.bpe_token_counts
+    # already emits n_bpe_tokens for the REGEX pre-tokenizer count, and
+    # a pipeline joining both per-doc frames must not hit an
+    # ambiguous-column trap (review-caught)
     return (
         df.select(F.col(id_col), _encode(F.col(text_col)).alias("__bpe"))
         .select(
             F.col(id_col),
             enc.alias("bpe_tokens"),
-            F.size(enc).cast("long").alias("n_bpe_tokens"),
+            F.size(enc).cast("long").alias("n_learned_bpe_tokens"),
         )
     )

@@ -477,24 +477,46 @@ def _lm_vocab_size(train: DataFrame, text_col: str) -> int:
     ).agg(F.countDistinct("w").alias("__v")).collect()[0]["__v"]
     if not v:
         raise ValueError(
-            "ngram_lm_scores: training corpus has no tokens (V = 0)"
+            "ngram LM: training corpus has no tokens (V = 0)"
         )
     return int(v)
 
 
-def ngram_lm_fit(train_df: DataFrame, text_col: str) -> dict:
-    """Fit the bigram model once: ``{big, ctx, v}`` — the bigram and
-    context count DataFrames plus the vocabulary size. Reuse it across
-    many scoring calls (``ngram_lm_score_with_model``), including
-    inside ``foreachBatch`` to score a STREAM against a frozen
-    batch-trained model (the IVF build-once/serve-many shape; persist
-    big/ctx so each micro-batch joins cached counts instead of
-    re-aggregating the training corpus)."""
+def ngram_lm_fit(
+    train_df: DataFrame, text_col: str, persist: bool = True
+) -> dict:
+    """Fit the bigram model once: ``{big, ctx, v, unpersist}`` — the
+    bigram and context count DataFrames plus the vocabulary size.
+    Reuse it across many scoring calls
+    (``ngram_lm_score_with_model``), including inside ``foreachBatch``
+    to score a STREAM against a frozen batch-trained model (the IVF
+    build-once/serve-many shape).
+
+    The count frames are PERSISTED by default so every scoring call /
+    micro-batch joins cached counts instead of re-aggregating the
+    training corpus (the cost this split exists to avoid; the IVF
+    analog materializes its model for the same reason) — call
+    ``model["unpersist"]()`` when done, or pass ``persist=False`` to
+    manage caching yourself."""
     big = _lm_bigrams(train_df, text_col, "__unused", False).groupBy(
         "w1", "w2"
     ).agg(F.count(F.lit(1)).alias("__cb"))
     ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
-    return {"big": big, "ctx": ctx, "v": _lm_vocab_size(train_df, text_col)}
+    if persist:
+        big = big.persist()
+        ctx = ctx.persist()
+
+    def _unpersist() -> None:
+        if persist:
+            big.unpersist()
+            ctx.unpersist()
+
+    return {
+        "big": big,
+        "ctx": ctx,
+        "v": _lm_vocab_size(train_df, text_col),
+        "unpersist": _unpersist,
+    }
 
 
 def ngram_lm_score_with_model(
