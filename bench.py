@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_token_stats",
     "text_tokens_bpe",
+    # r9: text_fingerprint grew from one variant to four (fp + substring
+    # spans + trim rebuild + bigram LM) and text_top_tokens from one to
+    # two (+ per-doc tfidf) — a bench-over-bench diff on these rows
+    # compares different workloads (r8 ~0.36 s vs r9 ~1.3 s warm is the
+    # added surface, not a regression)
     "text_fingerprint",
     "embed_quantize",
     "ann_topk",
