@@ -1424,3 +1424,42 @@ def test_kmeans_quantizer_feeds_persisted_ivf_index(spark, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, mem.collect())
     )
+
+
+def test_duplicated_span_profile_equals_stats_join_trim(spark):
+    """duplicated_span_profile (the one-plan combined form the driver
+    fold uses) must equal duplicated_span_stats joined with
+    trim_duplicated_spans column-for-column on the real corpus."""
+    from tsp_spark.pipeline.dedup import (
+        duplicated_span_profile,
+        duplicated_span_stats,
+        trim_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    prof = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in duplicated_span_profile(
+            docs, "text", "doc_id", k=8
+        ).collect()
+    }
+    stats = {
+        r["doc_id"]: r for r in duplicated_span_stats(
+            docs, "text", "doc_id", k=8
+        ).collect()
+    }
+    trim = {
+        r["doc_id"]: r for r in trim_duplicated_spans(
+            docs, "text", "doc_id", k=8
+        ).collect()
+    }
+    assert set(prof) == set(stats) == set(trim)
+    for d, row in prof.items():
+        s, t = stats[d], trim[d]
+        want = (
+            s["n_tokens"], s["n_spans"], s["dup_tokens"], s["dup_frac"],
+            t["text_clean"], t["n_kept"],
+        )
+        assert row == want, d
