@@ -205,3 +205,66 @@ def test_empty_dataset_commit_is_readable(spark, tmp_path):
     back = read_training_shards(spark, path, validate=True)
     assert back.count() == 0
     assert [c for c in back.columns if c != "shard"] == df.columns
+
+
+def test_stream_training_shards_generations(spark, tmp_path):
+    """Streaming shard delivery: each micro-batch commits one
+    generation; the reader unions only COMMITTED generations; a torn
+    generation is invisible; a replayed batch is a no-op on a
+    committed generation and cleanly completes an uncommitted one."""
+    from tsp_spark.io.shards import (
+        read_training_generations,
+        stream_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc-{i}") for i in range(200)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    spark.createDataFrame(rows[:100], schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(rows[100:], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = stream_training_shards(
+        stream, out, key_col="doc_id", n_shards=4, checkpoint=chk
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    back = read_training_generations(spark, out, validate=True)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in back.collect()
+    ) == sorted(rows)
+    gens = sorted({r["gen"] for r in back.select("gen").collect()})
+    assert gens == [0, 1]
+
+    # replay of a committed generation: no-op (manifest returned)
+    batch0 = spark.createDataFrame(rows[:100], schema)
+    m = write_training_shards(
+        batch0, f"{out}/gen=0", key_col="doc_id", n_shards=4
+    )
+    assert m["total_rows"] == 100
+
+    # torn generation: marker removed -> invisible to the reader...
+    import os
+
+    os.remove(f"{out}/gen=1/_COMMITTED")
+    vis = read_training_generations(spark, out)
+    assert sorted({r["gen"] for r in vis.select("gen").collect()}) == [0]
+    # ...and a replay completes it with identical content
+    batch1 = spark.createDataFrame(rows[100:], schema)
+    write_training_shards(
+        batch1, f"{out}/gen=1", key_col="doc_id", n_shards=4
+    )
+    again = read_training_generations(spark, out, validate=True)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in again.collect()
+    ) == sorted(rows)

@@ -16,7 +16,12 @@ from tsp_spark.io.conf import (
 )
 from tsp_spark.io.jdbc import infer_fields_types, jdbc_sink, jdbc_source
 from tsp_spark.io.kafka import kafka_sink, kafka_source, kafka_value_schema
-from tsp_spark.io.shards import read_training_shards, write_training_shards
+from tsp_spark.io.shards import (
+    read_training_generations,
+    read_training_shards,
+    stream_training_shards,
+    write_training_shards,
+)
 from tsp_spark.io.sink_schema import NewRowSchema, compile_sink_row
 
 __all__ = [
@@ -29,7 +34,9 @@ __all__ = [
     "NewRowSchema",
     "compile_sink_row",
     "infer_fields_types",
+    "read_training_generations",
     "read_training_shards",
+    "stream_training_shards",
     "write_training_shards",
     "jdbc_sink",
     "jdbc_source",

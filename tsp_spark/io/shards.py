@@ -226,3 +226,75 @@ def read_training_shards(
             )
             raise ValueError(f"shard validation failed: {bad[:4]}")
     return df
+
+
+def stream_training_shards(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    n_shards: int,
+    order_cols: list[str] | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Deliver a document STREAM as training shards: each micro-batch
+    commits one GENERATION ``<path>/gen=<batch_id>/`` through
+    ``write_training_shards`` — data, manifest, ``_COMMITTED`` marker
+    last. Crash-replay idempotent for free: a replayed batch re-enters
+    ``write_training_shards``, which returns the existing manifest for
+    a committed generation and cleanly rewrites an uncommitted (torn)
+    one; generation content is deterministic from the batch, so the
+    rewrite is identical. Returns the started StreamingQuery.
+
+    A trainer consumes the union of COMMITTED generations
+    (``read_training_generations``) — a torn generation is invisible,
+    exactly like the IVF index and the near-dup compactor."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_training_shards(
+            batch_df,
+            f"{path}/gen={batch_id}",
+            key_col=key_col,
+            n_shards=n_shards,
+            order_cols=order_cols,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_training_generations(
+    spark: SparkSession, path: str, *, validate: bool = False
+) -> DataFrame:
+    """Union of all COMMITTED shard generations under ``path``, with a
+    ``gen`` column. Uncommitted (in-flight or torn) generations are
+    skipped — never surfaced to a training run."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        raise ValueError(f"{path} does not exist")
+    gens = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("gen=")
+        and fs.exists(
+            st.getPath().suffix("/_COMMITTED")  # noqa: B009 — hadoop Path
+        )
+    )
+    if not gens:
+        raise ValueError(f"{path}: no committed generations")
+    parts = []
+    for g in gens:
+        part = read_training_shards(
+            spark, f"{path}/gen={g}", validate=validate
+        )
+        parts.append(part.withColumn("gen", F.lit(g)))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
