@@ -1463,3 +1463,46 @@ def test_duplicated_span_profile_equals_stats_join_trim(spark):
             t["text_clean"], t["n_kept"],
         )
         assert row == want, d
+
+
+def test_encoding_quality_signals_exact(spark):
+    """Mojibake screens: hand-computed fractions — replacement chars,
+    C0 controls (tab/newline/CR exempt), non-ASCII; empty text is all
+    zeros; clean ASCII is all zeros."""
+    from tsp_spark.pipeline.text import encoding_quality
+
+    docs = [
+        (1, "clean ascii text"),
+        (2, "bad��decode"),          # 2 repl of 11 chars
+        (3, "tab\tok\nnewline\rok"),           # exempt controls only
+        (4, "ctl\x01\x02here"),                # 2 C0 controls of 9
+        (5, "café naïve"),           # 2 non-ascii of 10
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["replacement_char_frac"],
+            r["control_char_frac"],
+            r["non_ascii_frac"],
+        )
+        for r in encoding_quality(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (0.0, 0.0, 0.0)
+    assert got[2] == (2 / 11, 0.0, 2 / 11)  # U+FFFD is also non-ascii
+    assert got[3] == (0.0, 0.0, 3 / 17)     # \t\n\r exempt as controls
+    assert got[4] == (0.0, 2 / 9, 2 / 9)
+    assert got[5] == (0.0, 0.0, 2 / 10)
+    assert got[6] == (0.0, 0.0, 0.0)
+
+    def ref(t):
+        if not t:
+            return (0.0, 0.0, 0.0)
+        n = len(t)
+        repl = t.count("�")
+        ctrl = sum(1 for c in t if ord(c) < 0x20 and c not in "\t\n\r")
+        na = sum(1 for c in t if not (0x20 <= ord(c) <= 0x7E))
+        return (repl / n, ctrl / n, na / n)
+
+    for d, t in docs:
+        assert got[d] == ref(t), d

@@ -633,3 +633,41 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "score", "rank")
     )
+
+
+def encoding_quality_cols(text_col: str) -> list[Column]:
+    """Mojibake / encoding-damage screens (the CCNet-style cleaning
+    signals applied before any content-quality scoring):
+
+    * ``replacement_char_frac`` — U+FFFD replacement characters per
+      character: the direct signature of decode-with-errors ingestion;
+    * ``control_char_frac`` — C0 control characters (excluding
+      tab/newline/carriage-return) per character: binary-in-text and
+      charset-confusion damage;
+    * ``non_ascii_frac`` — characters outside printable ASCII per
+      character: not damage by itself, but the ratio every
+      language-vs-mojibake triage starts from.
+
+    Pure expressions (regexp_count over the row), exact-int divisions;
+    0.0 for empty text."""
+    n = F.length(F.col(text_col))
+    repl = F.regexp_count(F.col(text_col), F.lit("�"))
+    ctrl = F.regexp_count(
+        F.col(text_col), F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    )
+    non_ascii = F.regexp_count(F.col(text_col), F.lit("[^\\x20-\\x7E]"))
+    frac = lambda c: (  # noqa: E731 — tiny local shaper
+        F.when(n > 0, c.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return [
+        frac(repl).alias("replacement_char_frac"),
+        frac(ctrl).alias("control_char_frac"),
+        frac(non_ascii).alias("non_ascii_frac"),
+    ]
+
+
+def encoding_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document encoding screen: (id, replacement_char_frac,
+    control_char_frac, non_ascii_frac) — see encoding_quality_cols."""
+    return df.select(F.col(id_col), *encoding_quality_cols(text_col))
