@@ -268,3 +268,155 @@ def test_stream_training_shards_generations(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["text"]) for r in again.collect()
     ) == sorted(rows)
+
+
+def test_compact_training_generations(spark, tmp_path):
+    """Generation compaction (r10): a stream with compact_every folds
+    gens into one re-sharded compact generation; the trainer-facing
+    read is row-identical (including per-row gen provenance) to the
+    flat layout; superseded gen dirs are GC'd; a torn compaction is
+    invisible; re-running compaction on a committed target is a no-op;
+    a replayed batch recreating a GC'd gen dir is never surfaced."""
+    import os
+
+    from tsp_spark.io.shards import (
+        compact_training_generations,
+        read_training_generations,
+        stream_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc-{i}") for i in range(300)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    for b in range(3):
+        spark.createDataFrame(
+            rows[100 * b : 100 * (b + 1)], schema
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+
+    # flat reference layout (no compaction)
+    flat_out = str(tmp_path / "flat")
+    q = stream_training_shards(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*"),
+        flat_out,
+        key_col="doc_id",
+        n_shards=4,
+        checkpoint=str(tmp_path / "chk_flat"),
+    )
+    assert q.awaitTermination(300)
+    flat = sorted(
+        (r["doc_id"], r["text"], r["gen"])
+        for r in read_training_generations(spark, flat_out).collect()
+    )
+
+    # compacted layout: compact at batch 2 folds gens 0..2
+    out = str(tmp_path / "out")
+    q = stream_training_shards(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*"),
+        out,
+        key_col="doc_id",
+        n_shards=4,
+        checkpoint=str(tmp_path / "chk"),
+        compact_every=2,
+    )
+    assert q.awaitTermination(300)
+
+    names = sorted(os.listdir(out))
+    assert "compact=2" in names
+    assert not any(n.startswith("gen=") for n in names), names
+
+    back = read_training_generations(spark, out, validate=True)
+    assert sorted(
+        (r["doc_id"], r["text"], r["gen"]) for r in back.collect()
+    ) == flat
+
+    # no-op on a committed target; GC idempotent
+    compact_training_generations(spark, out, upto=2)
+    assert sorted(
+        (r["doc_id"], r["text"], r["gen"])
+        for r in read_training_generations(spark, out).collect()
+    ) == flat
+
+    # a replayed batch recreating a GC'd gen dir is ignored by the read
+    write_training_shards(
+        spark.createDataFrame(rows[200:300], schema),
+        f"{out}/gen=2",
+        key_col="doc_id",
+        n_shards=4,
+    )
+    assert sorted(
+        (r["doc_id"], r["text"], r["gen"])
+        for r in read_training_generations(spark, out, validate=True).collect()
+    ) == flat
+    # ...and the next compaction GC's it again
+    compact_training_generations(spark, out, upto=2)
+    assert not any(
+        n.startswith("gen=") for n in os.listdir(out)
+    )
+
+
+def test_compact_torn_and_incremental(spark, tmp_path):
+    """A compaction missing its marker is invisible (reader falls back
+    to the gen dirs); compaction on top of a previous compact folds
+    base + newer gens; default shard sizing inherits the largest
+    source generation's per-shard rows."""
+    import json as _json
+    import os
+    import shutil
+
+    from tsp_spark.io.shards import (
+        compact_training_generations,
+        read_training_generations,
+        write_training_shards,
+    )
+
+    schema = "doc_id long, text string"
+    out = str(tmp_path / "out")
+    rows = [(i, f"doc-{i}") for i in range(400)]
+    for g, lo in enumerate(range(0, 300, 100)):
+        write_training_shards(
+            spark.createDataFrame(rows[lo : lo + 100], schema),
+            f"{out}/gen={g}",
+            key_col="doc_id",
+            n_shards=2,
+        )
+    expect3 = sorted((i, f"doc-{i}", i // 100) for i in range(300))
+
+    # torn compaction: build one, strip the marker -> invisible
+    compact_training_generations(spark, out, upto=1)
+    shutil.copytree(f"{out}/compact=1", f"{out}/compact=9")
+    os.remove(f"{out}/compact=9/_COMMITTED")
+    # recreate the GC'd gens so the fall-back has sources
+    for g, lo in [(0, 0), (1, 100)]:
+        write_training_shards(
+            spark.createDataFrame(rows[lo : lo + 100], schema),
+            f"{out}/gen={g}",
+            key_col="doc_id",
+            n_shards=2,
+        )
+    # ...wait: compact=1 IS committed; torn compact=9 must be skipped
+    back = read_training_generations(spark, out, validate=True)
+    assert sorted(
+        (r["doc_id"], r["text"], r["gen"]) for r in back.collect()
+    ) == expect3
+    shutil.rmtree(f"{out}/compact=9")
+
+    # incremental: fold compact=1 + gen=2 into compact=2
+    compact_training_generations(spark, out, upto=2)
+    names = sorted(os.listdir(out))
+    assert "compact=2" in names and "compact=1" not in names
+    back = read_training_generations(spark, out, validate=True)
+    assert sorted(
+        (r["doc_id"], r["text"], r["gen"]) for r in back.collect()
+    ) == expect3
+
+    # default sizing: 300 rows at 50/shard (largest source shard) -> 6
+    m = _json.loads(
+        open(f"{out}/compact=2/manifest.json").read()
+    )
+    assert m["n_shards"] == 6
+    assert "gen" in m["columns"]

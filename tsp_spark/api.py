@@ -171,6 +171,16 @@ def search_incidents(
             from tsp_spark.ops.islands import islands_sharded
 
             c = compiler.compile_bool(raw_src, node)
+            # is_row_local excludes every present-producing node kind
+            # today; enforce the invariant rather than rely on it — a
+            # future row-local node that sets a present mask would
+            # otherwise have its absent rows silently treated as
+            # condition-bearing rows by the sharded kernel
+            if c.present is not None:
+                raise AssertionError(
+                    "islands_sharded requires a present-free compile; "
+                    f"node {type(node).__name__} produced a present mask"
+                )
             iv = islands_sharded(
                 c.df, keys, ts, c.col, max_gap_ms,
                 keep=True, shard_ms=shard_ms,

@@ -8,6 +8,12 @@ stable across epochs and restarts), so the writer must guarantee:
   depends only on the key and the shard count, never on partitioning,
   task order, or cluster size. Re-running the writer on the same
   input produces byte-stable shard membership and in-shard order.
+  The in-shard order guarantee requires ``key_col`` to be UNIQUE
+  (it is the final sort tiebreaker): with duplicate keys the order
+  of tied rows is whatever the shuffle delivered, and the
+  order-independent XOR checksum cannot detect reordering across
+  reruns. Document keys (doc_id) are unique by construction in this
+  pipeline; assert before sharding if yours might not be.
 * **One file per shard** — rows are repartitioned BY the shard column
   (all rows of a shard land in exactly one task) before a
   ``partitionBy("shard")`` write, so each ``shard=N`` directory holds
@@ -121,6 +127,14 @@ def write_training_shards(
         sharded.repartition(n_shards, F.col(_SHARD_COL))
         .sortWithinPartitions(_SHARD_COL, *order, key_col)
         .write.mode("overwrite")
+        # force STATIC overwrite semantics per-write: under a session
+        # configured with partitionOverwriteMode=dynamic, a rewrite
+        # that produces fewer/different shards would leave stale
+        # shard=N dirs behind — and because the manifest is computed
+        # from the read-back artifact, the stale rows would be
+        # committed into it and validate=True would bless corrupt
+        # contents
+        .option("partitionOverwriteMode", "static")
         .partitionBy(_SHARD_COL)
         .parquet(f"{path}/data")
     )
@@ -237,6 +251,7 @@ def stream_training_shards(
     order_cols: list[str] | None = None,
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Deliver a document STREAM as training shards: each micro-batch
     commits one GENERATION ``<path>/gen=<batch_id>/`` through
@@ -249,7 +264,23 @@ def stream_training_shards(
 
     A trainer consumes the union of COMMITTED generations
     (``read_training_generations``) — a torn generation is invisible,
-    exactly like the IVF index and the near-dup compactor."""
+    exactly like the IVF index and the near-dup compactor.
+
+    ``compact_every=N`` (r10) bounds the generation count on a
+    long-running stream: every N batches the committed generations
+    fold into ONE re-sharded ``compact=<batch_id>`` generation
+    (``compact_training_generations``), so a week-long stream hands
+    training a bounded directory set instead of thousands of
+    ``gen=*`` dirs. Replay-safe: a replayed batch whose compaction
+    already committed is a no-op, and a gen dir recreated by the
+    replay after GC is ignored by the reader (the resolve rule never
+    surfaces gens at or below the newest compact). Default None keeps
+    the flat layout (fine for short streams and tests)."""
+    if "gen" in stream_df.columns:
+        raise ValueError(
+            "input has a 'gen' column — it is reserved for generation "
+            "provenance in the trainer-facing read"
+        )
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         write_training_shards(
@@ -259,6 +290,10 @@ def stream_training_shards(
             n_shards=n_shards,
             order_cols=order_cols,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_training_generations(
+                batch_df.sparkSession, path, upto=batch_id
+            )
 
     writer = stream_df.writeStream.foreachBatch(_write_batch)
     if checkpoint:
@@ -268,32 +303,175 @@ def stream_training_shards(
     return writer.start()
 
 
-def read_training_generations(
-    spark: SparkSession, path: str, *, validate: bool = False
-) -> DataFrame:
-    """Union of all COMMITTED shard generations under ``path``, with a
-    ``gen`` column. Uncommitted (in-flight or torn) generations are
-    skipped — never surfaced to a training run."""
+def _resolve_shard_generations(
+    spark: SparkSession, path: str
+) -> tuple[int | None, list[int]]:
+    """(newest committed ``compact=`` id or None, committed ``gen=``
+    ids ABOVE it, sorted). Gens at or below the newest compact are
+    superseded — already folded in — and never surfaced, so a crash
+    between a compaction's marker and its GC (or a replayed batch
+    recreating a GC'd gen dir) cannot double-count rows."""
+    jvm = spark._jvm
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):
         raise ValueError(f"{path} does not exist")
-    gens = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(p)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("gen=")
-        and fs.exists(
-            st.getPath().suffix("/_COMMITTED")  # noqa: B009 — hadoop Path
+    compacts: list[int] = []
+    gens: list[int] = []
+    for st in fs.listStatus(p):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        head, _, tail = name.partition("=")
+        try:
+            g = int(tail)
+        except ValueError:
+            continue
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_COMMITTED")
+        ):
+            continue
+        if head == "gen":
+            gens.append(g)
+        elif head == "compact":
+            compacts.append(g)
+    base = max(compacts) if compacts else None
+    live = sorted(g for g in gens if base is None or g > base)
+    return base, live
+
+
+def compact_training_generations(
+    spark: SparkSession,
+    path: str,
+    *,
+    upto: int | None = None,
+    n_shards: int | None = None,
+    target_rows: int | None = None,
+) -> None:
+    """Fold every committed generation with id ≤ ``upto`` (the newest
+    compact plus the gens since it) into ONE re-sharded generation
+    ``<path>/compact=<upto>/`` — the shards.py mirror of the near-dup
+    index compactor (`pipeline/dedup.py _compact_index`). Per-row
+    ``gen`` provenance is materialized as a data column, so the
+    trainer-facing read is unchanged.
+
+    Shard sizing: pass ``n_shards`` or ``target_rows``; with neither,
+    the per-shard row target is inherited from the LARGEST source
+    generation's shards (manifest metadata only — no counting pass),
+    so compaction keeps shard sizes steady while the shard COUNT grows
+    with the folded corpus — the shape that still works when a
+    year-long stream folds to thousands of shards.
+
+    Crash-safe and replay-idempotent: content is deterministic from
+    committed sources, the ``_COMMITTED`` marker is written LAST (via
+    ``write_training_shards``), an already-committed target makes this
+    a no-op, and superseded sources are deleted only after the marker
+    exists — a crash between marker and GC just re-runs the GC on the
+    next call (the resolve rule already ignores superseded dirs)."""
+    if n_shards is not None and target_rows is not None:
+        raise ValueError("pass at most one of n_shards / target_rows")
+    base, live = _resolve_shard_generations(spark, path)
+    if upto is None:
+        upto = max(live) if live else base
+    if upto is None:
+        raise ValueError(f"{path}: no committed generations")
+    if base is not None and upto < base:
+        return  # already covered by a newer compact (its GC owns cleanup)
+    # upto == base falls through: the marker makes the build a no-op,
+    # but the GC pass still runs (a replayed batch may have recreated
+    # an already-folded gen dir after the previous GC)
+    src_gens = [g for g in live if g <= upto]
+
+    jvm = spark._jvm
+    fs, marker = _fs_and_path(spark, f"{path}/compact={upto}/_COMMITTED")
+    if not fs.exists(marker):
+        src_paths = (
+            [f"{path}/compact={base}"] if base is not None else []
+        ) + [f"{path}/gen={g}" for g in src_gens]
+        if not src_paths:
+            raise ValueError(f"{path}: nothing to compact at upto={upto}")
+        manifests = [
+            json.loads(_read_text(spark, f"{sp}/manifest.json"))
+            for sp in src_paths
+        ]
+        key_col = manifests[0]["key_col"]
+        order = [c for c in manifests[0]["order_cols"] if c != "gen"]
+        for m in manifests[1:]:
+            if m["key_col"] != key_col:
+                raise ValueError(
+                    f"mixed key_col across generations: "
+                    f"{key_col!r} vs {m['key_col']!r}"
+                )
+        if n_shards is None and target_rows is None:
+            per_shard = max(
+                max(1, math.ceil(m["total_rows"] / m["n_shards"]))
+                for m in manifests
+            )
+            total = sum(m["total_rows"] for m in manifests)
+            n_shards = max(1, math.ceil(total / per_shard))
+        parts = []
+        if base is not None:
+            # a committed compact already carries per-row gen
+            parts.append(
+                read_training_shards(
+                    spark, f"{path}/compact={base}"
+                ).drop(_SHARD_COL)
+            )
+        for g in src_gens:
+            parts.append(
+                read_training_shards(spark, f"{path}/gen={g}")
+                .drop(_SHARD_COL)
+                .withColumn("gen", F.lit(g).cast("long"))
+            )
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
+        # gen joins the in-shard sort: (order, key) alone is no longer
+        # unique once the same key may recur across generations
+        write_training_shards(
+            df,
+            f"{path}/compact={upto}",
+            key_col=key_col,
+            n_shards=n_shards,
+            target_rows=target_rows,
+            order_cols=order + ["gen"],
         )
-    )
-    if not gens:
+    # GC superseded sources (idempotent; resolve already ignores them)
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        head, _, tail = name.partition("=")
+        try:
+            g = int(tail)
+        except ValueError:
+            continue
+        if (head == "gen" and g <= upto) or (head == "compact" and g < upto):
+            fs.delete(st.getPath(), True)
+
+
+def read_training_generations(
+    spark: SparkSession, path: str, *, validate: bool = False
+) -> DataFrame:
+    """Union of the newest COMMITTED ``compact=`` generation (if any)
+    and every committed ``gen=`` generation above it, with a ``gen``
+    column carrying per-row provenance. Uncommitted (in-flight or
+    torn) generations — and gens already folded into a compact — are
+    skipped: never surfaced to a training run."""
+    base, live = _resolve_shard_generations(spark, path)
+    if base is None and not live:
         raise ValueError(f"{path}: no committed generations")
     parts = []
-    for g in gens:
+    if base is not None:
+        parts.append(
+            read_training_shards(
+                spark, f"{path}/compact={base}", validate=validate
+            )
+        )
+    for g in live:
         part = read_training_shards(
             spark, f"{path}/gen={g}", validate=validate
         )
-        parts.append(part.withColumn("gen", F.lit(g)))
+        parts.append(part.withColumn("gen", F.lit(g).cast("long")))
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)

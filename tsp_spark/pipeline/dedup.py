@@ -1129,9 +1129,12 @@ def _compact_index(spark, index_dir: str, upto: int) -> None:
         rows = parts[0]
         for p in parts[1:]:
             rows = rows.unionByName(p)
-        rows.withColumn("__pb", _pb_col()).write.mode("overwrite").partitionBy(
-            "__pb"
-        ).parquet(f"{target}/rows")
+        # static overwrite per-write: dynamic partitionOverwriteMode
+        # (a common session config) would leave stale __pb dirs when a
+        # rewrite of a torn compaction touches fewer buckets
+        rows.withColumn("__pb", _pb_col()).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("__pb").parquet(f"{target}/rows")
         fs.create(marker, True).close()
     # GC superseded sources (idempotent; resolve already ignores them)
     for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(index_dir)):

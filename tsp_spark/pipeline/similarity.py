@@ -604,8 +604,16 @@ def kmeans_fit(
         raise ValueError(
             f"kmeans_fit: k={k} but only {len(init_rows)} rows"
         )
-    centroids = np.asarray(
-        [np.asarray(r["v"], dtype=np.float64) for r in init_rows]
+    # route the init rows through the same validation as every UDF
+    # batch (_vec_matrix): a NULL or ragged-length embedding among
+    # them should fail with the clear dirty-data message, not as an
+    # opaque numpy object-array/BLAS error
+    init_vecs = [r["v"] for r in init_rows]
+    first = next((v for v in init_vecs if v is not None), None)
+    if first is None:
+        raise ValueError("kmeans_fit init: NULL embedding row")
+    centroids = _vec_matrix(
+        pd.Series(init_vecs), len(first), "kmeans_fit init"
     )
 
     # persist the one needed column: each Lloyd iteration scans the

@@ -81,6 +81,67 @@ def _gram_join(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _sorted_run_stats(arr: Column) -> Column:
+    """One O(G) adjacent-run pass over ``array_sort(arr)`` yielding
+    ``struct(max_run, dup_n, dup_chars)``:
+
+    * ``max_run`` — the longest run of equal elements, i.e. the max
+      multiplicity of any value in ``arr``;
+    * ``dup_n`` — the number of elements whose value occurs ≥ 2
+      times (every occurrence of a duplicated value counts);
+    * ``dup_chars`` — the summed ``length()`` of those elements.
+
+    This is the O(G log G) map-only replacement for the naive
+    distinct-vs-occurrence probe, which nests higher-order filters and
+    is O(G²) lambda evaluations per document — invisible on short
+    bench docs, a per-row CPU cliff on real 10k–50k-token pre-training
+    documents that no cluster size fixes because it rides inside one
+    row's projection. Values are identical: the max run length of a
+    sorted array IS the modal multiplicity, and elements in runs of
+    length ≥ 2 ARE the occurrences of duplicated values, so every
+    DuckDB oracle stays bit-exact. Assumes no NULL elements (all
+    callers pass split()/concat_ws() outputs, which never produce
+    them)."""
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("max_run"),
+        zero.alias("dup_n"),
+        zero.alias("dup_chars"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        new_run = F.when(same, acc["run"] + 1).otherwise(one)
+        # run reaching length 2 retro-counts its first element too
+        inc = (
+            F.when(same & (acc["run"] == 1), F.lit(2))
+            .when(same, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["max_run"], new_run).alias("max_run"),
+            (acc["dup_n"] + inc).alias("dup_n"),
+            (acc["dup_chars"] + inc * F.length(x)).alias("dup_chars"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["max_run"].alias("max_run"),
+            acc["dup_n"].alias("dup_n"),
+            acc["dup_chars"].alias("dup_chars"),
+        ),
+    )
+
+
 def repetition_cols(text_col: str) -> list[Column]:
     """Gopher-style within-document repetition signals (Rae et al.
     2021, 'Scaling Language Models', appendix A — the standard
@@ -93,25 +154,16 @@ def repetition_cols(text_col: str) -> list[Column]:
       fraction').
 
     Both are 0.0 for docs too short to form the n-gram. Pure
-    expressions — the per-doc O(G²) distinct-vs-occurrence probe is
-    fine at real document lengths (hundreds of tokens) and keeps the
-    whole profile map-only; both are single divisions of exact ints,
-    so DuckDB reproduces them bit-for-bit."""
+    expressions, map-only: one ``array_sort`` + one adjacent-run
+    ``aggregate`` pass per n-gram order (see _sorted_run_stats) —
+    O(G log G) per document, safe on 50k-token documents. Both
+    fractions are single divisions of exact ints, so DuckDB
+    reproduces them bit-for-bit."""
     toks = _tokens(F.col(text_col))
     g2 = _gram_join(toks, 2)
     g3 = _gram_join(toks, 3)
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda d: F.size(F.filter(g2, lambda x: x == d)),
-        )
-    )
-    dup3 = F.size(
-        F.filter(
-            g3,
-            lambda x: F.size(F.filter(g3, lambda y: y == x)) >= 2,
-        )
-    )
+    top2 = _sorted_run_stats(g2)["max_run"]
+    dup3 = _sorted_run_stats(g3)["dup_n"]
     return [
         F.when(
             F.size(g2) > 0, top2.cast("double") / F.size(g2)
@@ -141,20 +193,17 @@ def line_repetition_cols(text_col: str) -> list[Column]:
     Both 0.0 for documents with ≤ 1 line or no repeated line. Pure
     expressions, exact-int divisions (engine-portable like
     repetition_cols); blank lines count as lines — a run of blank
-    lines is itself boilerplate repetition."""
+    lines is itself boilerplate repetition. Same O(L log L)
+    sort+run-pass shape as repetition_cols (see _sorted_run_stats),
+    so 100k-line scraped pages don't hit a quadratic cliff."""
     lines = F.split(F.col(text_col), "\n")
     n = F.size(lines)
-    dup = F.filter(
-        lines,
-        lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2,
-    )
-    n_dup = F.size(dup)
+    stats = _sorted_run_stats(lines)
+    n_dup = stats["dup_n"]
     chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    dup_chars = F.aggregate(
-        dup, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
+    dup_chars = stats["dup_chars"]
     return [
         F.when(n > 1, n_dup.cast("double") / n)
         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
@@ -635,7 +684,7 @@ def tfidf_top_terms(
     )
 
 
-def encoding_quality_cols(text_col: str) -> list[Column]:
+def encoding_quality_cols(text_col: str, prefix: str = "") -> list[Column]:
     """Mojibake / encoding-damage screens (the CCNet-style cleaning
     signals applied before any content-quality scoring):
 
@@ -649,7 +698,9 @@ def encoding_quality_cols(text_col: str) -> list[Column]:
       language-vs-mojibake triage starts from.
 
     Pure expressions (regexp_count over the row), exact-int divisions;
-    0.0 for empty text."""
+    0.0 for empty text. ``prefix`` renames the outputs (the
+    text-profile fold computes them twice: raw and over a damaged
+    projection)."""
     n = F.length(F.col(text_col))
     repl = F.regexp_count(F.col(text_col), F.lit("�"))
     ctrl = F.regexp_count(
@@ -661,10 +712,47 @@ def encoding_quality_cols(text_col: str) -> list[Column]:
         .otherwise(F.lit(0.0))
     )
     return [
-        frac(repl).alias("replacement_char_frac"),
-        frac(ctrl).alias("control_char_frac"),
-        frac(non_ascii).alias("non_ascii_frac"),
+        frac(repl).alias(f"{prefix}replacement_char_frac"),
+        frac(ctrl).alias(f"{prefix}control_char_frac"),
+        frac(non_ascii).alias(f"{prefix}non_ascii_frac"),
     ]
+
+
+def damage_text_col(text_col: str, id_col: str) -> Column:
+    """Deterministically 'damaged' copy of the text: appends 1–4 U+FFFD
+    replacement chars, 1–4 C0 control chars (BEL) and 1–4 non-ASCII
+    chars, with each count derived from md5_long(id) bit-fields. The
+    encoding screens are constant-zero on a clean-ASCII corpus, so the
+    oracle fold value-checks them over this projection instead — both
+    engines synthesize the identical damaged text from the identical
+    hash, so the fractions are non-degenerate AND bit-reproducible.
+    Bit-fields (``& 3``, shifts), not division: md5_long is 60 bits and
+    long/long division through doubles loses exactness past 2^53."""
+    from tsp_spark.pipeline.hashing import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"))
+    n1 = (h.bitwiseAND(F.lit(3)) + 1).cast("int")
+    n2 = (F.shiftright(h, 2).bitwiseAND(F.lit(3)) + 1).cast("int")
+    n3 = (F.shiftright(h, 4).bitwiseAND(F.lit(3)) + 1).cast("int")
+    return F.concat(
+        F.col(text_col),
+        F.repeat(F.lit("�"), n1),
+        F.repeat(F.lit("\x07"), n2),
+        F.repeat(F.lit("é"), n3),
+    )
+
+
+def damage_text_sql(text_expr: str, id_expr: str) -> str:
+    """The DuckDB expression computing exactly ``damage_text_col``."""
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    h = md5_long_sql(f"CAST({id_expr} AS VARCHAR)")
+    return (
+        f"{text_expr}"
+        f" || repeat('�', (1 + ({h} & 3))::INT)"
+        f" || repeat(chr(7), (1 + (({h} >> 2) & 3))::INT)"
+        f" || repeat('é', (1 + (({h} >> 4) & 3))::INT)"
+    )
 
 
 def encoding_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

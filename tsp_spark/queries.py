@@ -1689,11 +1689,17 @@ ORACLE_SIMHASH = _simhash_oracle()
 def q_text_profile(spark, sf_dir):
     """Folded per-document text signals — quality screens
     (pipeline/text.py quality_cols), Gopher-style repetition filters
-    (repetition_cols, r9), marker-word language ID (langid_cols), and
+    (repetition_cols, r9), marker-word language ID (langid_cols),
+    encoding-damage screens over a deterministically damaged projection
+    (encoding_quality_cols + damage_text_col, r10 — the driver corpus is
+    clean ASCII, so the raw screens would be constant-zero; damaging the
+    text identically in both engines value-checks real fractions), and
     SimHash (simhash_col) — as ONE map-only projection over a single
     documents scan: no self-joins, every signal column independently
     oracle-verified."""
     from tsp_spark.pipeline.text import (
+        damage_text_col,
+        encoding_quality_cols,
         langid_cols,
         quality_cols,
         repetition_cols,
@@ -1703,12 +1709,15 @@ def q_text_profile(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     # token hashes hoisted to their own projection: inline, the HOF
-    # lambda re-evaluates every token's md5 once per simhash bit
+    # lambda re-evaluates every token's md5 once per simhash bit;
+    # damaged text likewise hoisted so three regexp_counts share it
+    docs = docs.withColumn("__dmg", damage_text_col("text", "doc_id"))
     staged = docs.select(
         "doc_id",
         *quality_cols("text"),
         *repetition_cols("text"),
         *langid_cols("text"),
+        *encoding_quality_cols("__dmg", prefix="enc_"),
         token_hashes_col("text").alias("__sh"),
     )
     return staged.select(
@@ -1750,13 +1759,45 @@ SELECT doc_id,
 FROM g
 """
 
+def _encoding_oracle() -> str:
+    """DuckDB mirror of encoding_quality_cols over damage_text_col —
+    regexp_extract_all list lengths stand in for Spark's regexp_count."""
+    from tsp_spark.pipeline.text import damage_text_sql
+
+    def frac(pattern: str) -> str:
+        return (
+            f"CASE WHEN length(dmg) > 0 THEN "
+            f"len(regexp_extract_all(dmg, '{pattern}'))::DOUBLE / length(dmg) "
+            f"ELSE 0.0 END"
+        )
+
+    repl = frac("�")
+    ctrl = frac("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    nonascii = frac("[^\\x20-\\x7E]")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {damage_text_sql("text", "doc_id")} AS dmg FROM documents
+)
+SELECT doc_id,
+       {repl} AS enc_replacement_char_frac,
+       {ctrl} AS enc_control_char_frac,
+       {nonascii} AS enc_non_ascii_frac
+FROM d
+"""
+
+
+ORACLE_ENCODING = _encoding_oracle()
+
 ORACLE_TEXT_PROFILE = f"""
 SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.stopword_ratio,
        q.unique_ratio, q.is_repetitive, r.top_bigram_frac,
-       r.dup_trigram_frac, {_LANGID_OUT}, s.simhash
+       r.dup_trigram_frac, {_LANGID_OUT},
+       e.enc_replacement_char_frac, e.enc_control_char_frac,
+       e.enc_non_ascii_frac, s.simhash
 FROM ({ORACLE_QUALITY}) q
 JOIN ({ORACLE_REPETITION}) r ON q.doc_id = r.doc_id
 JOIN ({ORACLE_LANGID}) l ON q.doc_id = l.doc_id
+JOIN ({ORACLE_ENCODING}) e ON q.doc_id = e.doc_id
 JOIN ({ORACLE_SIMHASH}) s ON q.doc_id = s.doc_id
 """
 
