@@ -1506,3 +1506,108 @@ def test_encoding_quality_signals_exact(spark):
 
     for d, t in docs:
         assert got[d] == ref(t), d
+
+
+def test_hash_keys_paths_identical(spark):
+    """hash_keys=True (r10) must be OUTPUT-identical to the string-keyed
+    paths: self-trained LM, frozen cross-corpus LM (the mode the oracle
+    fold can't drive — unseen bigrams hit the smoothed floor), and
+    per-doc TF-IDF."""
+    from tsp_spark.pipeline.text import (
+        ngram_lm_fit,
+        ngram_lm_score_with_model,
+        ngram_lm_scores,
+        tfidf_top_terms,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the cat food"),
+        (2, "dogs bark"),
+        (3, "x"),
+        (4, "the the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    train = spark.createDataFrame(docs[:3], "doc_id long, text string")
+
+    def rows(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    # self-trained
+    assert rows(ngram_lm_scores(df, "text", "doc_id")) == rows(
+        ngram_lm_scores(df, "text", "doc_id", hash_keys=True)
+    )
+    # frozen model scoring a different corpus (unseen bigrams/contexts)
+    m_str = ngram_lm_fit(train, "text", persist=False)
+    m_h = ngram_lm_fit(train, "text", persist=False, hash_keys=True)
+    assert rows(
+        ngram_lm_score_with_model(df, "text", "doc_id", m_str)
+    ) == rows(ngram_lm_score_with_model(df, "text", "doc_id", m_h))
+    # tf-idf
+    assert rows(tfidf_top_terms(df, "text", "doc_id", k=3)) == rows(
+        tfidf_top_terms(df, "text", "doc_id", k=3, hash_keys=True)
+    )
+    # the hashed tf-idf output must not leak the internal key column
+    assert "__kt" not in tfidf_top_terms(
+        df, "text", "doc_id", k=3, hash_keys=True
+    ).columns
+
+
+def test_trim_keep_first_brute_force(spark):
+    """keep_first trimming (r10) vs a python brute force on small
+    adversarial corpora (tiny vocab, heavy collisions, within-doc
+    repeats): the canonical — minimal (doc_id, pos) — occurrence of
+    each duplicated k-gram is excluded from the cut set; everything
+    else matches the drop-all machinery. Seeded, deterministic."""
+    import random
+
+    from tsp_spark.pipeline.dedup import trim_duplicated_spans
+
+    rng = random.Random(0xBEEF)
+    vocab = ["a", "b", "c"]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+            for i in range(25)
+        ]
+        K = rng.choice([2, 3])
+
+        # brute force: gram -> occurrence list, canonical excluded
+        from collections import defaultdict
+
+        occs = defaultdict(list)
+        for d, t in docs:
+            toks = t.split(" ")
+            for i in range(len(toks) - K + 1):
+                occs[tuple(toks[i:i + K])].append((d, i))
+        cut = defaultdict(set)
+        for gram, lst in occs.items():
+            if len(lst) < 2:
+                continue
+            canon = min(lst)
+            for d, i in lst:
+                if (d, i) != canon:
+                    cut[d].update(range(i, i + K))
+        expect = {}
+        for d, t in docs:
+            toks = t.split(" ")
+            kept = [w for i, w in enumerate(toks) if i not in cut[d]]
+            expect[d] = (" ".join(kept), len(kept), len(toks))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_tokens"])
+            for r in trim_duplicated_spans(
+                df, "text", "doc_id", k=K, keep_first=True
+            ).collect()
+        }
+        assert got == expect, (trial, K)
+
+        # keep_first must never remove MORE than drop-all
+        dropall = {
+            r["doc_id"]: r["n_kept"]
+            for r in trim_duplicated_spans(
+                df, "text", "doc_id", k=K
+            ).collect()
+        }
+        assert all(got[d][1] >= dropall[d] for d in dropall)

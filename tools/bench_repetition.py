@@ -129,7 +129,7 @@ def main() -> None:
     # smaller lengths instead, parity-checked at each point, and let
     # the trend speak for 20k.
     out["quad_curve"] = {}
-    for q_tokens in (1_000, 2_000, 4_000):
+    for q_tokens in (500, 1_000, 2_000):
         qd = spark.createDataFrame(
             make_docs(4, q_tokens), "doc_id long, text string, lined string"
         ).coalesce(4).persist()

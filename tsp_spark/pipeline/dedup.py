@@ -1348,12 +1348,25 @@ def _merged_dup_spans(
     k: int,
     min_count: int,
     hash_fn: str,
+    keep_first: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of duplicated_span_stats / trim_duplicated_spans:
     returns ``(base, merged)`` where base = (id, text, __n) and merged
     = one row per disjoint duplicated span (id, __s, __e) — the
     per-doc union of overlapping duplicated k-gram windows. See
-    duplicated_span_stats for the plan-shape discussion."""
+    duplicated_span_stats for the plan-shape discussion.
+
+    ``keep_first=True`` (r10) excludes each duplicated gram's CANONICAL
+    occurrence — the lexicographically smallest (id, pos) — from the
+    hit set before span-merging, so one copy of every duplicated
+    passage survives trimming (the Lee-et-al deployment semantics;
+    drop-all erases common idioms corpus-wide). Implementation keeps
+    the skew-safe shape: the canonical rides out of the SAME gram
+    groupBy that computes the duplicate counts (min over a (id, pos)
+    struct — map-side combinable, so a boilerplate gram occurring 1e9
+    times still collapses on the map side), then the semi-join becomes
+    an inner join carrying the canonical for an equality filter —
+    shuffle count unchanged."""
     from pyspark.sql import Window
 
     from tsp_spark.pipeline.hashing import md5_long
@@ -1383,15 +1396,39 @@ def _merged_dup_spans(
             ).alias("pos", "__gh"),
         )
     )
-    dup = (
-        grams.groupBy("__gh")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= min_count)
-        .select("__gh")
-    )
-    hits = grams.join(dup, "__gh", "leftsemi").withColumn(
-        "__end", F.col("pos") + k
-    )
+    if keep_first:
+        dup = (
+            grams.groupBy("__gh")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col("pos").alias("p")
+                    )
+                ).alias("__canon"),
+            )
+            .where(F.col("__cnt") >= min_count)
+            .select("__gh", "__canon")
+        )
+        hits = (
+            grams.join(dup, "__gh")
+            .where(
+                (F.col(id_col) != F.col("__canon.i"))
+                | (F.col("pos") != F.col("__canon.p"))
+            )
+            .drop("__canon")
+            .withColumn("__end", F.col("pos") + k)
+        )
+    else:
+        dup = (
+            grams.groupBy("__gh")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") >= min_count)
+            .select("__gh")
+        )
+        hits = grams.join(dup, "__gh", "leftsemi").withColumn(
+            "__end", F.col("pos") + k
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
     merged = (
@@ -1419,6 +1456,7 @@ def duplicated_span_profile(
     k: int = 8,
     min_count: int = 2,
     hash_fn: str = "md5",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Stats AND trim in ONE plan: per document, the span statistics
     (n_tokens, n_spans, dup_tokens, dup_frac) plus the rebuilt
@@ -1428,9 +1466,9 @@ def duplicated_span_profile(
     needed (the driver fold does): two separate stats+trim calls
     execute the gram groupBy / semi-join / window twice — measured,
     Catalyst does NOT reuse the exchanges across independent operator
-    invocations."""
+    invocations. ``keep_first`` — see trim_duplicated_spans."""
     base, merged = _merged_dup_spans(
-        df, text_col, id_col, k, min_count, hash_fn
+        df, text_col, id_col, k, min_count, hash_fn, keep_first=keep_first
     )
     per_doc = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__nsp"),
@@ -1531,13 +1569,20 @@ def trim_duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     hash_fn: str = "md5",
+    keep_first: bool = False,
 ) -> DataFrame:
     """The trimmer half of the Lee-et-al exact-substring pipeline:
     rebuild each document with every token inside a duplicated span
-    REMOVED (drop-all policy — duplicated boilerplate is cut from all
-    its occurrences; a keep-one-canonical-occurrence refinement is a
-    caller-side choice of min_count / candidate ranking, not a
-    different plan shape).
+    REMOVED. Two policies:
+
+    * ``keep_first=False`` (default, the r9 behavior): drop-all —
+      duplicated boilerplate is cut from all its occurrences;
+    * ``keep_first=True`` (r10): the canonical occurrence of each
+      duplicated gram — minimal (id, pos) — is NOT treated as
+      duplicated, so one copy of every duplicated passage survives,
+      the convention the Lee-et-al pipeline deploys with (common
+      idioms aren't erased corpus-wide). See _merged_dup_spans for
+      the skew-safe canonical computation.
 
     Returns (id, text_clean, n_tokens, n_kept). Plan: the shared span
     detection (_merged_dup_spans — one gram groupBy, one semi-join,
@@ -1548,7 +1593,7 @@ def trim_duplicated_spans(
     never shuffles. Per-row cost O(n_tokens x n_spans); spans are few
     by construction (disjoint, length >= k)."""
     base, merged = _merged_dup_spans(
-        df, text_col, id_col, k, min_count, hash_fn
+        df, text_col, id_col, k, min_count, hash_fn, keep_first=keep_first
     )
     span_arr = merged.groupBy(id_col).agg(
         F.collect_list(F.struct("__s", "__e")).alias("__spans")

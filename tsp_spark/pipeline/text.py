@@ -444,6 +444,7 @@ def ngram_lm_scores(
     text_col: str,
     id_col: str,
     train_df: DataFrame | None = None,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """CCNet-style statistical-LM quality signal: mean log-probability
     of each document under an add-one-smoothed token-BIGRAM model
@@ -478,25 +479,55 @@ def ngram_lm_scores(
     two groupBys over bigram/context keys (map-side combined, bounded
     by distinct-bigram count), one collected scalar V substituted as
     a literal, one shuffle join of occurrences to the model, one
-    keyed per-doc aggregation. At 100 TB pre-hash the (w1, w2) join key to 8 bytes
-    (xxhash64) exactly as contamination_check(hash_ngrams=True) does;
-    the string keys are kept here because the model table doubles as
-    a human-readable artifact."""
-    occ = _lm_bigrams(df, text_col, id_col, with_pos=True)
+    keyed per-doc aggregation.
+
+    ``hash_keys=True`` (r10) pre-hashes the join keys to 8 bytes
+    exactly as ``contamination_check(hash_ngrams=True)`` does —
+    xxhash64(w1, w2) / xxhash64(w1) replace the strings in BOTH
+    groupBys and both joins, so every shuffle moves longs instead of
+    word pairs. Output values are identical (a 64-bit collision
+    conflating two distinct bigrams is the same negligible risk the
+    contamination screen accepts). The string path stays the default:
+    the model table doubles as a human-readable artifact and is the
+    DuckDB-oracle form."""
+    occ = _lm_bigrams(df, text_col, id_col, with_pos=True,
+                      hash_keys=hash_keys)
     if train_df is None:
         # self-trained: the model IS the occurrence table aggregated —
         # never tokenize/explode the corpus a second time
-        big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
-        ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+        big, ctx = _lm_counts(occ, hash_keys)
         v = _lm_vocab_size(df, text_col)
-        model = {"big": big, "ctx": ctx, "v": v}
+        model = {"big": big, "ctx": ctx, "v": v, "hash_keys": hash_keys}
     else:
-        model = ngram_lm_fit(train_df, text_col)
+        model = ngram_lm_fit(train_df, text_col, hash_keys=hash_keys)
     return _lm_score_occurrences(df, occ, id_col, model)
 
 
+def _lm_counts(occ: DataFrame, hash_keys: bool):
+    """(bigram counts, context counts) from an occurrence frame. The
+    context table always derives FROM the bigram table (bounded by
+    distinct-bigram count), never from a second pass over occurrences;
+    in the hashed form the context key rides along via min() — every
+    row of a kb group shares the same w1, hence the same kc."""
+    if hash_keys:
+        big_kc = occ.groupBy("kb").agg(
+            F.count(F.lit(1)).alias("__cb"), F.min("kc").alias("kc")
+        )
+        ctx = big_kc.groupBy("kc").agg(F.sum("__cb").alias("__cw"))
+        # kc was only needed to derive ctx; keep the probe-side join
+        # frame down to (key, count)
+        return big_kc.select("kb", "__cb"), ctx
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+    return big, ctx
+
+
 def _lm_bigrams(
-    frame: DataFrame, text_col: str, id_col: str, with_pos: bool
+    frame: DataFrame,
+    text_col: str,
+    id_col: str,
+    with_pos: bool,
+    hash_keys: bool = False,
 ) -> DataFrame:
     toks = F.split(F.col(text_col), " ")
     pairs = F.transform(
@@ -508,12 +539,23 @@ def _lm_bigrams(
     )
     base = frame.where(F.size(toks) >= 2)
     if with_pos:
-        return base.select(
+        out = base.select(
             F.col(id_col), F.posexplode(pairs).alias("pos", "bg")
         ).select(id_col, "pos", "bg.w1", "bg.w2")
-    return base.select(F.explode(pairs).alias("bg")).select(
-        "bg.w1", "bg.w2"
-    )
+    else:
+        out = base.select(F.explode(pairs).alias("bg")).select(
+            "bg.w1", "bg.w2"
+        )
+    if hash_keys:
+        # hash BEFORE the strings leave this projection: every
+        # downstream groupBy/join shuffles 8-byte longs
+        cols = [id_col, "pos"] if with_pos else []
+        out = out.select(
+            *cols,
+            F.xxhash64("w1", "w2").alias("kb"),
+            F.xxhash64("w1").alias("kc"),
+        )
+    return out
 
 
 def _lm_vocab_size(train: DataFrame, text_col: str) -> int:
@@ -532,7 +574,10 @@ def _lm_vocab_size(train: DataFrame, text_col: str) -> int:
 
 
 def ngram_lm_fit(
-    train_df: DataFrame, text_col: str, persist: bool = True
+    train_df: DataFrame,
+    text_col: str,
+    persist: bool = True,
+    hash_keys: bool = False,
 ) -> dict:
     """Fit the bigram model once: ``{big, ctx, v, unpersist}`` — the
     bigram and context count DataFrames plus the vocabulary size.
@@ -546,11 +591,13 @@ def ngram_lm_fit(
     training corpus (the cost this split exists to avoid; the IVF
     analog materializes its model for the same reason) — call
     ``model["unpersist"]()`` when done, or pass ``persist=False`` to
-    manage caching yourself."""
-    big = _lm_bigrams(train_df, text_col, "__unused", False).groupBy(
-        "w1", "w2"
-    ).agg(F.count(F.lit(1)).alias("__cb"))
-    ctx = big.groupBy("w1").agg(F.sum("__cb").alias("__cw"))
+    manage caching yourself. ``hash_keys=True`` builds the model on
+    xxhash64 keys (see ngram_lm_scores) — scoring frames must use the
+    same setting; _lm_score_occurrences reads it off the model."""
+    occ = _lm_bigrams(
+        train_df, text_col, "__unused", False, hash_keys=hash_keys
+    )
+    big, ctx = _lm_counts(occ, hash_keys)
     if persist:
         big = big.persist()
         ctx = ctx.persist()
@@ -564,6 +611,7 @@ def ngram_lm_fit(
         "big": big,
         "ctx": ctx,
         "v": _lm_vocab_size(train_df, text_col),
+        "hash_keys": hash_keys,
         "unpersist": _unpersist,
     }
 
@@ -574,16 +622,22 @@ def ngram_lm_score_with_model(
     """Score any frame (batch or a foreachBatch micro-batch) against a
     fitted model — two stream-static-shaped left joins plus the keyed
     per-doc fold; unseen bigrams/contexts hit the smoothed floor."""
-    occ = _lm_bigrams(df, text_col, id_col, with_pos=True)
+    occ = _lm_bigrams(
+        df, text_col, id_col, with_pos=True,
+        hash_keys=model.get("hash_keys", False),
+    )
     return _lm_score_occurrences(df, occ, id_col, model)
 
 
 def _lm_score_occurrences(
     df: DataFrame, occ: DataFrame, id_col: str, model: dict
 ) -> DataFrame:
+    hashed = model.get("hash_keys", False)
+    big_keys = ["kb"] if hashed else ["w1", "w2"]
+    ctx_keys = ["kc"] if hashed else ["w1"]
     lp = (
-        occ.join(model["big"], ["w1", "w2"], "left")
-        .join(model["ctx"], ["w1"], "left")
+        occ.join(model["big"], big_keys, "left")
+        .join(model["ctx"], ctx_keys, "left")
         .select(
             F.col(id_col),
             F.col("pos"),
@@ -627,6 +681,7 @@ def tfidf_top_terms(
     text_col: str,
     id_col: str,
     k: int = 5,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Per-document TF-IDF keyword extraction: the k highest-scoring
     terms with ``score = tf * round(ln(N / df), 6)`` (raw term
@@ -644,7 +699,13 @@ def tfidf_top_terms(
     corpus); N is a broadcast scalar. The top-k window partitions by
     DOCUMENT — its input per task is the doc's distinct vocabulary,
     bounded by doc length, so no salting is needed (contrast
-    top_tokens, where a GROUP's vocabulary is unbounded)."""
+    top_tokens, where a GROUP's vocabulary is unbounded).
+
+    ``hash_keys=True`` (r10): the df groupBy and the tf→df join move
+    xxhash64(token) longs instead of token strings (the token string
+    itself still reaches the output — it is per-doc-bounded and
+    required there; only the corpus-wide shuffles narrow). Same
+    collision stance as ngram_lm_scores(hash_keys=True)."""
     tf = (
         df.select(
             F.col(id_col),
@@ -653,10 +714,15 @@ def tfidf_top_terms(
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    join_key = "__kt" if hash_keys else "token"
+    if hash_keys:
+        tf = tf.withColumn("__kt", F.xxhash64("token"))
+        docfreq = tf.groupBy("__kt").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(docfreq, "token")
+        tf.join(docfreq, join_key)
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

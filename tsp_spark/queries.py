@@ -1159,7 +1159,17 @@ def q_text_top_tokens(spark, sf_dir):
         F.col("score").alias("d1"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return top.unionByName(tfidf)
+    # tfh (r10): hash_keys=True must be output-identical — its oracle
+    # rows are the tfidf rows re-labeled
+    tfh = tfidf_top_terms(docs, "text", "doc_id", k=5, hash_keys=True).select(
+        F.lit("tfh").alias("variant"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.col("token"),
+        F.col("tf").cast("long").alias("v1"),
+        F.col("score").alias("d1"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return top.unionByName(tfidf).unionByName(tfh)
 
 
 ORACLE_TOP_TOKENS = """
@@ -1197,6 +1207,15 @@ SELECT 'tfidf' AS variant, grp, token, v1, d1, rank FROM (
   FROM rr WHERE rank <= 5
 )
 """
+
+# tfh oracle = the tfidf block re-labeled (hashed join keys must not
+# change a single output value)
+_TFIDF_BLOCK = ORACLE_TOP_TOKENS[
+    ORACLE_TOP_TOKENS.index("SELECT 'tfidf' AS variant") :
+]
+ORACLE_TOP_TOKENS += "UNION ALL\n" + _TFIDF_BLOCK.replace(
+    "SELECT 'tfidf' AS variant", "SELECT 'tfh' AS variant", 1
+)
 
 
 def q_pipeline_curation_e2e(spark, sf_dir):
@@ -1340,8 +1359,15 @@ def q_text_fingerprint(spark, sf_dir):
     * trim  — v1 = md5_long of the REBUILT text with duplicated spans
       cut (trim_duplicated_spans — value-checks the whole
       reconstructed string without shipping it), v2 = n_kept
+    * lmh   — the SAME LM signal computed through hash_keys=True
+      (xxhash64 join keys, r10): the oracle rows are the lm rows
+      re-labeled, so the driver value-checks that the hashed join
+      path is output-identical to the string path
     """
-    from tsp_spark.pipeline.dedup import duplicated_span_profile
+    from tsp_spark.pipeline.dedup import (
+        duplicated_span_profile,
+        trim_duplicated_spans,
+    )
     from tsp_spark.pipeline.hashing import md5_long
     from tsp_spark.pipeline.text import ngram_lm_scores
 
@@ -1387,7 +1413,30 @@ def q_text_fingerprint(spark, sf_dir):
         F.lit(0).cast("long").alias("v2"),
         F.col("lm_score").alias("d1"),
     )
-    return fp.unionByName(span_trim).unionByName(lm)
+    lmh = ngram_lm_scores(docs, "text", "doc_id", hash_keys=True).select(
+        F.lit("lmh").alias("variant"),
+        F.col("doc_id"),
+        F.col("n_bigrams").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.col("lm_score").alias("d1"),
+    )
+    # trimk: keep-one-canonical-occurrence trimming (r10) — a separate
+    # core execution by design: its hit set differs from the profile's
+    trimk = trim_duplicated_spans(
+        docs, "text", "doc_id", k=8, keep_first=True
+    ).select(
+        F.lit("trimk").alias("variant"),
+        F.col("doc_id"),
+        md5_long(F.col("text_clean")).alias("v1"),
+        F.col("n_kept").cast("long").alias("v2"),
+        F.lit(0.0).alias("d1"),
+    )
+    return (
+        fp.unionByName(span_trim)
+        .unionByName(lm)
+        .unionByName(lmh)
+        .unionByName(trimk)
+    )
 
 
 ORACLE_FINGERPRINT = """
@@ -1512,6 +1561,38 @@ FROM (
   FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 )
 """
+
+# lmh (r10): the hash_keys=True LM path must be OUTPUT-identical to the
+# string-keyed path, so its oracle rows are the lm block re-labeled —
+# reuse the exact SQL rather than hand-copying 40 lines that must never
+# drift from it
+_LM_BLOCK = ORACLE_FINGERPRINT[
+    ORACLE_FINGERPRINT.index("SELECT 'lm' AS variant") :
+    ORACLE_FINGERPRINT.index("UNION ALL\nSELECT 'trim'")
+]
+# trimk (r10): keep_first trimming — identical SQL except the hit set
+# excludes each duplicated gram's canonical (first (doc_id, pos))
+# occurrence, mirrored by a row_number > 1 filter
+_TRIM_BLOCK = ORACLE_FINGERPRINT[
+    ORACLE_FINGERPRINT.index("SELECT 'trim' AS variant") :
+].rstrip()
+_TRIM_HITS = """hits AS (SELECT doc_id, pos, pos + 8 AS e FROM gh
+           WHERE h IN (SELECT h FROM dup)),"""
+_TRIMK_HITS = """hits AS (SELECT doc_id, pos, e FROM (
+             SELECT doc_id, pos, pos + 8 AS e,
+                    row_number() OVER (PARTITION BY h
+                                       ORDER BY doc_id, pos) AS rn
+             FROM gh WHERE h IN (SELECT h FROM dup))
+           WHERE rn > 1),"""
+assert _TRIM_HITS in _TRIM_BLOCK  # drift guard for the string surgery
+ORACLE_FINGERPRINT += (
+    "\nUNION ALL\n"
+    + _LM_BLOCK.replace("SELECT 'lm' AS variant", "SELECT 'lmh' AS variant", 1)
+    + "UNION ALL\n"
+    + _TRIM_BLOCK.replace(
+        "SELECT 'trim' AS variant", "SELECT 'trimk' AS variant", 1
+    ).replace(_TRIM_HITS, _TRIMK_HITS, 1)
+)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
