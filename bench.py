@@ -108,8 +108,10 @@ def scale_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 200):
 def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     """Hot-key rehearsal (r9): the flagship 2-pattern workload with
     user 0 carrying 50% of all rows, default vs the sharded
-    islandization (`search_incidents(shard_ms=1h)` — exact, opt-in,
-    row-local patterns only). Records both wall times and asserts the
+    islandization (`search_incidents(shard_ms=1h)` — exact, opt-in).
+    Two legs: row-local predicates (r9) and TIMER patterns
+    `x >= 0.5 for 30 sec` (r10 — the sharded timer kernel with
+    window+max_gap lookback). Records all wall times and asserts the
     incident counts agree, so the skew story is a driver-recorded
     number, not a docs claim."""
     import pyspark.sql.functions as F
@@ -161,6 +163,35 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
         # a sharded-vs-default divergence is a correctness regression,
         # not a perf data point — fail the bench loudly
         raise RuntimeError(f"skew rehearsal count mismatch: {counts}")
+    # timer leg: mostly-true condition with rare breaks -> long runs,
+    # the accums flagship shape, held >= 30 s
+    pats_t = [
+        RawPattern(4, "hi4 >= 0.5 for 30 sec"),
+        RawPattern(6, "hi6 >= 0.5 for 30 sec"),
+    ]
+    for label, kw in (
+        ("timer_default", {}),
+        ("timer_shard_1h", {"shard_ms": 3_600_000}),
+    ):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = search_incidents(
+                ev, pats_t, ["user_id"], "ts", fields_types=ft,
+                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_sec"] = round(best, 3)
+        counts[label] = n
+    out["timer_incidents"] = counts["timer_default"]
+    out["timer_counts_match"] = (
+        counts["timer_default"] == counts["timer_shard_1h"]
+    )
+    out["timer_speedup_x"] = round(
+        out["timer_default_sec"] / out["timer_shard_1h_sec"], 1
+    )
+    if not out["timer_counts_match"]:
+        raise RuntimeError(f"skew timer count mismatch: {counts}")
     return out
 
 
@@ -467,7 +498,11 @@ def main() -> None:
         print(
             f"# skew_10m: default {skew['default_sec']:.3f}s vs sharded "
             f"{skew['shard_1h_sec']:.3f}s ({skew['speedup_x']}x, "
-            f"counts_match={skew['counts_match']})",
+            f"counts_match={skew['counts_match']}); timer "
+            f"{skew['timer_default_sec']:.3f}s vs "
+            f"{skew['timer_shard_1h_sec']:.3f}s "
+            f"({skew['timer_speedup_x']}x, "
+            f"counts_match={skew['timer_counts_match']})",
             file=sys.stderr,
         )
 

@@ -201,12 +201,19 @@ def test_islands_sharded_matches_unsharded(spark):
 def test_search_incidents_shard_ms_parity(spark):
     """search_incidents(shard_ms=...) returns byte-identical incidents
     to the default path on a skewed series, with a mixed job: the
-    row-local predicate takes the sharded kernel, the timer pattern
-    silently falls back to the standard compiler."""
+    row-local predicate takes the sharded kernel, the timer over a
+    row-local inner takes the sharded TIMER kernel (r10), and stateful
+    shapes with no bounded lookback silently keep the standard
+    compiler."""
     import datetime
     import random
 
-    from tsp_spark.api import RawPattern, is_row_local, search_incidents
+    from tsp_spark.api import (
+        RawPattern,
+        _is_shardable_timer,
+        is_row_local,
+        search_incidents,
+    )
     from tsp_spark.dsl.parser import parse_pattern
 
     ft = {"x": "float64"}
@@ -215,6 +222,13 @@ def test_search_incidents_shard_ms_parity(spark):
     assert not is_row_local(parse_pattern("x > 4 for 2 sec", ft, 0.0))
     assert not is_row_local(parse_pattern("avg(x, 10 sec) > 4", ft, 0.0))
     assert not is_row_local(parse_pattern("lag(x) > 4", ft, 0.0))
+    assert _is_shardable_timer(parse_pattern("x > 4 for 2 sec", ft, 0.0))
+    assert not _is_shardable_timer(
+        parse_pattern("avg(x, 10 sec) > 4 for 2 sec", ft, 0.0)
+    )
+    assert not _is_shardable_timer(
+        parse_pattern("x > 4 for 2 min > 30 sec", ft, 0.0)
+    )
 
     rng = random.Random(11)
     rows = []
@@ -243,3 +257,62 @@ def test_search_incidents_shard_ms_parity(spark):
         key=repr,
     )
     assert got == want and len(want) > 0
+
+
+def test_timer_islands_sharded_matches_compiler(spark):
+    """timer_islands_sharded == the standard compiler path for
+    `x > 4 for T` on a hostile randomized skewed series (NULLs, gaps
+    straddling shard boundaries, runs longer and shorter than T),
+    across shard sizes from 1 s (lookback spans many shards, every
+    overlap chain maximal) to one shard total, for two T values."""
+    import datetime
+    import random
+
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.ops.islands import timer_islands_sharded
+
+    rng = random.Random(23)
+    rows = []
+    for key, n in (("hot", 500), ("k1", 80), ("k2", 1)):
+        t = 0
+        for _ in range(n):
+            t += rng.choice([1, 1, 1, 2, 5, 61, 200])
+            rows.append((
+                key,
+                datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(seconds=t),
+                rng.choice([1.0, 9.0, 9.0, 9.0, None]),
+            ))
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    cond = F.col("x") > 4
+    for window_ms in (2_000, 10_000):
+        # ground truth: the ordered per-key compiler path
+        pat = [RawPattern(1, f"x > 4 for {window_ms // 1000} sec")]
+        want = sorted(
+            (r["unit"], r["from_ts"], r["to_ts"])
+            for r in search_incidents(
+                df, pat, ["unit"], "ts",
+                fields_types={"x": "float64"}, session_gap_ms=0,
+            ).collect()
+        )
+        for shard_ms in (1_000, 47_000, 3_600_000, 10**12):
+            iv = timer_islands_sharded(
+                df, ["unit"], "ts", cond, window_ms,
+                max_gap_ms=60_000, shard_ms=shard_ms,
+            )
+            got = sorted(
+                (r["unit"], r["from_ts"], r["to_ts"]) for r in iv.collect()
+            )
+            assert got == want, (window_ms, shard_ms)
+
+    # argument validation
+    import pytest
+
+    with pytest.raises(ValueError, match="max_gap_ms"):
+        timer_islands_sharded(
+            df, ["unit"], "ts", cond, 2_000, max_gap_ms=None
+        )
+    with pytest.raises(ValueError, match="shard_ms"):
+        timer_islands_sharded(
+            df, ["unit"], "ts", cond, 2_000, shard_ms=0
+        )

@@ -129,7 +129,11 @@ def main() -> None:
     # smaller lengths instead, parity-checked at each point, and let
     # the trend speak for 20k.
     out["quad_curve"] = {}
-    for q_tokens in (500, 1_000, 2_000):
+    # 2k tokens already fails to finish inside a 10-minute budget
+    # (measured: 500→17 s, 1000→123 s for 4 docs — superquadratic in
+    # practice because the nested lambdas defeat codegen); the curve
+    # stops at 1k and the trend speaks for 20k
+    for q_tokens in (500, 1_000):
         qd = spark.createDataFrame(
             make_docs(4, q_tokens), "doc_id long, text string, lined string"
         ).coalesce(4).persist()

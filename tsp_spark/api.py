@@ -98,6 +98,15 @@ def is_row_local(node) -> bool:
     return walk(node)
 
 
+def _is_shardable_timer(node) -> bool:
+    """A bare Timer whose inner condition is row-local: the one
+    stateful shape whose lookback is provably bounded (window+max_gap),
+    so it is eligible for the sharded timer kernel."""
+    from tsp_spark.dsl import ast as A
+
+    return isinstance(node, A.Timer) and is_row_local(node.inner)
+
+
 def search_incidents(
     df: DataFrame,
     patterns: Sequence[RawPattern],
@@ -183,6 +192,32 @@ def search_incidents(
                 )
             iv = islands_sharded(
                 c.df, keys, ts, c.col, max_gap_ms,
+                keep=True, shard_ms=shard_ms,
+            )
+        elif (
+            shard_ms is not None
+            and max_gap_ms is not None
+            and _is_shardable_timer(node)
+        ):
+            # timer over a row-local predicate (the accums flagship
+            # shape): history matters, but only window+max_gap of it —
+            # timer_islands_sharded duplicates that lookback into each
+            # shard and stays exact (see its docstring); timers over
+            # stateful inners, or jobs without the gap rule, keep the
+            # ordered path below
+            from tsp_spark.dsl import ast as A
+            from tsp_spark.ops.islands import timer_islands_sharded
+
+            assert isinstance(node, A.Timer)
+            c = compiler.compile_bool(raw_src, node.inner)
+            if c.present is not None:
+                raise AssertionError(
+                    "timer_islands_sharded requires a present-free "
+                    f"compile; inner {type(node.inner).__name__} "
+                    "produced a present mask"
+                )
+            iv = timer_islands_sharded(
+                c.df, keys, ts, c.col, node.window_ms, max_gap_ms,
                 keep=True, shard_ms=shard_ms,
             )
         else:

@@ -111,6 +111,7 @@ def islands_sharded(
     max_gap_ms: int | None = DEFAULT_MAX_GAP_MS,
     keep: bool | None = True,
     shard_ms: int = 3_600_000,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """``islands`` with the per-key row work spread over TIME SHARDS —
     the hot-key mitigation (see docs/SCALE.md skewed-soak note): a
@@ -137,28 +138,38 @@ def islands_sharded(
     serialization this variant exists to avoid. Choose ``shard_ms``
     ≫ max_gap_ms and ≫ typical run length so stitch chains stay
     short; any value is CORRECT (chains just grow), the choice only
-    tunes parallelism."""
+    tunes parallelism.
+
+    ``shard_col`` (r10): name of a PRE-COMPUTED shard column equal to
+    ``floor(unix_millis(ts) / shard_ms)`` — callers that already
+    partitioned rows by (key, shard) (timer_islands_sharded) pass it
+    so the within-shard islandization reuses their exchange instead
+    of hashing the row data a second time."""
     if not isinstance(shard_ms, int) or shard_ms < 1:
         # shard_ms=0 would otherwise surface as an ANSI DIVIDE_BY_ZERO
         # mid-job (and replay forever in a retried context) instead of
         # a clean argument error (review-caught, r9)
         raise ValueError(f"shard_ms must be a positive int, got {shard_ms!r}")
     ms = F.unix_millis(F.col(ts))
-    base = df.withColumn("__shard", F.floor(ms / F.lit(shard_ms)))
+    if shard_col is None:
+        shard_col = "__shard"
+        base = df.withColumn(shard_col, F.floor(ms / F.lit(shard_ms)))
+    else:
+        base = df
     part = islands(
-        base, list(keys) + ["__shard"], ts, cond, max_gap_ms, keep=None
+        base, list(keys) + [shard_col], ts, cond, max_gap_ms, keep=None
     )
     w = Window.partitionBy(*keys).orderBy("from_ts", "to_ts")
     prev_cond = F.lag("cond_value").over(w)
     prev_to = F.lag("to_ts").over(w)
-    prev_shard = F.lag("__shard").over(w)
+    prev_shard = F.lag(shard_col).over(w)
     gap = F.unix_millis(F.col("from_ts")) - F.unix_millis(prev_to)
     cross_boundary = ~F.col("cond_value").eqNullSafe(prev_cond)
     if max_gap_ms is not None:
         cross_boundary = cross_boundary | (gap > F.lit(max_gap_ms))
     new_island = (
         F.when(prev_to.isNull(), F.lit(1))               # first island
-        .when(F.col("__shard").eqNullSafe(prev_shard), F.lit(1))
+        .when(F.col(shard_col).eqNullSafe(prev_shard), F.lit(1))
         .otherwise(cross_boundary.cast("int"))
     )
     merged = part.withColumn(
@@ -174,6 +185,82 @@ def islands_sharded(
         grouped = grouped.filter(F.col("cond_value").eqNullSafe(F.lit(keep)))
         return grouped.drop("cond_value", "__mid")
     return grouped.drop("__mid")
+
+
+def timer_islands_sharded(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    cond: Column,
+    window_ms: int,
+    max_gap_ms: int = DEFAULT_MAX_GAP_MS,
+    keep: bool | None = True,
+    shard_ms: int = 3_600_000,
+) -> DataFrame:
+    """TimerPattern ``cond for T`` with the per-key row work sharded by
+    time — extends the ``islands_sharded`` hot-key mitigation to the
+    stateful timer grammar (r10; reference TimerPattern.scala).
+
+    A timer row is true iff cond holds and the current run started at
+    least ``window_ms`` ago, so its value depends on history — but only
+    ``window_ms + max_gap_ms`` of it: if the run reaches back to
+    ``ts - window_ms``, the gap rule guarantees a run row inside
+    ``(ts - window_ms - max_gap_ms, ts - window_ms]`` (consecutive run
+    rows are never more than max_gap apart), and any run break inside
+    the lookback is itself visible. So each row is DUPLICATED into the
+    following shard(s) whose lookback region contains it (a map-only
+    explode, ~``1 + lookback/shard_ms`` copies — choose shard_ms ≫
+    window+max_gap and the factor is ~1), the run start is computed
+    per (key, shard) exactly as the compiler's _run_start_ms (trilean
+    null-safe change / first row / gap boundary), overlap copies are
+    dropped after their lookback job is done, and the per-row timer
+    boolean — now exact on every owned row by the argument above — is
+    stitched by ``islands_sharded`` reusing the same shard column.
+
+    Requires the gap rule: with ``max_gap_ms=None`` the lookback is
+    unbounded and only the ordered per-key scan is correct (callers
+    fall back to the standard compiler path).
+    """
+    if not isinstance(shard_ms, int) or shard_ms < 1:
+        raise ValueError(f"shard_ms must be a positive int, got {shard_ms!r}")
+    if max_gap_ms is None:
+        raise ValueError(
+            "timer_islands_sharded requires max_gap_ms — without the gap "
+            "rule the run-start lookback is unbounded"
+        )
+    if window_ms < 0:
+        raise ValueError(f"window_ms must be >= 0, got {window_ms!r}")
+    lookback = int(window_ms) + int(max_gap_ms)
+    ms = F.unix_millis(F.col(ts))
+    own = F.floor(ms / F.lit(shard_ms))
+    expanded = df.withColumn(
+        "__tshard",
+        F.explode(
+            F.sequence(own, F.floor((ms + F.lit(lookback)) / F.lit(shard_ms)))
+        ),
+    )
+    w = Window.partitionBy(*keys, "__tshard").orderBy(ts)
+    boundary = (
+        ~cond.eqNullSafe(F.lag(cond).over(w))
+        | F.lag(F.col(ts)).over(w).isNull()
+        | (ms - F.lag(ms).over(w) > F.lit(max_gap_ms))
+    )
+    flagged = expanded.withColumn("__tb", boundary)
+    run_start = F.max(F.when(F.col("__tb"), ms)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    timer = F.when(cond.isNull(), F.lit(None).cast("boolean")).otherwise(
+        cond & (ms - run_start >= F.lit(window_ms))
+    )
+    owned = (
+        flagged.withColumn("__timer", timer)
+        .where(F.col("__tshard") == own)
+        .drop("__tb")
+    )
+    return islands_sharded(
+        owned, keys, ts, F.col("__timer"), max_gap_ms,
+        keep=keep, shard_ms=shard_ms, shard_col="__tshard",
+    )
 
 
 def with_run_start(
