@@ -109,11 +109,12 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     """Hot-key rehearsal (r9): the flagship 2-pattern workload with
     user 0 carrying 50% of all rows, default vs the sharded
     islandization (`search_incidents(shard_ms=1h)` — exact, opt-in).
-    Two legs: row-local predicates (r9) and TIMER patterns
-    `x >= 0.5 for 30 sec` (r10 — the sharded timer kernel with
-    window+max_gap lookback). Records all wall times and asserts the
-    incident counts agree, so the skew story is a driver-recorded
-    number, not a docs claim."""
+    Three legs: row-local predicates (r9), TIMER patterns
+    `x >= 0.5 for 30 sec` (r10), and the accums flagship shape
+    `x >= 0.5 for 2 min > 1 min` (r10 — the generalized
+    bounded-lookback sharded kernel, api._sharded_stateful_intervals).
+    Records all wall times and asserts the incident counts agree, so
+    the skew story is a driver-recorded number, not a docs claim."""
     import pyspark.sql.functions as F
 
     from tsp_spark.api import RawPattern, search_incidents
@@ -192,6 +193,34 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     )
     if not out["timer_counts_match"]:
         raise RuntimeError(f"skew timer count mismatch: {counts}")
+    # accums leg: truth-duration stat within a sliding window
+    pats_a = [
+        RawPattern(4, "hi4 >= 0.5 for 2 min > 1 min"),
+        RawPattern(6, "hi6 >= 0.5 for 2 min > 1 min"),
+    ]
+    for label, kw in (
+        ("accum_default", {}),
+        ("accum_shard_1h", {"shard_ms": 3_600_000}),
+    ):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = search_incidents(
+                ev, pats_a, ["user_id"], "ts", fields_types=ft,
+                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_sec"] = round(best, 3)
+        counts[label] = n
+    out["accum_incidents"] = counts["accum_default"]
+    out["accum_counts_match"] = (
+        counts["accum_default"] == counts["accum_shard_1h"]
+    )
+    out["accum_speedup_x"] = round(
+        out["accum_default_sec"] / out["accum_shard_1h_sec"], 1
+    )
+    if not out["accum_counts_match"]:
+        raise RuntimeError(f"skew accums count mismatch: {counts}")
     return out
 
 
@@ -502,7 +531,11 @@ def main() -> None:
             f"{skew['timer_default_sec']:.3f}s vs "
             f"{skew['timer_shard_1h_sec']:.3f}s "
             f"({skew['timer_speedup_x']}x, "
-            f"counts_match={skew['timer_counts_match']})",
+            f"counts_match={skew['timer_counts_match']}); accums "
+            f"{skew['accum_default_sec']:.3f}s vs "
+            f"{skew['accum_shard_1h_sec']:.3f}s "
+            f"({skew['accum_speedup_x']}x, "
+            f"counts_match={skew['accum_counts_match']})",
             file=sys.stderr,
         )
 

@@ -316,3 +316,85 @@ def test_timer_islands_sharded_matches_compiler(spark):
         timer_islands_sharded(
             df, ["unit"], "ts", cond, 2_000, shard_ms=0
         )
+
+
+def test_sharded_stateful_parity_accums_shapes(spark):
+    """The generalized sharded stateful path (r10,
+    api._sharded_stateful_intervals) is byte-identical to the ordered
+    compiler path for the accums flagship shapes — Timer, time-kind
+    and times-kind ForWithInterval, and a windowed aggregate nested in
+    a for-interval — on a hostile randomized skewed series, across
+    shard sizes from one that splits every window to one-shard-total.
+    Also pins the analyzer: bounded shapes shard, forward-looking /
+    present-producing shapes return None and keep the ordered path."""
+    import datetime
+    import random
+
+    from tsp_spark.api import (
+        RawPattern,
+        _shardable_lookback_ms,
+        search_incidents,
+    )
+    from tsp_spark.dsl.parser import parse_pattern
+
+    ft = {"x": "float64"}
+    g = 60_000
+    assert _shardable_lookback_ms(parse_pattern("x > 4", ft, 0.0), g) is None
+    for p in (
+        "x > 4 for 30 sec",
+        "x > 4 for 2 min > 1 min",
+        "x = 1 for 2 min > 30 times",
+        "avg(x, 30 sec) > 4 for 2 min > 1 min",
+        "avg(x, 30 sec) > 4",
+    ):
+        assert _shardable_lookback_ms(parse_pattern(p, ft, 0.0), g), p
+    for p in (
+        "lag(x) > 4",
+        "lag(x, 10 sec) > 4",
+        "wait(30 sec, x > 4)",
+        "x > 4 until x < 0",
+        "x > 4 andThen x < 0",
+    ):
+        assert _shardable_lookback_ms(parse_pattern(p, ft, 0.0), g) is None, p
+
+    rng = random.Random(41)
+    rows = []
+    for key, n in (("hot", 900), ("k1", 120), ("k2", 2)):
+        t = 0
+        # regime-switching values: long mostly-true stretches with
+        # rare breaks, so timers/stats actually fire
+        regime = 9.0
+        for _ in range(n):
+            t += rng.choice([5, 5, 5, 10, 61, 200])
+            if rng.random() < 0.06:
+                regime = rng.choice([1.0, 9.0, 9.0, None])
+            rows.append((key, t, regime if rng.random() > 0.02 else 1.0))
+    df = spark.createDataFrame(
+        [
+            (k, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=t), v)
+            for k, t, v in rows
+        ],
+        "unit string, ts timestamp, x double",
+    )
+    pats = [
+        RawPattern(1, "x > 4 for 30 sec"),
+        RawPattern(2, "x > 4 for 2 min > 1 min"),
+        RawPattern(3, "x = 9 for 2 min > 10 times"),
+        RawPattern(4, "avg(x, 30 sec) > 4 for 2 min > 1 min"),
+    ]
+    base = search_incidents(
+        df, pats, ["unit"], "ts", fields_types=ft, session_gap_ms=0,
+    ).collect()
+    want = sorted(map(tuple, base), key=repr)
+    # every pattern shape must actually fire, or the parity is vacuous
+    assert {r["pattern_id"] for r in base} == {1, 2, 3, 4}
+    for shard_ms in (20_000, 300_000, 3_600_000, 10**12):
+        got = sorted(
+            map(tuple, search_incidents(
+                df, pats, ["unit"], "ts", fields_types=ft,
+                session_gap_ms=0, shard_ms=shard_ms,
+            ).collect()),
+            key=repr,
+        )
+        assert got == want, shard_ms

@@ -99,12 +99,134 @@ def is_row_local(node) -> bool:
 
 
 def _is_shardable_timer(node) -> bool:
-    """A bare Timer whose inner condition is row-local: the one
-    stateful shape whose lookback is provably bounded (window+max_gap),
-    so it is eligible for the sharded timer kernel."""
+    """A bare Timer whose inner condition is row-local: the simplest
+    stateful shape whose lookback is provably bounded (window+max_gap);
+    eligible for ops.islands.timer_islands_sharded. Kept for direct
+    callers — search_incidents routes through the more general
+    _shardable_lookback_ms."""
     from tsp_spark.dsl import ast as A
 
     return isinstance(node, A.Timer) and is_row_local(node.inner)
+
+
+def _shardable_lookback_ms(node, max_gap_ms: int) -> int | None:
+    """Row-history bound for the sharded stateful kernel: the trailing
+    time window a row's compiled value can depend on, plus a max_gap
+    margin per window level — or None when the pattern is not
+    shardable.
+
+    Shardable constructs and why the bound is EXACT (not just safe):
+
+    * row-local expressions — extent 0;
+    * windowed aggregates avg/sum/count/min/max(x, T) — a half-open
+      trailing range frame (GroupPattern semantics), extent T + inner;
+    * Timer `X for T` — the per-row truth is ``cond & (ts − run_start
+      ≥ T)``: if the run truly reaches back T, the gap rule guarantees
+      a run row inside ``(ts−T−max_gap, ts−T]`` (consecutive in-series
+      rows are never more than max_gap apart), so a window seeing
+      T+max_gap of history decides the THRESHOLD identically even when
+      its local run_start is later than the true one;
+    * ForWithInterval `X for T <op> N` — trailing range stats, a
+      one-row lag whose predecessor is within max_gap (series density),
+      and the `exactly` full-window gate ``ts − series_start ≥ T``,
+      which is the same threshold-vs-density argument as Timer.
+
+    NOT shardable (returns None): AndThen (interval semantics), Wait
+    (leading window), Until (forward-looking), lag of either form
+    (emits a present mask — absent rows change islandization in ways
+    the sharded stitch does not model)."""
+    from tsp_spark.dsl import ast as A
+
+    def walk(n) -> tuple[int, int] | None:
+        if isinstance(n, (A.Constant, A.Identifier, A.TimeLiteral)):
+            return (0, 0)
+        if isinstance(n, (A.Cast, A.Assert)):
+            return walk(n.inner)
+        if isinstance(n, (A.FunctionCall, A.ReducerCall)):
+            children = list(n.args)
+            if isinstance(n, A.ReducerCall) and n.cond is not None:
+                children.append(n.cond)
+            ext = lev = 0
+            for ch in children:
+                r = walk(ch)
+                if r is None:
+                    return None
+                ext, lev = max(ext, r[0]), max(lev, r[1])
+            return (ext, lev)
+        if isinstance(n, A.AggregateCall):
+            if n.kind == "lag":
+                return None
+            r = walk(n.inner)
+            return None if r is None else (n.window_ms + r[0], r[1] + 1)
+        if isinstance(n, (A.Timer, A.ForWithInterval)):
+            r = walk(n.inner)
+            return None if r is None else (n.window_ms + r[0], r[1] + 1)
+        return None  # AndThen, Until, Wait, unknown nodes
+
+    r = walk(node)
+    if r is None or r[1] == 0:
+        # row-local patterns take the plain sharded-islands path
+        return None
+    extent, levels = r
+    return extent + max_gap_ms * (levels + 1)
+
+
+def _sharded_stateful_intervals(
+    raw_src: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    fields_types: dict[str, str],
+    node,
+    max_gap_ms: int,
+    shard_ms: int,
+    lookback_ms: int,
+) -> DataFrame:
+    """Evaluate a bounded-lookback stateful pattern with the row work
+    sharded by (key, time-shard) — the r10 generalization of
+    ops.islands.timer_islands_sharded to the whole trailing-window
+    grammar (the accums flagship shapes).
+
+    Each row duplicates (map-only explode, ~1 + lookback/shard_ms
+    copies) into the following shard(s) whose lookback region contains
+    it; the UNMODIFIED compiler then evaluates the pattern with
+    ``__tshard`` as an extra partition key — every window/lag/series
+    split it builds is confined to (key, shard) and sees exactly the
+    history the lookback guarantees sufficient (see
+    _shardable_lookback_ms for the per-construct exactness arguments).
+    Overlap copies drop after their lookback job; the stitch reuses
+    the shard column (no second row shuffle). Property-tested
+    byte-identical to the ordered path across shard sizes
+    (tests/test_islands.py)."""
+    from tsp_spark.ops.islands import islands_sharded
+
+    ms = F.unix_millis(F.col(ts))
+    own = F.floor(ms / F.lit(shard_ms))
+    expanded = raw_src.withColumn(
+        "__tshard",
+        F.explode(
+            F.sequence(
+                own, F.floor((ms + F.lit(lookback_ms)) / F.lit(shard_ms))
+            )
+        ),
+    )
+    comp = PatternCompiler(
+        list(keys) + ["__tshard"], ts, fields_types, max_gap_ms
+    )
+    src = comp.with_series(expanded)
+    c = comp.compile_bool(src, node)
+    if c.present is not None:
+        raise AssertionError(
+            "sharded stateful path requires a present-free compile; "
+            f"node {type(node).__name__} produced a present mask "
+            "(_shardable_lookback_ms should have rejected it)"
+        )
+    owned = c.df.withColumn("__scond", c.col).where(
+        F.col("__tshard") == F.floor(F.unix_millis(F.col(ts)) / F.lit(shard_ms))
+    )
+    return islands_sharded(
+        owned, keys, ts, F.col("__scond"), max_gap_ms,
+        keep=True, shard_ms=shard_ms, shard_col="__tshard",
+    )
 
 
 def search_incidents(
@@ -199,12 +321,10 @@ def search_incidents(
             and max_gap_ms is not None
             and _is_shardable_timer(node)
         ):
-            # timer over a row-local predicate (the accums flagship
-            # shape): history matters, but only window+max_gap of it —
-            # timer_islands_sharded duplicates that lookback into each
-            # shard and stays exact (see its docstring); timers over
-            # stateful inners, or jobs without the gap rule, keep the
-            # ordered path below
+            # bare timer over a row-local predicate: the hand-written
+            # kernel (one window pass, no series/compiler machinery on
+            # the expanded frame) — measured ~1.8x faster than routing
+            # through the general path below on the 10M skew leg
             from tsp_spark.dsl import ast as A
             from tsp_spark.ops.islands import timer_islands_sharded
 
@@ -219,6 +339,22 @@ def search_incidents(
             iv = timer_islands_sharded(
                 c.df, keys, ts, c.col, node.window_ms, max_gap_ms,
                 keep=True, shard_ms=shard_ms,
+            )
+        elif (
+            shard_ms is not None
+            and max_gap_ms is not None
+            and (lb := _shardable_lookback_ms(node, max_gap_ms)) is not None
+        ):
+            # bounded-lookback stateful pattern (timers, windowed
+            # aggregates, for-interval stats — the accums flagship
+            # shapes): history matters, but only lookback_ms of it, so
+            # the row work shards by (key, time-shard) and stays exact
+            # (_sharded_stateful_intervals); forward-looking or
+            # present-producing shapes, and jobs without the gap rule,
+            # keep the ordered path below
+            iv = _sharded_stateful_intervals(
+                raw_src, keys, ts, fields_types, node,
+                max_gap_ms, shard_ms, lb,
             )
         else:
             iv = compiler.compile_intervals(src, node)
