@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     # two (+ per-doc tfidf) — a bench-over-bench diff on these rows
     # compares different workloads (r8 ~0.36 s vs r9 ~1.3 s warm is the
     # added surface, not a regression)
+    # r10: text_fingerprint 4 -> 6 variants (+ lmh hashed-key LM, which
+    # runs the LM core a second time; + trimk keep-first trim, a second
+    # span-core execution by design), text_top_tokens 2 -> 3 (+ tfh),
+    # text_profile +3 enc columns over a damaged projection — same
+    # fold-growth caveat
     "text_fingerprint",
     "embed_quantize",
     "ann_topk",

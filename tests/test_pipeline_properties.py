@@ -1611,3 +1611,110 @@ def test_trim_keep_first_brute_force(spark):
             ).collect()
         }
         assert all(got[d][1] >= dropall[d] for d in dropall)
+
+
+def test_gopher_battery_brute_force(spark):
+    """The full Gopher char-fraction battery (r10) vs python brute
+    forces on adversarial corpora: tiny vocab (heavy within-doc
+    repetition), single-token docs, all-same-token docs, empty-ish
+    docs. Seeded, deterministic."""
+    import random
+    from collections import Counter
+
+    from tsp_spark.pipeline.text import (
+        DUP_GRAM_NS,
+        TOP_GRAM_NS,
+        gopher_repetition_signals,
+    )
+
+    rng = random.Random(0xD0C5)
+    docs = [
+        (0, "a"),
+        (1, "a a a a a a a a a a a a"),
+        (2, "x y z w q r s t u v"),
+    ]
+    docs += [
+        (3 + i, " ".join(
+            rng.choice(["a", "b", "cc", "ddd"])
+            for _ in range(rng.randint(1, 40))
+        ))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_signals(df, "text", "doc_id").collect()
+    }
+
+    for d, t in docs:
+        toks = t.split(" ")
+        nt = len(toks)
+        tok_chars = sum(len(x) for x in toks)
+        for n in TOP_GRAM_NS:
+            grams = [" ".join(toks[i:i + n]) for i in range(nt - n + 1)]
+            cnt = Counter(grams)
+            rep = {g: c for g, c in cnt.items() if c >= 2}
+            if not rep or len(t) == 0:
+                want = 0.0
+            else:
+                best = max(rep.items(), key=lambda kv: (kv[1], len(kv[0])))
+                want = best[1] * len(best[0]) / len(t)
+            assert got[d][f"top_{n}gram_char_frac"] == want, (d, n, t)
+        for n in DUP_GRAM_NS:
+            grams = [" ".join(toks[i:i + n]) for i in range(nt - n + 1)]
+            cnt = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(i, i + n))
+            want = (
+                sum(len(toks[i]) for i in covered) / tok_chars
+                if grams and tok_chars > 0
+                else 0.0
+            )
+            assert got[d][f"dup_{n}gram_char_frac"] == want, (d, n, t)
+
+
+def test_gopher_filter_verdicts(spark):
+    """gopher_filter: clean long prose keeps; boilerplate repetition,
+    too-short docs, and degenerate token lengths flag with the right
+    first_flag; thresholds are overridable; unknown keys rejected."""
+    import pytest
+
+    from tsp_spark.pipeline.text import gopher_filter
+
+    clean = " ".join(f"word{i:03d}" for i in range(80))
+    spam = " ".join(["click here to win big"] * 30)
+    short = "just a few words here"
+    longtok = " ".join(["antidisestablishmentarianism"] * 60)
+    df = spark.createDataFrame(
+        [(0, clean), (1, spam), (2, short), (3, longtok)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_filter(df, "text", "doc_id").collect()}
+    assert rows[0]["keep"] and rows[0]["n_flags"] == 0
+    assert rows[0]["first_flag"] is None
+    assert not rows[1]["keep"]
+    assert rows[1]["first_flag"].startswith(("top_", "dup_"))
+    assert not rows[2]["keep"]
+    assert rows[2]["first_flag"] == "too_few_tokens"
+    assert not rows[3]["keep"] and rows[3]["n_flags"] >= 2
+
+    # override: loosen every repetition threshold -> spam still dies on
+    # nothing else, so it now keeps
+    loose = gopher_filter(
+        df, "text", "doc_id",
+        thresholds={k: 1.1 for k in (
+            "top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac", "dup_5gram_char_frac",
+            "dup_6gram_char_frac", "dup_7gram_char_frac",
+            "dup_8gram_char_frac", "dup_9gram_char_frac",
+            "dup_10gram_char_frac", "dup_line_frac",
+            "dup_line_char_frac",
+        )},
+    )
+    lr = {r["doc_id"]: r for r in loose.collect()}
+    assert lr[1]["keep"]
+
+    with pytest.raises(ValueError, match="unknown threshold"):
+        gopher_filter(df, "text", "doc_id", thresholds={"nope": 0.5})

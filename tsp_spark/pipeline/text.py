@@ -174,6 +174,296 @@ def repetition_cols(text_col: str) -> list[Column]:
     ]
 
 
+def _top_gram_charmass(g: Column) -> Column:
+    """Char mass of the winning n-gram of an occurrence array: among
+    grams with the maximal occurrence count, the one with the longest
+    rendered length wins (a deterministic tie rule — reference Python
+    implementations use Counter.most_common(1), whose tie choice is
+    arbitrary); returns ``count(winner) * length(winner)`` as a long,
+    or 0 when NO gram occurs twice — a count-1 "most frequent" gram is
+    not repetition, and charging it would flag every short document.
+    One O(G) adjacent-run pass over the sorted array, same shape as
+    _sorted_run_stats."""
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best_run"),
+        zero.alias("best_len"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        new_run = F.when(same, acc["run"] + 1).otherwise(one)
+        ln = F.length(x).cast("long")
+        better = (new_run > acc["best_run"]) | (
+            (new_run == acc["best_run"]) & (ln > acc["best_len"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best_run"]).alias(
+                "best_run"
+            ),
+            F.when(better, ln).otherwise(acc["best_len"]).alias("best_len"),
+        )
+
+    return F.aggregate(
+        F.array_sort(g), init, step,
+        lambda acc: F.when(
+            acc["best_run"] >= 2, acc["best_run"] * acc["best_len"]
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+TOP_GRAM_NS = (2, 3, 4)
+DUP_GRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def with_gopher_repetition(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, list[str]]:
+    """The COMPLETE Gopher repetition battery (Rae et al. 2021,
+    table A1), char-fraction forms — complementing repetition_cols'
+    token-fraction top-bigram/dup-trigram signals. Returns
+    ``(df_with_signals, signal_column_names)``:
+
+    * ``top_{n}gram_char_frac`` (n = 2, 3, 4) — characters of the most
+      frequent n-gram (count × rendered length, spaces included in the
+      gram) over the document's total characters; ties on count break
+      to the longer gram (deterministic — see _top_gram_charmass);
+    * ``dup_{n}gram_char_frac`` (n = 5…10) — token characters inside
+      the union of all duplicated n-gram occurrence windows over total
+      token characters (overlaps counted once; token-character basis
+      on both sides).
+
+    Map-only O(G log G) per signal, but STAGED across projections on
+    purpose: an expression captured inside a higher-order-function
+    lambda is inlined and re-evaluated PER ELEMENT (Spark has no CSE
+    inside lambda bodies), so referencing the sorted occurrence array
+    or the flag array directly from the coverage lambda re-sorts it
+    per token — measured as a wall-clock hang at 500 docs. Hoisting
+    each intermediate array into its own column makes every in-lambda
+    reference a bound attribute. All fractions are single divisions of
+    exact longs, so DuckDB mirrors them bit-for-bit."""
+    toks_c, chars_c = "__gp_toks", "__gp_chars"
+    helpers = [toks_c, chars_c]
+    # stage 1: tokens + token-char total + per-n sorted occurrence
+    # structs (for dup coverage)
+    stage1 = [
+        _tokens(F.col(text_col)).alias(toks_c),
+        F.aggregate(
+            _tokens(F.col(text_col)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x),
+        ).alias(chars_c),
+    ]
+    df = df.select("*", *stage1)
+    toks = F.col(toks_c)
+    nt = F.size(toks)
+    # closures are built by factories: PySpark infers higher-order-
+    # function arity from the lambda signature, so the usual
+    # late-binding fix (`lambda i, n=n:`) breaks it
+
+    def _occ_step(n: int):
+        def f(i: Column) -> Column:
+            return F.struct(
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("g"),
+                i.cast("long").alias("p"),
+            )
+
+        return f
+
+    stage2 = {}
+    for n in DUP_GRAM_NS:
+        occ = F.when(
+            nt >= n,
+            F.transform(F.sequence(F.lit(0), nt - n), _occ_step(n)),
+        ).otherwise(F.array().cast("array<struct<g:string,p:long>>"))
+        stage2[f"__gp_s{n}"] = F.array_sort(occ)
+        helpers.append(f"__gp_s{n}")
+    df = df.withColumns(stage2)
+
+    # stage 2b: duplicated-occurrence flags back in POSITION order
+    # (p is unique, so sorting the (p, f) structs restores it); the
+    # lambda references __gp_s{n} as a bound column — cheap per element
+    def _flag_step(s: Column):
+        def neighbor_eq(j: Column, d: int) -> Column:
+            return F.coalesce(
+                F.get(s, j)["g"] == F.get(s, j + d)["g"], F.lit(False)
+            )
+
+        def f(j: Column) -> Column:
+            return F.struct(
+                F.get(s, j)["p"].alias("p"),
+                (neighbor_eq(j, -1) | neighbor_eq(j, 1)).alias("f"),
+            )
+
+        return f
+
+    stage3 = {}
+    for n in DUP_GRAM_NS:
+        s = F.col(f"__gp_s{n}")
+        stage3[f"__gp_fl{n}"] = F.array_sort(
+            F.transform(F.sequence(F.lit(0), F.size(s) - 1), _flag_step(s))
+        )
+        helpers.append(f"__gp_fl{n}")
+    df = df.withColumns(stage3)
+    # stage 3: the final fractions — one linear pass per signal, no
+    # per-element array building (appending to an accumulator array
+    # inside ``aggregate`` re-copies it per element: the O(G²) cliff)
+    text_chars = F.length(F.col(text_col)).cast("long")
+    tok_chars = F.col(chars_c)
+    final = {}
+    names: list[str] = []
+    for n in TOP_GRAM_NS:
+        mass = _top_gram_charmass(_gram_join(toks, n))
+        name = f"top_{n}gram_char_frac"
+        final[name] = F.when(
+            (nt >= n) & (text_chars > 0),
+            mass.cast("double") / text_chars.cast("double"),
+        ).otherwise(F.lit(0.0))
+        names.append(name)
+    zero = F.lit(0).cast("long")
+
+    def _cover_step(n: int, fl: Column):
+        def f(acc: Column, i: Column) -> Column:
+            starts = F.coalesce(F.get(fl, i)["f"], F.lit(False))
+            new_end = F.when(
+                starts, F.greatest(acc["end"], i.cast("long") + n)
+            ).otherwise(acc["end"])
+            tok_len = F.length(F.element_at(toks, i + 1)).cast("long")
+            return F.struct(
+                new_end.alias("end"),
+                (
+                    acc["chars"]
+                    + F.when(i.cast("long") < new_end, tok_len)
+                    .otherwise(zero)
+                ).alias("chars"),
+            )
+
+        return f
+
+    for n in DUP_GRAM_NS:
+        fl = F.col(f"__gp_fl{n}")
+        covered = F.aggregate(
+            F.sequence(F.lit(0), nt - 1),
+            F.struct(
+                F.lit(-1).cast("long").alias("end"), zero.alias("chars")
+            ),
+            _cover_step(n, fl),
+            lambda acc: acc["chars"],
+        )
+        name = f"dup_{n}gram_char_frac"
+        final[name] = F.when(
+            (nt >= n) & (tok_chars > 0),
+            covered.cast("double") / tok_chars.cast("double"),
+        ).otherwise(F.lit(0.0))
+        names.append(name)
+    df = df.withColumns(final).drop(*helpers)
+    return df, names
+
+
+def gopher_repetition_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document Gopher char-fraction battery:
+    (id, top_{2,3,4}gram_char_frac, dup_{5..10}gram_char_frac) — see
+    with_gopher_repetition."""
+    out, names = with_gopher_repetition(df, text_col)
+    return out.select(F.col(id_col), *names)
+
+
+# Rae et al. 2021 table A1 removal thresholds (a doc is REMOVED when
+# the signal exceeds the value). Callers override any subset.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: dict[str, float] | None = None,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+) -> DataFrame:
+    """The assembled Gopher quality filter (Rae et al. 2021, A1):
+    per-document ``keep`` verdict plus ``n_flags`` and ``first_flag``
+    (the earliest-declared failing rule — cheap to keep and makes the
+    filter auditable; a 100 TB run wants to know WHY a third of the
+    corpus vanished). Removal rules: any repetition signal above its
+    threshold (GOPHER_THRESHOLDS — the paper's values, overridable),
+    token count outside [min_tokens, max_tokens], or mean token length
+    outside [min_mean_token_len, max_mean_token_len]. One map-only
+    projection over the staged battery — no shuffle; compose the keep
+    flag with a ``.where`` and Catalyst prunes the signal columns the
+    caller does not select."""
+    th = dict(GOPHER_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        th.update(thresholds)
+    staged, names = with_gopher_repetition(df, text_col)
+    staged = staged.select(
+        "*",
+        *line_repetition_cols(text_col),
+    )
+    toks = _tokens(F.col(text_col))
+    nt = F.size(toks).cast("long")
+    mean_len = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / nt
+    )
+    rules: list[tuple[str, Column]] = [
+        (name, F.col(name) > F.lit(float(limit)))
+        for name, limit in th.items()
+    ]
+    rules += [
+        ("too_few_tokens", nt < min_tokens),
+        ("too_many_tokens", nt > max_tokens),
+        ("mean_token_len_low", mean_len < min_mean_token_len),
+        ("mean_token_len_high", mean_len > max_mean_token_len),
+    ]
+    n_flags = sum(
+        (f.cast("int") for _, f in rules), F.lit(0)
+    )
+    first = None
+    for name, flag in rules:
+        first = (
+            F.when(flag, F.lit(name))
+            if first is None
+            else first.when(flag, F.lit(name))
+        )
+    return staged.select(
+        F.col(id_col),
+        *names,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        nt.alias("n_tokens"),
+        (n_flags == 0).alias("keep"),
+        n_flags.cast("long").alias("n_flags"),
+        first.otherwise(F.lit(None).cast("string")).alias("first_flag"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document repetition screen: (id, top_bigram_frac,
     dup_trigram_frac) — see repetition_cols."""
@@ -782,6 +1072,35 @@ def encoding_quality_cols(text_col: str, prefix: str = "") -> list[Column]:
         frac(ctrl).alias(f"{prefix}control_char_frac"),
         frac(non_ascii).alias(f"{prefix}non_ascii_frac"),
     ]
+
+
+def inject_repetition_col(text_col: str, id_col: str) -> Column:
+    """Deterministically repetition-injected copy of the text: appends
+    the document's own first 10–13 tokens (count from md5_long(id)
+    bit-fields) once, creating genuine duplicated 5–10-grams. The
+    bench corpus is random-token synthetic — its dup-n-gram signals
+    are constant zero, so the oracle fold value-checks the Gopher
+    battery over this projection instead (the damage_text_col
+    pattern): both engines synthesize the identical text, so every
+    fraction is non-degenerate AND bit-reproducible."""
+    from tsp_spark.pipeline.hashing import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"))
+    k = (F.shiftright(h, 6).bitwiseAND(F.lit(3)) + 10).cast("int")
+    toks = _tokens(F.col(text_col))
+    return F.concat_ws(" ", F.concat(toks, F.slice(toks, 1, k)))
+
+
+def inject_repetition_sql(text_expr: str, id_expr: str) -> str:
+    """The DuckDB expression computing exactly inject_repetition_col."""
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    h = md5_long_sql(f"CAST({id_expr} AS VARCHAR)")
+    return (
+        f"array_to_string(list_concat(string_split({text_expr}, ' '), "
+        f"string_split({text_expr}, ' ')"
+        f"[1:(10 + (({h} >> 6) & 3))::INT]), ' ')"
+    )
 
 
 def damage_text_col(text_col: str, id_col: str) -> Column:

@@ -1781,22 +1781,34 @@ def q_text_profile(spark, sf_dir):
     from tsp_spark.pipeline.text import (
         damage_text_col,
         encoding_quality_cols,
+        inject_repetition_col,
         langid_cols,
         quality_cols,
         repetition_cols,
         simhash_from_hashes,
         token_hashes_col,
+        with_gopher_repetition,
     )
 
     docs = _load(spark, sf_dir, "documents")
     # token hashes hoisted to their own projection: inline, the HOF
     # lambda re-evaluates every token's md5 once per simhash bit;
-    # damaged text likewise hoisted so three regexp_counts share it
+    # damaged text likewise hoisted so three regexp_counts share it;
+    # the Gopher battery stages its own intermediate arrays for the
+    # same per-element-re-evaluation reason (see with_gopher_repetition)
     docs = docs.withColumn("__dmg", damage_text_col("text", "doc_id"))
+    # the Gopher battery runs over a repetition-INJECTED projection:
+    # the synthetic corpus is random tokens, so dup-{5..10}-gram would
+    # be constant zero and the value check vacuous (the enc_* lesson)
+    docs = docs.withColumn(
+        "__rep", inject_repetition_col("text", "doc_id")
+    )
+    docs, gopher_names = with_gopher_repetition(docs, "__rep")
     staged = docs.select(
         "doc_id",
         *quality_cols("text"),
         *repetition_cols("text"),
+        *gopher_names,
         *langid_cols("text"),
         *encoding_quality_cols("__dmg", prefix="enc_"),
         token_hashes_col("text").alias("__sh"),
@@ -1869,14 +1881,99 @@ FROM d
 
 ORACLE_ENCODING = _encoding_oracle()
 
+
+def _gopher_oracle() -> str:
+    """DuckDB mirror of gopher_repetition_cols: per n, top-char mass =
+    the (count DESC, gram-length DESC) winner's count×length; dup-char
+    coverage = DISTINCT token positions inside duplicated-gram windows,
+    summed by token length. Same deterministic tie rule and
+    token-character basis as the Spark expressions."""
+    from tsp_spark.pipeline.text import (
+        DUP_GRAM_NS,
+        TOP_GRAM_NS,
+        inject_repetition_sql,
+    )
+
+    rep = inject_repetition_sql("text", "doc_id")
+    ctes = [
+        # battery over the repetition-INJECTED projection — see
+        # q_text_profile (the synthetic corpus has no real dup-n-grams)
+        "tok AS (SELECT doc_id, rep AS text, string_split(rep, ' ') AS t"
+        f" FROM (SELECT doc_id, {rep} AS rep FROM documents))",
+        "tchars AS (SELECT doc_id,"
+        " list_sum(list_transform(t, x -> len(x)::BIGINT)) AS tc FROM tok)",
+    ]
+    outs = []
+    for n in TOP_GRAM_NS:
+        ctes.append(
+            f"""g{n} AS (
+  SELECT doc_id, array_to_string(t[p+1:p+{n}], ' ') AS gr
+  FROM (SELECT doc_id, unnest(generate_series(0, len(t)-{n})) AS p, t
+        FROM tok WHERE len(t) >= {n}))"""
+        )
+        ctes.append(
+            f"""m{n} AS (
+  SELECT doc_id, CASE WHEN c >= 2 THEN c * l ELSE 0 END AS mass FROM (
+    SELECT doc_id, count(*)::BIGINT AS c, len(gr)::BIGINT AS l,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, len(gr) DESC) AS rn
+    FROM g{n} GROUP BY doc_id, gr) WHERE rn = 1)"""
+        )
+        outs.append(
+            f"CASE WHEN len(tok.t) >= {n} AND length(tok.text) > 0 THEN"
+            f" coalesce(m{n}.mass, 0)::DOUBLE / length(tok.text)"
+            f" ELSE 0.0 END AS top_{n}gram_char_frac"
+        )
+    for n in DUP_GRAM_NS:
+        ctes.append(
+            f"""p{n} AS (
+  SELECT doc_id, p, array_to_string(t[p+1:p+{n}], ' ') AS gr
+  FROM (SELECT doc_id, unnest(generate_series(0, len(t)-{n})) AS p, t
+        FROM tok WHERE len(t) >= {n}))"""
+        )
+        ctes.append(
+            f"""d{n} AS (SELECT doc_id, gr FROM p{n}
+  GROUP BY doc_id, gr HAVING count(*) >= 2)"""
+        )
+        ctes.append(
+            f"""c{n} AS (
+  SELECT doc_id, sum(len(t[q+1]))::BIGINT AS cov FROM (
+    SELECT DISTINCT doc_id, q FROM (
+      SELECT p.doc_id, unnest(generate_series(p.p, p.p+{n}-1)) AS q
+      FROM p{n} p JOIN d{n} USING (doc_id, gr))
+  ) JOIN tok USING (doc_id) GROUP BY doc_id)"""
+        )
+        outs.append(
+            f"CASE WHEN len(tok.t) >= {n} AND tchars.tc > 0 THEN"
+            f" coalesce(c{n}.cov, 0)::DOUBLE / tchars.tc"
+            f" ELSE 0.0 END AS dup_{n}gram_char_frac"
+        )
+    joins = "".join(
+        f"\nLEFT JOIN m{n} USING (doc_id)" for n in TOP_GRAM_NS
+    ) + "".join(f"\nLEFT JOIN c{n} USING (doc_id)" for n in DUP_GRAM_NS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT tok.doc_id, " + ",\n       ".join(outs)
+        + "\nFROM tok JOIN tchars USING (doc_id)" + joins
+    )
+
+
+ORACLE_GOPHER = _gopher_oracle()
+
+_GOPHER_OUT = ", ".join(
+    [f"gp.top_{n}gram_char_frac" for n in (2, 3, 4)]
+    + [f"gp.dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+)
+
 ORACLE_TEXT_PROFILE = f"""
 SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.stopword_ratio,
        q.unique_ratio, q.is_repetitive, r.top_bigram_frac,
-       r.dup_trigram_frac, {_LANGID_OUT},
+       r.dup_trigram_frac, {_GOPHER_OUT}, {_LANGID_OUT},
        e.enc_replacement_char_frac, e.enc_control_char_frac,
        e.enc_non_ascii_frac, s.simhash
 FROM ({ORACLE_QUALITY}) q
 JOIN ({ORACLE_REPETITION}) r ON q.doc_id = r.doc_id
+JOIN ({ORACLE_GOPHER}) gp ON q.doc_id = gp.doc_id
 JOIN ({ORACLE_LANGID}) l ON q.doc_id = l.doc_id
 JOIN ({ORACLE_ENCODING}) e ON q.doc_id = e.doc_id
 JOIN ({ORACLE_SIMHASH}) s ON q.doc_id = s.doc_id
