@@ -1718,3 +1718,88 @@ def test_gopher_filter_verdicts(spark):
 
     with pytest.raises(ValueError, match="unknown threshold"):
         gopher_filter(df, "text", "doc_id", thresholds={"nope": 0.5})
+
+
+def test_quality_scorer_recovers_weights(spark):
+    """Linear quality scorer (r10): the distributed sparse normal
+    equations recover a planted linear model exactly (numpy lstsq
+    parity), scoring matches a python dot product bit-for-bit, results
+    are partition-independent, and the bias is unregularized."""
+    import math
+    import random
+    from collections import Counter
+
+    import numpy as np
+
+    from tsp_spark.pipeline.curation import (
+        score_quality,
+        train_quality_scorer,
+    )
+
+    rng = random.Random(0x5C02E)
+    dim = 32
+    true_w = np.array([rng.uniform(-1, 1) for _ in range(dim + 1)])
+
+    # build docs, then compute labels from the engine's own bucketing
+    # (collect the buckets once) so the planted model is exact
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    bucket_rows = (
+        df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .select(
+            "doc_id", F.pmod(F.xxhash64("t"), F.lit(dim)).alias("b")
+        )
+        .collect()
+    )
+    per_doc: dict[int, Counter] = {}
+    for r in bucket_rows:
+        per_doc.setdefault(r["doc_id"], Counter())[r["b"]] += 1
+    xs = {}
+    occupied = set()
+    for d, _ in docs:
+        x = np.zeros(dim + 1)
+        for b, c in per_doc[d].items():
+            x[b] = math.log1p(c)
+            occupied.add(b)
+        x[dim] = 1.0
+        xs[d] = x
+    # empty hash buckets are unidentifiable — plant 0 there so the
+    # minimum-norm solution recovers the model exactly at l2=0
+    for b in range(dim):
+        if b not in occupied:
+            true_w[b] = 0.0
+    labels = {d: float(xs[d] @ true_w) for d, _ in docs}
+    ldf = spark.createDataFrame(
+        [(d, t, labels[d]) for d, t in docs],
+        "doc_id long, text string, label double",
+    )
+
+    model = train_quality_scorer(ldf, "text", "label", dim=dim, l2=0.0)
+    assert np.allclose(model["weights"], true_w, atol=1e-8)
+
+    scored = {
+        r["doc_id"]: r["quality"]
+        for r in score_quality(ldf, "text", model).collect()
+    }
+    for d, _ in docs:
+        assert abs(scored[d] - labels[d]) < 1e-8, d
+
+    # partition independence of the training moments
+    model2 = train_quality_scorer(
+        ldf.repartition(7), "text", "label", dim=dim, l2=0.0
+    )
+    assert np.allclose(model2["weights"], true_w, atol=1e-8)
+
+    # regularization shrinks non-bias weights, bias survives
+    model_r = train_quality_scorer(ldf, "text", "label", dim=dim, l2=10.0)
+    assert np.linalg.norm(model_r["weights"][:-1]) < np.linalg.norm(
+        true_w[:-1]
+    )

@@ -348,3 +348,175 @@ def build_training_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out, plan
+
+# ---------------------------------------------------------------------
+# Trainable linear quality scorer (the CCNet/fastText-classifier shape)
+# ---------------------------------------------------------------------
+
+def _sparse_features(
+    df: DataFrame, text_col: str, dim: int, row_col: str
+) -> DataFrame:
+    """SPARSE hashed bag-of-tokens features: one row per (document,
+    bucket) with value log1p(token count), plus a bias feature at
+    index ``dim`` with value 1.0 — pure explode + map-side-combined
+    groupBy, no per-row dense vectors (a document touches ~distinct-
+    token buckets, not all ``dim`` of them)."""
+    toks = df.select(
+        F.col(row_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+    ).select(
+        row_col, F.pmod(F.xxhash64("__t"), F.lit(dim)).alias("__b")
+    )
+    counts = toks.groupBy(row_col, "__b").agg(
+        F.log1p(F.count(F.lit(1))).alias("__v")
+    )
+    bias = df.select(
+        F.col(row_col),
+        F.lit(dim).cast("bigint").alias("__b"),
+        F.lit(1.0).alias("__v"),
+    )
+    return counts.unionByName(bias)
+
+
+def train_quality_scorer(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 256,
+    l2: float = 1e-3,
+) -> dict:
+    """Train a ridge-regression quality scorer on hashed bag-of-tokens
+    features — the distributed closed-form analog of the CCNet/fastText
+    linear quality classifier: ``w = (XᵀX + λI)⁻¹ Xᵀy`` (bias
+    unregularized).
+
+    One scan, SPARSE normal equations: features explode to (row,
+    bucket, log1p(count)) rows, the Gram matrix accumulates from a
+    within-row self-join on the row id (i ≤ j — a document contributes
+    ~distinct-tokens² /2 pairs, not dim²/2), Xᵀy from one more
+    map-side-combined groupBy, and only the (dim+1)(dim+2)/2 + (dim+1)
+    moment scalars reach the driver, which solves the (dim+1)² system
+    with numpy — the pca_fit shape: corpus size never touches driver
+    memory. dim ≤ 65536 enforced; the driver solve is dim³.
+
+    Deterministic modulo float-sum order (same stance as pca_fit);
+    labels are whatever regression target the caller trusts (human
+    ratings, LM perplexity, a teacher model's score)."""
+    import numpy as np
+
+    if dim < 1 or dim > 65_536:
+        raise ValueError(f"dim must be in [1, 65536], got {dim}")
+    d1 = dim + 1
+    base = df.select(
+        F.monotonically_increasing_id().alias("__r"),
+        F.col(text_col),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    # the row id is only a self-join key; every reduced moment is a
+    # sum over rows, so its values never reach the result. Persist so
+    # the two consumers (gram pairs, Xᵀy) see the SAME ids — without
+    # this, monotonically_increasing_id can re-evaluate differently
+    # per subtree and silently mispair features with labels.
+    base = base.persist()
+    try:
+        feats = _sparse_features(base, text_col, dim, "__r")
+        a = feats.select(
+            "__r", F.col("__b").alias("i"), F.col("__v").alias("xi")
+        )
+        b = feats.select(
+            "__r", F.col("__b").alias("j"), F.col("__v").alias("xj")
+        )
+        gram_rows = (
+            a.join(b, "__r")
+            .where(F.col("j") >= F.col("i"))
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
+            .collect()
+        )
+        xty_rows = (
+            feats.join(base.select("__r", "__y"), "__r")
+            .groupBy("__b")
+            .agg(F.sum(F.col("__v") * F.col("__y")).alias("s"))
+            .collect()
+        )
+    finally:
+        base.unpersist()
+    gram = np.zeros((d1, d1))
+    xty = np.zeros(d1)
+    for r in gram_rows:
+        gram[r["i"], r["j"]] = r["s"]
+        gram[r["j"], r["i"]] = r["s"]
+    for r in xty_rows:
+        xty[r["__b"]] = r["s"]
+    reg = l2 * np.eye(d1)
+    reg[-1, -1] = 0.0  # never regularize the bias
+    try:
+        w = np.linalg.solve(gram + reg, xty)
+    except np.linalg.LinAlgError:
+        # singular at l2=0 when hash buckets go unused (their weight is
+        # unidentifiable) — take the minimum-norm solution, which puts
+        # exactly 0 on the empty buckets
+        w = np.linalg.pinv(gram + reg) @ xty
+    return {"weights": w, "dim": dim, "l2": l2}
+
+
+def score_quality(
+    df: DataFrame, text_col: str, model: dict, out_col: str = "quality"
+) -> DataFrame:
+    """Apply a trained scorer MAP-ONLY: per row, bucket the tokens
+    (staged as a column — expressions captured inside higher-order-
+    function lambdas re-evaluate per element), fold
+    Σ w[bucket]·log1p(count) over the SORTED bucket array in one
+    adjacent-run pass against the weights as a literal array, and add
+    the bias weight. No shuffle, no join — scoring composes with any
+    scan at full width."""
+    import numpy as np
+
+    w = np.asarray(model["weights"], dtype=float)
+    dim = int(model["dim"])
+    if w.shape != (dim + 1,):
+        raise ValueError(f"weights shape {w.shape} != ({dim + 1},)")
+    wcol = F.array(*[F.lit(float(v)) for v in w])
+    bk = "__qs_b"
+    out = df.withColumn(
+        bk,
+        F.array_sort(
+            F.transform(
+                F.split(F.col(text_col), " "),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(dim)),
+            )
+        ),
+    )
+    # one pass over the sorted buckets: close out each equal-bucket run
+    # with w[bucket] * log1p(run length)
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        closed = F.when(
+            acc["prev"].isNotNull() & ~same,
+            F.element_at(wcol, (acc["prev"] + 1).cast("int"))
+            * F.log1p(acc["run"]),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            (acc["acc"] + closed).alias("acc"),
+        )
+
+    def finish(acc):
+        last = F.when(
+            acc["prev"].isNotNull(),
+            F.element_at(wcol, (acc["prev"] + 1).cast("int"))
+            * F.log1p(acc["run"]),
+        ).otherwise(F.lit(0.0))
+        return acc["acc"] + last + F.lit(float(w[-1]))
+
+    return out.withColumn(
+        out_col, F.aggregate(F.col(bk), init, step, finish)
+    ).drop(bk)
