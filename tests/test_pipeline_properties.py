@@ -1803,3 +1803,37 @@ def test_quality_scorer_recovers_weights(spark):
     assert np.linalg.norm(model_r["weights"][:-1]) < np.linalg.norm(
         true_w[:-1]
     )
+
+
+def test_c4_clean_rules(spark):
+    """c4_clean (r10): line-level terminal-punctuation / min-words /
+    javascript rules and page-level sentence-count / lorem-ipsum /
+    curly-brace verdicts, on hand-built pages."""
+    from tsp_spark.pipeline.text import c4_clean
+
+    good = (
+        "this line ends with terminal punctuation properly today.\n"
+        "another perfectly ordinary sentence with enough words here!\n"
+        'a third one that asks a question with many words?'
+    )
+    pages = [
+        (0, good),
+        (1, good + "\nshort line."),            # dropped: < 5 words
+        (2, good + "\nno terminal punctuation on this long line"),
+        (3, good + "\nenable JavaScript to view this content."),
+        (4, "one sentence only with plenty of words here."),  # < 3 sents
+        (5, good + "\nlorem ipsum dolor sit amet consectetur."),
+        (6, good + "\nvar f = function() { return 1; }."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in c4_clean(df, "text", "doc_id").collect()}
+
+    assert rows[0]["keep"] and rows[0]["n_kept_lines"] == 3
+    assert rows[0]["text_clean"] == good
+    for d in (1, 2, 3):
+        assert rows[d]["n_kept_lines"] == 3, d          # extra line dropped
+        assert rows[d]["text_clean"] == good, d
+    assert rows[1]["keep"] and rows[2]["keep"] and rows[3]["keep"]
+    assert not rows[4]["keep"] and rows[4]["n_sentences"] == 1
+    assert not rows[5]["keep"]          # lorem ipsum page
+    assert not rows[6]["keep"]          # curly brace page

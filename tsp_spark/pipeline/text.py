@@ -1103,6 +1103,145 @@ def inject_repetition_sql(text_expr: str, id_expr: str) -> str:
     )
 
 
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_clean(
+    df: DataFrame, text_col: str, id_col: str, min_words: int = 5
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2, the standard
+    web-corpus line filter): keep only lines that end in terminal
+    punctuation (. ! ? \"), have at least ``min_words`` words, and do
+    not mention 'javascript'; flag the PAGE for removal when it has
+    fewer than 3 sentences, contains 'lorem ipsum', or contains '{'.
+
+    Returns (id, text_clean, n_lines, n_kept_lines, n_sentences,
+    keep). Map-only expressions: the line array is the higher-order
+    function's own argument (evaluated once per row), per-line work is
+    O(line). One deliberate divergence from the paper: C4 also
+    deduplicates three-sentence spans corpus-wide — that is exactly
+    ``dedup.trim_duplicated_spans``/``duplicated_span_profile`` here,
+    composed separately (it needs corpus shuffles; this operator needs
+    none)."""
+    return df.select(
+        F.col(id_col), *c4_cols(text_col, min_words=min_words)
+    )
+
+
+def c4_cols(
+    text_col: str,
+    min_words: int = 5,
+    prefix: str = "",
+    clean_as_hash: bool = False,
+) -> list[Column]:
+    """Column builders for the C4 cleaner — shared by c4_clean and the
+    text-profile fold. ``prefix`` renames the outputs;
+    ``clean_as_hash=True`` replaces the rebuilt text with its md5_long
+    (value-checks the whole reconstruction without shipping the
+    string — the trim-variant trick)."""
+    from tsp_spark.pipeline.hashing import md5_long
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(ln, " ")) >= min_words)
+        & ~F.contains(F.lower(ln), F.lit("javascript")),
+    )
+    n_sentences = F.regexp_count(F.col(text_col), F.lit("[.!?]"))
+    page_ok = (
+        (n_sentences >= 3)
+        & ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+    )
+    clean = F.concat_ws("\n", kept)
+    first = (
+        md5_long(clean).alias(f"{prefix}clean_hash")
+        if clean_as_hash
+        else clean.alias(f"{prefix}text_clean")
+    )
+    return [
+        first,
+        F.size(lines).cast("long").alias(f"{prefix}n_lines"),
+        F.size(kept).cast("long").alias(f"{prefix}n_kept_lines"),
+        n_sentences.cast("long").alias(f"{prefix}n_sentences"),
+        page_ok.alias(f"{prefix}keep"),
+    ]
+
+
+def structure_text_col(text_col: str, id_col: str) -> Column:
+    """Deterministically STRUCTURED copy of flat token text: tokens
+    grouped into lines of 5–8 (count from md5_long(id) bit-fields),
+    most lines terminated with '.', every 5th-ish line left
+    unterminated, every 7th-ish suffixed ' javascript.', and some
+    documents given a 'lorem ipsum dolor.' or '{ code block }.'
+    trailer — the triggers the C4 cleaner screens for. The bench
+    corpus is flat single-line token text (no newlines, punctuation,
+    or braces), so the oracle fold exercises c4_clean over this
+    projection instead (the damage_text_col pattern): both engines
+    synthesize the identical structured text."""
+    from tsp_spark.pipeline.hashing import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"))
+    toks = _tokens(F.col(text_col))
+    nt = F.size(toks)
+    line_len = (h.bitwiseAND(F.lit(3)) + 5).cast("int")
+    s1 = F.shiftright(h, 2).bitwiseAND(F.lit(7))
+    s2 = F.shiftright(h, 5).bitwiseAND(F.lit(7))
+    n_lines = F.ceil(nt / line_len).cast("int")
+
+    def line(i: Column) -> Column:
+        body = F.concat_ws(" ", F.slice(toks, i * line_len + 1, line_len))
+        suffix = (
+            F.when(F.pmod(i + s1, F.lit(5)) == 0, F.lit(""))
+            .when(F.pmod(i + s2, F.lit(7)) == 0, F.lit(" javascript."))
+            .otherwise(F.lit("."))
+        )
+        return F.concat(body, suffix)
+
+    base = F.concat_ws(
+        "\n", F.transform(F.sequence(F.lit(0), n_lines - 1), line)
+    )
+    trailer = (
+        F.when(
+            F.shiftright(h, 8).bitwiseAND(F.lit(7)) == 0,
+            F.lit("\nlorem ipsum dolor."),
+        )
+        .when(
+            F.shiftright(h, 11).bitwiseAND(F.lit(7)) == 0,
+            F.lit("\n{ code block }."),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(base, trailer)
+
+
+def structure_text_sql(text_expr: str, id_expr: str) -> str:
+    """The DuckDB expression computing exactly structure_text_col."""
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    h = md5_long_sql(f"CAST({id_expr} AS VARCHAR)")
+    t = f"string_split({text_expr}, ' ')"
+    ll = f"(({h} & 3) + 5)"
+    s1 = f"(({h} >> 2) & 7)"
+    s2 = f"(({h} >> 5) & 7)"
+    line = (
+        f"array_to_string(({t})[i*{ll}+1:(i+1)*{ll}], ' ') || "
+        f"CASE WHEN (i + {s1}) % 5 = 0 THEN '' "
+        f"WHEN (i + {s2}) % 7 = 0 THEN ' javascript.' ELSE '.' END"
+    )
+    base = (
+        f"array_to_string(list_transform("
+        f"range(0, CAST(ceil(len({t})::DOUBLE / {ll}) AS BIGINT)), "
+        f"i -> {line}), chr(10))"
+    )
+    trailer = (
+        f"CASE WHEN (({h} >> 8) & 7) = 0 THEN chr(10) || 'lorem ipsum dolor.'"
+        f" WHEN (({h} >> 11) & 7) = 0 THEN chr(10) || '{{ code block }}.'"
+        f" ELSE '' END"
+    )
+    return f"({base} || {trailer})"
+
+
 def damage_text_col(text_col: str, id_col: str) -> Column:
     """Deterministically 'damaged' copy of the text: appends 1–4 U+FFFD
     replacement chars, 1–4 C0 control chars (BEL) and 1–4 non-ASCII

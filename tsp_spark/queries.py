@@ -1779,6 +1779,7 @@ def q_text_profile(spark, sf_dir):
     documents scan: no self-joins, every signal column independently
     oracle-verified."""
     from tsp_spark.pipeline.text import (
+        c4_cols,
         damage_text_col,
         encoding_quality_cols,
         inject_repetition_col,
@@ -1786,6 +1787,7 @@ def q_text_profile(spark, sf_dir):
         quality_cols,
         repetition_cols,
         simhash_from_hashes,
+        structure_text_col,
         token_hashes_col,
         with_gopher_repetition,
     )
@@ -1803,6 +1805,12 @@ def q_text_profile(spark, sf_dir):
     docs = docs.withColumn(
         "__rep", inject_repetition_col("text", "doc_id")
     )
+    # C4 cleaner over a deterministically STRUCTURED projection — the
+    # flat token corpus has no lines/punctuation, so the real screens
+    # would be vacuous (same pattern as __dmg / __rep)
+    docs = docs.withColumn(
+        "__st", structure_text_col("text", "doc_id")
+    )
     docs, gopher_names = with_gopher_repetition(docs, "__rep")
     staged = docs.select(
         "doc_id",
@@ -1811,6 +1819,7 @@ def q_text_profile(spark, sf_dir):
         *gopher_names,
         *langid_cols("text"),
         *encoding_quality_cols("__dmg", prefix="enc_"),
+        *c4_cols("__st", prefix="c4_", clean_as_hash=True),
         token_hashes_col("text").alias("__sh"),
     )
     return staged.select(
@@ -1960,6 +1969,43 @@ def _gopher_oracle() -> str:
 
 ORACLE_GOPHER = _gopher_oracle()
 
+
+def _c4_oracle() -> str:
+    """DuckDB mirror of c4_cols over structure_text_col: list_filter
+    with the same terminal-punct / min-words / javascript rules, page
+    verdict from sentence count / lorem ipsum / brace."""
+    from tsp_spark.pipeline.text import structure_text_sql
+
+    st = structure_text_sql("text", "doc_id")
+    keep_line = (
+        "regexp_matches(l, '[.!?\"]$')"
+        " AND len(string_split(l, ' ')) >= 5"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {st} AS st FROM documents),
+c AS (
+  SELECT doc_id, st, string_split(st, chr(10)) AS lines,
+         list_filter(string_split(st, chr(10)), l -> {keep_line}) AS kept
+  FROM s
+)
+SELECT doc_id,
+       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+       -- concat_ws over an empty array is '' — hash the latter
+       ('0x' || substring(md5(coalesce(array_to_string(kept, chr(10)), '')),
+                          1, 15))::BIGINT AS c4_clean_hash,
+       len(lines)::BIGINT AS c4_n_lines,
+       len(kept)::BIGINT AS c4_n_kept_lines,
+       len(regexp_extract_all(st, '[.!?]'))::BIGINT AS c4_n_sentences,
+       (len(regexp_extract_all(st, '[.!?]')) >= 3
+        AND NOT contains(lower(st), 'lorem ipsum')
+        AND NOT contains(st, '{{')) AS c4_keep
+FROM c
+"""
+
+
+ORACLE_C4 = _c4_oracle()
+
 _GOPHER_OUT = ", ".join(
     [f"gp.top_{n}gram_char_frac" for n in (2, 3, 4)]
     + [f"gp.dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)]
@@ -1970,12 +2016,15 @@ SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.stopword_ratio,
        q.unique_ratio, q.is_repetitive, r.top_bigram_frac,
        r.dup_trigram_frac, {_GOPHER_OUT}, {_LANGID_OUT},
        e.enc_replacement_char_frac, e.enc_control_char_frac,
-       e.enc_non_ascii_frac, s.simhash
+       e.enc_non_ascii_frac,
+       c4.c4_clean_hash, c4.c4_n_lines, c4.c4_n_kept_lines,
+       c4.c4_n_sentences, c4.c4_keep, s.simhash
 FROM ({ORACLE_QUALITY}) q
 JOIN ({ORACLE_REPETITION}) r ON q.doc_id = r.doc_id
 JOIN ({ORACLE_GOPHER}) gp ON q.doc_id = gp.doc_id
 JOIN ({ORACLE_LANGID}) l ON q.doc_id = l.doc_id
 JOIN ({ORACLE_ENCODING}) e ON q.doc_id = e.doc_id
+JOIN ({ORACLE_C4}) c4 ON q.doc_id = c4.doc_id
 JOIN ({ORACLE_SIMHASH}) s ON q.doc_id = s.doc_id
 """
 
