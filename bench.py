@@ -44,8 +44,9 @@ BENCH_QUERIES = [
     # r10: text_fingerprint 4 -> 6 variants (+ lmh hashed-key LM, which
     # runs the LM core a second time; + trimk keep-first trim, a second
     # span-core execution by design), text_top_tokens 2 -> 3 (+ tfh),
-    # text_profile +3 enc columns over a damaged projection — same
-    # fold-growth caveat
+    # text_profile +17 columns (3 enc over a damaged projection, 9
+    # Gopher char-fraction signals over a repetition-injected one, 5 C4
+    # cleaner outputs over a structured one) — same fold-growth caveat
     "text_fingerprint",
     "embed_quantize",
     "ann_topk",
