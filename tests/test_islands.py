@@ -332,30 +332,34 @@ def test_sharded_stateful_parity_accums_shapes(spark):
 
     from tsp_spark.api import (
         RawPattern,
-        _shardable_lookback_ms,
+        _shardable_extents_ms,
         search_incidents,
     )
     from tsp_spark.dsl.parser import parse_pattern
 
     ft = {"x": "float64"}
     g = 60_000
-    assert _shardable_lookback_ms(parse_pattern("x > 4", ft, 0.0), g) is None
     for p in (
         "x > 4 for 30 sec",
         "x > 4 for 2 min > 1 min",
         "x = 1 for 2 min > 30 times",
         "avg(x, 30 sec) > 4 for 2 min > 1 min",
         "avg(x, 30 sec) > 4",
+        "wait(30 sec, x > 4)",
+        "x > 4 until x < 0",
     ):
-        assert _shardable_lookback_ms(parse_pattern(p, ft, 0.0), g), p
+        assert _shardable_extents_ms(parse_pattern(p, ft, 0.0), g), p
     for p in (
         "lag(x) > 4",
         "lag(x, 10 sec) > 4",
-        "wait(30 sec, x > 4)",
-        "x > 4 until x < 0",
         "x > 4 andThen x < 0",
     ):
-        assert _shardable_lookback_ms(parse_pattern(p, ft, 0.0), g) is None, p
+        assert _shardable_extents_ms(parse_pattern(p, ft, 0.0), g) is None, p
+    # extents compose additively per direction: a timer over a wait
+    back, fwd = _shardable_extents_ms(
+        parse_pattern("wait(30 sec, x > 4) for 2 min", ft, 0.0), g
+    )
+    assert back >= 120_000 and fwd >= 30_000, (back, fwd)
 
     rng = random.Random(41)
     rows = []
@@ -382,13 +386,15 @@ def test_sharded_stateful_parity_accums_shapes(spark):
         RawPattern(2, "x > 4 for 2 min > 1 min"),
         RawPattern(3, "x = 9 for 2 min > 10 times"),
         RawPattern(4, "avg(x, 30 sec) > 4 for 2 min > 1 min"),
+        RawPattern(5, "wait(30 sec, x < 2)"),
+        RawPattern(6, "x > 4 until x < 2"),
     ]
     base = search_incidents(
         df, pats, ["unit"], "ts", fields_types=ft, session_gap_ms=0,
     ).collect()
     want = sorted(map(tuple, base), key=repr)
     # every pattern shape must actually fire, or the parity is vacuous
-    assert {r["pattern_id"] for r in base} == {1, 2, 3, 4}
+    assert {r["pattern_id"] for r in base} == {1, 2, 3, 4, 5, 6}
     for shard_ms in (20_000, 300_000, 3_600_000, 10**12):
         got = sorted(
             map(tuple, search_incidents(

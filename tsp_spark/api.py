@@ -109,17 +109,20 @@ def _is_shardable_timer(node) -> bool:
     return isinstance(node, A.Timer) and is_row_local(node.inner)
 
 
-def _shardable_lookback_ms(node, max_gap_ms: int) -> int | None:
-    """Row-history bound for the sharded stateful kernel: the trailing
-    time window a row's compiled value can depend on, plus a max_gap
-    margin per window level — or None when the pattern is not
-    shardable.
+def _shardable_extents_ms(
+    node, max_gap_ms: int
+) -> tuple[int, int] | None:
+    """(lookback_ms, lookahead_ms) row-history bounds for the sharded
+    stateful kernel — the trailing and leading time windows a row's
+    compiled value can depend on, each padded with a max_gap margin per
+    window level — or None when the pattern is not shardable.
 
     Shardable constructs and why the bound is EXACT (not just safe):
 
-    * row-local expressions — extent 0;
+    * row-local expressions — extents 0 (incl. `until`, which compiles
+      to ``left & ~right`` with no window of its own);
     * windowed aggregates avg/sum/count/min/max(x, T) — a half-open
-      trailing range frame (GroupPattern semantics), extent T + inner;
+      trailing range frame (GroupPattern semantics), back += T;
     * Timer `X for T` — the per-row truth is ``cond & (ts − run_start
       ≥ T)``: if the run truly reaches back T, the gap rule guarantees
       a run row inside ``(ts−T−max_gap, ts−T]`` (consecutive in-series
@@ -129,46 +132,69 @@ def _shardable_lookback_ms(node, max_gap_ms: int) -> int | None:
     * ForWithInterval `X for T <op> N` — trailing range stats, a
       one-row lag whose predecessor is within max_gap (series density),
       and the `exactly` full-window gate ``ts − series_start ≥ T``,
-      which is the same threshold-vs-density argument as Timer.
+      which is the same threshold-vs-density argument as Timer;
+    * Wait `wait(T, X)` — a bounded LEADING range frame: fwd += T, and
+      the row duplicates into PRECEDING shards instead (series breaks
+      inside the lookahead are between present rows, so membership is
+      decided identically).
 
-    NOT shardable (returns None): AndThen (interval semantics), Wait
-    (leading window), Until (forward-looking), lag of either form
-    (emits a present mask — absent rows change islandization in ways
-    the sharded stitch does not model)."""
+    Nesting composes additively per direction along each AST path
+    (a timer over a wait needs back(T_timer) history of rows whose own
+    value needs fwd(T_wait) future), so extents sum down paths and max
+    across siblings.
+
+    NOT shardable (returns None): AndThen (interval semantics, not a
+    row boolean) and lag of either form (emits a present mask — absent
+    rows change islandization in ways the sharded stitch does not
+    model)."""
     from tsp_spark.dsl import ast as A
 
-    def walk(n) -> tuple[int, int] | None:
+    def walk(n) -> tuple[int, int, int] | None:
         if isinstance(n, (A.Constant, A.Identifier, A.TimeLiteral)):
-            return (0, 0)
+            return (0, 0, 0)
         if isinstance(n, (A.Cast, A.Assert)):
             return walk(n.inner)
-        if isinstance(n, (A.FunctionCall, A.ReducerCall)):
-            children = list(n.args)
-            if isinstance(n, A.ReducerCall) and n.cond is not None:
-                children.append(n.cond)
-            ext = lev = 0
+        if isinstance(n, (A.FunctionCall, A.ReducerCall, A.Until)):
+            if isinstance(n, A.Until):
+                children = [n.left, n.right]
+            else:
+                children = list(n.args)
+                if isinstance(n, A.ReducerCall) and n.cond is not None:
+                    children.append(n.cond)
+            back = fwd = lev = 0
             for ch in children:
                 r = walk(ch)
                 if r is None:
                     return None
-                ext, lev = max(ext, r[0]), max(lev, r[1])
-            return (ext, lev)
+                back, fwd, lev = (
+                    max(back, r[0]), max(fwd, r[1]), max(lev, r[2])
+                )
+            return (back, fwd, lev)
         if isinstance(n, A.AggregateCall):
             if n.kind == "lag":
                 return None
             r = walk(n.inner)
-            return None if r is None else (n.window_ms + r[0], r[1] + 1)
+            return None if r is None else (
+                n.window_ms + r[0], r[1], r[2] + 1
+            )
         if isinstance(n, (A.Timer, A.ForWithInterval)):
             r = walk(n.inner)
-            return None if r is None else (n.window_ms + r[0], r[1] + 1)
-        return None  # AndThen, Until, Wait, unknown nodes
+            return None if r is None else (
+                n.window_ms + r[0], r[1], r[2] + 1
+            )
+        if isinstance(n, A.Wait):
+            r = walk(n.inner)
+            return None if r is None else (
+                r[0], n.window_ms + r[1], r[2] + 1
+            )
+        return None  # AndThen, unknown nodes
 
     r = walk(node)
-    if r is None or r[1] == 0:
-        # row-local patterns take the plain sharded-islands path
+    if r is None:
         return None
-    extent, levels = r
-    return extent + max_gap_ms * (levels + 1)
+    back, fwd, levels = r
+    margin = max_gap_ms * (levels + 1)
+    return (back + margin, fwd + (margin if fwd else 0))
 
 
 def _sharded_stateful_intervals(
@@ -180,6 +206,7 @@ def _sharded_stateful_intervals(
     max_gap_ms: int,
     shard_ms: int,
     lookback_ms: int,
+    lookahead_ms: int = 0,
 ) -> DataFrame:
     """Evaluate a bounded-lookback stateful pattern with the row work
     sharded by (key, time-shard) — the r10 generalization of
@@ -200,12 +227,15 @@ def _sharded_stateful_intervals(
     from tsp_spark.ops.islands import islands_sharded
 
     ms = F.unix_millis(F.col(ts))
-    own = F.floor(ms / F.lit(shard_ms))
+    # a row at ts is needed by every shard whose owned rows' dependency
+    # interval [r - lookback, r + lookahead] contains it: shards from
+    # floor((ts - lookahead)/shard) through floor((ts + lookback)/shard)
     expanded = raw_src.withColumn(
         "__tshard",
         F.explode(
             F.sequence(
-                own, F.floor((ms + F.lit(lookback_ms)) / F.lit(shard_ms))
+                F.floor((ms - F.lit(lookahead_ms)) / F.lit(shard_ms)),
+                F.floor((ms + F.lit(lookback_ms)) / F.lit(shard_ms)),
             )
         ),
     )
@@ -343,18 +373,20 @@ def search_incidents(
         elif (
             shard_ms is not None
             and max_gap_ms is not None
-            and (lb := _shardable_lookback_ms(node, max_gap_ms)) is not None
+            and (ext := _shardable_extents_ms(node, max_gap_ms))
+            is not None
         ):
-            # bounded-lookback stateful pattern (timers, windowed
-            # aggregates, for-interval stats — the accums flagship
-            # shapes): history matters, but only lookback_ms of it, so
-            # the row work shards by (key, time-shard) and stays exact
-            # (_sharded_stateful_intervals); forward-looking or
+            # bounded-extent stateful pattern (timers, windowed
+            # aggregates, for-interval stats, wait, until — the accums
+            # flagship shapes): history/future matter, but only
+            # (lookback, lookahead) of them, so the row work shards by
+            # (key, time-shard) and stays exact
+            # (_sharded_stateful_intervals); sequences and
             # present-producing shapes, and jobs without the gap rule,
             # keep the ordered path below
             iv = _sharded_stateful_intervals(
                 raw_src, keys, ts, fields_types, node,
-                max_gap_ms, shard_ms, lb,
+                max_gap_ms, shard_ms, ext[0], ext[1],
             )
         else:
             iv = compiler.compile_intervals(src, node)
