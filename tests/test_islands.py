@@ -404,3 +404,87 @@ def test_sharded_stateful_parity_accums_shapes(spark):
             key=repr,
         )
         assert got == want, shard_ms
+
+
+def test_sharded_stateful_parity_fuzz(spark):
+    """Randomized parity for the generalized sharded kernel: random
+    pattern ASTs composed from the shardable grammar (predicates,
+    and/or/until, windowed aggregates, timers, for-interval stats,
+    wait — nested), random regime-switching skewed series, two shard
+    sizes vs the ordered compiler path. Seeded, deterministic."""
+    import datetime
+    import random
+
+    from tsp_spark.api import (
+        RawPattern,
+        _shardable_extents_ms,
+        search_incidents,
+    )
+    from tsp_spark.dsl.parser import parse_pattern
+
+    rng = random.Random(0x5AAD)
+
+    def gen_pattern(depth: int) -> str:
+        atoms = ["x > 4", "x < 2", "x = 9", "x + 1 > 5", "x >= 1"]
+        if depth <= 0:
+            return rng.choice(atoms)
+        kind = rng.randrange(6)
+        a = gen_pattern(depth - 1)
+        if kind == 0:
+            return f"({a}) and ({gen_pattern(depth - 1)})"
+        if kind == 1:
+            return f"({a}) or ({gen_pattern(depth - 1)})"
+        if kind == 2:
+            return f"({a}) until ({gen_pattern(depth - 1)})"
+        if kind == 3:
+            return f"({a}) for {rng.choice([20, 40, 90])} sec"
+        if kind == 4:
+            w = rng.choice([60, 120])
+            if rng.random() < 0.5:
+                return f"({a}) for {w} sec > {rng.choice([3, 8])} times"
+            return f"({a}) for {w} sec > {w // 3} sec"
+        return f"wait({rng.choice([20, 45])} sec, {a})"
+
+    ft = {"x": "float64"}
+    pats, pid = [], 0
+    while len(pats) < 8:
+        src = gen_pattern(rng.choice([1, 2, 2]))
+        node = parse_pattern(src, ft, 0.0)
+        if _shardable_extents_ms(node, 60_000) is None:
+            continue
+        pid += 1
+        pats.append(RawPattern(pid, src))
+
+    rows = []
+    for key, n in (("hot", 700), ("k1", 90)):
+        t = 0
+        regime = 9.0
+        for _ in range(n):
+            t += rng.choice([3, 5, 8, 61, 150])
+            if rng.random() < 0.08:
+                regime = rng.choice([1.0, 2.0, 9.0, 9.0, None])
+            rows.append((key, t, regime))
+    df = spark.createDataFrame(
+        [
+            (k, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=t), v)
+            for k, t, v in rows
+        ],
+        "unit string, ts timestamp, x double",
+    )
+    want = sorted(
+        map(tuple, search_incidents(
+            df, pats, ["unit"], "ts", fields_types=ft, session_gap_ms=0,
+        ).collect()),
+        key=repr,
+    )
+    assert want, "fuzz series produced no incidents at all"
+    for shard_ms in (30_000, 3_600_000):
+        got = sorted(
+            map(tuple, search_incidents(
+                df, pats, ["unit"], "ts", fields_types=ft,
+                session_gap_ms=0, shard_ms=shard_ms,
+            ).collect()),
+            key=repr,
+        )
+        assert got == want, (shard_ms, [p.source_code for p in pats])
