@@ -426,6 +426,14 @@ def sf1_oracle_gate(spark):
         # trimmer rebuild hash, bigram-LM fold, tfidf ranking)
         ("text_fingerprint", d1, "sf1"),
         ("text_top_tokens", d1, "sf1"),
+        # r10: the profile's new signal families (Gopher battery over
+        # the injected projection, C4 over the structured one, enc over
+        # the damaged one) value-checked on the generated corpus shape
+        # at sf0.1 — the sf1 run measured 137 s of map-only per-doc CPU
+        # (verified MATCH once by hand), which would starve the rest of
+        # the cohort's budget; the signals are per-document, so corpus
+        # SIZE adds no new code paths
+        ("text_profile", d01, "sf0.1-gen"),
     ]
     cons = {}
     out = {}
