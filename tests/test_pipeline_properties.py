@@ -1837,3 +1837,42 @@ def test_c4_clean_rules(spark):
     assert not rows[4]["keep"] and rows[4]["n_sentences"] == 1
     assert not rows[5]["keep"]          # lorem ipsum page
     assert not rows[6]["keep"]          # curly brace page
+
+
+def test_map_only_operators_plan_shape(spark):
+    """Plan-shape guards (r10): the operators documented as MAP-ONLY —
+    Gopher battery, gopher_filter, C4 cleaner, encoding screens, and
+    quality scoring — must compile to zero Exchange nodes, so they run
+    at scan speed and compose with any partitioning at 100 TB. A
+    refactor that sneaks a shuffle in fails here, not in a cluster."""
+    from tsp_spark.pipeline.curation import score_quality
+    from tsp_spark.pipeline.text import (
+        c4_clean,
+        encoding_quality,
+        gopher_filter,
+        gopher_repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c."), (1, "x y.\nx y.")],
+        "doc_id long, text string",
+    )
+
+    def n_exchanges(frame) -> int:
+        return (
+            frame._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+
+    import numpy as np
+
+    model = {"weights": np.zeros(9), "dim": 8, "l2": 0.0}
+    for name, frame in [
+        ("gopher_signals", gopher_repetition_signals(df, "text", "doc_id")),
+        ("gopher_filter", gopher_filter(df, "text", "doc_id")),
+        ("c4_clean", c4_clean(df, "text", "doc_id")),
+        ("encoding_quality", encoding_quality(df, "text", "doc_id")),
+        ("score_quality", score_quality(df, "text", model)),
+    ]:
+        assert n_exchanges(frame) == 0, (name, frame._jdf.queryExecution()
+                                         .executedPlan().toString()[:800])
+        frame.collect()  # and they all actually evaluate
