@@ -227,6 +227,33 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     )
     if not out["accum_counts_match"]:
         raise RuntimeError(f"skew accums count mismatch: {counts}")
+    # andThen leg (r10b): long run followed by its dip — every dip
+    # terminates a run, so the sequence fires ~run-count times
+    pats_s = [
+        RawPattern(4, "hi4 >= 0.5 andThen hi4 < 0.5"),
+        RawPattern(6, "hi6 >= 0.5 andThen hi6 < 0.5"),
+    ]
+    for label, kw in (
+        ("seq_default", {}),
+        ("seq_shard_1h", {"shard_ms": 3_600_000}),
+    ):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = search_incidents(
+                ev, pats_s, ["user_id"], "ts", fields_types=ft,
+                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_sec"] = round(best, 3)
+        counts[label] = n
+    out["seq_incidents"] = counts["seq_default"]
+    out["seq_counts_match"] = counts["seq_default"] == counts["seq_shard_1h"]
+    out["seq_speedup_x"] = round(
+        out["seq_default_sec"] / out["seq_shard_1h_sec"], 1
+    )
+    if not out["seq_counts_match"]:
+        raise RuntimeError(f"skew andThen count mismatch: {counts}")
     return out
 
 
@@ -549,7 +576,11 @@ def main() -> None:
             f"{skew['accum_default_sec']:.3f}s vs "
             f"{skew['accum_shard_1h_sec']:.3f}s "
             f"({skew['accum_speedup_x']}x, "
-            f"counts_match={skew['accum_counts_match']})",
+            f"counts_match={skew['accum_counts_match']}); andThen "
+            f"{skew['seq_default_sec']:.3f}s vs "
+            f"{skew['seq_shard_1h_sec']:.3f}s "
+            f"({skew['seq_speedup_x']}x, "
+            f"counts_match={skew['seq_counts_match']})",
             file=sys.stderr,
         )
 

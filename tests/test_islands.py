@@ -388,13 +388,18 @@ def test_sharded_stateful_parity_accums_shapes(spark):
         RawPattern(4, "avg(x, 30 sec) > 4 for 2 min > 1 min"),
         RawPattern(5, "wait(30 sec, x < 2)"),
         RawPattern(6, "x > 4 until x < 2"),
+        # r10b: fused andThen through the sharded time-local adjacency
+        # join — simple, stateful-operand, and 3-element chain
+        RawPattern(7, "x > 4 andThen x < 2"),
+        RawPattern(8, "x > 4 for 20 sec andThen x < 2"),
+        RawPattern(9, "x > 4 andThen x < 2 andThen x = 9"),
     ]
     base = search_incidents(
         df, pats, ["unit"], "ts", fields_types=ft, session_gap_ms=0,
     ).collect()
     want = sorted(map(tuple, base), key=repr)
     # every pattern shape must actually fire, or the parity is vacuous
-    assert {r["pattern_id"] for r in base} == {1, 2, 3, 4, 5, 6}
+    assert {r["pattern_id"] for r in base} == {1, 2, 3, 4, 5, 6, 7, 8, 9}
     for shard_ms in (20_000, 300_000, 3_600_000, 10**12):
         got = sorted(
             map(tuple, search_incidents(
@@ -453,6 +458,12 @@ def test_sharded_stateful_parity_fuzz(spark):
         if _shardable_extents_ms(node, 60_000) is None:
             continue
         pid += 1
+        # half the corpus becomes a top-level fused andThen chain over
+        # shardable operands (r10b sharded adjacency join; every
+        # gen_pattern output is andThen-free and shardable, so the
+        # chain always routes through _shardable_andthen_chain)
+        if pid % 2 == 0:
+            src = f"({src}) andThen ({gen_pattern(1)})"
         pats.append(RawPattern(pid, src))
 
     rows = []

@@ -207,6 +207,7 @@ def _sharded_stateful_intervals(
     shard_ms: int,
     lookback_ms: int,
     lookahead_ms: int = 0,
+    keep: bool | None = True,
 ) -> DataFrame:
     """Evaluate a bounded-lookback stateful pattern with the row work
     sharded by (key, time-shard) — the r10 generalization of
@@ -255,7 +256,167 @@ def _sharded_stateful_intervals(
     )
     return islands_sharded(
         owned, keys, ts, F.col("__scond"), max_gap_ms,
-        keep=True, shard_ms=shard_ms, shard_col="__tshard",
+        keep=keep, shard_ms=shard_ms, shard_col="__tshard",
+    )
+
+
+def _shardable_andthen_chain(node, max_gap_ms: int) -> list | None:
+    """Operand list [A, B, …] of a LEFT-nested fused ``andThen`` chain
+    whose every operand is bounded-extent shardable, or None. Mirrors
+    compile_intervals' structure exactly: the left side recurses, the
+    right side islandizes directly — a right-nested AndThen goes
+    through a different compile branch, so chains with AndThen
+    anywhere inside an operand fall back to the ordered path."""
+    from tsp_spark.dsl import ast as A
+
+    def contains_andthen(n) -> bool:
+        import dataclasses
+
+        if isinstance(n, A.AndThen):
+            return True
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                for x in v if isinstance(v, tuple) else (v,):
+                    if isinstance(x, A.Node) and contains_andthen(x):
+                        return True
+        return False
+
+    if not isinstance(node, A.AndThen):
+        return None
+
+    def operand_ok(n) -> bool:
+        return not contains_andthen(n) and (
+            _shardable_extents_ms(n, max_gap_ms) is not None
+        )
+
+    if isinstance(node.left, A.AndThen):
+        left_ops = _shardable_andthen_chain(node.left, max_gap_ms)
+        if left_ops is None:
+            return None
+    else:
+        if not operand_ok(node.left):
+            return None
+        left_ops = [node.left]
+    if not operand_ok(node.right):
+        return None
+    return left_ops + [node.right]
+
+
+def _sharded_operand_with_succ(
+    raw_src: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    fields_types: dict[str, str],
+    node,
+    max_gap_ms: int,
+    shard_ms: int,
+    compiler: PatternCompiler,
+) -> DataFrame:
+    """One ``andThen`` operand as a sharded interval table carrying the
+    time-local adjacency fields: (keys…, from_ts, to_ts, end_row_ts,
+    succ_ts). ``succ_ts`` is the SAME-SERIES raw successor of the
+    run's last row — with keep=None the stitched islands TILE every
+    raw row, so the successor is simply the next island's from_ts when
+    the inter-island gap obeys the gap rule (one lead() over the tiny
+    RLE island table, the stitch's own cost profile — never a row-level
+    window)."""
+    from pyspark.sql import Window
+
+    from tsp_spark.ops.islands import islands_sharded
+
+    if is_row_local(node):
+        c = compiler.compile_bool(raw_src, node)
+        if c.present is not None:
+            raise AssertionError("row-local operand produced a present mask")
+        allruns = islands_sharded(
+            c.df, keys, ts, c.col, max_gap_ms, keep=None, shard_ms=shard_ms
+        )
+    else:
+        ext = _shardable_extents_ms(node, max_gap_ms)
+        assert ext is not None  # _shardable_andthen_chain pre-checked
+        allruns = _sharded_stateful_intervals(
+            raw_src, keys, ts, fields_types, node,
+            max_gap_ms, shard_ms, ext[0], ext[1], keep=None,
+        )
+    w = Window.partitionBy(*keys).orderBy("from_ts")
+    nxt = F.lead("from_ts").over(w)
+    succ = F.when(
+        F.unix_millis(nxt) - F.unix_millis(F.col("to_ts"))
+        <= F.lit(max_gap_ms),
+        nxt,
+    )
+    return (
+        allruns.withColumn("succ_ts", succ)
+        .where(F.col("cond_value").eqNullSafe(F.lit(True)))
+        .select(
+            *keys, "from_ts", "to_ts",
+            F.col("to_ts").alias("end_row_ts"), "succ_ts",
+        )
+    )
+
+
+def _sharded_andthen_join(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], max_gap_ms: int
+) -> DataFrame:
+    """Time-local reformulation of ops.sequence.and_then_intervals'
+    idx-adjacency join (AndThenPattern.scala:69-88 match rule): with
+    unique (keys, ts), idx order IS ts order, so
+
+    * ``b_si <= a_ei + 1``  ⟺  ``b.from <= a.end_row OR
+      b.from == succ(a.end_row)`` (succ is the same-series raw
+      successor; a B starting at the cross-series successor must NOT
+      match, and succ=NULL encodes that);
+    * ``b_ei >= a_si``      ⟺  ``b.end_row >= a.from``;
+    * same-series confinement is IMPLIED: overlapping runs share a
+      break-free time range (each island never crosses a break, and
+      overlap puts both inside the union of two break-free spans),
+      and the disjoint case only matches through the gap-gated succ.
+
+    Pairing (earliest B per A, then earliest A per B) partitions by
+    the interval's from_ts — bijective with start_idx per key. The
+    chained result carries end_row_ts = the later operand end and that
+    operand's succ, exactly ``end_idx = greatest(a_ei, b_ei)``."""
+    from pyspark.sql import Window
+
+    aa = a.select(
+        *keys,
+        F.col("from_ts").alias("__a_from"),
+        F.col("to_ts").alias("__a_to"),
+        F.col("end_row_ts").alias("__a_end"),
+        F.col("succ_ts").alias("__a_succ"),
+    )
+    bb = b.select(
+        *keys,
+        F.col("from_ts").alias("__b_from"),
+        F.col("to_ts").alias("__b_to"),
+        F.col("end_row_ts").alias("__b_end"),
+        F.col("succ_ts").alias("__b_succ"),
+    )
+    joined = aa.join(bb, on=[*keys], how="inner").where(
+        (F.col("__b_end") >= F.col("__a_from"))
+        & (
+            (F.col("__b_from") <= F.col("__a_end"))
+            | (F.col("__b_from") == F.col("__a_succ"))
+        )
+    )
+    w_a = Window.partitionBy(*keys, "__a_from").orderBy("__b_from")
+    w_b = Window.partitionBy(*keys, "__b_from").orderBy("__a_from")
+    paired = (
+        joined.withColumn("__rb", F.row_number().over(w_a))
+        .where(F.col("__rb") == 1)
+        .withColumn("__ra", F.row_number().over(w_b))
+        .where(F.col("__ra") == 1)
+    )
+    b_later = F.col("__b_end") >= F.col("__a_end")
+    return paired.select(
+        *keys,
+        F.col("__a_from").alias("from_ts"),
+        F.col("__b_to").alias("to_ts"),
+        F.greatest("__a_end", "__b_end").alias("end_row_ts"),
+        F.when(b_later, F.col("__b_succ"))
+        .otherwise(F.col("__a_succ"))
+        .alias("succ_ts"),
     )
 
 
@@ -370,6 +531,29 @@ def search_incidents(
                 c.df, keys, ts, c.col, node.window_ms, max_gap_ms,
                 keep=True, shard_ms=shard_ms,
             )
+        elif (
+            shard_ms is not None
+            and max_gap_ms is not None
+            and andthen_mode == "fused"
+            and (chain := _shardable_andthen_chain(node, max_gap_ms))
+            is not None
+        ):
+            # fused andThen over shardable operands: each operand
+            # islandizes sharded with a same-series successor column,
+            # and the idx-adjacency join reformulates time-locally
+            # (see _sharded_andthen_join) — no global row numbers, so
+            # no per-key serialization anywhere; the exact two-queue
+            # mode keeps the ordered path
+            op_ivs = [
+                _sharded_operand_with_succ(
+                    raw_src, keys, ts, fields_types, op,
+                    max_gap_ms, shard_ms, compiler,
+                )
+                for op in chain
+            ]
+            iv = op_ivs[0]
+            for right in op_ivs[1:]:
+                iv = _sharded_andthen_join(iv, right, keys, max_gap_ms)
         elif (
             shard_ms is not None
             and max_gap_ms is not None
