@@ -421,7 +421,9 @@ def sf1_oracle_gate(spark):
     from tools.gen_sf import ensure
     from tsp_spark.queries import ORACLES, QUERIES
 
-    budget = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", "240"))
+    # 240 -> 340 (r10): the plan grew text_profile; at 240 the last
+    # entry was budget-skipped whenever the sf1 entries ran slow
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_BUDGET", "340"))
     t_start = time.perf_counter()
     base = Path(__file__).resolve().parent / ".localdata"
     d01 = ensure(0.1, str(base / "sf0.1"))
@@ -435,6 +437,15 @@ def sf1_oracle_gate(spark):
         ("cep_incidents_multi", d1, "sf1"),
         ("dedup_jaccard", d01, "sf0.1-gen"),
         ("dedup_clusters", d01, "sf0.1-gen"),
+        # r10: the profile's new signal families (Gopher battery over
+        # the injected projection, C4 over the structured one, enc over
+        # the damaged one) value-checked on the generated corpus shape
+        # at sf0.1 — the sf1 run measured 137 s of map-only per-doc CPU
+        # (verified MATCH once by hand), which would starve the rest of
+        # the cohort's budget; the signals are per-document, so corpus
+        # SIZE adds no new code paths. Early slot: last place was
+        # budget-skipped when the sf1 entries ran slow
+        ("text_profile", d01, "sf0.1-gen"),
         ("dedup_minhash_lsh", d1, "sf1"),
         # ann at sf0.1-gen: the brute-force DuckDB oracle costs ~106 s
         # at sf1 vs ~16 s at sf0.1 (pure oracle scan cost) — the sf1
@@ -453,14 +464,6 @@ def sf1_oracle_gate(spark):
         # trimmer rebuild hash, bigram-LM fold, tfidf ranking)
         ("text_fingerprint", d1, "sf1"),
         ("text_top_tokens", d1, "sf1"),
-        # r10: the profile's new signal families (Gopher battery over
-        # the injected projection, C4 over the structured one, enc over
-        # the damaged one) value-checked on the generated corpus shape
-        # at sf0.1 — the sf1 run measured 137 s of map-only per-doc CPU
-        # (verified MATCH once by hand), which would starve the rest of
-        # the cohort's budget; the signals are per-document, so corpus
-        # SIZE adds no new code paths
-        ("text_profile", d01, "sf0.1-gen"),
     ]
     cons = {}
     out = {}
