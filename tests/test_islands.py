@@ -465,6 +465,9 @@ def test_sharded_stateful_parity_fuzz(spark):
         if pid % 2 == 0:
             src = f"({src}) andThen ({gen_pattern(1)})"
         pats.append(RawPattern(pid, src))
+    # a mixed job: lag is NOT shardable and must silently take the
+    # ordered path next to the sharded patterns without disturbing them
+    pats.append(RawPattern(99, "lag(x) > 4"))
 
     rows = []
     for key, n in (("hot", 700), ("k1", 90)):
@@ -490,7 +493,7 @@ def test_sharded_stateful_parity_fuzz(spark):
         key=repr,
     )
     assert want, "fuzz series produced no incidents at all"
-    for shard_ms in (30_000, 3_600_000):
+    for shard_ms in (7_000, 30_000, 3_600_000):
         got = sorted(
             map(tuple, search_incidents(
                 df, pats, ["unit"], "ts", fields_types=ft,
