@@ -254,6 +254,33 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     )
     if not out["seq_counts_match"]:
         raise RuntimeError(f"skew andThen count mismatch: {counts}")
+    # lag leg (r10c): present-masked patterns through the global-series
+    # sharded islandization
+    pats_l = [
+        RawPattern(4, "lag(hi4) < 0.5"),
+        RawPattern(6, "lag(hi6) < 0.5"),
+    ]
+    for label, kw in (
+        ("lag_default", {}),
+        ("lag_shard_1h", {"shard_ms": 3_600_000}),
+    ):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = search_incidents(
+                ev, pats_l, ["user_id"], "ts", fields_types=ft,
+                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_sec"] = round(best, 3)
+        counts[label] = n
+    out["lag_incidents"] = counts["lag_default"]
+    out["lag_counts_match"] = counts["lag_default"] == counts["lag_shard_1h"]
+    out["lag_speedup_x"] = round(
+        out["lag_default_sec"] / out["lag_shard_1h_sec"], 1
+    )
+    if not out["lag_counts_match"]:
+        raise RuntimeError(f"skew lag count mismatch: {counts}")
     return out
 
 
@@ -583,7 +610,11 @@ def main() -> None:
             f"{skew['seq_default_sec']:.3f}s vs "
             f"{skew['seq_shard_1h_sec']:.3f}s "
             f"({skew['seq_speedup_x']}x, "
-            f"counts_match={skew['seq_counts_match']})",
+            f"counts_match={skew['seq_counts_match']}); lag "
+            f"{skew['lag_default_sec']:.3f}s vs "
+            f"{skew['lag_shard_1h_sec']:.3f}s "
+            f"({skew['lag_speedup_x']}x, "
+            f"counts_match={skew['lag_counts_match']})",
             file=sys.stderr,
         )
 

@@ -347,12 +347,13 @@ def test_sharded_stateful_parity_accums_shapes(spark):
         "avg(x, 30 sec) > 4",
         "wait(30 sec, x > 4)",
         "x > 4 until x < 0",
+        "lag(x) > 4",                 # r10c: present-masked shapes shard
+        "lag(x, 10 sec) > 4",
     ):
         assert _shardable_extents_ms(parse_pattern(p, ft, 0.0), g), p
     for p in (
-        "lag(x) > 4",
-        "lag(x, 10 sec) > 4",
         "x > 4 andThen x < 0",
+        "lag(avg(x, 10 sec)) > 4",    # lag over a windowed inner: ordered
     ):
         assert _shardable_extents_ms(parse_pattern(p, ft, 0.0), g) is None, p
     # extents compose additively per direction: a timer over a wait
@@ -393,13 +394,19 @@ def test_sharded_stateful_parity_accums_shapes(spark):
         RawPattern(7, "x > 4 andThen x < 2"),
         RawPattern(8, "x > 4 for 20 sec andThen x < 2"),
         RawPattern(9, "x > 4 andThen x < 2 andThen x = 9"),
+        # r10c: present-masked lag shapes through the global-series
+        # sharded islandization
+        RawPattern(10, "lag(x) > 4"),
+        RawPattern(11, "lag(x, 20 sec) > 4"),
+        RawPattern(12, "avg(lag(x), 30 sec) > 4"),
+        RawPattern(13, "lag(x) > 4 for 20 sec"),
     ]
     base = search_incidents(
         df, pats, ["unit"], "ts", fields_types=ft, session_gap_ms=0,
     ).collect()
     want = sorted(map(tuple, base), key=repr)
     # every pattern shape must actually fire, or the parity is vacuous
-    assert {r["pattern_id"] for r in base} == {1, 2, 3, 4, 5, 6, 7, 8, 9}
+    assert {r["pattern_id"] for r in base} == set(range(1, 14))
     for shard_ms in (20_000, 300_000, 3_600_000, 10**12):
         got = sorted(
             map(tuple, search_incidents(
@@ -430,7 +437,12 @@ def test_sharded_stateful_parity_fuzz(spark):
     rng = random.Random(0x5AAD)
 
     def gen_pattern(depth: int) -> str:
-        atoms = ["x > 4", "x < 2", "x = 9", "x + 1 > 5", "x >= 1"]
+        atoms = [
+            "x > 4", "x < 2", "x = 9", "x + 1 > 5", "x >= 1",
+            # r10c: present-masked atoms exercise the global-series
+            # sharded islandization path
+            "lag(x) > 4", "lag(x, 15 sec) > 4",
+        ]
         if depth <= 0:
             return rng.choice(atoms)
         kind = rng.randrange(6)
@@ -450,11 +462,18 @@ def test_sharded_stateful_parity_fuzz(spark):
             return f"({a}) for {w} sec > {w // 3} sec"
         return f"wait({rng.choice([20, 45])} sec, {a})"
 
+    from tsp_spark.dsl.parser import ParseError
+
     ft = {"x": "float64"}
     pats, pid = [], 0
     while len(pats) < 8:
         src = gen_pattern(rng.choice([1, 2, 2]))
-        node = parse_pattern(src, ft, 0.0)
+        try:
+            node = parse_pattern(src, ft, 0.0)
+        except ParseError:
+            # the random composer can hit real grammar restrictions
+            # (e.g. wait is not a valid until right-hand side) — skip
+            continue
         if _shardable_extents_ms(node, 60_000) is None:
             continue
         pid += 1
@@ -465,9 +484,9 @@ def test_sharded_stateful_parity_fuzz(spark):
         if pid % 2 == 0:
             src = f"({src}) andThen ({gen_pattern(1)})"
         pats.append(RawPattern(pid, src))
-    # a mixed job: lag is NOT shardable and must silently take the
-    # ordered path next to the sharded patterns without disturbing them
-    pats.append(RawPattern(99, "lag(x) > 4"))
+    # a mixed job: lag over a WINDOWED inner is not shardable and must
+    # silently take the ordered path next to the sharded patterns
+    pats.append(RawPattern(99, "lag(avg(x, 10 sec)) > 4"))
 
     rows = []
     for key, n in (("hot", 700), ("k1", 90)):
@@ -502,3 +521,51 @@ def test_sharded_stateful_parity_fuzz(spark):
             key=repr,
         )
         assert got == want, (shard_ms, [p.source_code for p in pats])
+
+
+def test_with_series_sharded_matches_global(spark):
+    """with_series_sharded == the compiler's per-key ordered
+    with_series on a hostile randomized series (hot key, gaps exactly
+    at/above the rule, empty shards between bursts), across shard
+    sizes from 1 s to one-shard-total."""
+    import datetime
+    import random
+
+    from tsp_spark.compile.compiler import PatternCompiler
+    from tsp_spark.ops.islands import with_series_sharded
+
+    rng = random.Random(0x5E41E5)
+    rows = []
+    for key, n in (("hot", 600), ("k1", 80), ("k2", 1)):
+        t = 0
+        for _ in range(n):
+            t += rng.choice([1, 5, 59, 60, 61, 200, 4000])
+            rows.append((key, t, float(rng.randint(0, 9))))
+    df = spark.createDataFrame(
+        [
+            (k, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=t), v)
+            for k, t, v in rows
+        ],
+        "unit string, ts timestamp, x double",
+    )
+    comp = PatternCompiler(["unit"], "ts", {"x": "float64"}, 60_000)
+    want = {
+        (r["unit"], r["ts"]): r[comp.SERIES_COL]
+        for r in comp.with_series(df).collect()
+    }
+    for shard_ms in (1_000, 47_000, 3_600_000, 10**12):
+        got = {
+            (r["unit"], r["ts"]): r["__gseries"]
+            for r in with_series_sharded(
+                df, ["unit"], "ts", 60_000, shard_ms=shard_ms
+            ).collect()
+        }
+        assert got == want, shard_ms
+    # max_gap None -> single series
+    assert {
+        r["__gseries"]
+        for r in with_series_sharded(
+            df, ["unit"], "ts", None, shard_ms=1000
+        ).collect()
+    } == {0}

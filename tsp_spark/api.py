@@ -143,15 +143,28 @@ def _shardable_extents_ms(
     value needs fwd(T_wait) future), so extents sum down paths and max
     across siblings.
 
+    * lag of either form (r10c) — over a ROW-LOCAL inner only. The
+      value at a row is the newest enqueued value that became due
+      (consume-once, PreviousValue.scala): with a row-local inner a
+      value exists at every raw row, so the due value lies within
+      (ts−T−max_gap, ts−T] (density), an absent run is bounded by
+      max(T, max_gap)+max_gap (no emission at k consecutive rows means
+      a raw-row-free back-window of the same width — impossible beyond
+      that bound mid-series, and warmup is bounded by T), and the
+      Segmentizer bridge reads the nearest emission on each side —
+      all bounded, so back ≈ 2T and fwd ≈ T with several extra gap
+      margins bought via the level counter. The PRESENT mask it emits
+      is handled by the caller (absent rows drop before islandization,
+      stitch keyed by the global series id — with_series_sharded).
+
     NOT shardable (returns None): AndThen (interval semantics, not a
-    row boolean) and lag of either form (emits a present mask — absent
-    rows change islandization in ways the sharded stitch does not
-    model)."""
+    row boolean) and lag over a non-row-local inner (emission-gap
+    bounds would compound in ways this analysis does not cover)."""
     from tsp_spark.dsl import ast as A
 
-    def walk(n) -> tuple[int, int, int] | None:
+    def walk(n) -> tuple[int, int, int, bool] | None:
         if isinstance(n, (A.Constant, A.Identifier, A.TimeLiteral)):
-            return (0, 0, 0)
+            return (0, 0, 0, False)
         if isinstance(n, (A.Cast, A.Assert)):
             return walk(n.inner)
         if isinstance(n, (A.FunctionCall, A.ReducerCall, A.Until)):
@@ -162,6 +175,7 @@ def _shardable_extents_ms(
                 if isinstance(n, A.ReducerCall) and n.cond is not None:
                     children.append(n.cond)
             back = fwd = lev = 0
+            present = False
             for ch in children:
                 r = walk(ch)
                 if r is None:
@@ -169,30 +183,38 @@ def _shardable_extents_ms(
                 back, fwd, lev = (
                     max(back, r[0]), max(fwd, r[1]), max(lev, r[2])
                 )
-            return (back, fwd, lev)
+                present = present or r[3]
+            return (back, fwd, lev, present)
         if isinstance(n, A.AggregateCall):
             if n.kind == "lag":
-                return None
+                if not is_row_local(n.inner):
+                    return None
+                t = n.window_ms
+                # +4 levels buys extra gap margins on both sides for
+                # the emission-gap and bridge bounds; fwd >= 1 forces
+                # the forward margin even for lag1 (its bridge still
+                # reads the next emission)
+                return (2 * t, max(t, 1), 4, True)
             r = walk(n.inner)
             return None if r is None else (
-                n.window_ms + r[0], r[1], r[2] + 1
+                n.window_ms + r[0], r[1], r[2] + 1, r[3]
             )
         if isinstance(n, (A.Timer, A.ForWithInterval)):
             r = walk(n.inner)
             return None if r is None else (
-                n.window_ms + r[0], r[1], r[2] + 1
+                n.window_ms + r[0], r[1], r[2] + 1, r[3]
             )
         if isinstance(n, A.Wait):
             r = walk(n.inner)
             return None if r is None else (
-                r[0], n.window_ms + r[1], r[2] + 1
+                r[0], n.window_ms + r[1], r[2] + 1, r[3]
             )
         return None  # AndThen, unknown nodes
 
     r = walk(node)
     if r is None:
         return None
-    back, fwd, levels = r
+    back, fwd, levels, _present = r
     margin = max_gap_ms * (levels + 1)
     return (back + margin, fwd + (margin if fwd else 0))
 
@@ -225,7 +247,7 @@ def _sharded_stateful_intervals(
     the shard column (no second row shuffle). Property-tested
     byte-identical to the ordered path across shard sizes
     (tests/test_islands.py)."""
-    from tsp_spark.ops.islands import islands_sharded
+    from tsp_spark.ops.islands import islands_sharded, with_series_sharded
 
     ms = F.unix_millis(F.col(ts))
     # a row at ts is needed by every shard whose owned rows' dependency
@@ -245,19 +267,40 @@ def _sharded_stateful_intervals(
     )
     src = comp.with_series(expanded)
     c = comp.compile_bool(src, node)
-    if c.present is not None:
-        raise AssertionError(
-            "sharded stateful path requires a present-free compile; "
-            f"node {type(node).__name__} produced a present mask "
-            "(_shardable_lookback_ms should have rejected it)"
+    own_filter = F.col("__tshard") == F.floor(
+        F.unix_millis(F.col(ts)) / F.lit(shard_ms)
+    )
+    if c.present is None:
+        owned = c.df.withColumn("__scond", c.col).where(own_filter)
+        return islands_sharded(
+            owned, keys, ts, F.col("__scond"), max_gap_ms,
+            keep=keep, shard_ms=shard_ms, shard_col="__tshard",
         )
-    owned = c.df.withColumn("__scond", c.col).where(
-        F.col("__tshard") == F.floor(F.unix_millis(F.col(ts)) / F.lit(shard_ms))
+    # present-producing patterns (lag forms, r10c): absent rows are
+    # INVISIBLE to islandization — equal-valued runs merge across them
+    # (SegmentizerPattern) — so they drop before islandizing, and the
+    # gap rule must NOT re-split (absence can stretch two present rows
+    # past max_gap within one series). The ordered path partitions by
+    # the series id; here the stitch is keyed by the GLOBAL series id,
+    # computed scalably on the raw frame (with_series_sharded — local
+    # break cumsum per shard + a tiny per-shard prefix table) and
+    # joined back to the owned present rows.
+    gseries = with_series_sharded(
+        raw_src.select(*keys, ts), keys, ts, max_gap_ms, shard_ms=shard_ms
+    )
+    # materialize cond+present first: both are window expressions and
+    # a window function cannot appear inside WHERE (the _islandize
+    # _maybe_materialize rule)
+    owned = (
+        c.df.withColumn("__scond", c.col)
+        .withColumn("__spres", c.present)
+        .where(own_filter & F.coalesce(F.col("__spres"), F.lit(False)))
+        .join(gseries, [*keys, ts])
     )
     return islands_sharded(
-        owned, keys, ts, F.col("__scond"), max_gap_ms,
+        owned, list(keys) + ["__gseries"], ts, F.col("__scond"), None,
         keep=keep, shard_ms=shard_ms, shard_col="__tshard",
-    )
+    ).drop("__gseries")
 
 
 def _shardable_andthen_chain(node, max_gap_ms: int) -> list | None:
@@ -285,9 +328,29 @@ def _shardable_andthen_chain(node, max_gap_ms: int) -> list | None:
     if not isinstance(node, A.AndThen):
         return None
 
+    def contains_lag(n) -> bool:
+        import dataclasses
+
+        if isinstance(n, A.AggregateCall) and n.kind == "lag":
+            return True
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                for x in v if isinstance(v, tuple) else (v,):
+                    if isinstance(x, A.Node) and contains_lag(x):
+                        return True
+        return False
+
     def operand_ok(n) -> bool:
-        return not contains_andthen(n) and (
-            _shardable_extents_ms(n, max_gap_ms) is not None
+        # lag operands are excluded even though they shard standalone:
+        # the adjacency join's successor trick needs keep=None islands
+        # that TILE the raw rows, and present-masked islandization
+        # drops absent rows — idx adjacency there counts raw rows the
+        # islands no longer see
+        return (
+            not contains_andthen(n)
+            and not contains_lag(n)
+            and _shardable_extents_ms(n, max_gap_ms) is not None
         )
 
     if isinstance(node.left, A.AndThen):

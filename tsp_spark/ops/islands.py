@@ -187,6 +187,72 @@ def islands_sharded(
     return grouped.drop("__mid")
 
 
+def with_series_sharded(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    max_gap_ms: int,
+    shard_ms: int = 3_600_000,
+    series_col: str = "__gseries",
+) -> DataFrame:
+    """GLOBAL gap-delimited series ids without a per-key ordered scan —
+    the sharded equivalent of the compiler's ``with_series`` (r10).
+
+    Two-level decomposition: break flags and their cumulative count are
+    per (key, time-shard) windows (a shard's first row can't see its
+    raw predecessor, so its break flag is deferred); then ONE tiny
+    per-(key, shard) table — break totals plus first/last row ts —
+    resolves the cross-shard boundary breaks and the per-shard prefix
+    with a window over SHARDS (rows = occupied shards per key, not
+    events), broadcast back by joining on the (key, shard) partitioning
+    the rows already have. A key with a billion rows contributes
+    hours-count rows to the serial step instead of a billion.
+
+    Equal to ``PatternCompiler.with_series`` at any shard size
+    (property-tested)."""
+    if not isinstance(shard_ms, int) or shard_ms < 1:
+        raise ValueError(f"shard_ms must be a positive int, got {shard_ms!r}")
+    if max_gap_ms is None:
+        return df.withColumn(series_col, F.lit(0).cast("long"))
+    ms = F.unix_millis(F.col(ts))
+    base = df.withColumn("__wsh", F.floor(ms / F.lit(shard_ms)))
+    w = Window.partitionBy(*keys, "__wsh").orderBy(ts)
+    brk = (ms - F.lag(ms).over(w) > F.lit(max_gap_ms)).cast("long")
+    base = base.withColumn(
+        "__brk_cum",
+        F.sum(F.coalesce(brk, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_shard = base.groupBy(*keys, "__wsh").agg(
+        F.max("__brk_cum").alias("__breaks"),
+        F.min(ms).alias("__first_ms"),
+        F.max(ms).alias("__last_ms"),
+    )
+    wsh = Window.partitionBy(*keys).orderBy("__wsh")
+    boundary = (
+        F.col("__first_ms") - F.lag("__last_ms").over(wsh)
+        > F.lit(max_gap_ms)
+    ).cast("long")
+    prefix = per_shard.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum(F.coalesce(boundary, F.lit(0)) + F.col("__breaks")).over(
+                wsh.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        + F.coalesce(boundary, F.lit(0)),
+    ).select(*keys, "__wsh", "__prefix")
+    return (
+        base.join(prefix, [*keys, "__wsh"])
+        .withColumn(
+            series_col, (F.col("__prefix") + F.col("__brk_cum")).cast("long")
+        )
+        .drop("__wsh", "__brk_cum", "__prefix")
+    )
+
+
 def timer_islands_sharded(
     df: DataFrame,
     keys: Sequence[str],
