@@ -357,7 +357,7 @@ def test_sharded_stateful_parity_accums_shapes(spark):
     ):
         assert _shardable_extents_ms(parse_pattern(p, ft, 0.0), g) is None, p
     # extents compose additively per direction: a timer over a wait
-    back, fwd = _shardable_extents_ms(
+    back, fwd, _pres = _shardable_extents_ms(
         parse_pattern("wait(30 sec, x > 4) for 2 min", ft, 0.0), g
     )
     assert back >= 120_000 and fwd >= 30_000, (back, fwd)

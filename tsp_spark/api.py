@@ -111,11 +111,16 @@ def _is_shardable_timer(node) -> bool:
 
 def _shardable_extents_ms(
     node, max_gap_ms: int
-) -> tuple[int, int] | None:
-    """(lookback_ms, lookahead_ms) row-history bounds for the sharded
-    stateful kernel — the trailing and leading time windows a row's
-    compiled value can depend on, each padded with a max_gap margin per
-    window level — or None when the pattern is not shardable.
+) -> tuple[int, int, bool] | None:
+    """(lookback_ms, lookahead_ms, emits_present) row-history bounds
+    for the sharded stateful kernel — the trailing and leading time
+    windows a row's compiled value can depend on, each padded with a
+    max_gap margin per window level, plus whether the TOP-LEVEL compile
+    will carry a present mask (lag not swallowed by a Timer/Wait, which
+    drop it) — or None when the pattern is not shardable. The present
+    flag is conservative (true whenever a lag exists anywhere): the
+    runtime branches on the COMPILED present anyway; the flag only
+    decides whether the global series ids are precomputed.
 
     Shardable constructs and why the bound is EXACT (not just safe):
 
@@ -214,9 +219,9 @@ def _shardable_extents_ms(
     r = walk(node)
     if r is None:
         return None
-    back, fwd, levels, _present = r
+    back, fwd, levels, present = r
     margin = max_gap_ms * (levels + 1)
-    return (back + margin, fwd + (margin if fwd else 0))
+    return (back + margin, fwd + (margin if fwd else 0), present)
 
 
 def _sharded_stateful_intervals(
@@ -230,6 +235,7 @@ def _sharded_stateful_intervals(
     lookback_ms: int,
     lookahead_ms: int = 0,
     keep: bool | None = True,
+    may_emit_present: bool = False,
 ) -> DataFrame:
     """Evaluate a bounded-lookback stateful pattern with the row work
     sharded by (key, time-shard) — the r10 generalization of
@@ -249,6 +255,15 @@ def _sharded_stateful_intervals(
     (tests/test_islands.py)."""
     from tsp_spark.ops.islands import islands_sharded, with_series_sharded
 
+    # present-producing patterns need GLOBAL series ids for the stitch;
+    # attach them BEFORE the overlap explode so the expanded frame just
+    # carries the column — re-deriving them afterwards costs a fat
+    # (keys, ts) join back onto every owned row (measured on the skew
+    # leg: most of the sharded path's constant)
+    if may_emit_present:
+        raw_src = with_series_sharded(
+            raw_src, keys, ts, max_gap_ms, shard_ms=shard_ms
+        )
     ms = F.unix_millis(F.col(ts))
     # a row at ts is needed by every shard whose owned rows' dependency
     # interval [r - lookback, r + lookahead] contains it: shards from
@@ -281,21 +296,19 @@ def _sharded_stateful_intervals(
     # (SegmentizerPattern) — so they drop before islandizing, and the
     # gap rule must NOT re-split (absence can stretch two present rows
     # past max_gap within one series). The ordered path partitions by
-    # the series id; here the stitch is keyed by the GLOBAL series id,
-    # computed scalably on the raw frame (with_series_sharded — local
-    # break cumsum per shard + a tiny per-shard prefix table) and
-    # joined back to the owned present rows.
-    gseries = with_series_sharded(
-        raw_src.select(*keys, ts), keys, ts, max_gap_ms, shard_ms=shard_ms
+    # the series id; here the stitch is keyed by the GLOBAL series id
+    # precomputed above and carried through the explode. Materialize
+    # cond+present first: both are window expressions and a window
+    # function cannot appear inside WHERE (the _islandize
+    # _maybe_materialize rule).
+    assert "__gseries" in c.df.columns, (
+        "present-producing compile without precomputed series ids — "
+        "_shardable_extents_ms must flag every lag-carrying pattern"
     )
-    # materialize cond+present first: both are window expressions and
-    # a window function cannot appear inside WHERE (the _islandize
-    # _maybe_materialize rule)
     owned = (
         c.df.withColumn("__scond", c.col)
         .withColumn("__spres", c.present)
         .where(own_filter & F.coalesce(F.col("__spres"), F.lit(False)))
-        .join(gseries, [*keys, ts])
     )
     return islands_sharded(
         owned, list(keys) + ["__gseries"], ts, F.col("__scond"), None,
@@ -401,6 +414,7 @@ def _sharded_operand_with_succ(
         allruns = _sharded_stateful_intervals(
             raw_src, keys, ts, fields_types, node,
             max_gap_ms, shard_ms, ext[0], ext[1], keep=None,
+            may_emit_present=ext[2],
         )
     w = Window.partitionBy(*keys).orderBy("from_ts")
     nxt = F.lead("from_ts").over(w)
@@ -634,6 +648,7 @@ def search_incidents(
             iv = _sharded_stateful_intervals(
                 raw_src, keys, ts, fields_types, node,
                 max_gap_ms, shard_ms, ext[0], ext[1],
+                may_emit_present=ext[2],
             )
         else:
             iv = compiler.compile_intervals(src, node)
