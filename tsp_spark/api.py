@@ -103,7 +103,7 @@ def _is_shardable_timer(node) -> bool:
     stateful shape whose lookback is provably bounded (window+max_gap);
     eligible for ops.islands.timer_islands_sharded. Kept for direct
     callers — search_incidents routes through the more general
-    _shardable_lookback_ms."""
+    _shardable_extents_ms."""
     from tsp_spark.dsl import ast as A
 
     return isinstance(node, A.Timer) and is_row_local(node.inner)
@@ -248,7 +248,7 @@ def _sharded_stateful_intervals(
     ``__tshard`` as an extra partition key — every window/lag/series
     split it builds is confined to (key, shard) and sees exactly the
     history the lookback guarantees sufficient (see
-    _shardable_lookback_ms for the per-construct exactness arguments).
+    _shardable_extents_ms for the per-construct exactness arguments).
     Overlap copies drop after their lookback job; the stitch reuses
     the shard column (no second row shuffle). Property-tested
     byte-identical to the ordered path across shard sizes
