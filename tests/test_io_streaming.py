@@ -1918,3 +1918,64 @@ def test_streaming_lm_scoring_against_batch_model(spark):
         import shutil
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def test_streaming_carry_shard_ms_matches_batch(spark, events_small):
+    """StreamingPatternJob(shard_ms=...) (r10): the carry-mode
+    micro-batch evaluation routes through the sharded kernels and must
+    still produce every batch incident — a timer pattern (the sharded
+    timer path) over two chronological micro-batches."""
+    patterns = [RawPattern(1, "value > 150 for 10 sec")]
+    keys, ts = ["user_id"], "ts"
+    fields = {"user_id": "int64", "value": "float64", "event_type": "string"}
+
+    batch = {
+        (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(
+            events_small, patterns, keys, ts, fields_types=fields
+        ).collect()
+    }
+
+    src_dir = tempfile.mkdtemp(prefix="tsp_stream_src")
+    chk_dir = tempfile.mkdtemp(prefix="tsp_stream_chk")
+    try:
+        cutoff = events_small.selectExpr(
+            "percentile_approx(ts, 0.5) AS m"
+        ).collect()[0]["m"]
+        events_small.where(F.col(ts) <= F.lit(cutoff)).coalesce(
+            1
+        ).write.parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema(events_small.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        got: set = set()
+        job = StreamingPatternJob(
+            patterns, keys, ts, fields_types=fields, shard_ms=30_000
+        )
+        q = incidents_stream(
+            stream,
+            job,
+            sink=lambda df, _bid: got.update(
+                (r["pattern_id"], r["user_id"], r["from_ts"], r["to_ts"])
+                for r in df.collect()
+            ),
+            checkpoint_dir=chk_dir,
+            trigger_seconds=0.5,
+        )
+        events_small.where(F.col(ts) > F.lit(cutoff)).coalesce(
+            1
+        ).write.mode("append").parquet(f"{src_dir}/b1")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if batch <= got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        missing = batch - got
+        assert not missing, f"sharded streaming missed: {sorted(missing)[:5]}"
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(chk_dir, ignore_errors=True)

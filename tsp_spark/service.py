@@ -352,9 +352,10 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             # or "exact" (the reference's two-queue andThen
             # consumption — docs/SEMANTICS.md §17)
             andthen_mode=request.get("andThenMode", "fused"),
-            # engine extension (r9): hot-key mitigation — row-local
-            # patterns islandize sharded by (key, time-shard), exact
-            # at any value; stateful patterns ignore it (api.py)
+            # engine extension (r9, grammar-total since r10): hot-key
+            # mitigation — patterns evaluate sharded by (key,
+            # time-shard), exact at any value (api.py; only exact-mode
+            # andThen keeps the ordered path)
             shard_ms=request.get("shardMs"),
         )
         if sink is not None:

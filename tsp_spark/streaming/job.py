@@ -83,6 +83,11 @@ class StreamingPatternJob:
     # it when key cardinality is unbounded (e.g. session ids) so carry
     # size is bounded by the active-key set instead of lifetime keys.
     idle_timeout_ms: int | None = None
+    # hot-key mitigation for the per-batch evaluation (r10): passed
+    # straight to search_incidents — the carry-mode micro-batch IS a
+    # batch evaluation, so a 50%-hot key serializes it exactly like a
+    # batch job; same opt-in, same exactness guarantees
+    shard_ms: int | None = None
 
 
 def _carry_depth_ms(job: StreamingPatternJob) -> int:
@@ -192,6 +197,7 @@ def incidents_stream(
             fields_types=job.fields_types,
             max_gap_ms=job.events_max_gap_ms,
             session_gap_ms=job.session_gap_ms,
+            shard_ms=job.shard_ms,
         )
         sink(incidents, batch_id)
         # retain the event-time tail as the next batch's prefix —
