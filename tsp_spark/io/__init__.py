@@ -17,6 +17,7 @@ from tsp_spark.io.conf import (
 from tsp_spark.io.jdbc import infer_fields_types, jdbc_sink, jdbc_source
 from tsp_spark.io.kafka import kafka_sink, kafka_source, kafka_value_schema
 from tsp_spark.io.shards import (
+    compact_training_generations,
     read_training_generations,
     read_training_shards,
     stream_training_shards,
@@ -34,6 +35,7 @@ __all__ = [
     "NewRowSchema",
     "compile_sink_row",
     "infer_fields_types",
+    "compact_training_generations",
     "read_training_generations",
     "read_training_shards",
     "stream_training_shards",

@@ -8,12 +8,16 @@ where small, banded joins instead of all-pairs where big).
 
 from tsp_spark.pipeline.bpe import bpe_encode, bpe_train
 from tsp_spark.pipeline.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs
+from tsp_spark.pipeline.curation import score_quality, train_quality_scorer
 from tsp_spark.pipeline.text import (
     token_stats,
     quality_scores,
     language_id,
     fingerprint,
     simhash,
+    c4_clean,
+    gopher_filter,
+    gopher_repetition_signals,
 )
 from tsp_spark.pipeline.similarity import cosine_topk, label_centroids
 
@@ -30,4 +34,9 @@ __all__ = [
     "simhash",
     "cosine_topk",
     "label_centroids",
+    "c4_clean",
+    "gopher_filter",
+    "gopher_repetition_signals",
+    "score_quality",
+    "train_quality_scorer",
 ]
