@@ -680,7 +680,64 @@ def main() -> None:
         payload["kernel_rows_per_sec"] = {
             k: v["rows_per_sec"] for k, v in kernel.items()
         }
-    print(json.dumps(payload))
+
+    # The driver preserves only a 2000-char stdout TAIL: the full
+    # payload (several KB once scale/accums/skew/sf1/oracle sections
+    # are present) gets its head truncated and parses as null (3
+    # rounds running, VERDICT r8-r10). So: full payload -> file, and a
+    # compact <=2000-char summary as the LAST stdout line so the tail
+    # parse succeeds.
+    full_path = Path(__file__).resolve().parent / "bench_full_latest.json"
+    full_path.write_text(json.dumps(payload, indent=1))
+    compact: dict = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "full": full_path.name,
+    }
+    if scale is not None:
+        compact["scale_10m_sec"] = round(scale["sec"], 2)
+        compact["scale_10m_incidents"] = scale["incidents"]
+    if accums is not None:
+        # envelope order is stable (dict insertion); secs only — the
+        # pattern strings live in the full file
+        compact["accums_sec"] = [
+            round(r["sec"], 2) for r in accums["cases"].values()
+        ]
+    if skew is not None:
+        compact["skew_x"] = {
+            "pred": skew["speedup_x"],
+            "timer": skew["timer_speedup_x"],
+            "accum": skew["accum_speedup_x"],
+            "seq": skew["seq_speedup_x"],
+            "lag": skew["lag_speedup_x"],
+        }
+        compact["skew_counts_ok"] = all(
+            skew[k]
+            for k in (
+                "counts_match",
+                "timer_counts_match",
+                "accum_counts_match",
+                "seq_counts_match",
+                "lag_counts_match",
+            )
+        )
+    if sf1_oracle is not None:
+        ran = [r for r in sf1_oracle.values() if "skipped" not in r]
+        compact["sf1_oracle_match"] = (
+            f"{sum(1 for r in ran if r['match'])}/{len(ran)}"
+        )
+    if kernel is not None:
+        compact["kernel_krps"] = {
+            k: round(v["rows_per_sec"] / 1000) for k, v in kernel.items()
+        }
+    line = json.dumps(compact)
+    if len(line) > 2000:  # belt-and-braces: drop per-query detail
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1720,6 +1720,42 @@ def test_gopher_filter_verdicts(spark):
         gopher_filter(df, "text", "doc_id", thresholds={"nope": 0.5})
 
 
+def test_gopher_paper_literal_and_collision_guard(spark):
+    """r11 ADVICE: ``paper_literal_top_gram`` charges a count-1
+    winning gram (Rae et al. A1's unconditional rule) where the
+    default charges only >=2-occurrence winners; and
+    with_gopher_repetition raises on reserved-name collisions instead
+    of silently replacing caller columns."""
+    import pytest
+
+    from tsp_spark.pipeline.text import with_gopher_repetition
+
+    text = "alpha beta gamma delta"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    dflt, _ = with_gopher_repetition(df, "text")
+    assert dflt.collect()[0]["top_2gram_char_frac"] == 0.0
+    lit, _ = with_gopher_repetition(df, "text", paper_literal_top_gram=True)
+    # every bigram occurs once; ties break to the longest rendered gram
+    assert (
+        lit.collect()[0]["top_2gram_char_frac"]
+        == len("gamma delta") / len(text)
+    )
+    # a genuinely repeated gram charges identically under both modes
+    rep = "a b a b a b"
+    df2 = spark.createDataFrame([(0, rep)], "doc_id long, text string")
+    d2, _ = with_gopher_repetition(df2, "text")
+    l2, _ = with_gopher_repetition(df2, "text", paper_literal_top_gram=True)
+    assert (
+        d2.collect()[0]["top_2gram_char_frac"]
+        == l2.collect()[0]["top_2gram_char_frac"]
+    )
+
+    for bad_name in ("__gp_toks", "top_3gram_char_frac"):
+        bad = df.withColumn(bad_name, F.lit(1.0))
+        with pytest.raises(ValueError, match="reserved"):
+            with_gopher_repetition(bad, "text")
+
+
 def test_quality_scorer_recovers_weights(spark):
     """Linear quality scorer (r10): the distributed sparse normal
     equations recover a planted linear model exactly (numpy lstsq
@@ -1803,6 +1839,105 @@ def test_quality_scorer_recovers_weights(spark):
     assert np.linalg.norm(model_r["weights"][:-1]) < np.linalg.norm(
         true_w[:-1]
     )
+
+    # r11: the driver-safe dim guard (the old 65,536 cap admitted a
+    # ~2e9-row collect + dim^3 solve that could not finish)
+    with pytest.raises(ValueError, match="8192"):
+        train_quality_scorer(ldf, "text", "label", dim=10_000)
+
+
+def test_quality_classifier_matches_numpy_irls(spark):
+    """Logistic quality classifier (r11): the distributed IRLS matches
+    a dense numpy IRLS reference iterate-for-iterate, predictions
+    separate a planted model's classes, results are partition-
+    independent, and score_quality emits probabilities in (0, 1)."""
+    import math
+    import random
+    from collections import Counter
+
+    import numpy as np
+
+    from tsp_spark.pipeline.curation import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(0xC1A55)
+    dim = 16
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bucket_rows = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .select("doc_id", F.pmod(F.xxhash64("t"), F.lit(dim)).alias("b"))
+        .collect()
+    )
+    per_doc: dict[int, Counter] = {}
+    for r in bucket_rows:
+        per_doc.setdefault(r["doc_id"], Counter())[r["b"]] += 1
+    true_w = np.array([rng.uniform(-2, 2) for _ in range(dim + 1)])
+    X = np.zeros((len(docs), dim + 1))
+    for d, _ in docs:
+        for b, c in per_doc[d].items():
+            X[d, b] = math.log1p(c)
+        X[d, dim] = 1.0
+    # labels sampled from the planted model's own probabilities so the
+    # data is NOT separable (separable logistic diverges at l2=0)
+    y = np.array(
+        [1.0 if rng.random() < 1 / (1 + math.exp(-m)) else 0.0
+         for m in X @ true_w]
+    )
+    ldf = spark.createDataFrame(
+        [(d, t, float(y[d])) for d, t in docs],
+        "doc_id long, text string, label double",
+    )
+
+    l2, iters = 1e-3, 6
+    model = train_quality_classifier(
+        ldf, "text", "label", dim=dim, l2=l2, iters=iters, tol=0.0
+    )
+
+    # dense numpy IRLS, identical update rule
+    reg = l2 * np.eye(dim + 1)
+    reg[-1, -1] = 0.0
+    w_ref = np.zeros(dim + 1)
+    for _ in range(iters):
+        p = 1 / (1 + np.exp(-(X @ w_ref)))
+        s = np.maximum(p * (1 - p), 1e-10)
+        gram = X.T @ (s[:, None] * X)
+        grad = X.T @ (y - p)
+        w_ref = w_ref + np.linalg.solve(gram + reg, grad - reg @ w_ref)
+    assert np.allclose(model["weights"], w_ref, atol=1e-6)
+    assert model["kind"] == "logistic" and model["iters_run"] == iters
+
+    # partition independence
+    model2 = train_quality_classifier(
+        ldf.repartition(7), "text", "label", dim=dim, l2=l2,
+        iters=iters, tol=0.0,
+    )
+    assert np.allclose(model2["weights"], model["weights"], atol=1e-9)
+
+    # scoring: probabilities in (0,1) matching the numpy forward pass,
+    # and the fitted model actually separates the planted classes
+    scored = {
+        r["doc_id"]: r["quality"]
+        for r in score_quality(ldf, "text", model).collect()
+    }
+    p_ref = 1 / (1 + np.exp(-(X @ w_ref)))
+    for d, _ in docs:
+        assert 0.0 < scored[d] < 1.0
+        assert abs(scored[d] - p_ref[d]) < 1e-8, d
+    auc_pairs = [
+        (scored[i], scored[j])
+        for i in range(len(docs))
+        for j in range(len(docs))
+        if y[i] == 1.0 and y[j] == 0.0
+    ]
+    frac = sum(1 for a, b in auc_pairs if a > b) / len(auc_pairs)
+    assert frac > 0.75  # well above chance on its own training set
 
 
 def test_c4_clean_rules(spark):

@@ -8,7 +8,11 @@ where small, banded joins instead of all-pairs where big).
 
 from tsp_spark.pipeline.bpe import bpe_encode, bpe_train
 from tsp_spark.pipeline.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs
-from tsp_spark.pipeline.curation import score_quality, train_quality_scorer
+from tsp_spark.pipeline.curation import (
+    score_quality,
+    train_quality_classifier,
+    train_quality_scorer,
+)
 from tsp_spark.pipeline.text import (
     token_stats,
     quality_scores,
@@ -38,5 +42,6 @@ __all__ = [
     "gopher_filter",
     "gopher_repetition_signals",
     "score_quality",
+    "train_quality_classifier",
     "train_quality_scorer",
 ]

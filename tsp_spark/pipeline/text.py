@@ -174,7 +174,7 @@ def repetition_cols(text_col: str) -> list[Column]:
     ]
 
 
-def _top_gram_charmass(g: Column) -> Column:
+def _top_gram_charmass(g: Column, count_one: bool = False) -> Column:
     """Char mass of the winning n-gram of an occurrence array: among
     grams with the maximal occurrence count, the one with the longest
     rendered length wins (a deterministic tie rule — reference Python
@@ -182,8 +182,10 @@ def _top_gram_charmass(g: Column) -> Column:
     arbitrary); returns ``count(winner) * length(winner)`` as a long,
     or 0 when NO gram occurs twice — a count-1 "most frequent" gram is
     not repetition, and charging it would flag every short document.
-    One O(G) adjacent-run pass over the sorted array, same shape as
-    _sorted_run_stats."""
+    Rae et al. A1 charges the top gram's chars UNCONDITIONALLY (a
+    once-occurring winner still counts); pass ``count_one=True`` for
+    that paper-literal behavior. One O(G) adjacent-run pass over the
+    sorted array, same shape as _sorted_run_stats."""
     zero = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     init = F.struct(
@@ -209,10 +211,11 @@ def _top_gram_charmass(g: Column) -> Column:
             F.when(better, ln).otherwise(acc["best_len"]).alias("best_len"),
         )
 
+    min_run = 1 if count_one else 2
     return F.aggregate(
         F.array_sort(g), init, step,
         lambda acc: F.when(
-            acc["best_run"] >= 2, acc["best_run"] * acc["best_len"]
+            acc["best_run"] >= min_run, acc["best_run"] * acc["best_len"]
         ).otherwise(F.lit(0).cast("long")),
     )
 
@@ -222,7 +225,7 @@ DUP_GRAM_NS = (5, 6, 7, 8, 9, 10)
 
 
 def with_gopher_repetition(
-    df: DataFrame, text_col: str
+    df: DataFrame, text_col: str, paper_literal_top_gram: bool = False
 ) -> tuple[DataFrame, list[str]]:
     """The COMPLETE Gopher repetition battery (Rae et al. 2021,
     table A1), char-fraction forms — complementing repetition_cols'
@@ -246,9 +249,29 @@ def with_gopher_repetition(
     per token — measured as a wall-clock hang at 500 docs. Hoisting
     each intermediate array into its own column makes every in-lambda
     reference a bound attribute. All fractions are single divisions of
-    exact longs, so DuckDB mirrors them bit-for-bit."""
+    exact longs, so DuckDB mirrors them bit-for-bit.
+
+    ``top_{n}gram_char_frac`` charges the winning gram only when it
+    occurs ≥ 2 times (a count-1 "most frequent" gram is not
+    repetition); Rae et al. A1 charges it unconditionally — pass
+    ``paper_literal_top_gram=True`` for the paper-literal form (which
+    makes short docs likelier to trip the A1 thresholds)."""
     toks_c, chars_c = "__gp_toks", "__gp_chars"
     helpers = [toks_c, chars_c]
+    reserved = set(helpers)
+    reserved.update(f"__gp_s{n}" for n in DUP_GRAM_NS)
+    reserved.update(f"__gp_fl{n}" for n in DUP_GRAM_NS)
+    reserved.update(f"top_{n}gram_char_frac" for n in TOP_GRAM_NS)
+    reserved.update(f"dup_{n}gram_char_frac" for n in DUP_GRAM_NS)
+    clashes = reserved & set(df.columns)
+    if clashes:
+        # withColumns/select('*', ...) would silently REPLACE a
+        # caller column of the same name — same reserved-name rule as
+        # stream_training_shards' 'gen' check
+        raise ValueError(
+            "with_gopher_repetition: input already has reserved "
+            f"column(s) {sorted(clashes)}; rename them first"
+        )
     # stage 1: tokens + token-char total + per-n sorted occurrence
     # structs (for dup coverage)
     stage1 = [
@@ -318,7 +341,9 @@ def with_gopher_repetition(
     final = {}
     names: list[str] = []
     for n in TOP_GRAM_NS:
-        mass = _top_gram_charmass(_gram_join(toks, n))
+        mass = _top_gram_charmass(
+            _gram_join(toks, n), count_one=paper_literal_top_gram
+        )
         name = f"top_{n}gram_char_frac"
         final[name] = F.when(
             (nt >= n) & (text_chars > 0),
@@ -401,6 +426,7 @@ def gopher_filter(
     max_tokens: int = 100_000,
     min_mean_token_len: float = 3.0,
     max_mean_token_len: float = 10.0,
+    paper_literal_top_gram: bool = False,
 ) -> DataFrame:
     """The assembled Gopher quality filter (Rae et al. 2021, A1):
     per-document ``keep`` verdict plus ``n_flags`` and ``first_flag``
@@ -412,14 +438,25 @@ def gopher_filter(
     outside [min_mean_token_len, max_mean_token_len]. One map-only
     projection over the staged battery — no shuffle; compose the keep
     flag with a ``.where`` and Catalyst prunes the signal columns the
-    caller does not select."""
+    caller does not select.
+
+    Semantic divergence from Rae et al. A1 (deliberate, default off):
+    the ``top_{n}gram_char_frac`` signals here charge the most
+    frequent n-gram's characters only when it occurs ≥ 2 times,
+    whereas the paper charges them UNCONDITIONALLY — so with the
+    paper's thresholds, short documents whose top gram occurs once
+    are under-flagged by the default. Pass
+    ``paper_literal_top_gram=True`` for count-1 charging (the
+    paper-literal rule)."""
     th = dict(GOPHER_THRESHOLDS)
     if thresholds:
         unknown = set(thresholds) - set(th)
         if unknown:
             raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
         th.update(thresholds)
-    staged, names = with_gopher_repetition(df, text_col)
+    staged, names = with_gopher_repetition(
+        df, text_col, paper_literal_top_gram=paper_literal_top_gram
+    )
     staged = staged.select(
         "*",
         *line_repetition_cols(text_col),
