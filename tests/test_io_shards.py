@@ -420,3 +420,70 @@ def test_compact_torn_and_incremental(spark, tmp_path):
     )
     assert m["n_shards"] == 6
     assert "gen" in m["columns"]
+
+
+def test_compact_tiered_min_ratio(spark, tmp_path):
+    """Tiered compaction (r11 ADVICE): with min_ratio, a fold whose
+    new gens are below ratio x base_rows is SKIPPED (gens stay live,
+    reader unchanged), and runs once they accumulate past the ratio —
+    so a long stream's cumulative rewrite I/O is linear, not
+    quadratic. A first fold (no base) always runs."""
+    import os
+
+    import pytest
+
+    from tsp_spark.io.shards import (
+        compact_training_generations,
+        read_training_generations,
+        write_training_shards,
+    )
+
+    schema = "doc_id long, text string"
+    out = str(tmp_path / "out")
+
+    def put(g, lo, n):
+        write_training_shards(
+            spark.createDataFrame(
+                [(i, f"doc-{i}") for i in range(lo, lo + n)], schema
+            ),
+            f"{out}/gen={g}",
+            key_col="doc_id",
+            n_shards=2,
+        )
+
+    # first fold: no base yet -> runs regardless of ratio
+    put(0, 0, 200)
+    compact_training_generations(spark, out, upto=0, min_ratio=0.5)
+    assert "compact=0" in os.listdir(out)
+
+    # small gen (50 < 0.5 * 200): fold SKIPPED, gen stays live
+    put(1, 200, 50)
+    compact_training_generations(spark, out, upto=1, min_ratio=0.5)
+    names = set(os.listdir(out))
+    assert "compact=1" not in names and "gen=1" in names
+    got = sorted(
+        r["doc_id"]
+        for r in read_training_generations(spark, out).collect()
+    )
+    assert got == list(range(250))
+
+    # another gen pushes the accumulated new rows past the ratio
+    # (50 + 60 = 110 >= 100) -> fold runs, gens GC'd
+    put(2, 250, 60)
+    compact_training_generations(spark, out, upto=2, min_ratio=0.5)
+    names = set(os.listdir(out))
+    assert "compact=2" in names
+    assert not any(n.startswith("gen=") for n in names)
+    got = sorted(
+        (r["doc_id"], r["gen"])
+        for r in read_training_generations(spark, out, validate=True)
+        .collect()
+    )
+    assert got == (
+        [(i, 0) for i in range(200)]
+        + [(i, 1) for i in range(200, 250)]
+        + [(i, 2) for i in range(250, 310)]
+    )
+
+    with pytest.raises(ValueError, match="min_ratio"):
+        compact_training_generations(spark, out, min_ratio=0.0)

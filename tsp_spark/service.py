@@ -352,10 +352,14 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             # or "exact" (the reference's two-queue andThen
             # consumption — docs/SEMANTICS.md §17)
             andthen_mode=request.get("andThenMode", "fused"),
-            # engine extension (r9, grammar-total since r10): hot-key
-            # mitigation — patterns evaluate sharded by (key,
-            # time-shard), exact at any value (api.py; only exact-mode
-            # andThen keeps the ordered path)
+            # engine extension (r9, bounded-extent-total since r10):
+            # hot-key mitigation — patterns evaluate sharded by (key,
+            # time-shard), exact at any value (api.py). Bounded-extent
+            # shapes shard; everything else (exact-mode andThen,
+            # right-nested/nested andThen operands, lag over
+            # non-row-local inners or inside chains, unknown nodes)
+            # silently keeps the exact ordered path — do not expect a
+            # sharded speedup on those shapes.
             shard_ms=request.get("shardMs"),
         )
         if sink is not None:
