@@ -113,17 +113,21 @@ def scale_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 200):
 
 def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
     """Hot-key rehearsal (r9): the flagship 2-pattern workload with
-    user 0 carrying 50% of all rows, default vs the sharded
-    islandization (`search_incidents(shard_ms=1h)` — exact, opt-in).
-    Three legs: row-local predicates (r9), TIMER patterns
-    `x >= 0.5 for 30 sec` (r10), and the accums flagship shape
-    `x >= 0.5 for 2 min > 1 min` (r10 — the generalized
-    bounded-lookback sharded kernel, api._sharded_stateful_intervals).
+    user 0 carrying 50% of all rows. r11: the sharded leg passes NO
+    shard_ms argument — the plan-time skew probe (api.probe_hot_key →
+    auto_shard_ms, the `shard_ms="auto"` default) must detect the hot
+    key and enable the sharded kernels by itself; the ordered leg pins
+    `shard_ms=None`. Five pattern legs: row-local predicates, timers,
+    the accums flagship shape, fused andThen, and lag — the lag leg
+    keeps an EXPLICIT shard_ms=1h (present-path sharding pays a
+    uniform-key constant, so auto mode excludes it; docs/SCALE.md).
     Records all wall times and asserts the incident counts agree, so
     the skew story is a driver-recorded number, not a docs claim."""
     import pyspark.sql.functions as F
 
-    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.api import (
+        RawPattern, auto_shard_ms, probe_hot_key, search_incidents,
+    )
 
     base_ms = 1_704_067_200_000
     hot = n_rows // 2
@@ -148,139 +152,72 @@ def skew_rehearsal(spark, n_rows: int = 10_000_000, n_keys: int = 100):
         hi(raw4).alias("hi4"),
         hi(raw6).alias("hi6"),
     )
-    pats = [RawPattern(4, "hi4 < 0.5"), RawPattern(6, "hi6 < 0.5")]
     ft = {"hi4": "float64", "hi6": "float64"}
-    out = {"rows": n_rows, "hot_key_fraction": 0.5}
-    counts = {}
-    for label, kw in (("default", {}), ("shard_1h", {"shard_ms": 3_600_000})):
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = search_incidents(
-                ev, pats, ["user_id"], "ts", fields_types=ft,
-                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{label}_sec"] = round(best, 3)
-        counts[label] = n
-    out["incidents"] = counts["default"]
-    out["counts_match"] = counts["default"] == counts["shard_1h"]
-    out["speedup_x"] = round(out["default_sec"] / out["shard_1h_sec"], 1)
-    if not out["counts_match"]:
-        # a sharded-vs-default divergence is a correctness regression,
-        # not a perf data point — fail the bench loudly
-        raise RuntimeError(f"skew rehearsal count mismatch: {counts}")
-    # timer leg: mostly-true condition with rare breaks -> long runs,
-    # the accums flagship shape, held >= 30 s
-    pats_t = [
-        RawPattern(4, "hi4 >= 0.5 for 30 sec"),
-        RawPattern(6, "hi6 >= 0.5 for 30 sec"),
+    probe = probe_hot_key(ev, ["user_id"], "ts")
+    out = {
+        "rows": n_rows,
+        "hot_key_fraction": 0.5,
+        # what the auto heuristic sees and decides — recorded so the
+        # driver artifact shows the detection, not just its effect
+        "probe": probe,
+        "auto_shard_ms": auto_shard_ms(probe),
+    }
+    # (prefix, patterns, sharded-leg kwargs): {} = rely on the "auto"
+    # default; the lag leg stays explicit (auto excludes present shapes)
+    legs = [
+        ("", ["hi4 < 0.5", "hi6 < 0.5"], {}),
+        # timer leg: mostly-true condition with rare breaks -> long
+        # runs, held >= 30 s
+        ("timer_", ["hi4 >= 0.5 for 30 sec", "hi6 >= 0.5 for 30 sec"], {}),
+        # accums leg: truth-duration stat within a sliding window
+        (
+            "accum_",
+            ["hi4 >= 0.5 for 2 min > 1 min", "hi6 >= 0.5 for 2 min > 1 min"],
+            {},
+        ),
+        # andThen leg (r10b): long run followed by its dip — every dip
+        # terminates a run, so the sequence fires ~run-count times
+        (
+            "seq_",
+            ["hi4 >= 0.5 andThen hi4 < 0.5", "hi6 >= 0.5 andThen hi6 < 0.5"],
+            {},
+        ),
+        # lag leg (r10c): present-masked patterns through the
+        # global-series sharded islandization — explicit opt-in
+        ("lag_", ["lag(hi4) < 0.5", "lag(hi6) < 0.5"], {"shard_ms": 3_600_000}),
     ]
-    for label, kw in (
-        ("timer_default", {}),
-        ("timer_shard_1h", {"shard_ms": 3_600_000}),
-    ):
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = search_incidents(
-                ev, pats_t, ["user_id"], "ts", fields_types=ft,
-                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{label}_sec"] = round(best, 3)
-        counts[label] = n
-    out["timer_incidents"] = counts["timer_default"]
-    out["timer_counts_match"] = (
-        counts["timer_default"] == counts["timer_shard_1h"]
-    )
-    out["timer_speedup_x"] = round(
-        out["timer_default_sec"] / out["timer_shard_1h_sec"], 1
-    )
-    if not out["timer_counts_match"]:
-        raise RuntimeError(f"skew timer count mismatch: {counts}")
-    # accums leg: truth-duration stat within a sliding window
-    pats_a = [
-        RawPattern(4, "hi4 >= 0.5 for 2 min > 1 min"),
-        RawPattern(6, "hi6 >= 0.5 for 2 min > 1 min"),
-    ]
-    for label, kw in (
-        ("accum_default", {}),
-        ("accum_shard_1h", {"shard_ms": 3_600_000}),
-    ):
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = search_incidents(
-                ev, pats_a, ["user_id"], "ts", fields_types=ft,
-                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{label}_sec"] = round(best, 3)
-        counts[label] = n
-    out["accum_incidents"] = counts["accum_default"]
-    out["accum_counts_match"] = (
-        counts["accum_default"] == counts["accum_shard_1h"]
-    )
-    out["accum_speedup_x"] = round(
-        out["accum_default_sec"] / out["accum_shard_1h_sec"], 1
-    )
-    if not out["accum_counts_match"]:
-        raise RuntimeError(f"skew accums count mismatch: {counts}")
-    # andThen leg (r10b): long run followed by its dip — every dip
-    # terminates a run, so the sequence fires ~run-count times
-    pats_s = [
-        RawPattern(4, "hi4 >= 0.5 andThen hi4 < 0.5"),
-        RawPattern(6, "hi6 >= 0.5 andThen hi6 < 0.5"),
-    ]
-    for label, kw in (
-        ("seq_default", {}),
-        ("seq_shard_1h", {"shard_ms": 3_600_000}),
-    ):
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = search_incidents(
-                ev, pats_s, ["user_id"], "ts", fields_types=ft,
-                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{label}_sec"] = round(best, 3)
-        counts[label] = n
-    out["seq_incidents"] = counts["seq_default"]
-    out["seq_counts_match"] = counts["seq_default"] == counts["seq_shard_1h"]
-    out["seq_speedup_x"] = round(
-        out["seq_default_sec"] / out["seq_shard_1h_sec"], 1
-    )
-    if not out["seq_counts_match"]:
-        raise RuntimeError(f"skew andThen count mismatch: {counts}")
-    # lag leg (r10c): present-masked patterns through the global-series
-    # sharded islandization
-    pats_l = [
-        RawPattern(4, "lag(hi4) < 0.5"),
-        RawPattern(6, "lag(hi6) < 0.5"),
-    ]
-    for label, kw in (
-        ("lag_default", {}),
-        ("lag_shard_1h", {"shard_ms": 3_600_000}),
-    ):
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = search_incidents(
-                ev, pats_l, ["user_id"], "ts", fields_types=ft,
-                max_gap_ms=60_000, session_gap_ms=10_000, **kw,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{label}_sec"] = round(best, 3)
-        counts[label] = n
-    out["lag_incidents"] = counts["lag_default"]
-    out["lag_counts_match"] = counts["lag_default"] == counts["lag_shard_1h"]
-    out["lag_speedup_x"] = round(
-        out["lag_default_sec"] / out["lag_shard_1h_sec"], 1
-    )
-    if not out["lag_counts_match"]:
-        raise RuntimeError(f"skew lag count mismatch: {counts}")
+    for prefix, sources, sharded_kw in legs:
+        pats = [RawPattern(i + 4, s) for i, s in zip((0, 2), sources)]
+        counts = {}
+        for label, kw in (
+            (f"{prefix}ordered", {"shard_ms": None}),
+            (f"{prefix}sharded", sharded_kw),
+        ):
+            best, n = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = search_incidents(
+                    ev, pats, ["user_id"], "ts", fields_types=ft,
+                    max_gap_ms=60_000, session_gap_ms=10_000, **kw,
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{label}_sec"] = round(best, 3)
+            counts[label] = n
+        out[f"{prefix}incidents"] = counts[f"{prefix}ordered"]
+        out[f"{prefix}counts_match"] = (
+            counts[f"{prefix}ordered"] == counts[f"{prefix}sharded"]
+        )
+        out[f"{prefix}speedup_x"] = round(
+            out[f"{prefix}ordered_sec"] / out[f"{prefix}sharded_sec"], 1
+        )
+        out[f"{prefix}sharding"] = "auto" if not sharded_kw else "explicit_1h"
+        if not out[f"{prefix}counts_match"]:
+            # a sharded-vs-ordered divergence is a correctness
+            # regression, not a perf data point — fail the bench loudly
+            raise RuntimeError(
+                f"skew rehearsal count mismatch [{prefix or 'pred'}]: "
+                f"{counts}"
+            )
     return out
 
 
@@ -596,25 +533,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
         skew = skew_rehearsal(spark)
         print(
-            f"# skew_10m: default {skew['default_sec']:.3f}s vs sharded "
-            f"{skew['shard_1h_sec']:.3f}s ({skew['speedup_x']}x, "
-            f"counts_match={skew['counts_match']}); timer "
-            f"{skew['timer_default_sec']:.3f}s vs "
-            f"{skew['timer_shard_1h_sec']:.3f}s "
-            f"({skew['timer_speedup_x']}x, "
-            f"counts_match={skew['timer_counts_match']}); accums "
-            f"{skew['accum_default_sec']:.3f}s vs "
-            f"{skew['accum_shard_1h_sec']:.3f}s "
-            f"({skew['accum_speedup_x']}x, "
-            f"counts_match={skew['accum_counts_match']}); andThen "
-            f"{skew['seq_default_sec']:.3f}s vs "
-            f"{skew['seq_shard_1h_sec']:.3f}s "
-            f"({skew['seq_speedup_x']}x, "
-            f"counts_match={skew['seq_counts_match']}); lag "
-            f"{skew['lag_default_sec']:.3f}s vs "
-            f"{skew['lag_shard_1h_sec']:.3f}s "
-            f"({skew['lag_speedup_x']}x, "
-            f"counts_match={skew['lag_counts_match']})",
+            f"# skew_10m (auto_shard_ms={skew['auto_shard_ms']}): "
+            + "; ".join(
+                f"{name} {skew[p + 'ordered_sec']:.3f}s vs "
+                f"{skew[p + 'sharded_sec']:.3f}s "
+                f"({skew[p + 'speedup_x']}x, {skew[p + 'sharding']}, "
+                f"counts_match={skew[p + 'counts_match']})"
+                for name, p in (
+                    ("pred", ""), ("timer", "timer_"), ("accums", "accum_"),
+                    ("andThen", "seq_"), ("lag", "lag_"),
+                )
+            ),
             file=sys.stderr,
         )
 
@@ -714,6 +643,9 @@ def main() -> None:
             "seq": skew["seq_speedup_x"],
             "lag": skew["lag_speedup_x"],
         }
+        # r11: pred/timer/accum/seq sharded legs pass NO shard_ms —
+        # the auto probe must pick the width itself (lag is explicit)
+        compact["skew_auto_shard_ms"] = skew["auto_shard_ms"]
         compact["skew_counts_ok"] = all(
             skew[k]
             for k in (

@@ -569,3 +569,153 @@ def test_with_series_sharded_matches_global(spark):
             df, ["unit"], "ts", None, shard_ms=1000
         ).collect()
     } == {0}
+
+
+# --- auto hot-key mitigation (r11) ------------------------------------
+
+
+def test_auto_shard_decision_unit():
+    """auto_shard_ms thresholds: no stats / cold key / zero span decline;
+    a hot key picks span/max(hot/target, MIN_SHARDS)."""
+    import tsp_spark.api as api
+
+    assert api.auto_shard_ms(None) is None
+    cold = {"total_rows": 10**7, "hot_rows": 50_000, "hot_span_ms": 10**9}
+    assert api.auto_shard_ms(cold) is None
+    flat = {"total_rows": 10**7, "hot_rows": 5 * 10**6, "hot_span_ms": 0}
+    assert api.auto_shard_ms(flat) is None
+    hot = {
+        "total_rows": 10**7,
+        "hot_rows": 5 * 10**6,
+        "hot_span_ms": 5 * 10**9,
+    }
+    n_shards = max(
+        api.AUTO_MIN_SHARDS, hot["hot_rows"] // api.AUTO_TARGET_ROWS_PER_SHARD
+    )
+    assert api.auto_shard_ms(hot) == hot["hot_span_ms"] // n_shards
+    # per-pattern clamp keeps the explode duplication bounded
+    assert api._clamp_shard_ms(1_000, 60_000) == 480_000
+    assert api._clamp_shard_ms(10**9, 60_000) == 10**9
+    assert api._clamp_shard_ms(1_000, 0) == 1_000
+
+
+def test_auto_shard_invalid_string_raises(spark, mk_ts):
+    import pytest
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    df = spark.createDataFrame(
+        [("a", mk_ts(0), 1.0)], "unit string, ts timestamp, x double"
+    )
+    with pytest.raises(ValueError, match="auto"):
+        search_incidents(
+            df, [RawPattern(1, "x > 0")], ["unit"], "ts",
+            fields_types={"x": "float64"}, shard_ms="yes",
+        ).collect()
+
+
+def test_probe_hot_key_and_gate(spark):
+    """probe_hot_key reports the hottest key's count and ITS OWN span;
+    _plan_size_bytes is finite for range/parquet-backed frames and None
+    for RDD-backed ones (the gate that keeps unknown-size sources —
+    JDBC — on the ordered path with zero probe cost)."""
+    import tsp_spark.api as api
+
+    ev = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("unit"),
+        # hot rows at 0..599 s; cold rows bunched at 10_000..10_399 s
+        F.timestamp_millis(
+            F.when(F.col("id") < 600, F.col("id"))
+            .otherwise(10_000 + (F.col("id") - 600))
+            * 1000
+        ).alias("ts"),
+    )
+    st = api.probe_hot_key(ev, ["unit"], "ts")
+    assert st == {
+        "total_rows": 1000,
+        "hot_rows": 600,
+        "hot_span_ms": 599_000,
+    }
+    assert api._plan_size_bytes(ev) is not None
+    rdd_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, 2)]), "a int, b int"
+    )
+    assert api._plan_size_bytes(rdd_df) is None
+
+
+def test_auto_mode_parity_with_patched_thresholds(spark, monkeypatch):
+    """With the probe gate and hot-row floor lowered, the DEFAULT
+    (shard_ms='auto') call detects the hot key on a small skewed frame
+    and produces byte-identical incidents to the ordered path across a
+    mixed job: row-local, timer, windowed-stat, fused chain, and a lag
+    pattern (which auto must leave on the ordered path)."""
+    import tsp_spark.api as api
+    from tsp_spark.api import RawPattern, search_incidents
+
+    monkeypatch.setattr(api, "AUTO_PROBE_MIN_BYTES", 1)
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 2_000)
+
+    n, hot = 6_000, 3_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(1 + F.pmod(F.col("id"), F.lit(9)))
+        .alias("unit"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000)
+            + F.when(F.col("id") < hot, F.col("id"))
+            .otherwise((F.col("id") - hot) / 9)
+            .cast("long")
+            * 1000
+        ).alias("ts"),
+        F.when(
+            F.pmod(F.xxhash64("id"), F.lit(10)) < 5,
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)) / 200.0,
+        )
+        .otherwise(0.5 + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)) / 200.0)
+        .alias("x"),
+    )
+    # the probe must fire and choose a width on this frame
+    st = api.probe_hot_key(ev, ["unit"], "ts")
+    assert st["hot_rows"] == hot and api.auto_shard_ms(st) is not None
+
+    pats = [
+        RawPattern(1, "x < 0.5"),
+        RawPattern(2, "x >= 0.5 for 30 sec"),
+        RawPattern(3, "avg(x, 60 sec) > 0.4 for 2 min > 1 min"),
+        RawPattern(4, "x >= 0.5 andThen x < 0.5"),
+        RawPattern(5, "lag(x) < 0.5"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=10_000,
+    )
+    got = sorted(map(tuple, search_incidents(ev, pats, **kw).collect()))
+    want = sorted(
+        map(tuple, search_incidents(ev, pats, shard_ms=None, **kw).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_auto_mode_small_source_skips_probe(spark, mk_ts):
+    """Default-argument call on a tiny local frame: the plan-stats gate
+    declines (LocalRelation stats are tiny/unknown), no probe job runs,
+    and results match the ordered path — i.e. the r11 default changes
+    nothing for every oracle-scale query."""
+    from tsp_spark.api import RawPattern, search_incidents
+
+    df = spark.createDataFrame(
+        [("a", mk_ts(i), float(i % 3)) for i in range(30)],
+        "unit string, ts timestamp, x double",
+    )
+    pats = [RawPattern(1, "x > 1")]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000,
+    )
+    auto = sorted(map(tuple, search_incidents(df, pats, **kw).collect()))
+    ordered = sorted(
+        map(tuple, search_incidents(df, pats, shard_ms=None, **kw).collect())
+    )
+    assert auto == ordered

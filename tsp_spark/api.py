@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass, field
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsp_spark.compile.compiler import PatternCompiler
@@ -253,17 +253,8 @@ def _sharded_stateful_intervals(
     the shard column (no second row shuffle). Property-tested
     byte-identical to the ordered path across shard sizes
     (tests/test_islands.py)."""
-    from tsp_spark.ops.islands import islands_sharded, with_series_sharded
+    from tsp_spark.ops.islands import islands_sharded
 
-    # present-producing patterns need GLOBAL series ids for the stitch;
-    # attach them BEFORE the overlap explode so the expanded frame just
-    # carries the column — re-deriving them afterwards costs a fat
-    # (keys, ts) join back onto every owned row (measured on the skew
-    # leg: most of the sharded path's constant)
-    if may_emit_present:
-        raw_src = with_series_sharded(
-            raw_src, keys, ts, max_gap_ms, shard_ms=shard_ms
-        )
     ms = F.unix_millis(F.col(ts))
     # a row at ts is needed by every shard whose owned rows' dependency
     # interval [r - lookback, r + lookahead] contains it: shards from
@@ -291,29 +282,189 @@ def _sharded_stateful_intervals(
             owned, keys, ts, F.col("__scond"), max_gap_ms,
             keep=keep, shard_ms=shard_ms, shard_col="__tshard",
         )
-    # present-producing patterns (lag forms, r10c): absent rows are
-    # INVISIBLE to islandization — equal-valued runs merge across them
-    # (SegmentizerPattern) — so they drop before islandizing, and the
-    # gap rule must NOT re-split (absence can stretch two present rows
-    # past max_gap within one series). The ordered path partitions by
-    # the series id; here the stitch is keyed by the GLOBAL series id
-    # precomputed above and carried through the explode. Materialize
-    # cond+present first: both are window expressions and a window
-    # function cannot appear inside WHERE (the _islandize
-    # _maybe_materialize rule).
-    assert "__gseries" in c.df.columns, (
-        "present-producing compile without precomputed series ids — "
-        "_shardable_extents_ms must flag every lag-carrying pattern"
+    assert may_emit_present, (
+        "compile produced a present mask but _shardable_extents_ms did "
+        "not flag the pattern as lag-carrying"
     )
-    owned = (
+    # present-producing patterns (lag forms, r10c; restructured r11):
+    # absent rows are INVISIBLE to islandization — equal-valued runs
+    # merge across them (SegmentizerPattern) — so they drop before
+    # islandizing, and the gap rule must NOT re-split (absence can
+    # stretch two present rows past max_gap within one series). The
+    # stitch therefore needs a GLOBAL series id. r10 precomputed it
+    # with a separate pass + a (key, shard) join onto every row
+    # (ops.islands.with_series_sharded) — measured as most of this
+    # path's uniform-key constant (~3 full-data shuffles vs the
+    # ordered path's 1; docs/SCALE.md r11). Now the id is decomposed
+    # on the compiler's OWN (keys, __tshard) partitioning:
+    #
+    # * per-row break flag over the expanded frame — exact for owned
+    #   rows because the lookback carries >= max_gap of raw history
+    #   (margin >= (levels+1) gaps), so a null lag means "no raw row
+    #   within lookback" which itself implies a break (or the key's
+    #   true first row — a constant +1 shift per key, and series ids
+    #   only ever GROUP rows, so any per-key-constant shift cancels);
+    # * __lser = running count of breaks at OWNED rows (window over
+    #   the partitioning the compiler already exchanged — no shuffle);
+    # * per-(key, shard) break totals -> per-key prefix sums — a
+    #   window over SHARD SUMMARIES (rows = occupied shards, tiny);
+    # * within-shard islands keyed by (keys, shard, __lser) — the
+    #   subset partitioning is already satisfied, so no row exchange;
+    # * the prefix joins onto the ISLAND table (runs, not rows) to
+    #   form the global id, and the stitch merges across shards.
+    #
+    # Net: ONE full-data exchange (the compiler's), same as the
+    # ordered path; everything else is island-level.
+    from tsp_spark.ops.islands import islands, stitch_sharded_islands
+
+    own_shard = F.floor(F.unix_millis(F.col(ts)) / F.lit(shard_ms))
+    w = Window.partitionBy(*keys, "__tshard").orderBy(ts)
+    row_ms = F.unix_millis(F.col(ts))
+    prev_ms = F.lag(row_ms).over(w)
+    brk = prev_ms.isNull() | (row_ms - prev_ms > F.lit(max_gap_ms))
+    owned_all = (
         c.df.withColumn("__scond", c.col)
         .withColumn("__spres", c.present)
-        .where(own_filter & F.coalesce(F.col("__spres"), F.lit(False)))
+        .withColumn(
+            "__lser",
+            F.sum(
+                F.when(brk & (F.col("__tshard") == own_shard), F.lit(1))
+                .otherwise(F.lit(0))
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .where(own_filter)
     )
-    return islands_sharded(
-        owned, list(keys) + ["__gseries"], ts, F.col("__scond"), None,
-        keep=keep, shard_ms=shard_ms, shard_col="__tshard",
-    ).drop("__gseries")
+    # break totals per occupied (key, shard) — MUST aggregate before
+    # the present filter (absent rows still carry series breaks)
+    prefix = (
+        owned_all.groupBy(*keys, "__tshard")
+        .agg(F.max("__lser").alias("__t"))
+        .withColumn(
+            "__p",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.partitionBy(*keys)
+                    .orderBy("__tshard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(*keys, "__tshard", "__p")
+    )
+    pres = owned_all.where(F.coalesce(F.col("__spres"), F.lit(False)))
+    part = islands(
+        pres, [*keys, "__tshard", "__lser"], ts, F.col("__scond"),
+        max_gap_ms=None, keep=None,
+    )
+    isl = (
+        part.join(prefix, [*keys, "__tshard"])
+        .withColumn("__gser", F.col("__lser") + F.col("__p"))
+        .drop("__lser", "__p")
+    )
+    return stitch_sharded_islands(
+        isl, [*keys, "__gser"], None, keep, "__tshard"
+    ).drop("__gser")
+
+
+# --- auto hot-key mitigation (r11) -----------------------------------
+#
+# shard_ms="auto" (the default) probes the source for a hot key and
+# enables the sharded kernels without the manual flag. Thresholds:
+#
+# * AUTO_PROBE_MIN_BYTES — plan-stats gate (FREE: no Spark job). The
+#   probe aggregation only runs when Catalyst reports a FINITE source
+#   size at least this large; tiny frames (every sf0.01/sf0.1 oracle
+#   query) and unknown-size sources (JDBC, RDD-backed — where a probe
+#   scan could be arbitrarily expensive) keep the ordered path with
+#   zero extra work.
+# * AUTO_HOT_ROWS_MIN — a key whose row count exceeds this serializes
+#   ~1 s of single-task window work (islands kernel ≈ 2.6M rows/s,
+#   docs/SCALE.md); below it the ordered path is already fine. This is
+#   deliberately a per-key VOLUME bound, not a skew fraction: a uniform
+#   100-key 1B-row job hits the same one-task wall on every key.
+# * AUTO_TARGET_ROWS_PER_SHARD / AUTO_MIN_SHARDS — the chosen shard
+#   width splits the hottest key's own time span into
+#   max(hot_rows/target, min_shards) pieces, clamped per pattern so the
+#   overlap-explode duplication factor 1 + lookback/shard_ms stays ≤
+#   ~1.125 (shard ≥ 8× the pattern's extent).
+#
+# Auto mode only shards PRESENT-FREE shapes (row-local predicates,
+# timers, windowed aggregates/for-interval stats, wait/until nestings,
+# fused andThen chains): those are measured penalty-free on uniform
+# keys (docs/SCALE.md r10g). Lag/present patterns pay a ~2.9× uniform
+# constant, so they shard only under an EXPLICIT shard_ms int.
+
+AUTO_PROBE_MIN_BYTES = 128 << 20
+AUTO_HOT_ROWS_MIN = 2_000_000
+AUTO_TARGET_ROWS_PER_SHARD = 250_000
+AUTO_MIN_SHARDS = 32
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan — free
+    (statistics only, no job). None when unavailable or when the
+    estimate is the 'unknown' sentinel (spark.sql.defaultSizeInBytes =
+    Long.MaxValue propagates through plans with any unknown leaf)."""
+    try:
+        size = (
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # py4j maps scala.math.BigInt to a Python int when it fits; fall
+        # back to toString for the huge-sentinel case
+        size = int(size) if isinstance(size, int) else int(size.toString())
+    except Exception:  # pragma: no cover - py4j surface varies
+        return None
+    # Long.MaxValue (or anything absurd) means "unknown", not "huge"
+    return size if 0 <= size < (1 << 62) else None
+
+
+def probe_hot_key(
+    raw_src: DataFrame, keys: Sequence[str], ts: str
+) -> dict | None:
+    """One narrow two-level aggregation over (keys, ts): total rows,
+    the hottest key's row count, and THAT key's own time span (max_by —
+    the span that bounds how many time shards its rows can spread
+    over). Map-side partial aggregation makes the shuffle one row per
+    key; the scan reads only the key and ts columns (columnar prune)."""
+    ms = F.unix_millis(F.col(ts))
+    per_key = raw_src.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(ms).alias("__mn"),
+        F.max(ms).alias("__mx"),
+    )
+    row = per_key.agg(
+        F.sum("__n").alias("total"),
+        F.max("__n").alias("hot"),
+        F.max_by(F.struct("__mn", "__mx"), "__n").alias("hot_span"),
+    ).first()
+    if row is None or row["total"] is None:
+        return None
+    return {
+        "total_rows": int(row["total"]),
+        "hot_rows": int(row["hot"]),
+        "hot_span_ms": int(row["hot_span"]["__mx"] - row["hot_span"]["__mn"]),
+    }
+
+
+def auto_shard_ms(stats: dict | None) -> int | None:
+    """Decide the base shard width from a probe_hot_key result, or None
+    for 'keep the ordered path'. See the threshold rationale above."""
+    if stats is None or stats["hot_rows"] < AUTO_HOT_ROWS_MIN:
+        return None
+    if stats["hot_span_ms"] <= 0:
+        return None
+    n_shards = max(
+        AUTO_MIN_SHARDS, stats["hot_rows"] // AUTO_TARGET_ROWS_PER_SHARD
+    )
+    return max(1, stats["hot_span_ms"] // n_shards)
+
+
+def _clamp_shard_ms(base_ms: int, extent_ms: int) -> int:
+    """Per-pattern floor: keep the overlap-explode duplication factor
+    1 + extent/shard at ≤ ~1.125 (and the islands stitch chains short)
+    by never sharding finer than 8× the pattern's time extent."""
+    return max(int(base_ms), 8 * int(extent_ms)) if extent_ms else int(base_ms)
 
 
 def _shardable_andthen_chain(node, max_gap_ms: int) -> list | None:
@@ -508,7 +659,7 @@ def search_incidents(
     session_gap_ms: int = 2_000,
     tolerance_fraction: float = 0.0,
     andthen_mode: str = "fused",
-    shard_ms: int | None = None,
+    shard_ms: int | str | None = "auto",
 ) -> DataFrame:
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
@@ -518,14 +669,19 @@ def search_incidents(
     AndThenPattern.scala:42-94 — see ops/sequence.py and
     docs/SEMANTICS.md §17 for when the two differ).
 
-    ``shard_ms``: opt-in hot-key mitigation. Patterns whose AST is
-    row-local (``is_row_local`` — plain predicates, the flagship
-    RealDataPerfTest shape) islandize via ``islands_sharded``: row
-    work partitions by (key, time-shard) instead of serializing each
-    key into one task, exact at any shard size (measured 2.9× on a
-    50%-hot-key 10M-row workload, docs/SCALE.md); stateful patterns
-    in the same job silently keep the standard path. Default None =
-    identical plans to r8.
+    ``shard_ms``: hot-key mitigation — row work partitions by (key,
+    time-shard) instead of serializing each key into one task, exact at
+    any shard size (property-fuzzed byte-identical; docs/SCALE.md).
+
+    * ``"auto"`` (default, r11): a free plan-stats gate plus one narrow
+      probe aggregation detect a hot key at plan time and pick the
+      shard width (see the AUTO_* constants above); only PRESENT-FREE
+      shapes shard (lag pays a uniform-key constant, so it stays
+      opt-in). Small/unknown-size sources and jobs with no hot key get
+      plans identical to ``None``.
+    * ``None``: never shard — the ordered per-key path everywhere.
+    * int: force this shard width for every shardable pattern
+      (including the lag/present path).
 
     The source projection is pruned to the union of referenced fields
     (the reference's PatternFieldExtractor); each pattern branch is then
@@ -547,6 +703,44 @@ def search_incidents(
     used_l = {u.lower() for u in used}
     cols = [c for c in df.columns if c.lower() in used_l or c in keys or c == ts]
     raw_src = df.select(*cols)
+
+    auto_mode = isinstance(shard_ms, str)
+    if auto_mode:
+        if shard_ms != "auto":
+            raise ValueError(
+                f"shard_ms must be an int, None or 'auto', got {shard_ms!r}"
+            )
+
+        def _auto_eligible(node) -> bool:
+            if is_row_local(node):
+                return True
+            if max_gap_ms is None:
+                return False
+            if _is_shardable_timer(node):
+                return True
+            if (
+                andthen_mode == "fused"
+                and _shardable_andthen_chain(node, max_gap_ms) is not None
+            ):
+                return True
+            ext = _shardable_extents_ms(node, max_gap_ms)
+            return ext is not None and not ext[2]
+
+        shard_ms = None
+        if any(_auto_eligible(n) for n in nodes):
+            size = _plan_size_bytes(raw_src)
+            if size is not None and size >= AUTO_PROBE_MIN_BYTES:
+                shard_ms = auto_shard_ms(probe_hot_key(raw_src, keys, ts))
+
+    def _shard_for(extent_ms: int) -> int:
+        # explicit ints are honored verbatim (the parity fuzz sweeps
+        # deliberately tiny shards); auto-chosen widths clamp per
+        # pattern so the overlap duplication stays bounded
+        assert shard_ms is not None
+        return (
+            _clamp_shard_ms(shard_ms, extent_ms) if auto_mode else shard_ms
+        )
+
     src = compiler.with_series(raw_src)
     # Deliberately NO materialization barrier (persist/localCheckpoint)
     # here. Measured reality: Catalyst prunes each pattern branch
@@ -582,7 +776,7 @@ def search_incidents(
                 )
             iv = islands_sharded(
                 c.df, keys, ts, c.col, max_gap_ms,
-                keep=True, shard_ms=shard_ms,
+                keep=True, shard_ms=_shard_for(max_gap_ms or 0),
             )
         elif (
             shard_ms is not None
@@ -606,7 +800,8 @@ def search_incidents(
                 )
             iv = timer_islands_sharded(
                 c.df, keys, ts, c.col, node.window_ms, max_gap_ms,
-                keep=True, shard_ms=shard_ms,
+                keep=True,
+                shard_ms=_shard_for(node.window_ms + max_gap_ms),
             )
         elif (
             shard_ms is not None
@@ -621,10 +816,16 @@ def search_incidents(
             # (see _sharded_andthen_join) — no global row numbers, so
             # no per-key serialization anywhere; the exact two-queue
             # mode keeps the ordered path
+            chain_extent = max(
+                sum(ext[:2])
+                if (ext := _shardable_extents_ms(op, max_gap_ms))
+                else max_gap_ms
+                for op in chain
+            )
             op_ivs = [
                 _sharded_operand_with_succ(
                     raw_src, keys, ts, fields_types, op,
-                    max_gap_ms, shard_ms, compiler,
+                    max_gap_ms, _shard_for(chain_extent), compiler,
                 )
                 for op in chain
             ]
@@ -636,18 +837,19 @@ def search_incidents(
             and max_gap_ms is not None
             and (ext := _shardable_extents_ms(node, max_gap_ms))
             is not None
+            and not (auto_mode and ext[2])
         ):
             # bounded-extent stateful pattern (timers, windowed
             # aggregates, for-interval stats, wait, until — the accums
             # flagship shapes): history/future matter, but only
             # (lookback, lookahead) of them, so the row work shards by
             # (key, time-shard) and stays exact
-            # (_sharded_stateful_intervals); sequences and
-            # present-producing shapes, and jobs without the gap rule,
-            # keep the ordered path below
+            # (_sharded_stateful_intervals); sequences, jobs without
+            # the gap rule, and — in auto mode — present-producing
+            # (lag) shapes keep the ordered path below
             iv = _sharded_stateful_intervals(
                 raw_src, keys, ts, fields_types, node,
-                max_gap_ms, shard_ms, ext[0], ext[1],
+                max_gap_ms, _shard_for(ext[0] + ext[1]), ext[0], ext[1],
                 may_emit_present=ext[2],
             )
         else:

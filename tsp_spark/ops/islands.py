@@ -159,6 +159,23 @@ def islands_sharded(
     part = islands(
         base, list(keys) + [shard_col], ts, cond, max_gap_ms, keep=None
     )
+    return stitch_sharded_islands(part, keys, max_gap_ms, keep, shard_col)
+
+
+def stitch_sharded_islands(
+    part: DataFrame,
+    keys: Sequence[str],
+    max_gap_ms: int | None,
+    keep: bool | None,
+    shard_col: str,
+) -> DataFrame:
+    """The island-level half of ``islands_sharded``: merge per-(key,
+    shard) islands (``keys…, shard_col, cond_value, from_ts, to_ts,
+    n_rows``) into global islands. Exposed so callers that build the
+    within-shard islands themselves (the present-masked lag path,
+    api._sharded_stateful_intervals) reuse the exact stitch rule.
+    Rows here are RUNS, orders of magnitude fewer than events — every
+    window below is cheap by construction."""
     w = Window.partitionBy(*keys).orderBy("from_ts", "to_ts")
     prev_cond = F.lag("cond_value").over(w)
     prev_to = F.lag("to_ts").over(w)

@@ -352,15 +352,19 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             # or "exact" (the reference's two-queue andThen
             # consumption — docs/SEMANTICS.md §17)
             andthen_mode=request.get("andThenMode", "fused"),
-            # engine extension (r9, bounded-extent-total since r10):
-            # hot-key mitigation — patterns evaluate sharded by (key,
-            # time-shard), exact at any value (api.py). Bounded-extent
-            # shapes shard; everything else (exact-mode andThen,
-            # right-nested/nested andThen operands, lag over
-            # non-row-local inners or inside chains, unknown nodes)
-            # silently keeps the exact ordered path — do not expect a
-            # sharded speedup on those shapes.
-            shard_ms=request.get("shardMs"),
+            # engine extension (r9, bounded-extent-total since r10,
+            # AUTO since r11): hot-key mitigation — patterns evaluate
+            # sharded by (key, time-shard), exact at any value
+            # (api.py). Bounded-extent shapes shard; everything else
+            # (exact-mode andThen, right-nested/nested andThen
+            # operands, lag over non-row-local inners or inside
+            # chains, unknown nodes) silently keeps the exact ordered
+            # path — do not expect a sharded speedup on those shapes.
+            # shardMs absent -> "auto" (plan-time skew probe, gated on
+            # a finite >=128 MB plan-stats size, so JDBC sources —
+            # unknown size — never pay a probe scan); explicit null ->
+            # ordered; explicit int -> forced width incl. lag shapes.
+            shard_ms=request.get("shardMs", "auto"),
         )
         if sink is not None:
             return sink(incidents, request)
