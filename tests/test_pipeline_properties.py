@@ -2011,3 +2011,117 @@ def test_map_only_operators_plan_shape(spark):
         assert n_exchanges(frame) == 0, (name, frame._jdf.queryExecution()
                                          .executedPlan().toString()[:800])
         frame.collect()  # and they all actually evaluate
+
+
+def test_sentence_span_dedup_brute_force(spark):
+    """unit='sentence' span machinery (r11 — C4's three-sentence-span
+    dedup half) vs a python brute force on adversarial corpora: shared
+    boilerplate runs, within-doc repeats, '.'/'!'/'?' terminators,
+    newline and space separators, trailing-whitespace identity (a span
+    ending at end-of-text must match the same span mid-text). Seeded,
+    deterministic."""
+    import random
+    import re
+    from collections import defaultdict
+
+    from tsp_spark.pipeline.dedup import trim_duplicated_spans
+
+    def sentences(t: str) -> list[str]:
+        return re.sub(r"([.!?])([\n ])", "\\1\\2\x1e", t).split("\x1e")
+
+    rng = random.Random(0xC45)
+    pool = [
+        "alpha beta gamma.", "delta five six!", "seven eight nine?",
+        "rho sigma tau.", "unique UNIQ end.",
+    ]
+    for trial in range(3):
+        K = rng.choice([2, 3])
+        docs = []
+        for i in range(20):
+            n = rng.randint(1, 7)
+            sep = rng.choice([" ", "\n"])
+            body = sep.join(
+                rng.choice(pool).replace("UNIQ", f"u{i}x{j}")
+                for j in range(n)
+            )
+            docs.append((i, body))
+
+        cut = defaultdict(set)
+        occs = defaultdict(list)
+        sent_lists = {}
+        for d, t in docs:
+            s = sentences(t)
+            sent_lists[d] = s
+            for i in range(len(s) - K + 1):
+                gram = tuple(x.rstrip(" \n") for x in s[i:i + K])
+                occs[gram].append((d, i))
+        for gram, lst in occs.items():
+            if len(lst) < 2:
+                continue
+            canon = min(lst)
+            for d, i in lst:
+                if (d, i) != canon:
+                    cut[d].update(range(i, i + K))
+        expect = {}
+        for d, t in docs:
+            s = sent_lists[d]
+            kept = [x for i, x in enumerate(s) if i not in cut[d]]
+            expect[d] = ("".join(kept), len(kept), len(s))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_tokens"])
+            for r in trim_duplicated_spans(
+                df, "text", "doc_id", k=K, keep_first=True, unit="sentence"
+            ).collect()
+        }
+        assert got == expect, (trial, K)
+        # a fully-kept document rebuilds byte-losslessly
+        full = [d for d, t in docs if not cut[d]]
+        assert full and all(expect[d][0] == dict(docs)[d] for d in full)
+
+
+def test_c4_full_clean_composition(spark):
+    """c4_full_clean (r11) = c4_clean line/page rules THEN corpus-wide
+    keep-first three-sentence dedup: line filtering happens BEFORE
+    sentence spans (a span across a dropped line is contiguous in the
+    page), one canonical copy of shared boilerplate survives, and a
+    page whose sentences are all unique passes through unchanged."""
+    from pyspark.sql import functions as F
+
+    from tsp_spark.pipeline.text import c4_full_clean
+
+    boiler = (
+        "all rights reserved to us today.\n"
+        "use of this site implies consent.\n"
+        "subscribe to the weekly mailing list."
+    )
+    docs = [
+        # unique page, enough sentences, survives whole
+        (1, "alpha beta gamma delta epsilon one.\n"
+            "zeta eta theta iota kappa two.\n"
+            "lambda mu nu xi omicron three.\n" + boiler),
+        # same boilerplate -> its 3-sentence span trims here
+        (2, "first second third fourth fifth alt.\n"
+            "sixth seventh eighth ninth tenth alt.\n"
+            "hello world this is doc two.\n" + boiler),
+        # short lines dropped by the LINE rule, then boilerplate trims
+        (3, "tiny line.\nanother small.\n" + boiler),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in c4_full_clean(df, "text", "doc_id").collect()
+    }
+    # doc 1 is canonical (min doc_id): keeps everything incl. boilerplate
+    assert out[1]["dup_sentences"] == 0
+    assert out[1]["n_kept"] == out[1]["n_sentences"]
+    assert "subscribe to the weekly mailing list." in out[1]["text_clean"]
+    # doc 2 loses exactly the 3 boilerplate sentences
+    assert out[2]["dup_sentences"] == 3
+    assert "all rights reserved" not in out[2]["text_clean"]
+    assert "hello world this is doc two." in out[2]["text_clean"]
+    # doc 3: the two short lines fall to the LINE rule (not the span
+    # machinery), the boilerplate then trims as a duplicated span
+    assert out[3]["n_lines"] == 5 and out[3]["n_kept_lines"] == 3
+    assert out[3]["n_kept"] == 0 and out[3]["text_clean"] == ""

@@ -20,6 +20,7 @@ from tsp_spark.pipeline.text import (
     fingerprint,
     simhash,
     c4_clean,
+    c4_full_clean,
     gopher_filter,
     gopher_repetition_signals,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "cosine_topk",
     "label_centroids",
     "c4_clean",
+    "c4_full_clean",
     "gopher_filter",
     "gopher_repetition_signals",
     "score_quality",

@@ -1341,6 +1341,33 @@ def _neardup_process_batch(
     # the Python references here is what actually schedules cleanup
 
 
+SENTENCE_MARK = "\x1e"  # RS sentinel: split point the regex injects
+SENTENCE_GRAM_SEP = "\x1f"  # US: joins sentences inside a gram hash
+
+
+def sentence_array(text: Column) -> Column:
+    """Sentence segmentation shared by the ``unit='sentence'`` span
+    machinery: split AFTER terminal punctuation ([.!?]) followed by a
+    space or newline. Lookbehind-free (an RS sentinel injected by
+    regexp_replace, then a plain split) so a DuckDB/RE2 oracle can
+    reproduce it exactly. Each sentence KEEPS its trailing whitespace,
+    which makes the rebuild byte-lossless: concatenating kept
+    sentences with an empty joiner reproduces the original text
+    wherever nothing was trimmed."""
+    return F.split(
+        F.regexp_replace(text, "([.!?])([\\n ])", "$1$2" + SENTENCE_MARK),
+        SENTENCE_MARK,
+    )
+
+
+def sentence_array_sql(text_expr: str) -> str:
+    """The DuckDB expression computing exactly ``sentence_array``."""
+    return (
+        f"string_split(regexp_replace({text_expr}, "
+        "'([.!?])([\\n ])', '\\1\\2' || chr(30), 'g'), chr(30))"
+    )
+
+
 def _merged_dup_spans(
     df: DataFrame,
     text_col: str,
@@ -1349,6 +1376,7 @@ def _merged_dup_spans(
     min_count: int,
     hash_fn: str,
     keep_first: bool = False,
+    unit: str = "token",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of duplicated_span_stats / trim_duplicated_spans:
     returns ``(base, merged)`` where base = (id, text, __n) and merged
@@ -1366,7 +1394,16 @@ def _merged_dup_spans(
     struct — map-side combinable, so a boilerplate gram occurring 1e9
     times still collapses on the map side), then the semi-join becomes
     an inner join carrying the canonical for an equality filter —
-    shuffle count unchanged."""
+    shuffle count unchanged.
+
+    ``unit`` (r11): ``'token'`` — whitespace tokens, Lee et al.'s
+    k-gram form; ``'sentence'`` — SENTENCES as the gram unit
+    (sentence_array), which with k=3 + keep_first is exactly C4's
+    other dedup half (Raffel et al. §2.2: discard all but one of any
+    three-sentence span occurring more than once in the data set).
+    Gram identity hashes rtrim'd sentences so a span ending at
+    end-of-text matches the same span mid-text. Plan shape identical
+    to the token path — the unit only changes two expressions."""
     from pyspark.sql import Window
 
     from tsp_spark.pipeline.hashing import md5_long
@@ -1375,11 +1412,29 @@ def _merged_dup_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if hash_fn not in ("md5", "xxh"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
+    if unit not in ("token", "sentence"):
+        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
 
-    toks = F.split(F.col(text_col), " ")
+    if unit == "token":
+        toks = F.split(F.col(text_col), " ")
+    else:
+        toks = sentence_array(F.col(text_col))
 
     def _gram_hash(i: Column) -> Column:
-        gram = F.concat_ws(" ", F.slice(toks, i + 1, k))
+        if unit == "token":
+            gram = F.concat_ws(" ", F.slice(toks, i + 1, k))
+        else:
+            # strip trailing [ \n] for the gram IDENTITY only (the
+            # rebuild keeps the whitespace): a span ending at
+            # end-of-text ('.') must match the same span mid-text
+            # ('.\n' / '. ')
+            gram = F.concat_ws(
+                SENTENCE_GRAM_SEP,
+                F.transform(
+                    F.slice(toks, i + 1, k),
+                    lambda s: F.regexp_replace(s, "[ \\n]+$", ""),
+                ),
+            )
         return md5_long(gram) if hash_fn == "md5" else F.xxhash64(gram)
 
     base = df.select(F.col(id_col), F.col(text_col)).withColumn(
@@ -1457,6 +1512,7 @@ def duplicated_span_profile(
     min_count: int = 2,
     hash_fn: str = "md5",
     keep_first: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """Stats AND trim in ONE plan: per document, the span statistics
     (n_tokens, n_spans, dup_tokens, dup_frac) plus the rebuilt
@@ -1466,16 +1522,23 @@ def duplicated_span_profile(
     needed (the driver fold does): two separate stats+trim calls
     execute the gram groupBy / semi-join / window twice — measured,
     Catalyst does NOT reuse the exchanges across independent operator
-    invocations. ``keep_first`` — see trim_duplicated_spans."""
+    invocations. ``keep_first`` — see trim_duplicated_spans; ``unit``
+    — see _merged_dup_spans (``'sentence'`` counts/trims SENTENCES;
+    n_tokens/dup_tokens/n_kept then count sentences)."""
     base, merged = _merged_dup_spans(
-        df, text_col, id_col, k, min_count, hash_fn, keep_first=keep_first
+        df, text_col, id_col, k, min_count, hash_fn,
+        keep_first=keep_first, unit=unit,
     )
     per_doc = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__nsp"),
         F.sum(F.col("__e") - F.col("__s")).alias("__dup"),
         F.collect_list(F.struct("__s", "__e")).alias("__spans"),
     )
-    toks = F.split(F.col(text_col), " ")
+    toks = (
+        F.split(F.col(text_col), " ")
+        if unit == "token"
+        else sentence_array(F.col(text_col))
+    )
     spans = F.coalesce(
         F.col("__spans"),
         F.array().cast("array<struct<__s:long,__e:long>>"),
@@ -1495,7 +1558,7 @@ def duplicated_span_profile(
             F.coalesce(F.col("__dup"), F.lit(0)).cast("double")
             / F.col("__n").cast("double")
         ).alias("dup_frac"),
-        F.concat_ws(" ", kept).alias("text_clean"),
+        F.concat_ws(" " if unit == "token" else "", kept).alias("text_clean"),
         F.size(kept).cast("long").alias("n_kept"),
     )
 
@@ -1507,6 +1570,7 @@ def duplicated_span_stats(
     k: int = 8,
     min_count: int = 2,
     hash_fn: str = "md5",
+    unit: str = "token",
 ) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for
@@ -1534,9 +1598,11 @@ def duplicated_span_stats(
     ``hash_fn='md5'`` uses the 60-bit md5_long bridge so a DuckDB
     oracle reproduces the decision bit-exactly; ``'xxh'`` switches the
     gram key to xxhash64 (faster, same answer modulo 64-bit collisions
-    — equality is all the key is used for)."""
+    — equality is all the key is used for). ``unit='sentence'`` (r11)
+    counts duplicated SENTENCE k-grams instead (n_tokens/dup_tokens
+    then count sentences) — see _merged_dup_spans."""
     base, merged = _merged_dup_spans(
-        df, text_col, id_col, k, min_count, hash_fn
+        df, text_col, id_col, k, min_count, hash_fn, unit=unit
     )
     spans = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -1570,6 +1636,7 @@ def trim_duplicated_spans(
     min_count: int = 2,
     hash_fn: str = "md5",
     keep_first: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """The trimmer half of the Lee-et-al exact-substring pipeline:
     rebuild each document with every token inside a duplicated span
@@ -1591,14 +1658,26 @@ def trim_duplicated_spans(
     corpus, and the rebuild is a MAP-ONLY higher-order filter — token
     i survives iff no span covers it — so the expensive text column
     never shuffles. Per-row cost O(n_tokens x n_spans); spans are few
-    by construction (disjoint, length >= k)."""
+    by construction (disjoint, length >= k).
+
+    ``unit='sentence'`` + ``k=3`` + ``keep_first=True`` is exactly
+    C4's corpus-wide three-sentence-span dedup (Raffel et al. §2.2) —
+    sentences are the gram unit (sentence_array), the rebuild joins
+    kept sentences with an empty separator (each keeps its own
+    trailing whitespace), and one canonical copy of every duplicated
+    span survives."""
     base, merged = _merged_dup_spans(
-        df, text_col, id_col, k, min_count, hash_fn, keep_first=keep_first
+        df, text_col, id_col, k, min_count, hash_fn,
+        keep_first=keep_first, unit=unit,
     )
     span_arr = merged.groupBy(id_col).agg(
         F.collect_list(F.struct("__s", "__e")).alias("__spans")
     )
-    toks = F.split(F.col(text_col), " ")
+    toks = (
+        F.split(F.col(text_col), " ")
+        if unit == "token"
+        else sentence_array(F.col(text_col))
+    )
     spans = F.coalesce(
         F.col("__spans"),
         F.array().cast("array<struct<__s:long,__e:long>>"),
@@ -1613,7 +1692,8 @@ def trim_duplicated_spans(
         base.join(span_arr, id_col, "left")
         .select(
             F.col(id_col),
-            F.concat_ws(" ", kept).alias("text_clean"),
+            F.concat_ws(" " if unit == "token" else "", kept)
+            .alias("text_clean"),
             F.col("__n").cast("long").alias("n_tokens"),
             F.size(kept).cast("long").alias("n_kept"),
         )

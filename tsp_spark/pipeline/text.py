@@ -1205,6 +1205,92 @@ def c4_cols(
     ]
 
 
+def c4_full_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 5,
+    k: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """COMPLETE C4 (Raffel et al. 2020 §2.2, both halves): the map-only
+    line/page rules (c4_clean), then the corpus-wide THREE-SENTENCE-SPAN
+    dedup — 'we discard all but one of any three-sentence span occurring
+    more than once in the data set' — via the exact-substring span
+    machinery with sentences as the gram unit and keep-first canonical
+    semantics (dedup.duplicated_span_profile(unit='sentence',
+    keep_first=True), r11).
+
+    Returns (id, n_lines, n_kept_lines, n_page_sentences, keep,
+    n_sentences, n_spans, dup_sentences, dup_frac, text_clean, n_kept)
+    where text_clean is the line-filtered page with duplicated
+    three-sentence spans cut (one canonical copy survives corpus-wide)
+    and the n_* sentence stats describe that dedup. Plan: the page
+    rules stay map-only; the sentence dedup is one gram-hash groupBy +
+    one join back + a per-doc window — the same linear-shuffle shape
+    as the token-level Lee-et-al pipeline."""
+    from tsp_spark.pipeline.dedup import duplicated_span_profile
+
+    pages = c4_clean(df, text_col, id_col, min_words=min_words)
+    deduped = duplicated_span_profile(
+        pages, "text_clean", id_col,
+        k=k, min_count=min_count, keep_first=True, unit="sentence",
+    )
+    return (
+        pages.select(
+            F.col(id_col), "n_lines", "n_kept_lines",
+            F.col("n_sentences").alias("n_page_sentences"), "keep",
+        )
+        .join(deduped, id_col)
+        .withColumnRenamed("n_tokens", "n_sentences")
+        .withColumnRenamed("dup_tokens", "dup_sentences")
+    )
+
+
+BOILERPLATE_SENTENCES = (
+    "all rights reserved by the original publisher of this page.",
+    "use of this site constitutes acceptance of our terms of service.",
+    "subscribe to our newsletter for weekly updates and exclusive offers.",
+    "this article was automatically generated from syndicated wire content.",
+    "comments are moderated and may take several hours to appear online.",
+    "share this story with your friends on all major social platforms.",
+)
+
+
+def inject_boilerplate_col(text_col: str, id_col: str) -> Column:
+    """Deterministically append 3–6 shared BOILERPLATE sentences (as
+    lines, offset and count from md5_long(id) bit-fields) to a
+    structured text column: the synthetic corpus has no cross-document
+    sentence overlap, so C4's three-sentence-span dedup would be
+    constant-zero and its value check vacuous (the damage_text_col /
+    inject_repetition_col pattern). Every boilerplate line passes the
+    C4 line rules (>= 5 words, terminal '.', no 'javascript'), so the
+    injected spans SURVIVE the line filter and exercise the sentence
+    dedup — both engines synthesize the identical text."""
+    from tsp_spark.pipeline.hashing import md5_long
+
+    h = md5_long(F.col(id_col).cast("string"))
+    off = F.shiftright(h, 14).bitwiseAND(F.lit(1)).cast("int")
+    m = (F.shiftright(h, 16).bitwiseAND(F.lit(3)) + 3).cast("int")
+    pool = F.array(*[F.lit(s) for s in BOILERPLATE_SENTENCES])
+    block = F.concat_ws("\n", F.slice(pool, off + 1, m))
+    return F.concat(F.col(text_col), F.lit("\n"), block)
+
+
+def inject_boilerplate_sql(text_expr: str, id_expr: str) -> str:
+    """The DuckDB expression computing exactly inject_boilerplate_col."""
+    from tsp_spark.pipeline.hashing import md5_long_sql
+
+    h = md5_long_sql(f"CAST({id_expr} AS VARCHAR)")
+    pool = "[" + ", ".join(f"'{s}'" for s in BOILERPLATE_SENTENCES) + "]"
+    off = f"((({h} >> 14) & 1))::INT"
+    m = f"((({h} >> 16) & 3) + 3)::INT"
+    return (
+        f"({text_expr} || chr(10) || array_to_string("
+        f"({pool})[{off}+1:{off}+{m}], chr(10)))"
+    )
+
+
 def structure_text_col(text_col: str, id_col: str) -> Column:
     """Deterministically STRUCTURED copy of flat token text: tokens
     grouped into lines of 5–8 (count from md5_long(id) bit-fields),

@@ -1363,13 +1363,26 @@ def q_text_fingerprint(spark, sf_dir):
       (xxhash64 join keys, r10): the oracle rows are the lm rows
       re-labeled, so the driver value-checks that the hashed join
       path is output-identical to the string path
+    * c4s   — COMPLETE C4 (r11): the line/page rules plus the
+      corpus-wide three-sentence-span dedup (Raffel §2.2's other
+      half), run over a structured + boilerplate-injected projection
+      (the synthetic corpus has no cross-doc sentence overlap, so the
+      raw signal would be vacuous — the __dmg/__rep pattern). v1 =
+      md5_long of the final page (line-filtered, duplicated
+      three-sentence spans cut, one canonical copy kept corpus-wide),
+      v2 = sentences kept, d1 = duplicated-sentence fraction.
     """
     from tsp_spark.pipeline.dedup import (
         duplicated_span_profile,
         trim_duplicated_spans,
     )
     from tsp_spark.pipeline.hashing import md5_long
-    from tsp_spark.pipeline.text import ngram_lm_scores
+    from tsp_spark.pipeline.text import (
+        c4_full_clean,
+        inject_boilerplate_col,
+        ngram_lm_scores,
+        structure_text_col,
+    )
 
     docs = _load(spark, sf_dir, "documents")
     fp = fingerprint(docs, "text", "doc_id").select(
@@ -1431,11 +1444,23 @@ def q_text_fingerprint(spark, sf_dir):
         F.col("n_kept").cast("long").alias("v2"),
         F.lit(0.0).alias("d1"),
     )
+    # c4s: full C4 over the structured + boilerplate-injected page
+    staged = docs.withColumn(
+        "__st", structure_text_col("text", "doc_id")
+    ).withColumn("__stb", inject_boilerplate_col("__st", "doc_id"))
+    c4s = c4_full_clean(staged, "__stb", "doc_id").select(
+        F.lit("c4s").alias("variant"),
+        F.col("doc_id"),
+        md5_long(F.col("text_clean")).alias("v1"),
+        F.col("n_kept").cast("long").alias("v2"),
+        F.col("dup_frac").alias("d1"),
+    )
     return (
         fp.unionByName(span_trim)
         .unionByName(lm)
         .unionByName(lmh)
         .unionByName(trimk)
+        .unionByName(c4s)
     )
 
 
@@ -1585,6 +1610,96 @@ _TRIMK_HITS = """hits AS (SELECT doc_id, pos, e FROM (
              FROM gh WHERE h IN (SELECT h FROM dup))
            WHERE rn > 1),"""
 assert _TRIM_HITS in _TRIM_BLOCK  # drift guard for the string surgery
+
+
+def _c4s_oracle() -> str:
+    """DuckDB mirror of the c4s variant: structure + boilerplate
+    injection -> C4 line filter -> sentence split (RS-sentinel, no
+    lookbehind) -> keep-first three-sentence-span dedup -> rebuild
+    with the empty joiner (sentences keep their trailing whitespace).
+    Same CTE skeleton as the trimk block, with sentences as the gram
+    unit and gram identity over '[ \\n]+$'-stripped sentences."""
+    from tsp_spark.pipeline.dedup import sentence_array_sql
+    from tsp_spark.pipeline.text import (
+        inject_boilerplate_sql,
+        structure_text_sql,
+    )
+
+    stb = inject_boilerplate_sql(
+        "(" + structure_text_sql("text", "doc_id") + ")", "doc_id"
+    )
+    keep_line = (
+        "regexp_matches(l, '[.!?\"]$')"
+        " AND len(string_split(l, ' ')) >= 5"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    gram = (
+        "array_to_string(list_transform(s[pos+1:pos+3],"
+        " x -> regexp_replace(x, '[ \\n]+$', '')), chr(31))"
+    )
+    return f"""
+SELECT 'c4s' AS variant, doc_id,
+       ('0x' || substring(md5(text_clean), 1, 15))::BIGINT AS v1,
+       n_kept AS v2, dup_frac AS d1
+FROM (
+  WITH stb AS (SELECT doc_id, {stb} AS st FROM documents),
+  pg AS (SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter(string_split(st, chr(10)), l -> {keep_line}),
+             chr(10)), '') AS page
+         FROM stb),
+  sen AS (SELECT doc_id, {sentence_array_sql("page")} AS s FROM pg),
+  g AS (SELECT doc_id, unnest(generate_series(0, len(s) - 3)) AS pos, s
+        FROM sen WHERE len(s) >= 3),
+  gh AS (SELECT doc_id, pos,
+           ('0x' || substring(md5({gram}), 1, 15))::BIGINT AS h
+         FROM g),
+  dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+  hits AS (SELECT doc_id, pos, e FROM (
+             SELECT doc_id, pos, pos + 3 AS e,
+                    row_number() OVER (PARTITION BY h
+                                       ORDER BY doc_id, pos) AS rn
+             FROM gh WHERE h IN (SELECT h FROM dup))
+           WHERE rn > 1),
+  isl AS (SELECT doc_id, pos, e,
+          CASE WHEN pos > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS st2
+          FROM hits),
+  grp AS (SELECT doc_id, pos, e, sum(st2) OVER (
+            PARTITION BY doc_id ORDER BY pos) AS gd FROM isl),
+  merged AS (SELECT doc_id, gd, min(pos) AS sp, max(e) AS ep
+             FROM grp GROUP BY doc_id, gd),
+  per AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+                 sum(ep - sp)::BIGINT AS dups
+          FROM merged GROUP BY doc_id),
+  covered AS (SELECT doc_id, unnest(generate_series(sp, ep - 1)) AS p
+              FROM merged),
+  posed AS (SELECT doc_id, unnest(generate_series(0, len(s) - 1)) AS p, s
+            FROM sen),
+  keptpos AS (
+    SELECT po.doc_id, po.p, po.s[po.p + 1] AS tok
+    FROM posed po LEFT JOIN covered c
+      ON po.doc_id = c.doc_id AND po.p = c.p
+    WHERE c.p IS NULL
+  ),
+  rebuilt AS (
+    SELECT doc_id,
+           coalesce(string_agg(tok, '' ORDER BY p), '') AS text_clean,
+           count(*)::BIGINT AS n_kept
+    FROM keptpos GROUP BY doc_id
+  )
+  SELECT sen.doc_id,
+         coalesce(r.text_clean, '') AS text_clean,
+         coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+         coalesce(per.dups, 0)::DOUBLE / len(sen.s)::DOUBLE AS dup_frac
+  FROM sen LEFT JOIN rebuilt r USING (doc_id)
+           LEFT JOIN per USING (doc_id)
+)
+"""
+
+
 ORACLE_FINGERPRINT += (
     "\nUNION ALL\n"
     + _LM_BLOCK.replace("SELECT 'lm' AS variant", "SELECT 'lmh' AS variant", 1)
@@ -1592,6 +1707,8 @@ ORACLE_FINGERPRINT += (
     + _TRIM_BLOCK.replace(
         "SELECT 'trim' AS variant", "SELECT 'trimk' AS variant", 1
     ).replace(_TRIM_HITS, _TRIMK_HITS, 1)
+    + "\nUNION ALL\n"
+    + _c4s_oracle()
 )
 
 
