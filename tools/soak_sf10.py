@@ -1,0 +1,84 @@
+"""sf10 soak for the worst sf1 scalers (VERDICT r10 item 7).
+
+dedup_simhash (5.9×), text_top_tokens (4.4×) and dedup_jaccard (3.5×)
+were output-growth-explained at sf1 — this proves the explanation
+holds another decade of scale: generate sf10 DOCUMENTS ONLY
+(tools/gen_sf.py `tables=` filter — 500k docs; the other tables would
+cost 60M lineitem rows for nothing), run the three legs at sf1 and
+sf10 from the same generator, and report wall clock, output rows, and
+OUTPUT-NORMALIZED per-row cost (sec / output row). The pass bar is
+per-output-row cost flat or falling across the decade — that is what
+"the growth is the answer getting bigger, not the engine slowing
+down" means.
+
+Usage: python tools/soak_sf10.py            (~10 min incl. generation)
+Writes one JSON line to stdout; paste the table into docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+LEGS = ["dedup_simhash", "text_top_tokens", "dedup_jaccard"]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from tools.gen_sf import ensure
+    from tsp_spark.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "100g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = Path(__file__).resolve().parent.parent / ".localdata"
+    d1 = ensure(1.0, str(base / "sf1"))
+    # documents-only generation: the three legs read nothing else
+    d10 = ensure(10.0, str(base / "sf10docs"), tables={"documents"})
+
+    out: dict = {}
+    for name in LEGS:
+        fn = QUERIES[name]
+        row = {}
+        for tag, d in (("sf1", d1), ("sf10", d10)):
+            best, n = float("inf"), 0
+            reps = 2 if tag == "sf1" else 1
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            row[f"{tag}_sec"] = round(best, 3)
+            row[f"{tag}_rows"] = n
+            row[f"{tag}_us_per_out_row"] = (
+                round(best / n * 1e6, 2) if n else None
+            )
+        row["scale_x"] = round(row["sf10_sec"] / row["sf1_sec"], 2)
+        row["rows_x"] = (
+            round(row["sf10_rows"] / row["sf1_rows"], 2)
+            if row["sf1_rows"]
+            else None
+        )
+        row["per_row_cost_x"] = (
+            round(
+                row["sf10_us_per_out_row"] / row["sf1_us_per_out_row"], 2
+            )
+            if row["sf1_us_per_out_row"] and row["sf10_us_per_out_row"]
+            else None
+        )
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
