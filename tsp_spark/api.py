@@ -302,19 +302,25 @@ def _sharded_stateful_intervals(
     #   rows because the lookback carries >= max_gap of raw history
     #   (margin >= (levels+1) gaps), so a null lag means "no raw row
     #   within lookback" which itself implies a break (or the key's
-    #   true first row — a constant +1 shift per key, and series ids
-    #   only ever GROUP rows, so any per-key-constant shift cancels);
+    #   true first row, which both sides count as a break — the
+    #   prefix below uses the same convention, so ids stay aligned);
     # * __lser = running count of breaks at OWNED rows (window over
     #   the partitioning the compiler already exchanged — no shuffle);
-    # * per-(key, shard) break totals -> per-key prefix sums — a
-    #   window over SHARD SUMMARIES (rows = occupied shards, tiny);
+    # * per-(key, shard) break totals -> per-key prefix sums computed
+    #   from the RAW (keys, ts) projection, NOT from the compiled
+    #   frame: the compiled subtree is the expensive part, and feeding
+    #   the prefix from it would evaluate that whole pipeline a second
+    #   time for the island join (measured 2-6x on the uniform-key
+    #   bench, docs/SCALE.md r11). A narrow raw scan + one (key,
+    #   shard)-windowed pass + a window over SHARD SUMMARIES (rows =
+    #   occupied shards) is the cheap equivalent;
     # * within-shard islands keyed by (keys, shard, __lser) — the
     #   subset partitioning is already satisfied, so no row exchange;
     # * the prefix joins onto the ISLAND table (runs, not rows) to
     #   form the global id, and the stitch merges across shards.
     #
-    # Net: ONE full-data exchange (the compiler's), same as the
-    # ordered path; everything else is island-level.
+    # Net: ONE full-data exchange of the compiled pipeline plus one
+    # NARROW raw exchange, vs r10's three full-width exchanges.
     from tsp_spark.ops.islands import islands, stitch_sharded_islands
 
     own_shard = F.floor(F.unix_millis(F.col(ts)) / F.lit(shard_ms))
@@ -334,23 +340,49 @@ def _sharded_stateful_intervals(
         )
         .where(own_filter)
     )
-    # break totals per occupied (key, shard) — MUST aggregate before
-    # the present filter (absent rows still carry series breaks)
+    # raw-side prefix: per occupied (key, shard) — within-shard breaks
+    # among consecutive raw rows plus the boundary break at the shard's
+    # first row (vs the previous occupied shard's last row; the key's
+    # first shard counts 1, matching the expanded side's null-lag
+    # convention). Aggregated BEFORE any present filter — absent rows
+    # still carry series breaks.
+    raw_ms = F.unix_millis(F.col(ts))
+    wp = Window.partitionBy(*keys, "__psh").orderBy(ts)
+    shard_sum = (
+        raw_src.select(*keys, F.col(ts))
+        .withColumn("__psh", F.floor(raw_ms / F.lit(shard_ms)))
+        .withColumn(
+            "__b",
+            F.coalesce(
+                (raw_ms - F.lag(raw_ms).over(wp) > F.lit(max_gap_ms))
+                .cast("long"),
+                F.lit(0),
+            ),
+        )
+        .groupBy(*keys, "__psh")
+        .agg(
+            F.sum("__b").alias("__breaks"),
+            F.min(raw_ms).alias("__first"),
+            F.max(raw_ms).alias("__last"),
+        )
+    )
+    wsh = Window.partitionBy(*keys).orderBy("__psh")
+    prev_last = F.lag("__last").over(wsh)
+    boundary = F.when(prev_last.isNull(), F.lit(1)).otherwise(
+        (F.col("__first") - prev_last > F.lit(max_gap_ms)).cast("long")
+    )
     prefix = (
-        owned_all.groupBy(*keys, "__tshard")
-        .agg(F.max("__lser").alias("__t"))
+        shard_sum.withColumn("__t", boundary + F.col("__breaks"))
         .withColumn(
             "__p",
             F.coalesce(
                 F.sum("__t").over(
-                    Window.partitionBy(*keys)
-                    .orderBy("__tshard")
-                    .rowsBetween(Window.unboundedPreceding, -1)
+                    wsh.rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select(*keys, "__tshard", "__p")
+        .select(*keys, F.col("__psh").alias("__tshard"), "__p")
     )
     pres = owned_all.where(F.coalesce(F.col("__spres"), F.lit(False)))
     part = islands(
