@@ -239,3 +239,56 @@ def test_minof_propagates_nan(spark, mk_ts):
     out = compile_pattern(df, "minOf(p, q) < 100", ["unit"], "ts")
     ivs = sorted(r["from_ts"].timestamp() % 86400 for r in out.collect())
     assert len(ivs) == 2  # rows 0 and 2; the NaN row is excluded
+
+
+def test_window_agg_prefix_matches_frame(spark):
+    """r11: sum/count/avg via the O(n) prefix-difference windows (two
+    growing frames: running cumulative minus its value at or before
+    t - w) == the sliding-frame form — EXACTLY, on integer-valued
+    doubles (their partial sums are exactly representable), across
+    gap splits, empty half-open frames, masked inners (agg over lag),
+    and the sharded kernel. The prefix form is what 'auto' uses for
+    count always and for sum/avg at >= 30 min windows — Spark's
+    sliding frame re-aggregates the buffer per row, O(n x w_rows)
+    (tools/bench_window_frames.py: avg(x, 24 hr) at 2M rows was 230x
+    the 30 s form before this path existed)."""
+    import datetime
+    import random
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    rng = random.Random(0x11A6)
+    rows = []
+    for key in ("a", "b"):
+        t = 0
+        for _ in range(400):
+            t += rng.choice([1, 2, 3, 59, 61, 120])
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=t),
+                 float(rng.randint(0, 9)))
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    pats = [
+        RawPattern(1, "avg(x, 7 sec) > 4.5"),
+        RawPattern(2, "sum(x, 5 sec) >= 12"),
+        RawPattern(3, "count(x, 9 sec) >= 3"),
+        RawPattern(4, "avg(lag(x), 6 sec) > 4.5"),
+        RawPattern(5, "avg(x, 2 hr) > 4.5"),  # past the auto threshold
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=1_000,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, window_agg="prefix", **kw).collect()))
+    auto = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, **kw).collect()))
+    assert frame == prefix == auto and len(frame) > 0
+    # sharded kernel with the prefix frames inside
+    sharded = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=30_000, window_agg="prefix", **kw).collect()))
+    assert sharded == frame

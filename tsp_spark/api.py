@@ -236,6 +236,7 @@ def _sharded_stateful_intervals(
     lookahead_ms: int = 0,
     keep: bool | None = True,
     may_emit_present: bool = False,
+    window_agg: str = "auto",
 ) -> DataFrame:
     """Evaluate a bounded-lookback stateful pattern with the row work
     sharded by (key, time-shard) — the r10 generalization of
@@ -269,7 +270,8 @@ def _sharded_stateful_intervals(
         ),
     )
     comp = PatternCompiler(
-        list(keys) + ["__tshard"], ts, fields_types, max_gap_ms
+        list(keys) + ["__tshard"], ts, fields_types, max_gap_ms,
+        window_agg=window_agg,
     )
     src = comp.with_series(expanded)
     c = comp.compile_bool(src, node)
@@ -597,7 +599,7 @@ def _sharded_operand_with_succ(
         allruns = _sharded_stateful_intervals(
             raw_src, keys, ts, fields_types, node,
             max_gap_ms, shard_ms, ext[0], ext[1], keep=None,
-            may_emit_present=ext[2],
+            may_emit_present=ext[2], window_agg=compiler.window_agg,
         )
     w = Window.partitionBy(*keys).orderBy("from_ts")
     nxt = F.lead("from_ts").over(w)
@@ -692,6 +694,7 @@ def search_incidents(
     tolerance_fraction: float = 0.0,
     andthen_mode: str = "fused",
     shard_ms: int | str | None = "auto",
+    window_agg: str = "auto",
 ) -> DataFrame:
     """Run every pattern over the keyed stream; return merged incidents:
     ``pattern_id, subunit, keys…, from_ts, to_ts, n_merged``.
@@ -725,7 +728,8 @@ def search_incidents(
             f.name: _dtype_tag(f.dataType.simpleString()) for f in df.schema.fields
         }
     compiler = PatternCompiler(
-        keys, ts, fields_types, max_gap_ms, andthen_mode=andthen_mode
+        keys, ts, fields_types, max_gap_ms, andthen_mode=andthen_mode,
+        window_agg=window_agg,
     )
     nodes = [
         parse_pattern(p.source_code, fields_types, tolerance_fraction)
@@ -882,7 +886,7 @@ def search_incidents(
             iv = _sharded_stateful_intervals(
                 raw_src, keys, ts, fields_types, node,
                 max_gap_ms, _shard_for(ext[0] + ext[1]), ext[0], ext[1],
-                may_emit_present=ext[2],
+                may_emit_present=ext[2], window_agg=window_agg,
             )
         else:
             iv = compiler.compile_intervals(src, node)

@@ -93,6 +93,16 @@ def rowwise_reduce(name: str, filtered: Column) -> tuple[Column, str]:
     raise ValueError(f"Unknown reducer {name}")
 
 
+# "auto" window_agg switches sum/avg to the O(n) prefix-difference form
+# at windows this long or longer (count switches always — it subtracts
+# exactly). Below it, the O(n × rows-in-window) sliding frame is cheap
+# and bit-identical to the oracle's frame aggregation. 5 min: at 1 Hz
+# that is a 300-row frame, where the measured crossover already favors
+# the prefix form (tools/bench_window_frames.py — the 10 min frame leg
+# ran 2.7× slower than the 2 hr prefix leg at equal row count).
+PREFIX_WINDOW_AGG_MIN_MS = 300_000
+
+
 def _tmp(prefix: str) -> str:
     return f"__{prefix}_{next(_counter)}"
 
@@ -199,15 +209,21 @@ class PatternCompiler:
         max_gap_ms: int | None = 60_000,
         registry: FunctionRegistry = DEFAULT_REGISTRY,
         andthen_mode: str = "fused",
+        window_agg: str = "auto",
     ):
         if andthen_mode not in ("fused", "exact"):
             raise ValueError(f"andthen_mode must be 'fused' or 'exact', got {andthen_mode!r}")
+        if window_agg not in ("auto", "frame", "prefix"):
+            raise ValueError(
+                f"window_agg must be 'auto', 'frame' or 'prefix', got {window_agg!r}"
+            )
         self.keys = list(keys)
         self.ts = ts
         self.fields = fields_types or {}
         self.max_gap_ms = max_gap_ms
         self.registry = registry
         self.andthen_mode = andthen_mode
+        self.window_agg = window_agg
 
     # ------------------------------------------------------------------
     # window helpers (all share partitionBy(keys[, series]) → one exchange)
@@ -647,11 +663,6 @@ class PatternCompiler:
         # elements with elem.time + window <= time (GroupPattern.scala:76)
         # — unlike WindowStatistic which keeps [t−w, t] inclusive. Pinned
         # by golden case 13 (`avg(SpeedThrustMin, 2 sec) = 22`).
-        w = self._w_range(node.window_ms - 1)
-        fn = {"avg": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[
-            node.kind
-        ]
-        col = fn(c.col).over(w)
         dtype = (
             "int64"
             if node.kind == "count"
@@ -659,6 +670,84 @@ class PatternCompiler:
             if node.kind in ("avg",)
             else numeric_result_type(c.dtype, c.dtype)
         )
+        # Frame-shape choice (r11, the Segmentizer lesson's sibling):
+        # Spark's sliding RANGE frame cannot decrement an aggregate, so
+        # WindowExec re-aggregates the whole in-frame buffer per output
+        # row — O(n × rows-in-window) per key. Measured at fixed 2M
+        # rows / 1 Hz keys: `avg(x, 30 sec)` 1.4 s but `avg(x, 24 hr)`
+        # 325 s (tools/bench_window_frames.py) — a day-long window on a
+        # 1 Hz sensor pays ~86,000× per row. sum/count/avg are
+        # SUBTRACTABLE, so the O(n) form is two GROWING frames: a
+        # running cumulative, minus its latest value at or before
+        # t − w (exactly the half-open complement). This also matches
+        # the reference closer than per-frame re-summation does —
+        # GroupPattern itself keeps running sums and subtracts evicted
+        # elements (GroupPattern.scala:76). count subtracts EXACTLY
+        # (integer); sum/avg differ from the frame form only in float
+        # association, so "auto" switches them at ≥30 min windows where
+        # the O(n·w) cost dwarfs last-ulp association (override with
+        # window_agg='prefix'/'frame'). min/max are not subtractable —
+        # always the frame (their windows are bounded by the pattern's
+        # T; a van-Herk/segment-tree form is a known follow-up).
+        use_prefix = node.kind in ("avg", "sum", "count") and (
+            self.window_agg == "prefix"
+            or (
+                self.window_agg == "auto"
+                and (
+                    node.kind == "count"
+                    or node.window_ms >= PREFIX_WINDOW_AGG_MIN_MS
+                )
+            )
+        )
+        if use_prefix:
+            ms = self._ms()
+            wcum = (
+                Window.partitionBy(*self._series_keys())
+                .orderBy(ms)
+                .rangeBetween(Window.unboundedPreceding, 0)
+            )
+            wprev = (
+                Window.partitionBy(*self._series_keys())
+                .orderBy(ms)
+                .rangeBetween(Window.unboundedPreceding, -node.window_ms)
+            )
+            int_sum = dtype.startswith("int")
+            cnt_name, sum_name = _tmp("wcnt"), _tmp("wsum")
+            df2 = c.df.withColumn(
+                cnt_name,
+                F.sum(
+                    F.when(c.col.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                ).over(wcum),
+            )
+            if node.kind != "count":
+                acc = F.coalesce(
+                    c.col.cast("long" if int_sum else "double"),
+                    F.lit(0).cast("long" if int_sum else "double"),
+                )
+                df2 = df2.withColumn(sum_name, F.sum(acc).over(wcum))
+            cnt_prev = F.coalesce(
+                F.last(F.col(cnt_name)).over(wprev), F.lit(0)
+            )
+            cnt_win = F.col(cnt_name) - cnt_prev
+            if node.kind == "count":
+                col = cnt_win
+            else:
+                sum_prev = F.coalesce(
+                    F.last(F.col(sum_name)).over(wprev),
+                    F.lit(0).cast("long" if int_sum else "double"),
+                )
+                sum_win = F.col(sum_name) - sum_prev
+                # empty half-open frame -> NULL, matching F.sum/F.avg
+                col = F.when(
+                    cnt_win > 0,
+                    sum_win if node.kind == "sum" else sum_win / cnt_win,
+                )
+            return Compiled(df2, col, dtype, True, c.present)
+        w = self._w_range(node.window_ms - 1)
+        fn = {"avg": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[
+            node.kind
+        ]
+        col = fn(c.col).over(w)
         # inner absent rows carry NULL (when(emitted, …)) which the frame
         # aggregate skips — values match GroupPattern consuming only
         # emitted inputs; the output exists per emitted input idx.
