@@ -311,7 +311,7 @@ def _jaccard_pairs_prefix(
         + F.lit(1)
     )
     ex = t.select(
-        *bucket_cols, "__id", prefix_len.alias("__p"),
+        *bucket_cols, "__id", "__n", prefix_len.alias("__p"),
         F.explode(F.col("__ws")).alias("__tok"),
     )
     freq = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
@@ -322,7 +322,7 @@ def _jaccard_pairs_prefix(
         ex.join(freq, on="__tok")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= F.col("__p"))
-        .select(*bucket_cols, "__id", "__tok")
+        .select(*bucket_cols, "__id", "__n", "__tok")
     )
     if max_bucket_size is not None:
         pref = _bucket_guard(
@@ -333,13 +333,36 @@ def _jaccard_pairs_prefix(
             "duplicates first, use minhash_lsh_pairs, or raise "
             "max_bucket_size deliberately.",
         )
+    # size-ratio prune INSIDE the candidate join (r11, sf10-soak-found):
+    # J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|), the same theorem the
+    # verification stage applies — but applied there it runs AFTER
+    # 100M+ candidate rows materialize, dedupe and haul both token
+    # arrays through a shuffle (measured at the sf10 soak: candidates
+    # grow ~n^1.4 on a Zipf corpus — 4.0M at sf1 → 101.9M at sf10 —
+    # and verification dominated the 95.9× wall-clock blowup). As a
+    # join-ON predicate over the two int size columns it cuts the
+    # candidate block BEFORE the dedupe shuffle and the array join.
     cand = (
-        pref.select(*bucket_cols, F.col("__id").alias("id_a"), "__tok")
+        pref.select(
+            *bucket_cols, F.col("__id").alias("id_a"),
+            F.col("__n").alias("__pna"), "__tok",
+        )
         .join(
-            pref.select(*bucket_cols, F.col("__id").alias("id_b"), "__tok"),
+            pref.select(
+                *bucket_cols, F.col("__id").alias("id_b"),
+                F.col("__n").alias("__pnb"), "__tok",
+            ),
             on=[*bucket_cols, "__tok"],
         )
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__pna", "__pnb").cast("double")
+                >= F.lit(threshold)
+                * F.greatest("__pna", "__pnb").cast("double")
+                - F.lit(1e-9)
+            )
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -816,7 +839,20 @@ def simhash_pairs(
     keeps the result identical to brute force (property-tested). Band
     buckets carry the same runtime guard as the other bucketed joins;
     near-identical corpora concentrate fingerprints, so the guard
-    protects against the degenerate quadratic case."""
+    protects against the degenerate quadratic case.
+
+    SIZE ``bits`` WITH THE CORPUS (r11, found by the sf10 soak): each
+    band carries ``bits/bands`` value bits, so a band has
+    ``2^(bits/bands)`` buckets and the AVERAGE bucket holds
+    ``n_docs / 2^(bits/bands)`` rows — the default 32/4 (8-bit bands,
+    256 values) floods the 10k guard near ~100k docs on a homogeneous
+    corpus. Keep ``2^(bits/bands)`` a few hundred times n_docs/10k:
+    bits=48 (12-bit bands) to ~5M docs, bits=60 (15-bit bands, the
+    md5_long cap) to ~50M; beyond that raise ``bands`` together with
+    ``max_hamming`` recall needs, or pre-collapse exact duplicates.
+    Note changing ``bits`` changes the FINGERPRINT (different hash
+    slice votes), so pair sets at different widths are not comparable
+    — pick per corpus, not per run."""
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
     if bits > 60:
