@@ -248,7 +248,7 @@ def test_window_agg_prefix_matches_frame(spark):
     doubles (their partial sums are exactly representable), across
     gap splits, empty half-open frames, masked inners (agg over lag),
     and the sharded kernel. The prefix form is what 'auto' uses for
-    count always and for sum/avg at >= 30 min windows — Spark's
+    count always and for sum/avg at >= 5 min windows (PREFIX_WINDOW_AGG_MIN_MS) — Spark's
     sliding frame re-aggregates the buffer per row, O(n x w_rows)
     (tools/bench_window_frames.py: avg(x, 24 hr) at 2M rows was 230x
     the 30 s form before this path existed)."""

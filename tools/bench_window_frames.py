@@ -9,8 +9,9 @@ with `avg(x, 1 day)` the frame is 86,400 rows and the per-row cost is
 ~86,000x the narrow-window cost. This microbench drives the same
 `avg(x, T) > c` pattern through search_incidents at fixed 2M rows /
 1 row-per-second keys while T sweeps decades; linear-in-T wall clock
-is the O(n x w) signature. Companion: the prefix-sum reformulation in
-ops/windows.py (win_agg_prefix), which is O(n) regardless of T.
+is the O(n x w) signature. Companion: the prefix-difference reformulation in
+compile/compiler.py (_compile_aggregate's use_prefix branch, gated by
+PREFIX_WINDOW_AGG_MIN_MS), which is O(n) regardless of T.
 
 Usage: python tools/bench_window_frames.py [n_rows]
 """

@@ -684,8 +684,9 @@ class PatternCompiler:
         # GroupPattern itself keeps running sums and subtracts evicted
         # elements (GroupPattern.scala:76). count subtracts EXACTLY
         # (integer); sum/avg differ from the frame form only in float
-        # association, so "auto" switches them at ≥30 min windows where
-        # the O(n·w) cost dwarfs last-ulp association (override with
+        # association, so "auto" switches them at ≥5 min windows
+        # (PREFIX_WINDOW_AGG_MIN_MS) where the O(n·w) cost dwarfs
+        # last-ulp association (override with
         # window_agg='prefix'/'frame'). min/max are not subtractable —
         # always the frame (their windows are bounded by the pattern's
         # T; a van-Herk/segment-tree form is a known follow-up).
