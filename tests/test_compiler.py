@@ -292,3 +292,140 @@ def test_window_agg_prefix_matches_frame(spark):
     sharded = sorted(map(tuple, search_incidents(
         df, pats, shard_ms=30_000, window_agg="prefix", **kw).collect()))
     assert sharded == frame
+
+
+def test_truthstat_prefix_matches_frame(spark):
+    """r12 (VERDICT r11 Next #1): ForWithInterval truth-stats (`for T
+    <op> N times` / `<op> T'`) via the O(n) growing-frame difference ==
+    the sliding RANGE frame — EXACTLY. The summed quantities are
+    integer 0/1 counts and integer inter-event millis, so prefix
+    subtraction is bit-exact and 'auto'/'prefix' switch unconditionally
+    (no float-association gate, unlike sum/avg). Covers the times kind,
+    the time kind (whose first-row NULL delta exercises the NULL-skip
+    equivalence), `exactly`, hi-bounded ranges, a 2 hr window, gap
+    splits, and the sharded kernel."""
+    import datetime
+    import random
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    rng = random.Random(0x12A7)
+    rows = []
+    for key in ("a", "b"):
+        t = 0
+        for _ in range(400):
+            t += rng.choice([1, 2, 3, 59, 61, 120])
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=t),
+                 float(rng.randint(0, 9)))
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    pats = [
+        RawPattern(1, "x > 4 for 10 sec > 2 times"),
+        RawPattern(2, "x > 4 for 30 sec > 10 sec"),
+        RawPattern(3, "x > 4 for exactly 1 min > 3 times"),
+        RawPattern(4, "x > 4 for 20 sec < 4 times"),
+        RawPattern(5, "x > 4 for 1 min 5 to 40 sec"),
+        RawPattern(6, "x < 5 for 2 hr > 30 times"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=1_000,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, window_agg="prefix", **kw).collect()))
+    auto = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, **kw).collect()))
+    assert frame == prefix == auto and len(frame) > 0
+    sharded = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=30_000, window_agg="prefix", **kw).collect()))
+    assert sharded == frame
+
+
+def test_truth_stats_helper_prefix_matches_frame(spark):
+    """ops.windows.truth_stats form='prefix' (r12 default) == the
+    sliding-frame form on all four stat columns, including the NULL
+    first-row delta and NULL cond values."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tsp_spark.ops.windows import truth_stats
+
+    rows = []
+    vals = [5.0, None, 9.0, 1.0, None, 7.0, 2.0, 8.0, 3.0, 6.0]
+    for key in ("a", "b"):
+        for i, v in enumerate(vals):
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=i * i * 3),
+                 v)
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    cond = F.col("x") > 4
+    out = {}
+    for form in ("prefix", "frame"):
+        stats = truth_stats(cond, ["unit"], "ts", 20.0, form=form)
+        out[form] = sorted(
+            map(tuple,
+                df.select("unit", "ts", *[c.alias(n) for n, c in stats.items()])
+                .collect())
+        )
+    assert out["prefix"] == out["frame"] and len(out["prefix"]) == 20
+
+
+def test_minmax_wait_block_matches_frame(spark):
+    """r12 (VERDICT r11 Next #3): windowed min/max and `wait` via the
+    two-block decomposition (_block_extreme: aligned window-width
+    blocks, per-block prefix/suffix extremes over GROWING frames, as-of
+    stitch with sentinel rows) == the sliding-frame form — EXACTLY.
+    min/max are order-insensitive so there is no float-association
+    carve-out at any window length. Covers min, max, wait (the closed
+    LEADING frame on negated time), a masked inner (max over lag),
+    windows on both sides of the auto threshold, gap splits, ties
+    (duplicate timestamps), and the sharded kernel."""
+    import datetime
+    import random
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    rng = random.Random(0x12B3)
+    rows = []
+    for key in ("a", "b"):
+        t = 0
+        for _ in range(400):
+            t += rng.choice([0, 1, 2, 3, 59, 61, 120])  # 0 → tied ts
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=t),
+                 float(rng.randint(0, 99)))
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    pats = [
+        RawPattern(1, "max(x, 7 sec) > 90"),
+        RawPattern(2, "min(x, 13 sec) < 5"),
+        RawPattern(3, "wait(9 sec, x > 95)"),
+        RawPattern(4, "max(lag(x), 6 sec) > 90"),
+        RawPattern(5, "min(x, 2 hr) < 1"),      # past the auto threshold
+        RawPattern(6, "wait(2 hr, x > 98)"),    # leading, past threshold
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=1_000,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, window_agg="prefix", **kw).collect()))
+    auto = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=None, **kw).collect()))
+    assert frame == prefix == auto and len(frame) > 0
+    sharded = sorted(map(tuple, search_incidents(
+        df, pats, shard_ms=30_000, window_agg="prefix", **kw).collect()))
+    assert sharded == frame

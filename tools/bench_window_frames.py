@@ -32,7 +32,8 @@ def main() -> None:
 
     from tsp_spark.api import RawPattern, search_incidents
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    n_rows = int(nums[0]) if nums else 2_000_000
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -52,25 +53,35 @@ def main() -> None:
         (raw.cast("double") / 1000).alias("x"),
     )
     ft = {"x": "float64"}
+    # window_agg='frame' re-runs the literal sliding-frame form for the
+    # cliff comparison; default exercises the shipped 'auto' path.
+    window_agg = "frame" if "--frame" in sys.argv else "auto"
+    families = {
+        "avg": "avg(x, {t}) > 0.6",                    # r11b prefix sum/avg
+        "truth_times": "x > 0.6 for {t} > 10 times",   # r12 ForWithInterval
+        "truth_time": "x > 0.6 for {t} > 30 sec",      # r12 time kind
+        "max": "max(x, {t}) > 0.998",                  # r12 block min/max
+        "wait": "wait({t}, x > 0.999)",               # r12 leading max
+    }
+    only = [a for a in sys.argv[1:] if a in families]
+    if only:
+        families = {k: families[k] for k in only}
     out = {}
-    for label, t in (
-        ("30 sec", "30 sec"),
-        ("10 min", "10 min"),
-        ("2 hr", "2 hr"),
-        ("24 hr", "24 hr"),
-    ):
-        pat = f"avg(x, {t}) > 0.6"
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = search_incidents(
-                ev, [RawPattern(1, pat)], ["user_id"], "ts",
-                fields_types=ft, max_gap_ms=None, session_gap_ms=10_000,
-                shard_ms=None,
-            ).count()
-            best = min(best, time.perf_counter() - t0)
-        out[label] = {"sec": round(best, 2), "incidents": n}
-        print(f"# avg(x, {label}): {best:.2f}s ({n})", file=sys.stderr)
+    for fam, tmpl in families.items():
+        out[fam] = {}
+        for label in ("30 sec", "10 min", "2 hr", "24 hr"):
+            pat = tmpl.format(t=label)
+            best, n = float("inf"), 0
+            for _ in range(1 if "--once" in sys.argv else 2):
+                t0 = time.perf_counter()
+                n = search_incidents(
+                    ev, [RawPattern(1, pat)], ["user_id"], "ts",
+                    fields_types=ft, max_gap_ms=None, session_gap_ms=10_000,
+                    shard_ms=None, window_agg=window_agg,
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+            out[fam][label] = {"sec": round(best, 2), "incidents": n}
+            print(f"# [{window_agg}] {pat}: {best:.2f}s ({n})", file=sys.stderr)
     print(json.dumps(out))
 
 

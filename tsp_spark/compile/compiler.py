@@ -688,8 +688,21 @@ class PatternCompiler:
         # (PREFIX_WINDOW_AGG_MIN_MS) where the O(n·w) cost dwarfs
         # last-ulp association (override with
         # window_agg='prefix'/'frame'). min/max are not subtractable —
-        # always the frame (their windows are bounded by the pattern's
-        # T; a van-Herk/segment-tree form is a known follow-up).
+        # they get the r12 two-block decomposition instead
+        # (_block_extreme, bit-exact at any window), behind the same
+        # auto threshold since its fixed cost (sentinel distinct + two
+        # extra growing frames) only pays off once frames get long.
+        if node.kind in ("min", "max") and (
+            self.window_agg == "prefix"
+            or (
+                self.window_agg == "auto"
+                and node.window_ms >= PREFIX_WINDOW_AGG_MIN_MS
+            )
+        ):
+            df3, col = self._block_extreme(
+                c.df, c.col, node.kind, node.window_ms
+            )
+            return Compiled(df3, col, dtype, False, c.present)
         use_prefix = node.kind in ("avg", "sum", "count") and (
             self.window_agg == "prefix"
             or (
@@ -792,20 +805,162 @@ class PatternCompiler:
         ).otherwise(c.col & (held_ms >= F.lit(node.window_ms)))
         return Compiled(df2, col, "boolean", True)
 
+    def _prefix_closed_sum(self, expr: Column, window_ms: int) -> Column:
+        """O(n) sum of ``expr`` over the CLOSED trailing window [t−w, t]
+        (WindowStatistic's eviction is strict `<`, so its window keeps
+        the boundary event — unlike GroupPattern's half-open frame).
+
+        r12, closing the r11b gap: Spark's sliding RANGE frame cannot
+        decrement, so `F.sum(..).over(rangeBetween(−w, 0))` re-sums the
+        whole buffer per row — O(n × rows-in-window); the r11b sweep
+        measured 271× at 24 h windows (tools/bench_window_frames.py).
+        Both frames here GROW (unbounded lower bound), which Spark's
+        UnboundedPrecedingWindowFunctionFrame aggregates incrementally
+        — O(n) per key regardless of window length. Closed-window
+        complement at integer millis: rows with ms < t−w ⟺
+        ms ≤ t−w−1, hence the −(w+1) upper bound. The truth-stat
+        inputs are integer counts / integer millis, so the subtraction
+        is bit-exact — no float-association gate needed (contrast
+        sum/avg, PREFIX_WINDOW_AGG_MIN_MS). NULL contributions (a
+        key's first row has no inter-event delta) are skipped by both
+        growing sums exactly as the frame form skips them, and a
+        frame whose contributions are all NULL yields NULL in both
+        forms (cum is NULL only while every value so far is NULL, and
+        the before-window term coalesces to 0)."""
+        ks = self._series_keys()
+        w_ord = Window.partitionBy(*ks).orderBy(self._ms())
+        wcum = w_ord.rangeBetween(Window.unboundedPreceding, 0)
+        wbefore = w_ord.rangeBetween(Window.unboundedPreceding, -(window_ms + 1))
+        return F.sum(expr).over(wcum) - F.coalesce(
+            F.sum(expr).over(wbefore), F.lit(0)
+        )
+
+    def _block_extreme(
+        self,
+        df: DataFrame,
+        value: Column,
+        kind: str,
+        window_ms: int,
+        leading: bool = False,
+    ) -> tuple[DataFrame, Column]:
+        """O(n) windowed min/max — the two-block decomposition (r12,
+        closing the last of the r11b frame-cliff class; VERDICT r11
+        Next #3). min/max are NOT subtractable, so the prefix-difference
+        rewrite (sum/count/avg, `_prefix_closed_sum`) does not apply and
+        the sliding RANGE frame re-aggregates its whole buffer per row —
+        O(n × rows-in-window), 325 s for a 24 h window at 2M rows/1 Hz
+        (tools/bench_window_frames.py). Instead, bucket event time into
+        ALIGNED blocks of exactly the window width W. The half-open
+        trailing window (t−W, t] then spans at most two blocks
+        (b−1, b with b = ⌊t/W⌋), and
+
+            win_extreme(t) = least/greatest(
+                prefix extreme of block b up to t,          -- A
+                suffix extreme of block b−1 after t−W )     -- B
+
+        A is a growing frame within (keys, block). B is fetched as-of
+        time t−W: per row, `sfx` = extreme of SAME-BLOCK rows strictly
+        after it (growing frame over descending time — the r11 lag
+        lesson: never a shrinking frame), and B = last(sfx) over the
+        growing frame up to t−W. A per-(keys, block) SENTINEL row at
+        each block's start (value NULL, filtered back out afterwards)
+        guarantees that as-of row always lands inside block b−1 even
+        when the block has no real rows ≤ t−W — its sfx is then the
+        whole block tail. Every frame grows, so Spark's
+        UnboundedPrecedingWindowFunctionFrame aggregates incrementally:
+        O(n) per key regardless of W, plus one small distinct for the
+        sentinels. min/max have no float-association caveat — the
+        result is bit-identical to the frame form at any window length.
+
+        ``leading=True`` computes `wait`'s CLOSED leading window
+        [t, t+W] by running the same machinery on negated time
+        (closed [t, t+W] over ms == half-open (m−W', m] over m = −ms
+        with W' = W+1 at integer millis).
+
+        Ties are safe throughout: sfx and the cumulative frames are
+        RANGE-based, so rows with equal timestamps (including a
+        sentinel colliding with a real row at a block start) carry
+        identical values and `last` over the as-of frame is
+        deterministic. NULL values (masked inners / absent rows) are
+        skipped by min/max exactly as the frame form skips them, and
+        least/greatest skip NULL operands, so an all-NULL window is
+        NULL in both forms."""
+        fn = F.min if kind == "min" else F.max
+        lg = F.least if kind == "min" else F.greatest
+        ks = self._series_keys()
+        W = window_ms + 1 if leading else window_ms
+        msort = (-self._ms()) if leading else self._ms()
+        vname, mname, flagname, bname = (
+            _tmp("bxv"), _tmp("bxm"), _tmp("bxs"), _tmp("bxb"),
+        )
+        df2 = (
+            df.withColumn(vname, value)
+            .withColumn(mname, msort.cast("long"))
+            .withColumn(flagname, F.lit(False))
+        )
+        df2 = df2.withColumn(
+            bname, F.floor(F.col(mname) / F.lit(W)).cast("long")
+        )
+        sent = (
+            df2.select(*ks, (F.col(bname) - F.lit(1)).alias(bname))
+            .distinct()
+            .withColumn(mname, F.col(bname) * F.lit(W))
+            .withColumn(flagname, F.lit(True))
+        )
+        un = df2.unionByName(sent, allowMissingColumns=True)
+        negname, sfxname = _tmp("bxn"), _tmp("bxt")
+        un = un.withColumn(negname, -F.col(mname))
+        w_sfx = (
+            Window.partitionBy(*ks, bname)
+            .orderBy(negname)
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        un = un.withColumn(sfxname, fn(F.col(vname)).over(w_sfx))
+        w_pre = (
+            Window.partitionBy(*ks, bname)
+            .orderBy(mname)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        w_asof = (
+            Window.partitionBy(*ks)
+            .orderBy(mname)
+            .rangeBetween(Window.unboundedPreceding, -W)
+        )
+        rname = _tmp("bxr")
+        un = un.withColumn(
+            rname,
+            lg(
+                fn(F.col(vname)).over(w_pre),
+                F.last(F.col(sfxname)).over(w_asof),
+            ),
+        )
+        out = un.where(~F.col(flagname)).drop(
+            vname, mname, flagname, bname, negname, sfxname
+        )
+        return out, F.col(rname)
+
     def _compile_for_interval(self, df: DataFrame, node: A.ForWithInterval) -> Compiled:
         c = self.compile_bool(df, node.inner)
         c = self._materialize(c)
         cur = c.df
-        w = self._w_range(node.window_ms)
         ms = self._ms()
+        use_prefix = self.window_agg != "frame"
         if node.kind == "times":
-            stat = F.sum(F.when(c.col, 1).otherwise(0)).over(w).cast("double")
+            contrib = F.when(c.col, 1).otherwise(0)
+            if use_prefix:
+                stat = self._prefix_closed_sum(contrib, node.window_ms).cast("double")
+            else:
+                stat = F.sum(contrib).over(self._w_range(node.window_ms)).cast("double")
         else:
             w_row = self._w_order()
             delta = ms - F.lag(ms).over(w_row)
             dname = _tmp("delta")
             cur = cur.withColumn(dname, delta)
-            stat = F.sum(F.when(c.col, F.col(dname)).otherwise(0)).over(w).cast("double")
+            contrib = F.when(c.col, F.col(dname)).otherwise(0)
+            if use_prefix:
+                stat = self._prefix_closed_sum(contrib, node.window_ms).cast("double")
+            else:
+                stat = F.sum(contrib).over(self._w_range(node.window_ms)).cast("double")
         # reference `exactly` rule: wait for a full window when exactly,
         # or when the upper bound can be violated by more data — for
         # `times` any finite hi, for time-kind only hi < window
@@ -835,6 +990,18 @@ class PatternCompiler:
     def _compile_wait(self, df: DataFrame, node: A.Wait) -> Compiled:
         c = self.compile_bool(df, node.inner)
         c = self._materialize(c)
+        # r12: the closed leading frame [t, t+W] is a SLIDING frame
+        # (both bounds move) — same O(n × rows-in-window) cliff as the
+        # trailing aggregates. Route long windows through the two-block
+        # form on negated time (bit-exact; see _block_extreme).
+        if self.window_agg == "prefix" or (
+            self.window_agg == "auto"
+            and node.window_ms >= PREFIX_WINDOW_AGG_MIN_MS
+        ):
+            df3, col = self._block_extreme(
+                c.df, c.col, "max", node.window_ms, leading=True
+            )
+            return Compiled(df3, col, "boolean", False)
         col = F.max(c.col).over(self._w_range(node.window_ms, leading=True))
         return Compiled(c.df, col, "boolean", True)
 

@@ -95,12 +95,31 @@ def lag_time(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Colu
     return F.last(col, ignorenulls=True).over(w)
 
 
+def _closed_window_sum(
+    expr: Column, keys: Sequence[str], ts: str, window_ms: int
+) -> Column:
+    """O(n) sum of ``expr`` over the CLOSED trailing window [t−w, t] as
+    the difference of two GROWING frames (r12 — same rewrite as the
+    pattern compiler's ``_prefix_closed_sum``; the sliding RANGE frame
+    re-aggregates its buffer per output row, O(n × rows-in-window),
+    measured 271× at 24 h windows in tools/bench_window_frames.py).
+    Growing frames aggregate incrementally in Spark's
+    UnboundedPrecedingWindowFunctionFrame. Closed-window complement at
+    integer millis: ms < t−w ⟺ ms ≤ t−w−1, hence −(w+1). Truth-stat
+    inputs are integer counts/millis, so the subtraction is bit-exact."""
+    w_ord = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
+    wcum = w_ord.rangeBetween(Window.unboundedPreceding, 0)
+    wbefore = w_ord.rangeBetween(Window.unboundedPreceding, -(window_ms + 1))
+    return F.sum(expr).over(wcum) - F.coalesce(F.sum(expr).over(wbefore), F.lit(0))
+
+
 def truth_stats(
     cond: Column,
     keys: Sequence[str],
     ts: str,
     window_s: float,
     prefix: str = "truth",
+    form: str = "prefix",
 ) -> dict[str, Column]:
     """The reference's WindowStatistic: success/fail counts and durations
     within the trailing window (core/.../aggregators/WindowStatistic.scala).
@@ -115,16 +134,28 @@ def truth_stats(
     at the window) — a deliberate deviation documented in
     docs/SEMANTICS.md §12-13; with series-splitting on, a delta is
     bounded by eventsMaxGapMs, which bounds the difference.
+
+    ``form="prefix"`` (default, r12) computes each sum in O(n) via the
+    growing-frame difference (bit-exact for these integer inputs; the
+    reference's own accumulator subtracts evicted elements the same
+    way). ``form="frame"`` keeps the literal sliding RANGE frame —
+    O(n × rows-in-window), for parity testing only.
     """
-    w = time_window(keys, ts, window_s)
+    window_ms = round(window_s * 1000)
     w_row = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
     delta_ms = F.unix_millis(F.col(ts)) - F.lag(F.unix_millis(F.col(ts))).over(w_row)
     c = cond.cast("boolean")
+    if form == "prefix":
+        def _sum(expr: Column) -> Column:
+            return _closed_window_sum(expr, keys, ts, window_ms)
+    else:
+        w = time_window(keys, ts, window_s)
+
+        def _sum(expr: Column) -> Column:
+            return F.sum(expr).over(w)
     return {
-        f"{prefix}_count": F.sum(F.when(c, 1).otherwise(0)).over(w),
-        f"{prefix}_millis": F.sum(F.when(c, delta_ms).otherwise(0)).over(w),
-        f"{prefix}_fail_count": F.sum(F.when(~c | c.isNull(), 1).otherwise(0)).over(w),
-        f"{prefix}_fail_millis": F.sum(
-            F.when(~c | c.isNull(), delta_ms).otherwise(0)
-        ).over(w),
+        f"{prefix}_count": _sum(F.when(c, 1).otherwise(0)),
+        f"{prefix}_millis": _sum(F.when(c, delta_ms).otherwise(0)),
+        f"{prefix}_fail_count": _sum(F.when(~c | c.isNull(), 1).otherwise(0)),
+        f"{prefix}_fail_millis": _sum(F.when(~c | c.isNull(), delta_ms).otherwise(0)),
     }
