@@ -429,3 +429,46 @@ def test_minmax_wait_block_matches_frame(spark):
     sharded = sorted(map(tuple, search_incidents(
         df, pats, shard_ms=30_000, window_agg="prefix", **kw).collect()))
     assert sharded == frame
+
+
+def test_window_agg_prefix_recovers_from_nonfinite(spark):
+    """r12 (ADVICE r11 medium): a NaN or ±Inf input must poison windowed
+    sum/avg only WHILE it is inside the window — the naive running
+    cumulative stays NaN forever (NaN−NaN=NaN, Inf−Inf=NaN). The prefix
+    form keeps the cumulative finite plus exact integer counts of
+    NaN/+Inf/−Inf contributions, so it matches the frame form (and the
+    DuckDB oracle, and the streaming kernel's deque recompute) even
+    after the non-finite value leaves the window."""
+    import datetime
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    inf = float("inf")
+    rows = []
+    for key, vals in (
+        ("a", [5.0, None, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0]),  # None -> NaN
+        ("b", [5.0, inf, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0]),
+        ("c", [5.0, -inf, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0]),
+        ("d", [5.0, inf, -inf, 5.0, 5.0, 5.0, 5.0, 5.0]),  # both signs
+    ):
+        for i, v in enumerate(vals):
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=3 * i),
+                 v)
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    pats = [
+        RawPattern(1, "avg(x, 7 sec) > 4"),
+        RawPattern(2, "sum(x, 7 sec) >= 10"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=1_000, shard_ms=None,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="prefix", **kw).collect()))
+    assert frame == prefix and len(frame) > 0

@@ -707,6 +707,13 @@ def search_incidents(
     ``shard_ms``: hot-key mitigation — row work partitions by (key,
     time-shard) instead of serializing each key into one task, exact at
     any shard size (property-fuzzed byte-identical; docs/SCALE.md).
+    One carve-out (r12, docs/SEMANTICS.md §18): FLOAT ``sum``/``avg``
+    at prefix-form windows (≥ 5 min under ``window_agg="auto"``)
+    accumulate from the shard boundary rather than the series start,
+    so ordered vs sharded may differ in the last ulp of float
+    association; integer aggregates, counts, truth-stats, and min/max
+    stay bit-exact. Use ``window_agg="frame"`` if bit-exact float
+    parity across shard sizes matters more than the O(n·w) frame cost.
 
     * ``"auto"`` (default, r11): a free plan-stats gate plus one narrow
       probe aggregation detect a hot key at plan time and pick the

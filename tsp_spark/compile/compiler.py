@@ -733,24 +733,69 @@ class PatternCompiler:
                     F.when(c.col.isNotNull(), F.lit(1)).otherwise(F.lit(0))
                 ).over(wcum),
             )
+
+            def _win(name: str, zero: Column) -> Column:
+                prev = F.coalesce(F.last(F.col(name)).over(wprev), zero)
+                return F.col(name) - prev
+
+            nonfin_names: list[str] = []
             if node.kind != "count":
-                acc = F.coalesce(
-                    c.col.cast("long" if int_sum else "double"),
-                    F.lit(0).cast("long" if int_sum else "double"),
-                )
+                if int_sum:
+                    acc = F.coalesce(c.col.cast("long"), F.lit(0).cast("long"))
+                else:
+                    # r12 (ADVICE r11): a non-finite input would poison
+                    # the running cumulative FOREVER (cum and cum_prev
+                    # both NaN; NaN−NaN=NaN; Inf−Inf=NaN), whereas the
+                    # frame form and the DuckDB oracle recover once the
+                    # value leaves the window. Keep the cumulative sum
+                    # FINITE and track integer cumulative counts of
+                    # NaN/+Inf/−Inf contributions — exact under
+                    # subtraction — then reconstitute the frame-form
+                    # value: any NaN in window (or both ±Inf) → NaN,
+                    # else one-signed Inf → that Inf, else finite diff.
+                    pinf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+                    finite = (
+                        c.col.isNotNull()
+                        & ~F.isnan(c.col)
+                        & (c.col != pinf)
+                        & (c.col != ninf)
+                    )
+                    acc = F.when(finite, c.col.cast("double")).otherwise(
+                        F.lit(0.0)
+                    )
+                    for flag in (
+                        F.isnan(c.col),
+                        c.col == pinf,
+                        c.col == ninf,
+                    ):
+                        nm = _tmp("wnf")
+                        nonfin_names.append(nm)
+                        df2 = df2.withColumn(
+                            nm,
+                            F.sum(
+                                F.when(flag, F.lit(1)).otherwise(F.lit(0))
+                            ).over(wcum),
+                        )
                 df2 = df2.withColumn(sum_name, F.sum(acc).over(wcum))
-            cnt_prev = F.coalesce(
-                F.last(F.col(cnt_name)).over(wprev), F.lit(0)
-            )
-            cnt_win = F.col(cnt_name) - cnt_prev
+            cnt_win = _win(cnt_name, F.lit(0))
             if node.kind == "count":
                 col = cnt_win
             else:
-                sum_prev = F.coalesce(
-                    F.last(F.col(sum_name)).over(wprev),
-                    F.lit(0).cast("long" if int_sum else "double"),
-                )
-                sum_win = F.col(sum_name) - sum_prev
+                zero = F.lit(0).cast("long" if int_sum else "double")
+                sum_win = _win(sum_name, zero)
+                if nonfin_names:
+                    nan_w, pinf_w, ninf_w = (
+                        _win(nm, F.lit(0)) for nm in nonfin_names
+                    )
+                    sum_win = (
+                        F.when(
+                            (nan_w > 0) | ((pinf_w > 0) & (ninf_w > 0)),
+                            F.lit(float("nan")),
+                        )
+                        .when(pinf_w > 0, F.lit(float("inf")))
+                        .when(ninf_w > 0, F.lit(float("-inf")))
+                        .otherwise(sum_win)
+                    )
                 # empty half-open frame -> NULL, matching F.sum/F.avg
                 col = F.when(
                     cnt_win > 0,
