@@ -719,3 +719,66 @@ def test_auto_mode_small_source_skips_probe(spark, mk_ts):
         map(tuple, search_incidents(df, pats, shard_ms=None, **kw).collect())
     )
     assert auto == ordered
+
+
+def test_auto_probe_memoized_per_source(spark, monkeypatch):
+    """r12 (VERDICT r11 Next #5): repeated search_incidents calls on the
+    same (source plan, keys, ts) reuse one probe scan — probe_hot_key
+    runs once, the second call reports probe_cached=True with the same
+    decision, and a DIFFERENT source plan probes afresh. decision_sink
+    surfaces the resolved decision for the job service."""
+    import tsp_spark.api as api
+    from tsp_spark.api import RawPattern, search_incidents
+
+    monkeypatch.setattr(api, "AUTO_PROBE_MIN_BYTES", 1)
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 2_000)
+    api.clear_auto_probe_cache()
+
+    calls = {"n": 0}
+    real_probe = api.probe_hot_key
+
+    def counting_probe(df, keys, ts):
+        calls["n"] += 1
+        return real_probe(df, keys, ts)
+
+    monkeypatch.setattr(api, "probe_hot_key", counting_probe)
+
+    n, hot = 6_000, 3_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(1 + F.pmod(F.col("id"), F.lit(9)))
+        .alias("unit"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000)
+            + F.when(F.col("id") < hot, F.col("id"))
+            .otherwise((F.col("id") - hot) / 9)
+            .cast("long")
+            * 1000
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(100)) / 100.0).alias("x"),
+    )
+    pats = [RawPattern(1, "x < 0.5")]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=10_000,
+    )
+    d1: dict = {}
+    n1 = search_incidents(ev, pats, decision_sink=d1, **kw).count()
+    assert calls["n"] == 1
+    assert d1["probed"] and not d1["probe_cached"]
+    assert d1["shard_ms"] is not None
+    d2: dict = {}
+    n2 = search_incidents(ev, pats, decision_sink=d2, **kw).count()
+    assert calls["n"] == 1  # served from the memo — no second probe scan
+    assert d2["probe_cached"] and d2["shard_ms"] == d1["shard_ms"]
+    assert n1 == n2
+    # a different source plan is a different cache key
+    ev2 = ev.where(F.col("x") >= 0.0)
+    d3: dict = {}
+    search_incidents(ev2, pats, decision_sink=d3, **kw).count()
+    assert calls["n"] == 2 and d3["probed"] and not d3["probe_cached"]
+    # explicit modes record without probing
+    d4: dict = {}
+    search_incidents(ev, pats, shard_ms=None, decision_sink=d4, **kw).count()
+    assert d4 == {"mode": "ordered", "shard_ms": None} and calls["n"] == 2
+    api.clear_auto_probe_cache()

@@ -75,6 +75,12 @@ def test_job_lifecycle(spark, events_small, tmp_path):
         time.sleep(0.2)
     assert status["status"] == "finished", status
     assert status["rowsWritten"] > 0
+    # r12: the resolved skew decision is surfaced in status — on this
+    # tiny source the plan-stats gate declines, so no probe scan ran
+    assert status["autoShard"]["mode"] == "auto"
+    assert status["autoShard"]["eligible"] is True
+    assert status["autoShard"]["probed"] is False
+    assert status["autoShard"]["shard_ms"] is None
 
     code, ov = wsgi_call(app, "GET", "/jobs/overview")
     assert code == "200 OK" and ov[0]["uuid"] == "j1"

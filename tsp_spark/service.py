@@ -304,6 +304,11 @@ class JobQueueService:
             d["error"] = job.error
         if job.rows_written is not None:
             d["rowsWritten"] = job.rows_written
+        # r12: skew-mitigation decision (written by the runner once the
+        # job plans; see make_spark_runner) — shows whether the probe
+        # ran, was served from the per-source memo, and the width chosen
+        if job.request.get("_autoShard"):
+            d["autoShard"] = job.request["_autoShard"]
         return d
 
 
@@ -341,6 +346,8 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             )
             for p in request["patterns"]
         ]
+        decision: dict = {}
+        request["_autoShard"] = decision
         incidents = search_incidents(
             df,
             patterns,
@@ -365,6 +372,12 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             # unknown size — never pay a probe scan); explicit null ->
             # ordered; explicit int -> forced width incl. lag shapes.
             shard_ms=request.get("shardMs", "auto"),
+            # r12: the resolved skew decision (incl. whether the probe
+            # ran or came from the per-source memo) lands back on the
+            # request dict so job status can surface it — and repeated
+            # submissions of the same source plan hit api.py's
+            # TTL-bounded probe cache instead of re-scanning
+            decision_sink=decision,
         )
         if sink is not None:
             return sink(incidents, request)
