@@ -293,7 +293,8 @@ def _jaccard_pairs_prefix(
          ``|d| − ⌈t·|d|⌉ + 1`` lowest-(df, token) entries via a
          row_number window partitioned by doc — shuffle on doc id;
       5. candidate pairs: equi-join of the prefix table with itself on
-         (bucket…, token), a < b, deduped;
+         (bucket…, token), a < b, size-ratio + PPJoin positional
+         filters as join predicates (both lossless), deduped;
       6. verification: join the two docs' token sets back by id, then
          the size-ratio prune and the exact-Jaccard filter (identical
          to the all-pairs path, so results match exactly).
@@ -322,7 +323,12 @@ def _jaccard_pairs_prefix(
         ex.join(freq, on="__tok")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= F.col("__p"))
-        .select(*bucket_cols, "__id", "__n", "__tok")
+        # __pos: the token's 0-based position in the doc's FULL
+        # (df, token)-sorted list — the PPJoin positional filter's input
+        .select(
+            *bucket_cols, "__id", "__n",
+            (F.col("__rn") - F.lit(1)).alias("__pos"), "__tok",
+        )
     )
     if max_bucket_size is not None:
         pref = _bucket_guard(
@@ -342,15 +348,42 @@ def _jaccard_pairs_prefix(
     # and verification dominated the 95.9× wall-clock blowup). As a
     # join-ON predicate over the two int size columns it cuts the
     # candidate block BEFORE the dedupe shuffle and the array join.
+    # PPJoin positional filter (r12, VERDICT r11 Next #4; Xiao et al.,
+    # "Efficient Similarity Joins for Near Duplicate Detection", WWW'08
+    # §3.2): every doc's tokens are sorted by the SAME total order
+    # (df, token), so a match at 0-based positions (pa, pb) splits the
+    # overlap into a head (tokens before the match in both — at most
+    # min(pa, pb)) and a tail (the match plus what follows — at most
+    # 1 + min(|A|−pa−1, |B|−pb−1)). J ≥ t requires overlap ≥
+    # α = t·(|A|+|B|)/(1+t); a matched token whose positional bound
+    # can't reach α is dropped BEFORE the dedupe shuffle. Lossless: a
+    # truly qualifying pair satisfies the bound at EVERY common token
+    # (α ≤ true overlap ≤ bound), so all its candidate rows survive.
+    # The r11 size-ratio prune bought the sf10 decade (1.7×
+    # per-output-row drift); this is the named next filter.
+    pos_bound = (
+        F.least("__ppa", "__ppb")
+        + F.lit(1)
+        + F.least(
+            F.col("__pna") - F.col("__ppa") - F.lit(1),
+            F.col("__pnb") - F.col("__ppb") - F.lit(1),
+        )
+    ).cast("double")
+    alpha = (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__pna") + F.col("__pnb")).cast("double")
+    )
     cand = (
         pref.select(
             *bucket_cols, F.col("__id").alias("id_a"),
-            F.col("__n").alias("__pna"), "__tok",
+            F.col("__n").alias("__pna"), F.col("__pos").alias("__ppa"),
+            "__tok",
         )
         .join(
             pref.select(
                 *bucket_cols, F.col("__id").alias("id_b"),
-                F.col("__n").alias("__pnb"), "__tok",
+                F.col("__n").alias("__pnb"), F.col("__pos").alias("__ppb"),
+                "__tok",
             ),
             on=[*bucket_cols, "__tok"],
         )
@@ -362,6 +395,7 @@ def _jaccard_pairs_prefix(
                 * F.greatest("__pna", "__pnb").cast("double")
                 - F.lit(1e-9)
             )
+            & (pos_bound >= alpha - F.lit(1e-9))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
