@@ -13,6 +13,10 @@ reproduce >= 1.3x vs r10.
 Usage:
   python tools/bench_fresh.py [query ...]     # default: all 29 headline
   python tools/bench_fresh.py --reps 3 cep_incidents_multi dedup_clusters
+  python tools/bench_fresh.py --root /path/to/other/checkout q1 q2
+      # A/B: run the SAME protocol against another checkout's code
+      # (e.g. a git worktree at the r10 commit) for code-vs-host
+      # bisection — the only experiment that separates the two.
 """
 
 from __future__ import annotations
@@ -49,6 +53,10 @@ def main() -> None:
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
         args = [a for a in args if a != str(reps)]
+    root = str(ROOT)
+    if "--root" in sys.argv:
+        root = sys.argv[sys.argv.index("--root") + 1]
+        args = [a for a in args if a != root]
     from bench import BENCH_QUERIES
 
     names = args or BENCH_QUERIES
@@ -59,7 +67,7 @@ def main() -> None:
             prior[r] = json.loads(p.read_text()).get("queries", {})
     out = {}
     for name in names:
-        code = CHILD.format(root=str(ROOT), name=name, reps=reps)
+        code = CHILD.format(root=root, name=name, reps=reps)
         res = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=900,
