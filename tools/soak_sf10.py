@@ -24,7 +24,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-LEGS = ["dedup_simhash", "text_top_tokens", "dedup_jaccard"]
+LEGS = ["dedup_simhash", "text_top_tokens", "dedup_jaccard", "c4_full_clean"]
 
 # The dedup_simhash QUERY pins bits=32 / bands=4 (8-bit band values,
 # 256 per band) for oracle parity — structurally too narrow past
@@ -69,9 +69,22 @@ def main() -> None:
             docs, "text", "doc_id", bits=SIMHASH_SOAK_BITS, bands=4
         )
 
+    def c4s_leg(spark, d):
+        # r12 (VERDICT r11 Next #7): the sentence-span/C4 path rides the
+        # token-span plan that soaked green, but sentence grams have
+        # different length/cardinality distributions — soak it directly.
+        from tsp_spark.pipeline.text import c4_full_clean
+
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return c4_full_clean(docs, "text", "doc_id")
+
     out: dict = {}
     for name in LEGS:
-        fn = simhash48 if name == "dedup_simhash" else QUERIES[name]
+        fn = {
+            "dedup_simhash": simhash48, "c4_full_clean": c4s_leg,
+        }.get(name, QUERIES.get(name))
         row = {}
         guarded = False
         for tag, d in (("sf1", d1), ("sf10", d10)):
