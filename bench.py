@@ -279,6 +279,49 @@ def accums_rehearsal(spark, n_rows: int = 600_000, n_keys: int = 2):
     return {"rows": n_rows, "cases": out}
 
 
+def window_frames_rehearsal(spark, n_rows: int = 2_000_000, n_keys: int = 20):
+    """r12: the frame-cliff closure, driver-recorded. Every family that
+    used to ride Spark's O(n × rows-in-window) sliding RANGE frame now
+    has an O(n) form (r11b prefix sum/avg; r12 truth-stats prefix
+    difference, min/max + wait two-block decomposition) — so a 24 HOUR
+    window at 1 Hz keys (86,400-row frames, where the frame form
+    measured 222-325 s on this exact workload) must cost the same as a
+    30 s window. One rep per pattern; the wall numbers land in the
+    bench artifact so a regression re-opening the cliff is visible
+    round-over-round. Full sweep: tools/bench_window_frames.py."""
+    import pyspark.sql.functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    base_ms = 1_704_067_200_000
+    raw = F.pmod(F.xxhash64("id"), F.lit(1000))
+    ev = spark.range(n_rows).select(
+        F.pmod(F.col("id"), F.lit(n_keys)).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(base_ms) + (F.col("id") / n_keys).cast("long") * 1000
+        ).alias("ts"),
+        (raw.cast("double") / 1000).alias("x"),
+    )
+    ft = {"x": "float64"}
+    cases = [
+        ("avg_24h", "avg(x, 24 hr) > 0.6"),
+        ("truth_times_24h", "x > 0.6 for 24 hr > 10 times"),
+        ("truth_time_24h", "x > 0.6 for 24 hr > 30 sec"),
+        ("max_24h", "max(x, 24 hr) > 0.998"),
+        ("wait_24h", "wait(24 hr, x > 0.999)"),
+    ]
+    out = {}
+    for label, pat in cases:
+        t0 = time.perf_counter()
+        n = search_incidents(
+            ev, [RawPattern(1, pat)], ["user_id"], "ts",
+            fields_types=ft, max_gap_ms=None, session_gap_ms=10_000,
+            shard_ms=None,
+        ).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "incidents": n}
+    return {"rows": n_rows, "cases": out}
+
+
 SF1_QUERIES = [
     # the 8 most expensive queries (r5 bench ranking), CHEAPEST-AT-SF1
     # first so the time budget always covers the cohort; since r8
@@ -528,6 +571,17 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # r12: frame-cliff closure rehearsal (24 h windows must cost like
+    # 30 s ones) — own flag, same convention as its siblings
+    winframes = None
+    if os.environ.get("SPARK_GRAFT_SKIP_WINFRAMES") != "1":
+        winframes = window_frames_rehearsal(spark)
+        for label, r in winframes["cases"].items():
+            print(
+                f"# winframe {label}: {r['sec']:.3f}s ({r['incidents']})",
+                file=sys.stderr,
+            )
+
     # hot-key rehearsal: own flag (see skew_rehearsal docstring)
     skew = None
     if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
@@ -599,6 +653,8 @@ def main() -> None:
         payload["scale_10m"] = scale
     if accums is not None:
         payload["accums_600k"] = accums
+    if winframes is not None:
+        payload["window_frames_2m"] = winframes
     if skew is not None:
         payload["skew_10m"] = skew
     if sf1 is not None:
@@ -634,6 +690,10 @@ def main() -> None:
         # pattern strings live in the full file
         compact["accums_sec"] = [
             round(r["sec"], 2) for r in accums["cases"].values()
+        ]
+    if winframes is not None:
+        compact["winframe_24h_sec"] = [
+            round(r["sec"], 2) for r in winframes["cases"].values()
         ]
     if skew is not None:
         compact["skew_x"] = {

@@ -80,8 +80,9 @@ def main() -> None:
         )
         return c4_full_clean(docs, "text", "doc_id")
 
+    legs = [a for a in sys.argv[1:] if a in LEGS] or LEGS
     out: dict = {}
-    for name in LEGS:
+    for name in legs:
         fn = {
             "dedup_simhash": simhash48, "c4_full_clean": c4s_leg,
         }.get(name, QUERIES.get(name))

@@ -292,9 +292,12 @@ def _jaccard_pairs_prefix(
       4. join frequencies back (shuffle on token) and keep each doc's
          ``|d| − ⌈t·|d|⌉ + 1`` lowest-(df, token) entries via a
          row_number window partitioned by doc — shuffle on doc id;
-      5. candidate pairs: equi-join of the prefix table with itself on
-         (bucket…, token), a < b, size-ratio + PPJoin positional
-         filters as join predicates (both lossless), deduped;
+      5. candidate pairs: equi-join of the LEVEL-2 prefix table with
+         itself on (bucket…, token), a < b, size-ratio + PPJoin
+         positional filters as join predicates, then a per-pair
+         match-count ≥ min(2, ⌈α⌉) filter (the l-prefix lemma; the
+         groupBy replaces the old dropDuplicates shuffle) — all
+         lossless;
       6. verification: join the two docs' token sets back by id, then
          the size-ratio prune and the exact-Jaccard filter (identical
          to the all-pairs path, so results match exactly).
@@ -306,10 +309,21 @@ def _jaccard_pairs_prefix(
         F.col(id_col).alias("__id"),
         _token_set(F.col(text_col)).alias("__ws"),
     ).withColumn("__n", F.size(F.col("__ws")))
+    # LEVEL-2 prefix (r12, sf10-soak-found): with short Zipf documents
+    # at t=0.6, classic 1-prefixes pass ~74M candidate pairs for ~10k
+    # true pairs at sf10 (pairs share ~1.01 prefix tokens on average) —
+    # verification then hauls token arrays for all of them. The l-prefix
+    # lemma (AdaptJoin, Wang et al. SIGMOD'12 §3; proof: the l-th
+    # smallest common token has at least m−l common tokens after it, so
+    # it sits within the first |d|−⌈t·|d|⌉+l positions of BOTH docs)
+    # says a qualifying pair shares ≥ l tokens of the (|d|−⌈t|d|⌉+l)-
+    # prefixes whenever its required overlap ⌈α⌉ ≥ l. One extra prefix
+    # token per doc + a ≥min(2, ⌈α⌉) match-count filter cut sf10
+    # candidates 74.2M → 1.59M (47×) measured.
     prefix_len = (
         F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
-        + F.lit(1)
+        + F.lit(2)
     )
     ex = t.select(
         *bucket_cols, "__id", "__n", prefix_len.alias("__p"),
@@ -397,8 +411,24 @@ def _jaccard_pairs_prefix(
             )
             & (pos_bound >= alpha - F.lit(1e-9))
         )
+        # the l=2 match-count filter: groupBy REPLACES the old
+        # dropDuplicates (same shuffle, same keys) and counts matched
+        # prefix tokens per pair; min(2, ⌈α⌉) keeps tiny-doc pairs
+        # (⌈α⌉ = 1 ⇔ |A|+|B| < 2(1+t)/t) on the 1-match rule
+        .groupBy("id_a", "id_b", "__pna", "__pnb")
+        .agg(F.count(F.lit(1)).alias("__mc"))
+        .where(
+            F.col("__mc")
+            >= F.least(
+                F.lit(2),
+                F.ceil(
+                    F.lit(threshold / (1.0 + threshold))
+                    * (F.col("__pna") + F.col("__pnb")).cast("double")
+                    - F.lit(1e-9)
+                ),
+            )
+        )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     sets = t.select("__id", "__ws", "__n")
     joined = cand.join(
