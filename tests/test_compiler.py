@@ -472,3 +472,37 @@ def test_window_agg_prefix_recovers_from_nonfinite(spark):
     prefix = sorted(map(tuple, search_incidents(
         df, pats, window_agg="prefix", **kw).collect()))
     assert frame == prefix and len(frame) > 0
+
+
+def test_block_extreme_negative_epoch_parity(spark):
+    """The two-block min/max decomposition buckets rows by
+    floor(ms / W) — pre-1970 timestamps make ms (and the block ids and
+    sentinel positions) NEGATIVE, exercising floor-toward-negative
+    alignment. Parity vs the frame form must hold there too."""
+    import datetime
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    rows = []
+    base = datetime.datetime(1969, 12, 31, 12, 0, 0)  # straddles epoch 0
+    vals = [50.0, 99.0, 10.0, 60.0, 3.0, 70.0, 95.0, 20.0, 80.0, 1.0]
+    for key in ("a", "b"):
+        for i, v in enumerate(vals):
+            rows.append(
+                (key, base + datetime.timedelta(hours=i * 5), v)
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    pats = [
+        RawPattern(1, "max(x, 12 hr) > 90"),
+        RawPattern(2, "min(x, 12 hr) < 5"),
+        RawPattern(3, "wait(12 hr, x > 90)"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=86_400_000, session_gap_ms=1_000, shard_ms=None,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="prefix", **kw).collect()))
+    assert frame == prefix and len(frame) > 0

@@ -431,6 +431,40 @@ def q_cep_until(spark, sf_dir):
 ORACLE_UNTIL = _islands_oracle("(value > 50) AND NOT (event_type = 'error')")
 
 
+def q_cep_minmax_long(spark, sf_dir):
+    """r12: COMPILED long-window min/max — `min(x, T)`/`max(x, T)` at a
+    6 h window routes through the two-block O(n) decomposition
+    (compile/compiler.py `_block_extreme`, auto-selected at ≥5 min
+    windows; the sliding frame re-aggregates O(rows-in-window) per row,
+    ~300 s at 24 h/2M rows). min/max are order-insensitive, so unlike
+    float sum/avg the block form is BIT-IDENTICAL to the oracle's
+    sliding-frame aggregation at any window length — safe to hash-gate.
+    Reference: GroupPattern.scala:56-93 eviction model; windowed
+    min/max are the documented extensions (docs/index.md:20)."""
+    ev = _load(spark, sf_dir, "events")
+    out = compile_pattern(
+        ev,
+        "min(value, 6 hr) < 10 or max(value, 6 hr) > 190",
+        ["user_id"],
+        "ts",
+        EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+    )
+    return _interval_select(out)
+
+
+ORACLE_MINMAX_LONG = f"""
+WITH t AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+         (min(value) OVER w < 10 OR max(value) OVER w > 190) AS tb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 21599999 PRECEDING AND CURRENT ROW)
+),
+{_islandize_tail()}
+"""
+
+
 def q_cep_wait_until_tol(spark, sf_dir):
     """Folded interval-pattern variants (identical output schema, tagged
     by ``variant`` so each operator stays independently oracle-verified):
@@ -443,6 +477,10 @@ def q_cep_wait_until_tol(spark, sf_dir):
         ("wait", q_cep_wait),
         ("until", q_cep_until),
         ("tol", q_cep_timer_tolerance),
+        # r12: compiled long-window min/max — the two-block O(n) form
+        # (see q_cep_minmax_long's docstring); folded here to stay
+        # inside the driver's 50-query correctness window
+        ("minmax_long", q_cep_minmax_long),
     ]
     out = None
     for tag, fn in parts:
@@ -457,6 +495,8 @@ UNION ALL
 SELECT 'until' AS variant, * FROM ({ORACLE_UNTIL})
 UNION ALL
 SELECT 'tol' AS variant, * FROM ({ORACLE_TIMER_TOLERANCE})
+UNION ALL
+SELECT 'minmax_long' AS variant, * FROM ({ORACLE_MINMAX_LONG})
 """
 
 
@@ -2479,40 +2519,6 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 """
 
 
-def q_cep_minmax_long(spark, sf_dir):
-    """r12: COMPILED long-window min/max — `min(x, T)`/`max(x, T)` at a
-    6 h window routes through the two-block O(n) decomposition
-    (compile/compiler.py `_block_extreme`, auto-selected at ≥5 min
-    windows; the sliding frame re-aggregates O(rows-in-window) per row,
-    ~300 s at 24 h/2M rows). min/max are order-insensitive, so unlike
-    float sum/avg the block form is BIT-IDENTICAL to the oracle's
-    sliding-frame aggregation at any window length — safe to hash-gate.
-    Reference: GroupPattern.scala:56-93 eviction model; windowed
-    min/max are the documented extensions (docs/index.md:20)."""
-    ev = _load(spark, sf_dir, "events")
-    out = compile_pattern(
-        ev,
-        "min(value, 6 hr) < 10 or max(value, 6 hr) > 190",
-        ["user_id"],
-        "ts",
-        EVENTS_FIELDS,
-        max_gap_ms=GAP_MS,
-    )
-    return _interval_select(out)
-
-
-ORACLE_MINMAX_LONG = f"""
-WITH t AS (
-  SELECT user_id, ts, epoch_ms(ts) AS ms,
-         (min(value) OVER w < 10 OR max(value) OVER w > 190) AS tb
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-               RANGE BETWEEN 21599999 PRECEDING AND CURRENT ROW)
-),
-{_islandize_tail()}
-"""
-
-
 def q_rel_q14_promo(spark, sf_dir):
     """TPC-H Q14-shaped promo revenue share: lineitem ⋈ part, exact
     integer-cents arithmetic. part is fact-scale at the 100 TB target,
@@ -2818,7 +2824,6 @@ QUERIES = {
     "cep_fill_wide": q_cep_fill_wide,
     "sink_rows": q_sink_rows,
     "cep_minmax_window": q_cep_minmax_window,
-    "cep_minmax_long": q_cep_minmax_long,
     "rel_q14_promo": q_rel_q14_promo,
     "dedup_embedding": q_dedup_embedding,
     "rel_q1_pricing": q_rel_q1_pricing,
@@ -2865,7 +2870,6 @@ ORACLES = {
     "cep_fill_wide": ORACLE_FILL_WIDE,
     "sink_rows": ORACLE_SINK_ROWS,
     "cep_minmax_window": ORACLE_MINMAX_WINDOW,
-    "cep_minmax_long": ORACLE_MINMAX_LONG,
     "rel_q14_promo": ORACLE_Q14,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "rel_q1_pricing": ORACLE_Q1,

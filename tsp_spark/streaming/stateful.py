@@ -25,6 +25,15 @@ window-frame order) rather than via running add/subtract accumulators,
 so streamed values are bit-identical to the batch plan — the
 reference's running-sum trade (FP drift for O(1) math) is documented
 here but not taken, because the oracle harness compares exact values.
+Cost boundary (r12 note): this recompute is O(window occupancy) per
+event, but it only runs on the PER-ROW PENDING path — patterns mixing
+windowed aggregates WITH undecided lag terms, where each deque entry
+carries a 2^k hypothesis table that no incremental accumulator can
+subtract from. Lag-free windowed aggregates take the vectorized path
+(vectorized.py: prefix sums + a sparse-table range min/max — O(n log n)
+per micro-batch), and a long-window-plus-lag stream can run carry mode
+(streaming/job.py), whose micro-batch is a batch evaluation and
+inherits the batch engine's O(n) prefix/two-block forms.
 ``lag`` (PreviousValue.scala:42-73) runs in-kernel via DELAYED
 resolution: the batch compiler's forward-looking equal-value bridge
 needs the NEXT emission, but both candidate outcomes of a non-emitted
