@@ -48,15 +48,23 @@ print(json.dumps({{"sec": round(best, 3), "rows": n}}))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 3
-    if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
-        args = [a for a in args if a != str(reps)]
-    root = str(ROOT)
-    if "--root" in sys.argv:
-        root = sys.argv[sys.argv.index("--root") + 1]
-        args = [a for a in args if a != root]
+    argv = sys.argv[1:]
+    reps, root = 3, str(ROOT)
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reps":
+            if i + 1 >= len(argv):
+                sys.exit("--reps needs a value")
+            reps, i = int(argv[i + 1]), i + 2
+        elif a == "--root":
+            if i + 1 >= len(argv):
+                sys.exit("--root needs a path")
+            root, i = argv[i + 1], i + 2
+        else:
+            args.append(a)
+            i += 1
     from bench import BENCH_QUERIES
 
     names = args or BENCH_QUERIES
@@ -68,15 +76,24 @@ def main() -> None:
     out = {}
     for name in names:
         code = CHILD.format(root=root, name=name, reps=reps)
-        res = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=900,
-        )
-        line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
         try:
-            rec = json.loads(line)
-        except Exception:
-            rec = {"error": (res.stderr or "no output")[-500:]}
+            res = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=900,
+            )
+            line = (
+                res.stdout.strip().splitlines()[-1]
+                if res.stdout.strip()
+                else ""
+            )
+            try:
+                rec = json.loads(line)
+            except Exception:
+                rec = {"error": (res.stderr or "no output")[-500:]}
+        except subprocess.TimeoutExpired:
+            # one stuck query must record as a row, not abort the
+            # sweep and discard every prior timing
+            rec = {"error": "timeout after 900s"}
         r10 = prior.get(10, {}).get(name)
         r11 = prior.get(11, {}).get(name)
         if "sec" in rec:

@@ -437,9 +437,9 @@ AUTO_MIN_SHARDS = 32
 # r12 (VERDICT r11 Next #5 / ADVICE): the probe used to re-run on every
 # search_incidents call — a repeated ~0.4 s scan for a long-lived
 # service re-submitting against the same large source. Decisions now
-# memoize per (canonicalized source plan, keys, ts): `semanticHash`
-# canonicalizes expression ids, so two reads of the same parquet path
-# with the same pruned projection share one probe. TTL-bounded because
+# memoize per (md5 of the canonicalized analyzed plan, keys, ts):
+# canonicalization normalizes expression ids, so two reads of the same
+# parquet path with the same pruned projection share one probe. TTL-bounded because
 # the decision is a property of the DATA (a source that grows a new
 # hot key should eventually be re-probed).
 AUTO_PROBE_CACHE_TTL_S = 600.0
@@ -454,12 +454,23 @@ def clear_auto_probe_cache() -> None:
 def _cached_auto_shard(
     raw_src: DataFrame, keys: Sequence[str], ts: str
 ) -> tuple[int | None, bool]:
-    """(decided shard width, came-from-cache). Falls back to an
-    uncached probe when the plan refuses to hash (exotic py4j surface)."""
+    """(decided shard width, came-from-cache). Keys on an md5 of the
+    CANONICALIZED analyzed plan string (expression ids normalized) —
+    `semanticHash()` alone is 32-bit, and a long-lived service cycling
+    many distinct sources (this cache's exact audience) could collide
+    two plans and silently reuse the wrong decision for a TTL. Falls
+    back to an uncached probe when the plan refuses to stringify
+    (exotic py4j surface)."""
+    import hashlib
     import time as _time
 
     try:
-        cache_key = (raw_src.semanticHash(), tuple(keys), ts)
+        canon = (
+            raw_src._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        cache_key = (
+            hashlib.md5(canon.encode()).hexdigest(), tuple(keys), ts,
+        )
     except Exception:  # pragma: no cover - py4j surface varies
         cache_key = None
     now = _time.monotonic()

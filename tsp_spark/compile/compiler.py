@@ -871,13 +871,15 @@ class PatternCompiler:
         growing sums exactly as the frame form skips them, and a
         frame whose contributions are all NULL yields NULL in both
         forms (cum is NULL only while every value so far is NULL, and
-        the before-window term coalesces to 0)."""
-        ks = self._series_keys()
-        w_ord = Window.partitionBy(*ks).orderBy(self._ms())
-        wcum = w_ord.rangeBetween(Window.unboundedPreceding, 0)
-        wbefore = w_ord.rangeBetween(Window.unboundedPreceding, -(window_ms + 1))
-        return F.sum(expr).over(wcum) - F.coalesce(
-            F.sum(expr).over(wbefore), F.lit(0)
+        the before-window term coalesces to 0).
+
+        Delegates to ops.windows._closed_window_sum so the −(w+1)
+        boundary arithmetic exists in exactly ONE place for both the
+        compiler and the standalone truth_stats helper."""
+        from tsp_spark.ops.windows import _closed_window_sum
+
+        return _closed_window_sum(
+            expr, self._series_keys(), self.ts, window_ms
         )
 
     def _block_extreme(

@@ -417,17 +417,9 @@ def _jaccard_pairs_prefix(
         # (⌈α⌉ = 1 ⇔ |A|+|B| < 2(1+t)/t) on the 1-match rule
         .groupBy("id_a", "id_b", "__pna", "__pnb")
         .agg(F.count(F.lit(1)).alias("__mc"))
-        .where(
-            F.col("__mc")
-            >= F.least(
-                F.lit(2),
-                F.ceil(
-                    F.lit(threshold / (1.0 + threshold))
-                    * (F.col("__pna") + F.col("__pnb")).cast("double")
-                    - F.lit(1e-9)
-                ),
-            )
-        )
+        # __pna/__pnb survive as groupBy keys, so `alpha` (defined once
+        # above) is reused verbatim — one spelling of the overlap bound
+        .where(F.col("__mc") >= F.least(F.lit(2), F.ceil(alpha - F.lit(1e-9))))
         .select("id_a", "id_b")
     )
     sets = t.select("__id", "__ws", "__n")

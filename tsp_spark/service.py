@@ -210,7 +210,11 @@ class JobQueueService:
 
     def request_of(self, uid: str) -> dict | None:
         job = self._jobs.get(uid)
-        return None if job is None else job.request
+        if job is None:
+            return None
+        # strip runner-internal "_"-keys (e.g. _autoShard) so the
+        # request endpoint round-trips exactly what the client sent
+        return {k: v for k, v in job.request.items() if not k.startswith("_")}
 
     def stop(self, uid: str) -> bool:
         with self._lock:
@@ -347,7 +351,6 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             for p in request["patterns"]
         ]
         decision: dict = {}
-        request["_autoShard"] = decision
         incidents = search_incidents(
             df,
             patterns,
@@ -373,12 +376,16 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             # ordered; explicit int -> forced width incl. lag shapes.
             shard_ms=request.get("shardMs", "auto"),
             # r12: the resolved skew decision (incl. whether the probe
-            # ran or came from the per-source memo) lands back on the
-            # request dict so job status can surface it — and repeated
-            # submissions of the same source plan hit api.py's
-            # TTL-bounded probe cache instead of re-scanning
+            # ran or came from the per-source memo) is surfaced in job
+            # status — and repeated submissions of the same source plan
+            # hit api.py's TTL-bounded probe cache instead of re-scanning
             decision_sink=decision,
         )
+        # attach AFTER search_incidents returns (atomic assignment of a
+        # dict no longer being mutated — a concurrent status GET never
+        # sees a half-written decision); the "_"-prefix marks it
+        # internal and request_of() strips it from the echo endpoint
+        request["_autoShard"] = decision
         if sink is not None:
             return sink(incidents, request)
         outs = request.get("sinks", [])
