@@ -506,3 +506,55 @@ def test_block_extreme_negative_epoch_parity(spark):
     prefix = sorted(map(tuple, search_incidents(
         df, pats, window_agg="prefix", **kw).collect()))
     assert frame == prefix and len(frame) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_long_window_forms_random_parity(spark, seed):
+    """r12 multi-seed sweep: every ≥5-min O(n) form (prefix sum/avg/
+    count, truth-stat difference, two-block min/max, two-block wait)
+    against the oracle-exact frame form on RANDOM series — duplicate
+    timestamps, nulls, plateau values, and gaps larger than the window
+    and larger than max_gap (series splits). The fixed-seed parity
+    tests pin known edge cases; this sweep hunts unknown ones (the r11
+    Segmentizer bridge bug was found by exactly such a sweep)."""
+    import datetime
+    import random
+
+    from tsp_spark.api import RawPattern, search_incidents
+
+    rng = random.Random(0x12C0 + seed)
+    rows = []
+    for key in ("a", "b", "c"):
+        t = 0
+        v = float(rng.randint(0, 9))
+        for _ in range(rng.randint(40, 260)):
+            t += rng.choice([0, 10, 30, 60, 120, 400, 2000])  # sec; 0=tie
+            if rng.random() < 0.6:
+                v = float(rng.randint(0, 9))
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=t),
+                 None if rng.random() < 0.06 else v)
+            )
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    pats = [
+        RawPattern(1, "avg(x, 6 min) > 4.5"),
+        RawPattern(2, "sum(x, 11 min) >= 30"),
+        RawPattern(3, "count(x, 7 min) >= 4"),
+        RawPattern(4, "max(x, 9 min) > 8"),
+        RawPattern(5, "min(x, 8 min) < 1"),
+        RawPattern(6, "wait(6 min, x > 8)"),
+        RawPattern(7, "x > 4 for 10 min > 3 times"),
+        RawPattern(8, "x > 4 for 12 min > 5 min"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=900_000, session_gap_ms=5_000, shard_ms=None,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="prefix", **kw).collect()))
+    assert frame == prefix
