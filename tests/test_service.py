@@ -429,3 +429,46 @@ def test_shard_ms_selectable_per_job(spark, tmp_path):
     run_sinked({"uuid": "sharded", "shardMs": 10_000, **base})
     assert captured["plain"] == captured["sharded"]
     assert len(captured["plain"]) > 1
+
+
+def test_window_agg_selectable_per_job(spark, tmp_path):
+    """r12: a submitted job selects the windowed-aggregate plan form
+    via `windowAgg` — identical incidents across frame/prefix/auto on
+    a long-window aggregate pattern (the >=5 min auto threshold)."""
+    import datetime as dt
+
+    rows = []
+    for i in range(60):
+        rows.append(
+            (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 90),
+             float((i * 7) % 10))
+        )
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "k bigint, ts timestamp, a double"
+    ).write.parquet(src_path)
+    captured = {}
+
+    def sink(incidents, request):
+        captured[request["uuid"]] = sorted(
+            (r["from_ts"], r["to_ts"]) for r in incidents.collect()
+        )
+        return len(captured[request["uuid"]])
+
+    base = {
+        "source": {
+            "parquetPath": src_path,
+            "datetimeField": "ts",
+            "partitionFields": ["k"],
+        },
+        "patterns": [
+            {"id": 1, "sourceCode": "avg(a, 6 min) > 4.5"},
+            {"id": 2, "sourceCode": "max(a, 6 min) > 8"},
+        ],
+    }
+    run_sinked = make_spark_runner(spark, sink=sink)
+    run_sinked({"uuid": "auto", **base})
+    run_sinked({"uuid": "frame", "windowAgg": "frame", **base})
+    run_sinked({"uuid": "prefix", "windowAgg": "prefix", **base})
+    assert captured["auto"] == captured["frame"] == captured["prefix"]
+    assert len(captured["auto"]) > 0

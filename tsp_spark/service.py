@@ -375,6 +375,12 @@ def make_spark_runner(spark, sink: Callable[[Any, dict], int] | None = None) -> 
             # unknown size — never pay a probe scan); explicit null ->
             # ordered; explicit int -> forced width incl. lag shapes.
             shard_ms=request.get("shardMs", "auto"),
+            # r12 engine extension: windowed-aggregate plan form —
+            # "auto" (default; O(n) prefix/two-block at >=5 min
+            # windows), "frame" (literal sliding frame, bit-exact
+            # float association with a frame-computed oracle), or
+            # "prefix" (force the O(n) forms). docs/SEMANTICS.md §18.
+            window_agg=request.get("windowAgg", "auto"),
             # r12: the resolved skew decision (incl. whether the probe
             # ran or came from the per-source memo) is surfaced in job
             # status — and repeated submissions of the same source plan
