@@ -14,6 +14,16 @@ elements with elem.time + W <= t (GroupPattern.scala:76) — while
 WindowStatistic (truth stats) keeps the closed window [t−W, t]
 (WindowStatistic.scala eviction is strict `<`). `half_open=True` on
 ``time_window`` selects the former.
+
+Cost note (r12): the ``windowed_*`` helpers use Spark's literal
+sliding RANGE frame, which re-aggregates its buffer per output row —
+O(rows-in-window) per row. That is fine for short windows and sparse
+series, but a long window on a dense series pays the measured
+200-300×-at-24 h cliff (docs/SCALE.md r12). For those, use the
+pattern engine (`search_incidents` / `compile_pattern`, whose
+``window_agg="auto"`` switches to O(n) prefix/two-block forms at
+≥5 min windows) or ``truth_stats`` here, whose default
+``form="prefix"`` already computes the O(n) growing-frame difference.
 """
 
 from __future__ import annotations
