@@ -558,3 +558,301 @@ def test_long_window_forms_random_parity(spark, seed):
     prefix = sorted(map(tuple, search_incidents(
         df, pats, window_agg="prefix", **kw).collect()))
     assert frame == prefix
+
+
+def test_rate_gate_switches_short_dense_windows(spark):
+    """r13 (VERDICT r12 Next #1): the O(n)-form gate is ROWS-IN-WINDOW
+    aware, not just wall-clock. A 100 Hz series under a 2-min window
+    holds 12,000 rows/frame — the exact O(n·w) cliff the long forms
+    kill — but 2 min < PREFIX_WINDOW_AGG_MIN_MS, so the old gate kept
+    the frame form. With a measured event rate supplied (the
+    auto-probe's hot-key rows/span), `auto` now switches. Checks the
+    gate decision itself, the plan form actually chosen (the block
+    min/max path is observable via Compiled.has_window=False), and
+    end-to-end parity with the frame form."""
+    import datetime
+
+    from tsp_spark.compile.compiler import (
+        PREFIX_WINDOW_AGG_MIN_MS,
+        PREFIX_WINDOW_AGG_MIN_ROWS,
+        PatternCompiler,
+    )
+    from tsp_spark.dsl.parser import parse_pattern
+
+    ft = {"x": "float64"}
+    norate = PatternCompiler(["unit"], "ts", ft, 60_000)
+    with_rate = PatternCompiler(["unit"], "ts", ft, 60_000,
+                                event_rate_hz=100.0)
+    # gate decisions: 2 min at 100 Hz = 12,000 rows -> long form;
+    # the same window with no rate knowledge stays on the frame form;
+    # a window below MIN_ROWS at the given rate stays too (100 Hz x
+    # 9 s = 900 rows < 1,000); the wall-clock floor still applies
+    assert not norate._long_window(120_000)
+    assert with_rate._long_window(120_000)
+    assert not with_rate._long_window(
+        (PREFIX_WINDOW_AGG_MIN_ROWS - 100) * 10  # 9 s at 100 Hz
+    )
+    assert norate._long_window(PREFIX_WINDOW_AGG_MIN_MS)
+    # plan form: min/max at 2 min with the rate -> block decomposition
+    # (has_window=False); without -> sliding frame (has_window=True)
+    rows = [
+        ("a",
+         datetime.datetime(2024, 1, 1)
+         + datetime.timedelta(milliseconds=10 * i),
+         float(i % 100))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    node = parse_pattern("max(x, 2 min) > 98", ft).inner \
+        if hasattr(parse_pattern("max(x, 2 min) > 98", ft), "inner") \
+        else parse_pattern("max(x, 2 min) > 98", ft)
+    src_r = with_rate.with_series(df)
+    src_n = norate.with_series(df)
+    c_rate = with_rate.compile_bool(src_r, node)
+    c_norate = norate.compile_bool(src_n, node)
+    assert not c_rate.has_window and c_norate.has_window
+    # end-to-end parity at 100 Hz/2 min: the engaged long forms stay
+    # exact (min/max bit-exact; integer-valued doubles sum exactly)
+    from tsp_spark.api import RawPattern, search_incidents
+
+    pats = [
+        RawPattern(1, "max(x, 2 min) > 98"),
+        RawPattern(2, "avg(x, 2 min) < 49"),
+        RawPattern(3, "wait(2 min, x > 98)"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types=ft,
+        max_gap_ms=60_000, session_gap_ms=1_000, shard_ms=None,
+    )
+    frame = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="frame", **kw).collect()))
+    prefix = sorted(map(tuple, search_incidents(
+        df, pats, window_agg="prefix", **kw).collect()))
+    assert frame == prefix and len(frame) > 0
+
+
+def test_probe_rate_reaches_window_gate(spark, monkeypatch):
+    """End-to-end: search_incidents' auto-probe measures the hot key's
+    event rate, surfaces it in decision_sink (hot_rate_hz, probe_age_s)
+    and feeds it to the compiler's rows-in-window gate."""
+    import tsp_spark.api as api
+    from tsp_spark.api import RawPattern, search_incidents
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(api, "AUTO_PROBE_MIN_BYTES", 1)
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 10**12)  # never shard
+    api.clear_auto_probe_cache()
+    n = 5_000  # 100 Hz for 50 s
+    ev = spark.range(n).select(
+        F.lit("a").alias("unit"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000) + F.col("id") * 10
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(100)).cast("double")).alias("x"),
+    )
+    pats = [RawPattern(1, "avg(x, 30 sec) > 55")]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=1_000,
+    )
+    d: dict = {}
+    auto = sorted(map(tuple, search_incidents(
+        ev, pats, decision_sink=d, **kw).collect()))
+    assert d["probed"] and d["shard_ms"] is None
+    assert 90.0 <= d["hot_rate_hz"] <= 110.0
+    assert d["probe_age_s"] == 0.0
+    frame = sorted(map(tuple, search_incidents(
+        ev, pats, shard_ms=None, window_agg="frame", **kw).collect()))
+    assert auto == frame and len(auto) > 0
+    # second call: served from the memo, age now recorded
+    d2: dict = {}
+    search_incidents(ev, pats, decision_sink=d2, **kw).count()
+    assert d2["probe_cached"] and d2["probe_age_s"] >= 0.0
+    assert d2["hot_rate_hz"] == d["hot_rate_hz"]
+    api.clear_auto_probe_cache()
+
+
+def test_windowed_helpers_long_forms_match_frame(spark):
+    """r13 (VERDICT r12 Next #2): the PUBLIC ops.windows helpers expose
+    the O(n) long-window forms — windowed_sum/count/avg(form="prefix")
+    and windowed_min_long/max_long (two-block) — and they match the
+    literal sliding-frame helpers exactly, including NULL values,
+    all-NULL windows (sum/avg NULL, count 0), duplicate timestamps,
+    and integer-valued doubles."""
+    import datetime
+
+    from tsp_spark.ops.windows import (
+        windowed_avg,
+        windowed_count,
+        windowed_max,
+        windowed_max_long,
+        windowed_min,
+        windowed_min_long,
+        windowed_sum,
+    )
+
+    rows = []
+    vals = [5.0, None, 9.0, None, None, 7.0, 2.0, 8.0, 3.0, 6.0,
+            None, None, 1.0, 4.0, 4.0]
+    gaps = [0, 3, 3, 9, 1, 1, 40, 2, 0, 5, 7, 7, 30, 0, 2]  # 0 -> ties
+    for key in ("a", "b"):
+        t = 0
+        for v, g in zip(vals, gaps):
+            t += g
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=t),
+                 v)
+            )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "unit string, ts timestamp, x double")
+    x, ks = F.col("x"), ["unit"]
+    for w_s in (8.0, 3600.0):
+        sel = df.select(
+            "unit", "ts", "x",
+            windowed_sum(x, ks, "ts", w_s).alias("fs"),
+            windowed_sum(x, ks, "ts", w_s, form="prefix").alias("ps"),
+            windowed_count(x, ks, "ts", w_s).alias("fc"),
+            windowed_count(x, ks, "ts", w_s, form="prefix").alias("pc"),
+            windowed_avg(x, ks, "ts", w_s).alias("fa"),
+            windowed_avg(x, ks, "ts", w_s, form="prefix").alias("pa"),
+            windowed_min(x, ks, "ts", w_s).alias("fmin"),
+            windowed_max(x, ks, "ts", w_s).alias("fmax"),
+        )
+        sel = windowed_min_long(sel, "pmin", x, ks, "ts", w_s)
+        sel = windowed_max_long(sel, "pmax", x, ks, "ts", w_s)
+        bad = sel.where(
+            ~F.col("fs").eqNullSafe(F.col("ps"))
+            | ~F.col("fc").eqNullSafe(F.col("pc"))
+            | ~F.col("fa").eqNullSafe(F.col("pa"))
+            | ~F.col("fmin").eqNullSafe(F.col("pmin"))
+            | ~F.col("fmax").eqNullSafe(F.col("pmax"))
+        ).count()
+        assert bad == 0, f"long-form helper diverged at window {w_s}s"
+        assert sel.count() == len(rows)
+
+
+def _multi_job_corpus(spark):
+    import datetime
+    import random
+
+    rng = random.Random(0x13C5)
+    rows = []
+    for key in ("a", "b", "c"):
+        t = 0
+        for _ in range(300):
+            t += rng.choice([1, 2, 3, 59, 61, 120])
+            rows.append(
+                (key,
+                 datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(seconds=t),
+                 float(rng.randint(0, 9)),
+                 rng.choice(["ok", "err", "warn"]))
+            )
+    return spark.createDataFrame(
+        rows, "unit string, ts timestamp, x double, s string"
+    )
+
+
+def test_multi_pattern_stacked_matches_per_pattern(spark):
+    """r13 (VERDICT r12 Next #5): compile_intervals_multi — the
+    cross-pattern shared scan/exchange — produces EXACTLY the incidents
+    of the per-pattern path across the grammar: row-local predicates,
+    timers, for-interval stats, windowed aggregates, wait, a 3-operand
+    andThen chain, trilean NULL conditions, and the lag fallback (which
+    must come back as a fallback tag, not silently mis-stack)."""
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.compile.compiler import PatternCompiler
+
+    df = _multi_job_corpus(spark)
+    pats = [
+        RawPattern(1, "x > 5"),
+        RawPattern(2, "x > 3 for 10 sec"),
+        RawPattern(3, "x > 4 for 30 sec > 3 times", subunit=7),
+        RawPattern(4, "avg(x, 15 sec) > 5"),
+        RawPattern(5, "wait(9 sec, x > 8)"),
+        RawPattern(6, "x > 2 andThen s = 'err' andThen x < 3"),
+        RawPattern(7, "lag(x) > 5"),   # present-producing -> fallback
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts",
+        fields_types={"x": "float64", "s": "string"},
+        max_gap_ms=60_000, session_gap_ms=2_000, shard_ms=None,
+    )
+    stacked = sorted(map(tuple, search_incidents(df, pats, **kw).collect()))
+
+    real = PatternCompiler.compile_intervals_multi
+    try:
+        PatternCompiler.compile_intervals_multi = (
+            lambda self, d, tagged: (None, [t for t, _ in tagged])
+        )
+        per_pattern = sorted(
+            map(tuple, search_incidents(df, pats, **kw).collect())
+        )
+    finally:
+        PatternCompiler.compile_intervals_multi = real
+    assert stacked == per_pattern and len(stacked) > 0
+    # exact mode falls back wholesale for the andThen pattern and stays
+    # identical to its own per-pattern result
+    exact_kw = dict(kw, andthen_mode="exact")
+    stacked_e = sorted(map(tuple, search_incidents(df, pats, **exact_kw).collect()))
+    try:
+        PatternCompiler.compile_intervals_multi = (
+            lambda self, d, tagged: (None, [t for t, _ in tagged])
+        )
+        per_e = sorted(map(tuple, search_incidents(df, pats, **exact_kw).collect()))
+    finally:
+        PatternCompiler.compile_intervals_multi = real
+    assert stacked_e == per_e
+
+
+def test_multi_pattern_job_shares_one_scan_and_exchange(spark):
+    """r13 plan-shape gate (VERDICT r12 Next #5 'Done' criterion): an
+    all-stackable multi-pattern ordered job plans ONE source scan and
+    ONE row-level keyed exchange — not one per pattern. The per-pattern
+    path plans N of each (Catalyst prunes each branch differently, so
+    ReuseExchange never fires)."""
+    import re
+
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.compile.compiler import PatternCompiler
+
+    df = _multi_job_corpus(spark)
+    pats = [
+        RawPattern(1, "x > 5"),
+        RawPattern(2, "x > 7"),
+        RawPattern(3, "x > 2 for 10 sec"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts",
+        fields_types={"x": "float64", "s": "string"},
+        max_gap_ms=60_000, session_gap_ms=2_000, shard_ms=None,
+    )
+
+    def plan_counts(out):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+        row_ex = [
+            m
+            for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "__slot" not in m and "__sisl" not in m
+            and "pattern_id" not in m
+        ]
+        return scans, len(row_ex)
+
+    scans, row_ex = plan_counts(search_incidents(df, pats, **kw))
+    assert scans == 1, f"stacked job should scan once, saw {scans}"
+    assert row_ex == 1, f"stacked job should exchange once, saw {row_ex}"
+
+    real = PatternCompiler.compile_intervals_multi
+    try:
+        PatternCompiler.compile_intervals_multi = (
+            lambda self, d, tagged: (None, [t for t, _ in tagged])
+        )
+        scans_n, row_ex_n = plan_counts(search_incidents(df, pats, **kw))
+    finally:
+        PatternCompiler.compile_intervals_multi = real
+    assert scans_n == len(pats) and row_ex_n == len(pats)

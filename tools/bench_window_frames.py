@@ -13,7 +13,18 @@ is the O(n x w) signature. Companion: the prefix-difference reformulation in
 compile/compiler.py (_compile_aggregate's use_prefix branch, gated by
 PREFIX_WINDOW_AGG_MIN_MS), which is O(n) regardless of T.
 
-Usage: python tools/bench_window_frames.py [n_rows]
+Usage: python tools/bench_window_frames.py [n_rows] [--frame] [--once]
+       [--hz N] [family ...]
+
+``--hz N`` (r13, VERDICT r12 Next #1) raises the per-key event rate —
+the frame form's cost is O(rows-in-window) PER ROW, so a 100 Hz source
+under a 2-min window (12,000-row frames) hits the same cliff a 1 Hz
+source needs a 3-hour window for. The rate-aware gate
+(PREFIX_WINDOW_AGG_MIN_ROWS, fed by search_incidents' auto-probe
+measurement) must switch these to the O(n) forms even though 2 min is
+far below the 5-min wall-clock floor; the default n_rows in --hz mode
+is 10M so the probe's plan-stats gate (128 MB) opens and the measured
+rate actually reaches the compiler.
 """
 
 from __future__ import annotations
@@ -32,8 +43,15 @@ def main() -> None:
 
     from tsp_spark.api import RawPattern, search_incidents
 
-    nums = [a for a in sys.argv[1:] if a.isdigit()]
-    n_rows = int(nums[0]) if nums else 2_000_000
+    hz = 1.0
+    if "--hz" in sys.argv:
+        hz = float(sys.argv[sys.argv.index("--hz") + 1])
+    nums = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if a.isdigit() and sys.argv[i - 1] != "--hz"
+    ]
+    n_rows = int(nums[0]) if nums else (10_000_000 if hz > 1 else 2_000_000)
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -43,12 +61,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     base_ms = 1_704_067_200_000
-    n_keys = 20  # long keys: n_rows/20 rows per key at 1 row/s
+    n_keys = 20  # long keys: n_rows/20 rows per key at `hz` rows/s
+    step_ms = max(1, round(1000 / hz))
     raw = F.pmod(F.xxhash64("id"), F.lit(1000))
     ev = spark.range(n_rows).select(
         F.pmod(F.col("id"), F.lit(n_keys)).alias("user_id"),
         F.timestamp_millis(
-            F.lit(base_ms) + (F.col("id") / n_keys).cast("long") * 1000
+            F.lit(base_ms) + (F.col("id") / n_keys).cast("long") * step_ms
         ).alias("ts"),
         (raw.cast("double") / 1000).alias("x"),
     )
@@ -66,21 +85,38 @@ def main() -> None:
     only = [a for a in sys.argv[1:] if a in families]
     if only:
         families = {k: families[k] for k in only}
+    # high-rate mode sweeps SHORT windows (all under the 5-min
+    # wall-clock floor except the last): the rows-in-window gate is
+    # what must catch them
+    labels = (
+        ("30 sec", "2 min", "10 min")
+        if hz > 1
+        else ("30 sec", "10 min", "2 hr", "24 hr")
+    )
     out = {}
     for fam, tmpl in families.items():
         out[fam] = {}
-        for label in ("30 sec", "10 min", "2 hr", "24 hr"):
+        for label in labels:
             pat = tmpl.format(t=label)
             best, n = float("inf"), 0
+            decision: dict = {}
             for _ in range(1 if "--once" in sys.argv else 2):
                 t0 = time.perf_counter()
                 n = search_incidents(
                     ev, [RawPattern(1, pat)], ["user_id"], "ts",
                     fields_types=ft, max_gap_ms=None, session_gap_ms=10_000,
-                    shard_ms=None, window_agg=window_agg,
+                    # hz mode runs the real 'auto' path so the probe's
+                    # measured rate reaches the compiler's
+                    # rows-in-window gate; the 1 Hz legs keep the
+                    # explicit ordered path for artifact comparability
+                    shard_ms="auto" if hz > 1 else None,
+                    window_agg=window_agg,
+                    decision_sink=decision,
                 ).count()
                 best = min(best, time.perf_counter() - t0)
             out[fam][label] = {"sec": round(best, 2), "incidents": n}
+            if hz > 1:
+                out[fam][label]["hot_rate_hz"] = decision.get("hot_rate_hz")
             print(f"# [{window_agg}] {pat}: {best:.2f}s ({n})", file=sys.stderr)
     print(json.dumps(out))
 

@@ -6,7 +6,15 @@ keyed series, then asserts the stateful kernel's closed intervals equal
 the batch compiler's on identical data — the same contract the pinned
 pytest parity suite checks, swept across fresh shapes.
 
-Usage: python tools/fuzz_stateful.py [seed ...]   (default 3 seeds)
+Usage: python tools/fuzz_stateful.py [--long] [seed ...] (default 3 seeds)
+
+``--long`` (r13, VERDICT r12 Next #3) sweeps the LONG-WINDOW regime:
+hour-to-day windows over multi-day series with hour-scale gaps. On the
+batch side these route through the r12/r13 O(n) forms (prefix
+difference, two-block min/max, leading-wait on negated time), so the
+sweep pins the streaming kernel's incremental accumulators (including
+the default vectorized micro-batch path) against exactly those forms —
+the combination the short-window sweep never exercises.
 """
 
 from __future__ import annotations
@@ -131,6 +139,76 @@ def gen_pattern(rng: random.Random) -> str:
     return f"value > {rng.choice([80, 120])} {op} wait(5 sec, {cond()})"
 
 
+GAP_LONG_MS = 3 * 3600 * 1000  # --long mode: series split at 3 h gaps
+
+
+def gen_pattern_long(rng: random.Random) -> str:
+    """Long-window pattern corpus: every shape the ≥5-min O(n) batch
+    forms rewrite (block min/max, leading wait, prefix sum/avg/count,
+    truth stats), at 6 h - 24 h windows."""
+    w = rng.choice(["6 hr", "12 hr", "24 hr"])
+    thr = rng.choice([120, 150, 180])
+    return rng.choice(
+        [
+            f"max(value, {w}) > {thr + 20}",
+            f"min(value, {w}) < {thr - 20}",
+            f"max(value, {w}) - min(value, 6 hr) > {rng.choice([40, 80])}",
+            f"wait({w}, value > {thr + 30})",
+            f"wait(12 hr, max(value, 6 hr) > {thr + 30})",
+            f"avg(value, {w}) > {thr}",
+            f"sum(value, {w}) > {thr * 10}",
+            f"count(value, {w}) >= {rng.choice([10, 25])}",
+            f"value > {thr} for {w} > {rng.choice([5, 12])} times",
+            f"value > {thr} for {w} > {rng.choice([1, 2])} hr",
+            f"avg(value, 12 hr) > {thr} for 6 hr",
+            f"wait({w}, value > {thr}) for 2 hr",
+        ]
+    )
+
+
+def gen_series_long(rng: random.Random, spark):
+    """Multi-day keyed series at minute-scale cadence with hour-scale
+    gap splits — enough rows per 24 h window (~tens to hundreds) to
+    make the O(n) forms' block/as-of machinery non-trivial, small
+    enough for a streaming sweep."""
+    rows = []
+    for user in (1, 2, 3):
+        t = 0.0
+        for _seg in range(rng.randint(2, 3)):
+            level = rng.choice([90.0, 160.0, 200.0])
+            for _ in range(rng.randint(60, 140)):
+                if rng.random() < 0.12:
+                    level = rng.choice([90.0, 130.0, 170.0, 210.0])
+                rows.append(
+                    (
+                        user,
+                        EPOCH + dt.timedelta(seconds=t),
+                        level + rng.random() * 8,
+                        rng.choice(["hot", "cold", "warm"]),
+                        None
+                        if rng.random() < 0.06
+                        else int(level) + rng.randrange(8),
+                    )
+                )
+                # 2-40 min cadence. NO tied timestamps: (keys, ts)
+                # uniqueness is the engine-wide row-identity contract
+                # (ops/islands.py docstring) — under ties the batch
+                # RANGE frame merges the tied rows into one frame while
+                # the reference-faithful arrival-order kernel gives the
+                # FIRST tied row a window without its sibling, so
+                # batch-vs-stream parity is undefined there (verified:
+                # the r13 first sweep's two `avg` divergences both sat
+                # exactly on generated ties; batch frame/prefix/auto
+                # agreed throughout)
+                t += rng.choice([120, 300, 600, 1200, 2400])
+            t += (GAP_LONG_MS / 1000) + rng.randint(600, 7200)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp, value double, event_type string, "
+        "ivalue bigint",
+    )
+
+
 def gen_series(rng: random.Random, spark):
     rows = []
     for user in (1, 2, 3):
@@ -164,16 +242,23 @@ def gen_series(rng: random.Random, spark):
     )
 
 
-def run_case(spark, rng: random.Random, pattern: str) -> str | None:
+def run_case(
+    spark,
+    rng: random.Random,
+    pattern: str,
+    gap_ms: int = GAP_MS,
+    gen=gen_series,
+    flush_s: int = 90_000,
+) -> str | None:
     from tsp_spark.compile.compiler import compile_pattern
     from tsp_spark.streaming.stateful import stateful_pattern
 
     ft = {"value": "float64", "event_type": "string", "ivalue": "int64"}
-    src = gen_series(rng, spark)
+    src = gen(rng, spark)
     batch = {
         (r["user_id"], r["from_ts"], r["to_ts"])
         for r in compile_pattern(
-            src, pattern, ["user_id"], "ts", ft, max_gap_ms=GAP_MS
+            src, pattern, ["user_id"], "ts", ft, max_gap_ms=gap_ms
         ).select("user_id", "from_ts", "to_ts").collect()
     }
 
@@ -183,7 +268,7 @@ def run_case(spark, rng: random.Random, pattern: str) -> str | None:
     try:
         src.coalesce(1).write.parquet(f"{src_dir}/b0")
         flush = spark.createDataFrame(
-            [(u, EPOCH + dt.timedelta(seconds=90_000 + u), 0.0, "ok", 0)
+            [(u, EPOCH + dt.timedelta(seconds=flush_s + u), 0.0, "ok", 0)
              for u in (1, 2, 3)],
             src.schema,
         )
@@ -195,7 +280,7 @@ def run_case(spark, rng: random.Random, pattern: str) -> str | None:
         q = (
             stateful_pattern(
                 stream, pattern, ["user_id"], "ts", ft,
-                max_gap_ms=GAP_MS, watermark_delay="1 second",
+                max_gap_ms=gap_ms, watermark_delay="1 second",
             )
             .select("user_id", "from_ts", "to_ts")
             .writeStream.outputMode("append")
@@ -234,13 +319,23 @@ def main() -> int:
 
     spark = get_spark("fuzz_stateful", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    seeds = [int(s) for s in sys.argv[1:]] or [11, 222, 3333]
+    long_mode = "--long" in sys.argv
+    seeds = [int(s) for s in sys.argv[1:] if s.lstrip("-").isdigit()] or [
+        11, 222, 3333,
+    ]
     bad = 0
     for seed in seeds:
         rng = random.Random(seed)
         for i in range(4):
-            pattern = gen_pattern(rng)
-            diff = run_case(spark, rng, pattern)
+            if long_mode:
+                pattern = gen_pattern_long(rng)
+                diff = run_case(
+                    spark, rng, pattern, gap_ms=GAP_LONG_MS,
+                    gen=gen_series_long, flush_s=3_000_000,
+                )
+            else:
+                pattern = gen_pattern(rng)
+                diff = run_case(spark, rng, pattern)
             status = "DIVERGED " + diff if diff else "ok"
             print(f"seed {seed} case {i}: [{pattern}] {status}", flush=True)
             if diff:

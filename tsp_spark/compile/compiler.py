@@ -102,6 +102,16 @@ def rowwise_reduce(name: str, filtered: Column) -> tuple[Column, str]:
 # ran 2.7× slower than the 2 hr prefix leg at equal row count).
 PREFIX_WINDOW_AGG_MIN_MS = 300_000
 
+# Rate-aware sibling gate (r13, VERDICT r12 Next #1): when the caller
+# supplies a measured event rate (search_incidents' auto-probe), `auto`
+# also switches once the ESTIMATED ROWS PER FRAME (window_ms × rate)
+# reaches this, catching the high-rate/short-window regime the
+# wall-clock floor misses (100 Hz × 2 min = 12,000-row frames). 1,000
+# rows ≈ the measured point where the frame form's per-row re-scan
+# clearly loses to the O(n) forms' fixed overhead
+# (tools/bench_window_frames.py: the 300-row frame already crossed).
+PREFIX_WINDOW_AGG_MIN_ROWS = 1_000
+
 
 def _tmp(prefix: str) -> str:
     return f"__{prefix}_{next(_counter)}"
@@ -210,6 +220,7 @@ class PatternCompiler:
         registry: FunctionRegistry = DEFAULT_REGISTRY,
         andthen_mode: str = "fused",
         window_agg: str = "auto",
+        event_rate_hz: float | None = None,
     ):
         if andthen_mode not in ("fused", "exact"):
             raise ValueError(f"andthen_mode must be 'fused' or 'exact', got {andthen_mode!r}")
@@ -224,6 +235,37 @@ class PatternCompiler:
         self.registry = registry
         self.andthen_mode = andthen_mode
         self.window_agg = window_agg
+        # measured hot-key event rate (rows/second), when a caller has
+        # one (search_incidents feeds the auto-probe's measurement in);
+        # lets `auto` switch to the O(n) window forms by estimated
+        # ROWS-IN-WINDOW, not wall-clock window length — see
+        # _long_window (r13, VERDICT r12 Next #1)
+        self.event_rate_hz = event_rate_hz
+
+    def _long_window(self, window_ms: int) -> bool:
+        """Should ``window_agg="auto"`` route this window to the O(n)
+        forms (prefix-difference / two-block)? The frame form's cost is
+        O(rows-in-window) PER ROW, so the real gate is estimated frame
+        size, not wall-clock width: a 100 Hz series under a 2-min
+        window holds 12,000 rows/frame — the exact cliff the long-form
+        rewrites kill — while a 1/min series under the same window
+        holds 2. Two triggers, either sufficient:
+
+        * window ≥ PREFIX_WINDOW_AGG_MIN_MS (5 min) — the conservative
+          wall-clock floor that needs no rate knowledge (at sub-Hz
+          rates the frame is still small there, but the O(n) forms are
+          never SLOWER past this width, measured crossover in
+          tools/bench_window_frames.py);
+        * window_ms × event_rate ≥ PREFIX_WINDOW_AGG_MIN_ROWS rows,
+          when a measured rate is available (the auto-shard probe's
+          hot-key rows/span — the HOTTEST key, i.e. the worst frame)."""
+        if window_ms >= PREFIX_WINDOW_AGG_MIN_MS:
+            return True
+        return (
+            self.event_rate_hz is not None
+            and window_ms * self.event_rate_hz
+            >= PREFIX_WINDOW_AGG_MIN_ROWS * 1000.0
+        )
 
     # ------------------------------------------------------------------
     # window helpers (all share partitionBy(keys[, series]) → one exchange)
@@ -343,6 +385,187 @@ class PatternCompiler:
             # even though their raw indices are adjacent.
             return and_then_intervals(left, right, self._series_keys())
         return self._islandize(df, node)
+
+    def compile_intervals_multi(
+        self, df: DataFrame, tagged_nodes: list[tuple[int, A.Node]]
+    ) -> tuple[DataFrame | None, list[int]]:
+        """Cross-pattern common-subexpression sharing (r13, VERDICT r12
+        Next #5; SURVEY §4.1 names it the one cheap optimizer win the
+        reference lacks too): compile MANY patterns' interval tables
+        out of ONE shared scan + keyed exchange instead of N
+        independent plan branches.
+
+        Per-pattern ``compile_intervals`` branches cannot share work:
+        Catalyst prunes each branch to its own columns, so the
+        canonicalized Exchange subtrees differ and ReuseExchange never
+        fires — a 3-pattern job plans 3 scans + 3 keyed exchanges over
+        the SAME source (measured; see search_incidents). Here instead:
+
+        1. every pattern's trilean boolean compiles onto one THREADED
+           frame (pattern i+1 compiles over pattern i's frame — extra
+           columns are invisible to it), so all window expressions
+           share one partitioning and Catalyst fuses them into one
+           exchange + chained Window stages;
+        2. per-slot island ids (the RLE boundaries of `_islandize`,
+           same null-safe change/gap/first-row rule) are more window
+           columns on that frame;
+        3. ONE map-side ``inline`` explodes (slot, cond, island)
+           triples — P copies of the narrow stack columns, no shuffle,
+           immediately filtered to cond=true rows — and ONE groupBy
+           collapses every pattern's runs together (partial agg, runs
+           are ~0.1% of rows);
+        4. plain boolean patterns come back as a single BULK table
+           tagged ``__tag`` (one plan branch for all of them — a
+           per-pattern ``where(slot=i)`` would push below the
+           aggregate and re-diverge the subtrees); fused ``andThen``
+           chains join per-slot views of the runs table, which is
+           persisted first (RLE-tiny; the raw frame is NOT barriered —
+           that was measured 36% slower, see search_incidents).
+
+        Returns ``(bulk, fallback_tags)``: ``bulk`` has columns
+        (__tag, *series_keys, from_ts, to_ts, n_rows, start_idx,
+        end_idx) covering every stacked node (None if nothing
+        stacked); ``fallback_tags`` lists nodes the caller must send
+        through the per-pattern path (exact-mode ``andThen``;
+        present-producing compiles like consume-once lag, whose
+        absent-row drop changes the islandization row set)."""
+        df = self.with_series(df)
+        cur = df
+        slot_conds: list[str] = []
+
+        def alloc(c: Compiled) -> int:
+            nonlocal cur
+            name = _tmp("slot")
+            cur = c.df.withColumn(name, c.col)
+            slot_conds.append(name)
+            return len(slot_conds) - 1
+
+        # per tag: ("leaf", slot) | ("seq", [slots...]) | None=fallback
+        plans: dict[int, tuple] = {}
+        fallback: list[int] = []
+        for tag, node in tagged_nodes:
+            saved_cur, saved_n = cur, len(slot_conds)
+            if isinstance(node, A.AndThen):
+                if self.andthen_mode == "exact":
+                    fallback.append(tag)
+                    continue
+                # flatten the LEFT spine exactly as compile_intervals
+                # recurses (right operands may themselves be AndThen —
+                # compile_bool handles those via _compile_andthen_bool)
+                ops: list[A.Node] = []
+                n: A.Node = node
+                while isinstance(n, A.AndThen):
+                    ops.append(n.right)
+                    n = n.left
+                ops.append(n)
+                ops.reverse()
+                slots: list[int] = []
+                ok = True
+                for opn in ops:
+                    c = self.compile_bool(cur, opn)
+                    if c.present is not None:
+                        ok = False
+                        break
+                    slots.append(alloc(c))
+                if not ok:
+                    cur, slot_conds[:] = saved_cur, slot_conds[:saved_n]
+                    fallback.append(tag)
+                    continue
+                plans[tag] = ("seq", slots)
+            else:
+                c = self.compile_bool(cur, node)
+                if c.present is not None:
+                    cur = saved_cur
+                    fallback.append(tag)
+                    continue
+                plans[tag] = ("leaf", alloc(c))
+        if not plans:
+            return None, fallback
+
+        # island ids per slot — the _islandize/with_islands boundary
+        # rule (null-safe change | first row | gap > max_gap; the gap
+        # term is defense in depth under series partitioning)
+        w_ord = self._w_order()
+        w_cum = self._w_cum()
+        ms = self._ms()
+        gap_b = F.lag(F.col(self.ts)).over(w_ord).isNull()
+        if self.max_gap_ms is not None:
+            gap_b = gap_b | (ms - F.lag(ms).over(w_ord) > F.lit(self.max_gap_ms))
+        isl_names: list[str] = []
+        for cname in slot_conds:
+            cnd = F.col(cname)
+            iname = _tmp("sisl")
+            cur = cur.withColumn(
+                iname,
+                F.sum(
+                    (~cnd.eqNullSafe(F.lag(cnd).over(w_ord)) | gap_b).cast("int")
+                ).over(w_cum),
+            )
+            isl_names.append(iname)
+        if "__idx" not in cur.columns:
+            w_keys = Window.partitionBy(*self.keys).orderBy(self.ts)
+            cur = cur.withColumn("__idx", F.row_number().over(w_keys))
+        triples = [
+            F.struct(
+                F.lit(i).alias("__slot"),
+                F.col(cname).alias("__scond"),
+                F.col(iname).alias("__sisl"),
+            )
+            for i, (cname, iname) in enumerate(zip(slot_conds, isl_names))
+        ]
+        stacked = cur.select(
+            *self._series_keys(), self.ts, "__idx",
+            F.inline(F.array(*triples)),
+        )
+        runs = (
+            stacked.where(F.col("__scond").eqNullSafe(F.lit(True)))
+            .groupBy(*self._series_keys(), "__slot", "__sisl")
+            .agg(
+                F.min(self.ts).alias("from_ts"),
+                F.max(self.ts).alias("to_ts"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("__idx").alias("start_idx"),
+                F.max("__idx").alias("end_idx"),
+            )
+        )
+        seq_plans = [p for p in plans.values() if p[0] == "seq"]
+        if seq_plans:
+            # andThen operand views each filter runs by slot, and that
+            # filter pushes below the aggregate (slot is a group key),
+            # re-diverging the subtrees — persist the RLE table so the
+            # scan/window work runs once and every view reads the cache.
+            # This is NOT the measured-slower full-frame barrier: runs
+            # is one row per run (~0.1% of input), and the Spark
+            # ContextCleaner reclaims it when the plan is collected.
+            runs = runs.persist()
+
+        def slot_table(i: int) -> DataFrame:
+            return runs.where(F.col("__slot") == i).drop("__slot", "__sisl")
+
+        leaf_items = [(tag, p[1]) for tag, p in plans.items() if p[0] == "leaf"]
+        parts: list[DataFrame] = []
+        if leaf_items:
+            tag_col: Column = F.lit(None).cast("int")
+            for tag, slot in leaf_items:
+                tag_col = F.when(F.col("__slot") == slot, F.lit(tag)).otherwise(tag_col)
+            parts.append(
+                runs.where(
+                    F.col("__slot").isin([s for _, s in leaf_items])
+                )
+                .withColumn("__tag", tag_col)
+                .drop("__slot", "__sisl")
+            )
+        for tag, p in plans.items():
+            if p[0] != "seq":
+                continue
+            iv = slot_table(p[1][0])
+            for j in p[1][1:]:
+                iv = and_then_intervals(iv, slot_table(j), self._series_keys())
+            parts.append(iv.withColumn("__tag", F.lit(tag)))
+        bulk = parts[0]
+        for extra in parts[1:]:
+            bulk = bulk.unionByName(extra)
+        return bulk, fallback
 
     def _compile_andthen_exact(self, df: DataFrame, node: A.AndThen) -> DataFrame:
         """Reference-exact ``andThen`` chain: each operand islandizes
@@ -696,7 +919,7 @@ class PatternCompiler:
             self.window_agg == "prefix"
             or (
                 self.window_agg == "auto"
-                and node.window_ms >= PREFIX_WINDOW_AGG_MIN_MS
+                and self._long_window(node.window_ms)
             )
         ):
             df3, col = self._block_extreme(
@@ -709,7 +932,7 @@ class PatternCompiler:
                 self.window_agg == "auto"
                 and (
                     node.kind == "count"
-                    or node.window_ms >= PREFIX_WINDOW_AGG_MIN_MS
+                    or self._long_window(node.window_ms)
                 )
             )
         )
@@ -895,96 +1118,22 @@ class PatternCompiler:
         Next #3). min/max are NOT subtractable, so the prefix-difference
         rewrite (sum/count/avg, `_prefix_closed_sum`) does not apply and
         the sliding RANGE frame re-aggregates its whole buffer per row —
-        O(n × rows-in-window), 325 s for a 24 h window at 2M rows/1 Hz
-        (tools/bench_window_frames.py). Instead, bucket event time into
-        ALIGNED blocks of exactly the window width W. The half-open
-        trailing window (t−W, t] then spans at most two blocks
-        (b−1, b with b = ⌊t/W⌋), and
+        O(n × rows-in-window); the rewrite buckets time into aligned
+        window-width blocks so every frame GROWS (incremental in
+        Spark's window exec), bit-exact at any window length.
 
-            win_extreme(t) = least/greatest(
-                prefix extreme of block b up to t,          -- A
-                suffix extreme of block b−1 after t−W )     -- B
+        Thin delegate since r13 (VERDICT r12 Next #2): the full
+        algorithm and its correctness notes live in
+        ops.windows.block_extreme so the compiler and the public
+        helpers (`windowed_min_long`/`windowed_max_long`) share ONE
+        implementation. ``leading=True`` computes `wait`'s CLOSED
+        leading window [t, t+W] on negated time."""
+        from tsp_spark.ops.windows import block_extreme
 
-        A is a growing frame within (keys, block). B is fetched as-of
-        time t−W: per row, `sfx` = extreme of SAME-BLOCK rows strictly
-        after it (growing frame over descending time — the r11 lag
-        lesson: never a shrinking frame), and B = last(sfx) over the
-        growing frame up to t−W. A per-(keys, block) SENTINEL row at
-        each block's start (value NULL, filtered back out afterwards)
-        guarantees that as-of row always lands inside block b−1 even
-        when the block has no real rows ≤ t−W — its sfx is then the
-        whole block tail. Every frame grows, so Spark's
-        UnboundedPrecedingWindowFunctionFrame aggregates incrementally:
-        O(n) per key regardless of W, plus one small distinct for the
-        sentinels. min/max have no float-association caveat — the
-        result is bit-identical to the frame form at any window length.
-
-        ``leading=True`` computes `wait`'s CLOSED leading window
-        [t, t+W] by running the same machinery on negated time
-        (closed [t, t+W] over ms == half-open (m−W', m] over m = −ms
-        with W' = W+1 at integer millis).
-
-        Ties are safe throughout: sfx and the cumulative frames are
-        RANGE-based, so rows with equal timestamps (including a
-        sentinel colliding with a real row at a block start) carry
-        identical values and `last` over the as-of frame is
-        deterministic. NULL values (masked inners / absent rows) are
-        skipped by min/max exactly as the frame form skips them, and
-        least/greatest skip NULL operands, so an all-NULL window is
-        NULL in both forms."""
-        fn = F.min if kind == "min" else F.max
-        lg = F.least if kind == "min" else F.greatest
-        ks = self._series_keys()
-        W = window_ms + 1 if leading else window_ms
-        msort = (-self._ms()) if leading else self._ms()
-        vname, mname, flagname, bname = (
-            _tmp("bxv"), _tmp("bxm"), _tmp("bxs"), _tmp("bxb"),
+        return block_extreme(
+            df, value, kind, window_ms, self._series_keys(), self.ts,
+            leading=leading,
         )
-        df2 = (
-            df.withColumn(vname, value)
-            .withColumn(mname, msort.cast("long"))
-            .withColumn(flagname, F.lit(False))
-        )
-        df2 = df2.withColumn(
-            bname, F.floor(F.col(mname) / F.lit(W)).cast("long")
-        )
-        sent = (
-            df2.select(*ks, (F.col(bname) - F.lit(1)).alias(bname))
-            .distinct()
-            .withColumn(mname, F.col(bname) * F.lit(W))
-            .withColumn(flagname, F.lit(True))
-        )
-        un = df2.unionByName(sent, allowMissingColumns=True)
-        negname, sfxname = _tmp("bxn"), _tmp("bxt")
-        un = un.withColumn(negname, -F.col(mname))
-        w_sfx = (
-            Window.partitionBy(*ks, bname)
-            .orderBy(negname)
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
-        un = un.withColumn(sfxname, fn(F.col(vname)).over(w_sfx))
-        w_pre = (
-            Window.partitionBy(*ks, bname)
-            .orderBy(mname)
-            .rangeBetween(Window.unboundedPreceding, 0)
-        )
-        w_asof = (
-            Window.partitionBy(*ks)
-            .orderBy(mname)
-            .rangeBetween(Window.unboundedPreceding, -W)
-        )
-        rname = _tmp("bxr")
-        un = un.withColumn(
-            rname,
-            lg(
-                fn(F.col(vname)).over(w_pre),
-                F.last(F.col(sfxname)).over(w_asof),
-            ),
-        )
-        out = un.where(~F.col(flagname)).drop(
-            vname, mname, flagname, bname, negname, sfxname
-        )
-        return out, F.col(rname)
 
     def _compile_for_interval(self, df: DataFrame, node: A.ForWithInterval) -> Compiled:
         c = self.compile_bool(df, node.inner)
@@ -1043,7 +1192,7 @@ class PatternCompiler:
         # form on negated time (bit-exact; see _block_extreme).
         if self.window_agg == "prefix" or (
             self.window_agg == "auto"
-            and node.window_ms >= PREFIX_WINDOW_AGG_MIN_MS
+            and self._long_window(node.window_ms)
         ):
             df3, col = self._block_extreme(
                 c.df, c.col, "max", node.window_ms, leading=True
@@ -1098,6 +1247,7 @@ def compile_pattern(
     fields_types: dict[str, str] | None = None,
     max_gap_ms: int | None = 60_000,
     tolerance_fraction: float = 0.0,
+    window_agg: str = "auto",
 ) -> DataFrame:
     """Parse (if needed) and compile a pattern to its success-interval
     DataFrame: ``keys…, from_ts, to_ts, n_rows, start_idx, end_idx``."""
@@ -1108,4 +1258,6 @@ def compile_pattern(
         if isinstance(pattern, str)
         else pattern
     )
-    return PatternCompiler(keys, ts, fields_types, max_gap_ms).compile_intervals(df, node)
+    return PatternCompiler(
+        keys, ts, fields_types, max_gap_ms, window_agg=window_agg
+    ).compile_intervals(df, node)

@@ -11,11 +11,14 @@ from tsp_spark.ops.islands import (
     with_run_start,
 )
 from tsp_spark.ops.windows import (
+    block_extreme,
     time_window,
     windowed_avg,
     windowed_count,
     windowed_max,
+    windowed_max_long,
     windowed_min,
+    windowed_min_long,
     windowed_sum,
     lag_value,
     lag_time,
@@ -32,11 +35,14 @@ __all__ = [
     "islands_sharded",
     "with_islands",
     "with_run_start",
+    "block_extreme",
     "time_window",
     "windowed_avg",
     "windowed_count",
     "windowed_max",
+    "windowed_max_long",
     "windowed_min",
+    "windowed_min_long",
     "windowed_sum",
     "lag_value",
     "lag_time",

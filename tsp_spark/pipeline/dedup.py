@@ -511,6 +511,7 @@ def neardup_clusters(
     max_iter: int = 25,
     pairs_distinct: bool = False,
     local_finish_edges: int = 2_000_000,
+    stats_sink: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over the
     undirected ``pairs`` graph (id_a, id_b, …), label = the component's
@@ -531,6 +532,14 @@ def neardup_clusters(
     round's output (unique sources, sources never centers — see inline
     note), which stops one full star round earlier than waiting for two
     identical consecutive edge sets.
+
+    ``stats_sink`` (r13): pass a dict to receive convergence telemetry —
+    ``rounds`` (distributed star rounds run), ``edge_counts`` (edge-set
+    size after each round; counts are ~free, the set is checkpoint-
+    materialized by the convergence probe), ``local_finish`` (whether
+    the single-task union-find closed the tail), ``initial_edges``.
+    Used by the giant-component soak (tools/soak_clusters_giant.py) to
+    adjudicate rounds-to-converge and contraction rate at scale.
     """
     # canonical undirected form: a > b, no self-loops, deduped.
     # ``pairs_distinct=True`` skips the dedup shuffle over the FULL
@@ -545,6 +554,11 @@ def neardup_clusters(
     if not pairs_distinct:
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
+    if stats_sink is not None:
+        stats_sink.update(
+            initial_edges=edges.count(), rounds=0, edge_counts=[],
+            local_finish=False,
+        )
     converged = False
     for _ in range(max_iter):
         # size-gated single-task finish (the classic hybrid): once the
@@ -564,6 +578,8 @@ def neardup_clusters(
         if int_ids and edges.count() <= local_finish_edges:
             edges = _local_star_forest(edges)
             converged = True
+            if stats_sink is not None:
+                stats_sink["local_finish"] = True
             break
         # large-star: for each u, m = min(N(u) ∪ {u}); connect every
         # neighbor v > u to m. Output is canonical (v > m) by
@@ -616,6 +632,9 @@ def neardup_clusters(
         source_is_center = edges.join(
             edges.select(F.col("b").alias("a")), "a", "left_semi"
         )
+        if stats_sink is not None:
+            stats_sink["rounds"] += 1
+            stats_sink["edge_counts"].append(edges.count())
         if multi_source.isEmpty() and source_is_center.isEmpty():
             converged = True
             break

@@ -53,9 +53,22 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """For each query vector: top-k corpus neighbors by cosine similarity
-    (self-matches excluded). Returns (query_id, neighbor_id, rank, cosine)."""
+    (self-matches excluded). Returns (query_id, neighbor_id, rank, cosine).
+
+    This is the EXACT brute-force path: it broadcasts ``queries`` and
+    scans ``corpus × queries`` — deliberately, for exact top-k. That is
+    only sane while the query side stays broadcast-small, so the guard
+    counts it up front and fails fast past ``max_query_rows`` (r13,
+    VERDICT r12 watch #3 — the same fail-fast contract as
+    dedup.jaccard_pairs' ``max_bucket_size``: no silent n×m blowup at
+    100 TB). For large query sets use ``ann_ivf_topk`` (partition-pruned
+    IVF) or ``lsh_bucket_topk`` (sign-signature buckets); to run a big
+    exact scan DELIBERATELY, pass ``max_query_rows=None`` (or a higher
+    bound). The count is one extra job over the query-side plan — by
+    contract the cheap side; cache ``queries`` first if it is derived."""
     # norms hoisted to the per-row projections (computed once per vector,
     # not once per pair; same expression → bit-identical cosine)
     c = corpus.select(
@@ -66,6 +79,17 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
     ).withColumn("__qn", _norm(F.col("__qv")))
+    if max_query_rows is not None:
+        n_q = q.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"cosine_topk is the exact brute-force path: {n_q} query "
+                f"rows exceed max_query_rows={max_query_rows}, and the "
+                "broadcast + corpus×queries scan would not survive that "
+                "at scale. Use ann_ivf_topk (partition-pruned IVF) or "
+                "lsh_bucket_topk (LSH buckets) for large query sets, or "
+                "pass max_query_rows=None to force the exact scan."
+            )
     joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))

@@ -122,6 +122,11 @@ class CoordinatorClient:
         )
 
 
+# request-dict keys written by the RUNNER after submission (never by a
+# client); request_of() removes exactly these from the echo endpoint
+_INTERNAL_REQUEST_KEYS = frozenset({"_autoShard"})
+
+
 @dataclass
 class Job:
     uuid: str
@@ -212,9 +217,13 @@ class JobQueueService:
         job = self._jobs.get(uid)
         if job is None:
             return None
-        # strip runner-internal "_"-keys (e.g. _autoShard) so the
-        # request endpoint round-trips exactly what the client sent
-        return {k: v for k, v in job.request.items() if not k.startswith("_")}
+        # strip only the KNOWN runner-internal keys so the request
+        # endpoint round-trips exactly what the client sent — a client
+        # field that happens to start with "_" must still echo back
+        # (r13, ADVICE r12)
+        return {
+            k: v for k, v in job.request.items() if k not in _INTERNAL_REQUEST_KEYS
+        }
 
     def stop(self, uid: str) -> bool:
         with self._lock:
