@@ -670,6 +670,19 @@ def test_probe_rate_reaches_window_gate(spark, monkeypatch):
     search_incidents(ev, pats, decision_sink=d2, **kw).count()
     assert d2["probe_cached"] and d2["probe_age_s"] >= 0.0
     assert d2["hot_rate_hz"] == d["hot_rate_hz"]
+    # r13: the probe trigger is DECOUPLED from shard eligibility — a
+    # max_gap_ms=None job (never shardable) with a sub-5-min window
+    # still probes, so the rows-in-window gate engages (found by the
+    # --hz bench: such jobs silently stayed on the frame form)
+    d3: dict = {}
+    kw_nogap = dict(kw, max_gap_ms=None)
+    auto_ng = sorted(map(tuple, search_incidents(
+        ev, pats, decision_sink=d3, **kw_nogap).collect()))
+    assert d3["probed"] and not d3["eligible"] and d3["shard_ms"] is None
+    assert 90.0 <= d3["hot_rate_hz"] <= 110.0
+    frame_ng = sorted(map(tuple, search_incidents(
+        ev, pats, shard_ms=None, window_agg="frame", **kw_nogap).collect()))
+    assert auto_ng == frame_ng
     api.clear_auto_probe_cache()
 
 

@@ -69,6 +69,41 @@ def referenced_fields(node) -> set[str]:
     return out
 
 
+def _window_needs_rate(node) -> bool:
+    """Does this pattern contain a windowed construct whose `auto` plan
+    form depends on the MEASURED EVENT RATE? Only frame-form candidates
+    below the wall-clock floor qualify: AggregateCall avg/sum/min/max
+    and Wait with 0 < window_ms < PREFIX_WINDOW_AGG_MIN_MS (count and
+    ForWithInterval truth-stats switch to O(n) unconditionally; Timer
+    is run-start-based, no frame). Used to trigger the auto probe even
+    when no pattern is SHARD-eligible — a dense source under a 2-min
+    `avg` needs the rate regardless of whether it sharded (r13,
+    found by the --hz bench leg: max_gap_ms=None jobs never probed,
+    so the rows-in-window gate silently never engaged)."""
+    import dataclasses
+
+    from tsp_spark.compile.compiler import PREFIX_WINDOW_AGG_MIN_MS
+    from tsp_spark.dsl import ast as A
+
+    short = (
+        isinstance(node, A.AggregateCall)
+        and node.kind in ("avg", "sum", "min", "max")
+        and 0 < node.window_ms < PREFIX_WINDOW_AGG_MIN_MS
+    ) or (
+        isinstance(node, A.Wait)
+        and 0 < node.window_ms < PREFIX_WINDOW_AGG_MIN_MS
+    )
+    if short:
+        return True
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            for x in v if isinstance(v, tuple) else (v,):
+                if isinstance(x, A.Node) and _window_needs_rate(x):
+                    return True
+    return False
+
+
 def is_row_local(node) -> bool:
     """True when a pattern AST evaluates row by row — no sequences,
     timers, truth-stat windows, `until`/`wait`, windowed aggregates or
@@ -878,13 +913,20 @@ def search_incidents(
         shard_ms = None
         note = {"mode": "auto", "eligible": False, "probed": False,
                 "probe_cached": False, "shard_ms": None}
-        if any(_auto_eligible(n) for n in nodes):
-            note["eligible"] = True
+        shard_eligible = any(_auto_eligible(n) for n in nodes)
+        note["eligible"] = shard_eligible
+        # the probe serves TWO consumers: the shard-width decision
+        # (only when a pattern shape is shard-eligible) and the
+        # compiler's rows-in-window gate (whenever a sub-5-min
+        # frame-form window exists — r13, see _window_needs_rate)
+        if shard_eligible or any(_window_needs_rate(n) for n in nodes):
             size = _plan_size_bytes(raw_src)
             if size is not None and size >= AUTO_PROBE_MIN_BYTES:
-                shard_ms, pstats, cached, age_s = _cached_auto_shard(
+                decision, pstats, cached, age_s = _cached_auto_shard(
                     raw_src, keys, ts
                 )
+                if shard_eligible:
+                    shard_ms = decision
                 note.update(probed=True, probe_cached=cached,
                             shard_ms=shard_ms,
                             probe_age_s=round(age_s, 1))

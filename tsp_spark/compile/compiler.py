@@ -532,12 +532,20 @@ class PatternCompiler:
         if seq_plans:
             # andThen operand views each filter runs by slot, and that
             # filter pushes below the aggregate (slot is a group key),
-            # re-diverging the subtrees — persist the RLE table so the
-            # scan/window work runs once and every view reads the cache.
+            # re-diverging the subtrees — materialize the RLE table so
+            # the scan/window work runs once and every view reads it.
             # This is NOT the measured-slower full-frame barrier: runs
-            # is one row per run (~0.1% of input), and the Spark
-            # ContextCleaner reclaims it when the plan is collected.
-            runs = runs.persist()
+            # is one row per run (~0.1% of input). localCheckpoint, not
+            # persist(): CacheManager holds a STRONG reference to every
+            # persisted plan until explicit unpersist, so a long-lived
+            # service calling multi-andThen jobs would leak cached
+            # tables unboundedly (and CacheManager's canonical-plan
+            # matching silently serves one job's runs to a later
+            # identical job — correct for static sources but a
+            # benchmarking trap); a localCheckpoint is RDD-scoped and
+            # the ContextCleaner reclaims it when the plan is GC'd —
+            # the same trade neardup_clusters makes for its edge sets.
+            runs = runs.localCheckpoint(eager=False)
 
         def slot_table(i: int) -> DataFrame:
             return runs.where(F.col("__slot") == i).drop("__slot", "__sisl")

@@ -508,7 +508,7 @@ def neardup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 25,
+    max_iter: int = 60,
     pairs_distinct: bool = False,
     local_finish_edges: int = 2_000_000,
     stats_sink: dict | None = None,
@@ -532,6 +532,15 @@ def neardup_clusters(
     round's output (unique sources, sources never centers — see inline
     note), which stops one full star round earlier than waiting for two
     identical consecutive edge sets.
+
+    ``max_iter`` is a runaway bound, not a tuning knob: the fixpoint
+    test stops the loop as soon as the edge set is a star forest, and
+    rounds grow with log2(component diameter) — the r13 giant-component
+    soak (tools/soak_clusters_giant.py) measured a 5M-node PATH (the
+    adversarial maximum diameter) converging in exactly 23 rounds
+    (log2(5M) ≈ 22.3), labels correct. The old default of 25 sat one
+    round above that; 60 covers diameters past 10^18 while costing
+    nothing on real graphs (near-dup components converge in 2-5).
 
     ``stats_sink`` (r13): pass a dict to receive convergence telemetry —
     ``rounds`` (distributed star rounds run), ``edge_counts`` (edge-set
