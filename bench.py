@@ -319,6 +319,36 @@ def window_frames_rehearsal(spark, n_rows: int = 2_000_000, n_keys: int = 20):
             shard_ms=None,
         ).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3), "incidents": n}
+    # r13: the high-rate/short-window face of the same cliff — 100 Hz
+    # keys under a 2-min window hold 12,000-row frames (the frame form
+    # measured 611.7 s at 10M rows, SCALE.md r13), which the wall-clock
+    # floor misses; the rows-in-window gate must catch it via the
+    # probe's measured rate (search_incidents shard_ms="auto" so the
+    # probe actually runs; plan-stats gate needs ≥ 128 MB, hence 10M
+    # rows). Flat-vs-24h wall time here is the regression signal.
+    ev_hz = spark.range(10_000_000).select(
+        F.pmod(F.col("id"), F.lit(n_keys)).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(base_ms) + (F.col("id") / n_keys).cast("long") * 10
+        ).alias("ts"),
+        (raw.cast("double") / 1000).alias("x"),
+    )
+    for label, pat in (
+        ("avg_2m_100hz", "avg(x, 2 min) > 0.6"),
+        ("wait_30s_100hz", "wait(30 sec, x > 0.999)"),
+    ):
+        d: dict = {}
+        t0 = time.perf_counter()
+        n = search_incidents(
+            ev_hz, [RawPattern(1, pat)], ["user_id"], "ts",
+            fields_types=ft, max_gap_ms=None, session_gap_ms=10_000,
+            shard_ms="auto", decision_sink=d,
+        ).count()
+        out[label] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "incidents": n,
+            "hot_rate_hz": d.get("hot_rate_hz"),
+        }
     return {"rows": n_rows, "cases": out}
 
 
