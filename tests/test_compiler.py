@@ -775,8 +775,10 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
     cross-pattern shared scan/exchange — produces EXACTLY the incidents
     of the per-pattern path across the grammar: row-local predicates,
     timers, for-interval stats, windowed aggregates, wait, a 3-operand
-    andThen chain, trilean NULL conditions, and the lag fallback (which
-    must come back as a fallback tag, not silently mis-stack)."""
+    andThen chain, trilean NULL conditions, and consume-once lag —
+    which since r13b STACKS too (present-slot islandization over
+    present rows against the last present state, the Segmentizer
+    merge-across-absent rule); only exact-mode andThen falls back."""
     from tsp_spark.api import RawPattern, search_incidents
     from tsp_spark.compile.compiler import PatternCompiler
 
@@ -788,7 +790,7 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
         RawPattern(4, "avg(x, 15 sec) > 5"),
         RawPattern(5, "wait(9 sec, x > 8)"),
         RawPattern(6, "x > 2 andThen s = 'err' andThen x < 3"),
-        RawPattern(7, "lag(x) > 5"),   # present-producing -> fallback
+        RawPattern(7, "lag(x) > 5"),   # present-producing (stacks r13b)
     ]
     kw = dict(
         keys=["unit"], ts="ts",
@@ -796,6 +798,18 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
         max_gap_ms=60_000, session_gap_ms=2_000, shard_ms=None,
     )
     stacked = sorted(map(tuple, search_incidents(df, pats, **kw).collect()))
+    # fused mode stacks EVERYTHING, lag included (r13b)
+    from tsp_spark.dsl.parser import parse_pattern
+
+    comp = PatternCompiler(
+        ["unit"], "ts", {"x": "float64", "s": "string"}, 60_000
+    )
+    _, fb = comp.compile_intervals_multi(
+        comp.with_series(df),
+        [(i, parse_pattern(p.source_code, {"x": "float64", "s": "string"}))
+         for i, p in enumerate(pats)],
+    )
+    assert fb == []
 
     real = PatternCompiler.compile_intervals_multi
     try:

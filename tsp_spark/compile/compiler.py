@@ -426,25 +426,31 @@ class PatternCompiler:
         (__tag, *series_keys, from_ts, to_ts, n_rows, start_idx,
         end_idx) covering every stacked node (None if nothing
         stacked); ``fallback_tags`` lists nodes the caller must send
-        through the per-pattern path (exact-mode ``andThen``;
-        present-producing compiles like consume-once lag, whose
-        absent-row drop changes the islandization row set)."""
+        through the per-pattern path (exact-mode ``andThen`` only —
+        present-producing compiles like consume-once lag stack too
+        since r13b, via per-slot islandization of PRESENT rows against
+        the last present state, the Segmentizer merge-across-absent
+        rule with the gap term off, mirroring ``_islandize``)."""
         df = self.with_series(df)
         cur = df
-        slot_conds: list[str] = []
+        # per slot: (cond column name, present column name | None)
+        slot_conds: list[tuple[str, str | None]] = []
 
         def alloc(c: Compiled) -> int:
             nonlocal cur
             name = _tmp("slot")
             cur = c.df.withColumn(name, c.col)
-            slot_conds.append(name)
+            pname = None
+            if c.present is not None:
+                pname = _tmp("slotp")
+                cur = cur.withColumn(pname, c.present)
+            slot_conds.append((name, pname))
             return len(slot_conds) - 1
 
         # per tag: ("leaf", slot) | ("seq", [slots...]) | None=fallback
         plans: dict[int, tuple] = {}
         fallback: list[int] = []
         for tag, node in tagged_nodes:
-            saved_cur, saved_n = cur, len(slot_conds)
             if isinstance(node, A.AndThen):
                 if self.andthen_mode == "exact":
                     fallback.append(tag)
@@ -459,47 +465,54 @@ class PatternCompiler:
                     n = n.left
                 ops.append(n)
                 ops.reverse()
-                slots: list[int] = []
-                ok = True
-                for opn in ops:
-                    c = self.compile_bool(cur, opn)
-                    if c.present is not None:
-                        ok = False
-                        break
-                    slots.append(alloc(c))
-                if not ok:
-                    cur, slot_conds[:] = saved_cur, slot_conds[:saved_n]
-                    fallback.append(tag)
-                    continue
-                plans[tag] = ("seq", slots)
+                plans[tag] = (
+                    "seq",
+                    [alloc(self.compile_bool(cur, opn)) for opn in ops],
+                )
             else:
-                c = self.compile_bool(cur, node)
-                if c.present is not None:
-                    cur = saved_cur
-                    fallback.append(tag)
-                    continue
-                plans[tag] = ("leaf", alloc(c))
+                plans[tag] = ("leaf", alloc(self.compile_bool(cur, node)))
         if not plans:
             return None, fallback
 
-        # island ids per slot — the _islandize/with_islands boundary
-        # rule (null-safe change | first row | gap > max_gap; the gap
-        # term is defense in depth under series partitioning)
+        # island ids per slot. Present-FREE slots use the
+        # _islandize/with_islands boundary rule (null-safe change |
+        # first row | gap > max_gap; the gap term is defense in depth
+        # under series partitioning). PRESENT slots (r13b: consume-once
+        # lag et al.) mirror _islandize's present path — islandize the
+        # PRESENT rows only, with NO gap rule (absence may stretch two
+        # adjacent present rows past max_gap, which must not fake a
+        # series split; the series id in the partition keys already
+        # encodes real splits): a boundary is a present row whose
+        # trilean state differs from the LAST present state (absent
+        # rows are invisible, so equal-valued runs merge across them —
+        # the Segmentizer semantics).
         w_ord = self._w_order()
         w_cum = self._w_cum()
         ms = self._ms()
         gap_b = F.lag(F.col(self.ts)).over(w_ord).isNull()
         if self.max_gap_ms is not None:
             gap_b = gap_b | (ms - F.lag(ms).over(w_ord) > F.lit(self.max_gap_ms))
+        w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
         isl_names: list[str] = []
-        for cname in slot_conds:
+        for cname, pname in slot_conds:
             cnd = F.col(cname)
             iname = _tmp("sisl")
+            if pname is None:
+                boundary = ~cnd.eqNullSafe(F.lag(cnd).over(w_ord)) | gap_b
+            else:
+                # trilean state on present rows (true/false/Fail as
+                # 1/0/2), NULL elsewhere so last(ignorenulls) skips
+                # absent rows
+                state = F.when(
+                    F.col(pname),
+                    F.when(cnd, 1).when(~cnd, 0).otherwise(2),
+                )
+                prev = F.last(state, ignorenulls=True).over(w_prev)
+                boundary = F.col(pname) & (
+                    prev.isNull() | (state != prev)
+                )
             cur = cur.withColumn(
-                iname,
-                F.sum(
-                    (~cnd.eqNullSafe(F.lag(cnd).over(w_ord)) | gap_b).cast("int")
-                ).over(w_cum),
+                iname, F.sum(boundary.cast("int")).over(w_cum)
             )
             isl_names.append(iname)
         if "__idx" not in cur.columns:
@@ -509,16 +522,24 @@ class PatternCompiler:
             F.struct(
                 F.lit(i).alias("__slot"),
                 F.col(cname).alias("__scond"),
+                (F.lit(True) if pname is None else F.col(pname)).alias(
+                    "__spres"
+                ),
                 F.col(iname).alias("__sisl"),
             )
-            for i, (cname, iname) in enumerate(zip(slot_conds, isl_names))
+            for i, ((cname, pname), iname) in enumerate(
+                zip(slot_conds, isl_names)
+            )
         ]
         stacked = cur.select(
             *self._series_keys(), self.ts, "__idx",
             F.inline(F.array(*triples)),
         )
         runs = (
-            stacked.where(F.col("__scond").eqNullSafe(F.lit(True)))
+            stacked.where(
+                F.col("__spres").eqNullSafe(F.lit(True))
+                & F.col("__scond").eqNullSafe(F.lit(True))
+            )
             .groupBy(*self._series_keys(), "__slot", "__sisl")
             .agg(
                 F.min(self.ts).alias("from_ts"),
