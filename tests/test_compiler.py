@@ -778,7 +778,9 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
     andThen chain, trilean NULL conditions, and consume-once lag —
     which since r13b STACKS too (present-slot islandization over
     present rows against the last present state, the Segmentizer
-    merge-across-absent rule); only exact-mode andThen falls back."""
+    merge-across-absent rule). Exact mode stacks as well (keep=None
+    slot queues through the same two-queue merge) — no grammar shape
+    falls back."""
     from tsp_spark.api import RawPattern, search_incidents
     from tsp_spark.compile.compiler import PatternCompiler
 
@@ -822,8 +824,8 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
     finally:
         PatternCompiler.compile_intervals_multi = real
     assert stacked == per_pattern and len(stacked) > 0
-    # exact mode falls back wholesale for the andThen pattern and stays
-    # identical to its own per-pattern result
+    # exact mode stacks too (keep=None slot queues into the two-queue
+    # merge) and stays identical to its own per-pattern result
     exact_kw = dict(kw, andthen_mode="exact")
     stacked_e = sorted(map(tuple, search_incidents(df, pats, **exact_kw).collect()))
     try:

@@ -1089,9 +1089,9 @@ def search_incidents(
     fallback_pending: list[tuple[RawPattern, object]] = pending
     if len(pending) >= 2:
         # multi-pattern ordered job: one shared scan/exchange for every
-        # stackable pattern (incl. present-producing lag since r13b);
-        # only exact-mode andThen patterns come back as fallback tags
-        # and compile individually below
+        # pattern — the whole grammar stacks (incl. present-producing
+        # lag and exact-mode andThen since r13b); fallback tags are
+        # kept for future non-stackable node kinds
         bulk, fb_tags = compiler.compile_intervals_multi(
             src, [(i, node) for i, (_, node) in enumerate(pending)]
         )

@@ -426,11 +426,15 @@ class PatternCompiler:
         (__tag, *series_keys, from_ts, to_ts, n_rows, start_idx,
         end_idx) covering every stacked node (None if nothing
         stacked); ``fallback_tags`` lists nodes the caller must send
-        through the per-pattern path (exact-mode ``andThen`` only —
-        present-producing compiles like consume-once lag stack too
-        since r13b, via per-slot islandization of PRESENT rows against
-        the last present state, the Segmentizer merge-across-absent
-        rule with the gap term off, mirroring ``_islandize``)."""
+        through the per-pattern path — currently EMPTY for every
+        grammar shape: present-producing compiles (consume-once lag)
+        stack via per-slot islandization of PRESENT rows against the
+        last present state (the Segmentizer merge-across-absent rule
+        with the gap term off, mirroring ``_islandize``), and
+        exact-mode ``andThen`` stacks as keep=None slot queues
+        (cond_value carried through the shared groupBy) feeding the
+        same two-queue merge as ``_compile_andthen_exact``. The
+        mechanism stays for future non-stackable node kinds."""
         df = self.with_series(df)
         cur = df
         # per slot: (cond column name, present column name | None)
@@ -447,13 +451,30 @@ class PatternCompiler:
             slot_conds.append((name, pname))
             return len(slot_conds) - 1
 
-        # per tag: ("leaf", slot) | ("seq", [slots...]) | None=fallback
+        # per tag: ("leaf", slot) | ("seq", [slots...]) |
+        # ("xseq", [slots...], tree) for exact-mode andThen (keep=None
+        # operand queues + the two-queue merge, associativity preserved)
         plans: dict[int, tuple] = {}
         fallback: list[int] = []
         for tag, node in tagged_nodes:
             if isinstance(node, A.AndThen):
                 if self.andthen_mode == "exact":
-                    fallback.append(tag)
+                    # mirror _compile_andthen_exact: leaves in shape
+                    # order, tree as nested 2-tuples over leaf indices
+                    leaves: list[A.Node] = []
+
+                    def shape(n):
+                        if isinstance(n, A.AndThen):
+                            return (shape(n.left), shape(n.right))
+                        leaves.append(n)
+                        return len(leaves) - 1
+
+                    tree = shape(node)
+                    plans[tag] = (
+                        "xseq",
+                        [alloc(self.compile_bool(cur, ln)) for ln in leaves],
+                        tree,
+                    )
                     continue
                 # flatten the LEFT spine exactly as compile_intervals
                 # recurses (right operands may themselves be AndThen —
@@ -535,21 +556,36 @@ class PatternCompiler:
             *self._series_keys(), self.ts, "__idx",
             F.inline(F.array(*triples)),
         )
-        runs = (
-            stacked.where(
-                F.col("__spres").eqNullSafe(F.lit(True))
-                & F.col("__scond").eqNullSafe(F.lit(True))
-            )
-            .groupBy(*self._series_keys(), "__slot", "__sisl")
-            .agg(
-                F.min(self.ts).alias("from_ts"),
-                F.max(self.ts).alias("to_ts"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min("__idx").alias("start_idx"),
-                F.max("__idx").alias("end_idx"),
-            )
-        )
-        seq_plans = [p for p in plans.values() if p[0] == "seq"]
+        # exact-mode chains consume the FULL RLE queue (keep=None —
+        # true/false/Fail runs all present, cond_value carried), so
+        # when any exist the cond filter moves ABOVE the aggregation;
+        # keep=True consumers re-filter on cond_value below. Runs are
+        # RLE-small either way.
+        has_xseq = any(p[0] == "xseq" for p in plans.values())
+        pre = stacked.where(F.col("__spres").eqNullSafe(F.lit(True)))
+        if not has_xseq:
+            pre = pre.where(F.col("__scond").eqNullSafe(F.lit(True)))
+        aggs = [
+            F.min(self.ts).alias("from_ts"),
+            F.max(self.ts).alias("to_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__idx").alias("start_idx"),
+            F.max("__idx").alias("end_idx"),
+        ]
+        if has_xseq:
+            # constant within a run (the island id changes whenever the
+            # trilean state does), so first() is deterministic
+            aggs.append(F.first("__scond").alias("cond_value"))
+        runs = pre.groupBy(*self._series_keys(), "__slot", "__sisl").agg(*aggs)
+
+        def keep_true(t: DataFrame) -> DataFrame:
+            if has_xseq:
+                return t.where(
+                    F.col("cond_value").eqNullSafe(F.lit(True))
+                ).drop("cond_value")
+            return t
+
+        seq_plans = [p for p in plans.values() if p[0] in ("seq", "xseq")]
         if seq_plans:
             # andThen operand views each filter runs by slot, and that
             # filter pushes below the aggregate (slot is a group key),
@@ -578,19 +614,28 @@ class PatternCompiler:
             for tag, slot in leaf_items:
                 tag_col = F.when(F.col("__slot") == slot, F.lit(tag)).otherwise(tag_col)
             parts.append(
-                runs.where(
-                    F.col("__slot").isin([s for _, s in leaf_items])
+                keep_true(
+                    runs.where(
+                        F.col("__slot").isin([s for _, s in leaf_items])
+                    )
                 )
                 .withColumn("__tag", tag_col)
                 .drop("__slot", "__sisl")
             )
         for tag, p in plans.items():
-            if p[0] != "seq":
-                continue
-            iv = slot_table(p[1][0])
-            for j in p[1][1:]:
-                iv = and_then_intervals(iv, slot_table(j), self._series_keys())
-            parts.append(iv.withColumn("__tag", F.lit(tag)))
+            if p[0] == "seq":
+                iv = keep_true(slot_table(p[1][0]))
+                for j in p[1][1:]:
+                    iv = and_then_intervals(
+                        iv, keep_true(slot_table(j)), self._series_keys()
+                    )
+                parts.append(iv.withColumn("__tag", F.lit(tag)))
+            elif p[0] == "xseq":
+                iv = and_then_exact(
+                    cur, [slot_table(j) for j in p[1]], p[2],
+                    self._series_keys(), self.ts,
+                )
+                parts.append(iv.withColumn("__tag", F.lit(tag)))
         bulk = parts[0]
         for extra in parts[1:]:
             bulk = bulk.unionByName(extra)
