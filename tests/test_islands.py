@@ -864,3 +864,69 @@ def test_auto_probe_cache_lru_and_file_signature(spark, tmp_path, monkeypatch):
     search_incidents(v2, pats, decision_sink=dv2, **kw).count()
     assert not dv2["probe_cached"] and calls["n"] == 4  # v2 was evicted
     api.clear_auto_probe_cache()
+
+
+def test_stacking_skipped_when_hot_key_sharded(spark, monkeypatch):
+    """r13: when the auto probe resolves a shard width (hot key known),
+    leftover unshardable patterns keep PER-PATTERN branches — under
+    skew, independent branches run their serialized hot-key tasks in
+    parallel, measured faster than one shared exchange (SCALE.md r13).
+    With no hot key the same job stacks (one scan). Results identical
+    either way."""
+    import re
+
+    import tsp_spark.api as api
+    from tsp_spark.api import RawPattern, search_incidents
+
+    monkeypatch.setattr(api, "AUTO_PROBE_MIN_BYTES", 1)
+    api.clear_auto_probe_cache()
+    n, hot = 6_000, 3_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(1 + F.pmod(F.col("id"), F.lit(9)))
+        .alias("unit"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000)
+            + F.when(F.col("id") < hot, F.col("id"))
+            .otherwise((F.col("id") - hot) / 9)
+            .cast("long")
+            * 1000
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(100)) / 100.0).alias("x"),
+    )
+    # lag patterns never shard in auto mode -> always land in pending;
+    # the row-local pattern makes the job probe-ELIGIBLE so the hot-key
+    # decision actually fires (a lag-only job never probes for shard)
+    pats = [
+        RawPattern(1, "lag(x) > 0.5"),
+        RawPattern(2, "lag(x) < 0.3"),
+        RawPattern(3, "x > 0.9"),
+    ]
+    kw = dict(
+        keys=["unit"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=10_000,
+    )
+
+    def scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the source is spark.range -> Range leaf nodes
+        return plan.count("Range (0, 6000")
+
+    # hot key detected -> the row-local pattern shards (1 scan) and the
+    # two lag patterns keep per-pattern branches (2 more scans)
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 2_000)
+    d1: dict = {}
+    out_hot = search_incidents(ev, pats, decision_sink=d1, **kw)
+    assert d1["shard_ms"] is not None
+    assert scans(out_hot) == 3
+    # no hot key -> stacked (1 scan)
+    api.clear_auto_probe_cache()
+    monkeypatch.setattr(api, "AUTO_HOT_ROWS_MIN", 10**12)
+    d2: dict = {}
+    out_uni = search_incidents(ev, pats, decision_sink=d2, **kw)
+    assert d2["shard_ms"] is None
+    assert scans(out_uni) == 1
+    assert sorted(map(tuple, out_hot.collect())) == sorted(
+        map(tuple, out_uni.collect())
+    )
+    api.clear_auto_probe_cache()

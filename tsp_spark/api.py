@@ -1087,11 +1087,18 @@ def search_incidents(
             )
         )
     fallback_pending: list[tuple[RawPattern, object]] = pending
-    if len(pending) >= 2:
+    if len(pending) >= 2 and shard_ms is None:
         # multi-pattern ordered job: one shared scan/exchange for every
         # pattern — the whole grammar stacks (incl. present-producing
         # lag and exact-mode andThen since r13b); fallback tags are
-        # kept for future non-stackable node kinds
+        # kept for future non-stackable node kinds. When a hot key IS
+        # known (shard_ms resolved non-None — probe-detected or
+        # user-declared), the leftover unshardable patterns keep
+        # per-pattern branches instead: under skew, N independent
+        # branches run their serialized hot-key window tasks on N
+        # cores, which measured ~1.3× faster than one shared exchange
+        # serializing all slots into one task (docs/SCALE.md r13 skew
+        # adjudication)
         bulk, fb_tags = compiler.compile_intervals_multi(
             src, [(i, node) for i, (_, node) in enumerate(pending)]
         )
