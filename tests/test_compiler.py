@@ -885,3 +885,71 @@ def test_multi_pattern_job_shares_one_scan_and_exchange(spark):
     finally:
         PatternCompiler.compile_intervals_multi = real
     assert scans_n == len(pats) and row_ex_n == len(pats)
+
+
+def test_multi_key_partition_fields(spark):
+    """The reference's partitionFields is a LIST — multi-column keys
+    must partition every window/island/sessionize stage and the stacked
+    path alike. Parity: (a) stacked == per-pattern on two keys;
+    (b) two keys == one composite key (string concat) modulo the key
+    columns themselves."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.compile.compiler import PatternCompiler
+
+    rng = random.Random(0x13D7)
+    rows = []
+    for unit in ("a", "b"):
+        for line in (1, 2):
+            t = 0
+            for _ in range(150):
+                t += rng.choice([1, 2, 3, 59, 61, 120])
+                rows.append(
+                    (unit, line,
+                     datetime.datetime(2024, 1, 1)
+                     + datetime.timedelta(seconds=t),
+                     float(rng.randint(0, 9)))
+                )
+    df = spark.createDataFrame(
+        rows, "unit string, line int, ts timestamp, x double"
+    )
+    pats = [
+        RawPattern(1, "x > 5"),
+        RawPattern(2, "x > 3 for 10 sec"),
+        RawPattern(3, "x > 4 andThen x < 2"),
+        RawPattern(4, "lag(x) > 5"),
+    ]
+    kw = dict(
+        keys=["unit", "line"], ts="ts", fields_types={"x": "float64"},
+        max_gap_ms=60_000, session_gap_ms=2_000, shard_ms=None,
+    )
+    stacked = sorted(map(tuple, search_incidents(df, pats, **kw).collect()))
+    real = PatternCompiler.compile_intervals_multi
+    try:
+        PatternCompiler.compile_intervals_multi = (
+            lambda self, d, tagged: (None, [t for t, _ in tagged])
+        )
+        per = sorted(map(tuple, search_incidents(df, pats, **kw).collect()))
+    finally:
+        PatternCompiler.compile_intervals_multi = real
+    assert stacked == per and len(stacked) > 0
+    # composite single key ≡ two keys (project the composite back out)
+    comp = df.select(
+        F.concat_ws("|", "unit", F.col("line").cast("string")).alias("k"),
+        "ts", "x",
+    )
+    ckw = dict(kw, keys=["k"])
+    comp_out = sorted(
+        (r["pattern_id"], r["subunit"], r["k"], r["from_ts"], r["to_ts"])
+        for r in search_incidents(comp, pats, **ckw).collect()
+    )
+    two_out = sorted(
+        (r["pattern_id"], r["subunit"],
+         f"{r['unit']}|{r['line']}", r["from_ts"], r["to_ts"])
+        for r in search_incidents(df, pats, **kw).collect()
+    )
+    assert comp_out == two_out

@@ -162,6 +162,11 @@ def gen_pattern_long(rng: random.Random) -> str:
             f"value > {thr} for {w} > {rng.choice([1, 2])} hr",
             f"avg(value, 12 hr) > {thr} for 6 hr",
             f"wait({w}, value > {thr}) for 2 hr",
+            # consume-once lag at hour-scale lookbacks: the kernel's
+            # pending-deque holds hours of entries and the equal-value
+            # bridge resolves across long absences
+            f"lag(value, {rng.choice(['1 hr', '6 hr'])}) > {thr}",
+            f"avg(lag(value, 1 hr), {w}) > {thr}",
         ]
     )
 
