@@ -80,11 +80,14 @@ def cosine_topk(
         _as_double(F.col(vec_col)).alias("__qv"),
     ).withColumn("__qn", _norm(F.col("__qv")))
     if max_query_rows is not None:
-        n_q = q.count()
+        # limit(N+1) short-circuits the scan (LocalLimit early-exit):
+        # the guard costs O(max_query_rows) rows, not a full pass over
+        # an arbitrarily large query side
+        n_q = q.limit(max_query_rows + 1).count()
         if n_q > max_query_rows:
             raise ValueError(
-                f"cosine_topk is the exact brute-force path: {n_q} query "
-                f"rows exceed max_query_rows={max_query_rows}, and the "
+                f"cosine_topk is the exact brute-force path: the query "
+                f"side exceeds max_query_rows={max_query_rows}, and the "
                 "broadcast + corpus×queries scan would not survive that "
                 "at scale. Use ann_ivf_topk (partition-pruned IVF) or "
                 "lsh_bucket_topk (LSH buckets) for large query sets, or "
