@@ -2625,6 +2625,114 @@ def q_cep_incidents_multi(spark, sf_dir):
     )
 
 
+# r13: the WIDE flagship — one job, seven patterns spanning the whole
+# grammar (predicate, timer, fused andThen, truth stats, wait, windowed
+# avg, consume-once lag), so the driver's hash gate pins the
+# cross-pattern stacked path (compile_intervals_multi: one scan + one
+# keyed exchange for all seven, lag via a present slot) AND the
+# long-window O(n) forms it routes through (prefix avg at 6 h, block
+# leading-wait at 48 h). The oracle is the union of the per-pattern
+# oracle CTEs + the same sessionization tail as cep_incidents_multi.
+
+ORACLE_AVG_ISLANDS = f"""
+WITH t AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+         (avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 21599999 PRECEDING AND CURRENT ROW) > 100.3)
+           AS tb
+  FROM events
+),
+{_islandize_tail()}
+"""
+
+# consume-once lag(value) islands: the emission at each row is the
+# previous IN-SERIES value (a >GAP_MS step is a series split — state
+# resets, so the head of every series is ABSENT, not Fail); absent
+# rows are invisible to islandization (runs merge across them), which
+# the WHERE drop reproduces — the islandize tail's own gap rule then
+# re-splits exactly at series boundaries because the dropped head row
+# stretches the inter-series step even further past GAP_MS. `value`
+# is non-null in the events table, so lv IS NULL ⟺ series head.
+ORACLE_LAG_ISLANDS = f"""
+WITH w1 AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MS}
+              THEN NULL ELSE lag(value) OVER w END AS lv
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+t AS (
+  SELECT user_id, ts, ms, (lv > 120) AS tb FROM w1 WHERE lv IS NOT NULL
+),
+{_islandize_tail()}
+"""
+
+ORACLE_INCIDENTS_WIDE = f"""
+WITH p1 AS ({_islands_oracle("value > 100")}),
+p2 AS ({ORACLE_TIMER}),
+p3 AS ({ORACLE_ANDTHEN}),
+p4 AS ({ORACLE_TRUTH_COUNT}),
+p5 AS ({ORACLE_WAIT}),
+p6 AS ({ORACLE_AVG_ISLANDS}),
+p7 AS ({ORACLE_LAG_ISLANDS}),
+u AS (
+  SELECT 1 AS pattern_id, user_id, from_ms, to_ms FROM p1
+  UNION ALL SELECT 2, user_id, from_ms, to_ms FROM p2
+  UNION ALL SELECT 3, user_id, from_ms, to_ms FROM p3
+  UNION ALL SELECT 4, user_id, from_ms, to_ms FROM p4
+  UNION ALL SELECT 5, user_id, from_ms, to_ms FROM p5
+  UNION ALL SELECT 6, user_id, from_ms, to_ms FROM p6
+  UNION ALL SELECT 7, user_id, from_ms, to_ms FROM p7
+),
+s AS (
+  SELECT *, CASE WHEN max(to_ms) OVER
+                   (PARTITION BY pattern_id, user_id ORDER BY from_ms, to_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR from_ms - max(to_ms) OVER
+                   (PARTITION BY pattern_id, user_id ORDER BY from_ms, to_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 2000
+            THEN 1 ELSE 0 END AS nb
+  FROM u
+),
+s2 AS (SELECT *, sum(nb) OVER (PARTITION BY pattern_id, user_id ORDER BY from_ms, to_ms
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+SELECT pattern_id, user_id, min(from_ms) AS from_ms, max(to_ms) AS to_ms
+FROM s2 GROUP BY pattern_id, user_id, sess
+"""
+
+
+def q_cep_incidents_wide(spark, sf_dir):
+    """Seven-pattern job through ONE stacked plan (r13
+    compile_intervals_multi): every grammar family incl. a present-slot
+    lag and the O(n) long-window forms, driver-gated against the
+    composite oracle."""
+    ev = _load(spark, sf_dir, "events")
+    patterns = [
+        RawPattern(1, "value > 100"),
+        RawPattern(2, "value > 60 for 12 hr"),
+        RawPattern(3, "value > 150 andThen event_type = 'error'"),
+        RawPattern(4, "value > 80 for 48 hr > 2 times"),
+        RawPattern(5, "wait(48 hr, value > 150)"),
+        RawPattern(6, "avg(value, 6 hr) > 100.3"),
+        RawPattern(7, "lag(value) > 120"),
+    ]
+    out = search_incidents(
+        ev,
+        patterns,
+        keys=["user_id"],
+        ts="ts",
+        fields_types=EVENTS_FIELDS,
+        max_gap_ms=GAP_MS,
+        session_gap_ms=2_000,
+    )
+    return out.select(
+        "pattern_id",
+        "user_id",
+        F.unix_millis("from_ts").alias("from_ms"),
+        F.unix_millis("to_ts").alias("to_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data preparation ops (r8): chunking, contamination, PII
 # ---------------------------------------------------------------------------
@@ -2819,6 +2927,7 @@ QUERIES = {
     "cep_fill_narrow": q_cep_fill_narrow,
     "cep_sessionize": q_cep_sessionize,
     "cep_incidents_multi": q_cep_incidents_multi,
+    "cep_incidents_wide": q_cep_incidents_wide,
     "cep_scalar_functions": q_cep_scalar_functions,
     "cep_reducers": q_cep_reducers,
     "cep_fill_wide": q_cep_fill_wide,
@@ -2895,6 +3004,7 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_IVF,
     "embed_centroids": ORACLE_CENTROIDS,
     "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
+    "cep_incidents_wide": ORACLE_INCIDENTS_WIDE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "prep_chunks": ORACLE_PREP_CHUNKS,
     "prep_contamination": ORACLE_PREP_CONTAMINATION,
