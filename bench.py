@@ -23,6 +23,8 @@ BENCH_QUERIES = [
     "cep_fill_narrow",
     "cep_sessionize",
     "cep_incidents_multi",
+    # r13: the seven-pattern stacked flagship (whole grammar, one plan)
+    "cep_incidents_wide",
     # relational building blocks
     "rel_q1_pricing",
     "rel_q3_shipping",
@@ -377,6 +379,10 @@ SF1_QUERIES = [
     # text_top_tokens carries tfidf
     "text_fingerprint",
     "text_top_tokens",
+    # r13: the seven-pattern stacked flagship (measured 1.9x for 10x
+    # data on first run — the shared scan/exchange amortizes; appended
+    # last so the budget rule degrades gracefully)
+    "cep_incidents_wide",
 ]
 
 
