@@ -836,6 +836,18 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
     finally:
         PatternCompiler.compile_intervals_multi = real
     assert stacked_e == per_e
+    # max_gap_ms=None (no gap splitting — constant series id, no gap
+    # boundary term): stacked == per-pattern there too
+    ng_kw = dict(kw, max_gap_ms=None)
+    stacked_ng = sorted(map(tuple, search_incidents(df, pats, **ng_kw).collect()))
+    try:
+        PatternCompiler.compile_intervals_multi = (
+            lambda self, d, tagged: (None, [t for t, _ in tagged])
+        )
+        per_ng = sorted(map(tuple, search_incidents(df, pats, **ng_kw).collect()))
+    finally:
+        PatternCompiler.compile_intervals_multi = real
+    assert stacked_ng == per_ng and len(stacked_ng) > 0
 
 
 def test_multi_pattern_job_shares_one_scan_and_exchange(spark):
