@@ -602,6 +602,15 @@ class PatternCompiler:
             # benchmarking trap); a localCheckpoint is RDD-scoped and
             # the ContextCleaner reclaims it when the plan is GC'd —
             # the same trade neardup_clusters makes for its edge sets.
+            # Caveat (shared with neardup_clusters): localCheckpoint
+            # truncates lineage, so on a real cluster a lost executor
+            # cannot recompute the truncated partitions — the job
+            # fails and retries from the source instead of recovering
+            # partition-by-partition. Acceptable for an interactive/
+            # batch job (the runs table is tiny and rebuilds in one
+            # pass); a deployment with aggressive preemption can trade
+            # back via spark.sparkContext.setCheckpointDir + reliable
+            # checkpointing at the cost of a DFS write.
             runs = runs.localCheckpoint(eager=False)
 
         def slot_table(i: int) -> DataFrame:
