@@ -5,10 +5,11 @@ jobs (r13).
 core interval path for every multi-pattern ordered job, so it gets the
 same treatment as the streaming kernel: random pattern SETS (2-5
 patterns mixing row conds, timers, windowed aggregates with both frame
-regimes, for-interval stats, wait, andThen chains, lag — the lag ones
-exercise the fallback-tag path inside a stacked job) over random gappy
-keyed series, asserting the stacked `search_incidents` output equals
-the per-pattern path's row for row, in both andthen modes.
+regimes, for-interval stats, wait, andThen chains, lag — present slots
+since r13b — and exact-mode chains as keep=None slot queues) over
+random gappy keyed series (25% of cases with max_gap_ms=None),
+asserting the stacked `search_incidents` output equals the per-pattern
+path's row for row, in both andthen modes.
 
 Usage: python tools/fuzz_multi.py [seed ...]   (default 3 seeds)
 """
@@ -40,8 +41,8 @@ def gen_pattern(rng: random.Random) -> str:
                 f"sum(value, 5 sec) > {thr * 3}",
                 f"max(value, 7 sec) - min(value, 5 sec) > 30",
                 f"count(value, 10 sec) >= 5",
-                "lag(event_type, 5 sec) = 'hot'",   # fallback tag
-                f"lag(value) > {thr}",              # fallback tag
+                "lag(event_type, 5 sec) = 'hot'",   # present slot
+                f"lag(value) > {thr}",              # present slot
             ]
         )
 
@@ -90,7 +91,10 @@ def gen_series(rng: random.Random, spark):
     )
 
 
-def run_case(spark, rng: random.Random, patterns: list[str], mode: str) -> str | None:
+def run_case(
+    spark, rng: random.Random, patterns: list[str], mode: str,
+    gap_ms: int | None = GAP_MS,
+) -> str | None:
     from tsp_spark.api import RawPattern, search_incidents
     from tsp_spark.compile.compiler import PatternCompiler
 
@@ -99,7 +103,7 @@ def run_case(spark, rng: random.Random, patterns: list[str], mode: str) -> str |
     pats = [RawPattern(i + 1, p, subunit=i % 3) for i, p in enumerate(patterns)]
     kw = dict(
         keys=["user_id"], ts="ts", fields_types=ft,
-        max_gap_ms=GAP_MS, session_gap_ms=2_000, shard_ms=None,
+        max_gap_ms=gap_ms, session_gap_ms=2_000, shard_ms=None,
         andthen_mode=mode,
     )
     stacked = sorted(map(tuple, search_incidents(src, pats, **kw).collect()))
@@ -132,9 +136,15 @@ def main() -> int:
         for i in range(3):
             pats = [gen_pattern(rng) for _ in range(rng.randint(2, 5))]
             mode = "exact" if rng.random() < 0.3 else "fused"
-            diff = run_case(spark, rng, pats, mode)
+            # 25% of cases run with NO gap splitting (constant series
+            # id, no gap boundary term in the stacked islandization)
+            gap = None if rng.random() < 0.25 else GAP_MS
+            diff = run_case(spark, rng, pats, mode, gap_ms=gap)
             status = "DIVERGED " + diff if diff else "ok"
-            print(f"seed {seed} case {i} [{mode}] {pats} {status}", flush=True)
+            print(
+                f"seed {seed} case {i} [{mode} gap={gap}] {pats} {status}",
+                flush=True,
+            )
             if diff:
                 bad += 1
     print(f"TOTAL DIVERGENCES: {bad}")
