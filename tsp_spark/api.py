@@ -8,12 +8,13 @@ of the same (pattern, unit, subunit) merged when the gap ≤
 NewRowSchema-style output projection ($PatternID/$UUID/$IncidentStart/…,
 streaming/.../mappers/PatternsToRowMapper.scala:54-70).
 
-Each pattern is an independent Catalyst plan over the same pruned
-source, unioned into one job (the reference likewise fans one stream
-out to N pattern state machines). Catalyst prunes every branch to its
-own referenced columns, so a multi-pattern job runs N narrow columnar
-scans rather than one wide materialized pass — measured faster than a
-barrier (see the comment in ``search_incidents``).
+A multi-pattern ordered job compiles through ONE stacked plan since
+r13 (compile_intervals_multi: one scan + one keyed exchange for every
+pattern; the reference instead fans one stream out to N independent
+state machines). Sharded branches and single-pattern jobs stay
+independent Catalyst plans, each pruned to its own referenced columns
+— and the full conditioned frame is never barrier-materialized either
+way (see the comment in ``search_incidents``).
 """
 
 from __future__ import annotations
@@ -867,9 +868,15 @@ def search_incidents(
       (including the lag/present path).
 
     The source projection is pruned to the union of referenced fields
-    (the reference's PatternFieldExtractor); each pattern branch is then
-    pruned further by Catalyst to its own columns — N narrow scans, no
-    materialization barrier (measured trade documented below).
+    (the reference's PatternFieldExtractor). Plan shape (r13): a
+    multi-pattern ORDERED job compiles through
+    ``compile_intervals_multi`` — one scan + one keyed exchange for
+    every pattern (the whole grammar stacks) with only the RLE-tiny
+    runs table materialized; sharded branches and single-pattern jobs
+    keep per-pattern plans, where each branch is pruned further by
+    Catalyst to its own columns (narrow scans, no barrier — the full
+    conditioned frame is never materialized, measured trade in the
+    inline note below).
     """
     if fields_types is None:
         fields_types = {
@@ -958,17 +965,16 @@ def search_incidents(
         )
 
     src = compiler.with_series(raw_src)
-    # Deliberately NO materialization barrier (persist/localCheckpoint)
-    # here. Measured reality: Catalyst prunes each pattern branch
-    # independently, so the union plans N narrow scans (each reading
-    # only that pattern's 2-3 columns) — ReuseExchange does NOT fire
-    # because the pruned subtrees differ. That is the better plan:
-    # barrier-materializing the full conditioned frame was measured 36%
-    # slower on the 4-pattern flagship at sf0.1 (4.5 s vs 3.3 s warm),
-    # and at the 100 TB target a checkpoint writes the whole working
-    # set to executor disks while columnar re-scans stay narrow and
-    # pushdown-pruned. Revisit only if a job's patterns share most
-    # columns AND storage is the bottleneck.
+    # Deliberately NO materialization barrier on the FULL conditioned
+    # frame (persist/localCheckpoint of the row-level working set):
+    # that was measured 36% slower on the 4-pattern flagship at sf0.1
+    # (4.5 s vs 3.3 s warm), and at the 100 TB target it would write
+    # the whole working set to executor disks. r13 gets the sharing a
+    # different way: the ordered multi-pattern path stacks every
+    # pattern onto ONE plan via compile_intervals_multi (one scan, one
+    # keyed exchange; only the RLE-tiny runs table is ever
+    # materialized), while sharded branches keep independent
+    # Catalyst-pruned narrow scans.
     parts: list[DataFrame] = []
     # ordered-path patterns (the final else branch) collect here and
     # compile TOGETHER through compile_intervals_multi — one shared
