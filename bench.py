@@ -22,9 +22,11 @@ BENCH_QUERIES = [
     "cep_truth_count",
     "cep_fill_narrow",
     "cep_sessionize",
+    # r13 fold: grew 3 -> 7 patterns (whole grammar through one stacked
+    # plan; the original three are patterns 1-3 verbatim) — a bench
+    # diff vs r12 on this row compares different workloads, the
+    # documented fold-growth caveat
     "cep_incidents_multi",
-    # r13: the seven-pattern stacked flagship (whole grammar, one plan)
-    "cep_incidents_wide",
     # relational building blocks
     "rel_q1_pricing",
     "rel_q3_shipping",
@@ -379,10 +381,6 @@ SF1_QUERIES = [
     # text_top_tokens carries tfidf
     "text_fingerprint",
     "text_top_tokens",
-    # r13: the seven-pattern stacked flagship (measured 1.9x for 10x
-    # data on first run — the shared scan/exchange amortizes; appended
-    # last so the budget rule degrades gracefully)
-    "cep_incidents_wide",
 ]
 
 

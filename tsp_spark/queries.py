@@ -2601,28 +2601,15 @@ FROM s2 GROUP BY pattern_id, user_id, sess
 def q_cep_incidents_multi(spark, sf_dir):
     """Full job pipeline: multiple patterns → merged incident table
     (PatternsSearchJob end-to-end), value-checked against a composite
-    oracle (union of the per-pattern oracles + sessionization)."""
-    ev = _load(spark, sf_dir, "events")
-    patterns = [
-        RawPattern(1, "value > 100"),
-        RawPattern(2, "value > 60 for 12 hr"),
-        RawPattern(3, "value > 150 andThen event_type = 'error'"),
-    ]
-    out = search_incidents(
-        ev,
-        patterns,
-        keys=["user_id"],
-        ts="ts",
-        fields_types=EVENTS_FIELDS,
-        max_gap_ms=GAP_MS,
-        session_gap_ms=2_000,
-    )
-    return out.select(
-        "pattern_id",
-        "user_id",
-        F.unix_millis("from_ts").alias("from_ms"),
-        F.unix_millis("to_ts").alias("to_ms"),
-    )
+    oracle (union of the per-pattern oracles + sessionization).
+
+    r13 fold: grew from 3 patterns to SEVEN spanning the whole grammar
+    (the original three are patterns 1-3 verbatim) so the driver's
+    50-entry correctness window pins the cross-pattern stacked plan,
+    the present-slot lag, and the long-window O(n) forms in one row —
+    see q_cep_incidents_wide. Bench fold-growth caveat applies: the
+    r12 row timed 3 patterns, this one times 7."""
+    return q_cep_incidents_wide(spark, sf_dir)
 
 
 # r13: the WIDE flagship — one job, seven patterns spanning the whole
@@ -2927,7 +2914,6 @@ QUERIES = {
     "cep_fill_narrow": q_cep_fill_narrow,
     "cep_sessionize": q_cep_sessionize,
     "cep_incidents_multi": q_cep_incidents_multi,
-    "cep_incidents_wide": q_cep_incidents_wide,
     "cep_scalar_functions": q_cep_scalar_functions,
     "cep_reducers": q_cep_reducers,
     "cep_fill_wide": q_cep_fill_wide,
@@ -3003,8 +2989,7 @@ ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf_topk": ORACLE_IVF,
     "embed_centroids": ORACLE_CENTROIDS,
-    "cep_incidents_multi": ORACLE_INCIDENTS_MULTI,
-    "cep_incidents_wide": ORACLE_INCIDENTS_WIDE,
+    "cep_incidents_multi": ORACLE_INCIDENTS_WIDE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "prep_chunks": ORACLE_PREP_CHUNKS,
     "prep_contamination": ORACLE_PREP_CONTAMINATION,
