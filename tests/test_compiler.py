@@ -848,6 +848,28 @@ def test_multi_pattern_stacked_matches_per_pattern(spark):
     finally:
         PatternCompiler.compile_intervals_multi = real
     assert stacked_ng == per_ng and len(stacked_ng) > 0
+    # r14 (VERDICT r13 Next #5): the window-agg gate forced BOTH ways —
+    # stacked == per-pattern under "frame" AND under "prefix" (which
+    # since r14 routes float avg through the block-anchored form, a df
+    # rewrite planting sentinel rows inside the stacked plan), so an
+    # O(n)-form change can't silently diverge only one of the paths
+    for wa in ("frame", "prefix"):
+        wa_kw = dict(kw, window_agg=wa)
+        stacked_w = sorted(
+            map(tuple, search_incidents(df, pats, **wa_kw).collect())
+        )
+        try:
+            PatternCompiler.compile_intervals_multi = (
+                lambda self, d, tagged: (None, [t for t, _ in tagged])
+            )
+            per_w = sorted(
+                map(tuple, search_incidents(df, pats, **wa_kw).collect())
+            )
+        finally:
+            PatternCompiler.compile_intervals_multi = real
+        assert stacked_w == per_w and len(stacked_w) > 0, wa
+        # the physical form changes; the incidents must not
+        assert stacked_w == stacked, wa
 
 
 def test_multi_pattern_job_shares_one_scan_and_exchange(spark):

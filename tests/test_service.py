@@ -474,6 +474,58 @@ def test_window_agg_selectable_per_job(spark, tmp_path):
     assert len(captured["auto"]) > 0
 
 
+def test_status_surfaces_window_forms(spark, tmp_path):
+    """r14 (VERDICT r13 Next #8): job status reports WHICH physical
+    form each windowed aggregate compiled to ("frame" / "prefix" /
+    "block"), so the r13 wrong-form-at-scale class is visible to an
+    operator. A 6-min avg under the default auto gate must report the
+    block form (float avg past the 5-min floor); a 10-sec max reports
+    the frame form."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 30),
+         float((i * 7) % 10))
+        for i in range(60)
+    ]
+    src_path = str(tmp_path / "src_forms")
+    spark.createDataFrame(
+        rows, "k bigint, ts timestamp, a double"
+    ).write.parquet(src_path)
+    service = JobQueueService(
+        make_spark_runner(spark, sink=lambda inc, req: inc.count()),
+        dequeue_interval_s=0.05,
+    )
+    app = make_wsgi_app(service, fields_types={"a": "float64"})
+    wsgi_call(app, "POST", "/job/submit", {
+        "uuid": "wf1",
+        "source": {
+            "parquetPath": src_path,
+            "datetimeField": "ts",
+            "partitionFields": ["k"],
+        },
+        "patterns": [
+            {"id": 1, "sourceCode": "avg(a, 6 min) > 4.5"},
+            {"id": 2, "sourceCode": "max(a, 10 sec) > 8"},
+        ],
+    })
+    deadline = time.time() + 60
+    status = None
+    while time.time() < deadline:
+        code, status = wsgi_call(app, "GET", "/job/wf1/status")
+        if status.get("status") in ("finished", "failed"):
+            break
+        time.sleep(0.2)
+    service.shutdown()
+    assert status["status"] == "finished", status
+    forms = {(f["kind"], f["form"]) for f in status["windowForms"]}
+    assert ("avg", "block") in forms
+    assert ("max", "frame") in forms
+    # the decision blob itself stays de-duplicated: forms live in the
+    # dedicated key, not inside autoShard
+    assert "window_forms" not in status["autoShard"]
+
+
 def test_request_echo_keeps_client_underscore_fields():
     """r13 (ADVICE r12): request_of strips only the KNOWN runner-
     internal keys — a client field that happens to start with "_"

@@ -94,6 +94,7 @@ def gen_series(rng: random.Random, spark):
 def run_case(
     spark, rng: random.Random, patterns: list[str], mode: str,
     gap_ms: int | None = GAP_MS,
+    window_agg: str = "auto",
 ) -> str | None:
     from tsp_spark.api import RawPattern, search_incidents
     from tsp_spark.compile.compiler import PatternCompiler
@@ -104,7 +105,7 @@ def run_case(
     kw = dict(
         keys=["user_id"], ts="ts", fields_types=ft,
         max_gap_ms=gap_ms, session_gap_ms=2_000, shard_ms=None,
-        andthen_mode=mode,
+        andthen_mode=mode, window_agg=window_agg,
     )
     stacked = sorted(map(tuple, search_incidents(src, pats, **kw).collect()))
     real = PatternCompiler.compile_intervals_multi
@@ -139,14 +140,25 @@ def main() -> int:
             # 25% of cases run with NO gap splitting (constant series
             # id, no gap boundary term in the stacked islandization)
             gap = None if rng.random() < 0.25 else GAP_MS
-            diff = run_case(spark, rng, pats, mode, gap_ms=gap)
-            status = "DIVERGED " + diff if diff else "ok"
-            print(
-                f"seed {seed} case {i} [{mode} gap={gap}] {pats} {status}",
-                flush=True,
-            )
-            if diff:
-                bad += 1
+            # r14 (VERDICT r13 Next #5): stacked-vs-per-pattern parity
+            # must hold under the window-agg gate forced BOTH ways, so
+            # an O(n)-form change (the r14 block rewrite) can't
+            # silently diverge only one of the two paths. Every case's
+            # series is seeded identically across forms (fresh rng
+            # clone per leg).
+            for wa in ("auto", "frame", "prefix"):
+                leg_rng = random.Random(rng.random())
+                diff = run_case(
+                    spark, leg_rng, pats, mode, gap_ms=gap, window_agg=wa
+                )
+                status = "DIVERGED " + diff if diff else "ok"
+                print(
+                    f"seed {seed} case {i} [{mode} gap={gap} agg={wa}] "
+                    f"{pats} {status}",
+                    flush=True,
+                )
+                if diff:
+                    bad += 1
     print(f"TOTAL DIVERGENCES: {bad}")
     return 1 if bad else 0
 

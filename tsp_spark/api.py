@@ -276,6 +276,7 @@ def _sharded_stateful_intervals(
     may_emit_present: bool = False,
     window_agg: str = "auto",
     event_rate_hz: float | None = None,
+    forms_sink: list | None = None,
 ) -> DataFrame:
     """Evaluate a bounded-lookback stateful pattern with the row work
     sharded by (key, time-shard) — the r10 generalization of
@@ -312,6 +313,10 @@ def _sharded_stateful_intervals(
         list(keys) + ["__tshard"], ts, fields_types, max_gap_ms,
         window_agg=window_agg, event_rate_hz=event_rate_hz,
     )
+    if forms_sink is not None:
+        # surface this branch's per-aggregate form decisions alongside
+        # the main compiler's (VERDICT r13 Next #8)
+        comp.window_forms = forms_sink
     src = comp.with_series(expanded)
     c = comp.compile_bool(src, node)
     own_filter = F.col("__tshard") == F.floor(
@@ -1079,6 +1084,7 @@ def search_incidents(
                 max_gap_ms, _shard_for(ext[0] + ext[1]), ext[0], ext[1],
                 may_emit_present=ext[2], window_agg=window_agg,
                 event_rate_hz=compiler.event_rate_hz,
+                forms_sink=compiler.window_forms,
             )
         else:
             pending.append((p, node))
@@ -1154,6 +1160,12 @@ def search_incidents(
     ]
     if unit_col is not None and unit_col in keys:
         out_cols.append(F.col(unit_col).cast("int").alias("unit"))
+    if decision_sink is not None:
+        # which physical form each windowed aggregate actually compiled
+        # to — "frame" / "prefix" (integer-exact) / "block" — so the
+        # r13 wrong-form bug class is operator-visible from job status
+        # instead of a plan autopsy (VERDICT r13 Next #8)
+        decision_sink["window_forms"] = list(compiler.window_forms)
     return merged.select(*out_cols)
 
 

