@@ -132,3 +132,92 @@ def test_q1_money_sums_exact_beyond_int64(spark, tmp_path):
         for c in ("sum_qty", "sum_base_cents", "sum_disc_e4",
                   "sum_charge_e6", "count_order"):
             assert str(srow[c]) == str(orow[c]), (c, srow[c], orow[c])
+
+
+def test_division_by_zero_jvm_semantics_all_engines(spark):
+    """r14 (found by fresh-seed fuzz_sweep 1412): the engine is a
+    LIBRARY under the caller's session, and Spark 4's ANSI default
+    made a zero divisor THROW mid-job from the registry's raw `a / b`.
+    The reference divides JVM doubles (FunctionRegistry.scala:141,
+    Fractional[Double].div): x/0 → ±Inf by the dividend's sign, 0/0 →
+    NaN — which tools/ref_oracle.py's `div` already pinned. All three
+    engines must now agree, with ANSI ON, zero divisors included:
+
+      * batch compiler (registry._jvm_div / _jvm_long_of_double)
+      * vectorized streaming kernel (`_num` div branch)
+      * per-row stateful fold (`_fold_reducer`-adjacent arith)
+
+    Int/Int additionally truncates toward zero with Double.toLong
+    saturation (NaN → 0, ±Inf → Long.MIN/MAX)."""
+    import math
+
+    import numpy as np
+
+    from tsp_spark.compile.compiler import compile_pattern
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        import datetime as dt
+
+        rows = []
+        for i, (v, w) in enumerate(
+            [(5.0, 0.0), (-5.0, 0.0), (0.0, 0.0), (7.0, 2.0),
+             (float("nan"), 0.0), (-3.0, 0.0), (9.0, 3.0), (100.0, 0.0)]
+        ):
+            rows.append(
+                (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), v, w)
+            )
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, v double, w double"
+        )
+        ft = {"v": "float64", "w": "float64"}
+        # v/w > 1 over the zero-divisor rows: +Inf rows match, NaN/-Inf
+        # rows don't — intervals pin the full semantics path
+        out = compile_pattern(
+            df, "v / w > 1", ["user_id"], "ts", ft, max_gap_ms=60_000
+        ).select("from_ts", "to_ts").collect()
+        got = sorted((r["from_ts"].second, r["to_ts"].second) for r in out)
+        # oracle by hand: rows 0 (5/0=+Inf>1), 3 (7/2=3.5>1),
+        # 4 (NaN/0=+Inf>1), 6 (9/3=3>1), 7 (100/0=+Inf>1);
+        # rows 1 (-Inf), 2 (NaN), 5 (-Inf) false
+        assert got == [(0, 0), (3, 4), (6, 7)], got
+
+        # vectorized kernel agrees value-for-value
+        from tsp_spark.dsl import ast as A
+        from tsp_spark.dsl.parser import parse_pattern
+        from tsp_spark.streaming.vectorized import _num
+
+        node = parse_pattern("v / w", ft)
+        pdf = df.toPandas()
+        vals, null, is_int = _num(node, pdf, {})
+        want = [math.inf, -math.inf, math.nan, 3.5,
+                math.inf, -math.inf, 3.0, math.inf]
+        for g, w_ in zip(vals, want):
+            assert (math.isnan(g) and math.isnan(w_)) or g == w_, (g, w_)
+        assert not null.any()
+
+        # Int/Int: truncation + Double.toLong saturation
+        irows = [(1, dt.datetime(2024, 1, 1), 7, 2),
+                 (1, dt.datetime(2024, 1, 1, 0, 0, 1), 5, 0),
+                 (1, dt.datetime(2024, 1, 1, 0, 0, 2), -5, 0),
+                 (1, dt.datetime(2024, 1, 1, 0, 0, 3), 0, 0),
+                 (1, dt.datetime(2024, 1, 1, 0, 0, 4), -7, 2)]
+        idf = spark.createDataFrame(
+            irows, "user_id bigint, ts timestamp, a bigint, b bigint"
+        )
+        ift = {"a": "int64", "b": "int64"}
+        iout = compile_pattern(
+            idf, "a / b >= 3", ["user_id"], "ts", ift, max_gap_ms=60_000
+        ).select("from_ts", "to_ts").collect()
+        # 7/2=3 (>=3 true), 5/0=Long.MAX true (adjacent rows merge into
+        # one island), -5/0=Long.MIN false, 0/0=0 false,
+        # -7/2=-3 (trunc toward zero) false
+        assert sorted(
+            (r["from_ts"].second, r["to_ts"].second) for r in iout
+        ) == [(0, 1)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -149,7 +149,15 @@ def _jvm_cast(col: Column, src_dtype: str | None, dst_dtype: str) -> Column:
     bits = _INT_CAST_BITS.get(dst_dtype)
     src = src_dtype or "float64"
     if bits is None or src in ("string", "boolean"):
-        return col.cast(spark_type_name(dst_dtype) or dst_dtype)
+        target = spark_type_name(dst_dtype) or dst_dtype
+        if src == "string" and dst_dtype != "string":
+            # unparseable string → Result.fail in the reference
+            # (BasicDecoders parse failure), i.e. NULL here — and that
+            # must hold under the CALLER's session even with Spark 4's
+            # ANSI default, where a plain cast would THROW on the first
+            # bad row (r14, same library-vs-session class as _jvm_div)
+            return col.try_cast(target)
+        return col.cast(target)
     if src in ("float32", "float64"):
         z = F.when(F.isnan(col), F.lit(0.0)).otherwise(col)
         if bits == 64:

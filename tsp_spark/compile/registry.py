@@ -82,6 +82,51 @@ def _cmp(op: str) -> Builder:
     return build
 
 
+def _jvm_div(a: Column, b: Column) -> Column:
+    """Double division with JVM semantics, INDEPENDENT of the session's
+    `spark.sql.ansi.enabled` (r14: a fresh-seed fuzz hit a zero divisor
+    and Spark 4's ANSI default threw DIVIDE_BY_ZERO mid-job — but this
+    engine is a library running under the CALLER's session, and the
+    reference divides JVM doubles: x/0.0 = ±Inf, 0/0 = NaN,
+    FunctionRegistry.scala:141 via Fractional[Double].div). The CASE
+    guard keeps the raw division unevaluated on zero-divisor rows, so
+    ANSI never fires; the zero branch reproduces the pinned oracle
+    semantics (tools/ref_oracle.py `div`): sign of the DIVIDEND picks
+    the infinity (Spark's NaN >= 0 is true, matching copysign's
+    positive NaN), zero/zero (±0 included) is NaN, NULL operands stay
+    NULL."""
+    ad, bd = a.cast("double"), b.cast("double")
+    return (
+        F.when(bd != 0, ad / bd)
+        .when(bd.isNull() | ad.isNull(), F.lit(None).cast("double"))
+        .when(ad == 0, F.lit(float("nan")))
+        .when(ad >= 0, F.lit(float("inf")))   # NaN dividend lands here
+        .otherwise(F.lit(float("-inf")))
+    )
+
+
+def _jvm_long_of_double(col: Column) -> Column:
+    """Scala's `Double.toLong`: NULL stays NULL, NaN → 0, (long)d is
+    Long.MAX/MIN exactly for any |d| ≥ 2^63 (the saturation test uses
+    2^63 itself, a representable double), else truncate toward zero —
+    without relying on non-ANSI cast behavior. NULL first: greatest/
+    least SKIP null operands, so a clamp-based form would silently turn
+    NULL into a bound (caught by this function's unit sweep)."""
+    return (
+        F.when(col.isNull(), F.lit(None).cast("long"))
+        .when(F.isnan(col), F.lit(0).cast("long"))
+        .when(
+            col >= F.lit(9223372036854775808.0),
+            F.lit(9223372036854775807).cast("long"),
+        )
+        .when(
+            col <= F.lit(-9223372036854775808.0),
+            F.lit(-9223372036854775808).cast("long"),
+        )
+        .otherwise(col.cast("long"))
+    )
+
+
 def _arith(op: str) -> Builder:
     def build(cols, dtypes):
         a, b = cols
@@ -94,9 +139,10 @@ def _arith(op: str) -> Builder:
             col = a * b
         else:  # div
             if rtype == "int64":
-                # Scala Int/Long division truncates toward zero
-                return (a.cast("double") / b.cast("double")).cast("long"), "int64"
-            col = a / b
+                # Scala Int/Long division truncates toward zero; the
+                # zero-divisor Inf saturates through Double.toLong
+                return _jvm_long_of_double(_jvm_div(a, b)), "int64"
+            return _jvm_div(a, b), rtype
         if rtype == "int64":
             col = col.cast("long")
         return col, rtype

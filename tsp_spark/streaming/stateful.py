@@ -1105,10 +1105,26 @@ def _eval_row(node, row, aggvals):
                 return a - b
             if name == "mul":
                 return a * b
-            # Int/Int integer division mirrors the registry's rule
+            # JVM division, aligned with the batch registry's _jvm_div
+            # (r14): x/0 → ±Inf by the dividend's sign (NaN dividend →
+            # +Inf), 0/0 → NaN; Int/Int truncates toward zero with
+            # Double.toLong saturation for the /0 infinities
+            if b == 0:
+                fa = float(a)
+                q = (
+                    float("nan") if fa == 0
+                    else float("inf") if (math.isnan(fa) or fa > 0)
+                    else float("-inf")
+                )
+            else:
+                q = a / b
             if isinstance(a, int) and isinstance(b, int):
-                return None if b == 0 else int(a / b)
-            return float("nan") if b == 0 else a / b
+                if math.isnan(q):
+                    return 0
+                if math.isinf(q):
+                    return (1 << 63) - 1 if q > 0 else -(1 << 63)
+                return int(q)
+            return q
         raise ValueError(
             f"function '{name}' inside a windowed boolean is not "
             f"supported by the incremental kernel"

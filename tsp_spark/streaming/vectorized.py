@@ -378,10 +378,27 @@ def _num(node, df, aggvals):
             if name == "div":
                 q = a / b
                 zero = b == 0
+                # JVM division semantics, aligned with the batch
+                # registry's _jvm_div (r14): x/0 → ±Inf by the
+                # DIVIDEND's sign (NaN dividend → +Inf, copysign's
+                # positive NaN), 0/0 → NaN. The old NULL/NaN-on-zero
+                # convention only survived because no parity sweep had
+                # ever generated a zero divisor — the batch side THREW
+                # under ANSI until r14.
+                jvm0 = np.where(
+                    a == 0, np.nan,
+                    np.where(np.isnan(a) | (a > 0), np.inf, -np.inf),
+                )
+                q = np.where(zero, jvm0, q)
                 if ai and bi:
-                    # Int/Int: trunc toward zero; /0 → NULL
-                    return np.trunc(q), null | zero, True
-                q = np.where(zero, np.nan, q)
+                    # Int/Int: trunc toward zero, Double.toLong
+                    # saturation for the /0 infinities (batch:
+                    # _jvm_long_of_double)
+                    q = np.trunc(q)
+                    q = np.where(np.isnan(q), 0.0, q)
+                    q = np.clip(q, -9.223372036854776e18,
+                                9223372036854775807)
+                    return q, null, True
                 return q, null, False
     if isinstance(node, A.ReducerCall):
         # row-wise reducer, element-parallel (stateful._eval_row
