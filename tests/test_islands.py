@@ -780,7 +780,10 @@ def test_auto_probe_memoized_per_source(spark, monkeypatch):
     # explicit modes record without probing
     d4: dict = {}
     search_incidents(ev, pats, shard_ms=None, decision_sink=d4, **kw).count()
-    assert d4 == {"mode": "ordered", "shard_ms": None} and calls["n"] == 2
+    # r14: decision payloads always carry window_forms (which physical
+    # form each window aggregate compiled to; empty — no windows here)
+    assert d4 == {"mode": "ordered", "shard_ms": None, "window_forms": []}
+    assert calls["n"] == 2
     api.clear_auto_probe_cache()
 
 

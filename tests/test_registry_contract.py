@@ -143,7 +143,7 @@ def test_division_by_zero_jvm_semantics_all_engines(spark):
     NaN — which tools/ref_oracle.py's `div` already pinned. All three
     engines must now agree, with ANSI ON, zero divisors included:
 
-      * batch compiler (registry._jvm_div / _jvm_long_of_double)
+      * batch compiler (registry._jvm_div / the exact Long div form)
       * vectorized streaming kernel (`_num` div branch)
       * per-row stateful fold (`_fold_reducer`-adjacent arith)
 
@@ -216,6 +216,165 @@ def test_division_by_zero_jvm_semantics_all_engines(spark):
         assert sorted(
             (r["from_ts"].second, r["to_ts"].second) for r in iout
         ) == [(0, 1)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_jvm_scalar_edges_session_independent(spark):
+    """r14 §20 (found by tools/probe_ansi_edges.py): with Spark 4's ANSI
+    default, the registry's raw expressions THREW on cot(0) (double
+    division by zero), abs(Long.MIN), and Long add/sub/mul overflow —
+    and Int/Int division was double-mediated, losing exactness above
+    2^53 (Long.MAX div -7 was off by 73). All are now pinned to JVM
+    semantics (Scala Long wraps; exact Long division truncates toward
+    zero with MIN/-1 wrapping per JLS 15.17.2; Math.log edges; IEEE
+    reciprocal with the zero's sign), evaluated with ANSI forced ON.
+    The per-row streaming kernel and the fuzz oracle share the rule
+    via _jvm_arith; the vectorized kernel demotes these regimes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tsp_spark.compile.registry import DEFAULT_REGISTRY
+
+    LMIN, LMAX = -(1 << 63), (1 << 63) - 1
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        lf = spark.createDataFrame(
+            [(LMAX, 1), (LMAX, -1), (LMAX, -7), (LMIN, -1), (LMIN, 7),
+             (LMAX, LMIN), (LMIN, LMIN), (7, 2), (-7, 2)],
+            "a bigint, b bigint",
+        )
+
+        def run(name, dts=("int64", "int64")):
+            col, rt = DEFAULT_REGISTRY.build(
+                name, [F.col("a"), F.col("b")], list(dts)
+            )
+            assert rt == "int64"
+            return [r["o"] for r in lf.select(col.alias("o")).collect()]
+
+        # exact Long division, truncation toward zero, MIN/-1 wraps
+        assert run("div") == [
+            LMAX, -LMAX, -1317624576693539401, LMIN,
+            -1317624576693539401, 0, 1, 3, -3,
+        ]
+        # Scala Long wrap on overflow (Numeric[Long])
+        assert run("add") == [
+            LMIN, LMAX - 1, LMAX - 7, LMIN - 1 + (1 << 64), LMIN + 7,
+            -1, 0, 9, -5,
+        ]
+        mul = run("mul")
+        assert mul[3] == LMIN  # MIN * -1 = 2^63 wraps to MIN
+        assert mul[6] == 0     # MIN * MIN = 2^126 ≡ 0 mod 2^64
+        sub = run("sub")
+        assert sub[0] == LMAX - 1      # MAX - 1, in range
+        assert sub[1] == LMIN          # MAX - (-1) wraps to MIN
+        assert sub[3] == LMIN + 1      # MIN - (-1), in range
+        # abs(Long.MIN) is Long.MIN (Math.abs two's complement)
+        acol, art = DEFAULT_REGISTRY.build("abs", [F.col("a")], ["int64"])
+        assert art == "int64"
+        got = [r["o"] for r in lf.select(acol.alias("o")).collect()]
+        assert got[3] == LMIN and got[7] == 7
+
+        # double edges: cot/ln/log pinned to JVM libm under ANSI
+        dfd = spark.createDataFrame(
+            [(1, 0.0), (2, -0.0), (3, -1.5), (4, 2.0)], "i bigint, v double"
+        )
+        for name, want in (
+            ("cot", [math.inf, -math.inf, None, None]),  # None = skip
+            ("ln", [-math.inf, -math.inf, math.nan, math.log(2.0)]),
+            ("log", [-math.inf, -math.inf, math.nan, math.log10(2.0)]),
+        ):
+            col, _ = DEFAULT_REGISTRY.build(name, [F.col("v")], ["float64"])
+            rows = {r["i"]: r["o"] for r in dfd.select("i", col.alias("o")).collect()}
+            for i, w in enumerate(want, start=1):
+                if w is None:
+                    continue
+                g = rows[i]
+                assert (math.isnan(w) and math.isnan(g)) or g == w, (name, i, g, w)
+
+        # the per-row kernel and the fuzz oracle share the Long rule
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import ref_oracle as O
+
+        from tsp_spark.streaming.stateful import _MATH1, _jvm_abs, _jvm_arith
+
+        for a, b in [(LMAX, 1), (LMAX, -1), (LMAX, -7), (LMIN, -1),
+                     (LMIN, 7), (LMAX, LMIN), (7, 2), (-7, 2), (5, 0),
+                     (-5, 0), (0, 0)]:
+            for op in ("add", "sub", "mul", "div"):
+                k = _jvm_arith(op, a, b)
+                o = O._jvm_arith(op, a, b)
+                assert k == o, (op, a, b, k, o)
+        assert _jvm_abs(LMIN) == LMIN == O._UNARY["abs"](LMIN)
+        assert _MATH1["cot"](0.0) == math.inf
+        assert _MATH1["cot"](-0.0) == -math.inf
+        assert _MATH1["ln"](0.0) == -math.inf
+        assert math.isnan(_MATH1["ln"](-1.0))
+
+        # spot-check batch == per-row on the Long division row set
+        dcol, _ = DEFAULT_REGISTRY.build(
+            "div", [F.col("a"), F.col("b")], ["int64", "int64"]
+        )
+        batch = [r["o"] for r in lf.select(dcol.alias("o")).collect()]
+        perrow = [
+            _jvm_arith("div", a, b)
+            for a, b in [(LMAX, 1), (LMAX, -1), (LMAX, -7), (LMIN, -1),
+                         (LMIN, 7), (LMAX, LMIN), (LMIN, LMIN), (7, 2),
+                         (-7, 2)]
+        ]
+        assert batch == perrow
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_int_window_sum_survives_long_history_under_ansi(spark):
+    """r14 §20: the O(n) integer window sum accumulates a GLOBAL
+    running sum over the key's whole history; with long-typed
+    accumulation an ANSI session throws ARITHMETIC_OVERFLOW once the
+    cumulative passes 2^63 even though every window sum fits (the
+    100 TB shape: ~4.6e18 of cumulative value per key). The
+    accumulator is now decimal(30,0) with the difference wrapped back
+    into long range, so the same pattern compiles and matches the
+    hand oracle under ANSI."""
+    import datetime as dt
+
+    from tsp_spark.compile.compiler import compile_pattern
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        # 10 rows, 1 s apart, each 2e18: cumulative crosses 2^63
+        # (~9.2e18) at row 5; a 2.5 s window holds ≤3 rows → window
+        # sums ≤ 6e18, always in range
+        v = 2_000_000_000_000_000_000
+        rows = [
+            (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), v)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, x bigint")
+        out = compile_pattern(
+            df,
+            "sum(x, 2500 ms) >= 6000000000000000000",
+            ["user_id"],
+            "ts",
+            {"x": "int64"},
+            max_gap_ms=60_000,
+            window_agg="prefix",
+        ).select("from_ts", "to_ts").collect()
+        # half-open (t-w, t] windows at 1 Hz hold 3 rows from t=2 on →
+        # sum 6e18 ≥ threshold from second 2 through 9, one island
+        assert [(r["from_ts"].second, r["to_ts"].second) for r in out] == [(2, 9)]
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.ansi.enabled")

@@ -920,11 +920,39 @@ def _ieee_cmp(op):
     return lift2(f)
 
 
+def _jvm_arith(name, a, b):
+    """JVM arithmetic (r14 §20, matches registry/_jvm_arith in all
+    three engines): Long add/sub/mul wrap mod 2^64
+    (Numeric[Long], FunctionRegistry.scala:538-551), Long division is
+    exact truncation toward zero (fractionalLong.div = x / y) with
+    Long.MIN / -1 wrapping (JLS 15.17.2); Long /0 is the engine's
+    pinned Double.toLong saturation (the reference throws
+    ArithmeticException there). Double division: x/0 → ±Inf by the
+    dividend's sign, 0/0 → NaN."""
+    both_int = isinstance(a, int) and isinstance(b, int)
+    if name == "add":
+        return _wrap64(a + b) if both_int else a + b
+    if name == "sub":
+        return _wrap64(a - b) if both_int else a - b
+    if name == "mul":
+        return _wrap64(a * b) if both_int else a * b
+    if both_int:
+        if b == 0:
+            return 0 if a == 0 else ((1 << 63) - 1 if a > 0 else -(1 << 63))
+        q = abs(a) // abs(b)
+        if (a < 0) != (b < 0):
+            q = -q
+        return _wrap64(q)
+    if b == 0:
+        return math.copysign(math.inf, a) if a else math.nan
+    return a / b
+
+
 _BIN = {
-    "add": lift2(lambda a, b: a + b),
-    "sub": lift2(lambda a, b: a - b),
-    "mul": lift2(lambda a, b: a * b),
-    "div": lift2(lambda a, b: a / b if b != 0 else math.copysign(math.inf, a) if a else math.nan),
+    "add": lift2(lambda a, b: _jvm_arith("add", a, b)),
+    "sub": lift2(lambda a, b: _jvm_arith("sub", a, b)),
+    "mul": lift2(lambda a, b: _jvm_arith("mul", a, b)),
+    "div": lift2(lambda a, b: _jvm_arith("div", a, b)),
     **{op: _ieee_cmp(op) for op in ("lt", "le", "gt", "ge", "eq", "ne")},
 }
 
@@ -943,20 +971,27 @@ def _logical(sym, x, y):
     return FAIL
 
 
+def _cot(t: float) -> float:
+    # JVM 1.0 / tan(x): Scala Double division by ±0.0 is ±Inf — the
+    # bare Python `1.0 / math.tan(v)` would raise ZeroDivisionError at
+    # an exact zero, a port bug vs the Scala semantics (r14 §20)
+    return math.copysign(math.inf, t) if t == 0.0 else 1.0 / t
+
+
 _UNARY = {
-    "abs": lambda v: abs(v),
+    "abs": lambda v: _wrap64(abs(v)) if isinstance(v, int) else abs(v),
     "sin": math.sin,
     "cos": math.cos,
     "tan": math.tan,
     "tg": math.tan,
-    "cot": lambda v: 1.0 / math.tan(v),
-    "ctg": lambda v: 1.0 / math.tan(v),
+    "cot": lambda v: _cot(math.tan(v)),
+    "ctg": lambda v: _cot(math.tan(v)),
     "sind": lambda v: math.sin(math.radians(v)),
     "cosd": lambda v: math.cos(math.radians(v)),
     "tand": lambda v: math.tan(math.radians(v)),
     "tgd": lambda v: math.tan(math.radians(v)),
-    "cotd": lambda v: 1.0 / math.tan(math.radians(v)),
-    "ctgd": lambda v: 1.0 / math.tan(math.radians(v)),
+    "cotd": lambda v: _cot(math.tan(math.radians(v))),
+    "ctgd": lambda v: _cot(math.tan(math.radians(v))),
 }
 
 _REDUCERS = {

@@ -1106,13 +1106,27 @@ class PatternCompiler:
                 return F.col(name) - prev
 
             if node.kind != "count":
+                # the cumulative runs over the key's WHOLE history, so a
+                # long-typed running sum can pass 2^63 even when every
+                # window sum fits — an ANSI session then THROWS
+                # ARITHMETIC_OVERFLOW mid-job (non-ANSI silently wrapped,
+                # which the subtraction survives mod 2^64). Accumulate in
+                # decimal(30,0) instead: exact to 10^30, never trips
+                # ANSI, and the difference wraps back into long range
+                # like Scala would (r14, docs/SEMANTICS.md §20).
                 acc = F.coalesce(c.col.cast("long"), F.lit(0).cast("long"))
-                df2 = df2.withColumn(sum_name, F.sum(acc).over(wcum))
+                df2 = df2.withColumn(
+                    sum_name, F.sum(acc.cast("decimal(20,0)")).over(wcum)
+                )
             cnt_win = _win(cnt_name, F.lit(0))
             if node.kind == "count":
                 col = cnt_win
             else:
-                sum_win = _win(sum_name, F.lit(0).cast("long"))
+                from tsp_spark.compile.registry import wrap64_to_long
+
+                sum_win = wrap64_to_long(
+                    _win(sum_name, F.lit(0).cast("decimal(30,0)"))
+                )
                 # empty half-open frame -> NULL, matching F.sum
                 col = F.when(cnt_win > 0, sum_win)
             self._note_window_form(node.kind, node.window_ms, "prefix")

@@ -105,32 +105,103 @@ def _jvm_div(a: Column, b: Column) -> Column:
     )
 
 
-def _jvm_long_of_double(col: Column) -> Column:
-    """Scala's `Double.toLong`: NULL stays NULL, NaN → 0, (long)d is
-    Long.MAX/MIN exactly for any |d| ≥ 2^63 (the saturation test uses
-    2^63 itself, a representable double), else truncate toward zero —
-    without relying on non-ANSI cast behavior. NULL first: greatest/
-    least SKIP null operands, so a clamp-based form would silently turn
-    NULL into a bound (caught by this function's unit sweep)."""
+_LONG_MIN = -(1 << 63)
+_LONG_MAX = (1 << 63) - 1
+# 2^63 / 2^64 as decimal literals (too wide for a long lit)
+_DEC_SHIFT = "CAST('9223372036854775808' AS DECIMAL(38,0))"
+_DEC_MOD = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+
+
+def wrap64_to_long(dec: Column) -> Column:
+    """Map an exact DECIMAL value onto Scala Long wrap-around semantics
+    (value mod 2^64, into [-2^63, 2^63)) and cast to bigint. The pmod
+    keeps the final cast in-range, so it never trips ANSI overflow
+    (r14, docs/SEMANTICS.md §20)."""
+    shift, mod = F.expr(_DEC_SHIFT), F.expr(_DEC_MOD)
+    return (F.pmod(dec + shift, mod) - shift).cast("long")
+
+
+def _jvm_recip(t: Column) -> Column:
+    """JVM `1.0 / t` without tripping ANSI DIVIDE_BY_ZERO (r14: Spark 4
+    throws on double division by an exact zero under the default ANSI
+    session — probe_ansi_edges caught cot(0) crashing). The zero branch
+    reproduces IEEE: 1/±0.0 → ±Inf by the ZERO's sign, recovered via the
+    string cast ('-0.0' keeps its sign; atan2 can't be used — Spark's
+    Atan2 normalizes -0.0). NaN divisors pass through the division
+    (NaN != 0 is true under Spark's total order; 1/NaN = NaN)."""
     return (
-        F.when(col.isNull(), F.lit(None).cast("long"))
-        .when(F.isnan(col), F.lit(0).cast("long"))
-        .when(
-            col >= F.lit(9223372036854775808.0),
-            F.lit(9223372036854775807).cast("long"),
-        )
-        .when(
-            col <= F.lit(-9223372036854775808.0),
-            F.lit(-9223372036854775808).cast("long"),
-        )
-        .otherwise(col.cast("long"))
+        F.when(t.isNull(), F.lit(None).cast("double"))
+        .when(t != 0, F.lit(1.0) / t)
+        .when(t.cast("string").startswith("-"), F.lit(float("-inf")))
+        .otherwise(F.lit(float("inf")))
     )
+
+
+def _jvm_log(base10: bool) -> Callable[[Column], Column]:
+    """JVM Math.log/log10 edges (r14 §20): ±0.0 → -Inf, negative → NaN,
+    NaN → NaN, +Inf → +Inf, NULL → NULL. Spark's own log/log10 return
+    NULL for any non-positive input — under the engine's trilean
+    algebra that's Result.fail, a different outcome from the reference
+    extension's documented JVM math."""
+
+    def build(c: Column) -> Column:
+        fn = F.log10 if base10 else F.log
+        return (
+            F.when(F.isnan(c), F.lit(float("nan")))
+            .when(c == 0, F.lit(float("-inf")))
+            .when(c < 0, F.lit(float("nan")))
+            .otherwise(fn(c))
+        )
+
+    return build
 
 
 def _arith(op: str) -> Builder:
     def build(cols, dtypes):
         a, b = cols
         rtype = numeric_result_type(dtypes[0], dtypes[1])
+        if rtype == "int64":
+            # Scala Long semantics, session-independent (r14 §20):
+            # add/sub/mul WRAP mod 2^64 (Numeric[Long] plus/minus/times,
+            # FunctionRegistry.scala:538-551) — the hot path stays a
+            # native long try_op, the rare overflow falls through the
+            # lazy coalesce to an exact decimal recomputation wrapped
+            # back into long range. Under ANSI the raw +/-/* would
+            # THROW ARITHMETIC_OVERFLOW; non-ANSI silently matched the
+            # JVM only by accident of both wrapping.
+            al, bl = a.cast("long"), b.cast("long")
+            if op in ("add", "sub", "mul"):
+                try_op = {
+                    "add": F.try_add,
+                    "sub": F.try_subtract,
+                    "mul": F.try_multiply,
+                }[op]
+                # operands fit decimal(19,0); the widest product
+                # (2^63)^2 = 2^126 < 10^38 fits the capped decimal(38,0)
+                da, db = al.cast("decimal(19,0)"), bl.cast("decimal(19,0)")
+                dec = {"add": da + db, "sub": da - db, "mul": da * db}[op]
+                return F.coalesce(try_op(al, bl), wrap64_to_long(dec)), rtype
+            # div: EXACT Long division truncating toward zero
+            # (fractionalLong.div = x / y, FunctionRegistry.scala:539);
+            # Long.MIN / -1 wraps to Long.MIN (JLS 15.17.2). The r14
+            # double-mediated form lost exactness above 2^53
+            # (probe_ansi_edges: Long.MAX div -7 off by 73). Division
+            # by zero keeps the engine's pinned saturation (the
+            # reference throws ArithmeticException there — our /0
+            # extension routes the double-division infinity through
+            # Double.toLong, SEMANTICS.md §19).
+            return (
+                F.when(al.isNull() | bl.isNull(), F.lit(None).cast("long"))
+                .when(
+                    bl == 0,
+                    F.when(al == 0, F.lit(0))
+                    .when(al > 0, F.lit(_LONG_MAX))
+                    .otherwise(F.lit(_LONG_MIN))
+                    .cast("long"),
+                )
+                .when((al == _LONG_MIN) & (bl == -1), F.lit(_LONG_MIN).cast("long"))
+                .otherwise(F.call_function("div", al, bl))
+            ), rtype
         if op == "add":
             col = a + b
         elif op == "sub":
@@ -138,13 +209,7 @@ def _arith(op: str) -> Builder:
         elif op == "mul":
             col = a * b
         else:  # div
-            if rtype == "int64":
-                # Scala Int/Long division truncates toward zero; the
-                # zero-divisor Inf saturates through Double.toLong
-                return _jvm_long_of_double(_jvm_div(a, b)), "int64"
             return _jvm_div(a, b), rtype
-        if rtype == "int64":
-            col = col.cast("long")
         return col, rtype
 
     return build
@@ -201,24 +266,38 @@ def default_registry() -> FunctionRegistry:
     for name in ("and", "or", "xor", "not"):
         r.register(name, _logical(name))
 
-    r.register("abs", lambda cols, dts: (F.abs(cols[0]), numeric_result_type(dts[0], dts[0])))
+    def _abs(cols, dts):
+        rtype = numeric_result_type(dts[0], dts[0])
+        if rtype == "int64":
+            # Math.abs(Long.MIN) is Long.MIN (JVM two's complement);
+            # Spark's abs THROWS there under ANSI (r14 §20)
+            c = cols[0].cast("long")
+            return (
+                F.when(c == _LONG_MIN, F.lit(_LONG_MIN).cast("long")).otherwise(
+                    F.abs(c)
+                ),
+                rtype,
+            )
+        return F.abs(cols[0]), rtype
+
+    r.register("abs", _abs)
     r.register("sin", _math1(F.sin))
     r.register("cos", _math1(F.cos))
     for alias in ("tan", "tg"):
         r.register(alias, _math1(F.tan))
     for alias in ("cot", "ctg"):
-        r.register(alias, _math1(lambda c: F.lit(1.0) / F.tan(c)))
+        r.register(alias, _math1(lambda c: _jvm_recip(F.tan(c))))
     # degree variants (FunctionRegistry.scala:194-276 applies toRadians)
     r.register("sind", _math1(lambda c: F.sin(F.radians(c))))
     r.register("cosd", _math1(lambda c: F.cos(F.radians(c))))
     for alias in ("tand", "tgd"):
         r.register(alias, _math1(lambda c: F.tan(F.radians(c))))
     for alias in ("cotd", "ctgd"):
-        r.register(alias, _math1(lambda c: F.lit(1.0) / F.tan(F.radians(c))))
+        r.register(alias, _math1(lambda c: _jvm_recip(F.tan(F.radians(c)))))
     # documented-but-unimplemented in the reference — provided as extensions
     r.register("exp", _math1(F.exp))
-    r.register("ln", _math1(F.log))
-    r.register("log", _math1(F.log10))
+    r.register("ln", _math1(_jvm_log(base10=False)))
+    r.register("log", _math1(_jvm_log(base10=True)))
     r.register("sqrt", _math1(F.sqrt))
     r.register(
         "sigmoid",

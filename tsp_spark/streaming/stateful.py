@@ -471,13 +471,33 @@ def _safe_exp(x: float) -> float:
 
 
 def _cot(x: float) -> float:
+    # JVM 1.0 / tan(x): tan(±0.0) is ±0.0, so the reciprocal is the
+    # matching signed infinity (r14, docs/SEMANTICS.md §20 — the batch
+    # registry's raw division used to THROW under ANSI here)
     t = math.tan(x)
-    return float("nan") if t == 0.0 else 1.0 / t
+    return math.copysign(math.inf, t) if t == 0.0 else 1.0 / t
+
+
+def _jvm_ln(x: float, base10: bool = False) -> float:
+    # JVM Math.log/log10 edges (r14 §20): ±0 → -Inf, negative → NaN,
+    # NaN → NaN, +Inf → +Inf (the old mirror returned NULL for any
+    # non-positive input, following Spark's log — Result.fail where the
+    # reference extension documents JVM math)
+    if math.isnan(x):
+        return math.nan
+    if x == 0:
+        return -math.inf
+    if x < 0:
+        return math.nan
+    if math.isinf(x):
+        return math.inf
+    return math.log10(x) if base10 else math.log(x)
 
 
 # unary math mirroring the batch registry's Spark columns (registry.py
-# default_registry): ln/log are NULL for non-positive inputs (Spark
-# log/log10), sqrt of a negative is NaN, exp saturates to inf
+# default_registry): JVM libm edges throughout (r14 §20) — cot(±0) is
+# ±Inf, ln/log of ±0 is -Inf and of a negative is NaN, sqrt of a
+# negative is NaN, exp saturates to inf
 _MATH1 = {
     "sin": math.sin,
     "cos": math.cos,
@@ -492,10 +512,51 @@ _MATH1 = {
     "cotd": lambda x: _cot(math.radians(x)),
     "ctgd": lambda x: _cot(math.radians(x)),
     "exp": _safe_exp,
-    "ln": lambda x: None if x <= 0 else math.log(x),
-    "log": lambda x: None if x <= 0 else math.log10(x),
+    "ln": _jvm_ln,
+    "log": lambda x: _jvm_ln(x, base10=True),
     "sqrt": lambda x: float("nan") if x < 0 else math.sqrt(x),
 }
+
+
+def _wrap64(x: int) -> int:
+    """Scala Long arithmetic wraps on overflow (r14 §20)."""
+    return (x + (1 << 63)) % (1 << 64) - (1 << 63)
+
+
+def _jvm_abs(v):
+    """Math.abs with the Long.MIN fixed point for int-boxed values."""
+    return _wrap64(abs(v)) if isinstance(v, int) else abs(v)
+
+
+def _jvm_arith(name: str, a, b):
+    """JVM arithmetic shared by BOTH per-row paths (r14 §20, aligned
+    with the batch registry): Long add/sub/mul WRAP mod 2^64; Long
+    division is EXACT truncation toward zero (Long.MIN / -1 wraps, JLS
+    15.17.2) — the earlier float-mediated `int(a / b)` lost exactness
+    above 2^53; /0 keeps the engine's pinned Double.toLong saturation.
+    Doubles follow registry._jvm_div (x/0 → ±Inf by the dividend's
+    sign, 0/0 → NaN)."""
+    both_int = isinstance(a, int) and isinstance(b, int)
+    if name == "add":
+        return _wrap64(a + b) if both_int else a + b
+    if name == "sub":
+        return _wrap64(a - b) if both_int else a - b
+    if name == "mul":
+        return _wrap64(a * b) if both_int else a * b
+    # div
+    if both_int:
+        if b == 0:
+            return 0 if a == 0 else ((1 << 63) - 1 if a > 0 else -(1 << 63))
+        q = abs(a) // abs(b)
+        if (a < 0) != (b < 0):
+            q = -q
+        return _wrap64(q)
+    fa = float(a)
+    if b == 0:
+        if fa == 0:
+            return float("nan")
+        return float("inf") if (math.isnan(fa) or fa > 0) else float("-inf")
+    return a / b
 
 _EVAL_FNS = (
     _CMP_FNS | _ARITH_FNS | _BOOL_FNS | set(_MATH1) | {"abs", "sigmoid"}
@@ -796,7 +857,7 @@ def _compile_eval(node):
 
             def f_abs(row, aggvals):
                 v = f0(row, aggvals)
-                return None if v is None else abs(v)
+                return None if v is None else _jvm_abs(v)
 
             return f_abs
         if name == "sigmoid":
@@ -865,15 +926,7 @@ def _compile_eval(node):
                 b = fb(row, aggvals)
                 if a is None or b is None:
                     return None
-                if name == "add":
-                    return a + b
-                if name == "sub":
-                    return a - b
-                if name == "mul":
-                    return a * b
-                if isinstance(a, int) and isinstance(b, int):
-                    return None if b == 0 else int(a / b)
-                return float("nan") if b == 0 else a / b
+                return _jvm_arith(name, a, b)
 
             return f_arith
         raise ValueError(
@@ -1046,7 +1099,7 @@ def _eval_row(node, row, aggvals):
             return None if v is None else _MATH1[name](float(v))
         if name == "abs":
             v = _eval_row(node.args[0], row, aggvals)
-            return None if v is None else abs(v)
+            return None if v is None else _jvm_abs(v)
         if name == "sigmoid":
             v = _eval_row(node.args[0], row, aggvals)
             k = (
@@ -1099,32 +1152,7 @@ def _eval_row(node, row, aggvals):
                 "le": fa <= fb, "eq": fa == fb, "ne": fa != fb,
             }[name]
         if name in _ARITH_FNS:
-            if name == "add":
-                return a + b
-            if name == "sub":
-                return a - b
-            if name == "mul":
-                return a * b
-            # JVM division, aligned with the batch registry's _jvm_div
-            # (r14): x/0 → ±Inf by the dividend's sign (NaN dividend →
-            # +Inf), 0/0 → NaN; Int/Int truncates toward zero with
-            # Double.toLong saturation for the /0 infinities
-            if b == 0:
-                fa = float(a)
-                q = (
-                    float("nan") if fa == 0
-                    else float("inf") if (math.isnan(fa) or fa > 0)
-                    else float("-inf")
-                )
-            else:
-                q = a / b
-            if isinstance(a, int) and isinstance(b, int):
-                if math.isnan(q):
-                    return 0
-                if math.isinf(q):
-                    return (1 << 63) - 1 if q > 0 else -(1 << 63)
-                return int(q)
-            return q
+            return _jvm_arith(name, a, b)
         raise ValueError(
             f"function '{name}' inside a windowed boolean is not "
             f"supported by the incremental kernel"

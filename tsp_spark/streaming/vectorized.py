@@ -358,8 +358,8 @@ def _num(node, df, aggvals):
                     out[i] = 0.0
                     continue
                 r = fn(float(v))
-                if r is None:  # ln/log of non-positive → NULL
-                    onull[i] = True
+                if r is None:  # defensive: no _MATH1 fn returns None
+                    onull[i] = True  # since the r14 JVM-edge pinning
                     out[i] = 0.0
                 else:
                     out[i] = r
@@ -376,9 +376,25 @@ def _num(node, df, aggvals):
             if name == "mul":
                 return a * b, null, ai and bi
             if name == "div":
-                q = a / b
                 zero = b == 0
-                # JVM division semantics, aligned with the batch
+                if ai and bi:
+                    # Int/Int: EXACT truncation toward zero — safe in
+                    # float64 because _bound demotes any int operand
+                    # beyond 2^52, where trunc(a/b) provably equals the
+                    # exact Long quotient. A real zero divisor DEMOTES:
+                    # its Double.toLong saturation values (±2^63) are
+                    # not exactly float-representable, so the per-row
+                    # path keeps bit-parity with the batch registry
+                    # (r14 §20). Zeros at null positions are masked.
+                    if bool(np.any(~null & zero)):
+                        raise VecUnsupported(
+                            "Int/Int zero divisor — exact Long "
+                            "saturation on the per-row path"
+                        )
+                    q = np.trunc(a / np.where(zero, 1.0, b))
+                    return q, null, True
+                q = a / b
+                # JVM double division, aligned with the batch
                 # registry's _jvm_div (r14): x/0 → ±Inf by the
                 # DIVIDEND's sign (NaN dividend → +Inf, copysign's
                 # positive NaN), 0/0 → NaN. The old NULL/NaN-on-zero
@@ -389,17 +405,7 @@ def _num(node, df, aggvals):
                     a == 0, np.nan,
                     np.where(np.isnan(a) | (a > 0), np.inf, -np.inf),
                 )
-                q = np.where(zero, jvm0, q)
-                if ai and bi:
-                    # Int/Int: trunc toward zero, Double.toLong
-                    # saturation for the /0 infinities (batch:
-                    # _jvm_long_of_double)
-                    q = np.trunc(q)
-                    q = np.where(np.isnan(q), 0.0, q)
-                    q = np.clip(q, -9.223372036854776e18,
-                                9223372036854775807)
-                    return q, null, True
-                return q, null, False
+                return np.where(zero, jvm0, q), null, False
     if isinstance(node, A.ReducerCall):
         # row-wise reducer, element-parallel (stateful._eval_row
         # ReducerCall semantics): per arg, include iff non-NULL and
