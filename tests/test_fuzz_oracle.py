@@ -72,6 +72,19 @@ PATTERNS = [
     "avg(u, 3 sec) > 55",
     "sum(u, 4 sec) < 150",
     "count(u, 5 sec) >= 3",
+    # r14 §20: the math extensions enter the fuzz corpus (engine,
+    # both kernels, and the oracle share JVM libm edge rules; interior
+    # transcendental values are 1-ulp libm-vs-JVM territory, so the
+    # thresholds sit away from attainable boundaries — sqrt IS exactly
+    # rounded, and `ln(v - 50)` drives the negative/zero → NaN/-Inf
+    # edges half the time)
+    "sqrt(abs(v)) > 7",
+    "ln(abs(v) + 1) > 3.5",
+    "ln(v - 50) > 0 or w > 95",
+    "exp(v / 25) > 8",
+    "log(abs(w) + 0.5) < 1.5",
+    "sigmoid(v - 50) > 0.5",
+    "cot(v / 7) > 1",
     "sumOf(v, w) > 120",
     "maxOf(v, w; _ > 50) < 70",
     "minOf(v, w; _ > 95) > 10",

@@ -978,6 +978,26 @@ def _cot(t: float) -> float:
     return math.copysign(math.inf, t) if t == 0.0 else 1.0 / t
 
 
+def _safe_exp(x: float) -> float:
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return math.inf
+
+
+def _jvm_ln(x: float, base10: bool = False) -> float:
+    # JVM Math.log/log10 edges (r14 §20): ±0 → -Inf, negative → NaN
+    if math.isnan(x):
+        return math.nan
+    if x == 0:
+        return -math.inf
+    if x < 0:
+        return math.nan
+    if math.isinf(x):
+        return math.inf
+    return math.log10(x) if base10 else math.log(x)
+
+
 _UNARY = {
     "abs": lambda v: _wrap64(abs(v)) if isinstance(v, int) else abs(v),
     "sin": math.sin,
@@ -992,6 +1012,16 @@ _UNARY = {
     "tgd": lambda v: math.tan(math.radians(v)),
     "cotd": lambda v: _cot(math.tan(math.radians(v))),
     "ctgd": lambda v: _cot(math.tan(math.radians(v))),
+    # the documented-but-unimplemented extensions (registry r14 §20 —
+    # JVM libm edges; engine/kernels/oracle all share these rules).
+    # NB transcendental INTERIOR values are libm-vs-JVM 1-ulp
+    # territory; fuzz thresholds sit away from attainable boundaries,
+    # and the pinned EDGES (±0, negatives, ±Inf, NaN) are exact.
+    "exp": _safe_exp,
+    "ln": _jvm_ln,
+    "log": lambda v: _jvm_ln(v, base10=True),
+    "sqrt": lambda v: math.nan if v < 0 else math.sqrt(v),
+    "sigmoid": lambda v: 1.0 / (1.0 + _safe_exp(-2.0 * v)),
 }
 
 _REDUCERS = {
