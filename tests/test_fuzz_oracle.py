@@ -78,6 +78,12 @@ PATTERNS = [
     # thresholds sit away from attainable boundaries — sqrt IS exactly
     # rounded, and `ln(v - 50)` drives the negative/zero → NaN/-Inf
     # edges half the time)
+    # r14 §20 probe-caught regression shapes: an absent lag cast to an
+    # int width used to come back as the saturation-clamp BOUND
+    # (-2147483648 for int32, 0 after int8 narrowing) instead of Fail —
+    # `< 0` then matched spuriously on every first-row-of-series
+    "(lag(v) as int32) < 0",
+    "(lag(v, 5 sec) as int8) >= 0",
     "sqrt(abs(v)) > 7",
     "ln(abs(v) + 1) > 3.5",
     "ln(v - 50) > 0 or w > 95",

@@ -380,3 +380,91 @@ def test_int_window_sum_survives_long_history_under_ansi(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_cmp_null_before_nan_and_cast_null_guard(spark):
+    """r14 §20, probe-caught pair (tools/probe_ansi_edges.py):
+
+    1. cmp(NaN, NULL) returned False (True for !=) — the NaN guard
+       fired before null propagation, so `value != lag(x)` MATCHED on
+       NaN-vs-absent rows where the per-row kernel and the oracle give
+       Result.fail. NULL now propagates first.
+    2. `(NULL as int32)` came back -2147483648 (and 0 for int8/16):
+       greatest/least SKIP null operands, so a NULL double reaching
+       the saturation clamp returned the clamp BOUND. An absent lag
+       cast to int then compared `< 0` was a spurious match. The clamp
+       is now null-guarded.
+    3. Mixed string/number comparisons THREW CAST_INVALID_INPUT under
+       ANSI on unparseable strings; pinned to the kernel rule (string
+       side parses as double, unparseable → Result.fail)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tsp_spark.compile.compiler import _jvm_cast
+    from tsp_spark.compile.registry import DEFAULT_REGISTRY
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        nan = float("nan")
+        df = spark.createDataFrame(
+            [(1, nan, None), (2, None, nan), (3, nan, 2.0), (4, 2.0, 2.0)],
+            "i bigint, a double, b double",
+        )
+        for op, r3, r4 in (("ne", True, False), ("eq", False, True),
+                           ("gt", False, False)):
+            col, _ = DEFAULT_REGISTRY.build(
+                op, [F.col("a"), F.col("b")], ["float64", "float64"]
+            )
+            rows = {r["i"]: r["o"] for r in df.select("i", col.alias("o")).collect()}
+            assert rows[1] is None and rows[2] is None, (op, rows)
+            assert rows[3] == r3 and rows[4] == r4, (op, rows)
+
+        # cast NULL → NULL for every integer width (was bound/0)
+        nd = spark.createDataFrame([(None,), (1.5,), (nan,)], "v double")
+        for dst, on_15, on_nan in (("int8", 1, 0), ("int16", 1, 0),
+                                   ("int32", 1, 0), ("int64", 1, 0)):
+            got = [
+                r["o"]
+                for r in nd.select(
+                    _jvm_cast(F.col("v"), "float64", dst).alias("o")
+                ).collect()
+            ]
+            assert got == [None, on_15, on_nan], (dst, got)
+
+        # mixed string/number comparisons: ANSI-independent, kernel rule
+        sd = spark.createDataFrame(
+            [(1, "3.5", 5.0), (2, "abc", 5.0), (3, "NaN", 5.0), (4, None, 5.0)],
+            "i bigint, s string, v double",
+        )
+        col, _ = DEFAULT_REGISTRY.build(
+            "lt", [F.col("s"), F.col("v")], ["string", "float64"]
+        )
+        rows = {r["i"]: r["o"] for r in sd.select("i", col.alias("o")).collect()}
+        assert rows[1] is True          # 3.5 < 5
+        assert rows[2] is None          # unparseable → Result.fail
+        assert rows[3] is False         # NaN < x is false (IEEE)
+        assert rows[4] is None
+
+        # per-row kernel agrees on the NULL/NaN lattice
+        from tsp_spark.streaming.stateful import _eval_row
+        from tsp_spark.dsl.parser import parse_pattern
+
+        node = parse_pattern("a != b", {"a": "float64", "b": "float64"})
+        # strip the Assert the grammar inserts at the top
+        from tsp_spark.dsl import ast as A
+
+        inner = node.inner if isinstance(node, A.Assert) else node
+        # NB float FIELDS decode NULL → NaN (the reference's
+        # BasicDecoders rule), so a null field compares as NaN here
+        # (ne → True); true Fails reach _cmp only via lag absence /
+        # failed parses — the lag-cast fuzz rows cover that path
+        assert _eval_row(inner, {"a": nan, "b": None}, {}) is True
+        assert _eval_row(inner, {"a": nan, "b": 2.0}, {}) is True
+        assert _eval_row(inner, {"a": 2.0, "b": 2.0}, {}) is False
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)

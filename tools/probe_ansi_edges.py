@@ -234,6 +234,150 @@ def main() -> int:
             print(f"THROW  {name}(long,long): {type(exc).__name__}: {str(exc)[:120]}")
             bad += 1
 
+    # comparisons: double edge pairs vs the pinned IEEE rule
+    def ieee_cmp(op, x, y):
+        if x is None or y is None:
+            return None
+        if math.isnan(float(x)) or math.isnan(float(y)):
+            return op == "ne"
+        fx, fy = float(x), float(y)
+        return {"lt": fx < fy, "le": fx <= fy, "gt": fx > fy,
+                "ge": fx >= fy, "eq": fx == fy, "ne": fx != fy}[op]
+
+    for name in ("lt", "le", "gt", "ge", "eq", "ne"):
+        try:
+            col, _ = DEFAULT_REGISTRY.build(
+                name, [F.col("a"), F.col("b")], ["float64", "float64"]
+            )
+            rows = {r["i"]: r["o"] for r in pdf.select("i", col.alias("o")).collect()}
+            for i, (x, y) in enumerate(pairs_d):
+                want = ieee_cmp(name, x, y)
+                if rows[i] is not want and rows[i] != want:
+                    print(f"DIVERGE {name}({x!r},{y!r}) spark={rows[i]!r} jvm={want!r}")
+                    bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"THROW  {name}(double,double): {type(exc).__name__}: {str(exc)[:120]}")
+            bad += 1
+
+    # mixed string/number comparisons: pinned rule = string side parses
+    # as double, unparseable → NULL (the per-row kernel's float());
+    # under ANSI the raw Spark coercion THREW CAST_INVALID_INPUT.
+    # (Format caveat: Python float() also accepts 'inf'/'1_0' which
+    # Spark does not — the probe sticks to the common subset.)
+    strs = ["12", "3.5", "-7.25", "abc", "", "NaN", "Infinity", None]
+    nums = [5.0, None, float("nan")]
+    sdf = spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in enumerate((s, v) for s in strs for v in nums)],
+        "i bigint, s string, v double",
+    )
+
+    def parse(s):
+        if s is None:
+            return None
+        try:
+            return float(s)
+        except ValueError:
+            return None
+
+    for name in ("gt", "eq", "ne", "le"):
+        try:
+            col, _ = DEFAULT_REGISTRY.build(
+                name, [F.col("s"), F.col("v")], ["string", "float64"]
+            )
+            rows = {r["i"]: r["o"] for r in sdf.select("i", col.alias("o")).collect()}
+            for i, (s, v) in enumerate((s, v) for s in strs for v in nums):
+                want = ieee_cmp(name, parse(s), v)
+                if rows[i] is not want and rows[i] != want:
+                    print(f"DIVERGE {name}({s!r},{v!r}) spark={rows[i]!r} want={want!r}")
+                    bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"THROW  {name}(string,double): {type(exc).__name__}: {str(exc)[:120]}")
+            bad += 1
+
+    # casts: _jvm_cast vs the per-row kernel's JVM conversions
+    from tsp_spark.compile.compiler import _jvm_cast
+    from tsp_spark.streaming.stateful import _jvm_int
+
+    for dst in ("int8", "int16", "int32", "int64"):
+        try:
+            col = _jvm_cast(F.col("v"), "float64", dst)
+            rows = {r["i"]: r["o"] for r in df_d.select("i", col.alias("o")).collect()}
+            for i, v in enumerate(dbl_edges):
+                want = None if v is None else _jvm_int(v, dst)
+                if rows[i] != want and rows[i] is not want:
+                    print(f"DIVERGE cast({v!r} as {dst}) spark={rows[i]!r} jvm={want!r}")
+                    bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"THROW  cast(double as {dst}): {type(exc).__name__}: {str(exc)[:120]}")
+            bad += 1
+        try:
+            col = _jvm_cast(F.col("v"), "int64", dst)
+            rows = {r["i"]: r["o"] for r in df_l.select("i", col.alias("o")).collect()}
+            for i, v in enumerate(long_edges):
+                want = None if v is None else _jvm_int(v, dst)
+                if rows[i] != want and rows[i] is not want:
+                    print(f"DIVERGE cast({v!r}L as {dst}) spark={rows[i]!r} jvm={want!r}")
+                    bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"THROW  cast(long as {dst}): {type(exc).__name__}: {str(exc)[:120]}")
+            bad += 1
+
+    # boolean cast from double: zero/nonzero, NaN truthy (bool(nan))
+    try:
+        col = _jvm_cast(F.col("v"), "float64", "boolean")
+        rows = {r["i"]: r["o"] for r in df_d.select("i", col.alias("o")).collect()}
+        for i, v in enumerate(dbl_edges):
+            want = None if v is None else bool(v) if not (
+                isinstance(v, float) and math.isnan(v)
+            ) else True
+            if rows[i] is not want and rows[i] != want:
+                print(f"DIVERGE cast({v!r} as boolean) spark={rows[i]!r} jvm={want!r}")
+                bad += 1
+    except Exception as exc:  # noqa: BLE001
+        print(f"THROW  cast(double as boolean): {type(exc).__name__}: {str(exc)[:120]}")
+        bad += 1
+
+    # trilean logicals over the NULL/True/False grid (Fail-tolerant or)
+    tri = [True, False, None]
+    tdf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate((x, y) for x in tri for y in tri)],
+        "i bigint, x boolean, y boolean",
+    )
+
+    def tri_want(name, x, y):
+        # the registry/oracle rule (FunctionRegistry.scala:278-324):
+        # and/xor propagate Fail; or is fail-tolerant (one-sided Fail
+        # returns the other side's VALUE). NB the per-row kernels use a
+        # Kleene combinator instead — observationally identical because
+        # the grammar asserts trilean factors (False → Fail before any
+        # combinator sees it), see docs/SEMANTICS.md §21.
+        if name == "and":
+            return None if x is None or y is None else (x and y)
+        if name == "or":
+            if x is None and y is None:
+                return None
+            if x is None:
+                return y
+            if y is None:
+                return x
+            return x or y
+        return None if x is None or y is None else x != y
+
+    for name in ("and", "or", "xor"):
+        try:
+            col, _ = DEFAULT_REGISTRY.build(
+                name, [F.col("x"), F.col("y")], ["boolean", "boolean"]
+            )
+            rows = {r["i"]: r["o"] for r in tdf.select("i", col.alias("o")).collect()}
+            for i, (x, y) in enumerate((x, y) for x in tri for y in tri):
+                want = tri_want(name, x, y)
+                if rows[i] is not want and rows[i] != want:
+                    print(f"DIVERGE {name}({x!r},{y!r}) spark={rows[i]!r} want={want!r}")
+                    bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"THROW  {name}(bool,bool): {type(exc).__name__}: {str(exc)[:120]}")
+            bad += 1
+
     print(f"\n{bad} divergences/throws")
     return 1 if bad else 0
 

@@ -1115,7 +1115,13 @@ class OracleGenerator:
             if t == "boolean":
                 return MapP(inner, lambda v: Succ(_to_bool(v)))
             if t in ("int8", "int16", "int32", "int64"):
-                return MapP(inner, lambda v: Succ(int(v)))
+                # decodeToInt is Scala's `d.toInt` (BasicDecoders.scala:
+                # 89-91): NaN → 0, floats saturate, ints narrow — plain
+                # int() raised on NaN (r14, caught by the lag-cast fuzz
+                # rows; same JVM conversion as the engine kernels)
+                from tsp_spark.streaming.stateful import _jvm_int
+
+                return MapP(inner, lambda v, t=t: Succ(_jvm_int(v, t)))
             if t == "string":
                 return MapP(inner, lambda v: Succ(str(v)))
             return MapP(inner, lambda v: Succ(float(v)))

@@ -176,8 +176,17 @@ def _jvm_cast(col: Column, src_dtype: str | None, dst_dtype: str) -> Column:
                 )
                 .otherwise(z.cast("bigint"))
             )
-        clamped = F.least(
-            F.greatest(z, F.lit(-2147483648.0)), F.lit(2147483647.0)
+        # NULL guard around the clamp (r14 §20, probe-caught):
+        # greatest/least SKIP null operands, so a NULL reaching the
+        # int32 clamp came back as the clamp BOUND (-2147483648) — and
+        # as 0 after int8/16 narrowing — instead of staying NULL
+        # (Result.fail, the per-row kernel's None). The int64 branch is
+        # immune: its when-chain falls through to a null-propagating
+        # cast.
+        clamped = F.when(
+            z.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.least(F.greatest(z, F.lit(-2147483648.0)), F.lit(2147483647.0))
         )
         col = clamped.cast("int")
         if bits == 32:

@@ -59,6 +59,21 @@ Builder = Callable[[Sequence[Column], Sequence[str]], tuple[Column, str]]
 def _cmp(op: str) -> Builder:
     def build(cols, dtypes):
         a, b = cols
+        dts = list(dtypes)
+        if (dts[0] == "string") != (dts[1] == "string"):
+            # mixed string/number comparison: the pinned rule (per-row
+            # kernel, docs/SEMANTICS.md) coerces the STRING side to
+            # double — unparseable → NULL (Result.fail). Spark's
+            # implicit coercion instead targets the numeric side's type
+            # and, under ANSI (the Spark 4 default), THROWS
+            # CAST_INVALID_INPUT on the first malformed row (r14 §20 —
+            # the same library-vs-session class as _jvm_div). try_cast
+            # pins NULL session-independently; both sides to double so
+            # `5 > '3.5'` compares 3.5, not an integral-string parse.
+            a = a.try_cast("double") if dts[0] == "string" else a.cast("double")
+            b = b.try_cast("double") if dts[1] == "string" else b.cast("double")
+            cols = [a, b]
+            dts = ["float64", "float64"]
         col = {
             "lt": a < b, "le": a <= b, "gt": a > b,
             "ge": a >= b, "eq": a == b, "ne": a != b,
@@ -70,13 +85,22 @@ def _cmp(op: str) -> Builder:
         # explicitly when a float side can be NaN; golden ivolga cases
         # 19/21/28/30/36 pin this behavior (expired forward-fill → NaN).
         floaty = [
-            c for c, t in zip(cols, dtypes) if t in ("float32", "float64")
+            c for c, t in zip(cols, dts) if t in ("float32", "float64")
         ]
         if floaty:
             some_nan = floaty[0].isNaN()
             for c in floaty[1:]:
                 some_nan = some_nan | c.isNaN()
-            col = F.when(some_nan, F.lit(op == "ne")).otherwise(col)
+            # NULL propagates FIRST (r14 §20, probe-caught): isNaN(NaN)
+            # is true even when the OTHER side is NULL, so the bare NaN
+            # guard turned cmp(NaN, NULL) into False/True where the
+            # per-row kernel and the oracle give Result.fail — for `!=`
+            # that's a spurious MATCH on NaN-vs-absent rows
+            col = (
+                F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
+                .when(some_nan, F.lit(op == "ne"))
+                .otherwise(col)
+            )
         return col, "boolean"
 
     return build
