@@ -84,12 +84,17 @@ PATTERNS = [
     # `< 0` then matched spuriously on every first-row-of-series
     "(lag(v) as int32) < 0",
     "(lag(v, 5 sec) as int8) >= 0",
+    # ne with NaN operands (null fields decode to NaN; != is the one
+    # comparison that's TRUE on NaN) and field casts of NaN (→ 0)
+    "v != w",
+    "(v as int16) > 50",
     "sqrt(abs(v)) > 7",
     "ln(abs(v) + 1) > 3.5",
     "ln(v - 50) > 0 or w > 95",
     "exp(v / 25) > 8",
     "log(abs(w) + 0.5) < 1.5",
     "sigmoid(v - 50) > 0.5",
+    "sigmoid(v - 50, 2) > 0.5",
     "cot(v / 7) > 1",
     "sumOf(v, w) > 120",
     "maxOf(v, w; _ > 50) < 70",

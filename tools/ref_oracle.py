@@ -949,6 +949,9 @@ def _jvm_arith(name, a, b):
 
 
 _BIN = {
+    # 2-arg sigmoid extension: 1/(1+exp(-2·k·v)) with k the SECOND arg
+    # (registry.py default_registry sigmoid builder)
+    "sigmoid": lift2(lambda v, k: 1.0 / (1.0 + _safe_exp(-2.0 * k * v))),
     "add": lift2(lambda a, b: _jvm_arith("add", a, b)),
     "sub": lift2(lambda a, b: _jvm_arith("sub", a, b)),
     "mul": lift2(lambda a, b: _jvm_arith("mul", a, b)),
