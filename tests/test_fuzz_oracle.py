@@ -98,6 +98,10 @@ PATTERNS = [
     "cot(v / 7) > 1",
     "sumOf(v, w) > 120",
     "maxOf(v, w; _ > 50) < 70",
+    # un-cond'ed extreme reducers: NaN (from 5%-null fields) reaches the
+    # FOLD — the cond'ed forms above filter it out before min/max
+    "minOf(v, w) < 30",
+    "maxOf(v, w) > 80",
     "minOf(v, w; _ > 95) > 10",
     # WindowStatistic truth counts (ForWithInterval); upper-bounded
     # variants ("< N times") are NOT fuzzed — the reference's

@@ -1027,11 +1027,29 @@ _UNARY = {
     "sigmoid": lambda v: 1.0 / (1.0 + _safe_exp(-2.0 * v)),
 }
 
+def _jvm_min(a: float, x: float) -> float:
+    # Math.min PROPAGATES NaN (FunctionRegistry.scala:473-485) —
+    # Python's min(a, x) is order-dependent and silently IGNORED a NaN
+    # second argument, which made the oracle drop NULL-float reducer
+    # args the engine correctly poisons (r14, caught by the un-cond'ed
+    # minOf/maxOf fuzz rows: 23/40 cases diverged)
+    return math.nan if (math.isnan(a) or math.isnan(x)) else min(a, x)
+
+
+def _jvm_max(a: float, x: float) -> float:
+    return math.nan if (math.isnan(a) or math.isnan(x)) else max(a, x)
+
+
+_DBL_MAX = 1.7976931348623157e308
+
 _REDUCERS = {
     # name -> (fold(acc_value, x) , initial, transform(Result)->Result)
+    # initials are the reference's TYPED values (ReducePattern.scala:60,
+    # scala Double.MinValue = -MaxValue — NOT ±Inf, and NOT Java's
+    # subnormal Double.MIN_VALUE)
     "sumof": (lambda a, x: a + x, 0.0, lambda r: r),
-    "minof": (lambda a, x: min(a, x), math.inf, lambda r: r),
-    "maxof": (lambda a, x: max(a, x), -math.inf, lambda r: r),
+    "minof": (_jvm_min, _DBL_MAX, lambda r: r),
+    "maxof": (_jvm_max, -_DBL_MAX, lambda r: r),
     "countof": (lambda a, x: a + 1, 0.0, lambda r: r),
 }
 
