@@ -686,6 +686,92 @@ def test_probe_rate_reaches_window_gate(spark, monkeypatch):
     api.clear_auto_probe_cache()
 
 
+def test_rate_gate_downgrades_sparse_long_windows(spark, monkeypatch):
+    """r14 (optimization round): the rows-in-window gate decides in
+    BOTH directions once a rate is measured. A source whose densest
+    gate-crossing key holds < PREFIX_WINDOW_AGG_MIN_ROWS rows per frame
+    keeps the cheap sliding frame even for ≥ 5-min windows (the O(n)
+    forms' fixed pipeline measured 2.7× the frame's wall at sf0.1,
+    where a 6 hr window holds < 1 row); unknown rates keep the
+    conservative wall-clock floor. The probe's max_rate_hz (densest
+    key, not hottest) drives the decision: a dense-but-not-hottest key
+    must still get the O(n) forms."""
+    import tsp_spark.api as api
+    from tsp_spark.api import RawPattern, search_incidents
+    from tsp_spark.compile.compiler import (
+        PREFIX_WINDOW_AGG_MIN_MS,
+        PatternCompiler,
+    )
+
+    from pyspark.sql import functions as F
+
+    ft = {"x": "float64"}
+    six_h = 6 * 3600 * 1000
+    norate = PatternCompiler(["unit"], "ts", ft, None)
+    sparse = PatternCompiler(["unit"], "ts", ft, None,
+                             event_rate_hz=1.0 / 3600)  # 1 event/hour
+    dense = PatternCompiler(["unit"], "ts", ft, None, event_rate_hz=1.0)
+    assert norate._long_window(six_h)          # unknown rate: floor holds
+    assert not sparse._long_window(six_h)      # 6 rows/frame -> frame form
+    assert dense._long_window(six_h)           # 21,600 rows/frame -> O(n)
+    assert norate._long_window(PREFIX_WINDOW_AGG_MIN_MS)
+    assert not sparse._long_window(PREFIX_WINDOW_AGG_MIN_MS)
+
+    # end-to-end: the auto-probe on a SMALL source (below
+    # AUTO_PROBE_MIN_BYTES — no monkeypatching of the size gate) now
+    # measures the rate because a windowed aggregate needs it, and the
+    # sparse source keeps frame forms with identical results.
+    api.clear_auto_probe_cache()
+    base = 1_704_067_200_000
+    n = 2_000
+    sparse_ev = spark.range(n).select(
+        F.lit("a").alias("unit"),
+        # one event per hour -> a 6 hr window holds ~6 rows
+        F.timestamp_millis(F.lit(base) + F.col("id") * 3_600_000).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(200)).cast("double")).alias("x"),
+    )
+    pats = [RawPattern(1, "avg(x, 6 hr) > 110"),
+            RawPattern(2, "max(x, 6 hr) > 198")]
+    kw = dict(keys=["unit"], ts="ts", fields_types=ft,
+              max_gap_ms=None, session_gap_ms=1_000)
+    d: dict = {}
+    auto = sorted(map(tuple, search_incidents(
+        sparse_ev, pats, decision_sink=d, **kw).collect()))
+    assert d["probed"] and d["shard_ms"] is None
+    assert d["max_rate_hz"] == 0.0  # no key can cross the 1000-row gate
+    forms = {(f["kind"], f["form"]) for f in d["window_forms"]}
+    assert forms == {("avg", "frame"), ("max", "frame")}
+    frame = sorted(map(tuple, search_incidents(
+        sparse_ev, pats, shard_ms=None, window_agg="frame", **kw).collect()))
+    assert auto == frame and len(auto) > 0
+
+    # dense-but-not-hottest key: hottest key 'slow' (1200 rows, one per
+    # hour) is sparse, 'fast' (1100 rows at 1 Hz) is dense — the gate
+    # must see the DENSE key's rate and keep the O(n) forms.
+    api.clear_auto_probe_cache()
+    mixed = spark.range(2_300).select(
+        F.when(F.col("id") < 1_200, F.lit("slow"))
+        .otherwise(F.lit("fast")).alias("unit"),
+        F.timestamp_millis(
+            F.when(F.col("id") < 1_200,
+                   F.lit(base) + F.col("id") * 3_600_000)
+            .otherwise(F.lit(base) + (F.col("id") - 1_200) * 1_000)
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id"), F.lit(200)).cast("double")).alias("x"),
+    )
+    d2: dict = {}
+    auto_m = sorted(map(tuple, search_incidents(
+        mixed, pats, decision_sink=d2, **kw).collect()))
+    assert d2["max_rate_hz"] > 0.9  # the 1 Hz dense key, not the hot one
+    assert d2["hot_rate_hz"] < 0.1  # hottest key is the sparse one
+    forms2 = {(f["kind"], f["form"]) for f in d2["window_forms"]}
+    assert forms2 == {("avg", "block"), ("max", "block")}
+    frame_m = sorted(map(tuple, search_incidents(
+        mixed, pats, shard_ms=None, window_agg="frame", **kw).collect()))
+    assert auto_m == frame_m and len(auto_m) > 0
+    api.clear_auto_probe_cache()
+
+
 def test_windowed_helpers_long_forms_match_frame(spark):
     """r13 (VERDICT r12 Next #2): the PUBLIC ops.windows helpers expose
     the O(n) long-window forms — windowed_sum/count/avg(form="prefix")

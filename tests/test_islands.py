@@ -637,6 +637,9 @@ def test_probe_hot_key_and_gate(spark):
         "total_rows": 1000,
         "hot_rows": 600,
         "hot_span_ms": 599_000,
+        # no key holds ≥ PREFIX_WINDOW_AGG_MIN_ROWS rows, so the dense
+        # rate is the "measured, nobody can cross the gate" 0.0 (r14)
+        "max_rate_hz": 0.0,
     }
     assert api._plan_size_bytes(ev) is not None
     rdd_df = spark.createDataFrame(

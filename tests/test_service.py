@@ -479,14 +479,16 @@ def test_status_surfaces_window_forms(spark, tmp_path):
     form each windowed aggregate compiled to ("frame" / "prefix" /
     "block"), so the r13 wrong-form-at-scale class is visible to an
     operator. A 6-min avg under the default auto gate must report the
-    block form (float avg past the 5-min floor); a 10-sec max reports
-    the frame form."""
+    block form (float avg whose frames are dense: 10 Hz × 6 min =
+    3,600 rows ≥ the 1,000-row gate — since the r14 both-direction
+    rate gate, wall-clock width alone no longer forces the O(n)
+    forms); a 10-sec max (100 rows/frame) reports the frame form."""
     import datetime as dt
 
     rows = [
-        (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 30),
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=i * 100),
          float((i * 7) % 10))
-        for i in range(60)
+        for i in range(2000)
     ]
     src_path = str(tmp_path / "src_forms")
     spark.createDataFrame(

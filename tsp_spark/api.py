@@ -72,29 +72,31 @@ def referenced_fields(node) -> set[str]:
 
 def _window_needs_rate(node) -> bool:
     """Does this pattern contain a windowed construct whose `auto` plan
-    form depends on the MEASURED EVENT RATE? Only frame-form candidates
-    below the wall-clock floor qualify: AggregateCall avg/sum/min/max
-    and Wait with 0 < window_ms < PREFIX_WINDOW_AGG_MIN_MS (count and
-    ForWithInterval truth-stats switch to O(n) unconditionally; Timer
-    is run-start-based, no frame). Used to trigger the auto probe even
-    when no pattern is SHARD-eligible — a dense source under a 2-min
-    `avg` needs the rate regardless of whether it sharded (r13,
-    found by the --hz bench leg: max_gap_ms=None jobs never probed,
-    so the rows-in-window gate silently never engaged)."""
+    form depends on the MEASURED EVENT RATE? Any windowed AggregateCall
+    or Wait qualifies (r14): below the 5-min wall-clock floor the rate
+    decides whether a dense source must still take the O(n) forms (the
+    r13 100 Hz × 2-min cliff), and ABOVE the floor it decides whether a
+    sparse source may keep the cheap sliding frame (a one-event-per-
+    10-hours key under a 6 hr window holds < 1 row per frame; the O(n)
+    forms' fixed pipeline measured 2.7× the frame form's wall there —
+    see compiler._long_window). ForWithInterval truth-stats stay O(n)
+    unconditionally (integer prefix differences, no sentinel union) and
+    Timer is run-start-based (no frame), so neither needs the rate.
+    Used to trigger the auto probe even when no pattern is
+    SHARD-eligible — a dense source under a 2-min `avg` needs the rate
+    regardless of whether it sharded (r13, found by the --hz bench
+    leg: max_gap_ms=None jobs never probed, so the rows-in-window gate
+    silently never engaged)."""
     import dataclasses
 
-    from tsp_spark.compile.compiler import PREFIX_WINDOW_AGG_MIN_MS
     from tsp_spark.dsl import ast as A
 
-    short = (
+    windowed = (
         isinstance(node, A.AggregateCall)
-        and node.kind in ("avg", "sum", "min", "max")
-        and 0 < node.window_ms < PREFIX_WINDOW_AGG_MIN_MS
-    ) or (
-        isinstance(node, A.Wait)
-        and 0 < node.window_ms < PREFIX_WINDOW_AGG_MIN_MS
-    )
-    if short:
+        and node.kind in ("avg", "sum", "count", "min", "max")
+        and node.window_ms > 0
+    ) or (isinstance(node, A.Wait) and node.window_ms > 0)
+    if windowed:
         return True
     if dataclasses.is_dataclass(node):
         for f in dataclasses.fields(node):
@@ -599,16 +601,34 @@ def probe_hot_key(
     the span that bounds how many time shards its rows can spread
     over). Map-side partial aggregation makes the shuffle one row per
     key; the scan reads only the key and ts columns (columnar prune)."""
+    from tsp_spark.compile.compiler import PREFIX_WINDOW_AGG_MIN_ROWS
+
     ms = F.unix_millis(F.col(ts))
     per_key = raw_src.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__n"),
         F.min(ms).alias("__mn"),
         F.max(ms).alias("__mx"),
     )
+    # max_rate_hz (r14): the DENSEST key's average rate, restricted to
+    # keys that could actually form a ≥ PREFIX_WINDOW_AGG_MIN_ROWS
+    # frame (a key with fewer rows than the gate can never exceed it,
+    # whatever its rate — a 2-row key with a 1 ms span is not a 2 kHz
+    # source). This is the quantity the compiler's rows-in-window gate
+    # wants: the HOTTEST key (most rows) can be sparse while a shorter-
+    # span key is dense, and the frame-form cost lands on the dense
+    # one. Duplicate-timestamp keys (span 0) clamp to a huge rate —
+    # conservative, the O(n) forms are merely fixed-cost there.
+    dense_rate = F.when(
+        F.col("__n") >= PREFIX_WINDOW_AGG_MIN_ROWS,
+        F.col("__n").cast("double")
+        * 1000.0
+        / F.greatest(F.col("__mx") - F.col("__mn"), F.lit(1)),
+    )
     row = per_key.agg(
         F.sum("__n").alias("total"),
         F.max("__n").alias("hot"),
         F.max_by(F.struct("__mn", "__mx"), "__n").alias("hot_span"),
+        F.max(dense_rate).alias("max_rate"),
     ).first()
     if row is None or row["total"] is None:
         return None
@@ -616,6 +636,11 @@ def probe_hot_key(
         "total_rows": int(row["total"]),
         "hot_rows": int(row["hot"]),
         "hot_span_ms": int(row["hot_span"]["__mx"] - row["hot_span"]["__mn"]),
+        # 0.0 = "measured, and no key is dense enough to ever cross the
+        # rows-in-window gate" — distinct from None/absent (not measured)
+        "max_rate_hz": (
+            float(row["max_rate"]) if row["max_rate"] is not None else 0.0
+        ),
     }
 
 
@@ -929,28 +954,50 @@ def search_incidents(
         note["eligible"] = shard_eligible
         # the probe serves TWO consumers: the shard-width decision
         # (only when a pattern shape is shard-eligible) and the
-        # compiler's rows-in-window gate (whenever a sub-5-min
-        # frame-form window exists — r13, see _window_needs_rate)
-        if shard_eligible or any(_window_needs_rate(n) for n in nodes):
+        # compiler's rows-in-window gate (whenever ANY windowed
+        # aggregate/wait exists — r13 for the dense-source upgrade,
+        # r14 for the sparse-source downgrade; see _window_needs_rate).
+        # Size gates: sharding still requires a ≥ AUTO_PROBE_MIN_BYTES
+        # source (tiny sources never shard, keeping their plans
+        # byte-identical to shard_ms=None), but the FORM gate probes
+        # any FINITE-size source — the probe is one narrow memoized
+        # aggregation, proportional to the (keys, ts)-pruned scan, so
+        # on a small source it costs milliseconds and on a large one
+        # it is priced and TTL-memoized (docs/SCALE.md r14 probe cost
+        # table). Unknown-size sources (JDBC/RDD: a probe scan could
+        # be arbitrarily expensive) are still never probed.
+        need_rate = any(_window_needs_rate(n) for n in nodes)
+        if shard_eligible or need_rate:
             size = _plan_size_bytes(raw_src)
-            if size is not None and size >= AUTO_PROBE_MIN_BYTES:
+            big = size is not None and size >= AUTO_PROBE_MIN_BYTES
+            if big or (need_rate and size is not None):
                 decision, pstats, cached, age_s = _cached_auto_shard(
                     raw_src, keys, ts
                 )
-                if shard_eligible:
+                if shard_eligible and big:
                     shard_ms = decision
                 note.update(probed=True, probe_cached=cached,
                             shard_ms=shard_ms,
                             probe_age_s=round(age_s, 1))
-                # r13 (VERDICT r12 Next #1): the probe already measured
-                # the hottest key's rows and span — that rate is exactly
-                # the worst-case frame density, so feed it to the
-                # compiler's rows-in-window gate for the O(n) window
-                # forms (a 100 Hz source under a 2-min window must NOT
-                # stay on the O(n·w) frame just because 2 min < 5 min)
+                # r13 (VERDICT r12 Next #1): feed the probe's measured
+                # rate to the compiler's rows-in-window gate for the
+                # O(n) window forms (a 100 Hz source under a 2-min
+                # window must NOT stay on the O(n·w) frame just because
+                # 2 min < 5 min). r14: the gate quantity is the
+                # DENSEST gate-crossing key's rate (max_rate_hz — the
+                # hottest key can be sparse while a shorter-span key
+                # is dense), and it now also DOWNGRADES: a source
+                # whose every key is too sparse to ever fill a
+                # 1000-row frame keeps the cheap sliding frame even
+                # for ≥ 5-min windows. Fall back to the hottest key's
+                # rate for pre-r14 cached stats without the field.
                 if pstats is not None and pstats["hot_span_ms"] > 0:
-                    rate = 1000.0 * pstats["hot_rows"] / pstats["hot_span_ms"]
-                    note["hot_rate_hz"] = round(rate, 3)
+                    hot_rate = (
+                        1000.0 * pstats["hot_rows"] / pstats["hot_span_ms"]
+                    )
+                    rate = pstats.get("max_rate_hz", hot_rate)
+                    note["hot_rate_hz"] = round(hot_rate, 3)
+                    note["max_rate_hz"] = round(rate, 3)
                     compiler.event_rate_hz = rate
         if decision_sink is not None:
             decision_sink.update(note)

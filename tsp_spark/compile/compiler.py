@@ -282,21 +282,28 @@ class PatternCompiler:
         rewrites kill — while a 1/min series under the same window
         holds 2. Two triggers, either sufficient:
 
-        * window ≥ PREFIX_WINDOW_AGG_MIN_MS (5 min) — the conservative
-          wall-clock floor that needs no rate knowledge (at sub-Hz
-          rates the frame is still small there, but the O(n) forms are
-          never SLOWER past this width, measured crossover in
-          tools/bench_window_frames.py);
-        * window_ms × event_rate ≥ PREFIX_WINDOW_AGG_MIN_ROWS rows,
-          when a measured rate is available (the auto-shard probe's
-          hot-key rows/span — the HOTTEST key, i.e. the worst frame)."""
-        if window_ms >= PREFIX_WINDOW_AGG_MIN_MS:
-            return True
-        return (
-            self.event_rate_hz is not None
-            and window_ms * self.event_rate_hz
-            >= PREFIX_WINDOW_AGG_MIN_ROWS * 1000.0
-        )
+        * with a MEASURED rate (the auto-shard probe's hot-key
+          rows/span — the HOTTEST key, i.e. the worst frame), the
+          estimated rows-per-frame decides in BOTH directions:
+          window_ms × event_rate ≥ PREFIX_WINDOW_AGG_MIN_ROWS routes
+          to the O(n) forms, below it the frame form wins. r14: the
+          downgrade direction matters too — a one-event-per-10-hours
+          key under a 6 hr window holds < 1 row per frame, where the
+          O(n) forms' fixed pipeline (sentinel distinct + 3 window
+          specs + ~17 codegen spans) measured 2.7× the frame form's
+          wall and ~40× its executor time at the sf0.1 gate scale
+          (`avg(value, 6 hr)`: frame 0.70 s / 0.40 s exec-run vs
+          block 1.89 s / 17.9 s exec-run);
+        * with NO measured rate, the conservative wall-clock floor:
+          window ≥ PREFIX_WINDOW_AGG_MIN_MS (5 min) — at 100 TB an
+          unknown-rate source must not risk the O(n·w) cliff, so
+          unknown rates keep the O(n) forms past this width."""
+        if self.event_rate_hz is not None:
+            return (
+                window_ms * self.event_rate_hz
+                >= PREFIX_WINDOW_AGG_MIN_ROWS * 1000.0
+            )
+        return window_ms >= PREFIX_WINDOW_AGG_MIN_MS
 
     # ------------------------------------------------------------------
     # window helpers (all share partitionBy(keys[, series]) → one exchange)
@@ -1047,7 +1054,12 @@ class PatternCompiler:
             or (
                 self.window_agg == "auto"
                 and (
-                    node.kind == "count"
+                    # count defaults to the O(n) prefix (bit-exact
+                    # integer subtraction, no drift risk) unless a
+                    # measured rate says frames are sparse — then the
+                    # single sliding frame is cheaper (r14; counts are
+                    # integers, so the two forms are bit-identical)
+                    (node.kind == "count" and self.event_rate_hz is None)
                     or self._long_window(node.window_ms)
                 )
             )
