@@ -303,12 +303,23 @@ def _jaccard_pairs_prefix(
          to the all-pairs path, so results match exactly).
     The ⌈t·n⌉ bound subtracts 1e-9 before ceil so float rounding can
     only ENLARGE a prefix (safe), never shrink it (which could drop a
-    qualifying pair)."""
+    qualifying pair).
+
+    The tokenized table ``t`` is localCheckpointed (r14): three
+    subtrees consume it (the explode feeding the token-frequency
+    groupBy, the same explode joined back for the prefix window, and
+    the verification stage's token sets), and without materialization
+    each one re-scans the corpus and re-tokenizes (split + distinct)
+    it — measured 3.13 → 2.41 s at sf0.1 from one change. At 100 TB
+    the trade is the same one the PPJoin literature makes (materialize
+    the sorted token lists once): one write of the tokenized corpus
+    replaces two extra full scans + tokenizations, at the documented
+    localCheckpoint executor-loss cost (compiler.py:595 note)."""
     t = df.select(
         *bucket_cols,
         F.col(id_col).alias("__id"),
         _token_set(F.col(text_col)).alias("__ws"),
-    ).withColumn("__n", F.size(F.col("__ws")))
+    ).withColumn("__n", F.size(F.col("__ws"))).localCheckpoint(eager=True)
     # LEVEL-2 prefix (r12, sf10-soak-found): with short Zipf documents
     # at t=0.6, classic 1-prefixes pass ~74M candidate pairs for ~10k
     # true pairs at sf10 (pairs share ~1.01 prefix tokens on average) —
@@ -753,6 +764,22 @@ def minhash_lsh_pairs(
     with_sig, exploded = _minhash_bands(
         df, text_col, id_col, num_perm, bands, shingle_k, seed
     )
+    # Materialize the signatures once (r14): three subtrees consume
+    # with_sig (the band explosion plus the two signature join-backs),
+    # and each would otherwise re-run the whole signature pipeline —
+    # md5 per token, shingle combination, explode, 32-way min-agg —
+    # the dominant cost of this operator. The streaming ingest path
+    # (_neardup_process_batch) has always checkpointed its signatures
+    # for the same reason; the batch path now matches. Tiny table:
+    # one row per doc, num_perm longs.
+    with_sig = with_sig.localCheckpoint(eager=True)
+    exploded = with_sig.select(
+        "__id", "__sig",
+        F.explode(_band_structs(num_perm, bands)).alias("b"),
+    ).select(
+        "__id", "__sig", F.col("b.band").alias("band"),
+        F.col("b.bhash").alias("bhash"),
+    )
     if max_band_bucket is not None:
         exploded = _bucket_guard(
             exploded, ["band", "bhash"], max_band_bucket, "__id",
@@ -794,6 +821,26 @@ def minhash_lsh_pairs(
     return cands.select(
         "id_a", "id_b", est.alias("est_jaccard")
     ).where(F.col("est_jaccard") >= F.lit(threshold))
+
+
+def _band_structs(num_perm: int, bands: int) -> Column:
+    """Array of (band, bhash) structs over the ``__sig`` column — the
+    banded split of a MinHash signature. Shared by _minhash_bands and
+    the r14 post-checkpoint re-derivation in minhash_lsh_pairs (both
+    must hash identically)."""
+    rows_per_band = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band),
+                )
+            ).alias("bhash"),
+        ),
+    )
 
 
 def _minhash_bands(
@@ -880,19 +927,8 @@ def _minhash_bands(
         "__id", F.array(*[f"mh{i}" for i in range(num_perm)]).alias("__sig")
     )
 
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.struct(
-            bi.alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",", F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band)
-                )
-            ).alias("bhash"),
-        ),
-    )
     exploded = with_sig.select(
-        "__id", "__sig", F.explode(band_arr).alias("b")
+        "__id", "__sig", F.explode(_band_structs(num_perm, bands)).alias("b")
     ).select(
         "__id", "__sig", F.col("b.band").alias("band"),
         F.col("b.bhash").alias("bhash"),
@@ -982,6 +1018,10 @@ def simhash_pairs(
             F.lit(0).cast("long")
         )
         sh_expr = term if sh_expr is None else sh_expr + term
+    # (r14 measured: checkpointing the fingerprints here is NEUTRAL —
+    # both band-join sides canonicalize to the same exchange, so Spark
+    # already reuses the vote pipeline via ReusedExchange; a
+    # localCheckpoint would only add a materialization barrier.)
     sh = votes.select("__id", sh_expr.alias("__sh"))
     # integer band extraction (literal shifts — exact at any bit
     # width, unlike the double-division path this replaced)
