@@ -35,6 +35,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14: AQE's coalescing floor sizes partitions by SHUFFLE BYTES,
+        # but keyed window chains (CEP islands/timers/frame aggregates)
+        # are CPU-bound: ~3 MB of (key, ts, value) rows carry seconds of
+        # per-row window work, and the default 1 MB floor coalesced them
+        # onto 2 tasks (measured: the 7-pattern stacked materialization
+        # ran 2.0 s on 2 of 32 cores; 16k floor -> 3.45 s vs 4.08 s
+        # end-to-end). The floor only governs how far SMALL shuffles
+        # coalesce — with parallelismFirst (default on) the target is
+        # bytes/parallelism when that stays above the floor, so this
+        # adapts to the session's core count instead of pinning a
+        # partition count, and advisory-sized large shuffles at
+        # production scale are unaffected.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("TSP_SPARK_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
