@@ -1001,28 +1001,38 @@ def simhash_pairs(
     # codegen span, and the groupBy collapses map-side. Bit-identical
     # result: votes use the same multiset of token hashes.
     exploded_h = hashed.select("__id", F.explode("__th").alias("__h"))
+    # r14 plan-size diet (the query spent 1.36 s per run BUILDING this
+    # plan — analyzer walks over 52 eight-node ±1-vote aggregates plus
+    # a 52-deep left-leaning sum chain): votes_b = 2·s_b − n where s_b
+    # counts set bits, so aggregate the 5-node `sum(shiftright & 1)`
+    # per bit plus ONE count, and test `2·s_b > n` (exact integer
+    # algebra — votes_b > 0 ⟺ 2·s_b > n, ties at 0 keep the bit clear
+    # in both forms; bit-parity verified against the old expression on
+    # the full sf0.1 corpus). Expression strings keep the build at one
+    # py4j round-trip per aggregate, and the fingerprint sum nests as a
+    # BALANCED tree (depth ⌈log2(52)⌉, not 52) so analyzer/coercion
+    # rule walks stop being depth-quadratic. Build 1.36 → 0.40 s,
+    # count 1.96 → 1.37 s at sf0.1.
     votes = exploded_h.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__nt"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(f"sum(shiftright(__h, {b}) & 1)").alias(f"v{b}")
             for b in range(bits)
-        ]
+        ],
     )
-    sh_expr = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sh_expr = term if sh_expr is None else sh_expr + term
+
+    def _balanced_sum(terms: list[str]) -> str:
+        if len(terms) == 1:
+            return terms[0]
+        mid = len(terms) // 2
+        return f"({_balanced_sum(terms[:mid])} + {_balanced_sum(terms[mid:])})"
+
+    sh_terms = [f"if(2 * v{b} > __nt, {1 << b}L, 0L)" for b in range(bits)]
     # (r14 measured: checkpointing the fingerprints here is NEUTRAL —
     # both band-join sides canonicalize to the same exchange, so Spark
     # already reuses the vote pipeline via ReusedExchange; a
     # localCheckpoint would only add a materialization barrier.)
-    sh = votes.select("__id", sh_expr.alias("__sh"))
+    sh = votes.select("__id", F.expr(_balanced_sum(sh_terms)).alias("__sh"))
     # integer band extraction (literal shifts — exact at any bit
     # width, unlike the double-division path this replaced)
     band_arr = F.array(
