@@ -53,6 +53,18 @@ def get_spark(
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # r14: PySpark 4's DataFrame debugging captures a Python call
+        # site (inspect.stack walk + a py4j round trip into
+        # PySparkCurrentOrigin) on EVERY DataFrame/Column API call —
+        # measured ~5-10% of wall on plan-construction-heavy queries
+        # (the 7-pattern compile makes ~3k such calls per run). Off by
+        # default here; errors lose only the Python-side call-site
+        # enrichment (JVM stack traces are unaffected). Static conf —
+        # set TSP_SPARK_DF_DEBUG=true to re-enable when debugging.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("TSP_SPARK_DF_DEBUG", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("TSP_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
