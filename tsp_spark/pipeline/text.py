@@ -772,6 +772,7 @@ def ngram_lm_scores(
     id_col: str,
     train_df: DataFrame | None = None,
     hash_keys: bool = False,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """CCNet-style statistical-LM quality signal: mean log-probability
     of each document under an add-one-smoothed token-BIGRAM model
@@ -821,9 +822,16 @@ def ngram_lm_scores(
                       hash_keys=hash_keys)
     if train_df is None:
         # self-trained: the model IS the occurrence table aggregated —
-        # never tokenize/explode the corpus a second time
+        # never tokenize/explode the corpus a second time.
+        # ``vocab_size`` (r14): V is a one-row collect JOB at plan-build
+        # time; a caller scoring the same corpus under several key
+        # modes (text_fingerprint's lm + lmh variants) can compute it
+        # once and pass it in — V depends only on (df, text_col), not
+        # on hash_keys.
         big, ctx = _lm_counts(occ, hash_keys)
-        v = _lm_vocab_size(df, text_col)
+        v = vocab_size if vocab_size is not None else _lm_vocab_size(df, text_col)
+        if not v:
+            raise ValueError("ngram LM: vocab_size must be positive")
         model = {"big": big, "ctx": ctx, "v": v, "hash_keys": hash_keys}
     else:
         model = ngram_lm_fit(train_df, text_col, hash_keys=hash_keys)

@@ -1459,14 +1459,22 @@ def q_text_fingerprint(spark, sf_dir):
             )
         ).alias("r")
     ).select("r.*")
-    lm = ngram_lm_scores(docs, "text", "doc_id").select(
+    # one vocab-size job for both LM variants (r14): V depends only on
+    # the corpus, and each ngram_lm_scores call otherwise runs its own
+    # one-row collect at plan-build time
+    from tsp_spark.pipeline.text import _lm_vocab_size
+
+    lm_v = _lm_vocab_size(docs, "text")
+    lm = ngram_lm_scores(docs, "text", "doc_id", vocab_size=lm_v).select(
         F.lit("lm").alias("variant"),
         F.col("doc_id"),
         F.col("n_bigrams").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
         F.col("lm_score").alias("d1"),
     )
-    lmh = ngram_lm_scores(docs, "text", "doc_id", hash_keys=True).select(
+    lmh = ngram_lm_scores(
+        docs, "text", "doc_id", hash_keys=True, vocab_size=lm_v
+    ).select(
         F.lit("lmh").alias("variant"),
         F.col("doc_id"),
         F.col("n_bigrams").alias("v1"),
