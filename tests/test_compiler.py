@@ -593,8 +593,10 @@ def test_rate_gate_switches_short_dense_windows(spark):
         (PREFIX_WINDOW_AGG_MIN_ROWS - 100) * 10  # 9 s at 100 Hz
     )
     assert norate._long_window(PREFIX_WINDOW_AGG_MIN_MS)
-    # plan form: min/max at 2 min with the rate -> block decomposition
-    # (has_window=False); without -> sliding frame (has_window=True)
+    # plan form: min/max at 2 min with the rate -> block decomposition;
+    # without -> sliding frame (observed via the compiler's form notes —
+    # r14: comparison operands materialize their window column, so
+    # Compiled.has_window is False for both forms at the top level)
     rows = [
         ("a",
          datetime.datetime(2024, 1, 1)
@@ -608,9 +610,12 @@ def test_rate_gate_switches_short_dense_windows(spark):
         else parse_pattern("max(x, 2 min) > 98", ft)
     src_r = with_rate.with_series(df)
     src_n = norate.with_series(df)
-    c_rate = with_rate.compile_bool(src_r, node)
-    c_norate = norate.compile_bool(src_n, node)
-    assert not c_rate.has_window and c_norate.has_window
+    with_rate.window_forms.clear()
+    norate.window_forms.clear()
+    with_rate.compile_bool(src_r, node)
+    norate.compile_bool(src_n, node)
+    assert [f["form"] for f in with_rate.window_forms] == ["block"]
+    assert [f["form"] for f in norate.window_forms] == ["frame"]
     # end-to-end parity at 100 Hz/2 min: the engaged long forms stay
     # exact (min/max bit-exact; integer-valued doubles sum exactly)
     from tsp_spark.api import RawPattern, search_incidents
@@ -1073,3 +1078,24 @@ def test_multi_key_partition_fields(spark):
         for r in search_incidents(df, pats, **kw).collect()
     )
     assert comp_out == two_out
+
+
+def test_window_operand_evaluates_once(spark, mk_ts):
+    """r14 (guide §1.2): a comparison over a windowed aggregate must
+    compute the window function ONCE — the NULL/NaN comparison lattice
+    references its operand 3-4×, and an inlined window expression is
+    evaluated once per copy inside the Window physical node."""
+    df = _events(
+        spark, mk_ts,
+        [("a", i, float(i % 7), "x") for i in range(40)],
+    )
+    out = compile_pattern(df, "avg(x, 10 sec) >= 3", ["unit"], "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every avg(...) windowspecdefinition line in the plan must carry a
+    # distinct frame: the same sliding-frame avg appearing twice in one
+    # Window node is the regression this guards against
+    import re
+
+    win_avgs = re.findall(r"avg\([^)]*\) windowspecdefinition.*?"
+                          r"specifiedwindowframe\(RangeFrame, -9999", plan)
+    assert len(win_avgs) == 1, plan

@@ -855,6 +855,14 @@ class PatternCompiler:
         cur = df
         for arg in node.args:
             c = self._compile(cur, arg, underscore)
+            # r14 (guide §1.2 per-task work): builders reference an
+            # operand Column several times (the NULL/NaN comparison
+            # lattice inlines it 3-4×), and an inlined WINDOW
+            # expression is COMPUTED once per copy — the bench plan
+            # showed one Window node evaluating the identical 30-s
+            # RANGE avg three times. Project window operands to a
+            # concrete column first so they evaluate exactly once.
+            c = self._maybe_materialize(c)
             cur = c.df
             compiled.append(c)
         cols = [c.col for c in compiled]
@@ -869,6 +877,7 @@ class PatternCompiler:
         cur = df
         for arg in node.args:
             c = self._compile(cur, arg, underscore)
+            c = self._maybe_materialize(c)  # same single-eval rule as above
             cur = c.df
             compiled.append(c)
         has_window = any(c.has_window for c in compiled)

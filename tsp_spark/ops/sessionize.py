@@ -29,17 +29,23 @@ def sessionize_intervals(
     running maximum end of the current merged group (handles contained /
     overlapping intervals, not just back-to-back ones)."""
     w = Window.partitionBy(*keys).orderBy(from_col, to_col)
-    prev_max_end = F.max(F.unix_millis(F.col(to_col))).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    # project the running max to a column first: referencing the window
+    # expression twice (isNull + the gap arithmetic) would compute it
+    # twice inside one Window node (r14, guide §1.2)
+    sessioned = df.withColumn(
+        "__prev_end",
+        F.max(F.unix_millis(F.col(to_col))).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
     )
     boundary = (
-        prev_max_end.isNull()
-        | (F.unix_millis(F.col(from_col)) - prev_max_end > F.lit(gap_ms))
+        F.col("__prev_end").isNull()
+        | (F.unix_millis(F.col(from_col)) - F.col("__prev_end") > F.lit(gap_ms))
     )
-    sessioned = df.withColumn(
+    sessioned = sessioned.withColumn(
         "__session",
         F.sum(boundary.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    ).drop("__prev_end")
     return (
         sessioned.groupBy(*keys, "__session")
         .agg(
