@@ -345,11 +345,28 @@ class PatternCompiler:
     def _w_cum(self) -> Window:
         return self._w_order().rowsBetween(Window.unboundedPreceding, 0)
 
+    # r14 (guide §2.4): every RANGE window sorts by epoch-millis. When
+    # each window spec inlines its own `unix_millis(ts)` expression,
+    # Catalyst extracts a FRESH `_wN` sort alias per Window node, so
+    # adjacent range windows get distinct specs — no CollapseWindow
+    # merge, and a separate 100%-redundant Sort per node (measured: 3
+    # Sorts + 3 Window nodes for the flagship's three range aggregates).
+    # Materializing ONE shared ms column makes the specs attribute-equal:
+    # independent range windows collapse into one node and the extra
+    # Sorts vanish (child ordering already satisfies).
+    MS_COL = "__ms_ord"
+
+    def _ensure_ms(self, df: DataFrame) -> DataFrame:
+        if self.MS_COL in df.columns:
+            return df
+        return df.withColumn(self.MS_COL, F.unix_millis(F.col(self.ts)))
+
     def _w_range(self, window_ms: int, leading: bool = False) -> Window:
         # order by epoch millis (long) — rangeBetween requires integral
-        # bounds; millis keep sub-second resolution
+        # bounds; millis keep sub-second resolution. Callers must have
+        # run the frame through _ensure_ms.
         w = Window.partitionBy(*self._series_keys()).orderBy(
-            F.unix_millis(F.col(self.ts))
+            F.col(self.MS_COL)
         )
         return w.rangeBetween(0, window_ms) if leading else w.rangeBetween(-window_ms, 0)
 
@@ -552,30 +569,61 @@ class PatternCompiler:
         if self.max_gap_ms is not None:
             gap_b = gap_b | (ms - F.lag(ms).over(w_ord) > F.lit(self.max_gap_ms))
         w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-        isl_names: list[str] = []
-        for cname, pname in slot_conds:
+
+        # r14 (guide §1.2/§2.4): the per-slot loop used to chain ONE
+        # withColumn per island id, interleaving a lag Window node and
+        # a cumsum Window node per slot — 2 Window passes (each
+        # re-buffering the whole frame) times the slot count, with the
+        # gap lags re-inlined (and re-evaluated) in every slot. Batch
+        # instead: pass 1 materializes every slot's lag/last window
+        # value (plus the gap boundary ONCE) in a single withColumns —
+        # Catalyst extracts them into ONE Window node — and pass 2
+        # computes every island cumsum in a second single node. 7-slot
+        # flagship: 16 Window nodes → 2.
+        def _state(cname: str, pname: str) -> Column:
+            # trilean state on present rows (true/false/Fail as 1/0/2),
+            # NULL elsewhere so last(ignorenulls) skips absent rows
             cnd = F.col(cname)
-            iname = _tmp("sisl")
-            if pname is None:
-                boundary = ~cnd.eqNullSafe(F.lag(cnd).over(w_ord)) | gap_b
-            else:
-                # trilean state on present rows (true/false/Fail as
-                # 1/0/2), NULL elsewhere so last(ignorenulls) skips
-                # absent rows
-                state = F.when(
-                    F.col(pname),
-                    F.when(cnd, 1).when(~cnd, 0).otherwise(2),
-                )
-                prev = F.last(state, ignorenulls=True).over(w_prev)
-                boundary = F.col(pname) & (
-                    prev.isNull() | (state != prev)
-                )
-            cur = cur.withColumn(
-                iname, F.sum(boundary.cast("int")).over(w_cum)
+            return F.when(
+                F.col(pname),
+                F.when(cnd, 1).when(~cnd, 0).otherwise(2),
             )
-            isl_names.append(iname)
+
+        gap_name = _tmp("gapb")
+        lag_cols: dict[str, Column] = {gap_name: gap_b}
+        slot_lag: list[str] = []
+        for cname, pname in slot_conds:
+            nm = _tmp("slg")
+            if pname is None:
+                lag_cols[nm] = F.lag(F.col(cname)).over(w_ord)
+            else:
+                lag_cols[nm] = F.last(
+                    _state(cname, pname), ignorenulls=True
+                ).over(w_prev)
+            slot_lag.append(nm)
+        cur = cur.withColumns(lag_cols)
+
+        isl_cols: dict[str, Column] = {}
+        for (cname, pname), nm in zip(slot_conds, slot_lag):
+            cnd = F.col(cname)
+            if pname is None:
+                boundary = ~cnd.eqNullSafe(F.col(nm)) | F.col(gap_name)
+            else:
+                boundary = F.col(pname) & (
+                    F.col(nm).isNull() | (_state(cname, pname) != F.col(nm))
+                )
+            isl_cols[_tmp("sisl")] = F.sum(boundary.cast("int")).over(w_cum)
+        cur = cur.withColumns(isl_cols)
+        isl_names: list[str] = list(isl_cols.keys())
         if "__idx" not in cur.columns:
-            w_keys = Window.partitionBy(*self.keys).orderBy(self.ts)
+            # r14 (guide §2.4): index per SERIES, not per key — same
+            # row space for every within-series idx comparison (runs
+            # never span a series; and_then adjacency joins on the
+            # series keys), but the row_number now shares the island
+            # windows' (keys, series, ts) sort instead of forcing a
+            # sort down to (keys, ts) and back (2 Sorts of the full
+            # frame in the stacked chain).
+            w_keys = Window.partitionBy(*self._series_keys()).orderBy(self.ts)
             cur = cur.withColumn("__idx", F.row_number().over(w_keys))
         triples = [
             F.struct(
@@ -710,7 +758,9 @@ class PatternCompiler:
 
         tree = shape(node)
         tables = [self._islandize(df, n, keep=None) for n in leaves]
-        w = Window.partitionBy(*self.keys).orderBy(self.ts)
+        # per-series idx (r14): see compile_intervals_multi — identical
+        # within-series comparisons, one shared sort order
+        w = Window.partitionBy(*self._series_keys()).orderBy(self.ts)
         indexed = df.withColumn("__idx", F.row_number().over(w))
         return and_then_exact(
             indexed, tables, tree, self._series_keys(), self.ts
@@ -725,11 +775,15 @@ class PatternCompiler:
         ``cond_value`` column — the operand's full PQueue entry list."""
         c = self.compile_bool(df, node)
         c = self._maybe_materialize(c)
-        # Raw per-key idx FIRST, shared by every operand of a sequence —
-        # AndThenPattern adjacency counts raw input indices, so both
-        # sides must index the same row space even when one side drops
-        # absent rows below.
-        w = Window.partitionBy(*self.keys).orderBy(self.ts)
+        # Raw per-SERIES idx FIRST, shared by every operand of a
+        # sequence — AndThenPattern adjacency counts raw input indices,
+        # so both sides must index the same row space even when one
+        # side drops absent rows below. Per-series (r14): runs never
+        # span a series and adjacency joins carry the series keys, so
+        # within-series idx arithmetic is offset-invariant — and the
+        # row_number shares the (keys, series, ts) sort every other
+        # window in the chain already established.
+        w = Window.partitionBy(*self._series_keys()).orderBy(self.ts)
         d = c.df.withColumn("__idx", F.row_number().over(w))
         if c.present is None:
             return islands(
@@ -1170,7 +1224,7 @@ class PatternCompiler:
         # inner absent rows carry NULL (when(emitted, …)) which the frame
         # aggregate skips — values match GroupPattern consuming only
         # emitted inputs; the output exists per emitted input idx.
-        return Compiled(c.df, col, dtype, True, c.present)
+        return Compiled(self._ensure_ms(c.df), col, dtype, True, c.present)
 
     # --- pattern-level operators --------------------------------------
     def _run_start_ms(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:
@@ -1238,8 +1292,13 @@ class PatternCompiler:
         compiler and the standalone truth_stats helper."""
         from tsp_spark.ops.windows import _closed_window_sum
 
+        # order by the shared materialized ms attribute (r14) — see
+        # _w_range: per-node inline unix_millis sort keys block
+        # CollapseWindow and cost one redundant Sort per range window.
+        # Callers _ensure_ms the frame before using the result.
         return _closed_window_sum(
-            expr, self._series_keys(), self.ts, window_ms
+            expr, self._series_keys(), self.ts, window_ms,
+            order_col=F.col(self.MS_COL),
         )
 
     def _block_extreme(
@@ -1284,6 +1343,7 @@ class PatternCompiler:
         )
         if node.kind == "times":
             contrib = F.when(c.col, 1).otherwise(0)
+            cur = self._ensure_ms(cur)
             if use_prefix:
                 stat = self._prefix_closed_sum(contrib, node.window_ms).cast("double")
             else:
@@ -1294,6 +1354,7 @@ class PatternCompiler:
             dname = _tmp("delta")
             cur = cur.withColumn(dname, delta)
             contrib = F.when(c.col, F.col(dname)).otherwise(0)
+            cur = self._ensure_ms(cur)
             if use_prefix:
                 stat = self._prefix_closed_sum(contrib, node.window_ms).cast("double")
             else:
@@ -1342,7 +1403,7 @@ class PatternCompiler:
             return Compiled(df3, col, "boolean", False)
         col = F.max(c.col).over(self._w_range(node.window_ms, leading=True))
         self._note_window_form("wait", node.window_ms, "frame")
-        return Compiled(c.df, col, "boolean", True)
+        return Compiled(self._ensure_ms(c.df), col, "boolean", True)
 
     def _compile_andthen_bool(self, df: DataFrame, node: A.AndThen) -> Compiled:
         """`andThen` nested inside a boolean context (e.g. inside wait):

@@ -484,7 +484,8 @@ def lag_time(col: Column, keys: Sequence[str], ts: str, window_s: float) -> Colu
 
 
 def _closed_window_sum(
-    expr: Column, keys: Sequence[str], ts: str, window_ms: int
+    expr: Column, keys: Sequence[str], ts: str, window_ms: int,
+    order_col: Column | None = None,
 ) -> Column:
     """O(n) sum of ``expr`` over the CLOSED trailing window [t−w, t] as
     the difference of two GROWING frames (r12 — same rewrite as the
@@ -495,7 +496,14 @@ def _closed_window_sum(
     UnboundedPrecedingWindowFunctionFrame. Closed-window complement at
     integer millis: ms < t−w ⟺ ms ≤ t−w−1, hence −(w+1). Truth-stat
     inputs are integer counts/millis, so the subtraction is bit-exact."""
-    w_ord = Window.partitionBy(*keys).orderBy(F.unix_millis(F.col(ts)))
+    # order_col (r14): callers that carry a MATERIALIZED epoch-ms
+    # column pass it so every range window in the plan shares ONE sort
+    # attribute — inlining `unix_millis(ts)` here makes Catalyst
+    # extract a fresh `_wN` alias per Window node, blocking
+    # CollapseWindow and forcing a redundant Sort per node.
+    if order_col is None:
+        order_col = F.unix_millis(F.col(ts))
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
     wcum = w_ord.rangeBetween(Window.unboundedPreceding, 0)
     wbefore = w_ord.rangeBetween(Window.unboundedPreceding, -(window_ms + 1))
     return F.sum(expr).over(wcum) - F.coalesce(F.sum(expr).over(wbefore), F.lit(0))
