@@ -2145,3 +2145,36 @@ def test_cosine_topk_query_size_guard(spark):
     assert ok.count() == 15
     forced = cosine_topk(df, df, k=3, max_query_rows=None)
     assert forced.count() == 90
+
+
+def test_jaccard_prefix_table_materializes_once(spark):
+    """r14 (guide §2.2): the candidate self-join resolves as a
+    broadcast, so without materializing the prefix table BOTH join
+    sides re-run the whole prefix pipeline (explode → df groupBy →
+    row_number window → bucket-guard window). The final plan must read
+    the checkpointed table — no Window pass (row_number / guard) and
+    no token explode may survive downstream of the materialization."""
+    from tsp_spark.pipeline.dedup import jaccard_pairs
+
+    rows = [(i, "b", f"tok{i % 3} alpha beta gamma common") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = jaccard_pairs(df, "text", "doc_id", ["src"], threshold=0.6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_simhash_banded_table_materializes_once(spark):
+    """r14 (guide §2.2): same shape as the jaccard prefix fix — the
+    band self-join broadcasts one side, so without materialization the
+    corpus-tokenize → per-bit-vote aggregate pipeline runs twice. The
+    final plan must join two reads of the checkpointed banded table:
+    no vote aggregation (shiftright sums) downstream."""
+    from tsp_spark.pipeline.dedup import simhash_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_pairs(df, "text", "doc_id", bits=32, bands=4, max_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    assert "shiftright" not in plan, plan

@@ -364,6 +364,16 @@ def _jaccard_pairs_prefix(
             "duplicates first, use minhash_lsh_pairs, or raise "
             "max_bucket_size deliberately.",
         )
+    # Materialize the prefix table once (r14): BOTH self-join sides
+    # consume it, and the candidate join resolves as a broadcast, so
+    # there is no Exchange for ReuseExchange to deduplicate — without
+    # this the whole prefix pipeline (explode → df groupBy + join →
+    # row_number window → bucket-guard window, 2 Exchanges + 2 Sorts +
+    # 2 Windows) runs TWICE, once per side. The prefix table is the
+    # small end of the pipeline (≈ (1−t)·|d|+2 tokens per doc), the
+    # same inverted-prefix-list materialization the PPJoin literature
+    # makes; executor-loss trade documented at compiler.py:595.
+    pref = pref.localCheckpoint(eager=True)
     # size-ratio prune INSIDE the candidate join (r11, sf10-soak-found):
     # J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|), the same theorem the
     # verification stage applies — but applied there it runs AFTER
@@ -1060,6 +1070,16 @@ def simhash_pairs(
             "exact duplicates first (exact_dedup), raise bits, or raise "
             "max_band_bucket deliberately.",
         )
+    # Materialize the banded table once (r14): the band self-join
+    # resolves as a broadcast, so there is no shuffle for
+    # ReuseExchange to deduplicate and BOTH sides re-run the whole
+    # corpus-tokenize → per-bit-vote aggregate → guard pipeline (the
+    # captured plan showed the full 16-node chain twice). The banded
+    # table is n_docs × bands rows of 4 longs — the cheap end — and
+    # one write replaces a second full scan + vote aggregation.
+    # (The earlier "checkpoint is neutral" note measured the PRE-band
+    # fingerprint table, whose consumers did share an exchange.)
+    exploded = exploded.localCheckpoint(eager=True)
     a = exploded.select(
         "band", "bval", F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")
     )

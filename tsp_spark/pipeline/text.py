@@ -772,7 +772,7 @@ def ngram_lm_scores(
     id_col: str,
     train_df: DataFrame | None = None,
     hash_keys: bool = False,
-    vocab_size: int | None = None,
+    vocab_size: int | DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style statistical-LM quality signal: mean log-probability
     of each document under an add-one-smoothed token-BIGRAM model
@@ -829,9 +829,15 @@ def ngram_lm_scores(
         # once and pass it in — V depends only on (df, text_col), not
         # on hash_keys.
         big, ctx = _lm_counts(occ, hash_keys)
-        v = vocab_size if vocab_size is not None else _lm_vocab_size(df, text_col)
-        if not v:
-            raise ValueError("ngram LM: vocab_size must be positive")
+        if vocab_size is None:
+            # lazy V (r14): the vocab aggregation joins in as a
+            # broadcast one-row frame instead of blocking plan build
+            # on a collect job — see _lm_vocab_df
+            v: int | DataFrame = _lm_vocab_df(df, text_col)
+        else:
+            v = vocab_size
+            if isinstance(v, int) and not v:
+                raise ValueError("ngram LM: vocab_size must be positive")
         model = {"big": big, "ctx": ctx, "v": v, "hash_keys": hash_keys}
     else:
         model = ngram_lm_fit(train_df, text_col, hash_keys=hash_keys)
@@ -895,9 +901,11 @@ def _lm_bigrams(
 
 def _lm_vocab_size(train: DataFrame, text_col: str) -> int:
     # V materializes driver-side: one scalar, substituted as a literal
-    # (cheaper than a crossJoin) and guarded — an empty training corpus
-    # would otherwise send every score to ln((0+1)/(0+0)) = +Inf and
-    # silently poison the quality screen
+    # and guarded — an empty training corpus would otherwise send every
+    # score to ln((0+1)/(0+0)) = +Inf and silently poison the quality
+    # screen. Used by the fitted-model path (ngram_lm_fit), where a
+    # reusable model wants a plain int; the self-trained scoring path
+    # uses the LAZY _lm_vocab_df below instead.
     v = train.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).agg(F.countDistinct("w").alias("__v")).collect()[0]["__v"]
@@ -906,6 +914,28 @@ def _lm_vocab_size(train: DataFrame, text_col: str) -> int:
             "ngram LM: training corpus has no tokens (V = 0)"
         )
     return int(v)
+
+
+def _lm_vocab_df(train: DataFrame, text_col: str) -> DataFrame:
+    """Lazy V (r14, guide §5.3): the guarded one-row vocabulary-size
+    frame. Collecting V as a literal runs a SYNCHRONOUS corpus-scan
+    job at plan-build time — as a broadcast one-row crossJoin the same
+    aggregation runs INSIDE the scoring job's DAG (pipelined with the
+    other stages, one fewer blocking pass over the training corpus).
+    The V=0 guard moves into the row itself: raise_error fires at job
+    time with the same message."""
+    v = train.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("__vraw"))
+    return v.select(
+        F.when(F.col("__vraw") > 0, F.col("__vraw"))
+        .otherwise(
+            F.raise_error(
+                F.lit("ngram LM: training corpus has no tokens (V = 0)")
+            ).cast("long")
+        )
+        .alias("__v")
+    )
 
 
 def ngram_lm_fit(
@@ -970,23 +1000,30 @@ def _lm_score_occurrences(
     hashed = model.get("hash_keys", False)
     big_keys = ["kb"] if hashed else ["w1", "w2"]
     ctx_keys = ["kc"] if hashed else ["w1"]
-    lp = (
-        occ.join(model["big"], big_keys, "left")
-        .join(model["ctx"], ctx_keys, "left")
-        .select(
-            F.col(id_col),
-            F.col("pos"),
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
-                    / (
-                        F.coalesce(F.col("__cw"), F.lit(0))
-                        + F.lit(model["v"])
-                    ).cast("double")
-                ),
-                6,
-            ).alias("lp"),
-        )
+    joined = occ.join(model["big"], big_keys, "left").join(
+        model["ctx"], ctx_keys, "left"
+    )
+    if isinstance(model["v"], DataFrame):
+        # lazy V (r14): broadcast one-row crossJoin — the vocab
+        # aggregation runs inside this job instead of as a blocking
+        # plan-build collect; same exact-int value in the same
+        # arithmetic, so scores are bit-identical
+        joined = joined.crossJoin(F.broadcast(model["v"]))
+        v_col = F.col("__v")
+    else:
+        v_col = F.lit(model["v"])
+    lp = joined.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.round(
+            F.log(
+                (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
+                / (
+                    F.coalesce(F.col("__cw"), F.lit(0)) + v_col
+                ).cast("double")
+            ),
+            6,
+        ).alias("lp"),
     )
     agg = lp.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -1459,12 +1459,14 @@ def q_text_fingerprint(spark, sf_dir):
             )
         ).alias("r")
     ).select("r.*")
-    # one vocab-size job for both LM variants (r14): V depends only on
-    # the corpus, and each ngram_lm_scores call otherwise runs its own
-    # one-row collect at plan-build time
-    from tsp_spark.pipeline.text import _lm_vocab_size
+    # one LAZY vocab-size frame for both LM variants (r14): V depends
+    # only on the corpus, and as a shared broadcast one-row crossJoin
+    # the vocabulary aggregation runs inside the query's own job
+    # (identical subtree in both variants → one broadcast, reused)
+    # instead of as a blocking plan-build collect job
+    from tsp_spark.pipeline.text import _lm_vocab_df
 
-    lm_v = _lm_vocab_size(docs, "text")
+    lm_v = _lm_vocab_df(docs, "text")
     lm = ngram_lm_scores(docs, "text", "doc_id", vocab_size=lm_v).select(
         F.lit("lm").alias("variant"),
         F.col("doc_id"),
