@@ -925,11 +925,13 @@ def _minhash_bands(
     # linear in corpus token count and the min-agg is codegen'd with
     # map-side partial aggregation, so one shuffle on the doc id.
     exploded_h = with_th.select("__id", F.explode(hashes).alias("__h"))
+    # expression strings (r14, guide §5.3): the Column form of the
+    # num_perm min-aggregates costs ~21 py4j round trips each (~680
+    # per build at 32 perms); one F.expr per aggregate is 2 — same
+    # int×long→long promotion and pmod semantics, bit-identical mins
     sig_df = exploded_h.groupBy("__id").agg(
         *[
-            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE))).alias(
-                f"mh{i}"
-            )
+            F.expr(f"min(pmod({a} * __h + {b}, {_MERSENNE}))").alias(f"mh{i}")
             for i, (a, b) in enumerate(perms)
         ]
     )

@@ -125,9 +125,24 @@ def lsh_bucket_topk(
     # analysis/codegen PER QUERY (measured at sf0.1); a single
     # array<array<double>> literal with a transform keeps the identical
     # sequential-fold dot products (oracle stays bit-exact) at ~⅓ the
-    # plan-compilation cost, still map-only
-    plane_matrix = F.lit(planes)
-    bit_weights = F.lit([1 << i for i in range(bits)])
+    # plan-compilation cost, still map-only.
+    # r14 (guide §5.3): built as ONE F.expr string — `F.lit(list)`
+    # expands to a py4j call per element (bits×dims ≈ 512 round trips,
+    # ~0.4 s of plan-BUILD time per invocation). The `D` suffix makes
+    # each literal a DOUBLE via Double.parseDouble of repr(x), the same
+    # shortest-repr IEEE round trip the DuckDB oracle relies on, so the
+    # values are bit-identical to the old per-element F.lit tree.
+    plane_matrix = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")"
+            for row in planes
+        )
+        + ")"
+    )
+    bit_weights = F.expr(
+        "array(" + ",".join(str(1 << i) for i in range(bits)) + ")"
+    )
 
     def signature(vec: Column) -> Column:
         sign_bits = F.transform(
