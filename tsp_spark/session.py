@@ -67,6 +67,20 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("TSP_SPARK_DRIVER_MEM", "8g"))
+        # r14: Spark's ContextCleaner frees dead shuffle files, broadcast
+        # blocks and (local)checkpointed RDDs via WEAK REFERENCES — the
+        # driver must run a full GC before anything is reclaimed, and the
+        # default periodic-GC interval (30 min) is longer than many whole
+        # jobs, so a multi-query session accumulates every dead
+        # checkpoint/shuffle until memory pressure forces a GC mid-query
+        # (measured: late-session legs of a ~15-min run inflate 2-5×
+        # while the same legs standalone match their round-over-round
+        # baselines). 2 min bounds the garbage window; a driver full GC
+        # on an idle 8 GB heap costs ~100 ms.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("TSP_SPARK_PERIODIC_GC", "2min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
