@@ -269,7 +269,10 @@ def accums_rehearsal(spark, n_rows: int = 600_000, n_keys: int = 2):
     ]
     ft = {"lt10Sens": "float64", "gt1000Sens": "float64"}
     out = {}
+    import gc
+
     for i, (pat, env) in enumerate(cases):
+        gc.collect()  # untimed (see the headline-loop hygiene note)
         t0 = time.perf_counter()
         n = search_incidents(
             ev, [RawPattern(i, pat)], ["user_id"], "ts",
@@ -315,7 +318,10 @@ def window_frames_rehearsal(spark, n_rows: int = 2_000_000, n_keys: int = 20):
         ("wait_24h", "wait(24 hr, x > 0.999)"),
     ]
     out = {}
+    import gc
+
     for label, pat in cases:
+        gc.collect()  # untimed (see the headline-loop hygiene note)
         t0 = time.perf_counter()
         n = search_incidents(
             ev, [RawPattern(1, pat)], ["user_id"], "ts",
@@ -341,6 +347,7 @@ def window_frames_rehearsal(spark, n_rows: int = 2_000_000, n_keys: int = 20):
         ("avg_2m_100hz", "avg(x, 2 min) > 0.6"),
         ("wait_30s_100hz", "wait(30 sec, x > 0.999)"),
     ):
+        gc.collect()  # untimed
         d: dict = {}
         t0 = time.perf_counter()
         n = search_incidents(
