@@ -2164,6 +2164,26 @@ def test_jaccard_prefix_table_materializes_once(spark):
     assert "windowspecdefinition" not in plan, plan
 
 
+def test_cms_exact_table_materializes_once(spark):
+    """r14 (guide §2.2): cms_heavy_hitters reuses its exact per-item
+    count table three ways (counter build, candidate set, stream
+    total), and without materialization every consumer re-derived the
+    groupBy from the raw occurrences — the bench fold scanned and
+    tokenized the corpus 3×. The final plan must read only the
+    checkpointed table: no trace of the raw input source may survive
+    downstream."""
+    from tsp_spark.pipeline.sketches import cms_heavy_hitters
+
+    rows = [(f"tok{i % 4}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "item string")
+    out = cms_heavy_hitters(df, "item", inv_phi=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    # the raw occurrence frame (a local relation here) must not be
+    # re-scanned by any of the three consumers
+    assert "LocalTableScan" not in plan, plan
+
+
 def test_simhash_banded_table_materializes_once(spark):
     """r14 (guide §2.2): same shape as the jaccard prefix fix — the
     band self-join broadcasts one side, so without materialization the

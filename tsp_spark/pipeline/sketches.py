@@ -219,8 +219,18 @@ def cms_heavy_hitters(
     # occurrence of an item lands in the same d cells), but the 4-way
     # explode runs over |distinct items| rows instead of the full
     # stream — one full-data pass total, and the saving widens with
-    # duplication at scale
-    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    # duplication at scale.
+    # r14 (guide §2.2, §3): the exact table feeds THREE consumers
+    # (counter build, candidate set, and — through the counters — the
+    # stream total), and each re-derived the groupBy from the raw
+    # occurrences (measured: the bench fold scanned + tokenized the
+    # corpus 3×; ReuseExchange does not fire across the broadcast
+    # forks). Materialize it once — it is the sketch contract's small
+    # side (|distinct items| rows of (string, long)), the same bounded
+    # table the broadcast join already ships.
+    exact = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).localCheckpoint()
     counters = (
         exact.select("n_exact", F.explode(_cms_cells(F.col("item"))).alias("c"))
         .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
