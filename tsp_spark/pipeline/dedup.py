@@ -1560,6 +1560,38 @@ def sentence_array_sql(text_expr: str) -> str:
     )
 
 
+def _toks_sql(text_col: str, unit: str) -> str:
+    """The SPARK SQL string computing the span machinery's gram-unit
+    array — ``split(text, ' ')`` for tokens, ``sentence_array`` for
+    sentences (r14: the gram stage builds from SQL strings to cut the
+    per-Column py4j round trips; the parsed expression tree is
+    identical to the old Column form). Spark string literals process
+    backslash escapes by default, so the regex reaches the engine as
+    the same `([.!?])([\\n ])` the Column form passed."""
+    if unit == "token":
+        return f"split(`{text_col}`, ' ')"
+    return (
+        f"split(regexp_replace(`{text_col}`, '([.!?])([\\\\n ])', "
+        f"'$1$2{SENTENCE_MARK}'), '{SENTENCE_MARK}')"
+    )
+
+
+def _kept_sql(text_col: str, unit: str) -> str:
+    """SQL string for the surviving-units array of the span trimmers:
+    unit i of the document survives iff no merged duplicated span
+    (the per-doc ``__spans`` array, NULL when the doc has none) covers
+    it. Shared by duplicated_span_profile / trim_duplicated_spans
+    (r14: SQL-string form of the old filter/exists Column lambdas —
+    identical parsed expressions, ~550 fewer py4j round trips per
+    invocation)."""
+    return (
+        f"filter({_toks_sql(text_col, unit)}, (x, i) -> NOT exists("
+        "coalesce(__spans, CAST(array() AS"
+        " array<struct<__s:BIGINT,__e:BIGINT>>)),"
+        " sp -> sp.__s <= i AND i < sp.__e))"
+    )
+
+
 def _merged_dup_spans(
     df: DataFrame,
     text_col: str,
@@ -1607,86 +1639,86 @@ def _merged_dup_spans(
     if unit not in ("token", "sentence"):
         raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
 
+    # r14 (guide §5.3): the gram stage builds as SQL STRINGS instead of
+    # nested Column lambdas — the Column form cost ~250 py4j round
+    # trips per invocation (x3 invocations in the bench fold) plus an
+    # eager JVM re-analysis per transformation; the parsed expressions
+    # are token-identical (same split/slice/concat_ws/md5-conv chain),
+    # so every downstream hash — and the oracle comparison — is
+    # bit-for-bit unchanged.
+    id_q = f"`{id_col}`"
+    toks_sql = _toks_sql(text_col, unit)
     if unit == "token":
-        toks = F.split(F.col(text_col), " ")
+        gram_sql = f"concat_ws(' ', slice(__toks, i + 1, {k}))"
     else:
-        toks = sentence_array(F.col(text_col))
+        # strip trailing [ \n] for the gram IDENTITY only (the
+        # rebuild keeps the whitespace): a span ending at
+        # end-of-text ('.') must match the same span mid-text
+        # ('.\n' / '. ')
+        gram_sql = (
+            f"concat_ws('{SENTENCE_GRAM_SEP}', "
+            f"transform(slice(__toks, i + 1, {k}), "
+            "s -> regexp_replace(s, '[ \\\\n]+$', '')))"
+        )
+    if hash_fn == "md5":
+        gh_sql = (
+            f"CAST(conv(substring(md5({gram_sql}), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+    else:
+        gh_sql = f"xxhash64({gram_sql})"
 
-    def _gram_hash(i: Column) -> Column:
-        if unit == "token":
-            gram = F.concat_ws(" ", F.slice(toks, i + 1, k))
-        else:
-            # strip trailing [ \n] for the gram IDENTITY only (the
-            # rebuild keeps the whitespace): a span ending at
-            # end-of-text ('.') must match the same span mid-text
-            # ('.\n' / '. ')
-            gram = F.concat_ws(
-                SENTENCE_GRAM_SEP,
-                F.transform(
-                    F.slice(toks, i + 1, k),
-                    lambda s: F.regexp_replace(s, "[ \\n]+$", ""),
-                ),
-            )
-        return md5_long(gram) if hash_fn == "md5" else F.xxhash64(gram)
-
-    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
-        "__n", F.size(toks)
-    )
+    base = df.selectExpr(id_q, f"`{text_col}`", f"size({toks_sql}) AS __n")
     grams = (
         base.where(F.col("__n") >= k)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__n") - k), _gram_hash
-                )
-            ).alias("pos", "__gh"),
+        .selectExpr(id_q, f"{toks_sql} AS __toks", "__n")
+        .selectExpr(
+            id_q,
+            f"posexplode(transform(sequence(0, __n - {k}), "
+            f"i -> {gh_sql})) AS (pos, __gh)",
         )
     )
     if keep_first:
         dup = (
             grams.groupBy("__gh")
             .agg(
-                F.count(F.lit(1)).alias("__cnt"),
-                F.min(
-                    F.struct(
-                        F.col(id_col).alias("i"), F.col("pos").alias("p")
-                    )
-                ).alias("__canon"),
+                F.expr("count(1) AS __cnt"),
+                F.expr(f"min(struct({id_q} AS i, pos AS p)) AS __canon"),
             )
-            .where(F.col("__cnt") >= min_count)
+            .where(F.expr(f"__cnt >= {min_count}"))
             .select("__gh", "__canon")
         )
         hits = (
             grams.join(dup, "__gh")
-            .where(
-                (F.col(id_col) != F.col("__canon.i"))
-                | (F.col("pos") != F.col("__canon.p"))
-            )
-            .drop("__canon")
-            .withColumn("__end", F.col("pos") + k)
+            .where(F.expr(f"{id_q} != __canon.i OR pos != __canon.p"))
+            .selectExpr(id_q, "pos", f"pos + {k} AS __end")
         )
     else:
         dup = (
             grams.groupBy("__gh")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .where(F.col("__cnt") >= min_count)
+            .agg(F.expr("count(1) AS __cnt"))
+            .where(F.expr(f"__cnt >= {min_count}"))
             .select("__gh")
         )
-        hits = grams.join(dup, "__gh", "leftsemi").withColumn(
-            "__end", F.col("pos") + k
+        hits = grams.join(dup, "__gh", "leftsemi").selectExpr(
+            id_q, "pos", f"pos + {k} AS __end"
         )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev = w.rowsBetween(Window.unboundedPreceding, -1)
     merged = (
-        hits.withColumn(
-            "__new",
-            (
-                F.col("pos")
-                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
-            ).cast("long"),
+        hits.selectExpr(
+            id_q,
+            "pos",
+            "__end",
+            "CAST(pos > coalesce(max(__end) OVER "
+            f"(PARTITION BY {id_q} ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)"
+            " AS BIGINT) AS __new",
         )
-        .withColumn("__g", F.sum("__new").over(w))
+        .selectExpr(
+            id_q,
+            "pos",
+            "__end",
+            f"sum(__new) OVER (PARTITION BY {id_q} ORDER BY pos) AS __g",
+        )
         .groupBy(id_col, "__g")
         .agg(
             F.min("pos").alias("__s"),
@@ -1721,37 +1753,28 @@ def duplicated_span_profile(
         df, text_col, id_col, k, min_count, hash_fn,
         keep_first=keep_first, unit=unit,
     )
+    # r14 (guide §5.3): post-processing as SQL strings — the nested
+    # filter/exists Column lambdas alone cost ~550 py4j round trips per
+    # invocation; the parsed expressions are identical, so text_clean
+    # (and its downstream md5 in the bench fold) is byte-for-byte
+    # unchanged.
+    id_q = f"`{id_col}`"
     per_doc = merged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__nsp"),
-        F.sum(F.col("__e") - F.col("__s")).alias("__dup"),
-        F.collect_list(F.struct("__s", "__e")).alias("__spans"),
+        F.expr("count(1) AS __nsp"),
+        F.expr("sum(__e - __s) AS __dup"),
+        F.expr("collect_list(struct(__s, __e)) AS __spans"),
     )
-    toks = (
-        F.split(F.col(text_col), " ")
-        if unit == "token"
-        else sentence_array(F.col(text_col))
-    )
-    spans = F.coalesce(
-        F.col("__spans"),
-        F.array().cast("array<struct<__s:long,__e:long>>"),
-    )
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            spans, lambda sp: (sp["__s"] <= i) & (i < sp["__e"])
-        ),
-    )
-    return base.join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        F.col("__n").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("__nsp"), F.lit(0)).cast("long").alias("n_spans"),
-        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
-        (
-            F.coalesce(F.col("__dup"), F.lit(0)).cast("double")
-            / F.col("__n").cast("double")
-        ).alias("dup_frac"),
-        F.concat_ws(" " if unit == "token" else "", kept).alias("text_clean"),
-        F.size(kept).cast("long").alias("n_kept"),
+    kept = _kept_sql(text_col, unit)
+    return base.join(per_doc, id_col, "left").selectExpr(
+        id_q,
+        "CAST(__n AS BIGINT) AS n_tokens",
+        "CAST(coalesce(__nsp, 0) AS BIGINT) AS n_spans",
+        "CAST(coalesce(__dup, 0) AS BIGINT) AS dup_tokens",
+        "CAST(coalesce(__dup, 0) AS DOUBLE) / CAST(__n AS DOUBLE)"
+        " AS dup_frac",
+        f"concat_ws('{' ' if unit == 'token' else ''}', {kept})"
+        " AS text_clean",
+        f"CAST(size({kept}) AS BIGINT) AS n_kept",
     )
 
 
@@ -1863,30 +1886,13 @@ def trim_duplicated_spans(
         keep_first=keep_first, unit=unit,
     )
     span_arr = merged.groupBy(id_col).agg(
-        F.collect_list(F.struct("__s", "__e")).alias("__spans")
+        F.expr("collect_list(struct(__s, __e)) AS __spans")
     )
-    toks = (
-        F.split(F.col(text_col), " ")
-        if unit == "token"
-        else sentence_array(F.col(text_col))
-    )
-    spans = F.coalesce(
-        F.col("__spans"),
-        F.array().cast("array<struct<__s:long,__e:long>>"),
-    )
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            spans, lambda sp: (sp["__s"] <= i) & (i < sp["__e"])
-        ),
-    )
-    return (
-        base.join(span_arr, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.concat_ws(" " if unit == "token" else "", kept)
-            .alias("text_clean"),
-            F.col("__n").cast("long").alias("n_tokens"),
-            F.size(kept).cast("long").alias("n_kept"),
-        )
+    kept = _kept_sql(text_col, unit)
+    return base.join(span_arr, id_col, "left").selectExpr(
+        f"`{id_col}`",
+        f"concat_ws('{' ' if unit == 'token' else ''}', {kept})"
+        " AS text_clean",
+        "CAST(__n AS BIGINT) AS n_tokens",
+        f"CAST(size({kept}) AS BIGINT) AS n_kept",
     )

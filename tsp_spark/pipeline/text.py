@@ -870,31 +870,34 @@ def _lm_bigrams(
     with_pos: bool,
     hash_keys: bool = False,
 ) -> DataFrame:
-    toks = F.split(F.col(text_col), " ")
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("w1"),
-            F.element_at(toks, i + 2).alias("w2"),
-        ),
+    # r14 (guide §5.3): SQL-string stages — the nested struct-building
+    # transform lambda cost ~100 py4j round trips per invocation (×2
+    # in the bench fold); the parsed expressions are identical, and
+    # the token array materializes once per row (__toks) instead of
+    # re-splitting inside every element_at.
+    toks_sql = f"split(`{text_col}`, ' ')"
+    pairs_sql = (
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(element_at(__toks, i + 1) AS w1, "
+        "element_at(__toks, i + 2) AS w2))"
     )
-    base = frame.where(F.size(toks) >= 2)
+    base = frame.where(F.expr(f"size({toks_sql}) >= 2"))
     if with_pos:
-        out = base.select(
-            F.col(id_col), F.posexplode(pairs).alias("pos", "bg")
-        ).select(id_col, "pos", "bg.w1", "bg.w2")
+        out = base.selectExpr(
+            f"`{id_col}`", f"{toks_sql} AS __toks"
+        ).selectExpr(
+            f"`{id_col}`", f"posexplode({pairs_sql}) AS (pos, bg)"
+        ).selectExpr(f"`{id_col}`", "pos", "bg.w1", "bg.w2")
     else:
-        out = base.select(F.explode(pairs).alias("bg")).select(
-            "bg.w1", "bg.w2"
-        )
+        out = base.selectExpr(f"{toks_sql} AS __toks").selectExpr(
+            f"explode({pairs_sql}) AS bg"
+        ).selectExpr("bg.w1", "bg.w2")
     if hash_keys:
         # hash BEFORE the strings leave this projection: every
         # downstream groupBy/join shuffles 8-byte longs
-        cols = [id_col, "pos"] if with_pos else []
-        out = out.select(
-            *cols,
-            F.xxhash64("w1", "w2").alias("kb"),
-            F.xxhash64("w1").alias("kc"),
+        cols = [f"`{id_col}`", "pos"] if with_pos else []
+        out = out.selectExpr(
+            *cols, "xxhash64(w1, w2) AS kb", "xxhash64(w1) AS kc"
         )
     return out
 
@@ -1009,41 +1012,33 @@ def _lm_score_occurrences(
         # plan-build collect; same exact-int value in the same
         # arithmetic, so scores are bit-identical
         joined = joined.crossJoin(F.broadcast(model["v"]))
-        v_col = F.col("__v")
+        v_sql = "__v"
     else:
-        v_col = F.lit(model["v"])
-    lp = joined.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.round(
-            F.log(
-                (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
-                / (
-                    F.coalesce(F.col("__cw"), F.lit(0)) + v_col
-                ).cast("double")
-            ),
-            6,
-        ).alias("lp"),
+        v_sql = str(int(model["v"]))
+    # r14 (guide §5.3): scoring fold as SQL strings (same parsed
+    # expressions — exact-int probability terms, ln rounded to 6
+    # decimals, ordered left fold — so scores stay bit-identical to
+    # the Column form and the DuckDB oracle)
+    lp = joined.selectExpr(
+        f"`{id_col}`",
+        "pos",
+        "round(ln(CAST(coalesce(__cb, 0) + 1 AS DOUBLE) / "
+        f"CAST(coalesce(__cw, 0) + {v_sql} AS DOUBLE)), 6) AS lp",
     )
     agg = lp.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("pos", "lp"))),
-            F.lit(0.0),
-            lambda a, x: a + x["lp"],
-        ).alias("__s"),
+        F.expr("count(1) AS n_bigrams"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(pos, lp))), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x.lp) AS __s"
+        ),
     )
     return (
-        df.select(F.col(id_col))
+        df.selectExpr(f"`{id_col}`")
         .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_bigrams"), F.lit(0))
-            .cast("long")
-            .alias("n_bigrams"),
-            F.coalesce(
-                F.col("__s") / F.col("n_bigrams"), F.lit(0.0)
-            ).alias("lm_score"),
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams",
+            "coalesce(__s / n_bigrams, CAST(0.0 AS DOUBLE)) AS lm_score",
         )
     )
 
@@ -1221,32 +1216,39 @@ def c4_cols(
     ``clean_as_hash=True`` replaces the rebuilt text with its md5_long
     (value-checks the whole reconstruction without shipping the
     string — the trim-variant trick)."""
-    from tsp_spark.pipeline.hashing import md5_long
-    lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(
-        lines,
-        lambda ln: ln.rlike(C4_TERMINAL_RE)
-        & (F.size(F.split(ln, " ")) >= min_words)
-        & ~F.contains(F.lower(ln), F.lit("javascript")),
+    # r14 (guide §5.3): SQL-string forms — the filter lambda and the
+    # page predicates cost ~170 py4j round trips per invocation as
+    # Columns; the parsed expressions (and so the rebuilt text and its
+    # md5 in the profile fold) are identical. '\n' inside the SQL
+    # literals parses to the same LF character the Column form passed.
+    t = f"`{text_col}`"
+    kept = (
+        f"filter(split({t}, '\\n'), ln -> ln RLIKE '{C4_TERMINAL_RE}'"
+        f" AND size(split(ln, ' ')) >= {min_words}"
+        " AND NOT contains(lower(ln), 'javascript'))"
     )
-    n_sentences = F.regexp_count(F.col(text_col), F.lit("[.!?]"))
+    n_sentences = f"regexp_count({t}, '[.!?]')"
     page_ok = (
-        (n_sentences >= 3)
-        & ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
-        & ~F.contains(F.col(text_col), F.lit("{"))
+        f"{n_sentences} >= 3"
+        f" AND NOT contains(lower({t}), 'lorem ipsum')"
+        f" AND NOT contains({t}, '{{')"
     )
-    clean = F.concat_ws("\n", kept)
+    clean = f"concat_ws('\\n', {kept})"
     first = (
-        md5_long(clean).alias(f"{prefix}clean_hash")
+        f"CAST(conv(substring(md5({clean}), 1, 15), 16, 10) AS BIGINT)"
+        f" AS `{prefix}clean_hash`"
         if clean_as_hash
-        else clean.alias(f"{prefix}text_clean")
+        else f"{clean} AS `{prefix}text_clean`"
     )
     return [
-        first,
-        F.size(lines).cast("long").alias(f"{prefix}n_lines"),
-        F.size(kept).cast("long").alias(f"{prefix}n_kept_lines"),
-        n_sentences.cast("long").alias(f"{prefix}n_sentences"),
-        page_ok.alias(f"{prefix}keep"),
+        F.expr(s)
+        for s in (
+            first,
+            f"CAST(size(split({t}, '\\n')) AS BIGINT) AS `{prefix}n_lines`",
+            f"CAST(size({kept}) AS BIGINT) AS `{prefix}n_kept_lines`",
+            f"CAST({n_sentences} AS BIGINT) AS `{prefix}n_sentences`",
+            f"{page_ok} AS `{prefix}keep`",
+        )
     ]
 
 
@@ -1312,14 +1314,14 @@ def inject_boilerplate_col(text_col: str, id_col: str) -> Column:
     C4 line rules (>= 5 words, terminal '.', no 'javascript'), so the
     injected spans SURVIVE the line filter and exercise the sentence
     dedup — both engines synthesize the identical text."""
-    from tsp_spark.pipeline.hashing import md5_long
-
-    h = md5_long(F.col(id_col).cast("string"))
-    off = F.shiftright(h, 14).bitwiseAND(F.lit(1)).cast("int")
-    m = (F.shiftright(h, 16).bitwiseAND(F.lit(3)) + 3).cast("int")
-    pool = F.array(*[F.lit(s) for s in BOILERPLATE_SENTENCES])
-    block = F.concat_ws("\n", F.slice(pool, off + 1, m))
-    return F.concat(F.col(text_col), F.lit("\n"), block)
+    # r14 (guide §5.3): one F.expr string (~60 py4j round trips -> 2);
+    # the parsed expression is identical to the old Column tree.
+    h = f"CAST(conv(substring(md5(CAST(`{id_col}` AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    off = f"CAST(shiftright({h}, 14) & 1 AS INT)"
+    m = f"CAST((shiftright({h}, 16) & 3) + 3 AS INT)"
+    pool = "array(" + ", ".join(f"'{s}'" for s in BOILERPLATE_SENTENCES) + ")"
+    block = f"concat_ws('\\n', slice({pool}, {off} + 1, {m}))"
+    return F.expr(f"concat(`{text_col}`, '\\n', {block})")
 
 
 def inject_boilerplate_sql(text_expr: str, id_expr: str) -> str:
@@ -1347,40 +1349,31 @@ def structure_text_col(text_col: str, id_col: str) -> Column:
     or braces), so the oracle fold exercises c4_clean over this
     projection instead (the damage_text_col pattern): both engines
     synthesize the identical structured text."""
-    from tsp_spark.pipeline.hashing import md5_long
-
-    h = md5_long(F.col(id_col).cast("string"))
-    toks = _tokens(F.col(text_col))
-    nt = F.size(toks)
-    line_len = (h.bitwiseAND(F.lit(3)) + 5).cast("int")
-    s1 = F.shiftright(h, 2).bitwiseAND(F.lit(7))
-    s2 = F.shiftright(h, 5).bitwiseAND(F.lit(7))
-    n_lines = F.ceil(nt / line_len).cast("int")
-
-    def line(i: Column) -> Column:
-        body = F.concat_ws(" ", F.slice(toks, i * line_len + 1, line_len))
-        suffix = (
-            F.when(F.pmod(i + s1, F.lit(5)) == 0, F.lit(""))
-            .when(F.pmod(i + s2, F.lit(7)) == 0, F.lit(" javascript."))
-            .otherwise(F.lit("."))
-        )
-        return F.concat(body, suffix)
-
-    base = F.concat_ws(
-        "\n", F.transform(F.sequence(F.lit(0), n_lines - 1), line)
+    # r14 (guide §5.3): one F.expr string (~140 py4j round trips -> 2);
+    # the parsed expression tree is identical — the h/toks/line_len
+    # subexpressions were inlined per use site in the Column form too.
+    h = f"CAST(conv(substring(md5(CAST(`{id_col}` AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    toks = f"split(`{text_col}`, ' ')"
+    line_len = f"CAST(({h} & 3) + 5 AS INT)"
+    s1 = f"shiftright({h}, 2) & 7"
+    s2 = f"shiftright({h}, 5) & 7"
+    n_lines = f"CAST(ceil(size({toks}) / {line_len}) AS INT)"
+    body = f"concat_ws(' ', slice({toks}, i * {line_len} + 1, {line_len}))"
+    suffix = (
+        f"CASE WHEN pmod(i + ({s1}), 5) = 0 THEN ''"
+        f" WHEN pmod(i + ({s2}), 7) = 0 THEN ' javascript.'"
+        " ELSE '.' END"
+    )
+    base = (
+        f"concat_ws('\\n', transform(sequence(0, {n_lines} - 1), "
+        f"i -> concat({body}, {suffix})))"
     )
     trailer = (
-        F.when(
-            F.shiftright(h, 8).bitwiseAND(F.lit(7)) == 0,
-            F.lit("\nlorem ipsum dolor."),
-        )
-        .when(
-            F.shiftright(h, 11).bitwiseAND(F.lit(7)) == 0,
-            F.lit("\n{ code block }."),
-        )
-        .otherwise(F.lit(""))
+        f"CASE WHEN (shiftright({h}, 8) & 7) = 0 THEN '\\nlorem ipsum dolor.'"
+        f" WHEN (shiftright({h}, 11) & 7) = 0 THEN '\\n{{ code block }}.'"
+        " ELSE '' END"
     )
-    return F.concat(base, trailer)
+    return F.expr(f"concat({base}, {trailer})")
 
 
 def structure_text_sql(text_expr: str, id_expr: str) -> str:

@@ -1439,12 +1439,14 @@ def q_text_fingerprint(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).localCheckpoint()
-    fp = fingerprint(docs, "text", "doc_id").select(
-        F.lit("fp").alias("variant"),
-        F.col("doc_id"),
-        F.col("fingerprint").cast("long").alias("v1"),
-        F.lit(0).cast("long").alias("v2"),
-        F.lit(0.0).alias("d1"),
+    # (r14, guide §5.3: the variant selects build as selectExpr strings
+    # — same parsed expressions, a fraction of the py4j round trips)
+    fp = fingerprint(docs, "text", "doc_id").selectExpr(
+        "'fp' AS variant",
+        "doc_id",
+        "CAST(fingerprint AS BIGINT) AS v1",
+        "CAST(0 AS BIGINT) AS v2",
+        "CAST(0.0 AS DOUBLE) AS d1",
     )
     # ONE span-detection core for both variants (duplicated_span_profile),
     # and ONE pass over its output: the spans/trim rows explode from an
@@ -1453,25 +1455,17 @@ def q_text_fingerprint(spark, sf_dir):
     # cannot reuse the gram groupBy / semi-join / window exchanges
     # (measured: the unioned form executes the core twice)
     profile = duplicated_span_profile(docs, "text", "doc_id", k=8)
-    span_trim = profile.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("spans").alias("variant"),
-                    F.col("doc_id"),
-                    F.col("dup_tokens").cast("long").alias("v1"),
-                    F.col("n_spans").cast("long").alias("v2"),
-                    F.col("dup_frac").alias("d1"),
-                ),
-                F.struct(
-                    F.lit("trim").alias("variant"),
-                    F.col("doc_id"),
-                    md5_long(F.col("text_clean")).alias("v1"),
-                    F.col("n_kept").cast("long").alias("v2"),
-                    F.lit(0.0).alias("d1"),
-                ),
-            )
-        ).alias("r")
+    span_trim = profile.selectExpr(
+        """explode(array(
+             struct('spans' AS variant, doc_id,
+                    CAST(dup_tokens AS BIGINT) AS v1,
+                    CAST(n_spans AS BIGINT) AS v2,
+                    dup_frac AS d1),
+             struct('trim' AS variant, doc_id,
+                    CAST(conv(substring(md5(text_clean), 1, 15), 16, 10)
+                         AS BIGINT) AS v1,
+                    CAST(n_kept AS BIGINT) AS v2,
+                    CAST(0.0 AS DOUBLE) AS d1))) AS r"""
     ).select("r.*")
     # one LAZY vocab-size frame for both LM variants (r14): V depends
     # only on the corpus, and as a shared broadcast one-row crossJoin
@@ -1481,43 +1475,39 @@ def q_text_fingerprint(spark, sf_dir):
     from tsp_spark.pipeline.text import _lm_vocab_df
 
     lm_v = _lm_vocab_df(docs, "text")
-    lm = ngram_lm_scores(docs, "text", "doc_id", vocab_size=lm_v).select(
-        F.lit("lm").alias("variant"),
-        F.col("doc_id"),
-        F.col("n_bigrams").alias("v1"),
-        F.lit(0).cast("long").alias("v2"),
-        F.col("lm_score").alias("d1"),
+    lm = ngram_lm_scores(docs, "text", "doc_id", vocab_size=lm_v).selectExpr(
+        "'lm' AS variant", "doc_id", "n_bigrams AS v1",
+        "CAST(0 AS BIGINT) AS v2", "lm_score AS d1",
     )
     lmh = ngram_lm_scores(
         docs, "text", "doc_id", hash_keys=True, vocab_size=lm_v
-    ).select(
-        F.lit("lmh").alias("variant"),
-        F.col("doc_id"),
-        F.col("n_bigrams").alias("v1"),
-        F.lit(0).cast("long").alias("v2"),
-        F.col("lm_score").alias("d1"),
+    ).selectExpr(
+        "'lmh' AS variant", "doc_id", "n_bigrams AS v1",
+        "CAST(0 AS BIGINT) AS v2", "lm_score AS d1",
     )
     # trimk: keep-one-canonical-occurrence trimming (r10) — a separate
     # core execution by design: its hit set differs from the profile's
     trimk = trim_duplicated_spans(
         docs, "text", "doc_id", k=8, keep_first=True
-    ).select(
-        F.lit("trimk").alias("variant"),
-        F.col("doc_id"),
-        md5_long(F.col("text_clean")).alias("v1"),
-        F.col("n_kept").cast("long").alias("v2"),
-        F.lit(0.0).alias("d1"),
+    ).selectExpr(
+        "'trimk' AS variant",
+        "doc_id",
+        "CAST(conv(substring(md5(text_clean), 1, 15), 16, 10) AS BIGINT)"
+        " AS v1",
+        "CAST(n_kept AS BIGINT) AS v2",
+        "CAST(0.0 AS DOUBLE) AS d1",
     )
     # c4s: full C4 over the structured + boilerplate-injected page
     staged = docs.withColumn(
         "__st", structure_text_col("text", "doc_id")
     ).withColumn("__stb", inject_boilerplate_col("__st", "doc_id"))
-    c4s = c4_full_clean(staged, "__stb", "doc_id").select(
-        F.lit("c4s").alias("variant"),
-        F.col("doc_id"),
-        md5_long(F.col("text_clean")).alias("v1"),
-        F.col("n_kept").cast("long").alias("v2"),
-        F.col("dup_frac").alias("d1"),
+    c4s = c4_full_clean(staged, "__stb", "doc_id").selectExpr(
+        "'c4s' AS variant",
+        "doc_id",
+        "CAST(conv(substring(md5(text_clean), 1, 15), 16, 10) AS BIGINT)"
+        " AS v1",
+        "CAST(n_kept AS BIGINT) AS v2",
+        "dup_frac AS d1",
     )
     return (
         fp.unionByName(span_trim)
