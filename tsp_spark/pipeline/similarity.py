@@ -29,6 +29,20 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string form of ``_dot`` (r14, guide §5.3: the ANN builders
+    assemble expressions as SQL strings — identical parsed trees, a
+    fraction of the py4j round trips per plan build)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _as_double_sql(a: str) -> str:
+    return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -71,14 +85,18 @@ def cosine_topk(
     contract the cheap side; cache ``queries`` first if it is derived."""
     # norms hoisted to the per-row projections (computed once per vector,
     # not once per pair; same expression → bit-identical cosine)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("__cn", _norm(F.col("__cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("__qv"),
-    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"{_as_double_sql(f'`{vec_col}`')} AS __cv",
+    ).selectExpr(
+        "*", f"sqrt({_dot_sql('__cv', '__cv')}) AS __cn"
+    )
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"{_as_double_sql(f'`{vec_col}`')} AS __qv",
+    ).selectExpr(
+        "*", f"sqrt({_dot_sql('__qv', '__qv')}) AS __qn"
+    )
     if max_query_rows is not None:
         # limit(N+1) short-circuits the scan (LocalLimit early-exit):
         # the guard costs O(max_query_rows) rows, not a full pass over
@@ -93,15 +111,21 @@ def cosine_topk(
                 "lsh_bucket_topk (LSH buckets) for large query sets, or "
                 "pass max_query_rows=None to force the exact scan."
             )
-    joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.expr("neighbor_id != query_id")
+    )
+    scored = joined.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"{_dot_sql('__cv', '__qv')} / (__cn * __qn) AS cosine",
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id) AS rank",
+        )
+        .where(F.expr(f"rank <= {k}"))
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
@@ -132,7 +156,7 @@ def lsh_bucket_topk(
     # each literal a DOUBLE via Double.parseDouble of repr(x), the same
     # shortest-repr IEEE round trip the DuckDB oracle relies on, so the
     # values are bit-identical to the old per-element F.lit tree.
-    plane_matrix = F.expr(
+    plane_matrix = (
         "array("
         + ",".join(
             "array(" + ",".join(f"{v!r}D" for v in row) + ")"
@@ -140,19 +164,15 @@ def lsh_bucket_topk(
         )
         + ")"
     )
-    bit_weights = F.expr(
+    bit_weights = (
         "array(" + ",".join(str(1 << i) for i in range(bits)) + ")"
     )
 
-    def signature(vec: Column) -> Column:
-        sign_bits = F.transform(
-            plane_matrix,
-            lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
-        )
-        return F.aggregate(
-            F.zip_with(sign_bits, bit_weights, lambda b, w: b * w),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    def signature(vec: str) -> str:
+        return (
+            f"aggregate(zip_with(transform({plane_matrix}, "
+            f"p -> CASE WHEN {_dot_sql(vec, 'p')} >= 0 THEN 1 ELSE 0 END), "
+            f"{bit_weights}, (b, w) -> b * w), 0, (acc, x) -> acc + x)"
         )
 
     # dims guard (review-caught): a vec shorter/longer than the plane
@@ -160,54 +180,50 @@ def lsh_bucket_topk(
     # EVERY row would land in bucket 0 and the bucket join silently
     # degrades to the all-pairs cross join this function exists to
     # avoid. Fail fast, where the data is.
-    def checked(vec: Column) -> Column:
-        return F.when(
-            F.size(vec) != dims,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"lsh_bucket_topk: embedding length "
-                    ),
-                    F.size(vec).cast("string"),
-                    F.lit(
-                        f" != dims={dims} — every vector would hash to "
-                        f"bucket 0 and the join would go all-pairs. "
-                        f"Pass dims=<actual embedding length>."
-                    ),
-                )
-            ).cast("array<double>"),
-        ).otherwise(vec)
+    def checked(vec: str) -> str:
+        return (
+            f"CASE WHEN size({vec}) != {dims} THEN "
+            "CAST(raise_error(concat('lsh_bucket_topk: embedding length ', "
+            f"CAST(size({vec}) AS STRING), "
+            f"' != dims={dims} — every vector would hash to bucket 0 and "
+            "the join would go all-pairs. Pass dims=<actual embedding "
+            f"length>.')) AS array<double>) ELSE {vec} END"
+        )
 
     # norms hoisted to the per-row projections (same pattern as
     # cosine_topk — bit-identical, and a corpus vector in a big bucket
     # pays its O(dims) norm once instead of once per candidate pair)
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            checked(_as_double(F.col(vec_col))).alias("__cv"),
+        corpus.selectExpr(
+            f"`{id_col}` AS neighbor_id",
+            f"{checked(_as_double_sql(f'`{vec_col}`'))} AS __cv",
         )
-        .withColumn("__bucket", signature(F.col("__cv")))
-        .withColumn("__cn", _norm(F.col("__cv")))
+        .selectExpr("*", f"{signature('__cv')} AS __bucket")
+        .selectExpr("*", f"sqrt({_dot_sql('__cv', '__cv')}) AS __cn")
     )
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            checked(_as_double(F.col(vec_col))).alias("__qv"),
+        queries.selectExpr(
+            f"`{id_col}` AS query_id",
+            f"{checked(_as_double_sql(f'`{vec_col}`'))} AS __qv",
         )
-        .withColumn("__bucket", signature(F.col("__qv")))
-        .withColumn("__qn", _norm(F.col("__qv")))
+        .selectExpr("*", f"{signature('__qv')} AS __bucket")
+        .selectExpr("*", f"sqrt({_dot_sql('__qv', '__qv')}) AS __qn")
     )
     joined = c.join(F.broadcast(q), on="__bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
+        F.expr("neighbor_id != query_id")
     )
-    cos = _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    scored = joined.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"{_dot_sql('__cv', '__qv')} / (__cn * __qn) AS cosine",
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id) AS rank",
+        )
+        .where(F.expr(f"rank <= {k}"))
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
 

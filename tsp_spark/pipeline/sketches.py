@@ -30,6 +30,20 @@ from tsp_spark.pipeline.hashing import md5_long
 HASH_SPACE = float(1 << 60)  # md5_long is 60-bit non-negative
 
 
+def _md5_long_sql(expr: str) -> str:
+    """SPARK SQL string computing exactly ``hashing.md5_long`` (r14,
+    guide §5.3: the sketch builders assemble their expressions as SQL
+    strings — identical parsed trees, a fraction of the py4j round
+    trips per plan build)."""
+    return (
+        f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _quoted(group_cols) -> str:
+    return ", ".join(f"`{c}`" for c in group_cols)
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str | Column,
@@ -39,7 +53,13 @@ def kmv_distinct(
     """Per-group distinct-count estimate: (group_cols…, n_kept,
     est_distinct). Exact when a group has < k distinct values."""
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    h = md5_long(col.cast("string"))
+    h = (
+        F.expr(_md5_long_sql(f"CAST(`{value_col}` AS STRING)"))
+        if isinstance(value_col, str)
+        else md5_long(col.cast("string"))
+    )
+    g = _quoted(group_cols)
+    gq = [f"`{c}`" for c in group_cols]
     # NULL values are not countable distinct values: Spark sorts NULLS
     # FIRST, so an unfiltered NULL hash would occupy a top-k slot,
     # inflate n_kept and bias the estimator — while DuckDB (NULLS
@@ -54,14 +74,17 @@ def kmv_distinct(
     # top k is below the global top k): the reduce-side window input
     # is bounded at 32·k rows per group instead of a group's ENTIRE
     # distinct hash set flowing through one task at 100 TB
-    w_local = Window.partitionBy(
-        *group_cols, F.pmod(F.col("__h"), F.lit(32))
-    ).orderBy("__h")
-    pairs = pairs.withColumn(
-        "__lr", F.row_number().over(w_local)
-    ).where(F.col("__lr") <= k)
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    kept = pairs.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    pairs = pairs.selectExpr(
+        *gq,
+        "__h",
+        "row_number() OVER (PARTITION BY "
+        f"{g}, pmod(__h, 32) ORDER BY __h) AS __lr",
+    ).where(F.expr(f"__lr <= {k}"))
+    kept = pairs.selectExpr(
+        *gq,
+        "__h",
+        f"row_number() OVER (PARTITION BY {g} ORDER BY __h) AS __r",
+    ).where(F.expr(f"__r <= {k}"))
     return kept.groupBy(*group_cols).agg(*_kmv_estimate_aggs(k))
 
 
@@ -124,20 +147,31 @@ def hll_registers(
     bounded state), and ``hll_estimate_from_registers`` derives the
     estimate from the sink at any time."""
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    h = md5_long(col.cast("string"))
-    bucket = F.pmod(h, F.lit(HLL_M))
-    # h >> 8, integer-exact (h is 60-bit: a double round-trip would
-    # corrupt bits past 2^53)
-    rest = F.shiftright(h, HLL_P)
-    bitlen = F.length(F.bin(rest))
-    rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
-        F.lit(HLL_W + 1) - bitlen
-    )
-    return (
-        df.where(col.isNotNull())
-        .select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
-        .groupBy(*group_cols, "__b")
-        .agg(F.max("__rho").alias("__reg"))
+    if isinstance(value_col, str):
+        h_sql = _md5_long_sql(f"CAST(`{value_col}` AS STRING)")
+        # h >> 8, integer-exact (h is 60-bit: a double round-trip
+        # would corrupt bits past 2^53)
+        rest = f"shiftright({h_sql}, {HLL_P})"
+        top = HLL_W + 1
+        sel = [
+            *[f"`{c}`" for c in group_cols],
+            f"pmod({h_sql}, {HLL_M}) AS __b",
+            f"CASE WHEN {rest} = 0 THEN {top} "
+            f"ELSE {top} - length(bin({rest})) END AS __rho",
+        ]
+        pre = df.where(col.isNotNull()).selectExpr(*sel)
+    else:
+        h = md5_long(col.cast("string"))
+        bucket = F.pmod(h, F.lit(HLL_M))
+        rest_c = F.shiftright(h, HLL_P)
+        rho = F.when(rest_c == 0, F.lit(HLL_W + 1)).otherwise(
+            F.lit(HLL_W + 1) - F.length(F.bin(rest_c))
+        )
+        pre = df.where(col.isNotNull()).select(
+            *group_cols, bucket.alias("__b"), rho.alias("__rho")
+        )
+    return pre.groupBy(*group_cols, "__b").agg(
+        F.expr("max(__rho) AS __reg")
     )
 
 
@@ -151,25 +185,33 @@ def hll_estimate_from_registers(
     duplicate (group, bucket) rows first (without it a unioned input
     would double-count the harmonic sum and drive v_zero negative —
     review-caught, ≤256 rows/group so the extra agg is free)."""
-    regs = regs.groupBy(*group_cols, "__b").agg(F.max("__reg").alias("__reg"))
-    # variable-amount shift needs the SQL form (the Python shiftleft
-    # binding only takes a literal bit count)
-    two_pow = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __reg)")
+    regs = regs.groupBy(*group_cols, "__b").agg(
+        F.expr("max(__reg) AS __reg")
+    )
     per_group = regs.groupBy(*group_cols).agg(
-        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v_zero"),
-        F.sum("__reg").cast("long").alias("sum_reg"),
-        F.sum(two_pow).cast("long").alias("__s_present"),
+        F.expr(f"{HLL_M} - count(1) AS v_zero"),
+        F.expr("CAST(sum(__reg) AS BIGINT) AS sum_reg"),
+        # variable-amount shift: the SQL form (the Python shiftleft
+        # binding only takes a literal bit count)
+        F.expr(
+            f"CAST(sum(shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __reg))"
+            " AS BIGINT) AS __s_present"
+        ),
     )
     s_total = (
-        F.col("v_zero") * F.lit(1 << (HLL_W + 1)) + F.col("__s_present")
-    ).cast("double")
-    est_raw = F.lit(HLL_ALPHA_NUM) / s_total
-    lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero"))
-    est = F.when(
-        (est_raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0), lin
-    ).otherwise(est_raw)
-    return per_group.select(
-        *group_cols, "v_zero", "sum_reg", F.round(est, 4).alias("est_distinct")
+        f"CAST(v_zero * {1 << (HLL_W + 1)} + __s_present AS DOUBLE)"
+    )
+    est_raw = f"{HLL_ALPHA_NUM!r} / {s_total}"
+    lin = f"{float(HLL_M)!r}D * ln({float(HLL_M)!r}D / v_zero)"
+    est = (
+        f"CASE WHEN {est_raw} <= {2.5 * HLL_M!r}D AND v_zero > 0"
+        f" THEN {lin} ELSE {est_raw} END"
+    )
+    return per_group.selectExpr(
+        *[f"`{c}`" for c in group_cols],
+        "v_zero",
+        "sum_reg",
+        f"round({est}, 4) AS est_distinct",
     )
 
 
@@ -232,9 +274,11 @@ def cms_heavy_hitters(
         F.count(F.lit(1)).alias("n_exact")
     ).localCheckpoint()
     counters = (
-        exact.select("n_exact", F.explode(_cms_cells(F.col("item"))).alias("c"))
+        exact.selectExpr(
+            "n_exact", f"explode({_cms_cells_sql('item')}) AS c"
+        )
         .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
-        .agg(F.sum("n_exact").alias("cnt"))
+        .agg(F.expr("sum(n_exact) AS cnt"))
     )
     return cms_heavy_hitters_from_counters(counters, exact, inv_phi).select(
         "item", "est_count", "n_exact"
@@ -259,6 +303,18 @@ def _cms_cells(item: Column) -> Column:
     )
 
 
+def _cms_cells_sql(item_expr: str) -> str:
+    """SQL-string form of ``_cms_cells`` (r14, guide §5.3) — the same
+    universal-hash chains, parsed from one string instead of ~100
+    Column round trips per use."""
+    hr = f"pmod({_md5_long_sql(item_expr)}, {CMS_P})"
+    return "array(" + ", ".join(
+        f"struct({i} AS i, pmod(pmod({CMS_A[i]} * {hr} + {CMS_B[i]}, "
+        f"{CMS_P}), {CMS_WIDTH}) AS bucket)"
+        for i in range(CMS_DEPTH)
+    ) + ")"
+
+
 def cms_counters(df: DataFrame, item_col: str | Column) -> DataFrame:
     """The CMS counter table (i, bucket, cnt) — the sketch's whole
     state, built in ONE aggregation over raw occurrences, so it is
@@ -272,9 +328,9 @@ def cms_counters(df: DataFrame, item_col: str | Column) -> DataFrame:
     col = F.col(item_col) if isinstance(item_col, str) else item_col
     items = df.where(col.isNotNull()).select(col.cast("string").alias("item"))
     return (
-        items.select(F.explode(_cms_cells(F.col("item"))).alias("c"))
+        items.selectExpr(f"explode({_cms_cells_sql('item')}) AS c")
         .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS cnt"))
     )
 
 
@@ -289,12 +345,17 @@ def cms_heavy_hitters_from_counters(
     threshold is recovered from the sketch itself: every occurrence
     increments exactly one cell of row 0, so Σ cnt over i=0 IS the
     occurrence count — no side channel from the build."""
-    counters = counters.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
-    total = counters.where(F.col("i") == 0).agg(F.sum("cnt").alias("__total"))
+    counters = counters.groupBy("i", "bucket").agg(
+        F.expr("sum(cnt) AS cnt")
+    )
+    total = counters.where(F.expr("i = 0")).agg(
+        F.expr("sum(cnt) AS __total")
+    )
     keep = list(candidates.columns)
-    cand = candidates.select(
-        *keep, F.explode(_cms_cells(F.col("item"))).alias("c")
-    ).select(*keep, F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    keep_q = [f"`{c}`" for c in keep]
+    cand = candidates.selectExpr(
+        *keep_q, f"explode({_cms_cells_sql('item')}) AS c"
+    ).selectExpr(*keep_q, "c.i AS i", "c.bucket AS bucket")
     # LEFT join + zero-fill: a sketch stores zero cells implicitly, so
     # an inner join would hand a never-seen candidate the min of only
     # its COLLIDING cells — a spurious positive count where the real
@@ -302,13 +363,16 @@ def cms_heavy_hitters_from_counters(
     # watchlist candidates absent from the stream)
     est = (
         cand.join(F.broadcast(counters), ["i", "bucket"], "left")
-        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
         .groupBy(*keep)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(
+            F.expr(
+                "min(coalesce(cnt, CAST(0 AS BIGINT))) AS est_count"
+            )
+        )
     )
     return (
         est.join(F.broadcast(total))
-        .where(F.col("est_count") * F.lit(inv_phi) >= F.col("__total"))
+        .where(F.expr(f"est_count * {inv_phi} >= __total"))
         .drop("__total")
     )
 
@@ -348,22 +412,28 @@ def quantile_bottomk(
     kmv_distinct bounds the per-group window input at 32·k rows
     regardless of group size; everything after operates on ≤ k rows
     per group."""
-    h = md5_long(F.col(key_col).cast("string"))
+    g = _quoted(group_cols)
+    gq = [f"`{c}`" for c in group_cols]
     # NULL keys are filtered (md5_long(NULL)=NULL sorts NULLS FIRST in
     # Spark but LAST in DuckDB — the kmv NULL rule, review-caught
     # here too), and ties on duplicate keys break on the VALUE so the
     # sample is deterministic, not partition-order-dependent
     base = df.where(
         F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
-    ).select(*group_cols, F.col(value_col).alias("__v"), h.alias("__h"))
-    w_local = Window.partitionBy(
-        *group_cols, F.pmod(F.col("__h"), F.lit(32))
-    ).orderBy("__h", "__v")
-    base = base.withColumn("__lr", F.row_number().over(w_local)).where(
-        F.col("__lr") <= k
+    ).selectExpr(
+        *gq,
+        f"`{value_col}` AS __v",
+        f"{_md5_long_sql(f'CAST(`{key_col}` AS STRING)')} AS __h",
     )
-    w = Window.partitionBy(*group_cols).orderBy("__h", "__v")
-    sample = base.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    base = base.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY "
+        f"{g}, pmod(__h, 32) ORDER BY __h, __v) AS __lr",
+    ).where(F.expr(f"__lr <= {k}"))
+    sample = base.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {g} ORDER BY __h, __v) AS __r",
+    ).where(F.expr(f"__r <= {k}"))
     return sample_quantiles(sample, group_cols, qs)
 
 
@@ -380,15 +450,14 @@ def sample_quantiles(
     (a frame with group_cols and ``__v``) — shared by the batch
     ``quantile_bottomk`` and any sample sink (the streaming bottom-k
     state)."""
-    w_v = Window.partitionBy(*group_cols).orderBy("__v")
-    n = Window.partitionBy(*group_cols)
-    ranked = sample.select(
-        *group_cols,
+    g = _quoted(group_cols)
+    ranked = sample.selectExpr(
+        *[f"`{c}`" for c in group_cols],
         "__v",
-        F.row_number().over(w_v).alias("__vr"),
-        F.count(F.lit(1)).over(n).alias("n_sample"),
+        f"row_number() OVER (PARTITION BY {g} ORDER BY __v) AS __vr",
+        f"count(1) OVER (PARTITION BY {g}) AS n_sample",
     )
-    aggs = [F.max("n_sample").alias("n_sample")]
+    aggs = [F.expr("max(n_sample) AS n_sample")]
     for name, num, den in qs:
         # nearest-rank: the value at row ceil(num·n/den) of the
         # value-sorted sample (ties on value are harmless — any row of
@@ -396,11 +465,12 @@ def sample_quantiles(
         # INTEGER arithmetic — ceil(q·n) on a double q diverges between
         # engines at exact-integer boundaries (DuckDB parses 0.99 as
         # exact DECIMAL, Spark as DOUBLE: ceil(0.99·100) = 99 vs 100).
-        r_q = F.floor(
-            (F.lit(num) * F.col("n_sample") + F.lit(den - 1)) / F.lit(den)
-        ).cast("int")
         aggs.append(
-            F.max(F.when(F.col("__vr") == r_q, F.col("__v"))).alias(name)
+            F.expr(
+                f"max(CASE WHEN __vr = CAST(floor(({num} * n_sample"
+                f" + {den - 1}) / {den}) AS INT) THEN __v END)"
+                f" AS `{name}`"
+            )
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
 
@@ -568,13 +638,14 @@ def _kmv_estimate_aggs(k: int) -> list[Column]:
     """The KMV (n_kept, est_distinct) aggregate pair — ONE definition
     shared by the batch ``kmv_distinct`` and the streaming sink fold
     so the two can never drift (review-caught, r9)."""
-    hk = F.max("__h").cast("double") / F.lit(HASH_SPACE)
-    n = F.count(F.lit(1))
+    hk = f"(CAST(max(__h) AS DOUBLE) / {HASH_SPACE!r})"
     return [
-        n.alias("n_kept"),
-        F.round(
-            F.when(n < k, n.cast("double")).otherwise((F.lit(k) - 1) / hk), 4
-        ).alias("est_distinct"),
+        F.expr("count(1) AS n_kept"),
+        F.expr(
+            f"round(CASE WHEN count(1) < {k} THEN"
+            " CAST(count(1) AS DOUBLE)"
+            f" ELSE ({k} - 1) / {hk} END, 4) AS est_distinct"
+        ),
     ]
 
 

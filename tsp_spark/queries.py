@@ -1000,14 +1000,14 @@ FROM kept WHERE r <= {k} GROUP BY event_type
 
 
 def _sketch_norm(df, variant, k1, v1=None, v2=None, d1=None, d2=None, d3=None):
-    return df.select(
-        F.lit(variant).alias("variant"),
-        F.col(k1).cast("string").alias("k1"),
-        (F.col(v1).cast("long") if v1 else F.lit(0).cast("long")).alias("v1"),
-        (F.col(v2).cast("long") if v2 else F.lit(0).cast("long")).alias("v2"),
-        (F.col(d1).cast("double") if d1 else F.lit(0.0)).alias("d1"),
-        (F.col(d2).cast("double") if d2 else F.lit(0.0)).alias("d2"),
-        (F.col(d3).cast("double") if d3 else F.lit(0.0)).alias("d3"),
+    return df.selectExpr(
+        f"'{variant}' AS variant",
+        f"CAST(`{k1}` AS STRING) AS k1",
+        f"CAST({f'`{v1}`' if v1 else '0'} AS BIGINT) AS v1",
+        f"CAST({f'`{v2}`' if v2 else '0'} AS BIGINT) AS v2",
+        (f"CAST(`{d1}` AS DOUBLE)" if d1 else "CAST(0.0 AS DOUBLE)") + " AS d1",
+        (f"CAST(`{d2}` AS DOUBLE)" if d2 else "CAST(0.0 AS DOUBLE)") + " AS d2",
+        (f"CAST(`{d3}` AS DOUBLE)" if d3 else "CAST(0.0 AS DOUBLE)") + " AS d3",
     )
 
 
