@@ -783,13 +783,10 @@ def minhash_lsh_pairs(
     # for the same reason; the batch path now matches. Tiny table:
     # one row per doc, num_perm longs.
     with_sig = with_sig.localCheckpoint(eager=True)
-    exploded = with_sig.select(
+    exploded = with_sig.selectExpr(
         "__id", "__sig",
-        F.explode(_band_structs(num_perm, bands)).alias("b"),
-    ).select(
-        "__id", "__sig", F.col("b.band").alias("band"),
-        F.col("b.bhash").alias("bhash"),
-    )
+        f"explode({_band_structs_sql(num_perm, bands)}) AS b",
+    ).selectExpr("__id", "__sig", "b.band AS band", "b.bhash AS bhash")
     if max_band_bucket is not None:
         exploded = _bucket_guard(
             exploded, ["band", "bhash"], max_band_bucket, "__id",
@@ -800,37 +797,34 @@ def minhash_lsh_pairs(
             "max_band_bucket deliberately.",
         )
 
-    a = exploded.select("band", "bhash", F.col("__id").alias("id_a"))
-    b = exploded.select("band", "bhash", F.col("__id").alias("id_b"))
+    a = exploded.selectExpr("band", "bhash", "__id AS id_a")
+    b = exploded.selectExpr("band", "bhash", "__id AS id_b")
     # candidate ids first, signatures joined back after the dedup —
     # shuffling bare (long, long) pairs instead of dragging two
     # 32-element arrays through the join and dropDuplicates (~2× faster)
     pair_ids = (
         a.join(b, on=["band", "bhash"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr("id_a < id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     cands = (
         pair_ids.join(
-            with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")),
+            with_sig.selectExpr("__id AS id_a", "__sig AS __sa"),
             on="id_a",
         )
         .join(
-            with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")),
+            with_sig.selectExpr("__id AS id_b", "__sig AS __sb"),
             on="id_b",
         )
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
-            lambda v: v,
-        )
+    est = (
+        "CAST(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
+        f"v -> v)) AS DOUBLE) / {float(num_perm)!r}D"
     )
-    est = agree.cast("double") / F.lit(float(num_perm))
-    return cands.select(
-        "id_a", "id_b", est.alias("est_jaccard")
-    ).where(F.col("est_jaccard") >= F.lit(threshold))
+    return cands.selectExpr(
+        "id_a", "id_b", f"{est} AS est_jaccard"
+    ).where(F.expr(f"est_jaccard >= {float(threshold)!r}D"))
 
 
 def _band_structs(num_perm: int, bands: int) -> Column:
@@ -839,17 +833,16 @@ def _band_structs(num_perm: int, bands: int) -> Column:
     the r14 post-checkpoint re-derivation in minhash_lsh_pairs (both
     must hash identically)."""
     rows_per_band = num_perm // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.struct(
-            bi.alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band),
-                )
-            ).alias("bhash"),
-        ),
+    return F.expr(_band_structs_sql(num_perm, bands))
+
+
+def _band_structs_sql(num_perm: int, bands: int) -> str:
+    """SQL-string form of ``_band_structs`` (r14, guide §5.3)."""
+    rpb = num_perm // bands
+    return (
+        f"transform(sequence(0, {bands - 1}), bi -> struct(bi AS band, "
+        f"xxhash64(concat_ws(',', slice(__sig, bi * {rpb} + 1, {rpb})))"
+        " AS bhash))"
     )
 
 
@@ -881,7 +874,6 @@ def _minhash_bands(
         )
     perms = minhash_perms(num_perm, seed)
 
-    tokens = F.split(F.col(text_col), " ")
     # Hash each token once (portable md5_long so the DuckDB oracle
     # reproduces signatures exactly), then combine k consecutive token
     # hashes arithmetically into a shingle hash — avoids materializing
@@ -893,30 +885,28 @@ def _minhash_bands(
     # Here the shifted combination uses zip_with over slices, so lambdas
     # only see their arguments. All values stay < 2^31 so the
     # polynomial fits in a long.
-    from tsp_spark.pipeline.hashing import md5_long
-
-    th = F.transform(tokens, lambda t: F.pmod(md5_long(t), F.lit(_MERSENNE)))
-    with_th = df.select(F.col(id_col).alias("__id"), th.alias("__th"))
-    thc = F.col("__th")
-    n = F.size(thc)
-    acc = thc
+    # (r14, guide §5.3: the signature chain builds as SQL strings —
+    # identical parsed expressions, a fraction of the py4j round trips)
+    th_sql = (
+        f"transform(split(`{text_col}`, ' '), t -> pmod("
+        f"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), "
+        f"{_MERSENNE}))"
+    )
+    with_th = df.selectExpr(f"`{id_col}` AS __id", f"{th_sql} AS __th")
+    acc = "__th"
     for j in range(1, shingle_k):
-        shifted = F.slice(thc, j + 1, F.greatest(n - j, F.lit(0)))
         # zip_with pads to the longer side with NULLs → trailing
         # partial shingles become NULL and are filtered below
-        acc = F.zip_with(
-            acc, shifted, lambda x, y: F.pmod(x * 8191 + y, F.lit(_MERSENNE))
+        shifted = f"slice(__th, {j + 1}, greatest(size(__th) - {j}, 0))"
+        acc = (
+            f"zip_with({acc}, {shifted}, "
+            f"(x, y) -> pmod(x * 8191 + y, {_MERSENNE}))"
         )
-    hashes = F.when(
-        n >= shingle_k, F.filter(acc, lambda x: x.isNotNull())
-    ).otherwise(
-        F.array(
-            F.aggregate(
-                thc,
-                F.lit(0).cast("long"),
-                lambda a, h: F.pmod(a * 8191 + h, F.lit(_MERSENNE)),
-            )
-        )
+    hashes = (
+        f"CASE WHEN size(__th) >= {shingle_k}"
+        f" THEN filter({acc}, x -> x IS NOT NULL)"
+        " ELSE array(aggregate(__th, CAST(0 AS BIGINT), "
+        f"(a, h) -> pmod(a * 8191 + h, {_MERSENNE}))) END"
     )
     # Explode shingle hashes to rows and take the num_perm mins as ONE
     # aggregation pass. (Computing each permutation as a separate
@@ -924,27 +914,25 @@ def _minhash_bands(
     # after projection collapse — measured 40× slower.) The explode is
     # linear in corpus token count and the min-agg is codegen'd with
     # map-side partial aggregation, so one shuffle on the doc id.
-    exploded_h = with_th.select("__id", F.explode(hashes).alias("__h"))
+    exploded_h = with_th.selectExpr("__id", f"explode({hashes}) AS __h")
     # expression strings (r14, guide §5.3): the Column form of the
     # num_perm min-aggregates costs ~21 py4j round trips each (~680
     # per build at 32 perms); one F.expr per aggregate is 2 — same
     # int×long→long promotion and pmod semantics, bit-identical mins
     sig_df = exploded_h.groupBy("__id").agg(
         *[
-            F.expr(f"min(pmod({a} * __h + {b}, {_MERSENNE}))").alias(f"mh{i}")
+            F.expr(f"min(pmod({a} * __h + {b}, {_MERSENNE})) AS mh{i}")
             for i, (a, b) in enumerate(perms)
         ]
     )
-    with_sig = sig_df.select(
-        "__id", F.array(*[f"mh{i}" for i in range(num_perm)]).alias("__sig")
+    with_sig = sig_df.selectExpr(
+        "__id",
+        "array(" + ", ".join(f"mh{i}" for i in range(num_perm)) + ") AS __sig",
     )
 
-    exploded = with_sig.select(
-        "__id", "__sig", F.explode(_band_structs(num_perm, bands)).alias("b")
-    ).select(
-        "__id", "__sig", F.col("b.band").alias("band"),
-        F.col("b.bhash").alias("bhash"),
-    )
+    exploded = with_sig.selectExpr(
+        "__id", "__sig", f"explode({_band_structs_sql(num_perm, bands)}) AS b"
+    ).selectExpr("__id", "__sig", "b.band AS band", "b.bhash AS bhash")
     return with_sig, exploded
 
 
