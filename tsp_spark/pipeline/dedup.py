@@ -98,30 +98,28 @@ def _bucket_guard(
     the join actually consumes so it is never pruned. An over-limit
     bucket fails the job with an actionable message instead of going
     silently quadratic at 100 TB."""
-    from pyspark.sql import Window
-
-    bucket_n = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
     dt = t.schema[consumed_col].dataType.simpleString()
+    # r14 (guide §5.3): one F.expr string — identical parsed tree
+    def q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    bucket_n = (
+        "count(1) OVER (PARTITION BY "
+        + ", ".join(f"`{c}`" for c in bucket_cols)
+        + ")"
+    )
+    casts = ", ".join(f"CAST(`{c}` AS STRING)" for c in bucket_cols)
+    head = q(f"{caller} bucket holds more than {max_n} rows (bucket ")
+    tail = q(
+        f"): the per-bucket self-join would go quadratic. {hint}"
+    )
     return t.withColumn(
         consumed_col,
-        F.when(
-            bucket_n > max_n,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"{caller} bucket holds more than {max_n} rows "
-                        f"(bucket "
-                    ),
-                    F.concat_ws(
-                        ",", *[F.col(c).cast("string") for c in bucket_cols]
-                    ),
-                    F.lit(
-                        f"): the per-bucket self-join would go "
-                        f"quadratic. {hint}"
-                    ),
-                )
-            ).cast(dt),
-        ).otherwise(F.col(consumed_col)),
+        F.expr(
+            f"CASE WHEN {bucket_n} > {max_n} THEN "
+            f"CAST(raise_error(concat('{head}', concat_ws(',', {casts}), "
+            f"'{tail}')) AS {dt}) ELSE `{consumed_col}` END"
+        ),
     )
 
 
@@ -992,6 +990,7 @@ def simhash_pairs(
         F.col(id_col).alias("__id"),
         token_hashes_col(text_col, bits).alias("__th"),
     )
+    # (token_hashes_col is one F.expr string since r14 — see text.py)
     # Fingerprint via explode + codegen'd per-bit vote sums (the same
     # shape as the MinHash signature aggregation): the lambda-based
     # simhash_from_hashes evaluates bits×tokens INTERPRETED
@@ -1000,7 +999,7 @@ def simhash_pairs(
     # feeds `bits` literal-shift expressions inside one whole-stage
     # codegen span, and the groupBy collapses map-side. Bit-identical
     # result: votes use the same multiset of token hashes.
-    exploded_h = hashed.select("__id", F.explode("__th").alias("__h"))
+    exploded_h = hashed.selectExpr("__id", "explode(__th) AS __h")
     # r14 plan-size diet (the query spent 1.36 s per run BUILDING this
     # plan — analyzer walks over 52 eight-node ±1-vote aggregates plus
     # a 52-deep left-leaning sum chain): votes_b = 2·s_b − n where s_b
@@ -1014,9 +1013,9 @@ def simhash_pairs(
     # rule walks stop being depth-quadratic. Build 1.36 → 0.40 s,
     # count 1.96 → 1.37 s at sf0.1.
     votes = exploded_h.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__nt"),
+        F.expr("count(1) AS __nt"),
         *[
-            F.expr(f"sum(shiftright(__h, {b}) & 1)").alias(f"v{b}")
+            F.expr(f"sum(shiftright(__h, {b}) & 1) AS v{b}")
             for b in range(bits)
         ],
     )
@@ -1035,23 +1034,14 @@ def simhash_pairs(
     sh = votes.select("__id", F.expr(_balanced_sum(sh_terms)).alias("__sh"))
     # integer band extraction (literal shifts — exact at any bit
     # width, unlike the double-division path this replaced)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.pmod(
-                    F.shiftright(F.col("__sh"), b * w), F.lit(1 << w)
-                ).alias("bval"),
-            )
-            for b in range(bands)
-        ]
-    )
-    exploded = sh.select(
-        "__id", "__sh", F.explode(band_arr).alias("b")
-    ).select(
-        "__id", "__sh",
-        F.col("b.band").alias("band"), F.col("b.bval").alias("bval"),
-    )
+    band_arr = "array(" + ", ".join(
+        f"struct({b} AS band, pmod(shiftright(__sh, {b * w}), {1 << w})"
+        " AS bval)"
+        for b in range(bands)
+    ) + ")"
+    exploded = sh.selectExpr(
+        "__id", "__sh", f"explode({band_arr}) AS b"
+    ).selectExpr("__id", "__sh", "b.band AS band", "b.bval AS bval")
     if max_band_bucket is not None:
         exploded = _bucket_guard(
             exploded, ["band", "bval"], max_band_bucket, "__id",
@@ -1070,22 +1060,16 @@ def simhash_pairs(
     # (The earlier "checkpoint is neutral" note measured the PRE-band
     # fingerprint table, whose consumers did share an exchange.)
     exploded = exploded.localCheckpoint(eager=True)
-    a = exploded.select(
-        "band", "bval", F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")
-    )
-    b = exploded.select(
-        "band", "bval", F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")
-    )
+    a = exploded.selectExpr("band", "bval", "__id AS id_a", "__sh AS __sa")
+    b = exploded.selectExpr("band", "bval", "__id AS id_b", "__sh AS __sb")
     pairs = (
         a.join(b, on=["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
+        .where(F.expr("id_a < id_b"))
+        .selectExpr(
             "id_a", "id_b",
-            F.bit_count(
-                F.col("__sa").bitwiseXOR(F.col("__sb"))
-            ).cast("long").alias("hamming"),
+            "CAST(bit_count(__sa ^ __sb) AS BIGINT) AS hamming",
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.expr(f"hamming <= {max_hamming}"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs

@@ -647,11 +647,11 @@ def token_hashes_col(text_col: str, bits: int = 16) -> Column:
     bits (md5_long is non-negative, so % is safe) so bit tests stay
     exact in double arithmetic (shiftleft/right need literal shift
     amounts, but the shift is a lambda variable downstream)."""
-    from tsp_spark.pipeline.hashing import md5_long
-
-    return F.transform(
-        _tokens(F.col(text_col)),
-        lambda t: F.pmod(md5_long(t), F.lit(1 << bits)),
+    # r14 (guide §5.3): one F.expr string — identical parsed tree
+    return F.expr(
+        f"transform(split(`{text_col}`, ' '), t -> pmod("
+        "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), "
+        f"{1 << bits}))"
     )
 
 
